@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational queries over the testdata star schema.
+  *
+  * These exercise the Spark-side plumbing the adtl-derived operators build on
+  * (scan, projection pushdown, broadcast joins, shuffle aggregation, window
+  * functions, top-k) and are designed to hash-match a DuckDB oracle exactly:
+  *
+  *  - money sums go through DECIMAL so results are order-independent and
+  *    bit-exact regardless of partial-aggregation order, then a single final
+  *    cast to double (deterministic) for a stable comparable type;
+  *  - every float-producing step is a single IEEE op on identical inputs
+  *    (never a multi-row double accumulation);
+  *  - every result has a deterministic total ORDER BY with a unique key.
+  */
+object Relational {
+
+  /** sum(CAST(c AS DECIMAL(p,2))) → double: order-insensitive exact sum. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(14,2)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5-adjacent: shuffle aggregation with map-side partial agg (TPC-H Q1 shape).
+    "q1_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integer-valued doubles: exact
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(14,2)") *
+            (lit(1).cast("decimal(14,2)") - col("l_discount").cast("decimal(14,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // Top-k with unique tie-break: total sort, LIMIT pushed into TakeOrdered.
+    "q2_topk" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+    // Broadcast dimension join + shuffle agg: revenue per nation.
+    "q3_join_agg" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    },
+    // Anti join (NOT EXISTS): customers with no orders.
+    "q4_anti_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    // Semi join (EXISTS): nations that have suppliers.
+    "q5_semi_join" -> { (s, d) =>
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d).select(col("s_nationkey"))
+      n.join(sup, n("n_nationkey") === sup("s_nationkey"), "left_semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    },
+    // Window rank with unique tie-break key.
+    "q6_window_rank" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .select("user_id", "event_id", "rn")
+        .orderBy("user_id", "rn")
+    },
+    // Running sum over a window: DECIMAL accumulation keeps it exact.
+    "q7_running_sum" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(14,2)")).over(w).cast("double"))
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q4_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q5_semi_join" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+        |ORDER BY n_nationkey""".stripMargin,
+    "q6_window_rank" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |FROM events ORDER BY user_id, rn""".stripMargin,
+    "q7_running_sum" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin)
+}
