@@ -1,0 +1,355 @@
+package graft.adtl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Spec._
+
+/** The spec-compiled adtl engine: load + normalize a TOML/JSON spec once on
+  * the driver, then execute each output table as one declarative Spark plan
+  * over the source DataFrame:
+  *
+  *  - constant  → literal single-row DataFrame
+  *  - oneToOne  → select of compiled Column rules
+  *  - oneToMany → array-of-structs (one per match entry, nulled when its
+  *                `if` fails) + explode — a narrow, shuffle-free fan-out
+  *  - groupBy   → one hash aggregation keyed on the group column, with
+  *                file-order semantics made explicit via a scan-order id
+  *
+  * Scale design: the stringified source is computed once; each table is a
+  * projection/explode (narrow) or a single shuffle (groupBy). There is no
+  * row-at-a-time interpretation and no driver-side loop — all semantics are
+  * Column expression trees that Catalyst optimizes and codegens.
+  *
+  * Reference lifecycle mirrored (studied, not copied):
+  * /root/reference/src/adtl/parser.py:257-355 (init), 516-549 (row parse),
+  * 551-637 (grouping), 736-757 (validation).
+  */
+final class AdtlParser private (
+    rawSpec0: Raw,
+    specDir: Option[String],
+    includeDefs: List[String],
+    val registry: Transformations.Registry) {
+
+  val ROW_ID = "__adtl_row_id"
+
+  // ---- spec compile (driver-side, once) ---------------------------------
+
+  val spec: AdtlSpec = {
+    val header0 = Header(rawSpec0.getOrElse("adtl",
+      throw new SpecValidationError("Specification requires an 'adtl' header block"))
+      .asInstanceOf[Raw])
+    val tables = header0.tables // validates kinds/aggregations
+
+    // defs: header defs + include-def files (relative to the spec) + extra
+    val defFiles = header0.includeDefs.map(resolvePath) ++ includeDefs
+    val defs: Raw = defFiles.foldLeft(header0.defs) { (acc, f) =>
+      acc ++ SpecLoader.loadFile(f)
+    }
+    val expanded = Normalize.expandRefs(rawSpec0, defs).asInstanceOf[Raw]
+
+    // load per-table JSON schemas + optional-fields trimming
+    val schemas: Map[String, Raw] = tables.flatMap { case (tname, meta) =>
+      meta.schemaPath.flatMap { sp =>
+        if (sp.startsWith("http")) None // no remote fetch in zero-egress envs
+        else {
+          val loaded = SpecLoader.parseJson(SpecLoader.readUtf8(resolvePath(sp)))
+          Some(tname -> Normalize.makeFieldsOptional(loaded, meta.optionalFields))
+        }
+      }
+    }
+    val dateFields = schemas.values.flatMap(Normalize.dateFields).toList.distinct.sorted
+
+    // oneToMany: for-expansion, then common-mappings merge, then default-if
+    val tableRules: Map[String, Any] = tables.map { case (tname, meta) =>
+      val block = expanded.getOrElse(tname,
+        throw new SpecValidationError(s"Missing required table '$tname'"))
+      val rules = meta.kind match {
+        case "oneToMany" =>
+          val entries = block match {
+            case l: List[_] => l.asInstanceOf[List[Raw]]
+            case m: Raw @unchecked => List(m)
+            case other => throw new SpecValidationError(
+              s"Table '$tname': oneToMany block must be a list of match entries, got $other")
+          }
+          val expanded2 = Normalize.expandFor(entries)
+          val common = Normalize.mergeCommon(expanded2, meta.common)
+          common.map(e => Normalize.defaultIf(tname, schemas.get(tname), e))
+        case _ => block
+      }
+      tname -> rules
+    }
+    AdtlSpec(Header(expanded("adtl").asInstanceOf[Raw]), tables, tableRules, schemas, dateFields)
+  }
+
+  private def resolvePath(p: String): String =
+    if (java.nio.file.Paths.get(p).isAbsolute) p
+    else specDir.map(d => s"$d/$p").getOrElse(p)
+
+  def tableNames: List[String] = spec.tables.keys.toList
+
+  // ---- execution --------------------------------------------------------
+
+  /** Parse a header-row CSV with DictReader semantics (all strings). */
+  def parseCsv(spark: SparkSession, file: String, encoding: String = "UTF-8",
+      skipValidation: Boolean = false): Map[String, DataFrame] = {
+    val df = spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .option("encoding", encoding)
+      .option("multiLine", "false")
+      .csv(file)
+    parseDataFrame(spark, df, skipValidation)
+  }
+
+  /** Parse any DataFrame (columns are stringified — CSV semantics). */
+  def parseDataFrame(spark: SparkSession, source: DataFrame,
+      skipValidation: Boolean = false): Map[String, DataFrame] = {
+    // scan-order id: monotonically increasing by (partition, offset) — makes
+    // file order explicit for lastNotNull/firstNonNull at any scale
+    var df = source.withColumn(ROW_ID, monotonically_increasing_id())
+    spec.header.emptyFields.foreach { sentinel =>
+      df = df.select(df.columns.map { c =>
+        if (c == ROW_ID) col(c)
+        else when(col(c).cast("string") === sentinel, "")
+          .otherwise(col(c).cast("string")).as(c)
+      }: _*)
+    }
+    if (spec.tables.size > 1) df = df.cache()
+
+    val compiler = new RuleCompiler(
+      df.columns.filterNot(_ == ROW_ID).toSeq, spec.header, spec.dateFields.toSet,
+      registry, spec.namespaceUuid)
+
+    spec.tables.map { case (tname, meta) =>
+      val out = meta.kind match {
+        case "constant" => execConstant(spark, tname)
+        case "oneToOne" => execOneToOne(df, compiler, tname)
+        case "groupBy" => execGroupBy(df, compiler, tname, meta)
+        case "oneToMany" => execOneToMany(df, compiler, tname, meta)
+      }
+      val validated =
+        if (!skipValidation && spec.schemas.contains(tname))
+          withValidation(out, tname, meta)
+        else out
+      tname -> validated
+    }
+  }
+
+  private def coerceTypeFor(tname: String, attr: String): Option[Any] =
+    spec.schemas.get(tname).flatMap { s =>
+      s.getOrElse("properties", Map.empty[String, Any]).asInstanceOf[Raw]
+        .get(attr).collect { case p: Raw @unchecked => p.get("type") }.flatten
+    }
+
+  private def execConstant(spark: SparkSession, tname: String): DataFrame = {
+    val rules = spec.tableRules(tname).asInstanceOf[Raw]
+    val cols = spec.fieldNames(tname).map { attr =>
+      (rules(attr) match {
+        case s: String => lit(s)
+        case b: Boolean => lit(b)
+        case l: Long => lit(l)
+        case d: Double => lit(d)
+        case l: List[_] => array(l.map(x => lit(x.toString)): _*)
+        case other => lit(other.toString)
+      }).as(attr)
+    }
+    spark.range(1).select(cols: _*)
+  }
+
+  private def execOneToOne(df: DataFrame, compiler: RuleCompiler, tname: String): DataFrame = {
+    val rules = spec.tableRules(tname).asInstanceOf[Raw]
+    val cols = spec.fieldNames(tname).map { attr =>
+      compiler.compile(rules(attr), attr, coerceTypeFor(tname, attr)).as(attr)
+    }
+    df.select(cols: _*)
+  }
+
+  /** groupBy table: one shuffle. lastNotNull = arg-max by scan-order id over
+    * non-empty values; combinedType aggregation modes per parser.py:551-637. */
+  private def execGroupBy(df: DataFrame, compiler: RuleCompiler, tname: String,
+      meta: TableMeta): DataFrame = {
+    val rules = spec.tableRules(tname).asInstanceOf[Raw]
+    val groupField = meta.groupBy.get
+    val aggregation = meta.aggregation.getOrElse("lastNotNull")
+    val attrs = spec.fieldNames(tname).filterNot(_ == groupField)
+
+    // parse all attributes per row first (narrow projection)
+    val parsed = df.select(
+      (col(ROW_ID) +:
+        compiler.compile(rules(groupField), groupField, coerceTypeFor(tname, groupField))
+          .as(groupField) +:
+        attrs.map(a => compiler.compile(rules(a), a, coerceTypeFor(tname, a)).as(a))): _*)
+
+    def valid(a: String): Column = {
+      val c = col(a)
+      parsed.schema(a).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => c.isNotNull && size(c) > 0
+        case _: org.apache.spark.sql.types.StringType => c.isNotNull && c =!= ""
+        case _ => c.isNotNull
+      }
+    }
+
+    val aggCols: Seq[Column] = attrs.map { a =>
+      val rule = rules(a)
+      val isCombined = rule.isInstanceOf[Raw @unchecked] &&
+        rule.asInstanceOf[Raw].contains("combinedType")
+      val v = when(valid(a), col(a))
+      val rid = when(valid(a), col(ROW_ID))
+      val out: Column =
+        if (isCombined && aggregation == "applyCombinedType") {
+          val ct = rule.asInstanceOf[Raw]("combinedType").toString
+          ct match {
+            case "min" => min(v)
+            case "max" => max(v)
+            case "any" => max(v.cast("boolean"))
+            case "all" => min(v.cast("boolean"))
+            case "firstNonNull" => min_by(v, rid)
+            case "set" =>
+              // flatten row lists in file order, then dedupe (insertion order);
+              // invalid rows collect as null sub-arrays — drop before flatten
+              array_distinct(flatten(filter(
+                sort_array(collect_list(struct(rid.as("r"), v.as("v")))).getField("v"),
+                x => x.isNotNull)))
+            case "list" =>
+              flatten(filter(
+                sort_array(collect_list(struct(rid.as("r"), v.as("v")))).getField("v"),
+                x => x.isNotNull))
+            case other => max_by(v, rid)
+          }
+        } else max_by(v, rid) // lastNotNull: last non-empty value in file order
+      out.as(a)
+    }
+
+    parsed.filter(valid(groupField))
+      .groupBy(col(groupField))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select((groupField +: attrs).map(col): _*)
+  }
+
+  /** oneToMany: per-entry struct gated by its `if`, exploded — narrow plan,
+    * no shuffle (parser.py:516-535). */
+  private def execOneToMany(df: DataFrame, compiler: RuleCompiler, tname: String,
+      meta: TableMeta): DataFrame = {
+    val entries = spec.tableRules(tname).asInstanceOf[List[Raw]]
+    val fields = spec.fieldNames(tname)
+
+    // resolve one output type per attribute so entry structs align
+    val perEntryCVs: List[Map[String, RuleCompiler.CV]] = entries.map { e =>
+      (e.keySet - "if").map { attr =>
+        attr -> compiler.compileUnhashed(e(attr), attr)
+      }.toMap
+    }
+    def targetType(attr: String): String = {
+      val cvs = perEntryCVs.flatMap(_.get(attr))
+      val coerced = coerceTypeFor(tname, attr).map(_.toString)
+      if (cvs.nonEmpty && cvs.forall(_.vt == RuleCompiler.VArr)) "array<string>"
+      else coerced match {
+        case Some("integer") => "bigint"
+        case Some("number") => "double"
+        case _ => "string"
+      }
+    }
+    val types = fields.map(a => a -> targetType(a)).toMap
+
+    val structs: List[Column] = entries.map { e =>
+      val cond = compiler.compileIf(e("if").asInstanceOf[Raw])
+      val fcols = fields.map { attr =>
+        val c =
+          if (e.contains(attr))
+            compiler.compile(e(attr), attr, coerceTypeFor(tname, attr)).cast(types(attr))
+          else lit(null).cast(types(attr))
+        c.as(attr)
+      }
+      when(coalesce(cond, lit(false)), struct(fcols: _*))
+    }
+
+    df.select(explode(filter(array(structs: _*), x => x.isNotNull)).as("__e"))
+      .select(fields.map(f => col(s"__e.$f").as(f)): _*)
+  }
+
+  /** Append adtl_valid / adtl_error annotation columns. */
+  private def withValidation(out: DataFrame, tname: String, meta: TableMeta): DataFrame = {
+    val schema = spec.schemas(tname)
+    val v = SchemaValidate.compile(
+      schema, meta.discriminator, meta.kind == "oneToMany", tname,
+      a => if (out.columns.contains(a)) col(a) else lit(null).cast("string"))
+    out.withColumn("adtl_valid", v.valid)
+      .withColumn("adtl_error", v.error)
+  }
+
+  // ---- sinks ------------------------------------------------------------
+
+  /** CSV with deterministic sorted header, validation columns first, arrays
+    * rendered Python-repr style (parser.py:778-806 parity). */
+  def writeCsv(tables: Map[String, DataFrame], tname: String, path: String): Unit =
+    renderForCsv(tables(tname)).coalesce(1)
+      .write.mode("overwrite").option("header", "true").option("emptyValue", "")
+      .csv(path)
+
+  def renderForCsv(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.ArrayType
+    val validationCols = List("adtl_valid", "adtl_error").filter(df.columns.contains)
+    val dataCols = df.columns.filterNot(validationCols.contains).toList.sorted
+    val ordered = validationCols ++ dataCols
+    df.select(ordered.map { c =>
+      (df.schema(c).dataType match {
+        case _: ArrayType =>
+          // Python repr of a list: quote non-numeric/non-bool items
+          val items = transform(col(c), x =>
+            when(x.isNull, "None")
+              .when(x.rlike("^-?\\d+(\\.\\d+)?$") || x.isin("True", "False"), x)
+              .otherwise(concat(lit("'"), x, lit("'"))))
+          when(col(c).isNotNull, concat(lit("["), array_join(items, ", "), lit("]")))
+        case org.apache.spark.sql.types.BooleanType =>
+          when(col(c), "True").otherwise("False")
+        case _ => col(c).cast("string")
+      }).as(c)
+    }: _*)
+  }
+
+  def writeParquet(tables: Map[String, DataFrame], tname: String, path: String): Unit = {
+    val df = tables(tname)
+    val validationCols = List("adtl_valid", "adtl_error").filter(df.columns.contains)
+    val dataCols = df.columns.filterNot(validationCols.contains).toList
+    df.select((validationCols ++ dataCols).map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Validation report: valid/total per table + error-message counts — a
+    * single aggregation per table (show_report, parser.py:845-863). */
+  def report(tables: Map[String, DataFrame]): Map[String, (Long, Long, Map[String, Long])] =
+    tables.collect { case (tname, df) if df.columns.contains("adtl_valid") =>
+      val counts = df.groupBy("adtl_valid", "adtl_error").count().collect()
+      val total = counts.map(_.getLong(2)).sum
+      val valid = counts.filter(r => !r.isNullAt(0) && r.getBoolean(0)).map(_.getLong(2)).sum
+      val errors = counts.filter(r => !r.isNullAt(1))
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      tname -> (valid, total, errors)
+    }
+
+  /** Spec-vs-data field diff (check_spec_fields, parser.py:915-932). */
+  def checkSpecFields(dataColumns: Seq[String]): (Set[String], Set[String]) = {
+    val sf = Spec.specFields(spec.tableRules)
+    (dataColumns.toSet -- sf, sf -- dataColumns.toSet)
+  }
+}
+
+object AdtlParser {
+  def fromFile(path: String, includeDefs: List[String] = Nil,
+      registry: Transformations.Registry = Transformations.newRegistry()): AdtlParser = {
+    val raw = SpecLoader.loadFile(path)
+    val dir = Option(java.nio.file.Paths.get(path).toAbsolutePath.getParent).map(_.toString)
+    new AdtlParser(raw, dir, includeDefs, registry)
+  }
+
+  def fromSpec(raw: Raw, specDir: Option[String] = None,
+      includeDefs: List[String] = Nil,
+      registry: Transformations.Registry = Transformations.newRegistry()): AdtlParser =
+    new AdtlParser(raw, specDir, includeDefs, registry)
+
+  def fromJsonString(json: String): AdtlParser =
+    fromSpec(SpecLoader.parseJson(json))
+
+  def fromTomlString(toml: String): AdtlParser =
+    fromSpec(TomlParser.parse(toml))
+}

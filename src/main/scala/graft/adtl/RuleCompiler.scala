@@ -1,0 +1,477 @@
+package graft.adtl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import Spec.Raw
+import Transformations.{PCol, PLit, PList, TParam, TCtx}
+
+/** Compiles adtl field rules and `if` predicates into Spark Column
+  * expression trees — executed once per table as a declarative plan, never
+  * row-at-a-time. Mirrors the evaluation order of get_value
+  * (/root/reference/src/adtl/get_value.py:137-241; studied, not copied):
+  * skip → if → apply → ""→null → values → unit|date → sensitive → coerce.
+  *
+  * Source data model: CSV strings (DictReader semantics) — every source
+  * column is read as string with null→"" so empty-cell behavior matches;
+  * "" → null re-normalization then happens exactly where the reference does
+  * it. Static column presence (df.columns) resolves can_skip/skipFieldPattern
+  * at compile time.
+  */
+final class RuleCompiler(
+    val columns: Seq[String],
+    header: Spec.Header,
+    dateFields: Set[String],
+    registry: Transformations.Registry,
+    namespace: java.util.UUID) {
+
+  import RuleCompiler._
+
+  private val colSet = columns.toSet
+  private val skipPattern: Option[java.util.regex.Pattern] =
+    header.skipFieldPattern.map(java.util.regex.Pattern.compile)
+  private val returnUnmatched = header.returnUnmatched
+  private val tctx = TCtx(returnUnmatched)
+
+  /** Raw source column with CSV semantics: string-typed, null → "". */
+  def sourceCol(field: String): Column =
+    coalesce(col(field).cast("string"), lit(""))
+
+  private def fieldMissing(field: String): Boolean = !colSet.contains(field)
+
+  private def skippable(rule: Raw, field: String): Boolean =
+    rule.get("can_skip").contains(true) ||
+      skipPattern.exists(_.matcher(field).lookingAt())
+
+  // ---- public API -------------------------------------------------------
+
+  /** Compile a full rule for an output attribute, with optional JSON-schema
+    * type coercion (get_value, get_value.py:137-170). */
+  def compile(rule: Any, attr: String, coerceType: Option[Any]): Column = {
+    val cv = compileUnhashed(rule, attr)
+    val hashed = rule match {
+      case m: Raw @unchecked if m.get("sensitive").contains(true) =>
+        CV(sha2(cv.col.cast("string"), 256), VStr)
+      case _ => cv
+    }
+    coerceType match {
+      case Some(t) if !(rule.isInstanceOf[Raw @unchecked] &&
+          rule.asInstanceOf[Raw].get("sensitive").contains(true)) =>
+        coerce(hashed, t).col
+      case _ => hashed.col
+    }
+  }
+
+  /** Schema type coercion (util.py:12-40): integer tries int() then
+    * int(round(float())) — banker's rounding, hence bround. */
+  private def coerce(cv: CV, t: Any): CV = {
+    val types: List[String] = t match {
+      case s: String => List(s)
+      case l: List[_] => l.map(_.toString)
+      case _ => Nil
+    }
+    types.find(x => x == "string" || x == "integer" || x == "number") match {
+      case Some("integer") =>
+        val s = cv.col.cast("string")
+        CV(coalesce(try_cast(s, "bigint"),
+          bround(try_cast(s, "double")).cast("bigint")), VLong)
+      case Some("number") => CV(try_cast(cv.col.cast("string"), "double"), VDbl)
+      case Some("string") => CV(renderString(cv), VStr)
+      case _ => cv
+    }
+  }
+
+  // ---- rule pipeline ----------------------------------------------------
+
+  def compileUnhashed(rule: Any, attr: String): CV = rule match {
+    case null => CV(lit(null).cast("string"), VStr)
+    case s: String => CV(lit(s), VStr)
+    case b: Boolean => CV(lit(b), VBool)
+    case l: Long => CV(lit(l), VLong)
+    case i: Int => CV(lit(i.toLong), VLong)
+    case d: Double => CV(lit(d), VDbl)
+    case l: List[_] => // constant list
+      CV(array(l.map(x => lit(x.toString)): _*), VArr)
+    case m: Raw @unchecked =>
+      if (m.contains("field")) compileFieldRule(m, attr)
+      else if (m.contains("combinedType")) compileCombined(m, attr)
+      else if (m.contains("generate")) compileGenerate(m)
+      else throw new Spec.SpecValidationError(s"Could not return value for $m")
+    case other => CV(lit(other.toString), VStr)
+  }
+
+  private def compileFieldRule(rule: Raw, attr: String): CV = {
+    val field = rule("field").toString
+    if (fieldMissing(field)) {
+      if (skippable(rule, field)) return CV(lit(null).cast("string"), VStr)
+      throw new Spec.SpecValidationError(s"Column '$field' not found.")
+    }
+    var cv = CV(sourceCol(field), VStr)
+
+    // apply transformation
+    rule.get("apply") match {
+      case Some(app: Raw @unchecked) =>
+        val fn = app("function").toString
+        val params = app.get("params") match {
+          case Some(l: List[_]) => l.map(resolveParam)
+          case _ => Nil
+        }
+        cv = CV(registry(fn)(cv.col, params, tctx), fnResultType(fn))
+      case _ =>
+    }
+
+    // "" → null (get_value.py:194-195); only meaningful for stringy values
+    if (cv.vt == VStr) cv = CV(when(cv.col === "", lit(null)).otherwise(cv.col), VStr)
+
+    // values map (+ enum_list)
+    if (rule.contains("values")) cv = compileValuesMap(rule, cv)
+
+    // unit conversion
+    if (rule.contains("source_unit") && rule.contains("unit"))
+      cv = compileUnitConversion(rule, cv)
+
+    // date reformat (explicit source_date, or the attribute is date-typed)
+    val isDateAttr = dateFields.contains(attr)
+    if (rule.contains("source_date") || isDateAttr)
+      cv = compileDateConversion(rule, cv, isDateAttr)
+
+    // field-level if — evaluated before everything in the reference, which
+    // is equivalent to gating the final value
+    rule.get("if") match {
+      case Some(cond: Raw @unchecked) =>
+        cv = CV(when(compileIf(cond), cv.col), cv.vt)
+      case _ =>
+    }
+    cv
+  }
+
+  private def resolveParam(p: Any): TParam = p match {
+    case s: String if s.startsWith("$") =>
+      val f = s.substring(1)
+      if (fieldMissing(f)) PLit(null) else PCol(sourceCol(f))
+    case l: List[_] => PList(l.map(resolveParam))
+    case other => PLit(other)
+  }
+
+  /** values-map recode (convert_values, get_value.py:110-131). */
+  private def compileValuesMap(rule: Raw, in: CV): CV = {
+    val values = rule("values").asInstanceOf[Raw]
+    val caseInsensitive = rule.get("caseInsensitive").contains(true)
+    val passthrough = rule.get("ignoreMissingKey").contains(true) || returnUnmatched
+    val isEnumList = rule.get("type").contains("enum_list")
+
+    val entries: Seq[(String, Any)] =
+      if (caseInsensitive) values.toSeq.map { case (k, v) => k.toLowerCase -> v }
+      else values.toSeq
+
+    // unify mapped-value type
+    val allBool = entries.nonEmpty && entries.forall(_._2.isInstanceOf[Boolean])
+    val allNum = entries.nonEmpty && entries.forall(v =>
+      v._2.isInstanceOf[Long] || v._2.isInstanceOf[Double] || v._2.isInstanceOf[Int])
+    val outVt = if (allBool) VBool else if (allNum) VDbl else VStr
+
+    def mapped(c: Column): Column = {
+      val key = if (caseInsensitive) trim(lower(c)) else c
+      val chain = entries.foldLeft(None: Option[Column]) { case (acc, (k, v)) =>
+        val lv: Column = v match {
+          case null => lit(null)
+          case b: Boolean => if (outVt == VBool) lit(b) else lit(b.toString)
+          case s: String => if (s.isEmpty) lit(null) else lit(s) // mapped "" → null
+          case n: Long => if (outVt == VDbl) lit(n.toDouble) else lit(n)
+          case n: Double => lit(n)
+          case other => lit(other.toString)
+        }
+        Some(acc match {
+          case None => when(key === k, lv)
+          case Some(w) => w.when(key === k, lv)
+        })
+      }.getOrElse(lit(null))
+      if (passthrough) {
+        // unmapped key passes the (possibly lowercased) value through
+        val fallthrough = when(!entries.map(e => key === e._1)
+          .foldLeft(lit(false))(_ || _), if (caseInsensitive) key else c)
+        coalesce(chain, fallthrough)
+      } else chain
+    }
+
+    if (isEnumList) {
+      // "[a, b]" → split, trim, per-element recode (get_value.py:111-119)
+      val stripped = regexp_replace(in.col, "^\\[|\\]$", "")
+      val arr = transform(split(stripped, ","), x => mapped(trim(x)))
+      CV(arr, VArr)
+    } else CV(mapped(in.col), outVt)
+  }
+
+  /** source_unit/unit → factor chain (get_value.py:200-218). */
+  private def compileUnitConversion(rule: Raw, in: CV): CV = {
+    val target = rule("unit").toString
+    val num = try_cast(in.col.cast("string"), "double")
+    rule("source_unit") match {
+      // non-rule constant source_unit (non-string) → plain float(value)
+      case _: Long | _: Double | _: Boolean => CV(num, VDbl)
+      case s: String =>
+        val f = Units.factor(s, target).getOrElse(throw new Spec.SpecValidationError(
+          s"Cannot convert unit '$s' to '$target'"))
+        CV(num * f, VDbl)
+      case srcRule =>
+        val srcUnit = compileUnhashed(srcRule, "source_unit").col.cast("string")
+        val candidates = Units.lookup(target).map(_.dimension) match {
+          case Some(dim) => Units.knownUnits.filter(u => Units.lookup(u).exists(_.dimension == dim))
+          case None => Nil
+        }
+        val chain = candidates.flatMap(u => Units.factor(u, target).map(u -> _))
+          .foldLeft(None: Option[Column]) { case (acc, (u, f)) =>
+            Some(acc match {
+              case None => when(trim(lower(srcUnit)) === u, num * f)
+              case Some(w) => w.when(trim(lower(srcUnit)) === u, num * f)
+            })
+          }.getOrElse(lit(null).cast("double"))
+        CV(chain, VDbl)
+    }
+  }
+
+  /** source_date/date strftime reformat (get_value.py:219-234). */
+  private def compileDateConversion(rule: Raw, in: CV, isDateAttr: Boolean): CV = {
+    val target = rule.get("date").map(_.toString).getOrElse("%Y-%m-%d")
+    val source: String = rule.get("source_date") match {
+      case Some(s: String) => s
+      case Some(other) => // source_date can itself be a rule; static formats only
+        throw new Spec.SpecValidationError(
+          s"Dynamic source_date rules are not supported: $other")
+      case None => header.defaultDateFormat
+    }
+    if (source == target) return in
+    val parsed = Transformations.parseTs(in.col, source)
+    val out = date_format(parsed, DateFormats.translate(target).javaPattern)
+    val res =
+      if (returnUnmatched) when(parsed.isNotNull, out).otherwise(in.col)
+      else when(parsed.isNotNull, out)
+    CV(res, VStr)
+  }
+
+  // ---- combinedType (horizontal, within-row) ----------------------------
+
+  /** get_combined_type (get_value.py:315-385): combine multiple source
+    * columns into one attribute value. */
+  private def compileCombined(rule: Raw, attr: String): CV = {
+    val combinedType = rule("combinedType").toString
+    val subRules: List[Any] = rule.getOrElse("fields", Nil).asInstanceOf[List[Any]]
+      .flatMap {
+        case r: Raw @unchecked if r.contains("fieldPattern") =>
+          val pat = java.util.regex.Pattern.compile(r("fieldPattern").toString)
+          columns.filter(c => pat.matcher(c).lookingAt())
+            .map(c => (r - "fieldPattern") + ("field" -> c))
+        case r => List(r)
+      }
+    val subs: List[CV] = subRules.map(r => compileUnhashed(r, attr))
+
+    combinedType match {
+      case "any" | "all" =>
+        // values are auto-numeric-cast then Python-truthiness'd; null/"" dropped
+        val present = subs.map(cv => presentCol(cv))
+        val truthies = subs.map(truthy)
+        val anyPresent = present.reduceOption(_ || _).getOrElse(lit(false))
+        val res =
+          if (combinedType == "any")
+            truthies.zip(present).map { case (t, p) => p && coalesce(t, lit(false)) }
+              .reduceOption(_ || _).getOrElse(lit(false))
+          else
+            truthies.zip(present).map { case (t, p) => !p || coalesce(t, lit(true)) }
+              .reduceOption(_ && _).getOrElse(lit(true))
+        CV(when(anyPresent, res), VBool)
+      case "min" | "max" =>
+        val vals = subs.map(cv => when(presentCol(cv), renderString(cv)))
+        if (vals.length == 1) CV(vals.head, VStr)
+        else {
+          val nums = vals.map(v => try_cast(v, "double"))
+          val allNumeric = vals.zip(nums)
+            .map { case (v, n) => v.isNull || n.isNotNull }
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val (fNum, fStr): (Seq[Column] => Column, Seq[Column] => Column) =
+            if (combinedType == "min") (least(_: _*), least(_: _*)) else (greatest(_: _*), greatest(_: _*))
+          val res = when(allNumeric, fmtNum(fNum(nums))).otherwise(fStr(vals))
+          CV(res, VStr)
+        }
+      case "firstNonNull" =>
+        // flatten: a sub-value that is a list contributes its first non-null
+        val flat = subs.map {
+          case CV(c, VArr) => element_at(filter(c, x => x.isNotNull), 1)
+          case CV(c, _) => c
+        }
+        CV(coalesce(flat: _*), subs.headOption.map(_.vt).filter(v => subs.forall(_.vt == v) && v != VArr).getOrElse(VStr))
+      case "list" | "set" =>
+        val excludeWhen = rule.get("excludeWhen")
+        excludeWhen match {
+          case None | Some("false-like") | Some("none") | Some(_: List[_]) =>
+          case Some(other) => throw new Spec.SpecValidationError(
+            "excludeWhen rule should be 'none', 'false-like', or a list of values")
+        }
+        // uniform string element rendering (CSV semantics), arrays flattened
+        val parts = subs.map {
+          case CV(c, VArr) => c.cast("array<string>")
+          case cv => array(renderString(cv))
+        }
+        var arr: Column = flatten(array(parts: _*))
+        if (combinedType == "set") arr = array_distinct(arr)
+        excludeWhen match {
+          case Some("none") => arr = filter(arr, x => x.isNotNull)
+          case Some("false-like") => arr = filter(arr, x => coalesce(truthyStr(x), lit(false)))
+          case Some(l: List[_]) =>
+            val excl = l.map(x => pyRepr(x))
+            arr = filter(arr, x => x.isNull || !coalesce(
+              array_contains(array(excl.map(lit): _*), x), lit(false)))
+          case _ =>
+        }
+        CV(arr, VArr)
+      case other =>
+        throw new Spec.SpecValidationError(s"Unknown combinedType: $other in $rule")
+    }
+  }
+
+  /** non-null and non-"" (the drop rule applied before combining). */
+  private def presentCol(cv: CV): Column = cv.vt match {
+    case VStr => cv.col.isNotNull && cv.col =!= ""
+    case _ => cv.col.isNotNull
+  }
+
+  /** Python truthiness after the int/float auto-cast (get_value.py:162-170):
+    * numeric-looking strings compare as numbers, "0" → falsy. */
+  private def truthy(cv: CV): Column = cv.vt match {
+    case VBool => cv.col
+    case VLong | VDbl => cv.col =!= 0
+    case VArr => size(cv.col) > 0
+    case _ => truthyStr(cv.col.cast("string"))
+  }
+
+  private def truthyStr(c: Column): Column = {
+    val n = try_cast(c, "double")
+    when(c.isNull, lit(null).cast("boolean"))
+      .otherwise(when(n.isNotNull, n =!= 0).otherwise(c =!= ""))
+  }
+
+  /** Render a typed value as its Python-str CSV form: ints without decimal
+    * point, floats with, True/False booleans. */
+  private def renderString(cv: CV): Column = cv.vt match {
+    case VBool => when(cv.col, "True").otherwise("False")
+    case VDbl => fmtNum(cv.col)
+    case VLong => cv.col.cast("string")
+    case VArr => cv.col.cast("string")
+    case _ => cv.col.cast("string")
+  }
+
+  /** Format a double like Python str(): integral → no ".0"-loss parity with
+    * the int auto-cast (int-valued results print as ints). */
+  private def fmtNum(d: Column): Column =
+    when(d.isNull, lit(null).cast("string"))
+      .otherwise(when(d === floor(d) && abs(d) < 1e15,
+        d.cast("bigint").cast("string")).otherwise(d.cast("string")))
+
+  private def pyRepr(v: Any): String = v match {
+    case b: Boolean => if (b) "True" else "False"
+    case other => other.toString
+  }
+
+  // ---- generate ---------------------------------------------------------
+
+  private def compileGenerate(rule: Raw): CV = {
+    val gen = rule("generate").asInstanceOf[Raw]
+    gen("type").toString match {
+      case "datetime" =>
+        // UTC ISO-8601 timestamp of the run (get_value.py:406-407)
+        CV(date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssxxx"), VStr)
+      case "uuid5" =>
+        val fields = gen.getOrElse("values", Nil).asInstanceOf[List[_]].map(_.toString)
+        val seed = lower(concat_ws("|", fields.map(sourceCol): _*))
+        val ns = namespace
+        val u5 = udf((s: String) =>
+          if (s == null) null else Uuid5.uuid5(ns, s).toString)
+        CV(u5(seed), VStr)
+      case other =>
+        throw new Spec.SpecValidationError(s"Unknown generation method: $other")
+    }
+  }
+
+  // ---- if predicates ----------------------------------------------------
+
+  /** parse_if (get_value.py:244-312): cast-then-compare conditions with
+    * any/all/not combinators; missing skippable column → false. */
+  def compileIf(rule: Raw, canSkip0: Boolean = false): Column = {
+    val canSkip = canSkip0 || rule.get("can_skip").contains(true)
+    val body = rule - "can_skip" - "caseInsensitive"
+    val caseInsensitive = rule.contains("caseInsensitive")
+    body.headOption match {
+      case Some(("not", sub: Raw @unchecked)) => !compileIf(sub, canSkip)
+      case Some(("any", subs: List[_])) =>
+        subs.asInstanceOf[List[Raw]].map(compileIf(_, canSkip))
+          .reduceOption(_ || _).getOrElse(lit(false))
+      case Some(("all", subs: List[_])) =>
+        subs.asInstanceOf[List[Raw]].map(compileIf(_, canSkip))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case Some((field, cond)) =>
+        if (fieldMissing(field)) {
+          if (canSkip || skipPattern.exists(_.matcher(field).lookingAt())) lit(false)
+          else throw new Spec.SpecValidationError(s"Column '$field' not found.")
+        } else {
+          val raw = sourceCol(field)
+          val attrVal = if (caseInsensitive) lower(raw) else raw
+          cond match {
+            case sub: Raw @unchecked =>
+              val (cmp, value) = sub.head
+              comparison(attrVal, cmp, value)
+            case value => comparison(attrVal, "=", value)
+          }
+        }
+      case None => lit(true)
+    }
+  }
+
+  /** One comparison with Python's cast-to-literal-type semantics: the row
+    * value casts to the literal's type; failed cast → condition false. */
+  private def comparison(attrVal: Column, cmp: String, value: Any): Column = {
+    def opNum(c: Column, v: Column): Column = cmp match {
+      case ">" => c > v
+      case ">=" => c >= v
+      case "<" => c < v
+      case "<=" => c <= v
+      case "!=" => c =!= v
+      case "=" | "==" => c === v
+      case other => throw new Spec.SpecValidationError(s"Unrecognized operand: $other")
+    }
+    value match {
+      case _ if cmp == "=~" =>
+        // re.match: case-insensitive, anchored at start
+        attrVal.rlike("(?i)^(?:" + value.toString + ")")
+      case v: Long =>
+        val c = try_cast(trim(attrVal), "bigint")
+        coalesce(opNum(c, lit(v)), lit(false))
+      case v: Double =>
+        val c = try_cast(trim(attrVal), "double")
+        coalesce(opNum(c, lit(v)), lit(false))
+      case v: Boolean =>
+        coalesce(opNum(attrVal =!= "", lit(v)), lit(false))
+      case null => lit(false)
+      case v => coalesce(opNum(attrVal, lit(v.toString)), lit(false))
+    }
+  }
+}
+
+object RuleCompiler {
+  sealed trait VT
+  case object VStr extends VT
+  case object VLong extends VT
+  case object VDbl extends VT
+  case object VBool extends VT
+  case object VArr extends VT
+
+  final case class CV(col: Column, vt: VT)
+
+  /** Static result types of the transformation library (for the ""→null and
+    * truthiness decisions downstream). */
+  def fnResultType(fn: String): VT = fn match {
+    case "isNotNull" => VBool
+    case "textIfNotNull" => VStr
+    case "wordSubstituteSet" => VArr
+    case "getFloat" | "Percentage" | "yearsElapsed" => VDbl
+    case "durationDays" | "splitDate" | "startYear" | "startMonth" => VLong
+    case _ => VStr
+  }
+}

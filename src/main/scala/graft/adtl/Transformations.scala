@@ -1,0 +1,285 @@
+package graft.adtl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The adtl `apply` scalar function library, re-expressed as Spark Column
+  * combinators so every transformation stays inside Catalyst codegen — no
+  * row-at-a-time interpretation.
+  * Semantics mirror /root/reference/src/adtl/transformations.py (studied,
+  * not copied): null/"" propagation, strftime formats, the %y century pivot
+  * with an epoch override, pint's Julian-year day→year factor.
+  *
+  * Params arrive pre-resolved by the rule compiler: `$field` references are
+  * PCol (raw source column), literals are PLit, lists are PList.
+  */
+object Transformations {
+
+  sealed trait TParam
+  final case class PCol(c: Column) extends TParam
+  final case class PLit(v: Any) extends TParam
+  final case class PList(items: List[TParam]) extends TParam
+
+  final case class TCtx(returnUnmatched: Boolean)
+
+  type TransformFn = (Column, List[TParam], TCtx) => Column
+
+  /** User-extensible registry (reference: --include-transform loads Python
+    * files, parser.py:197-240; here: a Scala registry API — F17). */
+  final class Registry {
+    private val fns = scala.collection.mutable.LinkedHashMap[String, TransformFn](builtins.toSeq: _*)
+    def register(name: String, fn: TransformFn): Unit = {
+      if (fns.contains(name))
+        System.err.println(s"Warning: overwriting existing transformation function: $name")
+      fns(name) = fn
+    }
+    def apply(name: String): TransformFn = fns.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"Error using a data transformation: Function $name has not been defined."))
+    def contains(name: String): Boolean = fns.contains(name)
+  }
+
+  def newRegistry(): Registry = new Registry
+
+  // ---- helpers ----------------------------------------------------------
+
+  private def pcol(p: TParam): Column = p match {
+    case PCol(c) => c
+    case PLit(null) => lit(null)
+    case PLit(v) => lit(v)
+    case PList(items) => array(items.map(pcol): _*)
+  }
+
+  private def plit(p: TParam): Any = p match {
+    case PLit(v) => v
+    case other => throw new IllegalArgumentException(s"expected literal param, got $other")
+  }
+
+  private def optLit(params: List[TParam], i: Int, default: Any): Any =
+    if (params.length > i) plit(params(i)) else default
+
+  private def nonEmpty(c: Column): Column = c.isNotNull && c =!= ""
+
+  /** Parse a string column with a strftime format → timestamp, replicating
+    * Python strptime's %y pivot (69-99 → 19xx; Java would give 20xx). */
+  def parseTs(c: Column, strf: String): Column = {
+    val t = DateFormats.translate(strf)
+    val ts = try_to_timestamp(c, lit(t.javaPattern))
+    if (t.twoDigitYear)
+      when(year(ts) >= 2069, ts - expr("make_interval(100, 0, 0, 0, 0, 0, 0)")).otherwise(ts)
+    else ts
+  }
+
+  /** correctOldDate core: strptime + century fix, then epoch pivot — years
+    * parsed ≥ epoch (only when the format has %y) shift back a century. */
+  def parseTsEpoch(c: Column, strf: String, epoch: Double): Column = {
+    val t = DateFormats.translate(strf)
+    val ts = parseTs(c, strf)
+    if (t.twoDigitYear)
+      when(year(ts) >= epoch, ts - expr("make_interval(100, 0, 0, 0, 0, 0, 0)")).otherwise(ts)
+    else ts
+  }
+
+  /** Python datetime.isoformat() with tz offset: local wall time formatted
+    * plus the zone's UTC offset at that instant (e.g. 2022-02-20T10:30:00+09:00). */
+  private def isoWithOffset(local: Column, tz: String): Column = {
+    val utc = to_utc_timestamp(local, tz)
+    val off = local.cast("long") - utc.cast("long")
+    val sign = when(off < 0, "-").otherwise("+")
+    val aoff = abs(off)
+    concat(
+      date_format(local, "yyyy-MM-dd'T'HH:mm:ss"), sign,
+      lpad((aoff / 3600).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad(((aoff % 3600) / 60).cast("long").cast("string"), 2, "0"))
+  }
+
+  private def guardEmpty(in: Column, out: Column): Column = when(nonEmpty(in), out)
+
+  // ---- the library ------------------------------------------------------
+
+  val builtins: Map[String, TransformFn] = Map(
+    // F1: value not in {null, ""}
+    "isNotNull" -> ((v, _, _) => nonEmpty(v)),
+    // F2: constant if value non-null
+    "textIfNotNull" -> ((v, ps, _) => when(nonEmpty(v), pcol(ps.head))),
+    // F3: word-boundary case-insensitive regex substitutions → sorted set;
+    // no match on non-empty input → null (or raw under returnUnmatched,
+    // handled by the caller via string rendering).
+    "wordSubstituteSet" -> { (v, ps, _) =>
+      val pairs = ps.map {
+        case PList(List(a, b)) => (plit(a).toString, plit(b).toString)
+        case other => throw new IllegalArgumentException(
+          s"wordSubstituteSet: params item not a tuple or list: $other")
+      }
+      val cands = array(pairs.map { case (re, sub) =>
+        when(v.rlike("(?i)\\b" + re + "\\b"), lit(sub))
+      }: _*)
+      val kept = filter(cands, x => x.isNotNull)
+      when(size(kept) > 0, array_sort(array_distinct(kept)))
+    },
+    // F4: locale-aware float extraction
+    "getFloat" -> { (v, ps, _) =>
+      val setDecimal = Option(optLit(ps, 0, null)).map(_.toString)
+      val separator = Option(optLit(ps, 1, null)).map(_.toString)
+      var x = regexp_replace(regexp_replace(v, "^\"|\"$", ""), " ", "")
+      setDecimal.foreach { dec =>
+        val d = java.util.regex.Pattern.quote(dec)
+        // replace the LAST decimal-separator occurrence with '.'
+        x = regexp_replace(x, d + "(?!.*" + d + ")", ".")
+      }
+      separator.filter(_ != ".").foreach { sep =>
+        x = regexp_replace(x, java.util.regex.Pattern.quote(sep), "")
+      }
+      val nums = regexp_extract_all(x, lit("[-+]?\\d*\\.?\\d+"), lit(0))
+      when(nonEmpty(v),
+        when(size(nums) === 1, element_at(nums, 1).cast("double"))
+          .otherwise(try_cast(x, "double")))
+    },
+    // F5: ≤1 → ×100
+    "Percentage" -> { (v, _, _) =>
+      val x = try_cast(v.cast("string"), "double")
+      when(x.isNotNull, when(x > 1, x).otherwise(x * 100))
+    },
+    // F6: fractional years between dates (pint days→years: /365.25)
+    "yearsElapsed" -> { (v, ps, _) =>
+      val cd = pcol(ps.head)
+      val epoch = plit(ps(1)).toString.toDouble
+      val bdF = optLit(ps, 2, "%Y-%m-%d").toString
+      val cdF = optLit(ps, 3, "%Y-%m-%d").toString
+      val bd = parseTsEpoch(v, bdF, epoch)
+      val c = parseTs(cd, cdF)
+      when(nonEmpty(v) && nonEmpty(cd),
+        datediff(c.cast("date"), bd.cast("date")) / lit(365.25))
+    },
+    // F7: whole days between dates
+    "durationDays" -> { (v, ps, _) =>
+      val cd = pcol(ps.head)
+      val f = optLit(ps, 1, "%Y-%m-%d").toString
+      when(nonEmpty(v) && nonEmpty(cd),
+        datediff(parseTs(cd, f).cast("date"), parseTs(v, f).cast("date")).cast("long"))
+    },
+    // F8: end − duration days (fractional durations via timestamp arithmetic)
+    "startDate" -> { (v, ps, _) =>
+      val dur = pcol(ps.head)
+      val d = try_cast(dur.cast("string"), "double")
+      val ed = parseTs(v, "%Y-%m-%d")
+      when(nonEmpty(v) && nonEmpty(dur),
+        date_format(ed - make_dt_interval(lit(0), lit(0), lit(0), d * 86400),
+          "yyyy-MM-dd"))
+    },
+    // F9: start + duration days, formatted with the source format
+    "endDate" -> { (v, ps, _) =>
+      val dur = pcol(ps.head)
+      val f = optLit(ps, 1, "%Y-%m-%d").toString
+      val d = try_cast(dur.cast("string"), "double")
+      val sd = parseTs(v, f)
+      when(nonEmpty(v) && nonEmpty(dur),
+        date_format(sd + make_dt_interval(lit(0), lit(0), lit(0), d * 86400),
+          DateFormats.translate(f).javaPattern))
+    },
+    // F10: compose ISO date from year/month/day; invalid → null
+    "makeDate" -> { (v, ps, _) =>
+      val m = pcol(ps.head); val d = pcol(ps(1))
+      when(nonEmpty(v) && nonEmpty(m) && nonEmpty(d),
+        date_format(try_to_date(concat_ws("-", v, m, d), "y-M-d"), "yyyy-MM-dd"))
+    },
+    // F11: date + seconds-of-day → tz-aware ISO datetime (date-only when
+    // the seconds column is empty)
+    "makeDateTimeFromSeconds" -> { (v, ps, _) =>
+      val secs = pcol(ps.head)
+      val fmt = plit(ps(1)).toString
+      val tz = plit(ps(2)).toString
+      val base = parseTs(v, fmt)
+      val secI = try_cast(secs.cast("string"), "bigint")
+      val local = base + make_dt_interval(lit(0),
+        (secI / 3600).cast("int"), ((secI % 3600) / 60).cast("int"), lit(0.0))
+      when(nonEmpty(v),
+        when(!nonEmpty(secs), date_format(base, "yyyy-MM-dd"))
+          .otherwise(isoWithOffset(local, tz)))
+    },
+    // F12: date + "HH:MM" → tz-aware ISO datetime
+    "makeDateTime" -> { (v, ps, _) =>
+      val t24 = pcol(ps.head)
+      val fmt = plit(ps(1)).toString
+      val tz = plit(ps(2)).toString
+      val base = parseTs(v, fmt)
+      val local = base +
+        make_dt_interval(lit(0), split(t24, ":").getItem(0).cast("int"),
+          split(t24, ":").getItem(1).cast("int"), lit(0.0))
+      when(nonEmpty(v),
+        when(!nonEmpty(t24), date_format(base, "yyyy-MM-dd"))
+          .otherwise(isoWithOffset(local, tz)))
+    },
+    // F13: year/month/day extraction with century fix
+    "splitDate" -> { (v, ps, _) =>
+      val option = plit(ps.head).toString
+      val epoch = plit(ps(1)).toString.toDouble
+      val f = optLit(ps, 2, "%Y-%m-%d").toString
+      val ts = parseTsEpoch(v, f, epoch)
+      option match {
+        case "year" => year(ts).cast("long")
+        case "month" => month(ts).cast("long")
+        case "day" => dayofmonth(ts).cast("long")
+        case other => lit(null)
+      }
+    },
+    // F14: start year from duration + date (value = duration)
+    "startYear" -> ((v, ps, ctx) => startYearMonth(v, ps, wantYear = true)),
+    // F15: start month analogue (no 'years' branch, per reference)
+    "startMonth" -> ((v, ps, ctx) => startYearMonth(v, ps, wantYear = false)),
+    // F16: century pivot correction, ISO string out
+    "correctOldDate" -> { (v, ps, _) =>
+      val epoch = plit(ps.head).toString.toDouble
+      val f = plit(ps(1)).toString
+      when(nonEmpty(v), date_format(parseTsEpoch(v, f, epoch), "yyyy-MM-dd"))
+    })
+
+  /** Shared core of startYear/startMonth (transformations.py:351-443). */
+  private def startYearMonth(v: Column, ps: List[TParam], wantYear: Boolean): Column = {
+    // currentdate may be a list of candidate fields: first non-empty wins
+    val cd = ps.head match {
+      case PList(items) =>
+        val cols = items.map(pcol).map(c => when(nonEmpty(c), c))
+        coalesce(cols: _*)
+      case p => pcol(p)
+    }
+    val epoch = plit(ps(1)).toString.toDouble
+    val fmt = optLit(ps, 2, "%Y-%m-%d").toString
+    val durType = optLit(ps, 3, "years").toString
+    val provideMd: Option[(Any, Any)] = if (ps.length > 4) ps(4) match {
+      case PList(List(a, b)) => Some((plit(a), plit(b)))
+      case PLit(false) => None
+      case PLit(null) => None
+      case other => None
+    } else None
+
+    val base = provideMd match {
+      case Some((m, d)) =>
+        try_to_timestamp(concat_ws("-", cd, lit(m.toString), lit(d.toString)), lit("y-M-d"))
+      case None => parseTsEpoch(cd, fmt, epoch)
+    }
+    val dur = try_cast(v.cast("string"), "double")
+    val shifted = durType match {
+      case "years" =>
+        // only used by startYear: year - floor(duration)
+        base
+      case "months" => add_months(base, -floor(dur).cast("int")).cast("timestamp")
+      case "days" => base - make_dt_interval(lit(0), lit(0), lit(0), dur * 86400)
+      case other => lit(null).cast("timestamp")
+    }
+    val guarded = when(nonEmpty(v) && nonEmpty(cd), lit(1))
+    if (wantYear) {
+      val res = durType match {
+        case "years" => (year(base) - floor(dur)).cast("long")
+        case _ => year(shifted).cast("long")
+      }
+      when(guarded.isNotNull, res)
+    } else {
+      val res = durType match {
+        case "months" | "days" => month(shifted).cast("long")
+        case _ => lit(null).cast("long")
+      }
+      when(guarded.isNotNull, res)
+    }
+  }
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.adtl.AdtlParser
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate queries routed through the adtl engine itself: build a
+  * CSV-semantics (string) input from a testdata table, run a spec through
+  * AdtlParser, and pin the result against a plain-SQL DuckDB oracle. This is
+  * the end-to-end proof that spec compilation → Column plans produces the
+  * same relational semantics a SQL engine computes.
+  *
+  * Doubles are pre-rendered with printf('%.2f') on both sides so the
+  * string round-trip is bit-identical.
+  */
+object EngineQueries {
+
+  private def ordersInput(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("string").as("okey"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("opri"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+      format_string("%.2f", col("o_totalprice")).as("total"))
+
+  private def eventsInput(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).orderBy("event_id").select(
+      col("user_id").cast("string").as("uid"),
+      col("event_type").as("etype"),
+      format_string("%.2f", col("value")).as("val"),
+      date_format(col("ts"), "yyyy-MM-dd").as("eday"))
+
+  private val oneToOneSpec =
+    """{
+      |  "adtl": {"name": "orders", "description": "order facts", "tables": {
+      |    "order_fact": {"kind": "oneToOne"}}},
+      |  "order_fact": {
+      |    "order_key": {"field": "okey"},
+      |    "okey_hash": {"field": "okey", "sensitive": true},
+      |    "status_name": {"field": "status",
+      |      "values": {"O": "open", "F": "finished", "P": "pending"}},
+      |    "urgent_pri": {"field": "opri", "if": {"opri": {"=~": "1-"}}},
+      |    "date_dmy": {"field": "odate", "source_date": "%Y-%m-%d", "date": "%d/%m/%Y"},
+      |    "total_f": {"field": "total", "apply": {"function": "getFloat"}}
+      |  }
+      |}""".stripMargin
+
+  private val groupBySpec =
+    """{
+      |  "adtl": {"name": "events", "description": "per-user last values", "tables": {
+      |    "user_state": {"kind": "groupBy", "groupBy": "uid", "aggregation": "lastNotNull"}}},
+      |  "user_state": {
+      |    "uid": {"field": "uid"},
+      |    "last_purchase": {"field": "val", "if": {"etype": "purchase"}},
+      |    "last_error_val": {"field": "val", "if": {"etype": "error"}}
+      |  }
+      |}""".stripMargin
+
+  private val combinedSpec =
+    """{
+      |  "adtl": {"name": "events", "description": "per-user combines", "tables": {
+      |    "user_profile": {"kind": "groupBy", "groupBy": "uid", "aggregation": "applyCombinedType"}}},
+      |  "user_profile": {
+      |    "uid": {"field": "uid"},
+      |    "first_day": {"combinedType": "min", "fields": [{"field": "eday"}]},
+      |    "last_day": {"combinedType": "max", "fields": [{"field": "eday"}]},
+      |    "etypes": {"combinedType": "set", "excludeWhen": "none", "fields": [{"field": "etype"}]}
+      |  }
+      |}""".stripMargin
+
+  private val oneToManySpec =
+    """{
+      |  "adtl": {"name": "orders", "description": "order observations", "tables": {
+      |    "obs": {"kind": "oneToMany", "common": {"dataset": "orders_v1"}}}},
+      |  "obs": [
+      |    {"if": {"status": {"!=": ""}}, "name": "status", "value": {"field": "status"}},
+      |    {"if": {"total": {">": 200000.0}}, "name": "high_value", "value": {"field": "total"}},
+      |    {"if": {"opri": {"=~": "1-"}}, "name": "urgent", "value": {"field": "opri"}}
+      |  ]
+      |}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adtl_onetoone" -> { (s, d) =>
+      AdtlParser.fromJsonString(oneToOneSpec)
+        .parseDataFrame(s, ordersInput(s, d))("order_fact")
+        .orderBy("order_key")
+    },
+    "adtl_groupby_lastnotnull" -> { (s, d) =>
+      AdtlParser.fromJsonString(groupBySpec)
+        .parseDataFrame(s, eventsInput(s, d))("user_state")
+        .orderBy("uid")
+    },
+    "adtl_groupby_combined" -> { (s, d) =>
+      val out = AdtlParser.fromJsonString(combinedSpec)
+        .parseDataFrame(s, eventsInput(s, d))("user_profile")
+      // sets are unordered by contract: render sorted for stable comparison
+      out.select(col("uid"), col("first_day"), col("last_day"),
+          array_join(array_sort(col("etypes")), ",").as("etypes_sorted"))
+        .orderBy("uid")
+    },
+    "adtl_onetomany" -> { (s, d) =>
+      AdtlParser.fromJsonString(oneToManySpec)
+        .parseDataFrame(s, ordersInput(s, d))("obs")
+        .orderBy("value", "name")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "adtl_onetoone" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS order_key,
+        |  sha256(CAST(o_orderkey AS VARCHAR)) AS okey_hash,
+        |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished' WHEN 'P' THEN 'pending' END AS status_name,
+        |  CASE WHEN regexp_matches(o_orderpriority, '^(?:1-)', 'i') THEN o_orderpriority END AS urgent_pri,
+        |  strftime(o_orderdate, '%d/%m/%Y') AS date_dmy,
+        |  CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS total_f
+        |FROM orders ORDER BY order_key""".stripMargin,
+    "adtl_groupby_lastnotnull" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid,
+        |  arg_max(printf('%.2f', value), event_id) FILTER (WHERE event_type = 'purchase') AS last_purchase,
+        |  arg_max(printf('%.2f', value), event_id) FILTER (WHERE event_type = 'error') AS last_error_val
+        |FROM events GROUP BY 1 ORDER BY uid""".stripMargin,
+    "adtl_groupby_combined" ->
+      """SELECT CAST(user_id AS VARCHAR) AS uid,
+        |  min(strftime(ts, '%Y-%m-%d')) AS first_day,
+        |  max(strftime(ts, '%Y-%m-%d')) AS last_day,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS etypes_sorted
+        |FROM events GROUP BY 1 ORDER BY uid""".stripMargin,
+    "adtl_onetomany" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_v1' AS dataset, 'status' AS name, o_orderstatus AS value
+        |  FROM orders WHERE o_orderstatus <> ''
+        |  UNION ALL
+        |  SELECT 'orders_v1', 'high_value', printf('%.2f', o_totalprice)
+        |  FROM orders WHERE CAST(printf('%.2f', o_totalprice) AS DOUBLE) > 200000.0
+        |  UNION ALL
+        |  SELECT 'orders_v1', 'urgent', o_orderpriority
+        |  FROM orders WHERE regexp_matches(o_orderpriority, '^(?:1-)', 'i')
+        |) ORDER BY value, name""".stripMargin)
+}
