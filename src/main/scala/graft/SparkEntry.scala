@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.AdtlOps.queries ++
-      graft.queries.EngineQueries.queries
+      graft.queries.EngineQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.AdtlOps.oracles ++
-      graft.queries.EngineQueries.oracles
+      graft.queries.EngineQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

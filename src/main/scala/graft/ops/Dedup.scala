@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape of the problem:
+  *
+  *  - exact: one hash-groupBy shuffle on a 16-byte key (not the text)
+  *  - MinHash+LSH: signatures are a linear scan; candidate generation is a
+  *    band-bucket self-join (shuffle on small band keys, never all-pairs)
+  *  - SimHash: 64-bit signature scan + same-bucket join on rotated prefixes
+  *  - n-gram Jaccard: exact verification on candidate pairs only
+  *
+  * All hashing is xxhash64 (Spark built-in, codegen'd, deterministic).
+  */
+object Dedup {
+
+  // ---- exact ------------------------------------------------------------
+
+  /** Exact duplicate groups by canonical fingerprint. Returns one row per
+    * duplicated fingerprint with the kept (min) id and the group size. */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+
+  /** Keep one row per fingerprint (the min id) — the actual dedup. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    df.withColumn("__fp", fp)
+      .withColumn("__keep", min_by(col(idCol), col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))) === col(idCol))
+      .filter(col("__keep")).drop("__fp", "__keep")
+  }
+
+  // ---- shingles + MinHash ------------------------------------------------
+
+  /** Word n-gram shingles of the lowercased text. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = TextAnalysis.tokens(text)
+    val cnt = size(t)
+    when(cnt >= n,
+      transform(sequence(lit(0), cnt - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(t, " ")))
+  }
+
+  /** MinHash signature from pre-hashed shingles: numHashes independent
+    * functions realized as seeded xxhash64(i, shingleHash) — hashing longs,
+    * not strings, so the 64 passes cost ~1 string hash + 64 long hashes per
+    * shingle. Deterministic (fixed seeds) across runs and cluster sizes. */
+  def minhashFromHashes(shingleHashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleHashes, h => xxhash64(lit(i), h)))
+    }: _*)
+
+  /** Convenience single-expression form. Prefer the staged projection in
+    * minhashLshPairs (materialized shingle hashes) on large corpora — a
+    * single expression recomputes the shingle strings per hash function. */
+  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 64): Column =
+    minhashFromHashes(transform(shingles(text, n), s => xxhash64(s)), numHashes)
+
+  /** LSH candidate pairs: split signatures into bands, bucket-join on
+    * (band index, band hash), emit distinct candidate id pairs (a < b),
+    * then verify est similarity (= fraction of equal minhashes) against
+    * `threshold`.
+    *
+    * Scale discipline: the bucket join and pair-dedup run on skinny
+    * (band, hash, id) rows — signatures are joined back only for the
+    * deduped candidates; degenerate buckets larger than `maxBucketSize`
+    * (near-universal shingles, quadratic blowup) are dropped, the standard
+    * web-dedup practice. Signatures are persisted so the three uses don't
+    * recompute the hash pass. */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucketSize: Int = 500): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // staged projection: shingle strings → long hashes (once) → 64 minima
+    val sig = df.select(col(idCol).as("id"),
+        transform(shingles(col(textCol), n), s => xxhash64(s)).as("__sh"))
+      .select(col("id"), minhashFromHashes(col("__sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(array_join(transform(
+          slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")), ",")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val bucketSize = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val ok = banded.withColumn("__bsz", count(lit(1)).over(bucketSize))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val cand = ok.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(ok.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), x => x))
+          .cast("double") / lit(numHashes).cast("double"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash over tokens: per bit, sum ±1 across token hashes; the
+    * sign pattern is the signature. Pure expressions (sequence+aggregate),
+    * single scan. */
+  /** SimHash from pre-hashed tokens (staged projection: hash once, then 64
+    * bit-counter folds over the materialized long array). */
+  def simhashFromHashes(hashes: Column): Column = {
+    val bitCols: Seq[Column] = (0 until 64).map { b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.tokens(text), x => xxhash64(x)))
+
+  /** Near-dup candidates by SimHash: same value in any of `tables` rotated
+    * 16-bit prefixes → Hamming-verify ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        transform(TextAnalysis.tokens(col(textCol)), x => xxhash64(x)).as("__h"))
+      .select(col("id"), simhashFromHashes(col("__h")).as("sig"))
+    // 4 tables keyed by each 16-bit quarter: a pair within Hamming≤3 of 64
+    // bits must agree exactly on at least one quarter (pigeonhole)
+    val keyed = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qkey")
+    val a = keyed.select(col("q"), col("qkey"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = keyed.select(col("q"), col("qkey"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("q", "qkey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- n-gram Jaccard ---------------------------------------------------
+
+  /** Exact Jaccard over distinct word n-grams for pairs sharing a blocking
+    * key (e.g. source, length bucket) — verification-stage dedup. Grams are
+    * compared as xxhash64 longs: set sizes (and hence Jaccard) are identical
+    * to string comparison absent a 64-bit collision, at a fraction of the
+    * shuffle width and equality cost. Block sizes bound the quadratic term —
+    * at petabyte scale run LSH candidates first and verify pairs instead. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s))).as("g"))
+    val a = grams.select(col("blk"), col("id").as("id_a"), col("g").as("g_a"))
+    val b = grams.select(col("blk"), col("id").as("id_b"), col("g").as("g_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("g_a"), col("g_b"))).cast("double"))
+      .withColumn("jaccard", when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select("blk", "id_a", "id_b", "jaccard")
+  }
+
+  // ---- embedding near-dup -----------------------------------------------
+
+  /** Embedding-cosine near-duplicates among pairs sharing a coarse bucket
+    * (label column as the inverted-file cell). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, threshold: Double = 0.95): DataFrame = {
+    val v = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+    val a = v.select(col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bkt")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("bkt", "id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over embedding columns
+  * (Array[Float]). Dot products are sequential left-to-right folds in
+  * double precision — deterministic, and reproducible by an oracle engine
+  * computing the same fold.
+  *
+  * Scale design: brute force = corpus × broadcast(queries) with a two-phase
+  * top-k (per-partition partial top-k, then merge) so no group ever
+  * collects the whole corpus; IVF = coarse-bucket routing cuts the scanned
+  * fraction to nprobe/ncells.
+  */
+object Similarity {
+
+  /** float[] → double[] (element-exact widening). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * Two-phase: partial top-k per shuffle partition, then global merge —
+    * bounded memory per task at any corpus size. Ties broken by id. */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(corpusId).as("n_id"), toDouble(col(corpusVec)).as("n_v"))
+    val q = queries.select(col(queryId).as("q_id"), toDouble(col(queryVec)).as("q_v"))
+    var scored = c.crossJoin(broadcast(q))
+      .withColumn("sim", dot(col("n_v"), col("q_v")) / (norm(col("n_v")) * norm(col("q_v"))))
+      .select(col("q_id"), col("n_id"), col("sim"))
+    if (excludeSelf) scored = scored.filter(col("q_id") =!= col("n_id"))
+    topKPerGroup(scored, "q_id", "n_id", "sim", k)
+  }
+
+  /** IVF-style ANN: vectors are pre-bucketed by a coarse cell (here any
+    * discrete column, e.g. a cluster label); queries probe their own cell
+    * only (nprobe=1 shape). Recall trades off against the fraction of the
+    * corpus scanned — the 100 TB path. */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String, cellCol: String,
+      queries: DataFrame, queryId: String, queryVec: String, queryCell: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(cellCol).as("cell"), col(corpusId).as("n_id"),
+      toDouble(col(corpusVec)).as("n_v"))
+    val q = queries.select(col(queryCell).as("cell"), col(queryId).as("q_id"),
+      toDouble(col(queryVec)).as("q_v"))
+    var scored = c.join(broadcast(q), Seq("cell"))
+      .withColumn("sim", dot(col("n_v"), col("q_v")) / (norm(col("n_v")) * norm(col("q_v"))))
+      .select(col("q_id"), col("n_id"), col("sim"))
+    if (excludeSelf) scored = scored.filter(col("q_id") =!= col("n_id"))
+    topKPerGroup(scored, "q_id", "n_id", "sim", k)
+  }
+
+  /** Distributed top-k per group without collecting whole groups:
+    * phase 1 reduces each (group, partition) slice to k candidates, phase 2
+    * merges the per-partition winners. Deterministic ordering (score desc,
+    * id asc). */
+  def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val item = struct((lit(-1.0) * col(scoreCol)).as("negScore"), col(idCol).as("id"))
+    val partial = scored
+      .groupBy(col(groupCol), spark_partition_id().as("__p"))
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("cands"))
+    val merged = partial
+      .select(col(groupCol), explode(col("cands")).as("c"))
+      .groupBy(col(groupCol))
+      .agg(slice(array_sort(collect_list(col("c"))), 1, k).as("top"))
+    merged.select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), (lit(-1.0) * col("col.negScore")).as(scoreCol))
+  }
+}

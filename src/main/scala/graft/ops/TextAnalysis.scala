@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language identification, fingerprinting.
+  * All pure Column expressions — codegen'd, no UDFs, linear scans with no
+  * shuffle, so they run at scan speed on any corpus size.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token ratio — low values flag repetitive/generated text. */
+  def distinctRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0, size(array_distinct(t)).cast("double") / size(t).cast("double"))
+  }
+
+  /** BPE-ish subword count estimate: unicode words + digits runs + symbols
+    * (a cheap deterministic proxy for tokenizer counts). */
+  def subwordEstimate(text: Column): Column =
+    size(filter(split(text, "(?<=[a-z0-9])(?=[A-Z])|[^A-Za-z0-9]+"), t => t =!= ""))
+
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      (n - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / n.cast("double"))
+  }
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val t = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(t) > 0,
+      size(filter(t, x => array_contains(sw, x))).cast("double") / size(t).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * low punctuation + vocabulary diversity. Deterministic, documented,
+    * single-pass. */
+  def qualityScore(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = when(nTok >= 8 && nTok <= 4096, lit(1.0))
+      .when(nTok > 0, lit(0.5)).otherwise(lit(0.0))
+    val swScore = when(coalesce(stopwordRatio(text, stopwords), lit(0.0))
+      .between(0.01, 0.6), lit(1.0)).otherwise(lit(0.0))
+    val punctScore = when(coalesce(punctRatio(text), lit(0.0)) <= 0.2, lit(1.0))
+      .otherwise(lit(0.0))
+    val divScore = coalesce(distinctRatio(text), lit(0.0))
+    (lengthScore + swScore + punctScore + divScore) / 4.0
+  }
+
+  /** Marker-word language-ID heuristic: score = distinct marker hits per
+    * language; argmax with lexicographic tie-break; no hits → "und". */
+  val defaultMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "est", "et"))
+
+  def langId(text: Column, markers: Map[String, Seq[String]] = defaultMarkers): Column = {
+    val t = tokens(text)
+    val scored: Seq[(String, Column)] = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> size(filter(array(ws.map(lit): _*), w => array_contains(t, w)))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // lexicographically-first language achieving the max score
+    val pick = scored.foldLeft(None: Option[Column]) { case (acc, (lang, s)) =>
+      Some(acc match {
+        case None => when(s === best && best > 0, lang)
+        case Some(w) => w.when(s === best && best > 0, lang)
+      })
+    }.get
+    coalesce(pick, lit("und"))
+  }
+
+  /** Canonical-text fingerprint: lowercase, strip punctuation, collapse
+    * whitespace, md5 — the standard exact-dup key that survives trivial
+    * formatting edits. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9 ]", " ")), " +", " "))
+
+  /** One-pass document profile. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("distinct_ratio", distinctRatio(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

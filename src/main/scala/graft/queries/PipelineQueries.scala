@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, Similarity, Streaming, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate queries for the training-data pipeline operators: text
+  * analysis, dedup, similarity search, multimodal plumbing, windowed event
+  * stats. Oracles exist wherever DuckDB can replicate the math exactly
+  * (integer-ratio divisions, md5, sequential double folds); LSH/SimHash/
+  * top-k rely on xxhash64 or float ordering and are covered rows-only here
+  * plus property tests in ScalaTest.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // text profile: token stats, ratios, fingerprint, language-ID heuristic
+    "t_text_profile" -> { (s, d) =>
+      TextAnalysis.profile(Tables.documents(s, d), "text")
+        .select("doc_id", "n_tokens", "distinct_ratio", "punct_ratio",
+          "stopword_ratio", "lang_pred", "fingerprint")
+        .orderBy("doc_id")
+    },
+    // exact-duplicate groups on the canonical fingerprint
+    "d_exact_dup" -> { (s, d) =>
+      Dedup.exactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("fp")
+    },
+    // blocked exact n-gram Jaccard pairs (verification-stage dedup)
+    "d_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        blockCol = "source", n = 2, threshold = 0.05)
+        .orderBy("blk", "id_a", "id_b")
+    },
+    // MinHash+LSH near-dup candidates (xxhash64-based → rows-only oracle)
+    "d_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 2, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    // SimHash near-dup candidates (rows-only oracle)
+    "d_simhash" -> { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    },
+    // embedding stats: deterministic sequential double folds
+    "s_embed_stats" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val v = Similarity.toDouble(col("embedding"))
+      e.select(col("vec_id"), size(col("embedding")).as("dim"),
+          aggregate(v, lit(0.0), (acc, x) => acc + x).as("ssum"),
+          Similarity.norm(v).as("l2norm"))
+        .orderBy("vec_id")
+    },
+    // cosine between consecutive vec ids — exact fold, oracle-checkable
+    "s_cosine_adjacent" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), Similarity.toDouble(col("embedding")).as("v_a"))
+      val b = e.select((col("vec_id") - 1).as("id_a"), Similarity.toDouble(col("embedding")).as("v_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+        .orderBy("id_a")
+    },
+    // exact brute-force ANN baseline: top-5 neighbors for 20 query vectors
+    // (float-ordering ties → rows-only oracle; invariants in ScalaTest)
+    "s_cosine_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    },
+    // IVF-style ANN: label column as the coarse cell (rows-only oracle)
+    "s_ivf_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        e, "vec_id", "embedding", "label",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 5)
+        .orderBy("q_id", "rank")
+    },
+    // embedding-cosine near-duplicate pairs within label buckets
+    "d_embed_neardup" -> { (s, d) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", threshold = 0.2)
+        .orderBy("bkt", "id_a", "id_b")
+    },
+    // multimodal metadata decode (deterministic stub) — plumbing proof
+    "m_media_meta" -> { (s, d) =>
+      Multimodal.decodeMetaExpr(Tables.documents(s, d), "doc_id")
+        .orderBy("doc_id")
+    },
+    // tumbling 5-minute event stats (batch form of the streaming op)
+    "q_stream_window" -> { (s, d) =>
+      Streaming.windowStatsBatch(Tables.events(s, d), "5 minutes")
+        .orderBy("window_start", "event_type")
+    })
+
+  private val tokensSql =
+    "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "t_text_profile" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, text, $tokensSql AS t FROM documents)
+        |SELECT doc_id,
+        |  len(t) AS n_tokens,
+        |  CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) END AS distinct_ratio,
+        |  CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |  CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) END AS stopword_ratio,
+        |  CASE
+        |    WHEN len(list_filter(['der','die','das','und','ist'], w -> list_contains(t, w))) = greatest(
+        |      len(list_filter(['der','die','das','und','ist'], w -> list_contains(t, w))),
+        |      len(list_filter(['the','and','of','is','a'], w -> list_contains(t, w))),
+        |      len(list_filter(['el','la','los','es','y'], w -> list_contains(t, w))),
+        |      len(list_filter(['le','la','les','est','et'], w -> list_contains(t, w))))
+        |     AND greatest(
+        |      len(list_filter(['der','die','das','und','ist'], w -> list_contains(t, w))),
+        |      len(list_filter(['the','and','of','is','a'], w -> list_contains(t, w))),
+        |      len(list_filter(['el','la','los','es','y'], w -> list_contains(t, w))),
+        |      len(list_filter(['le','la','les','est','et'], w -> list_contains(t, w)))) > 0
+        |    THEN 'de'
+        |    WHEN len(list_filter(['the','and','of','is','a'], w -> list_contains(t, w))) = greatest(
+        |      len(list_filter(['the','and','of','is','a'], w -> list_contains(t, w))),
+        |      len(list_filter(['el','la','los','es','y'], w -> list_contains(t, w))),
+        |      len(list_filter(['le','la','les','est','et'], w -> list_contains(t, w))))
+        |     AND len(list_filter(['the','and','of','is','a'], w -> list_contains(t, w))) > 0
+        |    THEN 'en'
+        |    WHEN len(list_filter(['el','la','los','es','y'], w -> list_contains(t, w))) = greatest(
+        |      len(list_filter(['el','la','los','es','y'], w -> list_contains(t, w))),
+        |      len(list_filter(['le','la','les','est','et'], w -> list_contains(t, w))))
+        |     AND len(list_filter(['el','la','los','es','y'], w -> list_contains(t, w))) > 0
+        |    THEN 'es'
+        |    WHEN len(list_filter(['le','la','les','est','et'], w -> list_contains(t, w))) > 0
+        |    THEN 'fr'
+        |    ELSE 'und'
+        |  END AS lang_pred,
+        |  md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS fingerprint
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    "d_exact_dup" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM fp GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    "d_ngram_jaccard" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, $tokensSql AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks)
+        |SELECT * FROM (
+        |  SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(a.g || b.g)) > 0
+        |      THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+        |      ELSE 0.0 END AS jaccard
+        |  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.05 ORDER BY blk, id_a, id_b""".stripMargin,
+    "s_embed_stats" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) AS ssum,
+        |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS l2norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "s_cosine_adjacent" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])), (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a.e, x -> x * x)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(b.e, x -> x * x)), (x, y) -> x + y))) AS cosine
+        |FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "m_media_meta" ->
+      """WITH h AS (
+        |  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS hex FROM documents)
+        |SELECT doc_id,
+        |  320 + (((strpos('0123456789abcdef', hex[1]) - 1) * 16 + (strpos('0123456789abcdef', hex[2]) - 1)) % 5) * 160 AS width,
+        |  240 + (((strpos('0123456789abcdef', hex[3]) - 1) * 16 + (strpos('0123456789abcdef', hex[4]) - 1)) % 5) * 120 AS height,
+        |  3 AS n_channels, 'fake/rgb8' AS format
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_stream_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d_embed_neardup" ->
+      """WITH v AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.label AS bkt, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a.e, x -> x * x)), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(b.e, x -> x * x)), (x, y) -> x + y))) AS cosine
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.2 ORDER BY bkt, id_a, id_b""".stripMargin,
+    "s_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len(c.e)), i -> c.e[i+1] * q.e[i+1])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(c.e, x -> x * x)), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(q.e, x -> x * x)), (x, y) -> x + y))) AS sim
+        |  FROM v c, q WHERE c.vec_id <> q.vec_id)
+        |SELECT q_id, rank, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "s_ivf_topk" ->
+      """WITH v AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len(c.e)), i -> c.e[i+1] * q.e[i+1])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(c.e, x -> x * x)), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(q.e, x -> x * x)), (x, y) -> x + y))) AS sim
+        |  FROM v c JOIN q ON c.label = q.label AND c.vec_id <> q.vec_id)
+        |SELECT q_id, rank, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+}

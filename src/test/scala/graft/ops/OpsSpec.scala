@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Property tests for the pipeline operators whose hashing (xxhash64) the
+  * DuckDB oracle can't replicate: MinHash/LSH, SimHash, plus top-k
+  * invariants, multimodal plumbing equivalence, and the streaming path. */
+class OpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("minhash: identical texts → estimated jaccard 1.0; disjoint → no pair") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      3L -> "completely different words about spark catalyst optimizer internals engine")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+      n = 2, numHashes = 64, bands = 16, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("id_a") == 1L && pairs(0).getAs[Long]("id_b") == 2L)
+    assert(pairs(0).getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("minhash: near-duplicate scores high, unrelated text does not appear") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = docs(
+      1L -> base,
+      2L -> (base + " nu"), // one extra token
+      3L -> "totally unrelated content with other vocabulary entirely here now")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+      n = 2, numHashes = 64, bands = 16, threshold = 0.3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs(0).getAs[Double]("est_jaccard") > 0.5)
+  }
+
+  test("simhash: identical → distance 0; candidates are symmetric-free (a<b)") {
+    val df = docs(
+      1L -> "one two three four five six seven eight nine ten",
+      2L -> "one two three four five six seven eight nine ten",
+      3L -> "one two three four five six seven eight nine eleven")
+    val sigs = df.select(Dedup.simhash(col("text")).as("s")).collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 16).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((1L, 2L)))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.find(r => (r.getLong(0), r.getLong(1)) == (1L, 2L)).get.getAs[Long]("hamming") == 0L)
+  }
+
+  test("bruteForceTopK: k rows per query, self excluded, rank 1 is the max") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3).collect()
+    assert(out.length == 15)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 3)
+      assert(!rows.exists(_.getAs[Long]("n_id") == q)) // self excluded
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }) // descending
+    }
+  }
+
+  test("ivfTopK results are a subset of brute-force candidates restricted to the cell") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0)
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", "label",
+      q, "vec_id", "embedding", "label", k = 5).collect()
+    val qLabel = q.select("label").collect()(0).getInt(0)
+    val cellIds = e.filter(col("label") === qLabel).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => cellIds.contains(r.getAs[Long]("n_id"))))
+  }
+
+  test("multimodal: partition-batched decode matches the expression path") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val withPayload = Multimodal.withFakePayload(d, "doc_id", "text")
+    val decoded = Multimodal.decodeImages(spark, withPayload, "doc_id")
+      .toDF().select(col("doc_id"), col("meta.width").as("width"), col("meta.height").as("height"))
+    val exprPath = Multimodal.decodeMetaExpr(d, "doc_id").select("doc_id", "width", "height")
+    assert(decoded.exceptAll(exprPath).count() == 0)
+    assert(exprPath.exceptAll(decoded).count() == 0)
+    // feature vectors: fixed shape, deterministic
+    val feats = Multimodal.decodeImages(spark, withPayload, "doc_id").collect()
+    assert(feats.forall(_.feature.length == 8))
+  }
+
+  test("streaming window agg (memory sink) matches the batch form") {
+    val src = java.nio.file.Files.createTempDirectory("graftstream").toString
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = Streaming.windowStatsStream(spark, src, schema, "5 minutes", "win_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT event_type, sum(n) AS n FROM win_test GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Streaming.windowStatsBatch(events, "5 minutes")
+      .groupBy("event_type").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("sessionize: gap-based session counts per user") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:01:00"), // session 1
+      (1L, "2024-01-01 02:00:00"), // session 2 (gap > 30 min)
+      (2L, "2024-01-01 00:00:00")) // one session
+      .toDF("user_id", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = Streaming.sessionizeStream(spark, df, gapSeconds = 1800)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (2L, 3L))
+    assert(out(2L) == (1L, 1L))
+  }
+
+  test("text quality: clean prose scores higher than repetitive junk") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over a lazy dog and runs to the river in the morning light",
+      2L -> "spam spam spam spam spam spam spam spam spam spam spam spam")
+    val scores = df.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L))
+  }
+}
