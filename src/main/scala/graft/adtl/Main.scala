@@ -1,0 +1,127 @@
+package graft.adtl
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point mirroring the reference's `adtl parse` / `adtl check`
+  * surface (/root/reference/src/adtl/cli.py):
+  *
+  *   adtlspark parse <spec.toml|json> <data.csv> [-o prefix]
+  *       [--format csv|parquet] [--include-def file ...] [--encoding enc]
+  *       [--save-report report.json]
+  *   adtlspark check <spec.toml|json> <data.csv>
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(1) }
+    args(0) match {
+      case "parse" => parseCmd(args.drop(1))
+      case "check" => checkCmd(args.drop(1))
+      case other => System.err.println(s"Unknown command: $other"); usage(); sys.exit(1)
+    }
+  }
+
+  private def usage(): Unit =
+    System.err.println(
+      """usage: adtlspark parse <spec> <data.csv> [-o prefix] [--format csv|parquet]
+        |                      [--include-def file] [--encoding enc] [--save-report file]
+        |       adtlspark check <spec> <data.csv>""".stripMargin)
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("adtlspark")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def parseCmd(args: Array[String]): Unit = {
+    var spec: Option[String] = None
+    var data: Option[String] = None
+    var output: Option[String] = None
+    var format = "csv"
+    var encoding = "UTF-8"
+    var includeDefs = List.empty[String]
+    var saveReport: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-o" | "--output" => output = Some(args(i + 1)); i += 2
+        case "--format" => format = args(i + 1); i += 2
+        case "--encoding" => encoding = args(i + 1); i += 2
+        case "--include-def" => includeDefs :+= args(i + 1); i += 2
+        case "--save-report" => saveReport = Some(args(i + 1)); i += 2
+        case a if spec.isEmpty => spec = Some(a); i += 1
+        case a if data.isEmpty => data = Some(a); i += 1
+        case a => System.err.println(s"Unexpected argument: $a"); sys.exit(1)
+      }
+    }
+    (spec, data) match {
+      case (Some(sp), Some(df)) =>
+        val spark = session()
+        val parser = AdtlParser.fromFile(sp, includeDefs)
+        val tables = parser.parseCsv(spark, df, encoding)
+        val prefix = output.getOrElse(parser.spec.header.name)
+        tables.keys.foreach { t =>
+          format match {
+            case "parquet" => parser.writeParquet(tables, t, s"$prefix-$t.parquet")
+            case _ => parser.writeCsv(tables, t, s"$prefix-$t.csv")
+          }
+        }
+        val report = parser.report(tables)
+        printReport(report)
+        saveReport.foreach { path =>
+          val json = report.map { case (t, (valid, total, errors)) =>
+            val errs = errors.map { case (m, c) =>
+              "{\"message\": " + q(m) + ", \"count\": " + c + "}" }.mkString("[", ", ", "]")
+            q(t) + ": {\"valid\": " + valid + ", \"total\": " + total +
+              ", \"errors\": " + errs + "}"
+          }.mkString("{", ", ", "}")
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+        }
+        spark.stop()
+      case _ => usage(); sys.exit(1)
+    }
+  }
+
+  private def printReport(report: Map[String, (Long, Long, Map[String, Long])]): Unit = {
+    if (report.nonEmpty) {
+      println("\n|table       \t|valid\t|total\t|percentage_valid|")
+      println("|---------------|-------|-------|----------------|")
+      report.foreach { case (t, (valid, total, _)) =>
+        val pct = if (total > 0) f"${100.0 * valid / total}%.2f%%" else "-"
+        println(f"|$t%-14s\t|$valid\t|$total\t|$pct |")
+      }
+      report.foreach { case (t, (_, _, errors)) =>
+        if (errors.nonEmpty) {
+          println(s"\n## $t\n")
+          errors.toSeq.sortBy(-_._2).foreach { case (m, c) => println(s"* $c: $m") }
+        }
+      }
+    }
+  }
+
+  private def checkCmd(args: Array[String]): Unit = {
+    if (args.length < 2) { usage(); sys.exit(1) }
+    val spark = session()
+    val parser = AdtlParser.fromFile(args(0))
+    val df = spark.read.option("header", "true").csv(args(1))
+    val (unmapped, absent) = parser.checkSpecFields(df.columns.toSeq)
+    if (absent.nonEmpty) {
+      println(s"ERROR: fields in spec but missing from data: ${absent.toList.sorted.mkString(", ")}")
+    }
+    if (unmapped.nonEmpty) {
+      println(s"WARNING: data columns not mapped by spec: ${unmapped.toList.sorted.mkString(", ")}")
+    }
+    if (absent.isEmpty && unmapped.isEmpty) println("OK: spec and data fields match")
+    spark.stop()
+    if (absent.nonEmpty) sys.exit(1)
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}
