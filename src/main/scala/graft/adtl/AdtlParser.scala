@@ -50,8 +50,13 @@ final class AdtlParser private (
     // load per-table JSON schemas + optional-fields trimming
     val schemas: Map[String, Raw] = tables.flatMap { case (tname, meta) =>
       meta.schemaPath.flatMap { sp =>
-        if (sp.startsWith("http")) None // no remote fetch in zero-egress envs
-        else {
+        if (sp.startsWith("http")) {
+          // reference behavior on unreachable schema URLs: warn and skip
+          // validation (parser.py:329-346); this env is zero-egress
+          System.err.println(
+            s"Warning: could not fetch schema for table '$tname', will not validate")
+          None
+        } else {
           val loaded = SpecLoader.parseJson(SpecLoader.readUtf8(resolvePath(sp)))
           Some(tname -> Normalize.makeFieldsOptional(loaded, meta.optionalFields))
         }
@@ -308,12 +313,28 @@ final class AdtlParser private (
   }
 
   def writeParquet(tables: Map[String, DataFrame], tname: String, path: String): Unit = {
+    // reference guard: returnUnmatched yields mixed-type columns that the
+    // reference blocks from parquet (cli.py:72-73); same contract here
+    if (spec.header.returnUnmatched)
+      throw new IllegalArgumentException(
+        "returnUnmatched is not compatible with parquet output")
     val df = tables(tname)
     val validationCols = List("adtl_valid", "adtl_error").filter(df.columns.contains)
     val dataCols = df.columns.filterNot(validationCols.contains).toList
     df.select((validationCols ++ dataCols).map(col): _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Save every table as {prefix}-{table}.{csv,parquet} (save,
+    * parser.py:865-883). */
+  def save(tables: Map[String, DataFrame], prefix: String, format: String = "csv"): Unit =
+    tables.keys.foreach { t =>
+      format match {
+        case "parquet" => writeParquet(tables, t, s"$prefix-$t.parquet")
+        case "csv" => writeCsv(tables, t, s"$prefix-$t.csv")
+        case other => throw new IllegalArgumentException(s"Invalid format: $other")
+      }
+    }
 
   /** Validation report: valid/total per table + error-message counts — a
     * single aggregation per table (show_report, parser.py:845-863). */
