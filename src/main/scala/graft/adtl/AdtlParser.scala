@@ -109,6 +109,7 @@ final class AdtlParser private (
   /** Parse any DataFrame (columns are stringified — CSV semantics). */
   def parseDataFrame(spark: SparkSession, source: DataFrame,
       skipValidation: Boolean = false): Map[String, DataFrame] = {
+    Uuid5Expr.register(spark) // codegen'd uuid5 for generate rules
     // scan-order id: monotonically increasing by (partition, offset) — makes
     // file order explicit for lastNotNull/firstNonNull at any scale
     var df = source.withColumn(ROW_ID, monotonically_increasing_id())
@@ -137,6 +138,45 @@ final class AdtlParser private (
           withValidation(out, tname, meta)
         else out
       tname -> validated
+    }
+  }
+
+  /** Streaming form: the same compiled plans over a streaming DataFrame.
+    * constant/oneToOne/oneToMany are stateless projections and run
+    * unchanged under Structured Streaming; groupBy tables need watermarked
+    * state and are rejected here (aggregate the materialized output, or use
+    * graft.ops.Streaming for windowed state).
+    */
+  def parseStream(spark: SparkSession, source: DataFrame): Map[String, DataFrame] = {
+    require(source.isStreaming, "parseStream expects a streaming DataFrame")
+    spec.tables.collect { case (t, m) if m.kind == "groupBy" => t } match {
+      case bad if bad.nonEmpty =>
+        throw new SpecValidationError(
+          s"groupBy tables (${bad.mkString(", ")}) are not supported in streaming mode")
+      case _ =>
+    }
+    Uuid5Expr.register(spark)
+    var df = source.withColumn(ROW_ID, lit(0L)) // no file order in a stream
+    spec.header.emptyFields.foreach { sentinel =>
+      df = df.select(df.columns.map { c =>
+        if (c == ROW_ID) col(c)
+        else when(col(c).cast("string") === sentinel, "")
+          .otherwise(col(c).cast("string")).as(c)
+      }: _*)
+    }
+    val compiler = new RuleCompiler(
+      df.columns.filterNot(_ == ROW_ID).toSeq, spec.header, spec.dateFields.toSet,
+      registry, spec.namespaceUuid)
+    spec.tables.collect {
+      case (tname, meta) if meta.kind != "constant" =>
+        val out = meta.kind match {
+          case "oneToOne" => execOneToOne(df, compiler, tname)
+          case "oneToMany" => execOneToMany(df, compiler, tname, meta)
+        }
+        val validated =
+          if (spec.schemas.contains(tname)) withValidation(out, tname, meta)
+          else out
+        tname -> validated
     }
   }
 

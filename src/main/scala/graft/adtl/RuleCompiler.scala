@@ -381,10 +381,10 @@ final class RuleCompiler(
       case "uuid5" =>
         val fields = gen.getOrElse("values", Nil).asInstanceOf[List[_]].map(_.toString)
         val seed = lower(concat_ws("|", fields.map(sourceCol): _*))
-        val ns = namespace
-        val u5 = udf((s: String) =>
-          if (s == null) null else Uuid5.uuid5(ns, s).toString)
-        CV(u5(seed), VStr)
+        // codegen'd Catalyst expression (registered by AdtlParser per session)
+        CV(call_function("graft_uuid5",
+          lit(namespace.getMostSignificantBits),
+          lit(namespace.getLeastSignificantBits), seed), VStr)
       case other =>
         throw new Spec.SpecValidationError(s"Unknown generation method: $other")
     }
