@@ -68,6 +68,42 @@ object EngineQueries {
       |  }
       |}""".stripMargin
 
+  /** lineitem ⋈ orders with pre-rendered date strings, for the
+    * apply-function date library (F6/F7/F10/F13/F16). */
+  private def lineDatesInput(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(
+        concat_ws("-", col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string")).as("line_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"),
+        year(col("o_orderdate")).cast("string").as("oyear"),
+        month(col("o_orderdate")).cast("string").as("omonth"),
+        dayofmonth(col("o_orderdate")).cast("string").as("oday"),
+        format_string("%02d-03-15", col("o_orderkey") % 100).as("dob2"))
+  }
+
+  private val applyDatesSpec =
+    """{
+      |  "adtl": {"name": "dates", "description": "date transforms", "tables": {
+      |    "line_dates": {"kind": "oneToOne"}}},
+      |  "line_dates": {
+      |    "line_id": {"field": "line_id"},
+      |    "ship_delay_days": {"field": "odate",
+      |      "apply": {"function": "durationDays", "params": ["$ship"]}},
+      |    "ship_delay_years": {"field": "odate",
+      |      "apply": {"function": "yearsElapsed", "params": ["$ship", 2022]}},
+      |    "rebuilt_date": {"field": "oyear",
+      |      "apply": {"function": "makeDate", "params": ["$omonth", "$oday"]}},
+      |    "ship_year": {"field": "ship",
+      |      "apply": {"function": "splitDate", "params": ["year", 2022]}},
+      |    "dob_fixed": {"field": "dob2",
+      |      "apply": {"function": "correctOldDate", "params": [2022, "%y-%m-%d"]}}
+      |  }
+      |}""".stripMargin
+
   private val oneToManySpec =
     """{
       |  "adtl": {"name": "orders", "description": "order observations", "tables": {
@@ -102,6 +138,11 @@ object EngineQueries {
       AdtlParser.fromJsonString(oneToManySpec)
         .parseDataFrame(s, ordersInput(s, d))("obs")
         .orderBy("value", "name")
+    },
+    "adtl_apply_dates" -> { (s, d) =>
+      AdtlParser.fromJsonString(applyDatesSpec)
+        .parseDataFrame(s, lineDatesInput(s, d))("line_dates")
+        .orderBy("line_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -124,6 +165,16 @@ object EngineQueries {
         |  max(strftime(ts, '%Y-%m-%d')) AS last_day,
         |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS etypes_sorted
         |FROM events GROUP BY 1 ORDER BY uid""".stripMargin,
+    "adtl_apply_dates" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_id,
+        |  date_diff('day', o_orderdate, l_shipdate) AS ship_delay_days,
+        |  CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) / 365.25 AS ship_delay_years,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS rebuilt_date,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  printf('%04d-03-15', CASE WHEN o_orderkey % 100 <= 21
+        |    THEN 2000 + o_orderkey % 100 ELSE 1900 + o_orderkey % 100 END) AS dob_fixed
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY line_id""".stripMargin,
     "adtl_onetomany" ->
       """SELECT * FROM (
         |  SELECT 'orders_v1' AS dataset, 'status' AS name, o_orderstatus AS value
