@@ -93,12 +93,24 @@ object PipelineQueries {
     "q_stream_window" -> { (s, d) =>
       Streaming.windowStatsBatch(Tables.events(s, d), "5 minutes")
         .orderBy("window_start", "event_type")
+    },
+    // salted two-stage aggregation over a heavy-hitter key (5 distinct
+    // event types): exact same result as a direct groupBy, skew-free plan
+    "q_salted_agg" -> { (s, d) =>
+      graft.ops.Skew.saltedSumCount(Tables.events(s, d), "event_type", "value",
+        salts = 16, saltSource = col("event_id"))
+        .orderBy("event_type")
     })
 
   private val tokensSql =
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "t_text_profile" ->
       s"""WITH toks AS (
         |  SELECT doc_id, text, $tokensSql AS t FROM documents)
