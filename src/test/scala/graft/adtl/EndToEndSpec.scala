@@ -123,6 +123,25 @@ class EndToEndSpec extends SparkSpec {
     assert(e.getMessage == "Column 'nope' not found.")
   }
 
+  test("CSV sink renders arrays Python-repr style and booleans True/False") {
+    val tmp = Files.createTempDirectory("adtlcsvr").toString
+    write(tmp, "data.csv", "sid,d1,d2,flag\nA,x1,x2,1\n")
+    write(tmp, "spec.json",
+      """{"adtl": {"name": "s", "description": "d", "tables": {"t": {"kind": "oneToOne"}}},
+         "t": {"sid": {"field": "sid"},
+               "items": {"combinedType": "list", "fields": [{"field": "d1"}, {"field": "d2"}]},
+               "ok": {"field": "flag", "values": {"1": true, "0": false}}}}""")
+    val parser = AdtlParser.fromFile(s"$tmp/spec.json")
+    val tables = parser.parseCsv(spark, s"$tmp/data.csv")
+    parser.writeCsv(tables, "t", s"$tmp/out")
+    val outFile = Files.list(Paths.get(s"$tmp/out")).toArray
+      .map(_.toString).find(_.endsWith(".csv")).get
+    val lines = Files.readAllLines(Paths.get(outFile))
+    assert(lines.get(0) == "items,ok,sid")
+    // Python csv.DictWriter would emit "['x1', 'x2']",True,A
+    assert(lines.get(1) == "\"['x1', 'x2']\",True,A")
+  }
+
   test("checkSpecFields diffs spec fields against data columns") {
     val spec =
       """{"adtl": {"name": "s", "description": "d", "tables": {"t": {"kind": "oneToOne"}}},

@@ -108,6 +108,23 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState running totals match a batch aggregation") {
+    val src = java.nio.file.Files.createTempDirectory("graftstate").toString
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = Streaming.runningUserTotalsStream(spark, src, schema, "state_test")
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink: last emitted row per user is the final state
+    val streamed = spark.sql(
+      """SELECT user_id, max_by(n_events, n_events) AS n FROM state_test GROUP BY 1""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = events.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("sessionize: gap-based session counts per user") {
     import spark.implicits._
     val df = Seq(
