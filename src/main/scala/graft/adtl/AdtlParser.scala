@@ -106,13 +106,23 @@ final class AdtlParser private (
     parseDataFrame(spark, df, skipValidation)
   }
 
-  /** Parse any DataFrame (columns are stringified — CSV semantics). */
+  /** Parse any DataFrame (columns are stringified — CSV semantics).
+    *
+    * `orderCol`: optional existing column that defines "file order" for
+    * lastNotNull/firstNonNull/list semantics (e.g. an event sequence id).
+    * When absent, a scan-order id is derived with
+    * monotonically_increasing_id — correct for ordered single-source scans,
+    * but an explicit sequence column is the robust contract at cluster
+    * scale (no sort needed, survives any partitioning).
+    */
   def parseDataFrame(spark: SparkSession, source: DataFrame,
-      skipValidation: Boolean = false): Map[String, DataFrame] = {
+      skipValidation: Boolean = false,
+      orderCol: Option[String] = None): Map[String, DataFrame] = {
     Uuid5Expr.register(spark) // codegen'd uuid5 for generate rules
-    // scan-order id: monotonically increasing by (partition, offset) — makes
-    // file order explicit for lastNotNull/firstNonNull at any scale
-    var df = source.withColumn(ROW_ID, monotonically_increasing_id())
+    var df = orderCol match {
+      case Some(c) => source.withColumn(ROW_ID, col(c).cast("long"))
+      case None => source.withColumn(ROW_ID, monotonically_increasing_id())
+    }
     spec.header.emptyFields.foreach { sentinel =>
       df = df.select(df.columns.map { c =>
         if (c == ROW_ID) col(c)

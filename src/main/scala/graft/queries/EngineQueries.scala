@@ -23,8 +23,10 @@ object EngineQueries {
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
       format_string("%.2f", col("o_totalprice")).as("total"))
 
+  /** event_id is the explicit sequence column — no input sort needed. */
   private def eventsInput(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).orderBy("event_id").select(
+    Tables.events(s, d).select(
+      col("event_id").as("eid"),
       col("user_id").cast("string").as("uid"),
       col("event_type").as("etype"),
       format_string("%.2f", col("value")).as("val"),
@@ -123,12 +125,12 @@ object EngineQueries {
     },
     "adtl_groupby_lastnotnull" -> { (s, d) =>
       AdtlParser.fromJsonString(groupBySpec)
-        .parseDataFrame(s, eventsInput(s, d))("user_state")
+        .parseDataFrame(s, eventsInput(s, d), orderCol = Some("eid"))("user_state")
         .orderBy("uid")
     },
     "adtl_groupby_combined" -> { (s, d) =>
       val out = AdtlParser.fromJsonString(combinedSpec)
-        .parseDataFrame(s, eventsInput(s, d))("user_profile")
+        .parseDataFrame(s, eventsInput(s, d), orderCol = Some("eid"))("user_profile")
       // sets are unordered by contract: render sorted for stable comparison
       out.select(col("uid"), col("first_day"), col("last_day"),
           array_join(array_sort(col("etypes")), ",").as("etypes_sorted"))

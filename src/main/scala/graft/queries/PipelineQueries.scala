@@ -94,6 +94,13 @@ object PipelineQueries {
       Streaming.windowStatsBatch(Tables.events(s, d), "5 minutes")
         .orderBy("window_start", "event_type")
     },
+    // composed corpus cleaning: quality gate then exact dedup (keep min id)
+    "q_clean_corpus" -> { (s, d) =>
+      graft.ops.Pipeline.cleanCorpus(Tables.documents(s, d), "doc_id", "text",
+        minQuality = 0.5)
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")
+    },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
     // event types): exact same result as a direct groupBy, skew-free plan
     "q_salted_agg" -> { (s, d) =>
@@ -106,6 +113,24 @@ object PipelineQueries {
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_clean_corpus" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, text, $tokensSql AS t FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    ((CASE WHEN len(t) BETWEEN 8 AND 4096 THEN 1.0 WHEN len(t) > 0 THEN 0.5 ELSE 0.0 END)
+        |     + (CASE WHEN coalesce(CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) END, 0.0) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
+        |     + (CASE WHEN coalesce(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END, 0.0) <= 0.2 THEN 1.0 ELSE 0.0 END)
+        |     + coalesce(CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) END, 0.0)) / 4.0 AS quality_score
+        |  FROM toks),
+        |survivors AS (
+        |  SELECT doc_id, quality_score,
+        |    md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS fp
+        |  FROM scored WHERE quality_score >= 0.5)
+        |SELECT doc_id, quality_score FROM (
+        |  SELECT doc_id, quality_score, min(doc_id) OVER (PARTITION BY fp) AS keeper
+        |  FROM survivors)
+        |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
