@@ -137,11 +137,21 @@ final class AdtlParser private (
       registry, spec.namespaceUuid)
 
     spec.tables.map { case (tname, meta) =>
-      val out = meta.kind match {
+      var out = meta.kind match {
         case "constant" => execConstant(spark, tname)
         case "oneToOne" => execOneToOne(df, compiler, tname)
         case "groupBy" => execGroupBy(df, compiler, tname, meta)
         case "oneToMany" => execOneToMany(df, compiler, tname, meta)
+      }
+      if (canonicalNumbers) {
+        // reference auto-int/float rendering for un-schema'd string attrs
+        val stringAttrs = out.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.StringType &&
+            coerceTypeFor(tname, f.name).isEmpty => f.name
+        }
+        stringAttrs.foreach { a =>
+          out = out.withColumn(a, compiler.canonicalNumber(col(a)))
+        }
       }
       val validated =
         if (!skipValidation && spec.schemas.contains(tname))
@@ -150,6 +160,12 @@ final class AdtlParser private (
       tname -> validated
     }
   }
+
+  /** Opt-in reference numeric canonicalization ("007"→"7", "1.50"→"1.5")
+    * for output attributes without a schema type. Off by default: it
+    * rewrites output strings. */
+  var canonicalNumbers: Boolean = false
+  def withCanonicalNumbers(): this.type = { canonicalNumbers = true; this }
 
   /** Streaming form: the same compiled plans over a streaming DataFrame.
     * constant/oneToOne/oneToMany are stateless projections and run

@@ -115,7 +115,7 @@ final class RuleCompiler(
           case Some(l: List[_]) => l.map(resolveParam)
           case _ => Nil
         }
-        cv = CV(registry(fn)(cv.col, params, tctx), fnResultType(fn))
+        cv = CV(registry(fn)(cv.col, params, tctx), fnResultType(fn, returnUnmatched))
       case _ =>
     }
 
@@ -201,17 +201,23 @@ final class RuleCompiler(
     } else CV(mapped(in.col), outVt)
   }
 
-  /** source_unit/unit → factor chain (get_value.py:200-218). */
+  /** source_unit/unit → factor chain (get_value.py:200-218). Under
+    * returnUnmatched, unconvertible values pass through as strings
+    * (reference get_value.py:213-215). */
   private def compileUnitConversion(rule: Raw, in: CV): CV = {
     val target = rule("unit").toString
     val num = try_cast(in.col.cast("string"), "double")
+    def ru(converted: Column): CV =
+      if (returnUnmatched)
+        CV(when(num.isNotNull, pyNumStr(converted)).otherwise(in.col.cast("string")), VStr)
+      else CV(converted, VDbl)
     rule("source_unit") match {
       // non-rule constant source_unit (non-string) → plain float(value)
-      case _: Long | _: Double | _: Boolean => CV(num, VDbl)
+      case _: Long | _: Double | _: Boolean => ru(num)
       case s: String =>
         val f = Units.factor(s, target).getOrElse(throw new Spec.SpecValidationError(
           s"Cannot convert unit '$s' to '$target'"))
-        CV(num * f, VDbl)
+        ru(num * f)
       case srcRule =>
         val srcUnit = compileUnhashed(srcRule, "source_unit").col.cast("string")
         val candidates = Units.lookup(target).map(_.dimension) match {
@@ -225,9 +231,26 @@ final class RuleCompiler(
               case Some(w) => w.when(trim(lower(srcUnit)) === u, num * f)
             })
           }.getOrElse(lit(null).cast("double"))
-        CV(chain, VDbl)
+        ru(chain)
     }
   }
+
+  /** Reference numeric canonicalization (get_value.py:162-170): string
+    * values that parse as int render as int ("007"→"7"), as float render
+    * Python-style ("1.50"→"1.5"); everything else passes through. Opt-in at
+    * the parser level — it changes output strings, so gate oracles keep it
+    * off by default. */
+  def canonicalNumber(c: Column): Column =
+    when(c.rlike("^\\s*[-+]?\\d+\\s*$"), try_cast(trim(c), "bigint").cast("string"))
+      .when(c.rlike("^\\s*[-+]?(\\d+\\.\\d*|\\.\\d+|\\d+[eE][-+]?\\d+|\\d+\\.\\d*[eE][-+]?\\d+)\\s*$"),
+        pyNumStr(try_cast(trim(c), "double")))
+      .otherwise(c)
+
+  /** Python str(float): integral doubles keep the trailing .0. */
+  private def pyNumStr(d: Column): Column =
+    when(d === floor(d) && abs(d) < 1e15,
+      concat(d.cast("bigint").cast("string"), lit(".0")))
+      .otherwise(d.cast("string"))
 
   /** source_date/date strftime reformat (get_value.py:219-234). */
   private def compileDateConversion(rule: Raw, in: CV, isDateAttr: Boolean): CV = {
@@ -465,12 +488,15 @@ object RuleCompiler {
   final case class CV(col: Column, vt: VT)
 
   /** Static result types of the transformation library (for the ""→null and
-    * truthiness decisions downstream). */
-  def fnResultType(fn: String): VT = fn match {
+    * truthiness decisions downstream). Under returnUnmatched, pass-through
+    * capable functions degrade to string columns (reference mixed-type
+    * behavior). */
+  def fnResultType(fn: String, returnUnmatched: Boolean = false): VT = fn match {
     case "isNotNull" => VBool
     case "textIfNotNull" => VStr
-    case "wordSubstituteSet" => VArr
-    case "getFloat" | "Percentage" | "yearsElapsed" => VDbl
+    case "wordSubstituteSet" => if (returnUnmatched) VStr else VArr
+    case "getFloat" => if (returnUnmatched) VStr else VDbl
+    case "Percentage" | "yearsElapsed" => VDbl
     case "durationDays" | "splitDate" | "startYear" | "startMonth" => VLong
     case _ => VStr
   }

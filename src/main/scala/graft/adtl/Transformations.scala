@@ -95,6 +95,12 @@ object Transformations {
 
   private def guardEmpty(in: Column, out: Column): Column = when(nonEmpty(in), out)
 
+  /** Python str(float) rendering: integral doubles keep the trailing .0. */
+  private def pyNum(d: Column): Column =
+    when(d === floor(d) && abs(d) < 1e15,
+      concat(d.cast("bigint").cast("string"), lit(".0")))
+      .otherwise(d.cast("string"))
+
   // ---- the library ------------------------------------------------------
 
   val builtins: Map[String, TransformFn] = Map(
@@ -105,7 +111,7 @@ object Transformations {
     // F3: word-boundary case-insensitive regex substitutions → sorted set;
     // no match on non-empty input → null (or raw under returnUnmatched,
     // handled by the caller via string rendering).
-    "wordSubstituteSet" -> { (v, ps, _) =>
+    "wordSubstituteSet" -> { (v, ps, ctx) =>
       val pairs = ps.map {
         case PList(List(a, b)) => (plit(a).toString, plit(b).toString)
         case other => throw new IllegalArgumentException(
@@ -115,10 +121,19 @@ object Transformations {
         when(v.rlike("(?i)\\b" + re + "\\b"), lit(sub))
       }: _*)
       val kept = filter(cands, x => x.isNotNull)
-      when(size(kept) > 0, array_sort(array_distinct(kept)))
+      val matched = when(size(kept) > 0, array_sort(array_distinct(kept)))
+      if (ctx.returnUnmatched) {
+        // string column: matched set rendered Python-repr, raw pass-through
+        // on no-match (reference warns + keeps the value)
+        val repr = concat(lit("["), array_join(
+          transform(matched, x => concat(lit("'"), x, lit("'"))), ", "), lit("]"))
+        when(size(kept) > 0, repr).otherwise(when(nonEmpty(v), v))
+      } else matched
     },
-    // F4: locale-aware float extraction
-    "getFloat" -> { (v, ps, _) =>
+    // F4: locale-aware float extraction; under returnUnmatched the column
+    // becomes string-typed and unconvertible values pass through (the
+    // reference's mixed-type behavior, reference cli.py blocks parquet)
+    "getFloat" -> { (v, ps, ctx) =>
       val setDecimal = Option(optLit(ps, 0, null)).map(_.toString)
       val separator = Option(optLit(ps, 1, null)).map(_.toString)
       var x = regexp_replace(regexp_replace(v, "^\"|\"$", ""), " ", "")
@@ -131,9 +146,11 @@ object Transformations {
         x = regexp_replace(x, java.util.regex.Pattern.quote(sep), "")
       }
       val nums = regexp_extract_all(x, lit("[-+]?\\d*\\.?\\d+"), lit(0))
-      when(nonEmpty(v),
-        when(size(nums) === 1, element_at(nums, 1).cast("double"))
-          .otherwise(try_cast(x, "double")))
+      val parsed = when(size(nums) === 1, element_at(nums, 1).cast("double"))
+        .otherwise(try_cast(x, "double"))
+      if (ctx.returnUnmatched)
+        when(nonEmpty(v), when(parsed.isNotNull, pyNum(parsed)).otherwise(x))
+      else when(nonEmpty(v), parsed)
     },
     // F5: ≤1 → ×100
     "Percentage" -> { (v, _, _) =>
@@ -177,11 +194,15 @@ object Transformations {
         date_format(sd + make_dt_interval(lit(0), lit(0), lit(0), d * 86400),
           DateFormats.translate(f).javaPattern))
     },
-    // F10: compose ISO date from year/month/day; invalid → null
-    "makeDate" -> { (v, ps, _) =>
+    // F10: compose ISO date from year/month/day; invalid → null (or the
+    // raw field value under returnUnmatched)
+    "makeDate" -> { (v, ps, ctx) =>
       val m = pcol(ps.head); val d = pcol(ps(1))
-      when(nonEmpty(v) && nonEmpty(m) && nonEmpty(d),
-        date_format(try_to_date(concat_ws("-", v, m, d), "y-M-d"), "yyyy-MM-dd"))
+      val made = date_format(try_to_date(concat_ws("-", v, m, d), "y-M-d"), "yyyy-MM-dd")
+      if (ctx.returnUnmatched)
+        when(nonEmpty(v) && nonEmpty(m) && nonEmpty(d),
+          coalesce(made, v))
+      else when(nonEmpty(v) && nonEmpty(m) && nonEmpty(d), made)
     },
     // F11: date + seconds-of-day → tz-aware ISO datetime (date-only when
     // the seconds column is empty)

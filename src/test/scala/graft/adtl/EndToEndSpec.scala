@@ -81,18 +81,41 @@ class EndToEndSpec extends SparkSpec {
     assert(out(1).getAs[scala.collection.Seq[String]]("symptoms").toList == List("fever"))
   }
 
-  test("returnUnmatched: unmapped values pass through instead of nulling") {
+  test("returnUnmatched: unconvertible values pass through instead of nulling") {
     val spec =
       """{"adtl": {"name": "s", "description": "d", "returnUnmatched": true,
           "tables": {"t": {"kind": "oneToOne"}}},
-          "t": {"smoking": {"field": "smoking", "values": {"1": "yes", "2": "no"}}}}"""
+          "t": {
+            "smoking": {"field": "smoking", "values": {"1": "yes", "2": "no"}},
+            "age": {"field": "age", "apply": {"function": "getFloat"}},
+            "weight_kg": {"field": "weight", "unit": "kg", "source_unit": "lbs"},
+            "symptoms": {"field": "symptom_text", "apply": {"function": "wordSubstituteSet",
+              "params": [["cough", "Cough"]]}},
+            "death_date": {"field": "dy", "apply": {"function": "makeDate",
+              "params": ["$dm", "$dd"]}}}}"""
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    val cols = Seq("smoking", "age", "weight", "symptom_text", "dy", "dm", "dd")
+    val rows = Seq(
+      Row("1", "15", "150", "bad cough", "1990", "2", "11"),
+      Row("sometimes", "fifteen", "eight", "just tired", "1990", "2", "80"))
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row("1"), Row("sometimes")), 1),
-      StructType(Seq(StructField("smoking", StringType))))
-    val out = AdtlParser.fromJsonString(spec).parseDataFrame(spark, df)("t").collect()
-    assert(out.map(_.getString(0)).toSet == Set("yes", "sometimes"))
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(cols.map(c => StructField(c, StringType))))
+    val out = AdtlParser.fromJsonString(spec).parseDataFrame(spark, df)("t")
+      .orderBy("smoking").collect()
+    val clean = out(1) // "yes" sorts after "sometimes"
+    assert(clean.getAs[String]("smoking") == "yes")
+    assert(clean.getAs[String]("age") == "15.0")
+    assert(clean.getAs[String]("weight_kg").startsWith("68.03"))
+    assert(clean.getAs[String]("symptoms") == "['Cough']")
+    assert(clean.getAs[String]("death_date") == "1990-02-11")
+    val dirty = out(0)
+    assert(dirty.getAs[String]("smoking") == "sometimes")
+    assert(dirty.getAs[String]("age") == "fifteen")
+    assert(dirty.getAs[String]("weight_kg") == "eight")
+    assert(dirty.getAs[String]("symptoms") == "just tired")
+    assert(dirty.getAs[String]("death_date") == "1990") // raw field value
   }
 
   test("spec validation errors carry reference-style messages") {
@@ -140,6 +163,22 @@ class EndToEndSpec extends SparkSpec {
     assert(lines.get(0) == "items,ok,sid")
     // Python csv.DictWriter would emit "['x1', 'x2']",True,A
     assert(lines.get(1) == "\"['x1', 'x2']\",True,A")
+  }
+
+  test("canonicalNumbers renders numeric strings like the reference auto-cast") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("007", "1.50"), Row("42", "abc"), Row("-03", "2.0")), 1),
+      StructType(Seq(StructField("a", StringType), StructField("b", StringType))))
+    val spec =
+      """{"adtl": {"name": "s", "description": "d", "tables": {"t": {"kind": "oneToOne"}}},
+         "t": {"a": {"field": "a"}, "b": {"field": "b"}}}"""
+    val out = AdtlParser.fromJsonString(spec).withCanonicalNumbers()
+      .parseDataFrame(spark, df)("t").orderBy("a").collect()
+      .map(r => (r.getString(0), r.getString(1))).toList
+    assert(out == List(("-3", "2.0"), ("42", "abc"), ("7", "1.5")))
   }
 
   test("checkSpecFields diffs spec fields against data columns") {
