@@ -78,6 +78,16 @@ object PipelineQueries {
         e.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 5)
         .orderBy("q_id", "rank")
     },
+    // full IVF ANN: deterministic k-means coarse quantizer + nprobe search
+    // (xxhash64 init → rows-only oracle; recall/determinism in OpsSpec)
+    "s_ivf_kmeans_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (assigned, centroids) = graft.ops.IvfIndex.build(e, "vec_id", "embedding",
+        nCells = 16, iters = 2)
+      graft.ops.IvfIndex.search(assigned, centroids,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5, nProbe = 4)
+        .orderBy("q_id", "rank")
+    },
     // embedding-cosine near-duplicate pairs within label buckets
     "d_embed_neardup" -> { (s, d) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",

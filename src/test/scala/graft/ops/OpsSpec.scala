@@ -79,6 +79,27 @@ class OpsSpec extends SparkSpec {
     assert(ivf.forall(r => cellIds.contains(r.getAs[Long]("n_id"))))
   }
 
+  test("IVF index: deterministic build, sane recall vs brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (assigned, centroids) = IvfIndex.build(e, "vec_id", "embedding", nCells = 8)
+    assert(centroids.map(_._1).distinct.length == centroids.length)
+    assert(assigned.select("cell").distinct().count() <= 8)
+    // determinism: rebuilding yields identical assignments
+    val (assigned2, _) = IvfIndex.build(e, "vec_id", "embedding", nCells = 8)
+    assert(assigned.select("id", "cell").exceptAll(assigned2.select("id", "cell")).count() == 0)
+
+    val queries = e.filter(col("vec_id") < 10)
+    val ivf = IvfIndex.search(assigned, centroids, queries, "vec_id", "embedding",
+      k = 5, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 with nProbe=3/8 was $recall") // random unit vecs: partial recall expected
+    assert(ivf.size == 50) // k results per query
+  }
+
   test("multimodal: partition-batched decode matches the expression path") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val withPayload = Multimodal.withFakePayload(d, "doc_id", "text")
