@@ -134,6 +134,7 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"),
         transform(TextAnalysis.tokens(col(textCol)), x => xxhash64(x)).as("__h"))
       .select(col("id"), simhashFromHashes(col("__h")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides
     // 4 tables keyed by each 16-bit quarter: a pair within Hamming≤3 of 64
     // bits must agree exactly on at least one quarter (pigeonhole)
     val keyed = sigs.select(col("id"), col("sig"),
@@ -161,6 +162,7 @@ object Dedup {
       blockCol: String, n: Int = 2, threshold: Double = 0.5): DataFrame = {
     val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides
     val a = grams.select(col("blk"), col("id").as("id_a"), col("g").as("g_a"))
     val b = grams.select(col("blk"), col("id").as("id_b"), col("g").as("g_b"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
