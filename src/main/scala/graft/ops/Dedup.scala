@@ -108,6 +108,25 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Oracle-checkable MinHash variant: shingle base hash = 60-bit md5
+    * prefix mod p (p = 2^31-1), permutations h_i(x) = (a_i·x + b_i) mod p
+    * with products bounded below 2^62 (ANSI-safe, replicable in any SQL
+    * engine with md5 — used to pin the MinHash math itself against the
+    * DuckDB oracle; the production path stays on the faster xxhash64). */
+  val md5MinhashP: Long = 2147483647L
+  def md5MinhashSeeds(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map(i => ((1000000007L * (i + 1)) % md5MinhashP,
+      (998244353L * i + 12345L) % md5MinhashP))
+
+  def minhashSignatureMd5(text: Column, n: Int, numHashes: Int): Seq[Column] = {
+    val sh = shingles(text, n)
+    val base = transform(sh, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % md5MinhashP)
+    md5MinhashSeeds(numHashes).map { case (a, b) =>
+      array_min(transform(base, x => (x * a + b) % md5MinhashP))
+    }
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash over tokens: per bit, sum ±1 across token hashes; the

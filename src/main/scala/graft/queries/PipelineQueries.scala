@@ -38,6 +38,14 @@ object PipelineQueries {
         n = 2, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
+    // oracle-checkable MinHash signatures (md5-based arithmetic both
+    // engines can compute — pins the MinHash math itself)
+    "d_minhash_md5_sig" -> { (s, d) =>
+      val sigs = Dedup.minhashSignatureMd5(col("text"), n = 2, numHashes = 8)
+      Tables.documents(s, d)
+        .select(col("doc_id") +: sigs.zipWithIndex.map { case (c, i) => c.as(s"sig_$i") }: _*)
+        .orderBy("doc_id")
+    },
     // SimHash near-dup candidates (rows-only oracle)
     "d_simhash" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
@@ -123,6 +131,29 @@ object PipelineQueries {
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "d_minhash_md5_sig" -> {
+      val sigCols = Dedup.md5MinhashSeeds(8).zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(h, x -> (x * $a + $b) % ${Dedup.md5MinhashP})) AS sig_$i"
+      }.mkString(",\n  ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 2
+         |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+         |      ELSE [array_to_string(t, ' ')] END AS g
+         |  FROM toks),
+         |hashes AS (
+         |  SELECT doc_id,
+         |    list_transform(g, s ->
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5(s), k+1, 1)) - 1 AS BIGINT))),
+         |        (acc, d) -> acc * 16 + d) % ${Dedup.md5MinhashP}) AS h
+         |  FROM grams)
+         |SELECT doc_id,
+         |  $sigCols
+         |FROM hashes ORDER BY doc_id""".stripMargin
+    },
     "q_clean_corpus" ->
       s"""WITH toks AS (
         |  SELECT doc_id, text, $tokensSql AS t FROM documents),
