@@ -146,6 +146,22 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashFromHashes(transform(TextAnalysis.tokens(text), x => xxhash64(x)))
 
+  /** Oracle-checkable 31-bit SimHash over md5-derived token hashes (same
+    * base-hash construction as minhashSignatureMd5) — pins the SimHash
+    * bit-vote math against a SQL oracle; production stays on 64-bit
+    * xxhash64. */
+  def simhash31Md5(text: Column): Column = {
+    val t = TextAnalysis.tokens(text)
+    val h = transform(t, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % md5MinhashP)
+    val n = size(h)
+    val bits = (0 until 31).map { b =>
+      val setCount = size(filter(h, x => shiftright(x, b).bitwiseAND(1) === 1))
+      when(setCount * 2 - n > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    when(n > 0, bits.reduce(_ + _)).otherwise(lit(0L))
+  }
+
   /** Near-dup candidates by SimHash: same value in any of `tables` rotated
     * 16-bit prefixes → Hamming-verify ≤ maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -46,6 +46,12 @@ object PipelineQueries {
         .select(col("doc_id") +: sigs.zipWithIndex.map { case (c, i) => c.as(s"sig_$i") }: _*)
         .orderBy("doc_id")
     },
+    // oracle-checkable 31-bit SimHash values (md5 base hashes)
+    "d_simhash_md5" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash31Md5(col("text")).as("simhash31"))
+        .orderBy("doc_id")
+    },
     // SimHash near-dup candidates (rows-only oracle)
     "d_simhash" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
@@ -152,6 +158,23 @@ object PipelineQueries {
          |  FROM grams)
          |SELECT doc_id,
          |  $sigCols
+         |FROM hashes ORDER BY doc_id""".stripMargin
+    },
+    "d_simhash_md5" -> {
+      val bitTerms = (0 until 31).map { b =>
+        s"(CASE WHEN 2 * len(list_filter(h, x -> (x // ${1L << b}) % 2 = 1)) - len(h) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n  + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents),
+         |hashes AS (
+         |  SELECT doc_id,
+         |    list_transform(t, s ->
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5(s), k+1, 1)) - 1 AS BIGINT))),
+         |        (acc, d) -> acc * 16 + d) % ${Dedup.md5MinhashP}) AS h
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN len(h) > 0 THEN $bitTerms ELSE 0 END AS simhash31
          |FROM hashes ORDER BY doc_id""".stripMargin
     },
     "q_clean_corpus" ->
