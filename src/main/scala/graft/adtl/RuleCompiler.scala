@@ -468,7 +468,10 @@ final class RuleCompiler(
         coalesce(opNum(c, lit(v)), lit(false))
       case v: Double =>
         val c = try_cast(trim(attrVal), "double")
-        coalesce(opNum(c, lit(v)), lit(false))
+        // Python NaN semantics: every comparison false except != (Spark
+        // would instead order NaN above all values)
+        val base = when(isnan(c), lit(cmp == "!=")).otherwise(opNum(c, lit(v)))
+        coalesce(base, lit(false))
       case v: Boolean =>
         coalesce(opNum(attrVal =!= "", lit(v)), lit(false))
       case null => lit(false)
