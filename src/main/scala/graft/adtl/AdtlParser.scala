@@ -269,9 +269,17 @@ final class AdtlParser private (
       val out: Column =
         if (isCombined && aggregation == "applyCombinedType") {
           val ct = rule.asInstanceOf[Raw]("combinedType").toString
+          // numeric-aware cross-row min/max: numeric strings compare as
+          // numbers (Python auto-cast), falling back to lexical when any
+          // group value is non-numeric (e.g. ISO dates)
+          def numKey = when(valid(a), try_cast(col(a).cast("string"), "double"))
+          def allNumeric = min(when(valid(a),
+            try_cast(col(a).cast("string"), "double").isNotNull)) === true
           ct match {
-            case "min" => min(v)
-            case "max" => max(v)
+            case "min" =>
+              when(allNumeric, min_by(v, numKey)).otherwise(min(v))
+            case "max" =>
+              when(allNumeric, max_by(v, numKey)).otherwise(max(v))
             case "any" => max(v.cast("boolean"))
             case "all" => min(v.cast("boolean"))
             case "firstNonNull" => min_by(v, rid)

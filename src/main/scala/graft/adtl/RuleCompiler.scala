@@ -163,21 +163,30 @@ final class RuleCompiler(
       if (caseInsensitive) values.toSeq.map { case (k, v) => k.toLowerCase -> v }
       else values.toSeq
 
-    // unify mapped-value type
+    // unify mapped-value type; under pass-through the raw (string) key can
+    // flow out beside mapped values, so the column degrades to string with
+    // Python-rendered mapped values (True/False, ints without .0)
     val allBool = entries.nonEmpty && entries.forall(_._2.isInstanceOf[Boolean])
     val allNum = entries.nonEmpty && entries.forall(v =>
       v._2.isInstanceOf[Long] || v._2.isInstanceOf[Double] || v._2.isInstanceOf[Int])
-    val outVt = if (allBool) VBool else if (allNum) VDbl else VStr
+    val outVt =
+      if (passthrough) VStr
+      else if (allBool) VBool else if (allNum) VDbl else VStr
 
     def mapped(c: Column): Column = {
       val key = if (caseInsensitive) trim(lower(c)) else c
       val chain = entries.foldLeft(None: Option[Column]) { case (acc, (k, v)) =>
         val lv: Column = v match {
           case null => lit(null)
-          case b: Boolean => if (outVt == VBool) lit(b) else lit(b.toString)
+          case b: Boolean =>
+            if (outVt == VBool) lit(b) else lit(if (b) "True" else "False")
           case s: String => if (s.isEmpty) lit(null) else lit(s) // mapped "" → null
-          case n: Long => if (outVt == VDbl) lit(n.toDouble) else lit(n)
-          case n: Double => lit(n)
+          case n: Long => if (outVt == VStr) lit(n.toString)
+            else if (outVt == VDbl) lit(n.toDouble) else lit(n)
+          case n: Double =>
+            if (outVt == VStr)
+              lit(if (n == math.floor(n) && !n.isInfinite) s"${n.toLong}.0" else n.toString)
+            else lit(n)
           case other => lit(other.toString)
         }
         Some(acc match {
@@ -198,6 +207,32 @@ final class RuleCompiler(
       val stripped = regexp_replace(in.col, "^\\[|\\]$", "")
       val arr = transform(split(stripped, ","), x => mapped(trim(x)))
       CV(arr, VArr)
+    } else if (passthrough) {
+      // typed truthiness survives the string degradation: mapped entries
+      // contribute their Python truthiness, pass-through keys string-truthy
+      def truthyLit(v: Any): Any = v match {
+        case null => null
+        case b: Boolean => b
+        case s: String => if (s.isEmpty) null else s.matches("[-+]?\\d+(\\.\\d*)?") match {
+          case true => s.toDouble != 0.0
+          case false => true
+        }
+        case n: Long => n != 0
+        case d: Double => d != 0.0
+        case other => true
+      }
+      val key = if (caseInsensitive) trim(lower(in.col)) else in.col
+      val tChain = entries.foldLeft(None: Option[Column]) { case (acc, (k, v)) =>
+        val tv: Column = truthyLit(v) match {
+          case null => lit(false) // mapped "" → None → falsy
+          case b: Boolean => lit(b)
+        }
+        Some(acc match {
+          case None => when(key === k, tv)
+          case Some(w) => w.when(key === k, tv)
+        })
+      }.getOrElse(lit(null).cast("boolean"))
+      CV(mapped(in.col), outVt, Some(coalesce(tChain, truthyStr(key))))
     } else CV(mapped(in.col), outVt)
   }
 
@@ -303,22 +338,32 @@ final class RuleCompiler(
         CV(when(anyPresent, res), VBool)
       case "min" | "max" =>
         val vals = subs.map(cv => when(presentCol(cv), renderString(cv)))
-        if (vals.length == 1) CV(vals.head, VStr)
+        if (vals.length == 1) CV(canonicalNumber(vals.head), VStr)
         else {
           val nums = vals.map(v => try_cast(v, "double"))
           val allNumeric = vals.zip(nums)
             .map { case (v, n) => v.isNull || n.isNotNull }
             .reduceOption(_ && _).getOrElse(lit(true))
-          val (fNum, fStr): (Seq[Column] => Column, Seq[Column] => Column) =
-            if (combinedType == "min") (least(_: _*), least(_: _*)) else (greatest(_: _*), greatest(_: _*))
-          val res = when(allNumeric, fmtNum(fNum(nums))).otherwise(fStr(vals))
+          val pick: Seq[Column] => Column =
+            if (combinedType == "min") least(_: _*) else greatest(_: _*)
+          // numeric path compares casts but renders the WINNING value with
+          // Python's per-value auto-cast ("007"→"7", "7.0" stays "7.0");
+          // index keeps first-occurrence tie-breaking; least/greatest skip
+          // null entries (absent values)
+          val numItems = vals.zip(nums).zipWithIndex.map { case ((v, n), i) =>
+            val key = if (combinedType == "min") n else n * -1
+            when(v.isNotNull, struct(key.as("k"), lit(i).as("i"),
+              canonicalNumber(v).as("r")))
+          }
+          val numRes = least(numItems: _*).getField("r")
+          val res = when(allNumeric, numRes).otherwise(pick(vals))
           CV(res, VStr)
         }
       case "firstNonNull" =>
         // flatten: a sub-value that is a list contributes its first non-null
-        val flat = subs.map {
-          case CV(c, VArr) => element_at(filter(c, x => x.isNotNull), 1)
-          case CV(c, _) => c
+        val flat = subs.map { cv =>
+          if (cv.vt == VArr) element_at(filter(cv.col, x => x.isNotNull), 1)
+          else cv.col
         }
         CV(coalesce(flat: _*), subs.headOption.map(_.vt).filter(v => subs.forall(_.vt == v) && v != VArr).getOrElse(VStr))
       case "list" | "set" =>
@@ -328,16 +373,44 @@ final class RuleCompiler(
           case Some(other) => throw new Spec.SpecValidationError(
             "excludeWhen rule should be 'none', 'false-like', or a list of values")
         }
-        // uniform string element rendering (CSV semantics), arrays flattened
-        val parts = subs.map {
-          case CV(c, VArr) => c.cast("array<string>")
-          case cv => array(renderString(cv))
+        // elements render with the reference's per-value auto-cast
+        // ("007"→"7"); false-like filtering must see the TYPED value, so
+        // scalar subs filter before rendering (a rendered "False"/"0.0"
+        // string would read as truthy)
+        val parts = subs.map { sub =>
+          val isFalseLike = excludeWhen.contains("false-like")
+          sub match {
+            case CV(c, VArr, _) =>
+              val base = c.cast("array<string>")
+              if (isFalseLike)
+                filter(base, x => coalesce(truthyStr(x) && x =!= "False", lit(false)))
+              else base
+            case cv =>
+              val el = cv.vt match {
+                case VStr => canonicalNumber(renderString(cv))
+                case _ => renderString(cv)
+              }
+              if (isFalseLike)
+                when(coalesce(truthy(cv), lit(false)), array(el)).otherwise(array())
+              else array(el)
+          }
         }
         var arr: Column = flatten(array(parts: _*))
-        if (combinedType == "set") arr = array_distinct(arr)
+        if (combinedType == "set") {
+          // Python set semantics: 7 and 7.0 are equal — dedupe by numeric
+          // value when castable, first occurrence wins
+          def k(x: Column): Column =
+            when(try_cast(x, "double").isNotNull,
+              concat(lit("n:"), try_cast(x, "double").cast("string")))
+              .otherwise(concat(lit("s:"), x))
+          val marked = transform(arr, (x, i) =>
+            struct((!exists(slice(arr, lit(1), i), y => k(y) <=> k(x))).as("keep"),
+              x.as("v")))
+          arr = transform(filter(marked, m => m.getField("keep")),
+            m => m.getField("v"))
+        }
         excludeWhen match {
           case Some("none") => arr = filter(arr, x => x.isNotNull)
-          case Some("false-like") => arr = filter(arr, x => coalesce(truthyStr(x), lit(false)))
           case Some(l: List[_]) =>
             val excl = l.map(x => pyRepr(x))
             arr = filter(arr, x => x.isNull || !coalesce(
@@ -358,12 +431,12 @@ final class RuleCompiler(
 
   /** Python truthiness after the int/float auto-cast (get_value.py:162-170):
     * numeric-looking strings compare as numbers, "0" → falsy. */
-  private def truthy(cv: CV): Column = cv.vt match {
+  private def truthy(cv: CV): Column = cv.truthyOverride.getOrElse(cv.vt match {
     case VBool => cv.col
     case VLong | VDbl => cv.col =!= 0
     case VArr => size(cv.col) > 0
     case _ => truthyStr(cv.col.cast("string"))
-  }
+  })
 
   private def truthyStr(c: Column): Column = {
     val n = try_cast(c, "double")
@@ -488,7 +561,12 @@ object RuleCompiler {
   case object VBool extends VT
   case object VArr extends VT
 
-  final case class CV(col: Column, vt: VT)
+  /** Compiled value: the Column, its static type, and an optional typed
+    * truthiness override (used when a pass-through values map degrades
+    * booleans to strings but falsiness must survive for false-like
+    * filtering and any/all). */
+  final case class CV(col: Column, vt: VT,
+      truthyOverride: Option[Column] = None)
 
   /** Static result types of the transformation library (for the ""→null and
     * truthiness decisions downstream). Under returnUnmatched, pass-through
