@@ -118,6 +118,17 @@ object PipelineQueries {
       Streaming.windowStatsBatch(Tables.events(s, d), "5 minutes")
         .orderBy("window_start", "event_type")
     },
+    // corpus length distribution: exact interpolated percentiles per source
+    "t_length_percentiles" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"),
+          expr("percentile(n_chars, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("source")
+    },
     // composed corpus cleaning: quality gate then exact dedup (keep min id)
     "q_clean_corpus" -> { (s, d) =>
       graft.ops.Pipeline.cleanCorpus(Tables.documents(s, d), "doc_id", "text",
@@ -177,6 +188,13 @@ object PipelineQueries {
          |  CASE WHEN len(h) > 0 THEN $bitTerms ELSE 0 END AS simhash31
          |FROM hashes ORDER BY doc_id""".stripMargin
     },
+    "t_length_percentiles" ->
+      """SELECT source,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99,
+        |  count(*) AS n
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_clean_corpus" ->
       s"""WITH toks AS (
         |  SELECT doc_id, text, $tokensSql AS t FROM documents),
