@@ -64,7 +64,7 @@ object Transformations {
     * Python strptime's %y pivot (69-99 → 19xx; Java would give 20xx). */
   def parseTs(c: Column, strf: String): Column = {
     val t = DateFormats.translate(strf)
-    val ts = try_to_timestamp(c, lit(t.javaPattern))
+    val ts = try_to_timestamp(c, lit(t.parsePattern))
     if (t.twoDigitYear)
       when(year(ts) >= 2069, ts - expr("make_interval(100, 0, 0, 0, 0, 0, 0)")).otherwise(ts)
     else ts

@@ -180,6 +180,16 @@ class AdtlParserSpec extends SparkSpec {
     assert(out.getAs[String]("d") == "1999-12-25")
   }
 
+  test("date parse accepts non-zero-padded values, output stays padded (strptime parity)") {
+    val spec =
+      """{"adtl": {"name": "s", "description": "d", "tables": {"t": {"kind": "oneToOne"}}},
+         "t": {"d": {"field": "dob", "source_date": "%d/%m/%Y", "date": "%Y-%m-%d"}}}"""
+    val df = strDf(Seq("dob"), Seq(Seq("5/3/2022"), Seq("05/03/2022"), Seq("not a date")))
+    val out = AdtlParser.fromJsonString(spec).parseDataFrame(spark, df)("t")
+      .collect().map(_.getString(0)).toList
+    assert(out == List("2022-03-05", "2022-03-05", null))
+  }
+
   test("constant table emits a single metadata row") {
     val spec =
       """{
