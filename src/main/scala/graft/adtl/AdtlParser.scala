@@ -284,9 +284,10 @@ final class AdtlParser private (
             case "all" => min(v.cast("boolean"))
             case "firstNonNull" => min_by(v, rid)
             case "set" =>
-              // flatten row lists in file order, then dedupe (insertion order);
-              // invalid rows collect as null sub-arrays — drop before flatten
-              array_distinct(flatten(filter(
+              // flatten row lists in file order, then dedupe Python-style
+              // (numeric equality, insertion order); invalid rows collect
+              // as null sub-arrays — drop before flatten
+              RuleCompiler.pySetDedup(flatten(filter(
                 sort_array(collect_list(struct(rid.as("r"), v.as("v")))).getField("v"),
                 x => x.isNotNull)))
             case "list" =>

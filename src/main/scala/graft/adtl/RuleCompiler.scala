@@ -365,7 +365,12 @@ final class RuleCompiler(
           if (cv.vt == VArr) element_at(filter(cv.col, x => x.isNotNull), 1)
           else cv.col
         }
-        CV(coalesce(flat: _*), subs.headOption.map(_.vt).filter(v => subs.forall(_.vt == v) && v != VArr).getOrElse(VStr))
+        val vt = subs.headOption.map(_.vt)
+          .filter(v => subs.forall(_.vt == v) && v != VArr).getOrElse(VStr)
+        // string results render with the reference's per-value auto-cast
+        val res = coalesce(flat: _*)
+        if (vt == VStr) CV(canonicalNumber(res.cast("string")), VStr)
+        else CV(res, vt)
       case "list" | "set" =>
         val excludeWhen = rule.get("excludeWhen")
         excludeWhen match {
@@ -396,19 +401,7 @@ final class RuleCompiler(
           }
         }
         var arr: Column = flatten(array(parts: _*))
-        if (combinedType == "set") {
-          // Python set semantics: 7 and 7.0 are equal — dedupe by numeric
-          // value when castable, first occurrence wins
-          def k(x: Column): Column =
-            when(try_cast(x, "double").isNotNull,
-              concat(lit("n:"), try_cast(x, "double").cast("string")))
-              .otherwise(concat(lit("s:"), x))
-          val marked = transform(arr, (x, i) =>
-            struct((!exists(slice(arr, lit(1), i), y => k(y) <=> k(x))).as("keep"),
-              x.as("v")))
-          arr = transform(filter(marked, m => m.getField("keep")),
-            m => m.getField("v"))
-        }
+        if (combinedType == "set") arr = RuleCompiler.pySetDedup(arr)
         excludeWhen match {
           case Some("none") => arr = filter(arr, x => x.isNotNull)
           case Some(l: List[_]) =>
@@ -554,6 +547,22 @@ final class RuleCompiler(
 }
 
 object RuleCompiler {
+  import org.apache.spark.sql.functions._
+
+  /** Python set semantics over rendered string elements: 7 and 7.0 are
+    * equal — dedupe by numeric value when castable, first occurrence wins
+    * (O(n²) per row; adtl sets are small). */
+  def pySetDedup(arr: Column): Column = {
+    def k(x: Column): Column =
+      when(x.try_cast("double").isNotNull,
+        concat(lit("n:"), x.try_cast("double").cast("string")))
+        .otherwise(concat(lit("s:"), x))
+    val marked = transform(arr, (x, i) =>
+      struct((!exists(slice(arr, lit(1), i), y => k(y) <=> k(x))).as("keep"),
+        x.as("v")))
+    transform(filter(marked, m => m.getField("keep")), m => m.getField("v"))
+  }
+
   sealed trait VT
   case object VStr extends VT
   case object VLong extends VT

@@ -89,7 +89,9 @@ class ValuePipelinePropertySpec extends SparkSpec {
             } else "MIXED" // reference would raise; engine compares lexically
           }
         case "firstNonNull" =>
+          // get_value auto-casts before the combine ("007" → 7)
           vals.flatMap { case l: List[_] => l; case v => List(v) }
+            .map { case s: String => pyAuto(s); case v => v }
             .find(_ != null).orNull
         case "list" | "set" =>
           // reference get_value auto-casts each element before collection
