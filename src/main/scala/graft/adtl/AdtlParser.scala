@@ -47,6 +47,20 @@ final class AdtlParser private (
     }
     val expanded = Normalize.expandRefs(rawSpec0, defs).asInstanceOf[Raw]
 
+    // uuid5 namespace parity: the reference hashes json.dumps of the
+    // PRE-expansion header after two incidental mutations (parser.py:306-361)
+    //  - include-def contents land in header defs only when the header
+    //    already has a "defs" key (self.defs aliases it)
+    //  - expand_refs deletes "ref" keys in the original tree but merges
+    //    into a NEW tree, so the hashed header has refs dropped, not merged
+    val nsHeader: Raw = {
+      val h0 = header0.raw
+      val withDefs =
+        if (h0.contains("defs")) h0 + ("defs" -> defs)
+        else h0
+      Normalize.stripRefKeys(withDefs).asInstanceOf[Raw]
+    }
+
     // load per-table JSON schemas + optional-fields trimming
     val schemas: Map[String, Raw] = tables.flatMap { case (tname, meta) =>
       meta.schemaPath.flatMap { sp =>
@@ -83,7 +97,7 @@ final class AdtlParser private (
       }
       tname -> rules
     }
-    AdtlSpec(Header(expanded("adtl").asInstanceOf[Raw]), tables, tableRules, schemas, dateFields)
+    AdtlSpec(Header(expanded("adtl").asInstanceOf[Raw]), tables, tableRules, schemas, dateFields, nsHeader)
   }
 
   private def resolvePath(p: String): String =
@@ -320,14 +334,39 @@ final class AdtlParser private (
       }.toMap
     }
     def targetType(attr: String): String = {
-      val cvs = perEntryCVs.flatMap(_.get(attr))
+      import RuleCompiler._
       val coerced = coerceTypeFor(tname, attr).map(_.toString)
-      if (cvs.nonEmpty && cvs.forall(_.vt == RuleCompiler.VArr)) "array<string>"
-      else coerced match {
-        case Some("integer") => "bigint"
-        case Some("number") => "double"
-        case _ => "string"
+      // mirror compile()'s output type: sensitive → string; schema-coerced
+      // string inputs become string-typed canonical-or-raw unions (the
+      // reference returns the raw value on cast failure)
+      val effVts: List[VT] = entries.zip(perEntryCVs).collect {
+        case (e, cvs) if e.contains(attr) => (e(attr), cvs(attr).vt)
+      }.map { case (rule, vt0) =>
+        val sensitive = rule match {
+          case m: Raw @unchecked => m.get("sensitive").contains(true)
+          case _ => false
+        }
+        if (sensitive) VStr
+        else coerced match {
+          case Some("integer") => vt0 match {
+            case VLong | VBool | VDbl => VLong
+            case VArr => VArr
+            case _ => VStr
+          }
+          case Some("number") => vt0 match {
+            case VDbl | VLong | VBool => VDbl
+            case VArr => VArr
+            case _ => VStr
+          }
+          case Some("string") => VStr
+          case _ => vt0
+        }
       }
+      if (effVts.nonEmpty && effVts.forall(_ == VArr)) "array<string>"
+      else if (effVts.nonEmpty && effVts.forall(_ == VBool)) "boolean"
+      else if (effVts.nonEmpty && effVts.forall(_ == VLong)) "bigint"
+      else if (effVts.nonEmpty && effVts.forall(v => v == VDbl || v == VLong)) "double"
+      else "string"
     }
     val types = fields.map(a => a -> targetType(a)).toMap
 

@@ -26,6 +26,16 @@ object Normalize {
     case other => other
   }
 
+  /** Drop `ref` keys without merging, everywhere in a tree — the shape the
+    * reference's ORIGINAL header tree is left in after expand_refs (which
+    * `del`s "ref" from originals but merges into new dicts), as hashed for
+    * the uuid5 namespace (parser.py:49-52,358-361). */
+  def stripRefKeys(tree: Any): Any = tree match {
+    case m: Raw @unchecked => (m - "ref").map { case (k, v) => k -> stripRefKeys(v) }
+    case l: List[_] => l.map(stripRefKeys)
+    case other => other
+  }
+
   /** Expand `for` loop entries in oneToMany blocks: the cartesian product of
     * loop variables (lists or inclusive {range=[a,b]}) instantiates one entry
     * per combination, with `{var}` substitution in keys and string values

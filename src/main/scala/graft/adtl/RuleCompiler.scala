@@ -50,7 +50,9 @@ final class RuleCompiler(
     val cv = compileUnhashed(rule, attr)
     val hashed = rule match {
       case m: Raw @unchecked if m.get("sensitive").contains(true) =>
-        CV(sha2(cv.col.cast("string"), 256), VStr)
+        // the reference hashes str(value) — Python renderings (True/False,
+        // 7.0 keeps its .0), not SQL cast renderings
+        CV(sha2(renderPyStr(cv), 256), VStr)
       case _ => cv
     }
     coerceType match {
@@ -62,7 +64,15 @@ final class RuleCompiler(
   }
 
   /** Schema type coercion (util.py:12-40): integer tries int() then
-    * int(round(float())) — banker's rounding, hence bround. */
+    * int(round(float())) — banker's rounding, hence bround — and on failure
+    * the reference returns the ORIGINAL value unchanged (per-cell dynamic
+    * typing). Already-typed inputs convert directly (Python int()/float()
+    * on bool/float succeed, int(float) truncates toward zero); string
+    * inputs compile to a string-typed column carrying the canonical
+    * rendering of the converted value with the raw value as fallback — the
+    * only Spark-typable union of "int or unconvertible raw string". CSV
+    * output is identical to the typed form on clean data, and validation
+    * (string-cast based) still flags unconvertible values. */
   private def coerce(cv: CV, t: Any): CV = {
     val types: List[String] = t match {
       case s: String => List(s)
@@ -70,11 +80,26 @@ final class RuleCompiler(
       case _ => Nil
     }
     types.find(x => x == "string" || x == "integer" || x == "number") match {
-      case Some("integer") =>
-        val s = cv.col.cast("string")
-        CV(coalesce(try_cast(s, "bigint"),
-          bround(try_cast(s, "double")).cast("bigint")), VLong)
-      case Some("number") => CV(try_cast(cv.col.cast("string"), "double"), VDbl)
+      case Some("integer") => cv.vt match {
+        case VLong => cv
+        case VBool => CV(cv.col.cast("bigint"), VLong) // int(True) == 1
+        case VDbl => CV(cv.col.cast("bigint"), VLong) // int(float) truncates
+        case VArr => cv // int(list) raises → value unchanged
+        case _ =>
+          val s = cv.col.cast("string")
+          CV(coalesce(
+            try_cast(s, "bigint").cast("string"),
+            bround(try_cast(s, "double")).cast("bigint").cast("string"),
+            s), VStr)
+      }
+      case Some("number") => cv.vt match {
+        case VDbl => cv
+        case VLong | VBool => CV(cv.col.cast("double"), VDbl)
+        case VArr => cv
+        case _ =>
+          val s = cv.col.cast("string")
+          CV(coalesce(pyNumStr(try_cast(s, "double")), s), VStr)
+      }
       case Some("string") => CV(renderString(cv), VStr)
       case _ => cv
     }
@@ -447,6 +472,14 @@ final class RuleCompiler(
     case _ => cv.col.cast("string")
   }
 
+  /** Python str(value) rendering where floats KEEP their ".0" (sensitive
+    * hashing, which hashes str(value) directly with no int auto-cast). */
+  private def renderPyStr(cv: CV): Column = cv.vt match {
+    case VBool => when(cv.col, "True").otherwise("False")
+    case VDbl => pyNumStr(cv.col)
+    case _ => cv.col.cast("string")
+  }
+
   /** Format a double like Python str(): integral → no ".0"-loss parity with
     * the int auto-cast (int-valued results print as ints). */
   private def fmtNum(d: Column): Column =
@@ -585,8 +618,8 @@ object RuleCompiler {
     case "isNotNull" => VBool
     case "textIfNotNull" => VStr
     case "wordSubstituteSet" => if (returnUnmatched) VStr else VArr
-    case "getFloat" => if (returnUnmatched) VStr else VDbl
-    case "Percentage" | "yearsElapsed" => VDbl
+    case "getFloat" | "Percentage" => if (returnUnmatched) VStr else VDbl
+    case "yearsElapsed" => VDbl
     case "durationDays" | "splitDate" | "startYear" | "startMonth" => VLong
     case _ => VStr
   }

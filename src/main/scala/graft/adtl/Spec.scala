@@ -93,9 +93,14 @@ object Spec {
       tables: Map[String, TableMeta],
       tableRules: Map[String, Any],
       schemas: Map[String, Raw],
-      dateFields: List[String]) {
+      dateFields: List[String],
+      nsHeader: Raw = Map.empty) {
 
-    def namespaceUuid: java.util.UUID = Uuid5.namespaceFromHeader(header.raw)
+    /** uuid5 namespace is derived from the reference's exact hashed header
+      * form (pre-expansion, refs dropped, include-defs merged when the
+      * header declares defs) — see AdtlParser's nsHeader construction. */
+    def namespaceUuid: java.util.UUID =
+      Uuid5.namespaceFromHeader(if (nsHeader.nonEmpty) nsHeader else header.raw)
 
     /** Deterministic output column order: sorted attr names (constant/
       * oneToOne/groupBy), or schema properties / common+entry union for

@@ -71,7 +71,10 @@ object SpecLoader {
       case '\n' => sb.append("\\n")
       case '\r' => sb.append("\\r")
       case '\t' => sb.append("\\t")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      // json.dumps defaults to ensure_ascii=True: every non-ASCII char is
+      // \u-escaped (astral chars as UTF-16 surrogate pairs, which Scala's
+      // per-char iteration yields natively)
+      case c if c < ' ' || c > '~' => sb.append(f"\\u${c.toInt}%04x")
       case c => sb.append(c)
     }
     sb.append("\"").toString

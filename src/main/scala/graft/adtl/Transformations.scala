@@ -138,9 +138,12 @@ object Transformations {
       val separator = Option(optLit(ps, 1, null)).map(_.toString)
       var x = regexp_replace(regexp_replace(v, "^\"|\"$", ""), " ", "")
       setDecimal.foreach { dec =>
-        val d = java.util.regex.Pattern.quote(dec)
-        // replace the LAST decimal-separator occurrence with '.'
-        x = regexp_replace(x, d + "(?!.*" + d + ")", ".")
+        // str.partition splits at the FIRST occurrence (the reference's
+        // comment claims "last" but partition() is first-match), and always
+        // re-joins with '.' — "15" becomes "15." (still parses as 15.0)
+        val pre = substring_index(x, dec, 1)
+        val rest = x.substr(length(pre) + lit(dec.length + 1), length(x))
+        x = concat(pre, lit("."), rest)
       }
       separator.filter(_ != ".").foreach { sep =>
         x = regexp_replace(x, java.util.regex.Pattern.quote(sep), "")
@@ -152,10 +155,17 @@ object Transformations {
         when(nonEmpty(v), when(parsed.isNotNull, pyNum(parsed)).otherwise(x))
       else when(nonEmpty(v), parsed)
     },
-    // F5: ≤1 → ×100
-    "Percentage" -> { (v, _, _) =>
+    // F5: ≤1 → ×100. The reference passes unparseable values through
+    // unchanged (unconditionally); mirrored here under returnUnmatched,
+    // where the column degrades to string — without the flag the column
+    // stays double-typed (Spark-native) and unparseable values null out
+    // (documented divergence, flagged by validation).
+    "Percentage" -> { (v, _, ctx) =>
       val x = try_cast(v.cast("string"), "double")
-      when(x.isNotNull, when(x > 1, x).otherwise(x * 100))
+      val pct = when(x > 1, x).otherwise(x * 100)
+      if (ctx.returnUnmatched)
+        when(nonEmpty(v), when(x.isNotNull, pyNum(pct)).otherwise(v))
+      else when(x.isNotNull, pct)
     },
     // F6: fractional years between dates (pint days→years: /365.25)
     "yearsElapsed" -> { (v, ps, _) =>
