@@ -273,6 +273,7 @@ final class AdtlParser private (
         case _ => c.isNotNull
       }
     }
+    def nullIfEmpty(arr: Column): Column = when(size(arr) > 0, arr)
 
     val aggCols: Seq[Column] = attrs.map { a =>
       val rule = rules(a)
@@ -300,14 +301,16 @@ final class AdtlParser private (
             case "set" =>
               // flatten row lists in file order, then dedupe Python-style
               // (numeric equality, insertion order); invalid rows collect
-              // as null sub-arrays — drop before flatten
-              RuleCompiler.pySetDedup(flatten(filter(
+              // as null sub-arrays — drop before flatten; an empty result
+              // means no row contributed → attribute absent (null), like
+              // the reference's `if not values: continue`
+              nullIfEmpty(RuleCompiler.pySetDedup(flatten(filter(
+                sort_array(collect_list(struct(rid.as("r"), v.as("v")))).getField("v"),
+                x => x.isNotNull))))
+            case "list" =>
+              nullIfEmpty(flatten(filter(
                 sort_array(collect_list(struct(rid.as("r"), v.as("v")))).getField("v"),
                 x => x.isNotNull)))
-            case "list" =>
-              flatten(filter(
-                sort_array(collect_list(struct(rid.as("r"), v.as("v")))).getField("v"),
-                x => x.isNotNull))
             case other => max_by(v, rid)
           }
         } else max_by(v, rid) // lastNotNull: last non-empty value in file order
@@ -340,7 +343,8 @@ final class AdtlParser private (
       // string inputs become string-typed canonical-or-raw unions (the
       // reference returns the raw value on cast failure)
       val effVts: List[VT] = entries.zip(perEntryCVs).collect {
-        case (e, cvs) if e.contains(attr) => (e(attr), cvs(attr).vt)
+        case (e, cvs) if e.contains(attr) && !cvs(attr).statNull =>
+          (e(attr), cvs(attr).vt)
       }.map { case (rule, vt0) =>
         val sensitive = rule match {
           case m: Raw @unchecked => m.get("sensitive").contains(true)

@@ -127,7 +127,8 @@ final class RuleCompiler(
   private def compileFieldRule(rule: Raw, attr: String): CV = {
     val field = rule("field").toString
     if (fieldMissing(field)) {
-      if (skippable(rule, field)) return CV(lit(null).cast("string"), VStr)
+      if (skippable(rule, field))
+        return CV(lit(null).cast("string"), VStr, statNull = true)
       throw new Spec.SpecValidationError(s"Column '$field' not found.")
     }
     var cv = CV(sourceCol(field), VStr)
@@ -410,7 +411,7 @@ final class RuleCompiler(
         val parts = subs.map { sub =>
           val isFalseLike = excludeWhen.contains("false-like")
           sub match {
-            case CV(c, VArr, _) =>
+            case CV(c, VArr, _, _) =>
               val base = c.cast("array<string>")
               if (isFalseLike)
                 filter(base, x => coalesce(truthyStr(x) && x =!= "False", lit(false)))
@@ -606,9 +607,12 @@ object RuleCompiler {
   /** Compiled value: the Column, its static type, and an optional typed
     * truthiness override (used when a pass-through values map degrades
     * booleans to strings but falsiness must survive for false-like
-    * filtering and any/all). */
+    * filtering and any/all). `statNull` marks a statically-null value (a
+    * skipped missing source column) whose placeholder string type must not
+    * pollute type unions. */
   final case class CV(col: Column, vt: VT,
-      truthyOverride: Option[Column] = None)
+      truthyOverride: Option[Column] = None,
+      statNull: Boolean = false)
 
   /** Static result types of the transformation library (for the ""→null and
     * truthiness decisions downstream). Under returnUnmatched, pass-through

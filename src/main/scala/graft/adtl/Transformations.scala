@@ -58,7 +58,9 @@ object Transformations {
   private def optLit(params: List[TParam], i: Int, default: Any): Any =
     if (params.length > i) plit(params(i)) else default
 
-  private def nonEmpty(c: Column): Column = c.isNotNull && c =!= ""
+  // compare on a string rendering: literal params can be numeric columns,
+  // and ANSI mode would otherwise cast "" to the numeric type and throw
+  private def nonEmpty(c: Column): Column = c.isNotNull && c.cast("string") =!= ""
 
   /** Parse a string column with a strftime format → timestamp, replicating
     * Python strptime's %y pivot (69-99 → 19xx; Java would give 20xx). */
