@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop Catalyst expressions for the text-dedup hot core.
+  *
+  * The declarative forms — `transform(shingles(text, n), s => xxhash64(s))`
+  * and 64 × `array_min(transform(hashes, h => xxhash64(i, h)))` — run as
+  * interpreted higher-order lambdas: per-element expression-tree evaluation
+  * and lambda-variable binding dominate runtime (measured ~10-100× the cost
+  * of the actual hashing). These expressions evaluate the same math in a
+  * single JIT-friendly loop and produce bit-identical values to the
+  * built-in compositions (XXH64 is Spark's own xxhash64 kernel, seed
+  * chaining replicated; verified in OpsSpec).
+  */
+object TextHashExprs {
+
+  private val Seed = 42L
+
+  /** xxhash64 of each word n-gram (tokens joined by ' '), bit-identical to
+    * xxhash64(array_join(slice(tokens, i, n), ' ')). Fewer than n tokens →
+    * one gram of all tokens. */
+  case class NgramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_ngram_hashes"
+    override protected def nullSafeEval(a: Any): Any =
+      TextHashExprs.ngramHashes(a.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.TextHashExprs.ngramHashes($a, $n)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** MinHash minima over pre-hashed shingles: mins_i of xxhash64(i, h),
+    * bit-identical to array_min(transform(hashes, h => xxhash64(lit(i), h))). */
+  case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_sig"
+    override protected def nullSafeEval(a: Any): Any =
+      TextHashExprs.minhashSig(a.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.TextHashExprs.minhashSig($a, $numHashes)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 64-bit SimHash over pre-hashed tokens: one pass, 64 bit counters —
+    * bit-identical to the per-bit aggregate() fold composition. */
+  case class SimHashExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+    override protected def nullSafeEval(a: Any): Any =
+      TextHashExprs.simhash(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.TextHashExprs.simhash($a)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  // ---- static kernels (shared by interpreted + generated code) ----------
+
+  def ngramHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    val sep = UTF8String.fromString(" ")
+    if (cnt < n) {
+      val parts = new Array[UTF8String](cnt)
+      var i = 0
+      while (i < cnt) { parts(i) = tokens.getUTF8String(i); i += 1 }
+      val g = UTF8String.concatWs(sep, parts: _*)
+      return new GenericArrayData(Array(
+        XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, Seed)))
+    }
+    val out = new Array[Long](cnt - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= cnt - n) {
+      var j = 0
+      while (j < n) { window(j) = tokens.getUTF8String(i + j); j += 1 }
+      val g = UTF8String.concatWs(sep, window: _*)
+      out(i) = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, Seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Seed chain of xxhash64(lit(i): INT, h: LONG): the int literal hashes
+    * first with seed 42, its result seeds the long hash. */
+  private def intSeed(i: Int): Long = XXH64.hashInt(i, Seed)
+
+  def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val seeds = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) { seeds(j) = intSeed(j); j += 1 }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val x = hashes.getLong(i)
+      j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashLong(x, seeds(j))
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(mins, 0L) // empty input: no minima
+    new GenericArrayData(mins)
+  }
+
+  def simhash(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  // ---- registration + Column API ----------------------------------------
+
+  @volatile private var registered = Set.empty[String]
+
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal parameter, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val id = spark.sessionState.toString
+    if (!registered.contains(id)) synchronized {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_simhash", exprs => SimHashExpr(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_ngram_hashes",
+        exprs => NgramHashesExpr(exprs(0), litInt(exprs(1))), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_minhash_sig",
+        exprs => MinHashSigExpr(exprs(0), litInt(exprs(1))), "scala_udf")
+      registered += id
+    }
+  }
+
+  def ngramHashes(spark: SparkSession, tokens: Column, n: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_ngram_hashes",
+      tokens, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def minhashSig(spark: SparkSession, hashes: Column, numHashes: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_minhash_sig",
+      hashes, org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  def simhashCol(spark: SparkSession, hashes: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_simhash", hashes)
+  }
+}

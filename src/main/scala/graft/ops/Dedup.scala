@@ -80,14 +80,33 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // staged projection: shingle strings → long hashes (once) → 64 minima
-    val sig = df.select(col(idCol).as("id"),
-        transform(shingles(col(textCol), n), s => xxhash64(s)).as("__sh"))
-      .select(col("id"), minhashFromHashes(col("__sh"), numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(array_join(transform(
-          slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")), ",")))))
+    // NOT persisted: Spark's in-memory columnar cache is pathologically
+    // slow building batches of array columns (measured ~40× the cost of
+    // recomputing this narrow projection). The three uses recompute from
+    // the column-pruned scan; at cluster scale, if the input scan is the
+    // expensive part, write signatures to a parquet temp table instead.
+    // signatures ride as ONE binary blob (packed longs) through the
+    // join-backs — per-element array handling at join/exchange copy
+    // boundaries dominates otherwise. Gram hashing + minima run in the
+    // codegen'd TextHashExprs kernels (bit-identical to the declarative
+    // composition, ~10× faster than interpreted lambda evaluation).
+    val spark = df.sparkSession
+    def sigArr = df.select(col(idCol).as("id"),
+      graft.functions.TextHashExprs.minhashSig(spark,
+        graft.functions.TextHashExprs.ngramHashes(spark,
+          TextAnalysis.tokens(col(textCol)), n), numHashes).as("sig"))
+    val sig = sigArr.select(col("id"),
+      graft.functions.PackedLongs.pack(spark, col("sig")).as("sig"))
+    // banding runs on skinny (id, band, band_hash) rows — no signatures.
+    // Band hash = xxhash64 over the band's minima as LONGS via static
+    // element_at indices: string-free (slice+cast+array_join per band is
+    // interpreted and measured ~300× slower) and statically multi-
+    // referencing `sig` so CollapseProject cannot inline the signature
+    // computation into each band.
+    val banded = sigArr.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*)
+      }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val bucketSize = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
@@ -99,10 +118,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
+        .hint("SHUFFLE_HASH"), "id_b")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), x => x))
+        graft.functions.PackedLongs.eqCount(spark, col("sig_a"), col("sig_b"))
           .cast("double") / lit(numHashes).cast("double"))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
@@ -166,10 +187,15 @@ object Dedup {
     * 16-bit prefixes → Hamming-verify ≤ maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val toks = TextAnalysis.tokens(col(textCol))
+    // single-pass codegen'd kernel (empty docs keep signature 0, like the
+    // per-bit fold over an empty hash array)
     val sigs = df.select(col(idCol).as("id"),
-        transform(TextAnalysis.tokens(col(textCol)), x => xxhash64(x)).as("__h"))
-      .select(col("id"), simhashFromHashes(col("__h")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides
+      when(size(toks) > 0,
+        graft.functions.TextHashExprs.simhashCol(spark,
+          graft.functions.TextHashExprs.ngramHashes(spark, toks, 1)))
+        .otherwise(lit(0L)).as("sig"))
     // 4 tables keyed by each 16-bit quarter: a pair within Hamming≤3 of 64
     // bits must agree exactly on at least one quarter (pigeonhole)
     val keyed = sigs.select(col("id"), col("sig"),
@@ -191,21 +217,61 @@ object Dedup {
     * key (e.g. source, length bucket) — verification-stage dedup. Grams are
     * compared as xxhash64 longs: set sizes (and hence Jaccard) are identical
     * to string comparison absent a 64-bit collision, at a fraction of the
-    * shuffle width and equality cost. Block sizes bound the quadratic term —
-    * at petabyte scale run LSH candidates first and verify pairs instead. */
+    * shuffle width and equality cost.
+    *
+    * Scale shape: a low-cardinality blocking key would collapse the
+    * pairwise work onto one task per block. Each block is therefore split
+    * into `chunks` deterministic chunks (hash of id — never rand(), safe
+    * under speculative retry) and the self-join runs as a balanced
+    * "triangle" join over unordered chunk pairs: block parallelism becomes
+    * chunks·(chunks+1)/2 tasks with (n/chunks)² work each, same result
+    * exactly. Two lossless prunes cut pair work before any array op:
+    * gram-count ratio (J ≤ min/max counts) must reach `threshold`, and
+    * intersection size is bounded by min count. Block sizes still bound the
+    * quadratic term — at petabyte scale run LSH candidates first and verify
+    * pairs instead. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int = 2, threshold: Double = 0.5): DataFrame = {
+      blockCol: String, n: Int = 2, threshold: Double = 0.5,
+      chunks: Int = 8): DataFrame = {
+    // Gram sets ride as ONE binary blob per doc (sorted packed longs):
+    // array<bigint> columns pay per-element costs at every copy boundary
+    // (exchange, generate, join output), a binary column is one memcpy.
+    // Not persisted — columnar caching of array/binary columns costs far
+    // more than recomputing this narrow projection per join side.
     val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s))).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides
-    val a = grams.select(col("blk"), col("id").as("id_a"), col("g").as("g_a"))
-    val b = grams.select(col("blk"), col("id").as("id_b"), col("g").as("g_b"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("g_a"), col("g_b"))).cast("double"))
+        graft.functions.PackedLongs.packSortedSet(df.sparkSession,
+          graft.functions.TextHashExprs.ngramHashes(df.sparkSession,
+            TextAnalysis.tokens(col(textCol)), n)).as("g"))
+      .withColumn("nc", (length(col("g")) / 8).cast("int"))
+      .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
+    // triangle replication: the lower-chunk side carries (ck, p) for
+    // p ≥ ck, the higher-chunk side (p, ck) for p ≤ ck — every unordered
+    // chunk pair lands in exactly one join task, so a low-cardinality
+    // blocking key still spreads across chunks·(chunks+1)/2 tasks
+    val lo = grams.select(col("blk"),
+        explode(sequence(col("ck"), lit(chunks - 1))).as("hi"), col("ck").as("lo"),
+        col("id").as("id_a"), col("g").as("g_a"), col("nc").as("n_a"))
+    val hi = grams.select(col("blk"),
+        explode(sequence(lit(0), col("ck"))).as("lo"), col("ck").as("hi"),
+        col("id").as("id_b"), col("g").as("g_b"), col("nc").as("n_b"))
+    // SHUFFLE_HASH: a broadcast build of wide rows measured ~2.5× slower
+    // than a shuffled hash join here, and SMJ adds a useless sort
+    lo.join(hi.hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
+      // same-chunk tasks see both orientations — keep one; cross-chunk
+      // tasks see exactly one — keep it and reorient on output
+      .filter(col("lo") =!= col("hi") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      // count-ratio prune: jaccard ≤ min(n_a,n_b)/max(n_a,n_b)
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        greatest(col("n_a"), col("n_b")).cast("double") * lit(threshold))
+      .withColumn("inter", graft.functions.PackedLongs
+        .intersectSize(df.sparkSession, col("g_a"), col("g_b")).cast("double"))
+      .withColumn("uni", col("n_a").cast("double") + col("n_b").cast("double") - col("inter"))
       .withColumn("jaccard", when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
-      .select("blk", "id_a", "id_b", "jaccard")
+      .select(col("blk"),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }
 
   // ---- embedding near-dup -----------------------------------------------
@@ -218,7 +284,7 @@ object Dedup {
       Similarity.toDouble(col(vecCol)).as("v"))
     val a = v.select(col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bkt")).filter(col("id_a") < col("id_b"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("bkt")).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("bkt", "id_a", "id_b", "cosine")
