@@ -49,6 +49,23 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Affine (Carter–Wegman) MinHash minima over md5-derived base hashes:
+    * mins_j of (x·a_j + b_j) mod p — the oracle-replicable hash family
+    * (plain integer arithmetic any SQL engine can compute). Bit-identical
+    * to the per-seed array_min(transform(...)) composition. */
+  case class AffineMinHashSigExpr(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_affine_minhash_sig"
+    override protected def nullSafeEval(a: Any): Any =
+      TextHashExprs.affineMinhashSig(a.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.TextHashExprs.affineMinhashSig($a, $numHashes)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 64-bit SimHash over pre-hashed tokens: one pass, 64 bit counters —
     * bit-identical to the per-bit aggregate() fold composition. */
   case class SimHashExpr(child: Expression) extends UnaryExpression {
@@ -91,6 +108,35 @@ object TextHashExprs {
   /** Seed chain of xxhash64(lit(i): INT, h: LONG): the int literal hashes
     * first with seed 42, its result seeds the long hash. */
   private def intSeed(i: Int): Long = XXH64.hashInt(i, Seed)
+
+  /** Mersenne prime 2^31−1: affine products stay below 2^62 (ANSI-safe). */
+  val AffineP: Long = 2147483647L
+
+  /** Deterministic affine seed pairs, identical across engines. */
+  def affineSeeds(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map(i => ((1000000007L * (i + 1)) % AffineP,
+      (998244353L * i + 12345L) % AffineP))
+
+  def affineMinhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val seeds = affineSeeds(numHashes)
+    val as = seeds.map(_._1).toArray
+    val bs = seeds.map(_._2).toArray
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val x = hashes.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = (x * as(j) + bs(j)) % AffineP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(mins, 0L)
+    new GenericArrayData(mins)
+  }
 
   def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
     val seeds = new Array[Long](numHashes)
@@ -157,6 +203,9 @@ object TextHashExprs {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_minhash_sig",
         exprs => MinHashSigExpr(exprs(0), litInt(exprs(1))), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_affine_minhash_sig",
+        exprs => AffineMinHashSigExpr(exprs(0), litInt(exprs(1))), "scala_udf")
       registered += id
     }
   }
@@ -170,6 +219,12 @@ object TextHashExprs {
   def minhashSig(spark: SparkSession, hashes: Column, numHashes: Int): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_minhash_sig",
+      hashes, org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  def affineMinhashSig(spark: SparkSession, hashes: Column, numHashes: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_affine_minhash_sig",
       hashes, org.apache.spark.sql.functions.lit(numHashes))
   }
 

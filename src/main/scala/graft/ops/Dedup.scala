@@ -95,18 +95,49 @@ object Dedup {
       graft.functions.TextHashExprs.minhashSig(spark,
         graft.functions.TextHashExprs.ngramHashes(spark,
           TextAnalysis.tokens(col(textCol)), n), numHashes).as("sig"))
+    // band hash = xxhash64 over the band's minima as LONGS via static
+    // element_at indices: string-free, and statically multi-referencing
+    // `sig` so CollapseProject cannot inline the signature computation
+    // into each band
+    lshFromSignatures(sigArr, numHashes, threshold, maxBucketSize,
+      b => xxhash64((1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*),
+      bands)
+  }
+
+  /** Oracle-replicable LSH variant: affine MinHash over md5-derived base
+    * hashes (minhashSignatureMd5's family) with plain-text band keys — the
+    * complete candidate pipeline (banding, bucket cap, pair dedup,
+    * signature-agreement estimate) is reproducible in any SQL engine with
+    * md5, so candidate EMISSION itself is hash-checkable against the
+    * DuckDB oracle, not just the signature math. */
+  def minhashLshPairsMd5(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 500): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val spark = df.sparkSession
+    def sigArr = df.select(col(idCol).as("id"),
+      graft.functions.TextHashExprs.affineMinhashSig(spark,
+        md5BaseHashes(col(textCol), n), numHashes).as("sig"))
+    lshFromSignatures(sigArr, numHashes, threshold, maxBucketSize,
+      b => concat_ws(",", (1 to rows).map(r =>
+        element_at(col("sig"), b * rows + r).cast("string")): _*),
+      bands)
+  }
+
+  /** Shared LSH candidate machinery over a (id, sig: array<long>) frame:
+    * skinny band-bucket self-join with a degenerate-bucket cap, pair dedup
+    * on ids, then one packed-signature join-back for the agreement
+    * estimate. */
+  private def lshFromSignatures(sigArr: DataFrame, numHashes: Int,
+      threshold: Double, maxBucketSize: Int,
+      bandKey: Int => Column, bands: Int): DataFrame = {
+    val spark = sigArr.sparkSession
     val sig = sigArr.select(col("id"),
       graft.functions.PackedLongs.pack(spark, col("sig")).as("sig"))
-    // banding runs on skinny (id, band, band_hash) rows — no signatures.
-    // Band hash = xxhash64 over the band's minima as LONGS via static
-    // element_at indices: string-free (slice+cast+array_join per band is
-    // interpreted and measured ~300× slower) and statically multi-
-    // referencing `sig` so CollapseProject cannot inline the signature
-    // computation into each band.
     val banded = sigArr.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*)
-      }: _*)))
+      posexplode(array((0 until bands).map(b => bandKey(b).cast("string")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val bucketSize = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
@@ -134,15 +165,17 @@ object Dedup {
     * with products bounded below 2^62 (ANSI-safe, replicable in any SQL
     * engine with md5 — used to pin the MinHash math itself against the
     * DuckDB oracle; the production path stays on the faster xxhash64). */
-  val md5MinhashP: Long = 2147483647L
+  val md5MinhashP: Long = graft.functions.TextHashExprs.AffineP
   def md5MinhashSeeds(numHashes: Int): Seq[(Long, Long)] =
-    (0 until numHashes).map(i => ((1000000007L * (i + 1)) % md5MinhashP,
-      (998244353L * i + 12345L) % md5MinhashP))
+    graft.functions.TextHashExprs.affineSeeds(numHashes)
+
+  /** Per-shingle 60-bit md5-prefix base hash mod p (SQL-replicable). */
+  def md5BaseHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % md5MinhashP)
 
   def minhashSignatureMd5(text: Column, n: Int, numHashes: Int): Seq[Column] = {
-    val sh = shingles(text, n)
-    val base = transform(sh, s =>
-      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % md5MinhashP)
+    val base = md5BaseHashes(text, n)
     md5MinhashSeeds(numHashes).map { case (a, b) =>
       array_min(transform(base, x => (x * a + b) % md5MinhashP))
     }
@@ -205,6 +238,29 @@ object Dedup {
     val a = keyed.select(col("q"), col("qkey"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = keyed.select(col("q"), col("qkey"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("q", "qkey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle-replicable SimHash pairs over the 31-bit md5-based signature:
+    * four rotated 8-bit prefixes (pigeonhole for Hamming ≤ 3 at 31 bits —
+    * wider budgets widen recall via the same bucketing), exact-Hamming
+    * verify. Every step (signature, bucketing, pair dedup, bit_count of
+    * xor) is plain integer SQL, so pair emission is hash-checkable against
+    * the DuckDB oracle. */
+  def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash31Md5(col(textCol)).as("sig"))
+    val keyed = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("sig"), q * 8).bitwiseAND(0xFFL)): _*)))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qkey")
+    val a = keyed.select(col("q"), col("qkey"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = keyed.select(col("q"), col("qkey"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("q", "qkey")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .distinct()

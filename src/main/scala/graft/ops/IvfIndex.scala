@@ -21,12 +21,15 @@ object IvfIndex {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Deterministic element-wise mean per cell: posexplode to (cell, dim),
-    * DECIMAL-exact sums, rebuild ordered arrays. */
+    * DECIMAL-exact sums cast to double before the division — the exact sum
+    * makes centroids partition-invariant, and double-division of the exact
+    * sum is the form any SQL oracle reproduces bit-for-bit (engine-specific
+    * decimal division scale rules never enter). */
   private def exactCentroids(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cell"), posexplode(col("v")))
       .groupBy("cell", "pos")
-      .agg((sum(col("col").cast("decimal(28,14)")) / count(lit(1))).cast("double").as("m"))
+      .agg((sum(col("col").cast("decimal(28,14)")).cast("double") / count(lit(1))).as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
         .getField("m").as("centroid"))
@@ -39,22 +42,39 @@ object IvfIndex {
     array_min(array(scored: _*)).getField("cell")
   }
 
-  /** Build the index: returns (assignments(cell, id, v), centroids). */
+  /** Build the index: returns (assignments(cell, id, v), centroids).
+    *
+    * `initCell` overrides the deterministic init assignment (a Column over
+    * the renamed `id` column; default hash-partition of ids). The gate
+    * query passes a plain modulo so the whole Lloyd pipeline is
+    * SQL-oracle-replicable; production keeps the hash init.
+    *
+    * `trainFraction` < 1 trains the quantizer on a deterministic hash
+    * sample of the corpus — Lloyd iterations then scan only the sample and
+    * the full corpus is assigned ONCE at the end, the standard shape at
+    * scale (a quantizer needs a representative sample, not every row). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int = 2): (DataFrame, Seq[(Int, Seq[Double])]) = {
+      nCells: Int, iters: Int = 2,
+      initCell: Option[Column] = None,
+      trainFraction: Double = 1.0): (DataFrame, Seq[(Int, Seq[Double])]) = {
     val base = corpus.select(col(idCol).as("id"),
       Similarity.toDouble(col(vecCol)).as("v"))
-    // deterministic init: hash-partition ids into cells
-    var assigned = base.withColumn("cell",
+    val train =
+      if (trainFraction >= 1.0) base
+      else base.filter(pmod(xxhash64(col("id")), lit(10000L)) <
+        lit((trainFraction * 10000).toLong))
+    val init = initCell.getOrElse(
       pmod(xxhash64(col("id")), lit(nCells.toLong)).cast("int"))
+    var trainAssigned = train.withColumn("cell", init)
     var centroids: Seq[(Int, Seq[Double])] = Nil
     for (_ <- 0 until iters) {
-      centroids = exactCentroids(assigned)
+      centroids = exactCentroids(trainAssigned)
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
-      assigned = base.withColumn("cell", nearestCell(col("v"), centroids))
+      trainAssigned = train.withColumn("cell", nearestCell(col("v"), centroids))
     }
-    (assigned, centroids)
+    // one full-corpus assignment pass with the final centroids
+    (base.withColumn("cell", nearestCell(col("v"), centroids)), centroids)
   }
 
   /** Probe-and-score search over a built index. */

@@ -32,10 +32,14 @@ object PipelineQueries {
         blockCol = "source", n = 2, threshold = 0.05)
         .orderBy("blk", "id_a", "id_b")
     },
-    // MinHash+LSH near-dup candidates (xxhash64-based → rows-only oracle)
+    // MinHash+LSH near-dup candidate pairs over the md5-affine family: the
+    // full pipeline (banding, bucket cap, pair dedup, agreement estimate)
+    // is hash-checked against the DuckDB oracle. The xxhash64 production
+    // family runs the same lshFromSignatures machinery (kernel parity in
+    // TextHashExprsSpec + OpsSpec).
     "d_minhash_lsh" -> { (s, d) =>
-      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      Dedup.minhashLshPairsMd5(Tables.documents(s, d), "doc_id", "text",
+        n = 2, numHashes = 16, bands = 8, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
     // oracle-checkable MinHash signatures (md5-based arithmetic both
@@ -52,10 +56,13 @@ object PipelineQueries {
         .select(col("doc_id"), Dedup.simhash31Md5(col("text")).as("simhash31"))
         .orderBy("doc_id")
     },
-    // SimHash near-dup candidates (rows-only oracle)
+    // SimHash near-dup pairs over the 31-bit md5 signature: bucketing,
+    // pair dedup and Hamming verify are all hash-checked against the
+    // oracle (the 64-bit xxhash64 family runs the same pair machinery,
+    // pinned by kernel parity tests)
     "d_simhash" -> { (s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
-        .orderBy("id_a", "id_b")
+      Dedup.simhashPairsMd5(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
+        .orderBy("id_a", "id_b", "hamming")
     },
     // embedding stats: deterministic sequential double folds
     "s_embed_stats" -> { (s, d) =>
@@ -92,12 +99,16 @@ object PipelineQueries {
         e.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 5)
         .orderBy("q_id", "rank")
     },
-    // full IVF ANN: deterministic k-means coarse quantizer + nprobe search
-    // (xxhash64 init → rows-only oracle; recall/determinism in OpsSpec)
+    // full IVF ANN: deterministic k-means coarse quantizer + nprobe search.
+    // Modulo init + DECIMAL-exact centroid means make the entire Lloyd
+    // pipeline (2 iterations), cell probing, and top-k ranking replicable
+    // in SQL — the oracle recomputes all of it with chained CTEs. The
+    // hash-init + sample-trained production path is covered in OpsSpec.
     "s_ivf_kmeans_topk" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val (assigned, centroids) = graft.ops.IvfIndex.build(e, "vec_id", "embedding",
-        nCells = 16, iters = 2)
+        nCells = 16, iters = 2,
+        initCell = Some(pmod(col("id").cast("bigint"), lit(16L)).cast("int")))
       graft.ops.IvfIndex.search(assigned, centroids,
         e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5, nProbe = 4)
         .orderBy("q_id", "rank")
@@ -170,6 +181,84 @@ object PipelineQueries {
          |SELECT doc_id,
          |  $sigCols
          |FROM hashes ORDER BY doc_id""".stripMargin
+    },
+    "d_minhash_lsh" -> {
+      val p = Dedup.md5MinhashP
+      val numHashes = 16
+      val bands = 8
+      val rows = numHashes / bands
+      val sigList = Dedup.md5MinhashSeeds(numHashes).map { case (a, b) =>
+        s"list_min(list_transform(h, x -> (x * $a + $b) % $p))"
+      }.mkString("[\n    ", ",\n    ", "]")
+      val bandSelects = (0 until bands).map { b =>
+        val key = (1 to rows).map(r => s"CAST(sig[${b * rows + r}] AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 2
+         |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+         |      ELSE [array_to_string(t, ' ')] END AS g
+         |  FROM toks),
+         |hashes AS (
+         |  SELECT doc_id,
+         |    list_transform(g, s ->
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5(s), k+1, 1)) - 1 AS BIGINT))),
+         |        (acc, d) -> acc * 16 + d) % $p) AS h
+         |  FROM grams),
+         |sigs AS (SELECT doc_id, $sigList AS sig FROM hashes),
+         |banded AS (
+         |  $bandSelects),
+         |capped AS (
+         |  SELECT band, bkey, doc_id FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded)
+         |  WHERE bsz <= 500),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, est_jaccard FROM (
+         |  SELECT cand.id_a, cand.id_b,
+         |    CAST(len(list_filter(range($numHashes), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE)
+         |      / $numHashes.0 AS est_jaccard
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = cand.id_a
+         |  JOIN sigs sb ON sb.doc_id = cand.id_b)
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
+    "d_simhash" -> {
+      val p = Dedup.md5MinhashP
+      val simBitTerms = (0 until 31).map { b =>
+        s"(CASE WHEN 2 * len(list_filter(h, x -> (x // ${1L << b}) % 2 = 1)) - len(h) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n  + ")
+      val quarterSelects = (0 until 4).map { q =>
+        s"SELECT doc_id, sig, $q AS q, (sig >> ${q * 8}) & 255 AS qkey FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents),
+         |hashes AS (
+         |  SELECT doc_id,
+         |    list_transform(t, s ->
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5(s), k+1, 1)) - 1 AS BIGINT))),
+         |        (acc, d) -> acc * 16 + d) % $p) AS h
+         |  FROM toks),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(h) > 0 THEN $simBitTerms ELSE 0 END AS sig
+         |  FROM hashes),
+         |keyed AS (
+         |  $quarterSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM keyed a JOIN keyed b
+         |  ON a.q = b.q AND a.qkey = b.qkey AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 10
+         |ORDER BY id_a, id_b, hamming""".stripMargin
     },
     "d_simhash_md5" -> {
       val bitTerms = (0 until 31).map { b =>
@@ -326,6 +415,50 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "s_ivf_kmeans_topk" -> {
+      // the full deterministic pipeline re-derived in SQL: modulo init,
+      // two Lloyd iterations with DECIMAL-exact means, nProbe cell
+      // ranking, exact scoring within probed cells, top-k
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), (x, y) -> x + y)"
+      def sq(a: String): String =
+        s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (x, y) -> x + y))"
+      def centroidsOf(src: String): String =
+        s"""SELECT cell, list(m ORDER BY pos) AS c FROM (
+           |    SELECT cell, pos, CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+           |    FROM (SELECT cell, unnest(e) AS val, unnest(range(len(e))) AS pos FROM $src)
+           |    GROUP BY cell, pos)
+           |  GROUP BY cell""".stripMargin
+      def assignBy(cents: String): String =
+        s"""SELECT vec_id, e, cell FROM (
+           |    SELECT v.vec_id, v.e, $cents.cell,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY -(${dot("v.e", s"$cents.c")}), $cents.cell) AS rn
+           |    FROM v CROSS JOIN $cents) WHERE rn = 1""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |a0 AS (SELECT vec_id, e, CAST(vec_id % 16 AS INT) AS cell FROM v),
+         |c1 AS (${centroidsOf("a0")}),
+         |a1 AS (${assignBy("c1")}),
+         |c2 AS (${centroidsOf("a1")}),
+         |a2 AS (${assignBy("c2")}),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 20),
+         |probes AS (
+         |  SELECT q_id, qe, cell FROM (
+         |    SELECT q.q_id, q.qe, c2.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY -(${dot("q.qe", "c2.c")}), c2.cell) AS rn
+         |    FROM q CROSS JOIN c2) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.q_id, a2.vec_id AS n_id,
+         |    ${dot("a2.e", "p.qe")} / (${sq("a2.e")} * ${sq("p.qe")}) AS sim
+         |  FROM a2 JOIN probes p ON a2.cell = p.cell AND a2.vec_id <> p.q_id)
+         |SELECT q_id, rank, n_id, sim FROM (
+         |  SELECT q_id, n_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
     "s_ivf_topk" ->
       """WITH v AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         |q AS (SELECT * FROM v WHERE vec_id < 20),

@@ -98,6 +98,18 @@ class OpsSpec extends SparkSpec {
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.3, s"recall@5 with nProbe=3/8 was $recall") // random unit vecs: partial recall expected
     assert(ivf.size == 50) // k results per query
+
+    // sample-trained quantizer: Lloyd runs on ~half the corpus, the full
+    // corpus still gets assigned, and search keeps comparable recall
+    val (assignedS, centroidsS) = IvfIndex.build(e, "vec_id", "embedding",
+      nCells = 8, trainFraction = 0.5)
+    assert(assignedS.count() == e.count()) // full corpus assigned once
+    val ivfS = IvfIndex.search(assignedS, centroidsS, queries, "vec_id", "embedding",
+      k = 5, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recallS = ivfS.intersect(brute).size.toDouble / brute.size
+    assert(recallS >= 0.3, s"sample-trained recall@5 was $recallS")
+    assert(ivfS.size == 50)
   }
 
   test("multimodal: partition-batched decode matches the expression path") {
