@@ -74,22 +74,53 @@ object Streaming {
       .start()
   }
 
-  /** Stateful per-user session accumulation via mapGroupsWithState — the
-    * custom-state shape (KeyValueGroupedDataset) for operators windows
-    * can't express. Batch-testable through the same Dataset API. */
+  /** Batch sessionization via a lag window: a session starts wherever the
+    * gap from the user's previous event exceeds gapSeconds. One shuffle +
+    * sort-based window — no per-group materialization, so a mega-user
+    * spills to disk instead of OOMing a task. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("epoch")
+    events.select(col("user_id").cast("long").as("user_id"),
+        unix_timestamp(col("ts")).as("epoch"))
+      .withColumn("prev", lag("epoch", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("epoch") - col("prev") > gapSeconds, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  final case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
+
+  /** Streaming sessionization with BOUNDED state: per user, GroupState
+    * holds only (lastTs, counters); each micro-batch's events sort within
+    * the batch (memory bounded by batch size, never by user history) and
+    * fold into the state. Emits the running (n_sessions, n_events) per
+    * user in update mode. Late events older than lastTs are counted into
+    * the current session (use a watermark upstream to bound lateness). */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
       gapSeconds: Long): DataFrame = {
     import spark.implicits._
     val typed = events.select(col("user_id").cast("long"),
       unix_timestamp(col("ts")).as("epoch")).as[(Long, Long)]
     typed.groupByKey(_._1)
-      .mapGroups { (uid, it) =>
-        // per-group session fold (batch analogue of GroupState accumulation)
-        val ts = it.map(_._2).toArray.sorted
-        var sessions = 0L
-        var last = Long.MinValue / 4 // avoid t - MinValue overflow
-        ts.foreach { t => if (t - last > gapSeconds) sessions += 1; last = t }
-        (uid, sessions, ts.length.toLong)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[SessState]) =>
+          val batch = it.map(_._2).toArray
+          java.util.Arrays.sort(batch)
+          val prev = state.getOption.getOrElse(
+            SessState(Long.MinValue / 4, 0L, 0L)) // avoid t - MinValue overflow
+          var last = prev.lastTs
+          var sessions = prev.nSessions
+          var n = prev.nEvents
+          batch.foreach { t =>
+            if (t - last > gapSeconds) sessions += 1
+            if (t > last) last = t
+            n += 1
+          }
+          state.update(SessState(last, sessions, n))
+          Iterator.single((uid, sessions, n))
       }
       .toDF("user_id", "n_sessions", "n_events")
   }

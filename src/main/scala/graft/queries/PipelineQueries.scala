@@ -129,6 +129,12 @@ object PipelineQueries {
       Streaming.windowStatsBatch(Tables.events(s, d), "5 minutes")
         .orderBy("window_start", "event_type")
     },
+    // per-user session counts via lag-window gap detection (scale-safe
+    // form: no per-user materialization)
+    "q_sessionize" -> { (s, d) =>
+      Streaming.sessionizeBatch(Tables.events(s, d), gapSeconds = 1800)
+        .orderBy("user_id")
+    },
     // corpus length distribution: exact interpolated percentiles per source
     "t_length_percentiles" -> { (s, d) =>
       Tables.documents(s, d)
@@ -387,6 +393,17 @@ object PipelineQueries {
         |  240 + (((strpos('0123456789abcdef', hex[3]) - 1) * 16 + (strpos('0123456789abcdef', hex[4]) - 1)) % 5) * 120 AS height,
         |  3 AS n_channels, 'fake/rgb8' AS format
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        |lagged AS (
+        |  SELECT user_id, ep,
+        |    lag(ep) OVER (PARTITION BY user_id ORDER BY ep) AS prev
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev IS NULL OR ep - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,

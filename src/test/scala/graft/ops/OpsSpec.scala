@@ -169,6 +169,10 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out(1L) == (2L, 3L))
     assert(out(2L) == (1L, 1L))
+    // lag-window batch form: same session semantics, no per-group arrays
+    val outB = Streaming.sessionizeBatch(df, gapSeconds = 1800)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(outB == out)
   }
 
   test("text quality: clean prose scores higher than repetitive junk") {
