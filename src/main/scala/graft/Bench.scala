@@ -20,6 +20,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/JIT, codegen compilation, and parquet footer
+    // reads otherwise land entirely on the alphabetically-first query.
+    // Nothing is cached — every timed query still pays its own scan.
+    locally {
+      import org.apache.spark.sql.functions._
+      Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => }
+      }
+      try graft.queries.Tables.events(spark, sfDir)
+        .groupBy("user_id").agg(count(lit(1))).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

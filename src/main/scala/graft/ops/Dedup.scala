@@ -87,21 +87,31 @@ object Dedup {
     // expensive part, write signatures to a parquet temp table instead.
     // signatures ride as ONE binary blob (packed longs) through the
     // join-backs — per-element array handling at join/exchange copy
-    // boundaries dominates otherwise. Gram hashing + minima run in the
-    // codegen'd TextHashExprs kernels (bit-identical to the declarative
-    // composition, ~10× faster than interpreted lambda evaluation).
+    // boundaries dominates otherwise. Gram hashing, minima, and band keys
+    // all run in codegen'd TextHashExprs kernels: each is a SINGLE
+    // expression over the base-hash column, because the optimizer inlines
+    // column aliases into every consuming reference (per-band references
+    // would re-evaluate the whole signature per band).
     val spark = df.sparkSession
-    def sigArr = df.select(col(idCol).as("id"),
-      graft.functions.TextHashExprs.minhashSig(spark,
+    // The (id, packed sig, band keys) projection is MATERIALIZED once:
+    // every lazy formulation re-evaluates the signature expression at each
+    // consuming operator (generators and windows re-evaluate inlined
+    // aliases; the columnar cache is pathological on arrays). It is tiny
+    // (numHashes longs + bands short strings per doc); at cluster scale
+    // write it to a parquet temp table instead — same role, fault-tolerant.
+    val base = df.select(col(idCol).as("id"),
         graft.functions.TextHashExprs.ngramHashes(spark,
-          TextAnalysis.tokens(col(textCol)), n), numHashes).as("sig"))
-    // band hash = xxhash64 over the band's minima as LONGS via static
-    // element_at indices: string-free, and statically multi-referencing
-    // `sig` so CollapseProject cannot inline the signature computation
-    // into each band
-    lshFromSignatures(sigArr, numHashes, threshold, maxBucketSize,
-      b => xxhash64((1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*),
-      bands)
+          TextAnalysis.tokens(col(textCol)), n).as("__h"))
+      .select(col("id"),
+        graft.functions.PackedLongs.pack(spark,
+          graft.functions.TextHashExprs.minhashSig(spark, col("__h"), numHashes)).as("sig"),
+        graft.functions.TextHashExprs.bandKeysCol(spark, col("__h"),
+          numHashes, bands, affine = false).as("bk"))
+      .localCheckpoint()
+    val sig = base.select(col("id"), col("sig"))
+    val banded = base.select(col("id"), posexplode(col("bk")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    lshCandidatePairs(sig, banded, numHashes, threshold, maxBucketSize)
   }
 
   /** Oracle-replicable LSH variant: affine MinHash over md5-derived base
@@ -115,30 +125,30 @@ object Dedup {
       n: Int = 2, numHashes: Int = 16, bands: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Int = 500): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val spark = df.sparkSession
-    def sigArr = df.select(col(idCol).as("id"),
-      graft.functions.TextHashExprs.affineMinhashSig(spark,
-        md5BaseHashes(col(textCol), n), numHashes).as("sig"))
-    lshFromSignatures(sigArr, numHashes, threshold, maxBucketSize,
-      b => concat_ws(",", (1 to rows).map(r =>
-        element_at(col("sig"), b * rows + r).cast("string")): _*),
-      bands)
+    // materialized like the xxhash64 path (see minhashLshPairs)
+    val base = df.select(col(idCol).as("id"),
+        md5BaseHashes(col(textCol), n).as("__h"))
+      .select(col("id"),
+        graft.functions.PackedLongs.pack(spark,
+          graft.functions.TextHashExprs.affineMinhashSig(spark, col("__h"),
+            numHashes)).as("sig"),
+        graft.functions.TextHashExprs.bandKeysCol(spark, col("__h"),
+          numHashes, bands, affine = true).as("bk"))
+      .localCheckpoint()
+    val sig = base.select(col("id"), col("sig"))
+    val banded = base.select(col("id"), posexplode(col("bk")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    lshCandidatePairs(sig, banded, numHashes, threshold, maxBucketSize)
   }
 
-  /** Shared LSH candidate machinery over a (id, sig: array<long>) frame:
-    * skinny band-bucket self-join with a degenerate-bucket cap, pair dedup
-    * on ids, then one packed-signature join-back for the agreement
-    * estimate. */
-  private def lshFromSignatures(sigArr: DataFrame, numHashes: Int,
-      threshold: Double, maxBucketSize: Int,
-      bandKey: Int => Column, bands: Int): DataFrame = {
-    val spark = sigArr.sparkSession
-    val sig = sigArr.select(col("id"),
-      graft.functions.PackedLongs.pack(spark, col("sig")).as("sig"))
-    val banded = sigArr.select(col("id"),
-      posexplode(array((0 until bands).map(b => bandKey(b).cast("string")): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  /** Shared LSH candidate machinery: skinny band-bucket self-join with a
+    * degenerate-bucket cap, pair dedup on ids, then one packed-signature
+    * join-back for the agreement estimate. `sig` is (id, sig: binary),
+    * `banded` is (id, band, band_hash). */
+  private def lshCandidatePairs(sig: DataFrame, banded: DataFrame,
+      numHashes: Int, threshold: Double, maxBucketSize: Int): DataFrame = {
+    val spark = sig.sparkSession
     val bucketSize = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
     val ok = banded.withColumn("__bsz", count(lit(1)).over(bucketSize))
@@ -169,10 +179,12 @@ object Dedup {
   def md5MinhashSeeds(numHashes: Int): Seq[(Long, Long)] =
     graft.functions.TextHashExprs.affineSeeds(numHashes)
 
-  /** Per-shingle 60-bit md5-prefix base hash mod p (SQL-replicable). */
+  /** Per-shingle 60-bit md5-prefix base hash mod p (SQL-replicable),
+    * computed by a codegen'd kernel bit-identical to
+    * conv(substring(md5(shingle), 1, 15), 16, 10) % p. */
   def md5BaseHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s =>
-      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % md5MinhashP)
+    graft.functions.TextHashExprs.md5NgramMod(
+      org.apache.spark.sql.SparkSession.active, TextAnalysis.tokens(text), n)
 
   def minhashSignatureMd5(text: Column, n: Int, numHashes: Int): Seq[Column] = {
     val base = md5BaseHashes(text, n)
@@ -205,15 +217,12 @@ object Dedup {
     * bit-vote math against a SQL oracle; production stays on 64-bit
     * xxhash64. */
   def simhash31Md5(text: Column): Column = {
-    val t = TextAnalysis.tokens(text)
-    val h = transform(t, s =>
-      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % md5MinhashP)
-    val n = size(h)
-    val bits = (0 until 31).map { b =>
-      val setCount = size(filter(h, x => shiftright(x, b).bitwiseAND(1) === 1))
-      when(setCount * 2 - n > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    when(n > 0, bits.reduce(_ + _)).otherwise(lit(0L))
+    // single-pass kernels; per-bit size(filter(...)) terms would each
+    // re-evaluate the md5 transform (lambdas are excluded from
+    // subexpression elimination). Empty token list → signature 0.
+    graft.functions.TextHashExprs.simhashCol(
+      org.apache.spark.sql.SparkSession.active,
+      md5BaseHashes(text, 1), bits = 31)
   }
 
   /** Near-dup candidates by SimHash: same value in any of `tables` rotated
@@ -251,15 +260,23 @@ object Dedup {
     * xor) is plain integer SQL, so pair emission is hash-checkable against
     * the DuckDB oracle. */
   def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 200): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       simhash31Md5(col(textCol)).as("sig"))
     val keyed = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("sig"), q * 8).bitwiseAND(0xFFL)): _*)))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "qkey")
-    val a = keyed.select(col("q"), col("qkey"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = keyed.select(col("q"), col("qkey"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // 8-bit quarters are coarse; on self-similar corpora identical
+    // signatures pile into degenerate buckets whose pair count explodes
+    // quadratically — cap them like the LSH path (exact-duplicate pairs
+    // they'd contribute are already caught by exact dedup)
+    val bucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q"), col("qkey"))
+    val capped = keyed.withColumn("__bsz", count(lit(1)).over(bucket))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val a = capped.select(col("q"), col("qkey"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("q"), col("qkey"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b.hint("SHUFFLE_HASH"), Seq("q", "qkey")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))

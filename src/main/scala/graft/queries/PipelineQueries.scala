@@ -38,8 +38,10 @@ object PipelineQueries {
     // family runs the same lshFromSignatures machinery (kernel parity in
     // TextHashExprsSpec + OpsSpec).
     "d_minhash_lsh" -> { (s, d) =>
+      // 4 minima per band: 2-minima band keys collide ~J² and flood the
+      // buckets on a self-similar corpus; 4 minima collide ~J⁴
       Dedup.minhashLshPairsMd5(Tables.documents(s, d), "doc_id", "text",
-        n = 2, numHashes = 16, bands = 8, threshold = 0.5)
+        n = 2, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 200)
         .orderBy("id_a", "id_b")
     },
     // oracle-checkable MinHash signatures (md5-based arithmetic both
@@ -61,7 +63,8 @@ object PipelineQueries {
     // oracle (the 64-bit xxhash64 family runs the same pair machinery,
     // pinned by kernel parity tests)
     "d_simhash" -> { (s, d) =>
-      Dedup.simhashPairsMd5(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
+      Dedup.simhashPairsMd5(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 10, maxBucketSize = 200)
         .orderBy("id_a", "id_b", "hamming")
     },
     // embedding stats: deterministic sequential double folds
@@ -190,7 +193,7 @@ object PipelineQueries {
     },
     "d_minhash_lsh" -> {
       val p = Dedup.md5MinhashP
-      val numHashes = 16
+      val numHashes = 32
       val bands = 8
       val rows = numHashes / bands
       val sigList = Dedup.md5MinhashSeeds(numHashes).map { case (a, b) =>
@@ -222,7 +225,7 @@ object PipelineQueries {
          |capped AS (
          |  SELECT band, bkey, doc_id FROM (
          |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded)
-         |  WHERE bsz <= 500),
+         |  WHERE bsz <= 200),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM capped a JOIN capped b
@@ -258,10 +261,14 @@ object PipelineQueries {
          |    CASE WHEN len(h) > 0 THEN $simBitTerms ELSE 0 END AS sig
          |  FROM hashes),
          |keyed AS (
-         |  $quarterSelects)
+         |  $quarterSelects),
+         |capped AS (
+         |  SELECT q, qkey, doc_id, sig FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY q, qkey) AS bsz FROM keyed)
+         |  WHERE bsz <= 200)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-         |FROM keyed a JOIN keyed b
+         |FROM capped a JOIN capped b
          |  ON a.q = b.q AND a.qkey = b.qkey AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 10
          |ORDER BY id_a, id_b, hamming""".stripMargin
