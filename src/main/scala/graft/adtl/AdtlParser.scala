@@ -40,6 +40,26 @@ final class AdtlParser private (
       .asInstanceOf[Raw])
     val tables = header0.tables // validates kinds/aggregations
 
+    // document-level checks with reference-parity messages
+    // (adtl_pydantic.py:255-281)
+    locally {
+      val bodyKeys = rawSpec0.keySet - "adtl"
+      val missing = tables.keys.filterNot(bodyKeys.contains).toList.sorted
+      if (missing.nonEmpty)
+        throw new SpecValidationError(
+          s"Parser specification missing tables: ${missing.mkString(", ")}")
+      val extra = bodyKeys.filterNot(tables.contains).toList.sorted
+      if (extra.nonEmpty)
+        throw new SpecValidationError(
+          s"Parser specification has tables not defined in the header: ${extra.mkString(", ")}")
+      val badLong = tables.collect {
+        case (t, m) if rawSpec0(t).isInstanceOf[List[_]] && m.kind != "oneToMany" => t
+      }
+      if (badLong.nonEmpty)
+        throw new SpecValidationError(
+          "Long format tables must be given kind 'oneToMany' in the header")
+    }
+
     // defs: header defs + include-def files (relative to the spec) + extra
     val defFiles = header0.includeDefs.map(resolvePath) ++ includeDefs
     val defs: Raw = defFiles.foldLeft(header0.defs) { (acc, f) =>
@@ -64,16 +84,20 @@ final class AdtlParser private (
     // load per-table JSON schemas + optional-fields trimming
     val schemas: Map[String, Raw] = tables.flatMap { case (tname, meta) =>
       meta.schemaPath.flatMap { sp =>
-        if (sp.startsWith("http")) {
-          // reference behavior on unreachable schema URLs: warn and skip
-          // validation (parser.py:329-346); this env is zero-egress
-          System.err.println(
-            s"Warning: could not fetch schema for table '$tname', will not validate")
-          None
-        } else {
-          val loaded = SpecLoader.parseJson(SpecLoader.readUtf8(resolvePath(sp)))
-          Some(tname -> Normalize.makeFieldsOptional(loaded, meta.optionalFields))
-        }
+        val loaded: Option[Raw] =
+          if (sp.startsWith("http")) {
+            // remote schema: attempt the fetch with a short timeout and
+            // warn-and-skip validation on ANY failure — non-200, network
+            // error, bad JSON — mirroring parser.py:329-346
+            AdtlParser.fetchJson(sp) match {
+              case Some(json) => Some(json)
+              case None =>
+                System.err.println(
+                  s"Warning: could not fetch schema for table '$tname', will not validate")
+                None
+            }
+          } else Some(SpecLoader.parseJson(SpecLoader.readUtf8(resolvePath(sp))))
+        loaded.map(l => tname -> Normalize.makeFieldsOptional(l, meta.optionalFields))
       }
     }
     val dateFields = schemas.values.flatMap(Normalize.dateFields).toList.distinct.sorted
@@ -474,6 +498,21 @@ final class AdtlParser private (
 }
 
 object AdtlParser {
+  /** GET a JSON document with a short timeout; None on any failure
+    * (connect error, non-200, unparseable body). */
+  private[adtl] def fetchJson(url: String,
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(5)): Option[Spec.Raw] =
+    try {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(timeout).build()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(timeout).GET().build()
+      val res = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (res.statusCode() == 200) Some(SpecLoader.parseJson(res.body()))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def fromFile(path: String, includeDefs: List[String] = Nil,
       registry: Transformations.Registry = Transformations.newRegistry()): AdtlParser = {
     val raw = SpecLoader.loadFile(path)

@@ -24,7 +24,12 @@ object Main {
     System.err.println(
       """usage: adtlspark parse <spec> <data.csv> [-o prefix] [--format csv|parquet]
         |                      [--include-def file] [--encoding enc] [--save-report file]
+        |                      [--include-transform provider-or-class]
         |       adtlspark check <spec> <data.csv>""".stripMargin)
+
+  /** true when this process (not an embedding caller) owns the session. */
+  private def ownsSession: Boolean = SparkSession.getActiveSession.isEmpty &&
+    SparkSession.getDefaultSession.isEmpty
 
   private def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -47,6 +52,7 @@ object Main {
     var encoding = "UTF-8"
     var includeDefs = List.empty[String]
     var saveReport: Option[String] = None
+    var includeTransform: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -55,6 +61,7 @@ object Main {
         case "--encoding" => encoding = args(i + 1); i += 2
         case "--include-def" => includeDefs :+= args(i + 1); i += 2
         case "--save-report" => saveReport = Some(args(i + 1)); i += 2
+        case "--include-transform" => includeTransform = Some(args(i + 1)); i += 2
         case a if spec.isEmpty => spec = Some(a); i += 1
         case a if data.isEmpty => data = Some(a); i += 1
         case a => System.err.println(s"Unexpected argument: $a"); sys.exit(1)
@@ -62,8 +69,12 @@ object Main {
     }
     (spec, data) match {
       case (Some(sp), Some(df)) =>
+        val owned = ownsSession
         val spark = session()
-        val parser = AdtlParser.fromFile(sp, includeDefs)
+        val registry = includeTransform
+          .map(Transformations.registryWith)
+          .getOrElse(Transformations.newRegistry())
+        val parser = AdtlParser.fromFile(sp, includeDefs, registry)
         val tables = parser.parseCsv(spark, df, encoding)
         val prefix = output.getOrElse(parser.spec.header.name)
         tables.keys.foreach { t =>
@@ -83,7 +94,7 @@ object Main {
           }.mkString("{", ", ", "}")
           java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
         }
-        spark.stop()
+        if (owned) spark.stop()
       case _ => usage(); sys.exit(1)
     }
   }
@@ -107,6 +118,7 @@ object Main {
 
   private def checkCmd(args: Array[String]): Unit = {
     if (args.length < 2) { usage(); sys.exit(1) }
+    val owned = ownsSession
     val spark = session()
     val parser = AdtlParser.fromFile(args(0))
     val df = spark.read.option("header", "true").csv(args(1))
@@ -118,7 +130,7 @@ object Main {
       println(s"WARNING: data columns not mapped by spec: ${unmapped.toList.sorted.mkString(", ")}")
     }
     if (absent.isEmpty && unmapped.isEmpty) println("OK: spec and data fields match")
-    spark.stop()
+    if (owned) spark.stop()
     if (absent.nonEmpty) sys.exit(1)
   }
 

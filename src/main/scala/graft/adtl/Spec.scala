@@ -53,21 +53,29 @@ object Spec {
           case m: Raw @unchecked => m
           case _ => throw new SpecValidationError(s"Table '$tname' metadata must be a mapping")
         }
+        // error-message parity with the reference's pydantic models
+        // (adtl_pydantic.py:178-200; tests/test_adtl/test_spec_refs_and_defs.py:114-212)
         val kind = meta.get("kind").map(_.toString).getOrElse(
-          throw new SpecValidationError(s"Table '$tname' requires 'kind'"))
+          throw new SpecValidationError(s"adtl.tables.$tname.kind\n  Field required"))
         if (!TableKinds.contains(kind))
           throw new SpecValidationError(
-            s"Table '$tname': invalid kind '$kind', must be one of ${TableKinds.mkString(", ")}")
+            s"adtl.tables.$tname.kind\n  Input should be 'constant', 'groupBy', 'oneToMany' or 'oneToOne' (invalid kind '$kind')")
         val groupBy = meta.get("groupBy").map(_.toString)
         val aggregation = meta.get("aggregation").map(_.toString)
-        if (groupBy.isDefined && aggregation.isEmpty)
-          throw new SpecValidationError(
-            s"Table '$tname': 'aggregation' must be specified when 'groupBy' is used")
         aggregation.foreach { a =>
           if (!Aggregations.contains(a))
             throw new SpecValidationError(
-              s"Table '$tname': invalid aggregation '$a', must be one of ${Aggregations.mkString(", ")}")
+              s"adtl.tables.$tname.aggregation\n  Input should be 'lastNotNull' or 'applyCombinedType'")
         }
+        if (kind == "groupBy") {
+          if (groupBy.isEmpty)
+            throw new SpecValidationError("groupBy key is required for 'groupBy' tables")
+          if (aggregation.isEmpty)
+            throw new SpecValidationError("aggregation is required for 'groupBy' tables")
+        }
+        if (kind == "oneToMany" && meta.get("discriminator").isEmpty)
+          throw new SpecValidationError(
+            "'discriminator' is required for 'oneToMany' tables")
         tname -> TableMeta(
           name = tname,
           kind = kind,

@@ -41,6 +41,52 @@ object Transformations {
 
   def newRegistry(): Registry = new Registry
 
+  /** JVM analogue of the reference's `--include-transform file.py`
+    * (parser.py:197-240): a named bundle of transform functions. Resolved
+    * by provider name (programmatic registration or ServiceLoader) or by
+    * fully-qualified class name. */
+  trait TransformProvider {
+    def name: String
+    def transforms: Map[String, TransformFn]
+  }
+
+  private val providerRegistry =
+    scala.collection.mutable.LinkedHashMap[String, TransformProvider]()
+
+  def registerProvider(p: TransformProvider): Unit =
+    providerRegistry.synchronized { providerRegistry(p.name) = p }
+
+  /** Resolve by registered/ServiceLoader provider name, else try the
+    * argument as a class name. Mirrors the reference's FileNotFoundError
+    * message shape on failure. */
+  def resolveProvider(name: String): TransformProvider = {
+    providerRegistry.synchronized(providerRegistry.get(name)).getOrElse {
+      val fromSpi = {
+        import scala.jdk.CollectionConverters._
+        java.util.ServiceLoader.load(classOf[TransformProvider])
+          .iterator().asScala.find(_.name == name)
+      }
+      fromSpi.getOrElse {
+        try Class.forName(name).getDeclaredConstructor()
+          .newInstance().asInstanceOf[TransformProvider]
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            throw new java.io.FileNotFoundException(s"No such file: $name")
+        }
+      }
+    }
+  }
+
+  /** Registry with a provider's functions layered on the builtins (the
+    * reference warns on overwrite; Registry.register does the same). */
+  def registryWith(providerName: String): Registry = {
+    val reg = newRegistry()
+    resolveProvider(providerName).transforms.foreach { case (n, fn) =>
+      reg.register(n, fn)
+    }
+    reg
+  }
+
   // ---- helpers ----------------------------------------------------------
 
   private def pcol(p: TParam): Column = p match {

@@ -109,7 +109,7 @@ object EngineQueries {
   private val oneToManySpec =
     """{
       |  "adtl": {"name": "orders", "description": "order observations", "tables": {
-      |    "obs": {"kind": "oneToMany", "common": {"dataset": "orders_v1"}}}},
+      |    "obs": {"kind": "oneToMany", "discriminator": "name", "common": {"dataset": "orders_v1"}}}},
       |  "obs": [
       |    {"if": {"status": {"!=": ""}}, "name": "status", "value": {"field": "status"}},
       |    {"if": {"total": {">": 200000.0}}, "name": "high_value", "value": {"field": "total"}},

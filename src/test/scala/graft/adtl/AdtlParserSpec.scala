@@ -91,7 +91,7 @@ class AdtlParserSpec extends SparkSpec {
     val spec =
       """{
         |  "adtl": {"name": "s", "description": "d", "tables": {
-        |    "observation": {"kind": "oneToMany", "common": {"dataset": "D1"}}}},
+        |    "observation": {"kind": "oneToMany", "discriminator": "name", "common": {"dataset": "D1"}}}},
         |  "observation": [
         |    {"if": {"headache": "1"}, "name": "headache", "is_present": true,
         |     "date": {"field": "dt"}},
@@ -125,7 +125,7 @@ class AdtlParserSpec extends SparkSpec {
     val spec =
       """{
         |  "adtl": {"name": "s", "description": "d", "tables": {
-        |    "obs": {"kind": "oneToMany"}}},
+        |    "obs": {"kind": "oneToMany", "discriminator": "name"}}},
         |  "obs": [
         |    {"for": {"n": {"range": [1, 3]}},
         |     "if": {"fever_{n}": "1"}, "name": "fever", "visit": "{n}"}

@@ -126,10 +126,10 @@ class EndToEndSpec extends SparkSpec {
       .contains("invalid kind"))
     assert(err("""{"adtl": {"name": "x", "description": "d",
         "tables": {"t": {"kind": "groupBy", "groupBy": "id"}}}, "t": {}}""")
-      .contains("'aggregation' must be specified"))
+      .contains("aggregation is required for 'groupBy' tables"))
     assert(err("""{"adtl": {"name": "x", "description": "d",
         "tables": {"t": {"kind": "oneToOne"}}}}""")
-      .contains("Missing required table 't'"))
+      .contains("Parser specification missing tables: t"))
   }
 
   test("missing source column surfaces 'Column not found' at plan compile") {

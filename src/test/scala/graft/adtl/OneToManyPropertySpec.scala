@@ -102,7 +102,7 @@ class OneToManyPropertySpec extends SparkSpec {
     }.mkString("[", ",", "]")
     val spec =
       s"""{"adtl": {"name": "s", "description": "d",
-          "tables": {"obs": {"kind": "oneToMany", "common": {"ds": "D"}}}},
+          "tables": {"obs": {"kind": "oneToMany", "discriminator": "name", "common": {"ds": "D"}}}},
           "obs": $entryJson}"""
 
     val rows = (0 until 80).map(_ => fields.map(_ => valuePool(rng.nextInt(valuePool.length))))

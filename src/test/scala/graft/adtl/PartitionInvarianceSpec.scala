@@ -53,7 +53,7 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("oneToMany output multiset is partition-invariant") {
     val spec2 =
       """{
-        |  "adtl": {"name": "s", "description": "d", "tables": {"o": {"kind": "oneToMany"}}},
+        |  "adtl": {"name": "s", "description": "d", "tables": {"o": {"kind": "oneToMany", "discriminator": "name"}}},
         |  "o": [{"if": {"sex": "1"}, "name": "male_visit", "date": {"field": "vdate"}},
         |        {"if": {"code": {"=~": "C1"}}, "name": "c1x", "v": {"field": "code"}}]
         |}""".stripMargin

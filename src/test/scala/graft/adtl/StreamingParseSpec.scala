@@ -20,7 +20,7 @@ class StreamingParseSpec extends SparkSpec {
     val parser = AdtlParser.fromJsonString(
       """{
         |  "adtl": {"name": "s", "description": "d", "tables": {
-        |    "obs": {"kind": "oneToMany", "common": {"dataset": "D1"}}}},
+        |    "obs": {"kind": "oneToMany", "discriminator": "name", "common": {"dataset": "D1"}}}},
         |  "obs": [
         |    {"if": {"headache": "1"}, "name": "headache", "date": {"field": "dt"}},
         |    {"if": {"cough": "1"}, "name": "cough", "date": {"field": "dt"}}
