@@ -26,14 +26,72 @@ object Multimodal {
     df.withColumn("payload", to_binary(sha2(concat(col(idCol).cast("string"),
       lit(":"), col(textCol)), 256), lit("hex")))
 
-  /** STUB decode ??? — replace with a real codec (e.g. javacv) in
-    * production. Deterministic fake: metadata derived from payload bytes. */
+  /** STUB decode ??? — replace with a real codec (e.g. javacv) for media
+    * formats the JDK can't read. Deterministic fake: metadata derived from
+    * the payload bytes. */
   def decodeStub(payload: Array[Byte]): MediaMeta = {
     // ??? real decoder goes here; fake derives dimensions from the payload
     val b0 = payload(0) & 0xff
     val b1 = payload(1) & 0xff
     MediaMeta(width = 320 + (b0 % 5) * 160, height = 240 + (b1 % 5) * 120,
       nChannels = 3, format = "fake/rgb8")
+  }
+
+  private def looksLikePng(p: Array[Byte]): Boolean =
+    p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+
+  /** REAL decode for JDK-supported image formats (PNG/JPEG/GIF/BMP via
+    * javax.imageio — ships with the JDK, no external codec): width, height
+    * and channel count come from the actual decoded image. Unrecognized
+    * payloads fall back to the clearly-marked stub. */
+  def decodeMedia(payload: Array[Byte]): MediaMeta = {
+    val isJpeg = payload.length > 3 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+    val isGif = payload.length > 3 &&
+      payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'
+    if (looksLikePng(payload) || isJpeg || isGif) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img != null)
+        return MediaMeta(img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents,
+          if (looksLikePng(payload)) "image/png"
+          else if (isJpeg) "image/jpeg" else "image/gif")
+    }
+    decodeStub(payload)
+  }
+
+  /** Encode a tiny real PNG with deterministic pixels (test/data-gen aid;
+    * runs distributed inside mapPartitions). */
+  def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (seed * 2654435761L + x * 31 + y * 17).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (id, payload) frame of real PNG payloads, sized deterministically from
+    * the id — a stand-in for a parquet binary column of actual images. */
+  def pngPayloads(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 2 + (id % 6).toInt
+          val h = 2 + (id % 4).toInt
+          (id, pngBytes(w, h, id))
+        }
+      }
+      .toDF(idCol, "payload")
   }
 
   /** STUB feature extractor: an 8-dim float vector folded from the payload
@@ -58,7 +116,7 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init would happen here
         it.map { case (id, payload) =>
-          DecodedDoc(id, decodeStub(payload), featureStub(payload)) }
+          DecodedDoc(id, decodeMedia(payload), featureStub(payload)) }
       }
   }
 

@@ -112,6 +112,19 @@ class OpsSpec extends SparkSpec {
     assert(ivfS.size == 50)
   }
 
+  test("multimodal: real PNG payloads decode width/height from actual bytes") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val pngs = Multimodal.pngPayloads(spark, d, "doc_id")
+    val decoded = Multimodal.decodeImages(spark, pngs, "doc_id").collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      assert(r.meta.format == "image/png")
+      assert(r.meta.width == 2 + (r.doc_id % 6).toInt) // true decoded size
+      assert(r.meta.height == 2 + (r.doc_id % 4).toInt)
+      assert(r.meta.nChannels == 3)
+    }
+  }
+
   test("multimodal: partition-batched decode matches the expression path") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val withPayload = Multimodal.withFakePayload(d, "doc_id", "text")
