@@ -159,7 +159,16 @@ final class AdtlParser private (
     Uuid5Expr.register(spark) // codegen'd uuid5 for generate rules
     var df = orderCol match {
       case Some(c) => source.withColumn(ROW_ID, col(c).cast("long"))
-      case None => source.withColumn(ROW_ID, monotonically_increasing_id())
+      case None =>
+        if (spec.tables.values.exists(_.kind == "groupBy"))
+          System.err.println(
+            "Warning: groupBy tables use scan order as \"file order\" " +
+              "(monotonically_increasing_id). That is only the reference's file " +
+              "order while a single ordered scan produces ascending partition " +
+              "indexes — under splittable multi-file reads pass orderCol (an " +
+              "explicit sequence column) for deterministic lastNotNull/" +
+              "firstNonNull/list semantics at scale.")
+        source.withColumn(ROW_ID, monotonically_increasing_id())
     }
     spec.header.emptyFields.foreach { sentinel =>
       df = df.select(df.columns.map { c =>
@@ -448,7 +457,8 @@ final class AdtlParser private (
               .otherwise(concat(lit("'"), x, lit("'"))))
           when(col(c).isNotNull, concat(lit("["), array_join(items, ", "), lit("]")))
         case org.apache.spark.sql.types.BooleanType =>
-          when(col(c), "True").otherwise("False")
+          when(col(c).isNull, lit(null).cast("string"))
+            .when(col(c), "True").otherwise("False")
         case _ => col(c).cast("string")
       }).as(c)
     }: _*)

@@ -189,11 +189,14 @@ final class RuleCompiler(
       if (caseInsensitive) values.toSeq.map { case (k, v) => k.toLowerCase -> v }
       else values.toSeq
 
-    // unify mapped-value type; under pass-through the raw (string) key can
-    // flow out beside mapped values, so the column degrades to string with
-    // Python-rendered mapped values (True/False, ints without .0)
-    val allBool = entries.nonEmpty && entries.forall(_._2.isInstanceOf[Boolean])
-    val allNum = entries.nonEmpty && entries.forall(v =>
+    // unify mapped-value type (null mappings are type-neutral — a map of
+    // booleans + None must stay boolean, or any/all would see a rendered
+    // "False" string as truthy); under pass-through the raw (string) key
+    // can flow out beside mapped values, so the column degrades to string
+    // with Python-rendered mapped values (True/False, ints without .0)
+    val nonNull = entries.filter(_._2 != null)
+    val allBool = nonNull.nonEmpty && nonNull.forall(_._2.isInstanceOf[Boolean])
+    val allNum = nonNull.nonEmpty && nonNull.forall(v =>
       v._2.isInstanceOf[Long] || v._2.isInstanceOf[Double] || v._2.isInstanceOf[Int])
     val outVt =
       if (passthrough) VStr
@@ -412,7 +415,11 @@ final class RuleCompiler(
           val isFalseLike = excludeWhen.contains("false-like")
           sub match {
             case CV(c, VArr, _, _) =>
-              val base = c.cast("array<string>")
+              // a null sub-value contributes the element None (the
+              // reference's flatten keeps it); a null sub-array must not
+              // null the whole flatten
+              val base = when(c.isNull, array(lit(null).cast("string")))
+                .otherwise(c.cast("array<string>"))
               if (isFalseLike)
                 filter(base, x => coalesce(truthyStr(x) && x =!= "False", lit(false)))
               else base
@@ -466,7 +473,8 @@ final class RuleCompiler(
   /** Render a typed value as its Python-str CSV form: ints without decimal
     * point, floats with, True/False booleans. */
   private def renderString(cv: CV): Column = cv.vt match {
-    case VBool => when(cv.col, "True").otherwise("False")
+    case VBool => when(cv.col.isNull, lit(null).cast("string"))
+      .when(cv.col, "True").otherwise("False")
     case VDbl => fmtNum(cv.col)
     case VLong => cv.col.cast("string")
     case VArr => cv.col.cast("string")
@@ -476,7 +484,8 @@ final class RuleCompiler(
   /** Python str(value) rendering where floats KEEP their ".0" (sensitive
     * hashing, which hashes str(value) directly with no int auto-cast). */
   private def renderPyStr(cv: CV): Column = cv.vt match {
-    case VBool => when(cv.col, "True").otherwise("False")
+    case VBool => when(cv.col.isNull, lit(null).cast("string"))
+      .when(cv.col, "True").otherwise("False")
     case VDbl => pyNumStr(cv.col)
     case _ => cv.col.cast("string")
   }

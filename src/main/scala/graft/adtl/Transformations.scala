@@ -185,16 +185,25 @@ object Transformations {
       val setDecimal = Option(optLit(ps, 0, null)).map(_.toString)
       val separator = Option(optLit(ps, 1, null)).map(_.toString)
       var x = regexp_replace(regexp_replace(v, "^\"|\"$", ""), " ", "")
+      var intPart: Column = null
+      var fracPart: Column = null
       setDecimal.foreach { dec =>
         // str.partition splits at the FIRST occurrence (the reference's
         // comment claims "last" but partition() is first-match), and always
         // re-joins with '.' — "15" becomes "15." (still parses as 15.0)
         val pre = substring_index(x, dec, 1)
         val rest = x.substr(length(pre) + lit(dec.length + 1), length(x))
+        intPart = pre
+        fracPart = rest
         x = concat(pre, lit("."), rest)
       }
-      separator.filter(_ != ".").foreach { sep =>
-        x = regexp_replace(x, java.util.regex.Pattern.quote(sep), "")
+      separator.foreach { sep =>
+        if (sep != ".")
+          x = regexp_replace(x, java.util.regex.Pattern.quote(sep), "")
+        else if (intPart != null)
+          // '.' thousands separators strip from the integer part only,
+          // preserving the decimal point re-inserted by set_decimal
+          x = concat(regexp_replace(intPart, "\\.", ""), lit("."), fracPart)
       }
       val nums = regexp_extract_all(x, lit("[-+]?\\d*\\.?\\d+"), lit(0))
       val parsed = when(size(nums) === 1, element_at(nums, 1).cast("double"))

@@ -350,15 +350,25 @@ object Dedup {
   // ---- embedding near-dup -----------------------------------------------
 
   /** Embedding-cosine near-duplicates among pairs sharing a coarse bucket
-    * (label column as the inverted-file cell). */
+    * (label column as the inverted-file cell). Vectors ride packed as
+    * binary with per-row precomputed norms; the per-pair dot runs in a
+    * kernel bit-identical to the declarative sequential fold — the
+    * interpreted zip_with/aggregate pair fold dominated otherwise. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, threshold: Double = 0.95): DataFrame = {
+    val spark = df.sparkSession
+    val vd = Similarity.toDouble(col(vecCol))
     val v = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
-      Similarity.toDouble(col(vecCol)).as("v"))
-    val a = v.select(col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
+      graft.functions.PackedDoubles.packCol(spark, vd).as("v"),
+      Similarity.norm(vd).as("nrm"))
+    val a = v.select(col("bkt"), col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"))
+    val b = v.select(col("bkt"), col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"))
     a.join(b.hint("SHUFFLE_HASH"), Seq("bkt")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine",
+        graft.functions.PackedDoubles.dotCol(spark, col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select("bkt", "id_a", "id_b", "cosine")
   }

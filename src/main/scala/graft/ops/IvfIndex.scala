@@ -34,13 +34,13 @@ object IvfIndex {
       .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
         .getField("m").as("centroid"))
 
-  private def nearestCell(v: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
-    val scored = centroids.map { case (cell, c) =>
-      struct((lit(-1.0) * dotD(v, array(c.map(lit): _*))).as("negSim"),
-        lit(cell).as("cell"))
-    }
-    array_min(array(scored: _*)).getField("cell")
-  }
+  /** Argmin assignment via a single kernel over the centroid matrix (a
+    * task-broadcast reference, not nCells × dim literal expressions —
+    * which would be pathological at real IVF sizes). Bit-identical to the
+    * declarative struct-min form (same fold order, ties to smaller cell). */
+  private def nearestCell(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    graft.functions.NearestCellExpr.nearestCell(
+      org.apache.spark.sql.SparkSession.active, v, centroids)
 
   /** Build the index: returns (assignments(cell, id, v), centroids).
     *
