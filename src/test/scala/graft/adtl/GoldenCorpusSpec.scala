@@ -154,6 +154,53 @@ class GoldenCorpusSpec extends SparkSpec {
       snapshot("test_parser.ambr", "test_return_unmapped"))
   }
 
+  test("golden: web schema fetched (epoch-web-schema.json + stub server)") {
+    // test_adtl_cli.py::test_parse_web_schema — schema served over HTTP
+    val schemaBody = Files.readString(
+      Paths.get(s"$golden/schemas/epoch-data.schema.json"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/epoch-data.schema.json",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = schemaBody.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/epoch-data.schema.json"
+      val spec = Files.readString(Paths.get(s"$golden/parsers/epoch-web-schema.json"))
+        .replace("http://example.com/schemas/epoch-data.schema.json", url)
+      val p = AdtlParser.fromSpec(SpecLoader.parseJson(spec))
+      val tables = p.parseCsv(spark, s"$golden/sources/epoch.csv")
+      assertCsv(csvLines(p, tables("table")),
+        snapshot("test_adtl_cli.ambr", "test_parse_web_schema"))
+    } finally server.stop(0)
+  }
+
+  test("golden: unreachable web schema skips validation AND date conversion") {
+    // test_adtl_cli.py::test_parse_web_schema_missing — no schema means no
+    // date fields, so dates pass through raw and no adtl_valid column
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/epoch-data.schema.json",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(404, -1)
+        ex.close()
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/epoch-data.schema.json"
+      val spec = Files.readString(Paths.get(s"$golden/parsers/epoch-web-schema.json"))
+        .replace("http://example.com/schemas/epoch-data.schema.json", url)
+      val p = AdtlParser.fromSpec(SpecLoader.parseJson(spec))
+      val tables = p.parseCsv(spark, s"$golden/sources/epoch.csv")
+      assertCsv(csvLines(p, tables("table")),
+        snapshot("test_adtl_cli.ambr", "test_parse_web_schema_missing"))
+    } finally server.stop(0)
+  }
+
   // ---- row-level tests (test_parser.py expectations) --------------------
 
   test("golden: constant table (constant.json)") {
