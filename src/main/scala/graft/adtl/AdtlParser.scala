@@ -36,8 +36,10 @@ final class AdtlParser private (
 
   val spec: AdtlSpec = {
     val header0 = Header(rawSpec0.getOrElse("adtl",
-      throw new SpecValidationError("Specification requires an 'adtl' header block"))
+      throw new SpecValidationError("adtl\n  Field required"))
       .asInstanceOf[Raw])
+    header0.name // eager field checks, pydantic-message parity
+    header0.description
     val tables = header0.tables // validates kinds/aggregations
 
     // document-level checks with reference-parity messages
@@ -52,6 +54,13 @@ final class AdtlParser private (
       if (extra.nonEmpty)
         throw new SpecValidationError(
           s"Parser specification has tables not defined in the header: ${extra.mkString(", ")}")
+      bodyKeys.foreach { k =>
+        rawSpec0(k) match {
+          case _: Raw @unchecked | _: List[_] =>
+          case _ => throw new SpecValidationError(
+            s"Table '$k' must be either a dict (constant, groupBy, oneToOne tables) or a list (oneToMany)")
+        }
+      }
       val badLong = tables.collect {
         case (t, m) if rawSpec0(t).isInstanceOf[List[_]] && m.kind != "oneToMany" => t
       }

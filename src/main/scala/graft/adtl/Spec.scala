@@ -26,9 +26,9 @@ object Spec {
 
   final case class Header(raw: Raw) {
     def name: String = raw.get("name").map(_.toString).getOrElse(
-      throw new SpecValidationError("Specification header requires 'name'"))
+      throw new SpecValidationError("adtl.name\n  Field required"))
     def description: String = raw.get("description").map(_.toString).getOrElse(
-      throw new SpecValidationError("Specification header requires 'description'"))
+      throw new SpecValidationError("adtl.description\n  Field required"))
     def defs: Raw = raw.getOrElse("defs", Map.empty[String, Any]).asInstanceOf[Raw]
     def includeDefs: List[String] =
       raw.getOrElse("include-def", Nil) match {

@@ -361,6 +361,40 @@ class GoldenCorpusSpec extends SparkSpec {
         "treatment_antiviral_type" -> "[Ribavirin]")))
   }
 
+  // ---- defs / include-def expansion (test_spec_refs_and_defs.py) --------
+
+  test("golden: defs expand to the same parse as inline rules (groupBy-defs)") {
+    val src = srcDf("sex", "subjid", "dsstdat", "hostdat")(
+      Seq("1", "S007", "2020-05-06", "2020-06-08"),
+      Seq("2", "S001", "2022-01-11", "2020-06-08"))
+    val plain = parserFor("groupBy.json")
+    val withDefs = parserFor("groupBy-defs.json")
+    assertCsv(csvLines(withDefs, withDefs.parseDataFrame(spark, src)("subject")),
+      csvLines(plain, plain.parseDataFrame(spark, src)("subject")))
+  }
+
+  test("golden: include-def files splice into defs (groupBy-defs-include)") {
+    val src = srcDf("sex", "subjid", "dsstdat", "hostdat")(
+      Seq("1", "S007", "2020-05-06", "2020-06-08"),
+      Seq("2", "S001", "2022-01-11", "2020-06-08"))
+    val inline = parserFor("groupBy-defs.toml")
+    val included = parserFor("groupBy-defs-include.toml")
+    assertCsv(csvLines(included, included.parseDataFrame(spark, src)("subject")),
+      csvLines(inline, inline.parseDataFrame(spark, src)("subject")))
+  }
+
+  test("golden: external defs require include_defs (groupBy-external-defs)") {
+    intercept[Spec.SpecValidationError] {
+      parserFor("groupBy-external-defs.toml")
+    }
+    val p = AdtlParser.fromFile(s"$golden/parsers/groupBy-external-defs.toml",
+      includeDefs = List(s"$golden/parsers/include-def.toml"))
+    val src = srcDf("sex", "subjid", "dsstdat", "hostdat")(
+      Seq("1", "S007", "2020-05-06", "2020-06-08"))
+    val r = collectRows(p.parseDataFrame(spark, src)("subject"))
+    assert(r.head("sex_at_birth") == "male")
+  }
+
   // ---- generate: uuid5 (onetomany_generate.toml ↔ .ambr) ----------------
 
   test("golden: uuid5 generation matches reference byte-for-byte") {

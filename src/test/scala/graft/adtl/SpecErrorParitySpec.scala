@@ -65,4 +65,13 @@ class SpecErrorParitySpec extends AnyFunSuite {
     assert(err(spec).contains(
       "Parser specification has tables not defined in the header: table-2"))
   }
+
+  // test_spec_refs_and_defs.py:73-96 — header/field errors
+  test("no-header, malformed-header, non-collection table body") {
+    assert(err(Map.empty).contains("adtl\n  Field required"))
+    assert(err(Map("adtl" -> Map("name" -> "spec_without_tables")))
+      .contains("adtl.description\n  Field required"))
+    val spec = header("table-1" -> Map("kind" -> "constant")) + ("table-1" -> (5L: Any))
+    assert(err(spec).contains("Table 'table-1' must be either"))
+  }
 }
