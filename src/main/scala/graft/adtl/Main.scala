@@ -99,18 +99,23 @@ object Main {
     }
   }
 
-  private def printReport(report: Map[String, (Long, Long, Map[String, Long])]): Unit = {
+  /** show_report format parity (parser.py:845-863): Python's `{x:%}` ratio
+    * formatting is six decimals + '%'. */
+  private[adtl] def printReport(
+      report: Map[String, (Long, Long, Map[String, Long])]): Unit = {
     if (report.nonEmpty) {
       println("\n|table       \t|valid\t|total\t|percentage_valid|")
       println("|---------------|-------|-------|----------------|")
       report.foreach { case (t, (valid, total, _)) =>
-        val pct = if (total > 0) f"${100.0 * valid / total}%.2f%%" else "-"
+        val pct = if (total > 0) f"${100.0 * valid / total}%.6f%%" else "-"
         println(f"|$t%-14s\t|$valid\t|$total\t|$pct |")
       }
+      println()
       report.foreach { case (t, (_, _, errors)) =>
         if (errors.nonEmpty) {
-          println(s"\n## $t\n")
+          println(s"## $t\n")
           errors.toSeq.sortBy(-_._2).foreach { case (m, c) => println(s"* $c: $m") }
+          println()
         }
       }
     }

@@ -361,6 +361,22 @@ class GoldenCorpusSpec extends SparkSpec {
         "treatment_antiviral_type" -> "[Ribavirin]")))
   }
 
+  test("golden: show_report markdown format (test_show_report)") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.printReport(Map("table" -> ((8L, 10L, Map(
+        "data must be valid exactly by one definition (0 matches found)" -> 1L,
+        "data must contain ['epoch'] properties" -> 1L)))))
+    }
+    val actual = buf.toString("UTF-8").split("\n", -1).toList
+      .reverse.dropWhile(_.isEmpty).reverse
+    val expected = snapshot("test_parser.ambr", "test_show_report")
+    // tie-broken error ordering is map-order dependent — compare the exact
+    // header/table lines, and the error bullets as a set
+    assert(actual.take(5) == expected.take(5))
+    assert(actual.drop(5).toSet == expected.drop(5).toSet)
+  }
+
   // ---- defs / include-def expansion (test_spec_refs_and_defs.py) --------
 
   test("golden: defs expand to the same parse as inline rules (groupBy-defs)") {
