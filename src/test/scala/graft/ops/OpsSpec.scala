@@ -188,6 +188,45 @@ class OpsSpec extends SparkSpec {
     assert(outB == out)
   }
 
+  test("sessionize streaming: GroupState carries across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("sessstream").toString
+    // two files → two micro-batches with maxFilesPerTrigger=1; user 1's
+    // session state must carry across the batch boundary
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val dir = s"$tmp/stage-$name"
+      rows.toDF("user_id", "ts_s").coalesce(1).write.parquet(dir)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+        .map(_.toString).find(_.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$tmp/src/$name.parquet"))
+    }
+    stage("f1", Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00")))
+    stage("f2", Seq((1L, "2024-01-01 00:20:00"), (1L, "2024-01-01 03:00:00"),
+      (2L, "2024-01-01 00:00:00")))
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val q = Streaming.sessionizeStream(spark, stream, gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // latest update per user = final running counts
+    val last = spark.sql(
+      "SELECT user_id, n_sessions, n_events FROM sess_stream").collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) =>
+        u -> rows.map(r => (r.getLong(1), r.getLong(2))).maxBy(_._2)
+      }
+    // user 1: events at 00:00, 00:10, 00:20 (one session) + 03:00 (new) = 2
+    assert(last(1L) == (2L, 4L))
+    assert(last(2L) == (1L, 1L))
+  }
+
   test("text quality: clean prose scores higher than repetitive junk") {
     val df = docs(
       1L -> "the quick brown fox jumps over a lazy dog and runs to the river in the morning light",
