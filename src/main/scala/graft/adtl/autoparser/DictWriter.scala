@@ -1,23 +1,30 @@
 package graft.adtl.autoparser
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Data-dictionary inference (autoparser G1) as a distributed Spark job —
-  * the only autoparser component that touches data. Mirrors the behavior of
+  * the only autoparser component that touches data. Faithful to
   * DictWriter.create_dict (/root/reference/src/adtl/autoparser/
   * dict_writer.py:84-185; studied, not copied):
   *
-  *  - dtype → {string, number, date, boolean, list} field types
-  *  - "common values": distinct values whose total frequency passes a
-  *    threshold, suppressed when the column looks free-text/identifier-like
-  *    (privacy guard: more than maxCommonCount distinct or > 30% of rows)
-  *  - bracketed/comma list-column detection from value shapes
+  *  - field type from the frame's dtype (numeric → number, timestamp →
+  *    date, boolean → boolean, everything else string);
+  *  - a string column whose values contain '[' or ',' is a LIST column:
+  *    values split on commas (brackets stripped, elements trimmed) and the
+  *    elements re-counted;
+  *  - "common values": the distinct values, frequency-descending with
+  *    first-appearance tie-break, kept only when (after an optional
+  *    minimum-frequency filter) there are ≤ maxCommonCount of them;
+  *    singleton values are dropped — the reference's privacy guard against
+  *    emitting identifier-like columns;
+  *  - small datasets (maxCommonCount > 30% of rows) reduce the cap and
+  *    force a 5% minimum frequency, as the reference warns and does.
   *
-  * One pass for types + one aggregation per column batch for value counts;
-  * scales linearly — no collect of raw data, only of the (small) distinct
-  * value summaries.
+  * Per column: one aggregation over (value, count, first-seen) and a
+  * driver collect only when the distinct count is under the cap — no raw
+  * data is ever collected, so the pass scales linearly.
   */
 object DictWriter {
 
@@ -28,47 +35,55 @@ object DictWriter {
 
   def createDict(
       spark: SparkSession, df: DataFrame,
-      maxCommonCount: Int = 25, minCommonFrac: Double = 0.001): List[FieldInfo] = {
+      maxCommonCount: Int = 8,
+      minCommonFreq: Option[Double] = None): List[FieldInfo] = {
     val n = df.count().max(1L)
+    val (maxCc, minFreq) =
+      if (n * 0.3 < maxCommonCount) {
+        System.err.println(
+          s"Warning: Small Dataset: max_common_count of '$maxCommonCount' is too " +
+            s"high for a dataset with $n rows. Reducing to ${n * 0.3} and " +
+            "setting the minimum frequency to 5% of the dataset.")
+        (n * 0.3, Some(0.05))
+      } else (maxCommonCount.toDouble, minCommonFreq)
+    val rid = monotonically_increasing_id()
+
     df.schema.fields.toList.map { f =>
-      val c = col(f.name)
-      val inferredType = f.dataType match {
+      val baseType = f.dataType match {
         case _: NumericType => "number"
-        case BooleanType => "boolean"
         case DateType | TimestampType => "date"
-        case _: ArrayType => "list"
-        case _ =>
-          // string columns: probe value shapes on a sample
-          val sample = df.select(c.cast("string").as("v"))
-            .filter(col("v").isNotNull && col("v") =!= "").limit(1000)
-          val shapes = sample.select(
-            sum(when(col("v").rlike("^-?\\d+(\\.\\d+)?$"), 1).otherwise(0)).as("num"),
-            sum(when(col("v").rlike("^\\d{4}-\\d{2}-\\d{2}") ||
-              col("v").rlike("^\\d{1,2}/\\d{1,2}/\\d{2,4}$"), 1).otherwise(0)).as("date"),
-            sum(when(col("v").rlike("^\\[.*\\]$") || col("v").contains(","), 1).otherwise(0)).as("lst"),
-            count(lit(1)).as("n")).collect()(0)
-          val total = shapes.getAs[Long]("n").max(1L)
-          if (shapes.getAs[Long]("num") == total) "number"
-          else if (shapes.getAs[Long]("date") == total) "date"
-          else if (shapes.getAs[Long]("lst").toDouble / total > 0.8) "list"
-          else "string"
+        case BooleanType => "boolean"
+        case _ => "string"
       }
-      val common: List[String] =
-        if (inferredType == "number" || inferredType == "date") Nil
-        else {
-          val counts = df.select(c.cast("string").as("v"))
-            .filter(col("v").isNotNull && col("v") =!= "")
-            .groupBy("v").count()
-            .orderBy(col("count").desc, col("v"))
-            .limit(maxCommonCount + 1)
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toList
-          // privacy guard: identifier-like columns (too many distinct values)
-          // never emit value lists
-          if (counts.length > maxCommonCount) Nil
-          else if (counts.map(_._2).sum.toDouble / n < 0.3) Nil
-          else counts.filter(_._2.toDouble / n >= minCommonFrac).map(_._1).sorted
+      if (baseType != "string") FieldInfo(f.name, baseType, Nil)
+      else {
+        val c = col(f.name).cast("string")
+        val present = df.select(c.as("v"), rid.as("r"))
+          .filter(col("v").isNotNull && col("v") =!= "")
+        val isList = present
+          .filter(col("v").contains("[") || col("v").contains(","))
+          .limit(1).count() > 0
+        val values =
+          if (isList)
+            present.select(explode(transform(
+              split(regexp_replace(col("v"), "^[\\[\\]]+|[\\[\\]]+$", ""), ","),
+              x => trim(x))).as("v"), col("r"))
+          else present
+        var counts = values.groupBy("v")
+          .agg(count(lit(1)).as("cnt"), min(col("r")).as("first_seen"))
+        minFreq.foreach { mf =>
+          counts = counts.filter(col("cnt") > math.max(1.0, n * mf))
         }
-      FieldInfo(f.name, inferredType, common)
+        // privacy guard: collect only when the distinct count is under the
+        // cap — identifier-like columns never reach the driver
+        val distinctCount = counts.count()
+        val common: List[String] =
+          if (distinctCount == 0 || distinctCount > maxCc) Nil
+          else counts.filter(col("cnt") > 1)
+            .orderBy(col("cnt").desc, col("first_seen").asc)
+            .collect().map(_.getString(0)).toList
+        FieldInfo(f.name, if (isList) "list" else "string", common)
+      }
     }
   }
 

@@ -66,6 +66,12 @@ class SpecErrorParitySpec extends AnyFunSuite {
       "Parser specification has tables not defined in the header: table-2"))
   }
 
+  test("unsupported spec format (epoch.yml)") {
+    val e = intercept[IllegalArgumentException](
+      AdtlParser.fromFile("src/test/resources/golden/parsers/epoch.yml"))
+    assert(e.getMessage.contains("Unsupported file format"))
+  }
+
   // test_spec_refs_and_defs.py:73-96 — header/field errors
   test("no-header, malformed-header, non-collection table body") {
     assert(err(Map.empty).contains("adtl\n  Field required"))
