@@ -1,0 +1,149 @@
+package graft.adtl.autoparser
+
+import graft.adtl.{Spec, SpecLoader}
+import Spec.Raw
+
+/** Mapping-table → parser-spec generation (autoparser G5), faithful to the
+  * reference's WideTableParser (/root/reference/src/adtl/autoparser/
+  * make_toml.py:72-160 and util.py:49-88; studied, not copied):
+  *
+  *  - `value_mapping` strings ("oui=True | non=False | autre=None") parse
+  *    to value maps with True/False/""-for-None coercions and bracketed
+  *    lists split;
+  *  - value maps repeated across fields are hoisted into shared defs: the
+  *    first boolean map becomes the `Y/N/NK` ref, other repeated maps are
+  *    named by joining their target values with '/';
+  *  - per-field rules carry field + description, a ref or an inline
+  *    caseInsensitive values map, and `type = enum_list` when the target
+  *    schema type includes "array";
+  *  - mapping rows without a source field are dropped, then any REQUIRED
+  *    schema field still missing becomes an empty-string constant.
+  */
+object MappingParser {
+
+  final case class MappingRow(
+      targetField: String,
+      sourceDescription: Option[String],
+      sourceField: Option[String],
+      valueMapping: Option[String])
+
+  /** "a=b | c=d" → value map (util.py:49-88). */
+  def parseMappedValues(s: String): Raw = {
+    // split on '|' except inside [...] lists
+    val parts = s.split("\\|(?![^\\[]*\\])").toList
+    val pairs = parts.map { p =>
+      val kv = p.trim.split("=", -1)
+      if (kv.length != 2)
+        throw new IllegalArgumentException(
+          s"autoparser: Invalid choices list for value mapping ${kv.toList}")
+      kv(0) -> kv(1)
+    }
+    val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+    pairs.foreach { case (k, v) =>
+      val value: Option[Any] = v.toLowerCase match {
+        case "true" => Some(true)
+        case "false" => Some(false)
+        case "none" => if (k.isEmpty) None else Some("")
+        case "" if k.isEmpty => None
+        case _ if v.contains("[") && v.contains("]") =>
+          Some(v.stripPrefix("[").stripSuffix("]").replace(" ", "").split(",").toList)
+        case _ => Some(v)
+      }
+      value.foreach(out(k) = _)
+    }
+    out.toMap
+  }
+
+  private def canon(m: Raw): String = SpecLoader.canonicalJson(m)
+
+  /** Repeated value maps → (canonical-json → ref name, def name → def body)
+    * (make_toml.py:85-116). Maps are counted structurally; count-descending
+    * with first-appearance tie-break; only the first boolean map gets a
+    * ref (`Y/N/NK`). */
+  def refsDefs(choices: List[Raw], numRefs: Int): (Map[String, String], Raw) = {
+    val order = choices.map(canon).zipWithIndex.groupBy(_._1)
+      .map { case (k, xs) => (k, xs.length, xs.map(_._2).min) }.toList
+      .sortBy { case (_, cnt, first) => (-cnt, first) }
+    val byCanon = choices.map(m => canon(m) -> m).toMap
+    val top = order.filter(_._2 > 1).take(numRefs).map(_._1)
+    var references = Map.empty[String, String]
+    var definitions = Map.empty[String, Any]
+    var booleanFound = false
+    top.foreach { key =>
+      val mapping = byCanon(key)
+      val isBool = mapping.values.exists(_ == true)
+      if (!(booleanFound && isBool)) {
+        if (isBool) {
+          references += key -> "Y/N/NK"
+          definitions += "Y/N/NK" -> Map(
+            "caseInsensitive" -> true, "values" -> mapping)
+          booleanFound = true
+        } else {
+          val name = mapping.values.map(String.valueOf).mkString("/")
+          references += key -> name
+          definitions += name -> Map("values" -> mapping, "caseInsensitive" -> true)
+        }
+      }
+    }
+    (references, definitions)
+  }
+
+  /** Wide-table body + shared defs from mapping rows
+    * (make_toml.py:118-160). */
+  def wideTable(rows: List[MappingRow], schema: Raw,
+      numRefs: Int = 3): (Raw, Raw) = {
+    val fieldTypes: Map[String, List[String]] = schema
+      .getOrElse("properties", Map.empty[String, Any]).asInstanceOf[Raw]
+      .map { case (f, p) =>
+        f -> (p.asInstanceOf[Raw].getOrElse("type", List("string", "null")) match {
+          case l: List[_] => l.map(_.toString)
+          case s => List(s.toString)
+        })
+      }
+    val parsedChoices: Map[String, Raw] = rows.flatMap { r =>
+      r.valueMapping.map(v => r.targetField -> parseMappedValues(v))
+    }.toMap
+    val (references, definitions) =
+      refsDefs(rows.flatMap(r => r.valueMapping.map(parseMappedValues)), numRefs)
+
+    var out = Map.empty[String, Any]
+    rows.foreach { r =>
+      r.sourceField.filter(_.nonEmpty).foreach { src =>
+        var rule: Raw = Map("field" -> src) ++
+          r.sourceDescription.map("description" -> _).toMap
+        parsedChoices.get(r.targetField).filter(_.nonEmpty).foreach { choices =>
+          references.get(canon(choices)) match {
+            case Some(ref) => rule += ("ref" -> ref)
+            case None =>
+              rule += ("values" -> choices)
+              rule += ("caseInsensitive" -> true)
+          }
+          if (fieldTypes.getOrElse(r.targetField, Nil).contains("array"))
+            rule += ("type" -> "enum_list")
+        }
+        out += (r.targetField -> rule)
+      }
+    }
+    schema.getOrElse("required", Nil).asInstanceOf[List[_]].map(_.toString)
+      .foreach { f =>
+        if (!out.contains(f)) {
+          System.err.println(
+            s"Warning: Missing required field $f in schema. Adding empty field...")
+          out += (f -> "")
+        }
+      }
+    (out, definitions)
+  }
+
+  /** Load mapping rows from the intermediate CSV's standard columns. */
+  def rowsFromCsv(spark: org.apache.spark.sql.SparkSession,
+      path: String): List[MappingRow] = {
+    spark.read.option("header", "true").csv(path).collect().toList.map { r =>
+      def opt(c: String): Option[String] =
+        if (r.schema.fieldNames.contains(c)) Option(r.getAs[String](c)).filter(_.nonEmpty)
+        else None
+      MappingRow(r.getAs[String]("target_field"),
+        opt("source_description"), opt("source_field"), opt("value_mapping"))
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.adtl
+
+import graft.SparkSpec
+import graft.adtl.autoparser.MappingParser
+
+/** G5 against the reference's own fixture: animals_mapping.csv +
+  * animals.schema.json must produce the rule tree committed in
+  * test_parser_generator.ambr::test_create_parser. */
+class MappingParserGoldenSpec extends SparkSpec {
+
+  private val golden = "src/test/resources/golden/autoparser"
+
+  test("golden: wide-table parser generation reproduces the snapshot tree") {
+    val rows = MappingParser.rowsFromCsv(spark, s"$golden/animals_mapping.csv")
+    val schema = SpecLoader.parseJson(SpecLoader.readUtf8(s"$golden/animals.schema.json"))
+    val (body, defs) = MappingParser.wideTable(rows, schema)
+
+    val expected: Spec.Raw = Map(
+      "age_months" -> Map("description" -> "Age in Months", "field" -> "AgeMois         "),
+      "age_years" -> Map("description" -> "Age in Years", "field" -> "AgeAns"),
+      "case_status" -> Map("caseInsensitive" -> true, "description" -> "Case Status",
+        "field" -> "StatusCas",
+        "values" -> Map("décédé" -> "dead", "vivant" -> "alive")),
+      "chipped" -> Map("description" -> "Microchipped", "field" -> "Micropucé",
+        "ref" -> "Y/N/NK"),
+      "classification" -> Map("caseInsensitive" -> true, "description" -> "Classification",
+        "field" -> "Classicfication ",
+        "values" -> Map("amphibie" -> "amphibian", "autre" -> "", "fish" -> "fish",
+          "mammifère" -> "mammal", "oiseau" -> "bird", "poisson" -> "fish",
+          "rept" -> "reptile")),
+      "country_iso3" -> "",
+      "identity" -> Map("description" -> "Identity", "field" -> "Identité"),
+      "loc_admin_1" -> Map("description" -> "Province", "field" -> "Province"),
+      "name" -> Map("description" -> "Full Name", "field" -> "Nom complet "),
+      "notification_date" -> Map("description" -> "Notification Date",
+        "field" -> "DateNotification"),
+      "pet" -> Map("description" -> "Pet Animal", "field" -> "AnimalDeCompagnie",
+        "ref" -> "Y/N/NK"),
+      "sex" -> Map("caseInsensitive" -> true, "description" -> "Gender",
+        "field" -> "Sexe", "values" -> Map("f" -> "female", "m" -> "male")),
+      "underlying_conditions" -> Map("caseInsensitive" -> true,
+        "description" -> "Preexisting Conditions", "field" -> "ConditionsPreexistantes",
+        "type" -> "enum_list",
+        "values" -> Map("arthrite" -> "arthritis", "convulsions" -> "seizures",
+          "diabète" -> "diabetes", "problèmes d'échelle" -> "skin problems",
+          "vomir" -> "vomiting")))
+
+    assert(body.keySet == expected.keySet)
+    expected.foreach { case (k, v) =>
+      assert(body(k) == v, s"rule for '$k': ${body(k)}")
+    }
+    assert(defs("Y/N/NK") == Map("caseInsensitive" -> true,
+      "values" -> Map("oui" -> true, "non" -> false)))
+
+    // and the generated spec actually RUNS through the engine
+    val spec: Spec.Raw = Map(
+      "adtl" -> Map("name" -> "animals", "description" -> "generated",
+        "defs" -> defs,
+        "tables" -> Map("animals" -> Map("kind" -> "oneToOne"))),
+      "animals" -> body)
+    val parser = AdtlParser.fromSpec(spec)
+    val data = spark.read.option("header", "true")
+      .csv(s"$golden/animal_data.csv")
+    val out = parser.parseDataFrame(spark, data)("animals")
+    assert(out.count() == 30)
+    val first = out.orderBy("identity").collect()(0)
+    assert(first.getAs[String]("identity") == "A001")
+    assert(first.getAs[String]("classification") == "mammal")
+    assert(first.getAs[Boolean]("chipped")) // Oui → Y/N/NK ref → true
+  }
+
+  test("value-mapping string parser edge cases (util.py docstring)") {
+    assert(MappingParser.parseMappedValues("oui=True | non=False | blah=None") ==
+      Map("oui" -> true, "non" -> false, "blah" -> ""))
+    assert(MappingParser.parseMappedValues("vivant=alive | décédé=dead | =None") ==
+      Map("vivant" -> "alive", "décédé" -> "dead"))
+    assert(MappingParser.parseMappedValues(" = | poisson=fish") ==
+      Map("poisson" -> "fish"))
+    assert(MappingParser.parseMappedValues(
+      "ecouvillon+croûte=[swab, crust] | ecouvillon=[swab]") ==
+      Map("ecouvillon+croûte" -> List("swab", "crust"), "ecouvillon" -> List("swab")))
+    intercept[IllegalArgumentException](
+      MappingParser.parseMappedValues("novalue | a=b"))
+  }
+}
