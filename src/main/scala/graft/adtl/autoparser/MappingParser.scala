@@ -135,6 +135,76 @@ object MappingParser {
     (out, definitions)
   }
 
+  /** Long-table (oneToMany) generation config, mirroring the reference's
+    * long_tables config section (mixin.py): `commonFields` name the shared
+    * output attributes, `variableCol` the discriminator attribute, and
+    * `valueCols` the per-entry value attributes. Schema fields outside
+    * those sets ("other fields") default to constants, as does the
+    * variable column; `constantOverrides` flips individual fields. */
+  final case class LongTableConfig(
+      commonFields: List[String],
+      variableCol: String,
+      valueCols: List[String],
+      constantOverrides: Map[String, Boolean] = Map.empty)
+
+  /** oneToMany entries from generic mapping rows
+    * (make_toml.py:162-230). */
+  def longTable(rows: List[Map[String, String]], schema: Raw,
+      cfg: LongTableConfig): List[Raw] = {
+    val schemaFields = schema.getOrElse("properties", Map.empty[String, Any])
+      .asInstanceOf[Raw].keys.toList
+    val otherFields = schemaFields.filterNot(f =>
+      cfg.commonFields.contains(f) || f == cfg.variableCol ||
+        cfg.valueCols.contains(f))
+    val constantField: Map[String, Boolean] =
+      (schemaFields.map(_ -> false).toMap +
+        (cfg.variableCol -> true) ++ otherFields.map(_ -> true).toMap) ++
+        cfg.constantOverrides
+    def bad(r: Map[String, String], c: String): Boolean =
+      !r.contains(c) || r(c) == null || r(c).isEmpty
+    if (rows.exists(bad(_, cfg.variableCol)))
+      throw new IllegalArgumentException(
+        s"Mapping dataframe must not contain NaN values in '${cfg.variableCol}' column.")
+    if (rows.exists(bad(_, "value_col")))
+      throw new IllegalArgumentException(
+        "Mapping dataframe must not contain NaN values in the 'value_col' column.")
+    val choicesBySource: Map[String, Raw] = rows.flatMap { r =>
+      r.get("value_mapping").filter(v => v != null && v.nonEmpty)
+        .map(v => r("source_field") -> parseMappedValues(v))
+    }.toMap
+
+    def addField(field: String, text: String): Any =
+      if (constantField.getOrElse(field, false)) text else Map("field" -> text)
+
+    rows.map { r =>
+      val valueCol = r("value_col")
+      var valueRule: Any = addField(valueCol, r("source_field"))
+      choicesBySource.get(r("source_field")).filter(_.nonEmpty).foreach { ch =>
+        valueRule = valueRule.asInstanceOf[Raw] ++
+          Map("values" -> ch, "caseInsensitive" -> true)
+      }
+      var out: Raw = Map(
+        cfg.variableCol -> r(cfg.variableCol),
+        valueCol -> valueRule) ++
+        cfg.commonFields.map(f => f -> addField(f, r(f))).toMap
+      otherFields.foreach { f =>
+        r.get(f).filter(v => v != null && v.nonEmpty).foreach { v =>
+          out += (f -> addField(f, v))
+        }
+      }
+      out
+    }
+  }
+
+  /** Load generic long-table mapping rows (column name → value). */
+  def genericRowsFromCsv(spark: org.apache.spark.sql.SparkSession,
+      path: String): List[Map[String, String]] = {
+    val df = spark.read.option("header", "true").csv(path)
+    df.collect().toList.map { r =>
+      df.columns.flatMap(c => Option(r.getAs[String](c)).map(c -> _)).toMap
+    }
+  }
+
   /** Load mapping rows from the intermediate CSV's standard columns. */
   def rowsFromCsv(spark: org.apache.spark.sql.SparkSession,
       path: String): List[MappingRow] = {

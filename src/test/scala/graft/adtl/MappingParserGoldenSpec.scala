@@ -69,6 +69,47 @@ class MappingParserGoldenSpec extends SparkSpec {
     assert(first.getAs[Boolean]("chipped")) // Oui → Y/N/NK ref → true
   }
 
+  test("golden: long-table (oneToMany) generation reproduces the snapshot") {
+    val rows = MappingParser.genericRowsFromCsv(spark, s"$golden/long-animal-mapper.csv")
+    val schema = SpecLoader.parseJson(SpecLoader.readUtf8(s"$golden/vet-obs.schema.json"))
+    val cfg = MappingParser.LongTableConfig(
+      commonFields = List("animal_id", "visit_date", "clinic"),
+      variableCol = "observation",
+      valueCols = List("string_value", "boolean_value", "numeric_value"),
+      constantOverrides = Map("clinic" -> true)) // test_make_table's update
+    val entries = MappingParser.longTable(rows, schema, cfg)
+    assert(entries == List(
+      Map("observation" -> "weight", "numeric_value" -> Map("field" -> "weight_kg"),
+        "animal_id" -> Map("field" -> "subjid"), "visit_date" -> Map("field" -> "date"),
+        "clinic" -> "jericho", "vet_name" -> "Dr. Lopez"),
+      Map("observation" -> "temperature",
+        "numeric_value" -> Map("field" -> "temperature_C"),
+        "animal_id" -> Map("field" -> "subjid"), "visit_date" -> Map("field" -> "date"),
+        "clinic" -> "jericho", "vet_name" -> "Dr. Kamau"),
+      Map("observation" -> "vaccinated",
+        "boolean_value" -> Map("field" -> "vacc_status",
+          "values" -> Map("true" -> true, "false" -> false), "caseInsensitive" -> true),
+        "animal_id" -> Map("field" -> "subjid"), "visit_date" -> Map("field" -> "date"),
+        "clinic" -> "jericho", "vet_name" -> "Dr. Lopez"),
+      Map("observation" -> "behavioural_issue",
+        "string_value" -> Map("field" -> "reported_issues"),
+        "animal_id" -> Map("field" -> "subjid"), "visit_date" -> Map("field" -> "date"),
+        "clinic" -> "jericho", "vet_name" -> "Dr. Lopez")))
+  }
+
+  test("long-table mapping validation errors match the reference") {
+    val schema = SpecLoader.parseJson(SpecLoader.readUtf8(s"$golden/vet-obs.schema.json"))
+    val cfg = MappingParser.LongTableConfig(
+      List("animal_id"), "observation", List("string_value"))
+    val e1 = intercept[IllegalArgumentException](MappingParser.longTable(
+      List(Map("source_field" -> "x", "value_col" -> "string_value")), schema, cfg))
+    assert(e1.getMessage.contains(
+      "must not contain NaN values in 'observation' column."))
+    val e2 = intercept[IllegalArgumentException](MappingParser.longTable(
+      List(Map("source_field" -> "x", "observation" -> "o")), schema, cfg))
+    assert(e2.getMessage.contains("NaN values in the 'value_col' column."))
+  }
+
   test("value-mapping string parser edge cases (util.py docstring)") {
     assert(MappingParser.parseMappedValues("oui=True | non=False | blah=None") ==
       Map("oui" -> true, "non" -> false, "blah" -> ""))
