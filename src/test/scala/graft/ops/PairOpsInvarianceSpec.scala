@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The dedup pair pipelines must emit the SAME pairs regardless of input
+  * partitioning — the property that makes their results trustworthy on a
+  * cluster. All bucketing/salting is deterministic (hash of ids, never
+  * rand()), so repartitioning the input must not change any output. */
+class PairOpsInvarianceSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH candidate pairs are partition-invariant") {
+    val base = pairSet(Dedup.minhashLshPairsMd5(docs.repartition(1),
+      "doc_id", "text", 2, 32, 8, 0.5, 200))
+    val multi = pairSet(Dedup.minhashLshPairsMd5(docs.repartition(7),
+      "doc_id", "text", 2, 32, 8, 0.5, 200))
+    assert(base == multi)
+    assert(base.nonEmpty)
+  }
+
+  test("SimHash pairs are partition-invariant") {
+    val base = pairSet(Dedup.simhashPairsMd5(docs.repartition(1),
+      "doc_id", "text", 10, 200))
+    val multi = pairSet(Dedup.simhashPairsMd5(docs.repartition(7),
+      "doc_id", "text", 10, 200))
+    assert(base == multi)
+    assert(base.nonEmpty)
+  }
+
+  test("triangle-join Jaccard pairs are partition-invariant and chunk-invariant") {
+    val base = pairSet(Dedup.ngramJaccardPairs(docs.repartition(1),
+      "doc_id", "text", "source", 2, 0.05))
+    val multi = pairSet(Dedup.ngramJaccardPairs(docs.repartition(7),
+      "doc_id", "text", "source", 2, 0.05))
+    assert(base == multi)
+    // chunk count changes task layout, never the result
+    val chunks3 = pairSet(Dedup.ngramJaccardPairs(docs,
+      "doc_id", "text", "source", 2, 0.05, chunks = 3))
+    assert(base == chunks3)
+    assert(base.nonEmpty)
+  }
+}
