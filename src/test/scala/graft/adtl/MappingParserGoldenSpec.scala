@@ -69,6 +69,25 @@ class MappingParserGoldenSpec extends SparkSpec {
     assert(first.getAs[Boolean]("chipped")) // Oui → Y/N/NK ref → true
   }
 
+  test("generated spec round-trips through TOML serialization") {
+    val rows = MappingParser.rowsFromCsv(spark, s"$golden/animals_mapping.csv")
+    val schema = SpecLoader.parseJson(SpecLoader.readUtf8(s"$golden/animals.schema.json"))
+    val (body, defs) = MappingParser.wideTable(rows, schema)
+    val spec: Spec.Raw = Map(
+      "adtl" -> Map("name" -> "animals", "description" -> "generated",
+        "defs" -> defs,
+        "tables" -> Map("animals" -> Map("kind" -> "oneToOne"))),
+      "animals" -> body)
+    val toml = graft.adtl.autoparser.SpecGenerator.toToml(spec)
+    val reloaded = AdtlParser.fromTomlString(toml)
+    val direct = AdtlParser.fromSpec(spec)
+    val data = spark.read.option("header", "true").csv(s"$golden/animal_data.csv")
+    val a = direct.parseDataFrame(spark, data)("animals")
+    val b = reloaded.parseDataFrame(spark, data)("animals")
+    assert(a.columns.toList == b.columns.toList)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("golden: long-table (oneToMany) generation reproduces the snapshot") {
     val rows = MappingParser.genericRowsFromCsv(spark, s"$golden/long-animal-mapper.csv")
     val schema = SpecLoader.parseJson(SpecLoader.readUtf8(s"$golden/vet-obs.schema.json"))
