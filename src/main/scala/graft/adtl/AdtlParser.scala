@@ -446,8 +446,14 @@ final class AdtlParser private (
 
   /** CSV with deterministic sorted header, validation columns first, arrays
     * rendered Python-repr style (parser.py:778-806 parity). */
+  /** Look up a parsed table, with the reference's read_table error
+    * (parser.py:772-776). */
+  def readTable(tables: Map[String, DataFrame], tname: String): DataFrame =
+    tables.getOrElse(tname,
+      throw new IllegalArgumentException(s"Invalid table name: $tname"))
+
   def writeCsv(tables: Map[String, DataFrame], tname: String, path: String): Unit =
-    renderForCsv(tables(tname)).coalesce(1)
+    renderForCsv(readTable(tables, tname)).coalesce(1)
       .write.mode("overwrite").option("header", "true").option("emptyValue", "")
       .csv(path)
 
@@ -479,7 +485,7 @@ final class AdtlParser private (
     if (spec.header.returnUnmatched)
       throw new IllegalArgumentException(
         "returnUnmatched is not compatible with parquet output")
-    val df = tables(tname)
+    val df = readTable(tables, tname)
     val validationCols = List("adtl_valid", "adtl_error").filter(df.columns.contains)
     val dataCols = df.columns.filterNot(validationCols.contains).toList
     df.select((validationCols ++ dataCols).map(col): _*)

@@ -361,6 +361,13 @@ class GoldenCorpusSpec extends SparkSpec {
         "treatment_antiviral_type" -> "[Ribavirin]")))
   }
 
+  test("golden: read_table error for wrong table names") {
+    val p = parserFor("epoch.json")
+    val tables = p.parseCsv(spark, s"$golden/sources/epoch.csv")
+    val e = intercept[IllegalArgumentException](p.readTable(tables, "wrong-name"))
+    assert(e.getMessage.contains("Invalid table name"))
+  }
+
   test("golden: show_report markdown format (test_show_report)") {
     val buf = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
