@@ -25,25 +25,31 @@ object Bench {
     // Nothing is cached — every timed query still pays its own scan.
     locally {
       import org.apache.spark.sql.functions._
-      Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
-        try spark.read.parquet(s"$sfDir/$t.parquet").count()
-        catch { case _: Throwable => }
+      // A warmup that fails silently never warms its codegen path, hiding
+      // real regressions — log every failure loudly.
+      def warm(label: String)(body: => Unit): Unit =
+        try body catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] warmup '$label' failed: $e")
+        }
+      // events.parquet stores TIMESTAMP(NANOS) which the vanilla reader
+      // rejects — it must go through Tables.events (nanosAsLong read).
+      Seq("lineitem", "orders", "documents", "embeddings").foreach { t =>
+        warm(s"scan $t")(spark.read.parquet(s"$sfDir/$t.parquet").count())
       }
-      try graft.queries.Tables.events(spark, sfDir)
-        .groupBy("user_id").agg(count(lit(1))).count()
-      catch { case _: Throwable => }
+      warm("events groupBy")(graft.queries.Tables.events(spark, sfDir)
+        .groupBy("user_id").agg(count(lit(1))).count())
       // compile the regex/md5 and array-fold codegen paths the text and
       // embedding queries share (first use otherwise pays JIT+codegen)
-      try spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      warm("fingerprint")(spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
         .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
-        .groupBy("fp").count().count()
-      catch { case _: Throwable => }
-      try {
+        .groupBy("fp").count().count())
+      warm("embedding fold") {
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
         val v = graft.ops.Similarity.toDouble(col("embedding"))
         e.select((graft.ops.Similarity.norm(v) +
           aggregate(v, lit(0.0), (a, x) => a + x)).as("s")).agg(sum("s")).count()
-      } catch { case _: Throwable => }
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -64,16 +64,23 @@ object DictReader {
       if (!kept.contains(c)) None
       else Option(r.getAs[String](c)).map(_.trim).filter(_.nonEmpty)
 
-    // pandera parity (data_dict_schema.py): source_field and
-    // source_description are both UNIQUE; every offending row is a
-    // failure case; common_values and choices are mutually exclusive
+    // pandera parity (data_dict_schema.py DataDictionaryEntry):
+    // source_field / source_description / source_type are all REQUIRED
+    // non-nullable columns (a missing column is one failure case, each
+    // null cell another); source_field and source_description are UNIQUE
+    // (every offending row is a failure case); the one_value_column
+    // dataframe check requires EXACTLY one of common_values/choices.
     def dupRows(c: String): Int =
       rows.map(get(_, c)).flatten.groupBy(identity).collect {
         case (_, occ) if occ.size > 1 => occ.size
       }.sum
-    val nullErrors = rows.map(get(_, "source_field")).count(_.isEmpty)
-    val exclusiveError =
-      if (kept.contains("common_values") && kept.contains("choices")) 1 else 0
+    def requiredErrors(c: String): Int =
+      if (!kept.contains(c)) 1 else rows.map(get(_, c)).count(_.isEmpty)
+    val nullErrors = requiredErrors("source_field") +
+      requiredErrors("source_description") + requiredErrors("source_type")
+    val valueColsPresent =
+      List("common_values", "choices").count(kept.contains)
+    val exclusiveError = if (valueColsPresent != 1) 1 else 0
     val errors = nullErrors + dupRows("source_field") +
       dupRows("source_description") + exclusiveError
     if (errors > 0)

@@ -35,7 +35,7 @@ object DictWriter {
 
   def createDict(
       spark: SparkSession, df: DataFrame,
-      maxCommonCount: Int = 8,
+      maxCommonCount: Int = 25, // the reference's config default (config.py max_common_count)
       minCommonFreq: Option[Double] = None): List[FieldInfo] = {
     val n = df.count().max(1L)
     val (maxCc, minFreq) =

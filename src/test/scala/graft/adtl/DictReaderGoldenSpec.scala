@@ -46,12 +46,39 @@ class DictReaderGoldenSpec extends SparkSpec {
 
   test("common values lowercase and dedupe (test_process_dict)") {
     import spark.implicits._
+    // the reference's test frame (test_dict_reader.py test_process_dict)
     val dd = Seq(
-      ("field_1", null.asInstanceOf[String]),
-      ("field_2", "Oui, NON, OUI, oui"),
-      ("field_3", "cat, dog, fish")).toDF("source_field", "common_values")
+      ("field_1", "name", "string", null.asInstanceOf[String]),
+      ("field_2", "alive", "str", "Oui, NON, OUI, oui"),
+      ("field_3", "species", "choice", "cat, dog, fish"))
+      .toDF("source_field", "source_description", "source_type", "common_values")
     val entries = DictReader.validateDictionary(spark, dd)
     assert(entries.map(_.commonValues.map(_.toSet)) == List(
       None, Some(Set("oui", "non")), Some(Set("cat", "dog", "fish"))))
+  }
+
+  test("pandera parity: neither value column, missing source_type, both columns") {
+    import spark.implicits._
+    // zero of common_values/choices present + no source_type column:
+    // one_value_column check (1) + missing required column (1) = 2 errors
+    val slim = Seq(("f1", "d1"), ("f2", "d2"))
+      .toDF("source_field", "source_description")
+    val e1 = intercept[IllegalArgumentException](
+      DictReader.validateDictionary(spark, slim))
+    assert(e1.getMessage.startsWith("Data dictionary validation failed with 2 error"))
+    // both value columns present fails the exactly-one check
+    val both = Seq(("f1", "d1", "t", "a, b", "a=1"))
+      .toDF("source_field", "source_description", "source_type",
+        "common_values", "choices")
+    val e2 = intercept[IllegalArgumentException](
+      DictReader.validateDictionary(spark, both))
+    assert(e2.getMessage.startsWith("Data dictionary validation failed with 1 error"))
+    // null source_type cells each count
+    val nulls = Seq(("f1", "d1", null.asInstanceOf[String], "a, b"),
+      ("f2", "d2", "string", "c"))
+      .toDF("source_field", "source_description", "source_type", "common_values")
+    val e3 = intercept[IllegalArgumentException](
+      DictReader.validateDictionary(spark, nulls))
+    assert(e3.getMessage.startsWith("Data dictionary validation failed with 1 error"))
   }
 }
