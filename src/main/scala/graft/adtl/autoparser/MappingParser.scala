@@ -29,8 +29,8 @@ object MappingParser {
 
   /** "a=b | c=d" → value map (util.py:49-88). */
   def parseMappedValues(s: String): Raw = {
-    // split on '|' except inside [...] lists
-    val parts = s.split("\\|(?![^\\[]*\\])").toList
+    // split on '|' except inside [...] lists (incl. a trailing unclosed '[')
+    val parts = s.split("\\|(?!(?:[^\\[]*\\])|(?:[^\\[]*\\[[^\\]]*$))").toList
     val pairs = parts.map { p =>
       val kv = p.trim.split("=", -1)
       if (kv.length != 2)
@@ -45,8 +45,11 @@ object MappingParser {
         case "false" => Some(false)
         case "none" => if (k.isEmpty) None else Some("")
         case "" if k.isEmpty => None
-        case _ if v.contains("[") && v.contains("]") =>
-          Some(v.stripPrefix("[").stripSuffix("]").replace(" ", "").split(",").toList)
+        // the reference's `if "[" and "]" in v` is Python truthiness for
+        // `"]" in v` — ']' alone triggers list coercion (util.py:85)
+        case _ if v.contains("]") =>
+          Some(v.replaceAll("^[\\[\\]]+|[\\[\\]]+$", "")
+            .replace(" ", "").split(",", -1).toList)
         case _ => Some(v)
       }
       value.foreach(out(k) = _)
@@ -106,6 +109,11 @@ object MappingParser {
     val (references, definitions) =
       refsDefs(rows.flatMap(r => r.valueMapping.map(parseMappedValues)), numRefs)
 
+    // the reference's make_toml_table groups by target_field and raises on
+    // any multi-row group (make_toml.py:146) instead of last-winning
+    rows.groupBy(_.targetField).foreach { case (_, g) =>
+      if (g.size > 1) throw new NotImplementedError("CombinedType not supported")
+    }
     var out = Map.empty[String, Any]
     rows.foreach { r =>
       r.sourceField.filter(_.nonEmpty).foreach { src =>

@@ -73,8 +73,16 @@ object IvfIndex {
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
       trainAssigned = train.withColumn("cell", nearestCell(col("v"), centroids))
     }
-    // one full-corpus assignment pass with the final centroids
-    (base.withColumn("cell", nearestCell(col("v"), centroids)), centroids)
+    if (iters == 0) {
+      // no Lloyd refinement: keep the init assignment, but still publish
+      // centroids (means of the init cells) so search() can rank probes
+      centroids = exactCentroids(trainAssigned)
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
+      (base.withColumn("cell", init), centroids)
+    } else
+      // one full-corpus assignment pass with the final centroids
+      (base.withColumn("cell", nearestCell(col("v"), centroids)), centroids)
   }
 
   /** Probe-and-score search over a built index. */

@@ -141,5 +141,17 @@ class MappingParserGoldenSpec extends SparkSpec {
       Map("ecouvillon+croûte" -> List("swab", "crust"), "ecouvillon" -> List("swab")))
     intercept[IllegalArgumentException](
       MappingParser.parseMappedValues("novalue | a=b"))
+    // the reference's `if "[" and "]" in v` is truthy on ']' alone
+    assert(MappingParser.parseMappedValues("a=swab] | b=x") ==
+      Map("a" -> List("swab"), "b" -> "x"))
+  }
+
+  test("duplicate target_field rows raise like the reference's groupby") {
+    val schema = SpecLoader.parseJson(SpecLoader.readUtf8(s"$golden/animals.schema.json"))
+    val dup = List(
+      MappingParser.MappingRow("name", Some("d1"), Some("s1"), None),
+      MappingParser.MappingRow("name", Some("d2"), Some("s2"), None))
+    val e = intercept[NotImplementedError](MappingParser.wideTable(dup, schema))
+    assert(e.getMessage == "CombinedType not supported")
   }
 }

@@ -110,6 +110,16 @@ class OpsSpec extends SparkSpec {
     val recallS = ivfS.intersect(brute).size.toDouble / brute.size
     assert(recallS >= 0.3, s"sample-trained recall@5 was $recallS")
     assert(ivfS.size == 50)
+
+    // iters=0: no Lloyd refinement — the init assignment is returned
+    // as-is, with centroids (init-cell means) still usable by search
+    val (assigned0, centroids0) = IvfIndex.build(e, "vec_id", "embedding",
+      nCells = 8, iters = 0)
+    assert(assigned0.count() == e.count())
+    assert(centroids0.nonEmpty && centroids0.map(_._1).distinct.length == centroids0.length)
+    val ivf0 = IvfIndex.search(assigned0, centroids0, queries, "vec_id", "embedding",
+      k = 5, nProbe = 8)
+    assert(ivf0.count() == 50)
   }
 
   test("multimodal: real PNG payloads decode width/height from actual bytes") {
