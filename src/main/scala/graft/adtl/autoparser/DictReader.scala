@@ -36,6 +36,16 @@ object DictReader {
     if (opts.isEmpty) None else Some(opts.toMap)
   }
 
+  /** Normalize + validate a user dictionary loaded from a CSV/XLSX/parquet
+    * file, via the reference's read_data dispatch (util.py:28-46). */
+  def validateDictionaryFile(
+      spark: SparkSession, path: String,
+      columnMappings: Map[String, String] = Map.empty,
+      choiceDelimiter: String = ",",
+      choiceDelimiterMap: String = "="): List[DictEntry] =
+    validateDictionary(spark, graft.sources.DataReader.readData(spark, path),
+      columnMappings, choiceDelimiter, choiceDelimiterMap)
+
   /** Normalize + validate a user dictionary frame.
     *
     * `columnMappings`: standard name → the user file's column name (the

@@ -204,19 +204,22 @@ object MappingParser {
     }
   }
 
-  /** Load generic long-table mapping rows (column name → value). */
+  /** Load generic long-table mapping rows (column name → value) from any
+    * read_data format (CSV/XLSX/parquet). */
   def genericRowsFromCsv(spark: org.apache.spark.sql.SparkSession,
       path: String): List[Map[String, String]] = {
-    val df = spark.read.option("header", "true").csv(path)
+    val df = graft.sources.DataReader.readData(spark, path)
     df.collect().toList.map { r =>
       df.columns.flatMap(c => Option(r.getAs[String](c)).map(c -> _)).toMap
     }
   }
 
-  /** Load mapping rows from the intermediate CSV's standard columns. */
+  /** Load mapping rows from the intermediate table's standard columns;
+    * accepts any read_data format (CSV/XLSX/parquet), like the
+    * reference's read_data dispatch (util.py:28-46). */
   def rowsFromCsv(spark: org.apache.spark.sql.SparkSession,
       path: String): List[MappingRow] = {
-    spark.read.option("header", "true").csv(path).collect().toList.map { r =>
+    graft.sources.DataReader.readData(spark, path).collect().toList.map { r =>
       def opt(c: String): Option[String] =
         if (r.schema.fieldNames.contains(c)) Option(r.getAs[String](c)).filter(_.nonEmpty)
         else None
