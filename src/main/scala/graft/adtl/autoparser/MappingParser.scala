@@ -30,7 +30,9 @@ object MappingParser {
   /** "a=b | c=d" → value map (util.py:49-88). */
   def parseMappedValues(s: String): Raw = {
     // split on '|' except inside [...] lists (incl. a trailing unclosed '[')
-    val parts = s.split("\\|(?!(?:[^\\[]*\\])|(?:[^\\[]*\\[[^\\]]*$))").toList
+    // limit -1: re.split keeps trailing empty chunks, so "oui=True |" must
+    // surface the empty segment and raise, as the reference does
+    val parts = s.split("\\|(?!(?:[^\\[]*\\])|(?:[^\\[]*\\[[^\\]]*$))", -1).toList
     val pairs = parts.map { p =>
       val kv = p.trim.split("=", -1)
       if (kv.length != 2)

@@ -75,8 +75,11 @@ object IvfIndex {
     }
     if (iters == 0) {
       // no Lloyd refinement: keep the init assignment, but still publish
-      // centroids (means of the init cells) so search() can rank probes
-      centroids = exactCentroids(trainAssigned)
+      // centroids (means of the init cells) so search() can rank probes.
+      // Means come from the FULL corpus under init, not the train sample:
+      // with trainFraction<1 an init cell absent from the sample would get
+      // no centroid and its vectors would be unreachable at search time.
+      centroids = exactCentroids(base.withColumn("cell", init))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
       (base.withColumn("cell", init), centroids)

@@ -33,7 +33,7 @@ object XlsxReader {
     if (rows.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], StructType(Nil))
-    val header = rows.head.map(v => Option(v).getOrElse(""))
+    val header = mangleHeader(rows.head)
     val width = header.length
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
     val data = rows.tail.map { r =>
@@ -41,6 +41,26 @@ object XlsxReader {
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(data.toSeq, 1), schema)
+  }
+
+  /** Header names the way pd.read_excel surfaces them: empty/absent cells
+    * become "Unnamed: <colIdx>" and repeats get ".1", ".2", … suffixes —
+    * so name-based row access downstream is never ambiguous. */
+  private[sources] def mangleHeader(raw: Array[String]): Array[String] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    raw.zipWithIndex.map { case (cell, i) =>
+      val base = Option(cell).map(_.trim).filter(_.nonEmpty)
+        .getOrElse(s"Unnamed: $i")
+      counts.get(base) match {
+        case None => counts(base) = 0; base
+        case Some(n) =>
+          var k = n + 1
+          while (counts.contains(s"$base.$k")) k += 1
+          counts(base) = k
+          counts(s"$base.$k") = 0
+          s"$base.$k"
+      }
+    }
   }
 
   /** All rows of the first worksheet, cells as strings (null = absent). */

@@ -141,6 +141,9 @@ class MappingParserGoldenSpec extends SparkSpec {
       Map("ecouvillon+croûte" -> List("swab", "crust"), "ecouvillon" -> List("swab")))
     intercept[IllegalArgumentException](
       MappingParser.parseMappedValues("novalue | a=b"))
+    // trailing delimiter keeps its empty chunk (re.split semantics) → raises
+    intercept[IllegalArgumentException](
+      MappingParser.parseMappedValues("oui=True |"))
     // the reference's `if "[" and "]" in v` is truthy on ']' alone
     assert(MappingParser.parseMappedValues("a=swab] | b=x") ==
       Map("a" -> List("swab"), "b" -> "x"))

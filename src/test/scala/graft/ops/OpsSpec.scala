@@ -120,6 +120,16 @@ class OpsSpec extends SparkSpec {
     val ivf0 = IvfIndex.search(assigned0, centroids0, queries, "vec_id", "embedding",
       k = 5, nProbe = 8)
     assert(ivf0.count() == 50)
+
+    // iters=0 + trainFraction<1: centroids come from the FULL corpus, so
+    // every populated init cell stays probeable even if the train sample
+    // missed it entirely
+    val (assigned0S, centroids0S) = IvfIndex.build(e, "vec_id", "embedding",
+      nCells = 8, iters = 0, trainFraction = 0.2)
+    val populated = assigned0S.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(populated.subsetOf(centroids0S.map(_._1).toSet),
+      s"cells $populated not all covered by centroids ${centroids0S.map(_._1)}")
   }
 
   test("multimodal: real PNG payloads decode width/height from actual bytes") {

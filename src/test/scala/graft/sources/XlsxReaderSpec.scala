@@ -87,6 +87,12 @@ class XlsxReaderSpec extends SparkSpec {
     assert(XlsxReader.colIndex("BC7") == 54)
   }
 
+  test("header mangling matches pd.read_excel: Unnamed + dedup suffixes") {
+    assert(XlsxReader.mangleHeader(
+      Array("a", null, "a", "", "a", "a.1")).toList ==
+      List("a", "Unnamed: 1", "a.1", "Unnamed: 3", "a.2", "a.1.1"))
+  }
+
   test("read_data dispatch: csv, parquet, xlsx, and the unsupported error") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-readdata").toFile.getAbsolutePath
