@@ -50,6 +50,33 @@ object Bench {
         e.select((graft.ops.Similarity.norm(v) +
           aggregate(v, lit(0.0), (a, x) => a + x)).as("s")).agg(sum("s")).count()
       }
+      // the adtl groupBy queries compile window/object-hash-agg codegen the
+      // first time one runs — without this the compile cost floats onto
+      // whichever groupBy query the sort order puts first (r2/r3 bench
+      // jitter: combined 0.82↔1.11 s, lastnotnull 0.33↔0.74 s)
+      warm("adtl groupBy parse") {
+        import spark.implicits._
+        val tiny = Seq(
+          ("u1", 1L, "purchase", "1.00", "2024-01-01"),
+          ("u1", 2L, "error", "2.00", "2024-01-02"),
+          ("u2", 3L, "purchase", "3.00", "2024-01-03"))
+          .toDF("uid", "eid", "etype", "val", "eday")
+        val spec =
+          """{
+            |  "adtl": {"name": "warm", "description": "w", "tables": {
+            |    "a": {"kind": "groupBy", "groupBy": "uid", "aggregation": "lastNotNull"},
+            |    "b": {"kind": "groupBy", "groupBy": "uid", "aggregation": "applyCombinedType"}}},
+            |  "a": {"uid": {"field": "uid"},
+            |        "lastp": {"field": "val", "if": {"etype": "purchase"}}},
+            |  "b": {"uid": {"field": "uid"},
+            |        "d0": {"combinedType": "min", "fields": [{"field": "eday"}]},
+            |        "ets": {"combinedType": "set", "excludeWhen": "none",
+            |                "fields": [{"field": "etype"}]}}
+            |}""".stripMargin
+        val parsed = graft.adtl.AdtlParser.fromJsonString(spec)
+          .parseDataFrame(spark, tiny, orderCol = Some("eid"))
+        parsed("a").count(); parsed("b").count()
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
