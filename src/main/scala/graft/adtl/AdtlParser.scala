@@ -141,17 +141,19 @@ final class AdtlParser private (
 
   // ---- execution --------------------------------------------------------
 
-  /** Parse a header-row CSV with DictReader semantics (all strings). */
-  def parseCsv(spark: SparkSession, file: String, encoding: String = "UTF-8",
-      skipValidation: Boolean = false): Map[String, DataFrame] = {
-    val df = spark.read
+  /** The CSV reader parseCsv uses (DictReader semantics — all strings). */
+  def readCsv(spark: SparkSession, file: String, encoding: String = "UTF-8"): DataFrame =
+    spark.read
       .option("header", "true")
       .option("inferSchema", "false")
       .option("encoding", encoding)
       .option("multiLine", "false")
       .csv(file)
-    parseDataFrame(spark, df, skipValidation)
-  }
+
+  /** Parse a header-row CSV with DictReader semantics (all strings). */
+  def parseCsv(spark: SparkSession, file: String, encoding: String = "UTF-8",
+      skipValidation: Boolean = false): Map[String, DataFrame] =
+    parseDataFrame(spark, readCsv(spark, file, encoding), skipValidation)
 
   /** Parse any DataFrame (columns are stringified — CSV semantics).
     *
@@ -291,30 +293,41 @@ final class AdtlParser private (
     df.select(cols: _*)
   }
 
-  /** groupBy table: one shuffle. lastNotNull = arg-max by scan-order id over
-    * non-empty values; combinedType aggregation modes per parser.py:551-637. */
-  private def execGroupBy(df: DataFrame, compiler: RuleCompiler, tname: String,
-      meta: TableMeta): DataFrame = {
+  /** Per-row parsed frame for a groupBy table: ROW_ID + compiled group key
+    * + compiled attributes (one narrow projection, shared by execGroupBy
+    * and overwriteCounts). */
+  private def groupParsed(df: DataFrame, compiler: RuleCompiler, tname: String,
+      meta: TableMeta): (DataFrame, String, Seq[String]) = {
     val rules = spec.tableRules(tname).asInstanceOf[Raw]
     val groupField = meta.groupBy.get
-    val aggregation = meta.aggregation.getOrElse("lastNotNull")
     val attrs = spec.fieldNames(tname).filterNot(_ == groupField)
-
-    // parse all attributes per row first (narrow projection)
     val parsed = df.select(
       (col(ROW_ID) +:
         compiler.compile(rules(groupField), groupField, coerceTypeFor(tname, groupField))
           .as(groupField) +:
         attrs.map(a => compiler.compile(rules(a), a, coerceTypeFor(tname, a)).as(a))): _*)
+    (parsed, groupField, attrs)
+  }
 
-    def valid(a: String): Column = {
-      val c = col(a)
-      parsed.schema(a).dataType match {
-        case _: org.apache.spark.sql.types.ArrayType => c.isNotNull && size(c) > 0
-        case _: org.apache.spark.sql.types.StringType => c.isNotNull && c =!= ""
-        case _ => c.isNotNull
-      }
+  /** Non-empty test matching the reference's `not in (None, "", [], {})`. */
+  private def validIn(parsed: DataFrame, a: String): Column = {
+    val c = col(a)
+    parsed.schema(a).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => c.isNotNull && size(c) > 0
+      case _: org.apache.spark.sql.types.StringType => c.isNotNull && c =!= ""
+      case _ => c.isNotNull
     }
+  }
+
+  /** groupBy table: one shuffle. lastNotNull = arg-max by scan-order id over
+    * non-empty values; combinedType aggregation modes per parser.py:551-637. */
+  private def execGroupBy(df: DataFrame, compiler: RuleCompiler, tname: String,
+      meta: TableMeta): DataFrame = {
+    val rules = spec.tableRules(tname).asInstanceOf[Raw]
+    val aggregation = effectiveAggregation(tname, meta)
+    val (parsed, groupField, attrs) = groupParsed(df, compiler, tname, meta)
+
+    def valid(a: String): Column = validIn(parsed, a)
     def nullIfEmpty(arr: Column): Column = when(size(arr) > 0, arr)
 
     val aggCols: Seq[Column] = attrs.map { a =>
@@ -363,6 +376,78 @@ final class AdtlParser private (
       .groupBy(col(groupField))
       .agg(aggCols.head, aggCols.tail: _*)
       .select((groupField +: attrs).map(col): _*)
+  }
+
+  // ---- groupBy overwrite diagnostics ------------------------------------
+
+  private var aggOverrides: Map[String, String] = Map.empty
+
+  /** Override a table's aggregation mode programmatically — the counterpart
+    * of the reference test's `parser.tables[t]["aggregation"] =
+    * "lastNotNullStrict"` mutation (tests/test_adtl/test_parser.py:280-283):
+    * any value other than "applyCombinedType" routes every attribute,
+    * combinedType rules included, through the lastNotNull overwrite path. */
+  def withAggregation(table: String, aggregation: String): this.type = {
+    if (!spec.tables.contains(table))
+      throw new IllegalArgumentException(s"Invalid table name: $table")
+    aggOverrides += table -> aggregation
+    this
+  }
+
+  private def effectiveAggregation(tname: String, meta: TableMeta): String =
+    aggOverrides.getOrElse(tname, meta.aggregation.getOrElse("lastNotNull"))
+
+  /** Attributes of a groupBy table that take the lastNotNull overwrite path
+    * (no combinedType, or the table is not in applyCombinedType mode). */
+  private def overwritePathAttrs(tname: String, meta: TableMeta,
+      attrs: Seq[String]): Seq[String] = {
+    val rules = spec.tableRules(tname).asInstanceOf[Raw]
+    val aggregation = effectiveAggregation(tname, meta)
+    attrs.filter { a =>
+      val isCombined = rules(a).isInstanceOf[Raw @unchecked] &&
+        rules(a).asInstanceOf[Raw].contains("combinedType")
+      !(isCombined && aggregation == "applyCombinedType")
+    }
+  }
+
+  /** Scale-safe overwrite diagnostics for groupBy tables: per table, per
+    * overwrite-path attribute, the number of groups holding MORE THAN ONE
+    * distinct non-empty value — exactly the groups the reference's per-group
+    * "Multiple rows of data found … Data being overwritten" warning fires
+    * for (parser.py:596-615). The reference emits one warning per dirty
+    * group with the group's data attached; at 100 TB that is unbounded
+    * driver output, so this surfaces aggregate counts instead: two
+    * aggregations per table (per-group distinct counts, then a global sum),
+    * and no group's data ever reaches the driver. */
+  def overwriteCounts(spark: SparkSession, source: DataFrame): Map[String, Map[String, Long]] = {
+    Uuid5Expr.register(spark)
+    var df = source.withColumn(ROW_ID, monotonically_increasing_id())
+    spec.header.emptyFields.foreach { sentinel =>
+      df = df.select(df.columns.map { c =>
+        if (c == ROW_ID) col(c)
+        else when(col(c).cast("string") === sentinel, "")
+          .otherwise(col(c).cast("string")).as(c)
+      }: _*)
+    }
+    val compiler = new RuleCompiler(
+      df.columns.filterNot(_ == ROW_ID).toSeq, spec.header, spec.dateFields.toSet,
+      registry, spec.namespaceUuid)
+    spec.tables.collect { case (tname, meta) if meta.kind == "groupBy" =>
+      val (parsed, groupField, attrs) = groupParsed(df, compiler, tname, meta)
+      val watch = overwritePathAttrs(tname, meta, attrs)
+      tname -> (if (watch.isEmpty) Map.empty[String, Long]
+      else {
+        val cds = watch.map(a =>
+          countDistinct(when(validIn(parsed, a), col(a))).as(a))
+        val perGroup = parsed.filter(validIn(parsed, groupField))
+          .groupBy(col(groupField)).agg(cds.head, cds.tail: _*)
+        val sums = watch.map(a =>
+          sum(when(col(a) > 1, 1L).otherwise(0L)).as(a))
+        val row = perGroup.agg(sums.head, sums.tail: _*).collect()(0)
+        watch.map(a => a -> (if (row.isNullAt(row.fieldIndex(a))) 0L
+          else row.getAs[Long](a))).toMap
+      })
+    }
   }
 
   /** oneToMany: per-entry struct gated by its `if`, exploded — narrow plan,

@@ -23,9 +23,10 @@ object Main {
   private def usage(): Unit =
     System.err.println(
       """usage: adtlspark parse <spec> <data.csv> [-o prefix] [--format csv|parquet]
-        |                      [--include-def file] [--encoding enc] [--save-report file]
-        |                      [--include-transform provider-or-class]
-        |       adtlspark check <spec> <data.csv>""".stripMargin)
+        |                      [--parquet] [--include-def file] [--encoding enc]
+        |                      [--save-report file] [--include-transform provider-or-class]
+        |                      [-q|--quiet] [-v|--verbose] [-p|--parallel]
+        |       adtlspark check <spec> [data.csv]""".stripMargin)
 
   /** true when this process (not an embedding caller) owns the session. */
   private def ownsSession: Boolean = SparkSession.getActiveSession.isEmpty &&
@@ -53,15 +54,26 @@ object Main {
     var includeDefs = List.empty[String]
     var saveReport: Option[String] = None
     var includeTransform: Option[String] = None
+    var verbose = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "-o" | "--output" => output = Some(args(i + 1)); i += 2
         case "--format" => format = args(i + 1); i += 2
+        case "--parquet" => format = "parquet"; i += 1
         case "--encoding" => encoding = args(i + 1); i += 2
         case "--include-def" => includeDefs :+= args(i + 1); i += 2
         case "--save-report" => saveReport = Some(args(i + 1)); i += 2
         case "--include-transform" => includeTransform = Some(args(i + 1)); i += 2
+        case "-v" | "--verbose" => verbose = true; i += 1
+        // -q tunes the reference's progress bar; there is none here
+        case "-q" | "--quiet" => i += 1
+        case "-p" | "--parallel" =>
+          // reference: multiprocessing fan-out. Spark execution is always
+          // parallel (local[*] threads or cluster executors) — accepted as
+          // a no-op for drop-in CLI compatibility.
+          Console.err.println("note: --parallel is a no-op; Spark runs parallel by default")
+          i += 1
         case a if spec.isEmpty => spec = Some(a); i += 1
         case a if data.isEmpty => data = Some(a); i += 1
         case a => System.err.println(s"Unexpected argument: $a"); sys.exit(1)
@@ -83,8 +95,11 @@ object Main {
             case _ => parser.writeCsv(tables, t, s"$prefix-$t.csv")
           }
         }
+        if (verbose) printOverwriteWarnings(
+          parser.overwriteCounts(spark, parser.readCsv(spark, df, encoding)))
         val report = parser.report(tables)
-        printReport(report)
+        // reference parity: --save-report replaces the printed report
+        if (saveReport.isEmpty) printReport(report)
         saveReport.foreach { path =>
           val json = report.map { case (t, (valid, total, errors)) =>
             val errs = errors.map { case (m, c) =>
@@ -121,11 +136,30 @@ object Main {
     }
   }
 
+  /** Aggregate counterpart of the reference's per-group overwrite warning
+    * (parser.py:608-615) — counts instead of group payloads. */
+  private[adtl] def printOverwriteWarnings(
+      counts: Map[String, Map[String, Long]]): Unit =
+    counts.foreach { case (t, attrs) =>
+      attrs.toSeq.sortBy(_._1).filter(_._2 > 0).foreach { case (a, n) =>
+        Console.err.println(
+          s"Warning: Multiple rows of data found for $a in table '$t' " +
+            s"without a combinedType listed. Data being overwritten in $n group(s).")
+      }
+    }
+
   private def checkCmd(args: Array[String]): Unit = {
-    if (args.length < 2) { usage(); sys.exit(1) }
+    if (args.length < 1) { usage(); sys.exit(1) }
     val owned = ownsSession
     val spark = session()
-    val parser = AdtlParser.fromFile(args(0))
+    val parser = AdtlParser.fromFile(args(0)) // validates the spec
+    if (args.length < 2) {
+      // data file is optional, as in the reference (check_mapping data=None
+      // path, python_interface.py:86-88): spec-only validation
+      println("OK: specification is valid")
+      if (owned) spark.stop()
+      return
+    }
     val df = spark.read.option("header", "true").csv(args(1))
     val (unmapped, absent) = parser.checkSpecFields(df.columns.toSeq)
     if (absent.nonEmpty) {

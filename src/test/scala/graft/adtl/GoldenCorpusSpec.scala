@@ -361,6 +361,48 @@ class GoldenCorpusSpec extends SparkSpec {
         "treatment_antiviral_type" -> "[Ribavirin]")))
   }
 
+  test("golden: overwrite-count diagnostics (parser.py:596-615 scale analogue)") {
+    // applyCombinedType mode: every attribute in this fixture has a
+    // combinedType — nothing takes the overwrite path, nothing to count
+    val p = parserFor("stop-overwriting.toml")
+    val src = p.readCsv(spark, s"$golden/sources/stop-overwriting.csv")
+    assert(p.overwriteCounts(spark, src) == Map("visit" -> Map.empty))
+
+    // strict mode via the programmatic override (the reference test's
+    // `prsr.tables["visit"]["aggregation"] = "lastNotNullStrict"`,
+    // test_parser.py:280-283): every attribute overwrites; the counts are
+    // exactly the groups the reference's verbose warnings fire for
+    val strict = parserFor("stop-overwriting.toml")
+      .withAggregation("visit", "lastNotNullStrict")
+    assert(strict.overwriteCounts(spark, src) == Map("visit" -> Map(
+      "earliest_admission" -> 1L, "start_date" -> 2L,
+      "icu_admission_date" -> 1L, "treatment_antiviral_type" -> 2L)))
+
+    // and the override changes parse output the same way the TOML rewrite
+    // does: the strict rows from test_overwriting_with_strict_groupby
+    assertRows(collectRows(
+      strict.parseCsv(spark, s"$golden/sources/stop-overwriting.csv")("visit")), List(
+      Map("subject_id" -> "1", "earliest_admission" -> "2023-11-19",
+        "start_date" -> "2023-11-19",
+        "treatment_antiviral_type" -> "[Ribavirin]"),
+      Map("subject_id" -> "2", "start_date" -> "2020-11-23",
+        "icu_admission_date" -> "[2020-11-30]",
+        "treatment_antiviral_type" -> "[Lopinavir]"),
+      Map("subject_id" -> "3", "start_date" -> "2020-02-20",
+        "treatment_antiviral_type" -> "[Ribavirin]")))
+
+    // CLI surface (`adtlspark parse -v`): one warning line per dirty attr
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.printOverwriteWarnings(strict.overwriteCounts(spark, src))
+    }
+    val lines = buf.toString("UTF-8").split("\n").toList.filter(_.nonEmpty)
+    assert(lines.length == 4)
+    assert(lines.contains("Warning: Multiple rows of data found for " +
+      "start_date in table 'visit' without a combinedType listed. " +
+      "Data being overwritten in 2 group(s)."))
+  }
+
   test("golden: read_table error for wrong table names") {
     val p = parserFor("epoch.json")
     val tables = p.parseCsv(spark, s"$golden/sources/epoch.csv")
