@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * runs as a partition-batched function over the binary payloads (the
   * Scala analogue of mapInPandas batches).
   *
-  * The actual codec is STUBBED — this container has no image/audio
-  * libraries — behind `decodeStub`, a clearly-marked deterministic fake
-  * that derives plausible metadata from the payload bytes. The Spark-side
-  * plumbing (schema, batching, partition preservation, column wiring) is
-  * real and tested; swapping `decodeStub` for a JNI/javacv decoder changes
-  * no plan shape.
+  * Image payloads are decoded for REAL (PNG/JPEG/GIF/BMP via javax.imageio,
+  * which ships with the JDK): metadata comes from the decoded image and the
+  * feature vector is an 8-bin luminance histogram over its pixels. Only
+  * non-image media (audio/video — no JDK codec exists) falls back to the
+  * clearly-marked `decodeStub`/`featureStub` fakes. The Spark-side plumbing
+  * (schema, batching, partition preservation, column wiring) is identical
+  * on both paths; swapping the stub for a JNI/javacv decoder changes no
+  * plan shape.
   */
 object Multimodal {
 
@@ -44,7 +46,13 @@ object Multimodal {
     * javax.imageio — ships with the JDK, no external codec): width, height
     * and channel count come from the actual decoded image. Unrecognized
     * payloads fall back to the clearly-marked stub. */
-  def decodeMedia(payload: Array[Byte]): MediaMeta = {
+  def decodeMedia(payload: Array[Byte]): MediaMeta = decodeFull(payload)._1
+
+  /** One decode pass producing metadata AND the feature vector, so
+    * decodeImages never reads the same payload twice. Image payloads get a
+    * REAL feature (8-bin luminance histogram over the decoded pixels);
+    * non-image payloads fall back to the stub pair. */
+  def decodeFull(payload: Array[Byte]): (MediaMeta, Array[Float]) = {
     val isJpeg = payload.length > 3 &&
       (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
     val isGif = payload.length > 3 &&
@@ -52,12 +60,37 @@ object Multimodal {
     if (looksLikePng(payload) || isJpeg || isGif) {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img != null)
-        return MediaMeta(img.getWidth, img.getHeight,
+        return (MediaMeta(img.getWidth, img.getHeight,
           img.getColorModel.getNumComponents,
           if (looksLikePng(payload)) "image/png"
-          else if (isJpeg) "image/jpeg" else "image/gif")
+          else if (isJpeg) "image/jpeg" else "image/gif"),
+          imageHistogram(img))
     }
-    decodeStub(payload)
+    (decodeStub(payload), featureStub(payload))
+  }
+
+  /** REAL image feature, JDK-only and deterministic: a pixel-count-normalized
+    * 8-bin histogram of per-pixel luminance ((r+g+b)/3, 32 levels per bin)
+    * over the decoded image. Sums to 1.0 — comparable across image sizes. */
+  def imageHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val out = new Array[Float](8)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        out(lum >> 5) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    var i = 0
+    while (i < 8) { out(i) /= n; i += 1 }
+    out
   }
 
   /** Encode a tiny real PNG with deterministic pixels (test/data-gen aid;
@@ -94,8 +127,9 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
-  /** STUB feature extractor: an 8-dim float vector folded from the payload
-    * (batch shape + schema are what production would use). */
+  /** STUB feature extractor for NON-IMAGE payloads (audio/video would need
+    * codecs this container lacks): an 8-dim float vector folded from the
+    * payload bytes. Image payloads get the real histogram above. */
   def featureStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     var i = 0
@@ -116,7 +150,8 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init would happen here
         it.map { case (id, payload) =>
-          DecodedDoc(id, decodeMedia(payload), featureStub(payload)) }
+          val (meta, feature) = decodeFull(payload)
+          DecodedDoc(id, meta, feature) }
       }
   }
 

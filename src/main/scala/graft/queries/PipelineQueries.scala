@@ -127,6 +127,22 @@ object PipelineQueries {
       Multimodal.decodeMetaExpr(Tables.documents(s, d), "doc_id")
         .orderBy("doc_id")
     },
+    // REAL image-decode path, oracle-pinned: the PNG payloads carry
+    // deterministic pixels (Multimodal.pngBytes), so the decoded 8-bin
+    // luminance histogram is SQL-replicable by regenerating the pixel
+    // function — this pins javax.imageio decode + the histogram kernel
+    // over actual bytes, not the stub. Histogram rendered as exact bin
+    // counts (feature × w × h) to keep the compare integer-exact.
+    "m_media_feature" -> { (s, d) =>
+      val pngs = Multimodal.pngPayloads(s, Tables.documents(s, d), "doc_id")
+      Multimodal.decodeImages(s, pngs, "doc_id").toDF()
+        .select(col("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          concat_ws(",", transform(col("feature"), f =>
+            round(f.cast("double") * col("meta.width") * col("meta.height"))
+              .cast("int"))).as("hist"))
+        .orderBy("doc_id")
+    },
     // tumbling 5-minute event stats (batch form of the streaming op)
     "q_stream_window" -> { (s, d) =>
       Streaming.windowStatsBatch(Tables.events(s, d), "5 minutes")
@@ -400,6 +416,29 @@ object PipelineQueries {
         |  240 + (((strpos('0123456789abcdef', hex[3]) - 1) * 16 + (strpos('0123456789abcdef', hex[4]) - 1)) % 5) * 120 AS height,
         |  3 AS n_channels, 'fake/rgb8' AS format
         |FROM h ORDER BY doc_id""".stripMargin,
+    // regenerates pngBytes' pixel function ((seed*2654435761 + x*31 + y*17)
+    // truncated to 24 bits), bins luminance exactly like imageHistogram
+    "m_media_feature" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 2 + doc_id % 6 AS width, 2 + doc_id % 4 AS height
+        |  FROM documents),
+        |pix AS (
+        |  SELECT d.doc_id,
+        |    ((d.doc_id * 2654435761 + x.x * 31 + y.y * 17) % 16777216) AS rgb
+        |  FROM dims d, generate_series(0, 6) AS x(x), generate_series(0, 4) AS y(y)
+        |  WHERE x.x < d.width AND y.y < d.height),
+        |bins AS (
+        |  SELECT doc_id,
+        |    ((((rgb // 65536) % 256) + ((rgb // 256) % 256) + (rgb % 256)) // 3) // 32 AS bin
+        |  FROM pix),
+        |counts AS (SELECT doc_id, bin, count(*) AS c FROM bins GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT d.doc_id, d.width, d.height, g.b AS bin, COALESCE(c.c, 0) AS c
+        |  FROM dims d CROSS JOIN generate_series(0, 7) AS g(b)
+        |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = g.b)
+        |SELECT doc_id, width, height,
+        |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist
+        |FROM filled GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),

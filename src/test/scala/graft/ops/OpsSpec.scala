@@ -137,11 +137,20 @@ class OpsSpec extends SparkSpec {
     val pngs = Multimodal.pngPayloads(spark, d, "doc_id")
     val decoded = Multimodal.decodeImages(spark, pngs, "doc_id").collect()
     assert(decoded.nonEmpty)
+    val payloads = pngs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
     decoded.foreach { r =>
       assert(r.meta.format == "image/png")
       assert(r.meta.width == 2 + (r.doc_id % 6).toInt) // true decoded size
       assert(r.meta.height == 2 + (r.doc_id % 4).toInt)
       assert(r.meta.nChannels == 3)
+      // the feature is the REAL pixel histogram, not the byte-fold stub:
+      // normalized (sums to 1) and equal to a local decode of the payload
+      assert(math.abs(r.feature.sum - 1.0f) < 1e-5)
+      val local = Multimodal.imageHistogram(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payloads(r.doc_id))))
+      assert(r.feature.sameElements(local))
+      assert(!r.feature.sameElements(Multimodal.featureStub(payloads(r.doc_id))))
     }
   }
 
