@@ -163,15 +163,29 @@ final class AdtlParser private (
     * monotonically_increasing_id — correct for ordered single-source scans,
     * but an explicit sequence column is the robust contract at cluster
     * scale (no sort needed, survives any partitioning).
+    *
+    * `requireOrderCol`: strict mode for cluster deployments — FAIL (instead
+    * of warning on stderr, which nobody reads on a 1000-executor job) when
+    * the spec has groupBy tables and no orderCol was given. A splittable
+    * multi-file read silently breaks scan-order lastNotNull semantics, so
+    * strict callers make the order contract explicit or don't run.
     */
   def parseDataFrame(spark: SparkSession, source: DataFrame,
       skipValidation: Boolean = false,
-      orderCol: Option[String] = None): Map[String, DataFrame] = {
+      orderCol: Option[String] = None,
+      requireOrderCol: Boolean = false): Map[String, DataFrame] = {
     Uuid5Expr.register(spark) // codegen'd uuid5 for generate rules
     var df = orderCol match {
       case Some(c) => source.withColumn(ROW_ID, col(c).cast("long"))
       case None =>
-        if (spec.tables.values.exists(_.kind == "groupBy"))
+        val groupTables = spec.tables.collect {
+          case (t, m) if m.kind == "groupBy" => t }
+        if (requireOrderCol && groupTables.nonEmpty)
+          throw new IllegalArgumentException(
+            s"requireOrderCol: groupBy tables (${groupTables.mkString(", ")}) " +
+              "need an explicit orderCol for deterministic lastNotNull/" +
+              "firstNonNull/list semantics under splittable multi-file reads")
+        if (groupTables.nonEmpty)
           System.err.println(
             "Warning: groupBy tables use scan order as \"file order\" " +
               "(monotonically_increasing_id). That is only the reference's file " +

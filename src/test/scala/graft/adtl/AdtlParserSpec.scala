@@ -55,6 +55,31 @@ class AdtlParserSpec extends SparkSpec {
     assert(s2.getAs[String]("country_iso3") == "GBR")
   }
 
+  test("requireOrderCol: strict mode fails groupBy specs without orderCol") {
+    val df = strDf(
+      Seq("subjid", "sex", "dsstdat", "hostdat"),
+      Seq(Seq("S001", "1", "2022-01-01", "")))
+    val e = intercept[IllegalArgumentException] {
+      AdtlParser.fromJsonString(groupBySpec)
+        .parseDataFrame(spark, df, requireOrderCol = true)
+    }
+    assert(e.getMessage.contains("requireOrderCol"))
+    assert(e.getMessage.contains("subject")) // names the offending table
+    // with an explicit order column, strict mode parses normally
+    val withOrder = df.withColumn("seq",
+      org.apache.spark.sql.functions.monotonically_increasing_id())
+    val out = AdtlParser.fromJsonString(groupBySpec)
+      .parseDataFrame(spark, withOrder, orderCol = Some("seq"),
+        requireOrderCol = true)("subject")
+    assert(out.count() == 1)
+    // and specs without groupBy tables never need an order contract
+    val o2o =
+      """{"adtl": {"name": "n", "description": "d", "tables": {"t": {"kind": "oneToOne"}}},
+        |"t": {"sid": {"field": "subjid"}}}""".stripMargin
+    assert(AdtlParser.fromJsonString(o2o)
+      .parseDataFrame(spark, df, requireOrderCol = true)("t").count() == 1)
+  }
+
   test("applyCombinedType: min/max, firstNonNull, list, set across rows") {
     val spec =
       """{
