@@ -241,20 +241,35 @@ final class AdtlParser private (
 
   /** Streaming form: the same compiled plans over a streaming DataFrame.
     * constant/oneToOne/oneToMany are stateless projections and run
-    * unchanged under Structured Streaming; groupBy tables need watermarked
-    * state and are rejected here (aggregate the materialized output, or use
-    * graft.ops.Streaming for windowed state).
+    * unchanged under Structured Streaming.
+    *
+    * groupBy tables run as a streaming AGGREGATION — the identical
+    * execGroupBy plan (max_by over the order id, sorted-struct collects),
+    * with Spark's stateful aggregation carrying per-group state across
+    * micro-batches — and therefore need two contracts made explicit:
+    *
+    *  - `orderCol` is REQUIRED for groupBy specs: arrival order is not
+    *    file order across micro-batches (partition ids restart per batch),
+    *    so "last" must come from an explicit sequence column;
+    *  - the streaming query must run with Update or Complete output mode
+    *    (streaming aggregations cannot Append without a watermark), and
+    *    group-key state lives until the query ends — bounded-key domains
+    *    (subjects, users) are the intended shape.
     */
-  def parseStream(spark: SparkSession, source: DataFrame): Map[String, DataFrame] = {
+  def parseStream(spark: SparkSession, source: DataFrame,
+      orderCol: Option[String] = None): Map[String, DataFrame] = {
     require(source.isStreaming, "parseStream expects a streaming DataFrame")
-    spec.tables.collect { case (t, m) if m.kind == "groupBy" => t } match {
-      case bad if bad.nonEmpty =>
-        throw new SpecValidationError(
-          s"groupBy tables (${bad.mkString(", ")}) are not supported in streaming mode")
-      case _ =>
-    }
+    val groupTables = spec.tables.collect { case (t, m) if m.kind == "groupBy" => t }
+    if (groupTables.nonEmpty && orderCol.isEmpty)
+      throw new SpecValidationError(
+        s"groupBy tables (${groupTables.mkString(", ")}) need an explicit " +
+          "orderCol in streaming mode: arrival order is not file order " +
+          "across micro-batches")
     Uuid5Expr.register(spark)
-    var df = source.withColumn(ROW_ID, lit(0L)) // no file order in a stream
+    var df = orderCol match {
+      case Some(c) => source.withColumn(ROW_ID, col(c).cast("long"))
+      case None => source.withColumn(ROW_ID, lit(0L)) // unused without groupBy
+    }
     spec.header.emptyFields.foreach { sentinel =>
       df = df.select(df.columns.map { c =>
         if (c == ROW_ID) col(c)
@@ -270,6 +285,7 @@ final class AdtlParser private (
         val out = meta.kind match {
           case "oneToOne" => execOneToOne(df, compiler, tname)
           case "oneToMany" => execOneToMany(df, compiler, tname, meta)
+          case "groupBy" => execGroupBy(df, compiler, tname, meta)
         }
         val validated =
           if (spec.schemas.contains(tname)) withValidation(out, tname, meta)

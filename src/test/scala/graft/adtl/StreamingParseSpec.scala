@@ -42,7 +42,7 @@ class StreamingParseSpec extends SparkSpec {
       ("cough", "2022-03-03"), ("headache", "2022-03-03")))
   }
 
-  test("groupBy specs are rejected in streaming mode with a clear error") {
+  test("groupBy specs without orderCol are rejected in streaming mode") {
     import spark.implicits._
     val parser = AdtlParser.fromJsonString(
       """{"adtl": {"name": "s", "description": "d", "tables": {
@@ -53,6 +53,55 @@ class StreamingParseSpec extends SparkSpec {
     val stream = spark.readStream
       .schema(spark.read.parquet(s"$tmp/src").schema).parquet(s"$tmp/src")
     val e = intercept[Spec.SpecValidationError](parser.parseStream(spark, stream))
-    assert(e.getMessage.contains("not supported in streaming mode"))
+    assert(e.getMessage.contains("need an explicit orderCol in streaming mode"))
+  }
+
+  test("groupBy stream output equals the batch parse (groupBy.json fixture)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val parser = AdtlParser.fromFile(
+      "src/test/resources/golden/parsers/groupBy.json")
+    // (seq, subjid, sex, dsstdat, hostdat): S001's sex arrives in batch 1,
+    // empties must not overwrite; S001's admission date only in batch 2;
+    // batch 2 also carries an out-of-order (smaller seq) late row for S002
+    // that lastNotNull must NOT take as latest
+    val batch1 = Seq(
+      (0L, "S001", "1", "2022-01-01", ""),
+      (2L, "S002", "2", "2022-01-02", "2022-01-06"))
+    val batch2 = Seq(
+      (3L, "S001", "", "2022-01-01", "2022-01-05"),
+      (1L, "S002", "3", "2022-01-02", "")) // late arrival, seq 1 < 2
+    val all = batch1 ++ batch2
+
+    val mem = MemoryStream[(Long, String, String, String, String)]
+    val src = mem.toDF().toDF("seq", "subjid", "sex", "dsstdat", "hostdat")
+    val tables = parser.parseStream(spark, src, orderCol = Some("seq"))
+    // streaming aggregation → Complete mode gives the full result table
+    val q = tables("subject").writeStream
+      .format("memory").queryName("adtl_stream_subject")
+      .outputMode("complete").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql(
+      "SELECT * FROM adtl_stream_subject ORDER BY subject_id")
+    val batch = parser.parseDataFrame(spark,
+      all.toDF("seq", "subjid", "sex", "dsstdat", "hostdat"),
+      orderCol = Some("seq"))("subject").orderBy("subject_id")
+    assert(streamed.columns.toList == batch.columns.toList)
+    assert(streamed.collect().toList == batch.collect().toList)
+    // the cross-batch semantics the state must carry: S001 keeps batch-1
+    // sex (empty never overwrites) and gains batch-2 admission; S002 keeps
+    // seq-2 sex over the late seq-1 row
+    val byId = streamed.collect().map(r =>
+      r.getAs[String]("subject_id") -> r).toMap
+    assert(byId("S001").getAs[String]("sex_at_birth") == "male")
+    assert(byId("S001").getAs[String]("admission_date") == "2022-01-05")
+    assert(byId("S002").getAs[String]("sex_at_birth") == "female")
   }
 }
