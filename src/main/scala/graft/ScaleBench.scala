@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom evidence: replicate sf0.1 N× (shifted ids) and time the
+  * most expensive gate queries at the larger scale, to confirm the plans
+  * stay near-linear at 10× data.
+  *
+  * Replication is designed so output sizes grow LINEARLY with the data —
+  * otherwise the measurement conflates plan scaling with data-property
+  * changes:
+  *  - document text goes through a per-copy Caesar cipher, so shingle and
+  *    fingerprint sets are disjoint across copies (straight copies would
+  *    make every doc a 10-way near-duplicate and the candidate-pair count
+  *    quadratic by construction);
+  *  - embeddings get a per-copy deterministic element-wise perturbation,
+  *    so no cross-copy exact-duplicate vectors inflate near-dup pairs;
+  *  - orders replicate with shifted keys (row-linear operators only).
+  *
+  * Usage: runMain graft.ScaleBench <srcSfDir> <workDir> <copies>
+  * Prints one JSON line {"metric":"scale_total", ...} like Bench.
+  */
+object ScaleBench {
+
+  private val Queries = Seq(
+    "s_ivf_kmeans_topk", "d_minhash_lsh", "d_simhash", "s_cosine_topk",
+    "adtl_onetomany", "d_embed_neardup", "q_clean_corpus", "d_ngram_jaccard")
+
+  private def caesar(k: Int): (String, String) = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rot(s: String) = s.drop(k % 26) + s.take(k % 26)
+    (lower + upper, rot(lower) + rot(upper))
+  }
+
+  def replicate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until copies).map { k =>
+      val (from, to) = caesar(k)
+      docs.select(
+        (col("doc_id") + lit(k * nDocs)).as("doc_id"),
+        translate(col("text"), from, to).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVecs = emb.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until copies).map { k =>
+      emb.select(
+        (col("vec_id") + lit(k * nVecs)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(i * 31 + lit(k * 17), lit(13)) - lit(6)).cast("float")
+            * lit(0.01f)).cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val nOrders = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+    (0 until copies).map { k =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(k * nOrders))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$work/orders.parquet").exists())
+      replicate(spark, src, work, copies)
+
+    // warmup (untimed): JIT + codegen for the shared kernels
+    locally {
+      def warm(body: => Unit): Unit =
+        try body catch { case e: Throwable =>
+          System.err.println(s"[scalebench] warmup failed: $e") }
+      warm(spark.read.parquet(s"$work/documents.parquet").count())
+      warm(spark.read.parquet(s"$work/embeddings.parquet").count())
+      warm(spark.read.parquet(s"$work/orders.parquet").count())
+      warm {
+        val d = spark.read.parquet(s"$work/documents.parquet").limit(64)
+        d.select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+          .groupBy("fp").count().count()
+      }
+      warm {
+        val e = spark.read.parquet(s"$work/embeddings.parquet").limit(64)
+        val v = graft.ops.Similarity.toDouble(col("embedding"))
+        e.select((graft.ops.Similarity.norm(v) +
+          aggregate(v, lit(0.0), (a, x) => a + x)).as("s")).agg(sum("s")).count()
+      }
+    }
+
+    val results = Queries.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val rows = try fn(spark, work).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[scalebench] $name failed: ${e.getMessage}")
+          -1L
+      }
+      (name, (System.nanoTime() - t0) / 1e9, rows)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rs = results.map { case (k, _, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"queries":$qs,"rows":$rs,"src":"$src"}""")
+    spark.stop()
+  }
+}
