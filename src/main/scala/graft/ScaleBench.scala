@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   *    fingerprint sets are disjoint across copies (straight copies would
   *    make every doc a 10-way near-duplicate and the candidate-pair count
   *    quadratic by construction);
-  *  - embeddings get a per-copy deterministic element-wise perturbation,
-  *    so no cross-copy exact-duplicate vectors inflate near-dup pairs;
+  *  - embeddings get a per-copy deterministic SIGN-FLIP isometry (copy 0 is
+  *    identity): flipping a pseudo-random half of the dimensions preserves
+  *    every within-copy cosine exactly (the same orthogonal transform is
+  *    applied to both sides of any pair) while cross-copy cosines collapse
+  *    toward 0; labels shift per copy so bucketed operators see each copy
+  *    as a disjoint shard — near-dup candidates and output grow linearly;
   *  - orders replicate with shifted keys (row-linear operators only).
   *
   * Usage: runMain graft.ScaleBench <srcSfDir> <workDir> <copies>
@@ -48,13 +52,17 @@ object ScaleBench {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVecs = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val nLabels = emb.agg(max("label")).head.getInt(0) + 1
     (0 until copies).map { k =>
+      val sign =
+        if (k == 0) (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) => x
+        else (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+          (x * (lit(1) - lit(2) * pmod(xxhash64(i, lit(k)), lit(2)).cast("int"))
+            .cast("float")).cast("float")
       emb.select(
         (col("vec_id") + lit(k * nVecs)).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          (x + (pmod(i * 31 + lit(k * 17), lit(13)) - lit(6)).cast("float")
-            * lit(0.01f)).cast("float")).as("embedding"),
-        col("label"))
+        transform(col("embedding"), (x, i) => sign(x, i)).as("embedding"),
+        (col("label") + lit(k * nLabels)).cast("int").as("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
