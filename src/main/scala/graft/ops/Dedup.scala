@@ -347,6 +347,38 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard verification over an arbitrary CANDIDATE pair set — the
+    * petabyte-scale composition the block-join Scaladoc prescribes: LSH
+    * emits candidates (~linear in data via banding + bucket caps), then
+    * verification joins each pair to its two packed gram-hash sets —
+    * O(|candidates|) work, never all-pairs, never quadratic in any block.
+    *
+    * `gramHashes` supplies the per-doc gram-hash array (xxhash64
+    * `TextHashExprs.ngramHashes` in production; `md5BaseHashes` for the
+    * oracle-checkable variant). Jaccard over hashed gram SETS equals
+    * string-set Jaccard absent a 64-bit collision. */
+  def verifyJaccardCandidates(df: DataFrame, idCol: String,
+      gramHashes: Column, pairs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    val grams = df.select(col(idCol).as("id"),
+        graft.functions.PackedLongs.packSortedSet(spark, gramHashes).as("g"))
+      .withColumn("nc", (length(col("g")) / 8).cast("int"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(grams.select(col("id").as("id_a"), col("g").as("g_a"),
+        col("nc").as("n_a")).hint("SHUFFLE_HASH"), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("g").as("g_b"),
+        col("nc").as("n_b")).hint("SHUFFLE_HASH"), "id_b")
+      .withColumn("inter", graft.functions.PackedLongs
+        .intersectSize(spark, col("g_a"), col("g_b")).cast("double"))
+      .withColumn("uni",
+        col("n_a").cast("double") + col("n_b").cast("double") - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---- embedding near-dup -----------------------------------------------
 
   /** Embedding-cosine near-duplicates among pairs sharing a coarse bucket

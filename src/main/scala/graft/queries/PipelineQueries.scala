@@ -44,6 +44,17 @@ object PipelineQueries {
         n = 2, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 200)
         .orderBy("id_a", "id_b")
     },
+    // the composed petabyte-scale dedup shape: LSH candidates (linear in
+    // data via banding + bucket caps) verified with EXACT Jaccard over
+    // packed gram-hash sets — O(|candidates|), never quadratic in a block
+    "d_lsh_jaccard_verify" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.minhashLshPairsMd5(docs, "doc_id", "text",
+        n = 2, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 200)
+      Dedup.verifyJaccardCandidates(docs, "doc_id",
+        Dedup.md5BaseHashes(col("text"), 2), cands, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
     // oracle-checkable MinHash signatures (md5-based arithmetic both
     // engines can compute — pins the MinHash math itself)
     "d_minhash_md5_sig" -> { (s, d) =>
@@ -183,6 +194,56 @@ object PipelineQueries {
   private val tokensSql =
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
+  /** Shared md5-affine LSH CTE chain (toks → grams → hashes → sigs →
+    * banded → capped → cand → est) re-deriving the whole candidate
+    * pipeline in DuckDB; used by the d_minhash_lsh oracle and the
+    * composed d_lsh_jaccard_verify oracle. */
+  private def md5LshOracleCtes(numHashes: Int, bands: Int, cap: Int): String = {
+    val p = Dedup.md5MinhashP
+    val rows = numHashes / bands
+    val sigList = Dedup.md5MinhashSeeds(numHashes).map { case (a, b) =>
+      s"list_min(list_transform(h, x -> (x * $a + $b) % $p))"
+    }.mkString("[\n    ", ",\n    ", "]")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (1 to rows).map(r => s"CAST(sig[${b * rows + r}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""toks AS (
+       |  SELECT doc_id, $tokensSql AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 2
+       |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+       |      ELSE [array_to_string(t, ' ')] END AS g
+       |  FROM toks),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    list_transform(g, s ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5(s), k+1, 1)) - 1 AS BIGINT))),
+       |        (acc, d) -> acc * 16 + d) % $p) AS h
+       |  FROM grams),
+       |sigs AS (SELECT doc_id, $sigList AS sig FROM hashes),
+       |banded AS (
+       |  $bandSelects),
+       |capped AS (
+       |  SELECT band, bkey, doc_id FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded)
+       |  WHERE bsz <= $cap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT cand.id_a, cand.id_b,
+       |    CAST(len(list_filter(range($numHashes), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE)
+       |      / $numHashes.0 AS est_jaccard
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = cand.id_a
+       |  JOIN sigs sb ON sb.doc_id = cand.id_b)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d_minhash_md5_sig" -> {
       val sigCols = Dedup.md5MinhashSeeds(8).zipWithIndex.map { case ((a, b), i) =>
@@ -207,54 +268,24 @@ object PipelineQueries {
          |  $sigCols
          |FROM hashes ORDER BY doc_id""".stripMargin
     },
-    "d_minhash_lsh" -> {
-      val p = Dedup.md5MinhashP
-      val numHashes = 32
-      val bands = 8
-      val rows = numHashes / bands
-      val sigList = Dedup.md5MinhashSeeds(numHashes).map { case (a, b) =>
-        s"list_min(list_transform(h, x -> (x * $a + $b) % $p))"
-      }.mkString("[\n    ", ",\n    ", "]")
-      val bandSelects = (0 until bands).map { b =>
-        val key = (1 to rows).map(r => s"CAST(sig[${b * rows + r}] AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, $key AS bkey FROM sigs"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, $tokensSql AS t FROM documents),
-         |grams AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(t) >= 2
-         |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
-         |      ELSE [array_to_string(t, ' ')] END AS g
-         |  FROM toks),
-         |hashes AS (
-         |  SELECT doc_id,
-         |    list_transform(g, s ->
-         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5(s), k+1, 1)) - 1 AS BIGINT))),
-         |        (acc, d) -> acc * 16 + d) % $p) AS h
-         |  FROM grams),
-         |sigs AS (SELECT doc_id, $sigList AS sig FROM hashes),
-         |banded AS (
-         |  $bandSelects),
-         |capped AS (
-         |  SELECT band, bkey, doc_id FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded)
-         |  WHERE bsz <= 200),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM capped a JOIN capped b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, est_jaccard FROM (
-         |  SELECT cand.id_a, cand.id_b,
-         |    CAST(len(list_filter(range($numHashes), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE)
-         |      / $numHashes.0 AS est_jaccard
-         |  FROM cand
-         |  JOIN sigs sa ON sa.doc_id = cand.id_a
-         |  JOIN sigs sb ON sb.doc_id = cand.id_b)
-         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
-    },
+    "d_minhash_lsh" ->
+      s"""WITH ${md5LshOracleCtes(32, 8, 200)}
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // the composed scale path: LSH candidates (est >= threshold) joined
+    // back to the distinct gram-hash sets for EXACT Jaccard
+    "d_lsh_jaccard_verify" ->
+      s"""WITH ${md5LshOracleCtes(32, 8, 200)},
+         |gsets AS (SELECT doc_id, list_distinct(h) AS hs FROM hashes)
+         |SELECT * FROM (
+         |  SELECT e.id_a, e.id_b,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.hs || b.hs)) AS DOUBLE) AS jaccard
+         |  FROM est e
+         |  JOIN gsets a ON a.doc_id = e.id_a
+         |  JOIN gsets b ON b.doc_id = e.id_b
+         |  WHERE e.est_jaccard >= 0.5)
+         |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "d_simhash" -> {
       val p = Dedup.md5MinhashP
       val simBitTerms = (0 until 31).map { b =>

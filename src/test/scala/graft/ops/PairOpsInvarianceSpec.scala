@@ -35,6 +35,24 @@ class PairOpsInvarianceSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("candidate-verify Jaccard agrees with the block self-join pair for pair") {
+    // same gram domain (xxhash64 ngram hashes) on both paths: every pair
+    // the block join emits must verify to the IDENTICAL jaccard value
+    val block = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 2, 0.05)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val grams = graft.functions.TextHashExprs.ngramHashes(
+      spark, TextAnalysis.tokens(col("text")), 2)
+    val verified = Dedup.verifyJaccardCandidates(docs, "doc_id", grams,
+      block.select("id_a", "id_b"), threshold = 0.0)
+    assert(block.count() > 0)
+    assert(block.exceptAll(verified).count() == 0)
+    assert(verified.exceptAll(block).count() == 0)
+    // and it is partition-invariant like every other pair pipeline
+    val v7 = Dedup.verifyJaccardCandidates(docs.repartition(7), "doc_id", grams,
+      block.select("id_a", "id_b"), threshold = 0.0)
+    assert(pairSet(verified) == pairSet(v7))
+  }
+
   test("triangle-join Jaccard pairs are partition-invariant and chunk-invariant") {
     val base = pairSet(Dedup.ngramJaccardPairs(docs.repartition(1),
       "doc_id", "text", "source", 2, 0.05))
