@@ -142,6 +142,58 @@ object Dedup {
     lshCandidatePairs(sig, banded, numHashes, threshold, maxBucketSize)
   }
 
+  /** One-pass LSH → exact-verify composition (md5-affine family): the
+    * shingle-hash scan — the dominant cost of any MinHash pipeline — runs
+    * ONCE, and the base projection derives the signature, the band keys
+    * AND the packed gram set from it. Candidates then verify by joining
+    * back to the same checkpointed base, so the composed dedup costs one
+    * corpus scan plus O(|candidates|) instead of two scans. */
+  def lshVerifiedPairsMd5(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, numHashes: Int = 16, bands: Int = 8,
+      estThreshold: Double = 0.5, maxBucketSize: Int = 500,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"),
+        md5BaseHashes(col(textCol), n).as("__h"))
+      .select(col("id"),
+        graft.functions.PackedLongs.pack(spark,
+          graft.functions.TextHashExprs.affineMinhashSig(spark, col("__h"),
+            numHashes)).as("sig"),
+        graft.functions.TextHashExprs.bandKeysCol(spark, col("__h"),
+          numHashes, bands, affine = true).as("bk"),
+        graft.functions.PackedLongs.packSortedSet(spark, col("__h")).as("g"))
+      .withColumn("nc", (length(col("g")) / 8).cast("int"))
+      .localCheckpoint()
+    val sig = base.select(col("id"), col("sig"))
+    val banded = base.select(col("id"), posexplode(col("bk")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cands = lshCandidatePairs(sig, banded, numHashes, estThreshold, maxBucketSize)
+    verifyTail(cands.select("id_a", "id_b"),
+      base.select(col("id"), col("g"), col("nc")), threshold)
+  }
+
+  /** Join candidate pairs to their packed gram sets and keep exact
+    * Jaccard ≥ threshold. `grams` is (id, g: binary, nc: int). */
+  private def verifyTail(pairs: DataFrame, grams: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = grams.sparkSession
+    pairs
+      .join(grams.select(col("id").as("id_a"), col("g").as("g_a"),
+        col("nc").as("n_a")).hint("SHUFFLE_HASH"), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("g").as("g_b"),
+        col("nc").as("n_b")).hint("SHUFFLE_HASH"), "id_b")
+      .withColumn("inter", graft.functions.PackedLongs
+        .intersectSize(spark, col("g_a"), col("g_b")).cast("double"))
+      .withColumn("uni",
+        col("n_a").cast("double") + col("n_b").cast("double") - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Shared LSH candidate machinery: skinny band-bucket self-join with a
     * degenerate-bucket cap, pair dedup on ids, then one packed-signature
     * join-back for the agreement estimate. `sig` is (id, sig: binary),
@@ -364,19 +416,7 @@ object Dedup {
     val grams = df.select(col(idCol).as("id"),
         graft.functions.PackedLongs.packSortedSet(spark, gramHashes).as("g"))
       .withColumn("nc", (length(col("g")) / 8).cast("int"))
-    pairs.select(col("id_a"), col("id_b"))
-      .join(grams.select(col("id").as("id_a"), col("g").as("g_a"),
-        col("nc").as("n_a")).hint("SHUFFLE_HASH"), "id_a")
-      .join(grams.select(col("id").as("id_b"), col("g").as("g_b"),
-        col("nc").as("n_b")).hint("SHUFFLE_HASH"), "id_b")
-      .withColumn("inter", graft.functions.PackedLongs
-        .intersectSize(spark, col("g_a"), col("g_b")).cast("double"))
-      .withColumn("uni",
-        col("n_a").cast("double") + col("n_b").cast("double") - col("inter"))
-      .withColumn("jaccard",
-        when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyTail(pairs.select(col("id_a"), col("id_b")), grams, threshold)
   }
 
   // ---- embedding near-dup -----------------------------------------------

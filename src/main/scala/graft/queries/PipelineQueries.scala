@@ -48,11 +48,9 @@ object PipelineQueries {
     // data via banding + bucket caps) verified with EXACT Jaccard over
     // packed gram-hash sets — O(|candidates|), never quadratic in a block
     "d_lsh_jaccard_verify" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val cands = Dedup.minhashLshPairsMd5(docs, "doc_id", "text",
-        n = 2, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 200)
-      Dedup.verifyJaccardCandidates(docs, "doc_id",
-        Dedup.md5BaseHashes(col("text"), 2), cands, threshold = 0.4)
+      Dedup.lshVerifiedPairsMd5(Tables.documents(s, d), "doc_id", "text",
+        n = 2, numHashes = 32, bands = 8, estThreshold = 0.5,
+        maxBucketSize = 200, threshold = 0.4)
         .orderBy("id_a", "id_b")
     },
     // oracle-checkable MinHash signatures (md5-based arithmetic both
