@@ -101,12 +101,30 @@ object Main {
         // reference parity: --save-report replaces the printed report
         if (saveReport.isEmpty) printReport(report)
         saveReport.foreach { path =>
-          val json = report.map { case (t, (valid, total, errors)) =>
-            val errs = errors.map { case (m, c) =>
-              "{\"message\": " + q(m) + ", \"count\": " + c + "}" }.mkString("[", ", ", "]")
-            q(t) + ": {\"valid\": " + valid + ", \"total\": " + total +
-              ", \"errors\": " + errs + "}"
-          }.mkString("{", ", ", "}")
+          // the reference's report JSON shape (cli.py:79-89 merges run
+          // context into parser.report, then json.dump(sort_keys=True)):
+          // encoding/file/include_defs/parser + total/total_valid per
+          // table + validation_errors only for tables that had any
+          def obj(fields: Seq[String]): String =
+            fields.mkString("{\n", ",\n", "\n}")
+          def kv(k: String, v: String, ind: String = "  "): String =
+            s"$ind${q(k)}: $v"
+          val ts = report.toSeq.sortBy(_._1)
+          val json = obj(Seq(
+            kv("encoding", q(encoding)),
+            kv("file", q(df)),
+            kv("include_defs",
+              includeDefs.map(q).mkString("[", ", ", "]")),
+            kv("parser", q(sp)),
+            kv("total", ts.map { case (t, (_, total, _)) =>
+              s"${q(t)}: $total" }.mkString("{", ", ", "}")),
+            kv("total_valid", ts.map { case (t, (valid, _, _)) =>
+              s"${q(t)}: $valid" }.mkString("{", ", ", "}")),
+            kv("validation_errors", ts.collect {
+              case (t, (_, _, errors)) if errors.nonEmpty =>
+                s"${q(t)}: " + errors.toSeq.sortBy(_._1).map { case (m, c) =>
+                  s"${q(m)}: $c" }.mkString("{", ", ", "}")
+            }.mkString("{", ", ", "}"))))
           java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
         }
         if (owned) spark.stop()

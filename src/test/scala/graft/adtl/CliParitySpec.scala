@@ -77,7 +77,29 @@ class CliParitySpec extends SparkSpec {
         "-o", s"$tmp/sr", "--save-report", s"$tmp/report.json"))
     }
     assert(!out.contains("percentage_valid"))
-    assert(Files.exists(java.nio.file.Paths.get(s"$tmp/report.json")))
+    val json = Files.readString(java.nio.file.Paths.get(s"$tmp/report.json"))
+    // the reference's report keys (test_adtl_cli.py::test_parse_save_report)
+    List("encoding", "file", "include_defs", "parser", "total",
+      "total_valid", "validation_errors").foreach { k =>
+      assert(json.contains("\"" + k + "\":"), s"missing report key $k")
+    }
+    assert(json.contains("\"encoding\": \"UTF-8\""))
+    assert(json.contains(s"$tmp/data.csv"))
+  }
+
+  test("--save-report totals come from a validated table (epoch fixture)") {
+    val golden = "src/test/resources/golden"
+    withOutCapture {
+      Main.main(Array("parse", s"$golden/parsers/epoch.json",
+        s"$golden/sources/epoch.csv", "-o", s"$tmp/ep",
+        "--save-report", s"$tmp/epoch-report.json"))
+    }
+    val json = Files.readString(java.nio.file.Paths.get(s"$tmp/epoch-report.json"))
+    // reference expectation: total {"table": 2}, total_valid {"table": 2},
+    // no validation errors
+    assert(json.contains("\"total\": {\"table\": 2}"))
+    assert(json.contains("\"total_valid\": {\"table\": 2}"))
+    assert(json.contains("\"validation_errors\": {}"))
   }
 
   test("check with no data file validates the spec only") {
