@@ -37,6 +37,39 @@ class AdtlFacadeSpec extends SparkSpec {
         "format" -> "csv")): Spec.Raw)
   }
 
+  test("validate_specification accepts every reference if-field structure") {
+    // test_python_interface.py::test_validate_if_field_structures — each
+    // shape must validate in a wide table (field rule `if`) and in a long
+    // table (entry-level `if`), plus the nested-mapping variant
+    val ifShapes: List[Spec.Raw] = List(
+      Map("field_name" -> "value"),
+      Map("field_name" -> Map("!=" -> "UNK")),
+      Map("any" -> List(Map("field_name" -> "val1"), Map("field_name" -> "val2"))),
+      Map("all" -> List(Map("field_name" -> Map("!=" -> "UNK")),
+        Map("field_name" -> Map("!=" -> "NA")))),
+      Map("all" -> List(Map("field_name" -> Map("!=" -> "UNK")),
+        Map("other_field" -> 1L))),
+      Map("not" -> Map("field_name" -> "excluded_value")),
+      Map("not" -> Map("field_name" -> Map("==" -> "excluded"))))
+    ifShapes.foreach { shape =>
+      Adtl.validateSpecification(Map(
+        "adtl" -> Map("name" -> "w", "description" -> "d",
+          "tables" -> Map("t" -> Map("kind" -> "oneToOne"))),
+        "t" -> Map("field_a" -> Map("field" -> "source_field", "if" -> shape))): Spec.Raw)
+      Adtl.validateSpecification(Map(
+        "adtl" -> Map("name" -> "l", "description" -> "d",
+          "tables" -> Map("lt" -> Map("kind" -> "oneToMany", "discriminator" -> "attr"))),
+        "lt" -> List(Map("attr" -> "a",
+          "value" -> Map("field" -> "source_field"), "if" -> shape))): Spec.Raw)
+      // nested field mapping carrying the if (value_num-style)
+      Adtl.validateSpecification(Map(
+        "adtl" -> Map("name" -> "n", "description" -> "d",
+          "tables" -> Map("lt" -> Map("kind" -> "oneToMany", "discriminator" -> "attr"))),
+        "lt" -> List(Map("attr" -> "a",
+          "value_num" -> Map("field" -> "source_field", "if" -> shape)))): Spec.Raw)
+    }
+  }
+
   test("check_mapping raises on absent fields, warns on unmapped columns") {
     val tmp = Files.createTempDirectory("adtlchk").toString
     Files.writeString(Paths.get(s"$tmp/missing_field.csv"),
