@@ -111,7 +111,12 @@ final class AdtlParser private (
     }
     val dateFields = schemas.values.flatMap(Normalize.dateFields).toList.distinct.sorted
 
-    // oneToMany: for-expansion, then common-mappings merge, then default-if
+    // oneToMany: for-expansion, then common-mappings merge. Default-`if`
+    // derivation is NOT run here: the reference's validate_specification is
+    // pydantic-only (python_interface.py:62-71) and _default_if runs lazily
+    // at row-parse time (parser.py:519-520), so a schema-less entry whose
+    // `if` lives inside a nested field mapping must still load cleanly.
+    // See `oneToManyRules` below for the deferred, once-per-spec derivation.
     val tableRules: Map[String, Any] = tables.map { case (tname, meta) =>
       val block = expanded.getOrElse(tname,
         throw new SpecValidationError(s"Missing required table '$tname'"))
@@ -124,14 +129,26 @@ final class AdtlParser private (
               s"Table '$tname': oneToMany block must be a list of match entries, got $other")
           }
           val expanded2 = Normalize.expandFor(entries)
-          val common = Normalize.mergeCommon(expanded2, meta.common)
-          common.map(e => Normalize.defaultIf(tname, schemas.get(tname), e))
+          Normalize.mergeCommon(expanded2, meta.common)
         case _ => block
       }
       tname -> rules
     }
     AdtlSpec(Header(expanded("adtl").asInstanceOf[Raw]), tables, tableRules, schemas, dateFields, nsHeader)
   }
+
+  /** oneToMany rules with the default `if` derived for entries lacking one —
+    * deferred from spec load to first parse, matching the reference's
+    * lifecycle: _default_if runs at row-parse time (parser.py:519-520), so
+    * `validate_specification` never triggers it. A `lazy val` keeps the
+    * derivation once-per-spec (not per table-exec or per row); failed
+    * derivation re-throws on every parse, like the reference raising on
+    * every `parse()` of a broken spec. */
+  private[adtl] lazy val oneToManyRules: Map[String, List[Raw]] =
+    spec.tables.collect { case (tname, meta) if meta.kind == "oneToMany" =>
+      tname -> spec.tableRules(tname).asInstanceOf[List[Raw]]
+        .map(e => Normalize.defaultIf(tname, spec.schemas.get(tname), e))
+    }
 
   private def resolvePath(p: String): String =
     if (java.nio.file.Paths.get(p).isAbsolute) p
@@ -484,7 +501,7 @@ final class AdtlParser private (
     * no shuffle (parser.py:516-535). */
   private def execOneToMany(df: DataFrame, compiler: RuleCompiler, tname: String,
       meta: TableMeta): DataFrame = {
-    val entries = spec.tableRules(tname).asInstanceOf[List[Raw]]
+    val entries = oneToManyRules(tname)
     val fields = spec.fieldNames(tname)
 
     // resolve one output type per attribute so entry structs align

@@ -147,9 +147,11 @@ object Normalize {
     */
   def defaultIf(table: String, schema: Option[Raw], entry: Raw): Raw = {
     if (entry.contains("if")) return entry
-    val sch = schema.getOrElse(throw new SpecValidationError(
-      s"Table '$table': oneToMany entries without 'if' require a schema with oneOf.required"))
-    val oneOf = sch.getOrElse("oneOf", Nil).asInstanceOf[List[Raw]]
+    // No schema (the reference crashes unhelpfully on self.schemas[table],
+    // parser.py:441) and schema-without-required-fields (its ValueError,
+    // parser.py:445-449) both surface the reachable reference message here.
+    val oneOf = schema.map(_.getOrElse("oneOf", Nil).asInstanceOf[List[Raw]])
+      .getOrElse(Nil)
     val dataOptions: List[Option[String]] = oneOf.map { option =>
       option.get("required") match {
         case Some(req: List[_]) if req.nonEmpty => Some(req.head.toString)

@@ -72,6 +72,23 @@ class SpecErrorParitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("Unsupported file format"))
   }
 
+  // Deferred default-if derivation (parser.py:441-449): the spec itself
+  // VALIDATES cleanly — the reference's validate_specification is
+  // pydantic-only (python_interface.py:62-71) and _default_if runs at
+  // parse time — so the reachable ValueError message surfaces only when a
+  // parse forces derivation, never at spec load.
+  test("schema-less oneToMany without if: validates cleanly, fails at parse") {
+    val spec: Spec.Raw = Map(
+      "adtl" -> Map("name" -> "noifspec", "description" -> "d",
+        "tables" -> Map("lt" -> Map("kind" -> "oneToMany", "discriminator" -> "attr"))),
+      "lt" -> List(Map("attr" -> "a", "value" -> Map("field" -> "f"))))
+    Adtl.validateSpecification(spec) // pydantic-parity: loads clean
+    val parser = AdtlParser.fromSpec(spec)
+    val e = intercept[Spec.SpecValidationError](parser.oneToManyRules)
+    assert(e.getMessage ==
+      "No required fields found in schema for table 'lt', cannot create default 'if' rules.")
+  }
+
   // test_spec_refs_and_defs.py:73-96 — header/field errors
   test("no-header, malformed-header, non-collection table body") {
     assert(err(Map.empty).contains("adtl\n  Field required"))
