@@ -30,7 +30,7 @@ object ScaleBench {
   private val Queries = Seq(
     "s_ivf_kmeans_topk", "d_minhash_lsh", "d_lsh_jaccard_verify", "d_simhash",
     "s_cosine_topk", "adtl_onetomany", "d_embed_neardup", "q_clean_corpus",
-    "d_ngram_jaccard", "m_media_feature")
+    "d_ngram_jaccard", "d_ngram_jaccard_bounded", "m_media_feature")
 
   private def caesar(k: Int): (String, String) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

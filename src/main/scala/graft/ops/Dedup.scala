@@ -175,7 +175,8 @@ object Dedup {
   }
 
   /** Join candidate pairs to their packed gram sets and keep exact
-    * Jaccard ≥ threshold. `grams` is (id, g: binary, nc: int). */
+    * Jaccard ≥ threshold. `grams` is (id, g: binary, nc: int); any extra
+    * columns on `pairs` (e.g. a blocking key) pass through. */
   private def verifyTail(pairs: DataFrame, grams: DataFrame,
       threshold: Double): DataFrame = {
     val spark = grams.sparkSession
@@ -191,7 +192,7 @@ object Dedup {
       .withColumn("jaccard",
         when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(pairs.columns.map(col) :+ col("jaccard"): _*)
   }
 
   /** Shared LSH candidate machinery: skinny band-bucket self-join with a
@@ -357,7 +358,7 @@ object Dedup {
     * pairs instead. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 2, threshold: Double = 0.5,
-      chunks: Int = 8): DataFrame = {
+      chunks: Int = 8, maxBlockSize: Int = 10000): DataFrame = {
     // Gram sets ride as ONE binary blob per doc (sorted packed longs):
     // array<bigint> columns pay per-element costs at every copy boundary
     // (exchange, generate, join output), a binary column is one memcpy.
@@ -369,14 +370,45 @@ object Dedup {
             TextAnalysis.tokens(col(textCol)), n)).as("g"))
       .withColumn("nc", (length(col("g")) / 8).cast("int"))
       .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
+    // Oversize guard: chunking spreads the in-block quadratic work but
+    // cannot reduce it (measured 16× time at 10× data on a fixed
+    // low-cardinality key), so a block above maxBlockSize FAILS the job,
+    // naming the linear alternative, instead of silently burning a
+    // cluster. The check is a broadcast join of a tiny per-block count
+    // onto the lo side only (every doc appears there) — no driver job,
+    // the plan stays lazy. when() keeps raise_error out of reorderable
+    // predicate position.
+    val counts = df.groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("__bn"))
+    val guarded = grams.join(broadcast(counts), Seq("blk"))
+      .filter(when(col("__bn") > maxBlockSize,
+        raise_error(concat(
+          lit("ngramJaccardPairs: block '"), col("blk").cast("string"),
+          lit("' holds "), col("__bn").cast("string"),
+          lit(s" docs > maxBlockSize=$maxBlockSize; in-block pair work is" +
+            " quadratic — use ngramJaccardPairsBounded / lshVerifiedPairs*" +
+            " / verifyJaccardCandidates (LSH candidates + exact verify)," +
+            " or raise maxBlockSize"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__bn")
+    triangleJaccard(guarded, grams, threshold, chunks)
+  }
+
+  /** The exact all-pairs core: balanced triangle self-join of the gram
+    * projections (blk, id, g, nc, ck), count-ratio prune, packed-set
+    * Jaccard. `loSrc`/`hiSrc` are the two join sides (usually the same
+    * frame; ngramJaccardPairs hangs its oversize guard on lo only since
+    * every doc appears there). */
+  private def triangleJaccard(loSrc: DataFrame, hiSrc: DataFrame,
+      threshold: Double, chunks: Int): DataFrame = {
+    val spark = loSrc.sparkSession
     // triangle replication: the lower-chunk side carries (ck, p) for
     // p ≥ ck, the higher-chunk side (p, ck) for p ≤ ck — every unordered
     // chunk pair lands in exactly one join task, so a low-cardinality
     // blocking key still spreads across chunks·(chunks+1)/2 tasks
-    val lo = grams.select(col("blk"),
+    val lo = loSrc.select(col("blk"),
         explode(sequence(col("ck"), lit(chunks - 1))).as("hi"), col("ck").as("lo"),
         col("id").as("id_a"), col("g").as("g_a"), col("nc").as("n_a"))
-    val hi = grams.select(col("blk"),
+    val hi = hiSrc.select(col("blk"),
         explode(sequence(lit(0), col("ck"))).as("lo"), col("ck").as("hi"),
         col("id").as("id_b"), col("g").as("g_b"), col("nc").as("n_b"))
     // SHUFFLE_HASH: a broadcast build of wide rows measured ~2.5× slower
@@ -390,13 +422,68 @@ object Dedup {
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         greatest(col("n_a"), col("n_b")).cast("double") * lit(threshold))
       .withColumn("inter", graft.functions.PackedLongs
-        .intersectSize(df.sparkSession, col("g_a"), col("g_b")).cast("double"))
+        .intersectSize(spark, col("g_a"), col("g_b")).cast("double"))
       .withColumn("uni", col("n_a").cast("double") + col("n_b").cast("double") - col("inter"))
       .withColumn("jaccard", when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select(col("blk"),
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+  }
+
+  /** Scale-bounded blocked Jaccard: blocks at or under `maxBlockSize` take
+    * the exact all-pairs triangle path (output identical to
+    * ngramJaccardPairs); OVERSIZED blocks route through in-block
+    * MinHash-banded candidate generation plus EXACT Jaccard verification —
+    * linear in block size instead of quadratic, at banding recall (a pair
+    * missed by all `bands` bands is lost; same-band collision probability
+    * is ~J^(numHashes/bands) per band, so thresholds comfortably above the
+    * collision floor keep recall high). The split is decided inside the
+    * plan from a broadcast per-block count — no driver job — and one
+    * shingle-hash scan feeds both paths (gram set + band keys from the
+    * same checkpointed projection, the lshVerifiedPairs pattern). */
+  def ngramJaccardPairsBounded(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 2, threshold: Double = 0.5,
+      chunks: Int = 8, maxBlockSize: Int = 10000,
+      numHashes: Int = 32, bands: Int = 8, maxBucketSize: Int = 500): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("__bn"))
+    // one hash scan serves both paths; materialized because every lazy
+    // formulation re-evaluates the signature expressions per consumer
+    // (see minhashLshPairs) — at cluster scale use a parquet temp table
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        graft.functions.TextHashExprs.ngramHashes(spark,
+          TextAnalysis.tokens(col(textCol)), n).as("__h"))
+      .select(col("blk"), col("id"),
+        graft.functions.PackedLongs.packSortedSet(spark, col("__h")).as("g"),
+        graft.functions.TextHashExprs.bandKeysCol(spark, col("__h"),
+          numHashes, bands, affine = false).as("bk"))
+      .withColumn("nc", (length(col("g")) / 8).cast("int"))
+      .join(broadcast(counts), Seq("blk"))
+      .localCheckpoint()
+    val small = base.filter(col("__bn") <= maxBlockSize)
+      .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
+    val exact = triangleJaccard(small, small, threshold, chunks)
+
+    val big = base.filter(col("__bn") > maxBlockSize)
+    val banded = big.select(col("blk"), col("id"), posexplode(col("bk")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    // in-block banding: bucket on (blk, band, band_hash) so candidates
+    // respect the blocking key; degenerate buckets capped like the LSH path
+    val bucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk"), col("band"), col("band_hash"))
+    val capped = banded.withColumn("__bsz", count(lit(1)).over(bucket))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val cand = capped.select(col("blk"), col("band"), col("band_hash"),
+        col("id").as("id_a"))
+      .join(capped.select(col("blk"), col("band"), col("band_hash"),
+        col("id").as("id_b")), Seq("blk", "band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("blk", "id_a", "id_b").distinct()
+    val routed = verifyTail(cand,
+      big.select(col("id"), col("g"), col("nc")), threshold)
+    exact.unionByName(routed)
   }
 
   /** Exact Jaccard verification over an arbitrary CANDIDATE pair set — the

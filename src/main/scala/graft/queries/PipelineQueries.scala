@@ -32,6 +32,15 @@ object PipelineQueries {
         blockCol = "source", n = 2, threshold = 0.05)
         .orderBy("blk", "id_a", "id_b")
     },
+    // the scale-bounded variant: identical exact output while blocks stay
+    // under maxBlockSize (sf0.01/sf0.1 — oracle-checked against the same
+    // all-pairs SQL); oversized blocks (the 10× ScaleBench run) route
+    // through in-block LSH banding + exact verify, keeping time linear
+    "d_ngram_jaccard_bounded" -> { (s, d) =>
+      Dedup.ngramJaccardPairsBounded(Tables.documents(s, d), "doc_id", "text",
+        blockCol = "source", n = 2, threshold = 0.05, maxBlockSize = 1000)
+        .orderBy("blk", "id_a", "id_b")
+    },
     // MinHash+LSH near-dup candidate pairs over the md5-affine family: the
     // full pipeline (banding, bucket cap, pair dedup, agreement estimate)
     // is hash-checked against the DuckDB oracle. The xxhash64 production
@@ -409,6 +418,24 @@ object PipelineQueries {
         |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM fp GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
     "d_ngram_jaccard" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, $tokensSql AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks)
+        |SELECT * FROM (
+        |  SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(a.g || b.g)) > 0
+        |      THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+        |      ELSE 0.0 END AS jaccard
+        |  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.05 ORDER BY blk, id_a, id_b""".stripMargin,
+    // bounded variant takes the exact path at gate scale (blocks ≤ 1000
+    // docs), so the oracle is the same all-pairs SQL
+    "d_ngram_jaccard_bounded" ->
       s"""WITH toks AS (
         |  SELECT doc_id, source, $tokensSql AS t FROM documents),
         |grams AS (

@@ -53,6 +53,45 @@ class PairOpsInvarianceSpec extends SparkSpec {
     assert(pairSet(verified) == pairSet(v7))
   }
 
+  test("oversized block fails the job with the linear-path prescription") {
+    // sf0.001 has 5 sources × ~10 docs; cap 3 forces the guard
+    val e = intercept[Exception] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 2, 0.05,
+        maxBlockSize = 3).count()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("maxBlockSize=3") &&
+      m.contains("quadratic")))
+  }
+
+  test("bounded Jaccard: under the cap equals the exact path; over the cap " +
+      "routes through LSH+verify with exact values and bounded work") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 2, 0.05)
+      .select("blk", "id_a", "id_b", "jaccard")
+    // cap above every block: identical output, cell for cell
+    val under = Dedup.ngramJaccardPairsBounded(docs, "doc_id", "text",
+      "source", 2, 0.05, maxBlockSize = 1000)
+      .select("blk", "id_a", "id_b", "jaccard")
+    assert(exact.count() > 0)
+    assert(exact.exceptAll(under).count() == 0)
+    assert(under.exceptAll(exact).count() == 0)
+    // cap below every block: all blocks route; every emitted pair is a
+    // TRUE pair with the identical exact jaccard (recall may drop, never
+    // precision), and high-similarity pairs survive the banding
+    val routed = Dedup.ngramJaccardPairsBounded(docs, "doc_id", "text",
+      "source", 2, 0.05, maxBlockSize = 1, numHashes = 32, bands = 8)
+      .select("blk", "id_a", "id_b", "jaccard")
+    assert(routed.exceptAll(exact).count() == 0)
+    val strong = exact.filter(col("jaccard") >= 0.5)
+    if (strong.count() > 0)
+      assert(strong.exceptAll(routed).count() == 0)
+    // and the routed path is partition-invariant like every pair pipeline
+    val r7 = Dedup.ngramJaccardPairsBounded(docs.repartition(7), "doc_id",
+      "text", "source", 2, 0.05, maxBlockSize = 1, numHashes = 32, bands = 8)
+    assert(pairSet(routed) == pairSet(r7))
+  }
+
   test("triangle-join Jaccard pairs are partition-invariant and chunk-invariant") {
     val base = pairSet(Dedup.ngramJaccardPairs(docs.repartition(1),
       "doc_id", "text", "source", 2, 0.05))
