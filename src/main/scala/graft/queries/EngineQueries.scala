@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.adtl.AdtlParser
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-gate queries routed through the adtl engine itself: build a
@@ -106,6 +106,55 @@ object EngineQueries {
       |  }
       |}""".stripMargin
 
+  /** P8 enum_list input: "[A, F]"-style bracketed lists built from lineitem
+    * enum columns ('O' is deliberately unmapped → null element / raw
+    * pass-through, get_value.py:111-119). */
+  private def lineFlagsInput(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      concat_ws("-", col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string")).as("line_id"),
+      concat(lit("["), col("l_returnflag"), lit(", "), col("l_linestatus"),
+        lit("]")).as("rawlist"))
+
+  private val enumListSpec =
+    """{
+      |  "adtl": {"name": "lineflags", "description": "enum list recode", "tables": {
+      |    "flags": {"kind": "oneToOne"}}},
+      |  "flags": {
+      |    "line_id": {"field": "line_id"},
+      |    "flag_list": {"field": "rawlist", "type": "enum_list",
+      |      "values": {"A": "accepted", "N": "none", "R": "returned", "F": "finished"}},
+      |    "flag_passthrough": {"field": "rawlist", "type": "enum_list", "ignoreMissingKey": true,
+      |      "values": {"A": "accepted", "N": "none", "R": "returned", "F": "finished"}}
+      |  }
+      |}""".stripMargin
+
+  /** P12 schema-coercion spec: the schema rides as a real file next to the
+    * spec (the reference's layout), covering integer-from-int-string,
+    * integer-from-float-string (banker's rounding), number, unconvertible
+    * integer (raw value back, util.py:12-40), and string. */
+  private val coercionSpec =
+    """{
+      |  "adtl": {"name": "coerce", "description": "schema type coercion", "tables": {
+      |    "coerced": {"kind": "oneToOne", "schema": "coerce-schema.json"}}},
+      |  "coerced": {
+      |    "okey_int": {"field": "okey"},
+      |    "total_int": {"field": "total"},
+      |    "total_num": {"field": "total"},
+      |    "status_int_raw": {"field": "status"},
+      |    "okey_str": {"field": "okey"}
+      |  }
+      |}""".stripMargin
+
+  private val coercionSchema =
+    """{"properties": {
+      |  "okey_int": {"type": "integer"},
+      |  "total_int": {"type": "integer"},
+      |  "total_num": {"type": "number"},
+      |  "status_int_raw": {"type": "integer"},
+      |  "okey_str": {"type": "string"}
+      |}}""".stripMargin
+
   private val oneToManySpec =
     """{
       |  "adtl": {"name": "orders", "description": "order observations", "tables": {
@@ -145,6 +194,30 @@ object EngineQueries {
       AdtlParser.fromJsonString(applyDatesSpec)
         .parseDataFrame(s, lineDatesInput(s, d))("line_dates")
         .orderBy("line_id")
+    },
+    // P8: enum_list — bracket strip, split, per-element trim + recode;
+    // missing key → null element (or raw pass-through under
+    // ignoreMissingKey). Arrays render joined with an explicit None
+    // placeholder so the compare is cell-exact.
+    "p8_enum_list" -> { (s, d) =>
+      val out = AdtlParser.fromJsonString(enumListSpec)
+        .parseDataFrame(s, lineFlagsInput(s, d))("flags")
+      def render(c: Column) =
+        array_join(transform(c, x => coalesce(x, lit("None"))), ",")
+      out.select(col("line_id"),
+          render(col("flag_list")).as("flags_r"),
+          render(col("flag_passthrough")).as("flags_p"))
+        .orderBy("line_id")
+    },
+    // P12: JSON-schema type coercion with the reference's raw-on-failure
+    // union (string-typed canonical-or-raw columns).
+    "p12_coercion" -> { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-p12")
+      java.nio.file.Files.writeString(tmp.resolve("coerce-schema.json"), coercionSchema)
+      AdtlParser.fromSpec(graft.adtl.SpecLoader.parseJson(coercionSpec),
+          specDir = Some(tmp.toString))
+        .parseDataFrame(s, ordersInput(s, d), skipValidation = true)("coerced")
+        .orderBy("okey_int")
     })
 
   val oracles: Map[String, String] = Map(
@@ -177,6 +250,46 @@ object EngineQueries {
         |    THEN 2000 + o_orderkey % 100 ELSE 1900 + o_orderkey % 100 END) AS dob_fixed
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY line_id""".stripMargin,
+    // P13 generate:uuid5 stays ScalaTest-only (Uuid5 golden tests pin it
+    // against the reference's uuids): uuid5 is SHA-1-based and DuckDB
+    // 1.0.0 ships md5/sha256 but no sha1, so no DuckDB oracle exists.
+    "p8_enum_list" ->
+      """WITH raw AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_id,
+        |    '[' || l_returnflag || ', ' || l_linestatus || ']' AS rawlist
+        |  FROM lineitem),
+        |els AS (
+        |  SELECT line_id,
+        |    list_transform(string_split(trim(rawlist, '[]'), ','), x -> trim(x, ' ')) AS el
+        |  FROM raw)
+        |SELECT line_id,
+        |  array_to_string(list_transform(el, x -> coalesce(
+        |    CASE x WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
+        |           WHEN 'R' THEN 'returned' WHEN 'F' THEN 'finished' END,
+        |    'None')), ',') AS flags_r,
+        |  array_to_string(list_transform(el, x -> coalesce(
+        |    CASE x WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
+        |           WHEN 'R' THEN 'returned' WHEN 'F' THEN 'finished' END,
+        |    x)), ',') AS flags_p
+        |FROM els ORDER BY line_id""".stripMargin,
+    // integer: int(value) else int(round(float(value))) — banker's rounding
+    // (round_even) — else the RAW value; number: float(value) rendered
+    // Python-style (integral doubles keep ".0") else raw (util.py:12-40)
+    "p12_coercion" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+        |    o_orderstatus AS status,
+        |    printf('%.2f', o_totalprice) AS total
+        |  FROM orders),
+        |n AS (SELECT okey, status, total, CAST(total AS DOUBLE) AS td FROM src)
+        |SELECT okey AS okey_int,
+        |  CAST(CAST(round_even(td, 0) AS BIGINT) AS VARCHAR) AS total_int,
+        |  CASE WHEN td = floor(td) AND abs(td) < 1e15
+        |    THEN CAST(CAST(td AS BIGINT) AS VARCHAR) || '.0'
+        |    ELSE CAST(td AS VARCHAR) END AS total_num,
+        |  status AS status_int_raw,
+        |  okey AS okey_str
+        |FROM n ORDER BY okey_int""".stripMargin,
     "adtl_onetomany" ->
       """SELECT * FROM (
         |  SELECT 'orders_v1' AS dataset, 'status' AS name, o_orderstatus AS value
