@@ -219,11 +219,12 @@ final class AdtlParser private (
           .otherwise(col(c).cast("string")).as(c)
       }: _*)
     }
-    if (spec.tables.size > 1) df = df.cache()
+    if (spec.tables.size > 1 || cacheInput) df = df.cache()
 
     val compiler = new RuleCompiler(
       df.columns.filterNot(_ == ROW_ID).toSeq, spec.header, spec.dateFields.toSet,
       registry, spec.namespaceUuid)
+    lastParseInput = Some((df, compiler))
 
     spec.tables.map { case (tname, meta) =>
       var out = meta.kind match {
@@ -305,9 +306,39 @@ final class AdtlParser private (
           case "groupBy" => execGroupBy(df, compiler, tname, meta)
         }
         val validated =
-          if (spec.schemas.contains(tname)) withValidation(out, tname, meta)
-          else out
+          if (spec.schemas.contains(tname)) {
+            // streaming counterpart of report(): valid/total ride as
+            // OBSERVED metrics on the output — zero extra jobs, read back
+            // from query progress via streamingReport. groupBy tables in
+            // Complete mode re-emit the whole result each batch, so the
+            // latest batch's metrics ARE the batch-report accounting;
+            // stateless tables in Append observe each batch's slice (sum
+            // across progresses for a running total).
+            withValidation(out, tname, meta).observe(
+              s"${AdtlParser.ReportMetricPrefix}$tname",
+              count(lit(1)).as("total"),
+              count(when(col("adtl_valid") === true, lit(1))).as("valid"))
+          } else out
         tname -> validated
+    }
+  }
+
+  /** Validation accounting for a streaming parse: per-table (valid, total)
+    * from the most recent micro-batch that reported the table's observed
+    * metric (attached by parseStream to every schema-validated table). For
+    * groupBy tables running in Complete output mode this equals the batch
+    * report() accounting of all data seen so far. */
+  def streamingReport(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    q.recentProgress.reverseIterator.flatMap { p =>
+      p.observedMetrics.asScala.collect {
+        case (name, row) if name.startsWith(AdtlParser.ReportMetricPrefix) =>
+          name.stripPrefix(AdtlParser.ReportMetricPrefix) ->
+            (row.getAs[Long]("valid"), row.getAs[Long]("total"))
+      }
+    }.foldLeft(Map.empty[String, (Long, Long)]) { (acc, kv) =>
+      if (acc.contains(kv._1)) acc else acc + kv // latest progress wins
     }
   }
 
@@ -466,6 +497,26 @@ final class AdtlParser private (
     * driver output, so this surfaces aggregate counts instead: two
     * aggregations per table (per-group distinct counts, then a global sum),
     * and no group's data ever reaches the driver. */
+  /** The scrubbed, ROW_ID'd input frame + compiler of the most recent
+    * parseDataFrame call — kept so post-parse diagnostics reuse the SAME
+    * (cached) frame instead of re-scanning the source, which at 100 TB
+    * would double the job's input for an opt-in flag. */
+  private[adtl] var lastParseInput: Option[(DataFrame, RuleCompiler)] = None
+
+  /** Opt-in: cache the scrubbed parse input even for single-table specs, so
+    * post-parse diagnostics (`-v` overwriteCounts) reuse the materialized
+    * frame instead of re-scanning the source through lineage. */
+  private var cacheInput: Boolean = false
+  def withCachedInput(): this.type = { cacheInput = true; this }
+
+  /** Overwrite diagnostics for the most recent parseDataFrame/parseCsv call,
+    * computed from its cached groupBy input — no second source scan. */
+  def overwriteCounts(): Map[String, Map[String, Long]] = {
+    val (df, compiler) = lastParseInput.getOrElse(throw new IllegalStateException(
+      "overwriteCounts(): no parse has run on this parser yet"))
+    overwriteCountsOn(df, compiler)
+  }
+
   def overwriteCounts(spark: SparkSession, source: DataFrame): Map[String, Map[String, Long]] = {
     Uuid5Expr.register(spark)
     var df = source.withColumn(ROW_ID, monotonically_increasing_id())
@@ -479,6 +530,11 @@ final class AdtlParser private (
     val compiler = new RuleCompiler(
       df.columns.filterNot(_ == ROW_ID).toSeq, spec.header, spec.dateFields.toSet,
       registry, spec.namespaceUuid)
+    overwriteCountsOn(df, compiler)
+  }
+
+  private def overwriteCountsOn(df: DataFrame,
+      compiler: RuleCompiler): Map[String, Map[String, Long]] =
     spec.tables.collect { case (tname, meta) if meta.kind == "groupBy" =>
       val (parsed, groupField, attrs) = groupParsed(df, compiler, tname, meta)
       val watch = overwritePathAttrs(tname, meta, attrs)
@@ -495,7 +551,6 @@ final class AdtlParser private (
           else row.getAs[Long](a))).toMap
       })
     }
-  }
 
   /** oneToMany: per-entry struct gated by its `if`, exploded — narrow plan,
     * no shuffle (parser.py:516-535). */
@@ -655,6 +710,9 @@ final class AdtlParser private (
 }
 
 object AdtlParser {
+  /** Observed-metric name prefix for streaming validation accounting. */
+  val ReportMetricPrefix = "adtl_report_"
+
   /** GET a JSON document with a short timeout; None on any failure
     * (connect error, non-200, unparseable body). */
   private[adtl] def fetchJson(url: String,

@@ -87,6 +87,9 @@ object Main {
           .map(Transformations.registryWith)
           .getOrElse(Transformations.newRegistry())
         val parser = AdtlParser.fromFile(sp, includeDefs, registry)
+        // -v diagnostics re-consult the parse input after the write: cache
+        // it so they never re-scan the source
+        if (verbose) parser.withCachedInput()
         val tables = parser.parseCsv(spark, df, encoding)
         val prefix = output.getOrElse(parser.spec.header.name)
         tables.keys.foreach { t =>
@@ -95,8 +98,9 @@ object Main {
             case _ => parser.writeCsv(tables, t, s"$prefix-$t.csv")
           }
         }
-        if (verbose) printOverwriteWarnings(
-          parser.overwriteCounts(spark, parser.readCsv(spark, df, encoding)))
+        // diagnostics reuse the parse's cached groupBy input — the opt-in
+        // flag must not cost a second full source scan at 100 TB
+        if (verbose) printOverwriteWarnings(parser.overwriteCounts())
         val report = parser.report(tables)
         // reference parity: --save-report replaces the printed report
         if (saveReport.isEmpty) printReport(report)

@@ -403,6 +403,27 @@ class GoldenCorpusSpec extends SparkSpec {
       "Data being overwritten in 2 group(s)."))
   }
 
+  test("golden: post-parse overwriteCounts reuses the parse input, no re-scan") {
+    // before any parse: the no-arg form has nothing to reuse
+    intercept[IllegalStateException](
+      parserFor("stop-overwriting.toml").overwriteCounts())
+
+    val strict = parserFor("stop-overwriting.toml")
+      .withAggregation("visit", "lastNotNullStrict")
+      .withCachedInput()
+    strict.parseCsv(spark, s"$golden/sources/stop-overwriting.csv")
+    // same counts as the standalone two-arg form...
+    val src = strict.readCsv(spark, s"$golden/sources/stop-overwriting.csv")
+    assert(strict.overwriteCounts() == strict.overwriteCounts(spark, src))
+    // ...and the reused input is the parse's MATERIALIZED frame: the plan
+    // reads the in-memory cache, not the CSV source, so `-v` diagnostics
+    // never cost a second source scan (the CLI enables withCachedInput)
+    val reused = strict.lastParseInput.get._1
+    assert(reused.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.nonEmpty)
+  }
+
   test("golden: read_table error for wrong table names") {
     val p = parserFor("epoch.json")
     val tables = p.parseCsv(spark, s"$golden/sources/epoch.csv")

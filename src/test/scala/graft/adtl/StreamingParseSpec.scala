@@ -42,6 +42,45 @@ class StreamingParseSpec extends SparkSpec {
       ("cough", "2022-03-03"), ("headache", "2022-03-03")))
   }
 
+  test("streaming validation report (observe) matches the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val parser = AdtlParser.fromFile(
+      "src/test/resources/golden/parsers/groupBy-with-schema.json")
+    // the golden validation fixture rows, split across two micro-batches
+    // ('8/6/2022' hostdat fails the schema's date format → invalid rows)
+    val batch1 = Seq(
+      (0L, "1", "S007", "2020-05-06", "2020-06-08", "1"),
+      (1L, "", "S007", "", "", ""))
+    val batch2 = Seq(
+      (2L, "5", "S001", "2022-01-11", "8/6/2022", "2"),
+      (3L, "1", "S009", "2020-05-06", "8/6/2020", "3"))
+
+    val mem = MemoryStream[(Long, String, String, String, String, String)]
+    val src = mem.toDF().toDF("seq", "sex", "subjid", "dsstdat", "hostdat", "ethnic")
+    val tables = parser.parseStream(spark, src, orderCol = Some("seq"))
+    val q = tables("subject").writeStream
+      .format("memory").queryName("adtl_stream_report")
+      .outputMode("complete").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch accounting over the same rows
+    val all = (batch1 ++ batch2)
+      .toDF("seq", "sex", "subjid", "dsstdat", "hostdat", "ethnic")
+    val batchReport = parser
+      .report(parser.parseDataFrame(spark, all, orderCol = Some("seq")))
+      .map { case (t, (valid, total, _)) => t -> (valid, total) }
+    val streamed = parser.streamingReport(q)
+    assert(streamed == batchReport)
+    assert(streamed("subject")._2 == 3) // 3 subjects, complete-mode total
+  }
+
   test("groupBy specs without orderCol are rejected in streaming mode") {
     import spark.implicits._
     val parser = AdtlParser.fromJsonString(
