@@ -30,7 +30,8 @@ object ScaleBench {
   private val Queries = Seq(
     "s_ivf_kmeans_topk", "d_minhash_lsh", "d_lsh_jaccard_verify", "d_simhash",
     "s_cosine_topk", "adtl_onetomany", "d_embed_neardup", "q_clean_corpus",
-    "d_ngram_jaccard", "d_ngram_jaccard_bounded", "m_media_feature")
+    "d_ngram_jaccard", "d_ngram_jaccard_bounded", "m_media_feature",
+    "adtl_apply_dates", "r3_one_to_many", "q_stream_window")
 
   private def caesar(k: Int): (String, String) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
@@ -73,6 +74,29 @@ object ScaleBench {
       orders.withColumn("o_orderkey", col("o_orderkey") + lit(k * nOrders))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // lineitem shifts l_orderkey by the same stride as orders so each copy
+    // joins exactly its own orders copy — join output grows linearly
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until copies).map { k =>
+      lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(k * nOrders))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // events: read RAW (ts stays a nanos long — a converted timestamp
+    // column would break Tables.events' div-1000 truncation on re-read),
+    // shift event and user ids; timestamps repeat per copy, so windowed
+    // aggregations keep the same groups with 10× the rows per group
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val nEvents = events.agg(max("event_id")).head.getLong(0) + 1
+    val nUsers = events.agg(max("user_id")).head.getLong(0) + 1
+    (0 until copies).map { k =>
+      events
+        .withColumn("event_id", col("event_id") + lit(k * nEvents))
+        .withColumn("user_id", col("user_id") + lit(k * nUsers))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
