@@ -48,11 +48,10 @@ object Multimodal {
     * payloads fall back to the clearly-marked stub. */
   def decodeMedia(payload: Array[Byte]): MediaMeta = decodeFull(payload)._1
 
-  /** One decode pass producing metadata AND the feature vector, so
-    * decodeImages never reads the same payload twice. Image payloads get a
-    * REAL feature (8-bin luminance histogram over the decoded pixels);
-    * non-image payloads fall back to the stub pair. */
-  def decodeFull(payload: Array[Byte]): (MediaMeta, Array[Float]) = {
+  /** Decode a JDK-supported image payload to its pixels + metadata; None
+    * for non-image payloads (audio/video — no JDK codec). */
+  private def decodeBuffered(
+      payload: Array[Byte]): Option[(MediaMeta, java.awt.image.BufferedImage)] = {
     val isJpeg = payload.length > 3 &&
       (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
     val isGif = payload.length > 3 &&
@@ -60,14 +59,23 @@ object Multimodal {
     if (looksLikePng(payload) || isJpeg || isGif) {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img != null)
-        return (MediaMeta(img.getWidth, img.getHeight,
+        return Some((MediaMeta(img.getWidth, img.getHeight,
           img.getColorModel.getNumComponents,
           if (looksLikePng(payload)) "image/png"
-          else if (isJpeg) "image/jpeg" else "image/gif"),
-          imageHistogram(img))
+          else if (isJpeg) "image/jpeg" else "image/gif"), img))
     }
-    (decodeStub(payload), featureStub(payload))
+    None
   }
+
+  /** One decode pass producing metadata AND the feature vector, so
+    * decodeImages never reads the same payload twice. Image payloads get a
+    * REAL feature (8-bin luminance histogram over the decoded pixels);
+    * non-image payloads fall back to the stub pair. */
+  def decodeFull(payload: Array[Byte]): (MediaMeta, Array[Float]) =
+    decodeBuffered(payload) match {
+      case Some((meta, img)) => (meta, imageHistogram(img))
+      case None => (decodeStub(payload), featureStub(payload))
+    }
 
   /** REAL image feature, JDK-only and deterministic: a pixel-count-normalized
     * 8-bin histogram of per-pixel luminance ((r+g+b)/3, 32 levels per bin)
@@ -167,6 +175,57 @@ object Multimodal {
       (lit(240) + (b1 % 5) * 120).as("height"),
       lit(3).as("n_channels"),
       lit("fake/rgb8").as("format"))
+  }
+
+  /** REAL nearest-neighbor image resize with an EXACT integer coordinate
+    * map: dst(x, y) = src((x·srcW)/dstW, (y·srcH)/dstH). Nearest is chosen
+    * over Java2D's filtered drawImage deliberately — its sub-pixel rounding
+    * is implementation-defined, while this mapping is deterministic across
+    * JVMs and replicable by any engine, so resized pixels stay
+    * oracle-checkable. Real decoded pixels in, real resized raster out. */
+  def resizeNearest(img: java.awt.image.BufferedImage,
+      w: Int, h: Int): java.awt.image.BufferedImage = {
+    require(w > 0 && h > 0, "resize dimensions must be positive")
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val sw = img.getWidth
+    val sh = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * sw / w, y * sh / h))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class ResizedDoc(doc_id: Long, meta: MediaMeta,
+      width: Int, height: Int, feature: Array[Float])
+
+  /** Partition-batched decode → REAL resize → feature on the RESIZED
+    * pixels: the training-pipeline preprocessing shape (normalize every
+    * image to a fixed raster before featurization). Same iterator-in/
+    * iterator-out plumbing as decodeImages — one decode per payload,
+    * streaming, partition-preserving. Non-image payloads keep the stub
+    * pair with the requested raster dims (no JDK codec). */
+  def resizeImages(spark: SparkSession, df: DataFrame, idCol: String,
+      w: Int, h: Int): Dataset[ResizedDoc] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeBuffered(payload) match {
+            case Some((meta, img)) =>
+              ResizedDoc(id, meta, w, h, imageHistogram(resizeNearest(img, w, h)))
+            case None =>
+              ResizedDoc(id, decodeStub(payload), w, h, featureStub(payload))
+          }
+        }
+      }
   }
 
   /** Deterministic frame-sampling plan for video-like media: every k-th

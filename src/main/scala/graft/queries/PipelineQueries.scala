@@ -161,6 +161,19 @@ object PipelineQueries {
               .cast("int"))).as("hist"))
         .orderBy("doc_id")
     },
+    // decode → REAL nearest-neighbor resize to a fixed 5×3 raster → 8-bin
+    // luminance histogram of the RESIZED pixels (counts, 15 px/doc). The
+    // exact integer coordinate map dst(x,y)=src(x·sw/5, y·sh/3) lets the
+    // oracle regenerate the sampled source pixels.
+    "m_media_resize" -> { (s, d) =>
+      val pngs = Multimodal.pngPayloads(s, Tables.documents(s, d), "doc_id")
+      Multimodal.resizeImages(s, pngs, "doc_id", 5, 3).toDF()
+        .select(col("doc_id"),
+          col("meta.width").as("src_width"), col("meta.height").as("src_height"),
+          concat_ws(",", transform(col("feature"), f =>
+            round(f.cast("double") * 15).cast("int"))).as("hist"))
+        .orderBy("doc_id")
+    },
     // tumbling 5-minute event stats (batch form of the streaming op)
     "q_stream_window" -> { (s, d) =>
       Streaming.windowStatsBatch(Tables.events(s, d), "5 minutes")
@@ -493,6 +506,30 @@ object PipelineQueries {
         |  FROM dims d CROSS JOIN generate_series(0, 7) AS g(b)
         |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = g.b)
         |SELECT doc_id, width, height,
+        |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist
+        |FROM filled GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // resized pixel (x,y) samples source (x*width//5, y*height//3) — the
+    // deterministic source-pixel formula evaluated at the sampled coords
+    "m_media_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 2 + doc_id % 6 AS width, 2 + doc_id % 4 AS height
+        |  FROM documents),
+        |pix AS (
+        |  SELECT d.doc_id,
+        |    ((d.doc_id * 2654435761 + ((x.x * d.width) // 5) * 31
+        |      + ((y.y * d.height) // 3) * 17) % 16777216) AS rgb
+        |  FROM dims d, generate_series(0, 4) AS x(x), generate_series(0, 2) AS y(y)),
+        |bins AS (
+        |  SELECT doc_id,
+        |    ((((rgb // 65536) % 256) + ((rgb // 256) % 256) + (rgb % 256)) // 3) // 32 AS bin
+        |  FROM pix),
+        |counts AS (SELECT doc_id, bin, count(*) AS c FROM bins GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT d.doc_id, d.width AS src_width, d.height AS src_height,
+        |    g.b AS bin, COALESCE(c.c, 0) AS c
+        |  FROM dims d CROSS JOIN generate_series(0, 7) AS g(b)
+        |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = g.b)
+        |SELECT doc_id, src_width, src_height,
         |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist
         |FROM filled GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     "q_sessionize" ->

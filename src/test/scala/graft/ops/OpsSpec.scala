@@ -154,6 +154,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: nearest-neighbor resize uses the exact integer pixel map") {
+    // 2×2 source with distinct pixels
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x111111); img.setRGB(1, 0, 0x222222)
+    img.setRGB(0, 1, 0x333333); img.setRGB(1, 1, 0x444444)
+    // downscale to 1×1 → picks src(0·2/1, 0·2/1) = (0,0)
+    val one = Multimodal.resizeNearest(img, 1, 1)
+    assert((one.getRGB(0, 0) & 0xffffff) == 0x111111)
+    // upscale to 4×4 → dst(x,y) samples src(x·2/4, y·2/4) = (x/2, y/2)
+    val four = Multimodal.resizeNearest(img, 4, 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((four.getRGB(x, y) & 0xffffff) == (img.getRGB(x / 2, y / 2) & 0xffffff))
+
+    // distributed path: real decode → resize → histogram of RESIZED raster
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val pngs = Multimodal.pngPayloads(spark, d, "doc_id")
+    val resized = Multimodal.resizeImages(spark, pngs, "doc_id", 5, 3).collect()
+    val payloads = pngs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    resized.foreach { r =>
+      assert(r.width == 5 && r.height == 3)
+      assert(r.meta.width == 2 + (r.doc_id % 6).toInt) // source dims survive
+      assert(math.abs(r.feature.sum - 1.0f) < 1e-5)
+      val local = Multimodal.imageHistogram(Multimodal.resizeNearest(
+        javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payloads(r.doc_id))), 5, 3))
+      assert(r.feature.sameElements(local))
+    }
+  }
+
   test("multimodal: partition-batched decode matches the expression path") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val withPayload = Multimodal.withFakePayload(d, "doc_id", "text")
