@@ -174,6 +174,18 @@ object PipelineQueries {
             round(f.cast("double") * 15).cast("int"))).as("hist"))
         .orderBy("doc_id")
     },
+    // video-like frame sampling: every-7th frame index from per-doc
+    // fps/duration metadata (deterministic from doc_id) — the sampling
+    // PLAN is the operator; decode of the sampled frames would join the
+    // binary payload path above
+    "m_frame_sample" -> { (s, d) =>
+      val meta = Tables.documents(s, d).select(col("doc_id"),
+        (lit(24) + (col("doc_id") % 2) * 6).as("fps"),
+        (lit(1) + col("doc_id") % 5).as("duration_s"))
+      Multimodal.sampleFrameIndexes(meta, "fps", "duration_s", everyNth = 7)
+        .select("doc_id", "fps", "duration_s", "frame_idx")
+        .orderBy("doc_id", "frame_idx")
+    },
     // tumbling 5-minute event stats (batch form of the streaming op)
     "q_stream_window" -> { (s, d) =>
       Streaming.windowStatsBatch(Tables.events(s, d), "5 minutes")
@@ -532,6 +544,16 @@ object PipelineQueries {
         |SELECT doc_id, src_width, src_height,
         |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS hist
         |FROM filled GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // fixed series + filter: DuckDB 1.0 lacks lateral column params in
+    // generate_series; stepping from 0 then filtering < n is identical
+    "m_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, 24 + (doc_id % 2) * 6 AS fps, 1 + doc_id % 5 AS duration_s
+        |  FROM documents)
+        |SELECT doc_id, fps, duration_s, g.g AS frame_idx
+        |FROM m, generate_series(0, 149, 7) AS g(g)
+        |WHERE g.g < fps * duration_s
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
