@@ -342,6 +342,25 @@ final class AdtlParser private (
     }
   }
 
+  /** Append-mode counterpart: stateless tables (oneToOne/oneToMany) observe
+    * each micro-batch's slice, so the running total is the SUM across
+    * progresses. (For Complete-mode aggregations use streamingReport — the
+    * re-emitted table would be double-counted here.) */
+  def streamingReportTotals(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    q.recentProgress.iterator.flatMap { p =>
+      p.observedMetrics.asScala.collect {
+        case (name, row) if name.startsWith(AdtlParser.ReportMetricPrefix) =>
+          name.stripPrefix(AdtlParser.ReportMetricPrefix) ->
+            (row.getAs[Long]("valid"), row.getAs[Long]("total"))
+      }
+    }.foldLeft(Map.empty[String, (Long, Long)]) { case (acc, (t, (v, n))) =>
+      val (v0, n0) = acc.getOrElse(t, (0L, 0L))
+      acc + (t -> (v0 + v, n0 + n))
+    }
+  }
+
   private def coerceTypeFor(tname: String, attr: String): Option[Any] =
     spec.schemas.get(tname).flatMap { s =>
       s.getOrElse("properties", Map.empty[String, Any]).asInstanceOf[Raw]

@@ -81,6 +81,37 @@ class StreamingParseSpec extends SparkSpec {
     assert(streamed("subject")._2 == 3) // 3 subjects, complete-mode total
   }
 
+  test("append-mode stateless tables: per-batch observed slices sum to the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // oneToOne + schema (epoch.json); second batch carries an invalid date
+    val parser = AdtlParser.fromFile("src/test/resources/golden/parsers/epoch.json")
+    val batch1 = Seq(("1", "11/01/1999", "24/01/1999", "Lorem ipsum"))
+    val batch2 = Seq(("2", "19/12/2022", "27/01/2023", "example"),
+      ("3", "not-a-date", "27/01/2023", "bad row"))
+
+    val mem = MemoryStream[(String, String, String, String)]
+    val src = mem.toDF().toDF("Entry_ID", "Epoch", "SomeDate", "Text")
+    val tables = parser.parseStream(spark, src)
+    val q = tables("table").writeStream
+      .format("memory").queryName("adtl_stream_epoch")
+      .outputMode("append").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val all = (batch1 ++ batch2).toDF("Entry_ID", "Epoch", "SomeDate", "Text")
+    val batchReport = parser.report(parser.parseDataFrame(spark, all))
+      .map { case (t, (valid, total, _)) => t -> (valid, total) }
+    assert(parser.streamingReportTotals(q) == batchReport)
+    assert(parser.streamingReportTotals(q)("table")._2 == 3)
+    assert(parser.streamingReportTotals(q)("table")._1 == 2) // bad row invalid
+  }
+
   test("groupBy specs without orderCol are rejected in streaming mode") {
     import spark.implicits._
     val parser = AdtlParser.fromJsonString(
