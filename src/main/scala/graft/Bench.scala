@@ -50,6 +50,13 @@ object Bench {
         e.select((graft.ops.Similarity.norm(v) +
           aggregate(v, lit(0.0), (a, x) => a + x)).as("s")).agg(sum("s")).count()
       }
+      // ImageIO class-init + PNG codec JIT otherwise lands inside the first
+      // media query's timing (encode+decode of one tiny raster, no data)
+      warm("imageio codec") {
+        val png = graft.ops.Multimodal.pngBytes(2, 2, 1L)
+        graft.ops.Multimodal.decodeFull(png)
+        ()
+      }
       // the adtl groupBy queries compile window/object-hash-agg codegen the
       // first time one runs — without this the compile cost floats onto
       // whichever groupBy query the sort order puts first (r2/r3 bench
