@@ -155,6 +155,69 @@ object EngineQueries {
       |  "okey_str": {"type": "string"}
       |}}""".stripMargin
 
+  /** Independent per-row flags (k%2, k%3, k%5) for the for-expansion and
+    * fieldPattern specs — rows carry zero to three set flags. */
+  private def orderFlagsInput(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("string").as("okey"),
+      (col("o_orderkey") % 2 === 0).cast("int").cast("string").as("flag_1"),
+      (col("o_orderkey") % 3 === 0).cast("int").cast("string").as("flag_2"),
+      (col("o_orderkey") % 5 === 0).cast("int").cast("string").as("flag_3"))
+
+  /** R1: constant table — emitted once per parse, independent of input. */
+  private val constantSpec =
+    """{
+      |  "adtl": {"name": "const", "description": "fixed metadata", "tables": {
+      |    "metadata": {"kind": "constant"}}},
+      |  "metadata": {"dataset": "orders_v1", "version": "20220505.1",
+      |    "n_tables": 3, "active": true}
+      |}""".stripMargin
+
+  /** R5: `for` loop expansion — one entry template instantiated per range
+    * value with {i} substitution in keys and values (parser.py:60-125). */
+  private val forSpec =
+    """{
+      |  "adtl": {"name": "forspec", "description": "for expansion", "tables": {
+      |    "obs": {"kind": "oneToMany", "discriminator": "name"}}},
+      |  "obs": [
+      |    {"for": {"i": {"range": [1, 3]}},
+      |     "if": {"flag_{i}": "1"},
+      |     "name": "obs_{i}",
+      |     "okey": {"field": "okey"},
+      |     "value": {"field": "flag_{i}"}}
+      |  ]
+      |}""".stripMargin
+
+  /** P14: header defs + `ref` splice — the referencing rule's own keys
+    * override the definition's (parser.py:43-57). */
+  private val refDefsSpec =
+    """{
+      |  "adtl": {"name": "refspec", "description": "defs and refs",
+      |    "defs": {"statusMap": {
+      |      "values": {"O": "open", "F": "finished", "P": "pending"},
+      |      "caseInsensitive": true}},
+      |    "tables": {"t": {"kind": "oneToOne"}}},
+      |  "t": {
+      |    "okey": {"field": "okey"},
+      |    "status_name": {"field": "status", "ref": "statusMap"}
+      |  }
+      |}""".stripMargin
+
+  /** C4: fieldPattern — a combinedType sub-rule expanded over every source
+    * column matching the regex (parser.py re.match semantics). */
+  private val fieldPatternSpec =
+    """{
+      |  "adtl": {"name": "patspec", "description": "fieldPattern combines", "tables": {
+      |    "t": {"kind": "oneToOne"}}},
+      |  "t": {
+      |    "okey": {"field": "okey"},
+      |    "any_flag": {"combinedType": "any",
+      |      "fields": [{"fieldPattern": "flag_.*", "values": {"1": true, "0": false}}]},
+      |    "flag_list": {"combinedType": "list", "excludeWhen": "false-like",
+      |      "fields": [{"fieldPattern": "flag_.*", "values": {"1": true, "0": false}}]}
+      |  }
+      |}""".stripMargin
+
   private val oneToManySpec =
     """{
       |  "adtl": {"name": "orders", "description": "order observations", "tables": {
@@ -209,6 +272,34 @@ object EngineQueries {
           render(col("flag_passthrough")).as("flags_p"))
         .orderBy("line_id")
     },
+    // R1: constant table — one literal row regardless of the input scan
+    "r1_constant" -> { (s, d) =>
+      AdtlParser.fromJsonString(constantSpec)
+        .parseDataFrame(s, ordersInput(s, d))("metadata")
+    },
+    // R5: for-expansion — the template entry fans out to obs_1..obs_3,
+    // each gated on its substituted flag column
+    "r5_for_expansion" -> { (s, d) =>
+      AdtlParser.fromJsonString(forSpec)
+        .parseDataFrame(s, orderFlagsInput(s, d))("obs")
+        .orderBy("okey", "name")
+    },
+    // P14: defs+ref splice feeding a caseInsensitive values map
+    "p14_ref_defs" -> { (s, d) =>
+      AdtlParser.fromJsonString(refDefsSpec)
+        .parseDataFrame(s, ordersInput(s, d))("t")
+        .orderBy("okey")
+    },
+    // C4: fieldPattern expansion over flag_1..flag_3 — boolean any +
+    // false-like-filtered list (rendered joined for a cell-exact compare)
+    "c4_field_pattern" -> { (s, d) =>
+      val out = AdtlParser.fromJsonString(fieldPatternSpec)
+        .parseDataFrame(s, orderFlagsInput(s, d))("t")
+      out.select(col("okey"), col("any_flag"),
+          when(size(col("flag_list")) > 0, array_join(col("flag_list"), ","))
+            .as("flags_joined"))
+        .orderBy("okey")
+    },
     // P12: JSON-schema type coercion with the reference's raw-on-failure
     // union (string-typed canonical-or-raw columns).
     "p12_coercion" -> { (s, d) =>
@@ -250,6 +341,37 @@ object EngineQueries {
         |    THEN 2000 + o_orderkey % 100 ELSE 1900 + o_orderkey % 100 END) AS dob_fixed
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY line_id""".stripMargin,
+    "r1_constant" ->
+      """SELECT true AS active, 'orders_v1' AS dataset,
+        |  CAST(3 AS BIGINT) AS n_tables, '20220505.1' AS version""".stripMargin,
+    "r5_for_expansion" ->
+      """SELECT * FROM (
+        |  SELECT 'obs_1' AS name, CAST(o_orderkey AS VARCHAR) AS okey, '1' AS value
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'obs_2', CAST(o_orderkey AS VARCHAR), '1'
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'obs_3', CAST(o_orderkey AS VARCHAR), '1'
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |) ORDER BY okey, name""".stripMargin,
+    "p14_ref_defs" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+        |  CASE lower(o_orderstatus) WHEN 'o' THEN 'open' WHEN 'f' THEN 'finished'
+        |    WHEN 'p' THEN 'pending' END AS status_name
+        |FROM orders ORDER BY okey""".stripMargin,
+    "c4_field_pattern" ->
+      """WITH flags AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+        |    [CASE WHEN o_orderkey % 2 = 0 THEN 'True' END,
+        |     CASE WHEN o_orderkey % 3 = 0 THEN 'True' END,
+        |     CASE WHEN o_orderkey % 5 = 0 THEN 'True' END] AS items,
+        |    (o_orderkey % 2 = 0) OR (o_orderkey % 3 = 0) OR (o_orderkey % 5 = 0) AS any_flag
+        |  FROM orders)
+        |SELECT okey, any_flag,
+        |  CASE WHEN len(list_filter(items, x -> x IS NOT NULL)) > 0
+        |    THEN array_to_string(list_filter(items, x -> x IS NOT NULL), ',') END AS flags_joined
+        |FROM flags ORDER BY okey""".stripMargin,
     // P13 generate:uuid5 stays ScalaTest-only (Uuid5 golden tests pin it
     // against the reference's uuids): uuid5 is SHA-1-based and DuckDB
     // 1.0.0 ships md5/sha256 but no sha1, so no DuckDB oracle exists.
