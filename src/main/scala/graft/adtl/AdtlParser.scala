@@ -219,7 +219,12 @@ final class AdtlParser private (
           .otherwise(col(c).cast("string")).as(c)
       }: _*)
     }
-    if (spec.tables.size > 1 || cacheInput) df = df.cache()
+    val doCache = cacheInput || (inputCachePolicy match {
+      case "never" => false
+      case "always" => true
+      case _ => spec.tables.size > 1
+    })
+    if (doCache) df = df.cache()
 
     val compiler = new RuleCompiler(
       df.columns.filterNot(_ == ROW_ID).toSeq, spec.header, spec.dateFields.toSet,
@@ -524,9 +529,33 @@ final class AdtlParser private (
 
   /** Opt-in: cache the scrubbed parse input even for single-table specs, so
     * post-parse diagnostics (`-v` overwriteCounts) reuse the materialized
-    * frame instead of re-scanning the source through lineage. */
+    * frame instead of re-scanning the source through lineage. Wins over
+    * the policy below. */
   private var cacheInput: Boolean = false
   def withCachedInput(): this.type = { cacheInput = true; this }
+
+  /** Input materialization policy for multi-table parses:
+    *
+    *  - "auto" (default): cache the scrubbed input when more than one table
+    *    consumes it — the interactive/CLI shape, where the source is one
+    *    modest CSV every table re-reads.
+    *  - "never": skip the cache so EACH table's plan prunes columns at the
+    *    source scan — the 100 TB shape. A full-width cache materializes
+    *    every column once (memory + spill pressure at petabyte inputs and
+    *    no column pruning through InMemoryRelation), while N pruned scans
+    *    each read only the columns that table maps, with the emptyFields
+    *    scrub projection collapsed onto the pruned set by Catalyst.
+    *    Requires an explicit orderCol for groupBy determinism (scan-order
+    *    ids are only stable across re-scans of a single ordered source).
+    *  - "always": cache even single-table parses.
+    */
+  private var inputCachePolicy: String = "auto"
+  def withInputCachePolicy(p: String): this.type = {
+    require(Set("auto", "never", "always")(p),
+      s"unknown input cache policy: $p (auto|never|always)")
+    inputCachePolicy = p
+    this
+  }
 
   /** Overwrite diagnostics for the most recent parseDataFrame/parseCsv call,
     * computed from its cached groupBy input — no second source scan. */

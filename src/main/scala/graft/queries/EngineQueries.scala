@@ -164,6 +164,27 @@ object EngineQueries {
       (col("o_orderkey") % 3 === 0).cast("int").cast("string").as("flag_2"),
       (col("o_orderkey") % 5 === 0).cast("int").cast("string").as("flag_3"))
 
+  /** S2: emptyFields scrub — header-declared sentinel values are rewritten
+    * to "" before any rule runs, then ""→null normalization applies
+    * (parser.py DictReader scrub). Sentinels derived per-row so the scrub,
+    * not luck, produces the nulls. */
+  private val emptyFieldsSpec =
+    """{
+      |  "adtl": {"name": "scrub", "description": "emptyFields sentinel",
+      |    "emptyFields": "N/A",
+      |    "tables": {"t": {"kind": "oneToOne"}}},
+      |  "t": {
+      |    "okey": {"field": "okey"},
+      |    "pri": {"field": "pri_or_na"}
+      |  }
+      |}""".stripMargin
+
+  private def sentinelInput(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("string").as("okey"),
+      when(col("o_orderkey") % 3 === 0, "N/A")
+        .otherwise(col("o_orderpriority")).as("pri_or_na"))
+
   /** R1: constant table — emitted once per parse, independent of input. */
   private val constantSpec =
     """{
@@ -272,6 +293,12 @@ object EngineQueries {
           render(col("flag_passthrough")).as("flags_p"))
         .orderBy("line_id")
     },
+    // S2: emptyFields sentinel scrub → null
+    "s2_empty_fields" -> { (s, d) =>
+      AdtlParser.fromJsonString(emptyFieldsSpec)
+        .parseDataFrame(s, sentinelInput(s, d))("t")
+        .orderBy("okey")
+    },
     // R1: constant table — one literal row regardless of the input scan
     "r1_constant" -> { (s, d) =>
       AdtlParser.fromJsonString(constantSpec)
@@ -341,6 +368,10 @@ object EngineQueries {
         |    THEN 2000 + o_orderkey % 100 ELSE 1900 + o_orderkey % 100 END) AS dob_fixed
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY line_id""".stripMargin,
+    "s2_empty_fields" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS pri
+        |FROM orders ORDER BY okey""".stripMargin,
     "r1_constant" ->
       """SELECT true AS active, 'orders_v1' AS dataset,
         |  CAST(3 AS BIGINT) AS n_tables, '20220505.1' AS version""".stripMargin,

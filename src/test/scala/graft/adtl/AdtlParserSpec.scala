@@ -310,6 +310,37 @@ class AdtlParserSpec extends SparkSpec {
     assert(out.getAs[String]("c") == "x")
   }
 
+  test("input cache policy: 'never' prunes to source scans, same outputs") {
+    val spec = """{
+      |  "adtl": {"name": "s", "description": "d", "tables": {
+      |    "a": {"kind": "oneToOne"},
+      |    "b": {"kind": "oneToMany", "discriminator": "name"}}},
+      |  "a": {"x": {"field": "x"}},
+      |  "b": [{"if": {"y": {"!=": ""}}, "name": "y", "value": {"field": "y"}}]
+      |}""".stripMargin
+    val df = strDf(Seq("x", "y"), Seq(Seq("1", "a"), Seq("2", ""), Seq("3", "b")))
+    def collectAll(p: AdtlParser) = {
+      val t = p.parseDataFrame(spark, df)
+      (t("a").collect().toList, t("b").collect().toList,
+        t("a").queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+        }.nonEmpty)
+    }
+    // never FIRST (Spark's CacheManager substitutes cached plans into any
+    // later matching fragment, so the auto parse must not run yet):
+    // plans read the source directly, each table's column pruning reaches
+    // the scan (the 100 TB shape)
+    val (aDirect, bDirect, directHasIMR) = collectAll(
+      AdtlParser.fromJsonString(spec).withInputCachePolicy("never"))
+    assert(!directHasIMR)
+    // default (auto): multi-table spec caches the scrubbed input
+    val (aCached, bCached, cachedHasIMR) = collectAll(AdtlParser.fromJsonString(spec))
+    assert(cachedHasIMR)
+    assert(aCached == aDirect && bCached == bDirect)
+    intercept[IllegalArgumentException](
+      AdtlParser.fromJsonString(spec).withInputCachePolicy("sometimes"))
+  }
+
   test("uuid5 generation is deterministic and seed-order sensitive") {
     val spec =
       """{
