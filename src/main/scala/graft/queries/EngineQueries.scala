@@ -293,6 +293,23 @@ object EngineQueries {
           render(col("flag_passthrough")).as("flags_p"))
         .orderBy("line_id")
     },
+    // F17: user-registered custom transform running inside the same
+    // Column/codegen pipeline as the builtins
+    "f17_custom_transform" -> { (s, d) =>
+      val reg = graft.adtl.Transformations.newRegistry()
+      reg.register("shout", (c, _, _) => concat(upper(c), lit("!")))
+      AdtlParser.fromSpec(graft.adtl.SpecLoader.parseJson(
+          """{
+            |  "adtl": {"name": "xf", "description": "custom transform", "tables": {
+            |    "t": {"kind": "oneToOne"}}},
+            |  "t": {
+            |    "okey": {"field": "okey"},
+            |    "pri_loud": {"field": "opri", "apply": {"function": "shout"}}
+            |  }
+            |}""".stripMargin), registry = reg)
+        .parseDataFrame(s, ordersInput(s, d))("t")
+        .orderBy("okey")
+    },
     // S2: emptyFields sentinel scrub → null
     "s2_empty_fields" -> { (s, d) =>
       AdtlParser.fromJsonString(emptyFieldsSpec)
@@ -368,6 +385,10 @@ object EngineQueries {
         |    THEN 2000 + o_orderkey % 100 ELSE 1900 + o_orderkey % 100 END) AS dob_fixed
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY line_id""".stripMargin,
+    "f17_custom_transform" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+        |  upper(o_orderpriority) || '!' AS pri_loud
+        |FROM orders ORDER BY okey""".stripMargin,
     "s2_empty_fields" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS okey,
         |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS pri
