@@ -431,22 +431,78 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }
 
+  /** Banding S-curve midpoint (1/bands)^(bands/numHashes): the Jaccard at
+    * which a pair survives at least one of `bands` bands with probability
+    * ~1-1/e (per-band collision ≈ J^(numHashes/bands)). Pairs far below the
+    * midpoint are almost always lost; far above, almost always kept. */
+  def lshCollisionMidpoint(numHashes: Int, bands: Int): Double =
+    math.pow(1.0 / bands, bands.toDouble / numHashes)
+
+  /** Standard LSH parameter selection: the cheapest (numHashes, bands) whose
+    * S-curve midpoint sits at or below `threshold`, so banded candidate
+    * generation keeps recall at the threshold instead of silently collapsing.
+    * Keeps the caller's (numHashes, bands) when they already qualify; else
+    * tries wider banding at the same numHashes (fewest bands that qualify
+    * costs the least shuffle); else grows numHashes to ceil(1/threshold)
+    * single-row bands (midpoint = 1/bands). Fails fast — at plan-build time,
+    * before any cluster work — when no configuration under `maxNumHashes`
+    * can reach the threshold. */
+  def lshParamsFor(threshold: Double, numHashes: Int, bands: Int,
+      maxNumHashes: Int = 1024): (Int, Int) = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    if (lshCollisionMidpoint(numHashes, bands) <= threshold) (numHashes, bands)
+    else {
+      val rowsFit = (numHashes to 1 by -1).filter(numHashes % _ == 0)
+        .find(r => lshCollisionMidpoint(numHashes, numHashes / r) <= threshold)
+      rowsFit match {
+        case Some(r) => (numHashes, numHashes / r)
+        case None =>
+          val need = math.ceil(1.0 / threshold).toInt
+          if (need > maxNumHashes) throw new IllegalArgumentException(
+            s"lshParamsFor: threshold=$threshold is below the lowest banding " +
+              s"collision midpoint reachable with maxNumHashes=$maxNumHashes " +
+              s"(1/$maxNumHashes = ${1.0 / maxNumHashes}); banded candidate " +
+              "generation would drop nearly all true pairs. Raise the " +
+              "threshold, raise maxNumHashes, or use the exact path " +
+              "(ngramJaccardPairs with a larger maxBlockSize)")
+          (need, need)
+      }
+    }
+  }
+
   /** Scale-bounded blocked Jaccard: blocks at or under `maxBlockSize` take
     * the exact all-pairs triangle path (output identical to
     * ngramJaccardPairs); OVERSIZED blocks route through in-block
     * MinHash-banded candidate generation plus EXACT Jaccard verification —
     * linear in block size instead of quadratic, at banding recall (a pair
     * missed by all `bands` bands is lost; same-band collision probability
-    * is ~J^(numHashes/bands) per band, so thresholds comfortably above the
-    * collision floor keep recall high). The split is decided inside the
+    * is ~J^(numHashes/bands) per band). The split is decided inside the
     * plan from a broadcast per-block count — no driver job — and one
     * shingle-hash scan feeds both paths (gram set + band keys from the
-    * same checkpointed projection, the lshVerifiedPairs pattern). */
+    * same checkpointed projection, the lshVerifiedPairs pattern).
+    *
+    * Recall discipline (the time-guard's mirror image): by default the
+    * banding parameters are AUTO-TUNED via lshParamsFor so the S-curve
+    * midpoint (1/bands)^(bands/numHashes) lands at or below `threshold` —
+    * a threshold below the midpoint would silently return a sliver of the
+    * true pairs (per-band collision ≈ J^rows) while the job "succeeds".
+    * With `autoTune = false` the caller's (numHashes, bands) are used
+    * verbatim; if their midpoint sits above `threshold`, any block that
+    * actually routes fails the job in-plan (same lazy broadcast-count
+    * raise_error shape as the maxBlockSize guard) instead of quietly
+    * dropping recall. Blocks under the cap are never affected — they take
+    * the exact path regardless of banding parameters. */
   def ngramJaccardPairsBounded(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 2, threshold: Double = 0.5,
       chunks: Int = 8, maxBlockSize: Int = 10000,
-      numHashes: Int = 32, bands: Int = 8, maxBucketSize: Int = 500): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, maxBucketSize: Int = 500,
+      autoTune: Boolean = true, maxNumHashes: Int = 1024): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val (nh, nb) =
+      if (autoTune) lshParamsFor(threshold, numHashes, bands, maxNumHashes)
+      else (numHashes, bands)
+    val midpoint = lshCollisionMidpoint(nh, nb)
     val spark = df.sparkSession
     val counts = df.groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("__bn"))
     // one hash scan serves both paths; materialized because every lazy
@@ -458,7 +514,7 @@ object Dedup {
       .select(col("blk"), col("id"),
         graft.functions.PackedLongs.packSortedSet(spark, col("__h")).as("g"),
         graft.functions.TextHashExprs.bandKeysCol(spark, col("__h"),
-          numHashes, bands, affine = false).as("bk"))
+          nh, nb, affine = false).as("bk"))
       .withColumn("nc", (length(col("g")) / 8).cast("int"))
       .join(broadcast(counts), Seq("blk"))
       .localCheckpoint()
@@ -466,7 +522,25 @@ object Dedup {
       .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
     val exact = triangleJaccard(small, small, threshold, chunks)
 
-    val big = base.filter(col("__bn") > maxBlockSize)
+    // recall guard (autoTune=false only): a block that routes while the
+    // caller's banding midpoint sits above the threshold would silently
+    // lose nearly all true pairs — fail the job in-plan instead, the same
+    // lazy shape as the maxBlockSize guard (when() keeps raise_error out
+    // of reorderable predicate position; no driver job, no effect while
+    // every block stays under the cap)
+    val bigAll = base.filter(col("__bn") > maxBlockSize)
+    val big = if (midpoint <= threshold) bigAll else bigAll
+      .filter(when(col("__bn") > maxBlockSize,
+        raise_error(concat(
+          lit("ngramJaccardPairsBounded: block '"), col("blk").cast("string"),
+          lit("' holds "), col("__bn").cast("string"),
+          lit(s" docs > maxBlockSize=$maxBlockSize and would route through" +
+            f" LSH banding, but threshold=$threshold%s sits below the banding" +
+            f" collision midpoint $midpoint%.4f = (1/$nb)^($nb/$nh) — nearly" +
+            " all true pairs would be dropped silently. Use autoTune=true" +
+            " (the default) or pick bands/numHashes whose midpoint is at or" +
+            " below the threshold"))).cast("boolean"))
+        .otherwise(lit(true)))
     val banded = big.select(col("blk"), col("id"), posexplode(col("bk")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     // in-block banding: bucket on (blk, band, band_hash) so candidates

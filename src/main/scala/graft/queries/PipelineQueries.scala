@@ -35,7 +35,11 @@ object PipelineQueries {
     // the scale-bounded variant: identical exact output while blocks stay
     // under maxBlockSize (sf0.01/sf0.1 — oracle-checked against the same
     // all-pairs SQL); oversized blocks (the 10× ScaleBench run) route
-    // through in-block LSH banding + exact verify, keeping time linear
+    // through in-block LSH banding + exact verify, keeping time linear.
+    // Banding is AUTO-TUNED from the threshold (lshParamsFor: midpoint
+    // (1/bands)^(bands/numHashes) ≤ threshold — here 1/32 ≤ 0.05 via 32
+    // single-row bands), so the routed path keeps recall at the threshold
+    // instead of silently collapsing below the collision floor
     "d_ngram_jaccard_bounded" -> { (s, d) =>
       Dedup.ngramJaccardPairsBounded(Tables.documents(s, d), "doc_id", "text",
         blockCol = "source", n = 2, threshold = 0.05, maxBlockSize = 1000)

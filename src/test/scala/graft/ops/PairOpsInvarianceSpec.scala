@@ -92,6 +92,68 @@ class PairOpsInvarianceSpec extends SparkSpec {
     assert(pairSet(routed) == pairSet(r7))
   }
 
+  test("LSH parameter auto-selection lands the midpoint at or below the threshold") {
+    // caller's params already qualify → kept verbatim
+    assert(Dedup.lshParamsFor(0.7, 32, 8) == ((32, 8)))
+    // midpoint (1/8)^(8/32) ≈ 0.59 > 0.5 → rebanded at the same numHashes
+    val (h1, b1) = Dedup.lshParamsFor(0.5, 32, 8)
+    assert(h1 == 32 && Dedup.lshCollisionMidpoint(h1, b1) <= 0.5)
+    // 0.05 needs single-row bands: midpoint 1/32 ≈ 0.031
+    assert(Dedup.lshParamsFor(0.05, 32, 8) == ((32, 32)))
+    // below every reachable midpoint → fail fast at plan-build time
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshParamsFor(0.0005, 32, 8, maxNumHashes = 1024)
+    }
+    assert(e.getMessage.contains("collision midpoint"))
+  }
+
+  // near-dup corpus with a wide similarity gap (dup pairs J≈0.9, cross
+  // pairs J≈0): the shape where banded recall must be indistinguishable
+  // from exact
+  private lazy val nearDupDocs = {
+    val s = spark
+    import s.implicits._
+    val words = "the quick brown fox jumps over a lazy dog near the riverbank".split(" ")
+    (0 until 12).flatMap { i =>
+      val base = (0 until 20).map(j => words((i * 7 + j * 3) % words.length) + i).mkString(" ")
+      val variant = base.split(" ").updated(10, "changed" + i).mkString(" ")
+      Seq((i.toLong * 2, base, "blk0"), (i.toLong * 2 + 1, variant, "blk0"))
+    }.toDF("doc_id", "text", "source")
+  }
+
+  test("routed path at a sane threshold returns the same pairs as the exact path " +
+      "on oversized blocks (auto-tuned banding)") {
+    val exact = Dedup.ngramJaccardPairs(nearDupDocs, "doc_id", "text",
+      "source", 2, 0.5, maxBlockSize = 1000)
+      .select("blk", "id_a", "id_b", "jaccard")
+    // cap below the block size: everything routes through LSH + verify
+    val routed = Dedup.ngramJaccardPairsBounded(nearDupDocs, "doc_id", "text",
+      "source", 2, 0.5, maxBlockSize = 5)
+      .select("blk", "id_a", "id_b", "jaccard")
+    assert(exact.count() == 12) // one pair per (base, variant)
+    assert(exact.exceptAll(routed).count() == 0)
+    assert(routed.exceptAll(exact).count() == 0)
+  }
+
+  test("autoTune=false with a threshold below the banding midpoint fails the " +
+      "routed path in-plan with the recall prescription") {
+    // under the cap the banding params are irrelevant — exact path, no error
+    val under = Dedup.ngramJaccardPairsBounded(nearDupDocs, "doc_id", "text",
+      "source", 2, 0.05, maxBlockSize = 1000, numHashes = 32, bands = 8,
+      autoTune = false)
+    assert(under.count() > 0)
+    // over the cap: (1/8)^(8/32) ≈ 0.59 midpoint vs threshold 0.05 → raise
+    val e = intercept[Exception] {
+      Dedup.ngramJaccardPairsBounded(nearDupDocs, "doc_id", "text",
+        "source", 2, 0.05, maxBlockSize = 5, numHashes = 32, bands = 8,
+        autoTune = false).count()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("collision midpoint") &&
+      m.contains("autoTune=true")))
+  }
+
   test("triangle-join Jaccard pairs are partition-invariant and chunk-invariant") {
     val base = pairSet(Dedup.ngramJaccardPairs(docs.repartition(1),
       "doc_id", "text", "source", 2, 0.05))
