@@ -192,6 +192,15 @@ final class AdtlParser private (
       orderCol: Option[String] = None,
       requireOrderCol: Boolean = false): Map[String, DataFrame] = {
     Uuid5Expr.register(spark) // codegen'd uuid5 for generate rules
+    // release the previous parse's cached input (if this parser cached it):
+    // repeated parses on one parser would otherwise accumulate
+    // InMemoryRelations and leak executor storage memory. Lazy unpersist —
+    // frames returned by the previous parse stay correct, they just
+    // recompute from source if re-used.
+    if (lastParseCached) {
+      lastParseInput.foreach { case (prev, _) => prev.unpersist(false) }
+      lastParseCached = false
+    }
     var df = orderCol match {
       case Some(c) => source.withColumn(ROW_ID, col(c).cast("long"))
       case None =>
@@ -202,6 +211,16 @@ final class AdtlParser private (
             s"requireOrderCol: groupBy tables (${groupTables.mkString(", ")}) " +
               "need an explicit orderCol for deterministic lastNotNull/" +
               "firstNonNull/list semantics under splittable multi-file reads")
+        // the "never" cache policy re-scans the source per table action, so
+        // a scan-order id is not even stable WITHIN one parse — groupBy
+        // results could diverge table-to-table; enforce the doc'd contract
+        // instead of warning (withCachedInput pins one scan and is exempt)
+        if (groupTables.nonEmpty && inputCachePolicy == "never" && !cacheInput)
+          throw new IllegalArgumentException(
+            s"inputCachePolicy=never: groupBy tables (${groupTables.mkString(", ")}) " +
+              "need an explicit orderCol — each table's action re-scans the " +
+              "source and recomputes the scan-order id, so lastNotNull/" +
+              "firstNonNull/list results can diverge across tables and runs")
         if (groupTables.nonEmpty)
           System.err.println(
             "Warning: groupBy tables use scan order as \"file order\" " +
@@ -230,6 +249,7 @@ final class AdtlParser private (
       df.columns.filterNot(_ == ROW_ID).toSeq, spec.header, spec.dateFields.toSet,
       registry, spec.namespaceUuid)
     lastParseInput = Some((df, compiler))
+    lastParseCached = doCache
 
     spec.tables.map { case (tname, meta) =>
       var out = meta.kind match {
@@ -282,6 +302,7 @@ final class AdtlParser private (
   def parseStream(spark: SparkSession, source: DataFrame,
       orderCol: Option[String] = None): Map[String, DataFrame] = {
     require(source.isStreaming, "parseStream expects a streaming DataFrame")
+    ensureProgressListener(spark)
     val groupTables = spec.tables.collect { case (t, m) if m.kind == "groupBy" => t }
     if (groupTables.nonEmpty && orderCol.isEmpty)
       throw new SpecValidationError(
@@ -347,23 +368,82 @@ final class AdtlParser private (
     }
   }
 
+  /** Per-query accumulated append-mode slices, fed by a
+    * StreamingQueryListener so the running total survives past
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100) — the
+    * recentProgress window `streamingReportTotals` would otherwise sum
+    * silently undercounts once a long-running stream wraps it. Keyed by
+    * query id (stable across restarts, like batch ids from the
+    * checkpoint); value = (last batch id folded in, per-table totals).
+    * O(1) per table — batches are folded as they arrive, never stored. */
+  private val streamingAcc = new java.util.concurrent.ConcurrentHashMap[
+    java.util.UUID, (Long, Map[String, (Long, Long)])]()
+  private var progressListenerRegistered = false
+
+  private def observedSlices(
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    p.observedMetrics.asScala.collect {
+      case (name, row) if name.startsWith(AdtlParser.ReportMetricPrefix) =>
+        name.stripPrefix(AdtlParser.ReportMetricPrefix) ->
+          (row.getAs[Long]("valid"), row.getAs[Long]("total"))
+    }.toMap
+  }
+
+  private def mergeSlices(acc: Map[String, (Long, Long)],
+      slice: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+    slice.foldLeft(acc) { case (m, (t, (v, n))) =>
+      val (v0, n0) = m.getOrElse(t, (0L, 0L))
+      m + (t -> (v0 + v, n0 + n))
+    }
+
+  private def ensureProgressListener(spark: SparkSession): Unit = synchronized {
+    if (!progressListenerRegistered) {
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+            val p = e.progress
+            val slice = observedSlices(p)
+            if (slice.nonEmpty) streamingAcc.compute(p.id, (_, prev) => {
+              // no-data ticks re-report the last batch id with no observed
+              // metrics; a seen batch id is never folded twice
+              val (last, acc) = if (prev == null) (-1L, Map.empty[String, (Long, Long)]) else prev
+              if (p.batchId <= last) (last, acc)
+              else (p.batchId, mergeSlices(acc, slice))
+            })
+          }
+        })
+      progressListenerRegistered = true
+    }
+  }
+
   /** Append-mode counterpart: stateless tables (oneToOne/oneToMany) observe
     * each micro-batch's slice, so the running total is the SUM across
-    * progresses. (For Complete-mode aggregations use streamingReport — the
-    * re-emitted table would be double-counted here.) */
+    * batches. (For Complete-mode aggregations use streamingReport — the
+    * re-emitted table would be double-counted here.)
+    *
+    * Totals come from the listener accumulator (every batch since the query
+    * started, regardless of the recentProgress cap), topped up from
+    * `q.recentProgress` for batches the asynchronous listener bus has not
+    * delivered yet — reading the accumulator BEFORE recentProgress keeps
+    * the top-up race-free (a batch folded into the snapshot is excluded by
+    * batch id; one not yet folded is covered by the window). */
   def streamingReportTotals(
       q: org.apache.spark.sql.streaming.StreamingQuery): Map[String, (Long, Long)] = {
-    import scala.jdk.CollectionConverters._
-    q.recentProgress.iterator.flatMap { p =>
-      p.observedMetrics.asScala.collect {
-        case (name, row) if name.startsWith(AdtlParser.ReportMetricPrefix) =>
-          name.stripPrefix(AdtlParser.ReportMetricPrefix) ->
-            (row.getAs[Long]("valid"), row.getAs[Long]("total"))
+    val (lastFolded, folded) =
+      Option(streamingAcc.get(q.id)).getOrElse((-1L, Map.empty[String, (Long, Long)]))
+    val pending = q.recentProgress.iterator
+      .filter(_.batchId > lastFolded)
+      .map(p => p.batchId -> observedSlices(p))
+      .foldLeft(Map.empty[Long, Map[String, (Long, Long)]]) { case (m, (b, s)) =>
+        if (m.contains(b) || s.isEmpty) m else m + (b -> s) // dedupe no-data re-reports
       }
-    }.foldLeft(Map.empty[String, (Long, Long)]) { case (acc, (t, (v, n))) =>
-      val (v0, n0) = acc.getOrElse(t, (0L, 0L))
-      acc + (t -> (v0 + v, n0 + n))
-    }
+    pending.values.foldLeft(folded)(mergeSlices)
   }
 
   private def coerceTypeFor(tname: String, attr: String): Option[Any] =
@@ -526,6 +606,9 @@ final class AdtlParser private (
     * (cached) frame instead of re-scanning the source, which at 100 TB
     * would double the job's input for an opt-in flag. */
   private[adtl] var lastParseInput: Option[(DataFrame, RuleCompiler)] = None
+  /** Whether lastParseInput's frame was cached BY THIS PARSER — the next
+    * parseDataFrame unpersists it before building the new input. */
+  private var lastParseCached: Boolean = false
 
   /** Opt-in: cache the scrubbed parse input even for single-table specs, so
     * post-parse diagnostics (`-v` overwriteCounts) reuse the materialized

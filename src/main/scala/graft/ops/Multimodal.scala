@@ -194,7 +194,10 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        out.setRGB(x, y, img.getRGB(x * sw / w, y * sh / h))
+        // Long intermediates: x·srcW overflows Int once the product passes
+        // 2^31 (large upscales), yielding negative source indexes
+        out.setRGB(x, y, img.getRGB(
+          (x.toLong * sw / w).toInt, (y.toLong * sh / h).toInt))
         x += 1
       }
       y += 1

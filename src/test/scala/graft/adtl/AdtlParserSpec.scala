@@ -341,6 +341,45 @@ class AdtlParserSpec extends SparkSpec {
       AdtlParser.fromJsonString(spec).withInputCachePolicy("sometimes"))
   }
 
+  test("input cache policy 'never' + groupBy enforces an explicit orderCol") {
+    val spec = """{
+      |  "adtl": {"name": "s", "description": "d", "tables": {
+      |    "t": {"kind": "groupBy", "groupBy": "sid", "aggregation": "lastNotNull"}}},
+      |  "t": {"sid": {"field": "sid"}, "v": {"field": "v"}}
+      |}""".stripMargin
+    val df = strDf(Seq("seq", "sid", "v"), Seq(Seq("1", "a", "x"), Seq("2", "a", "y")))
+    // without the cache, scan-order ids are recomputed per action — refuse
+    val e = intercept[IllegalArgumentException] {
+      AdtlParser.fromJsonString(spec).withInputCachePolicy("never")
+        .parseDataFrame(spark, df)
+    }
+    assert(e.getMessage.contains("inputCachePolicy=never"))
+    // an explicit order column restores determinism without a cache
+    val out = AdtlParser.fromJsonString(spec).withInputCachePolicy("never")
+      .parseDataFrame(spark, df, orderCol = Some("seq"))("t").collect()
+    assert(out.length == 1 && out(0).getAs[String]("v") == "y")
+    // withCachedInput pins one scan — scan order is stable, policy allowed
+    val cached = AdtlParser.fromJsonString(spec).withInputCachePolicy("never")
+      .withCachedInput().parseDataFrame(spark, df)("t").collect()
+    assert(cached.length == 1 && cached(0).getAs[String]("v") == "y")
+  }
+
+  test("re-parsing on one parser releases the previous parse's cached input") {
+    val spec = """{
+      |  "adtl": {"name": "s", "description": "d", "tables": {
+      |    "a": {"kind": "oneToOne"}, "b": {"kind": "oneToOne"}}},
+      |  "a": {"x": {"field": "x"}}, "b": {"x": {"field": "x"}}
+      |}""".stripMargin
+    val p = AdtlParser.fromJsonString(spec) // auto policy: 2 tables → cached
+    p.parseDataFrame(spark, strDf(Seq("x"), Seq(Seq("1"))))
+    val first = p.lastParseInput.get._1
+    assert(first.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    p.parseDataFrame(spark, strDf(Seq("x"), Seq(Seq("2"))))
+    assert(first.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(p.lastParseInput.get._1.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("uuid5 generation is deterministic and seed-order sensitive") {
     val spec =
       """{

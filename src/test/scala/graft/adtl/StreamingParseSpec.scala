@@ -112,6 +112,44 @@ class StreamingParseSpec extends SparkSpec {
     assert(parser.streamingReportTotals(q)("table")._1 == 2) // bad row invalid
   }
 
+  test("append-mode running totals survive past the recentProgress window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // shrink the progress window to 2 so a 5-batch stream wraps it: the
+    // recentProgress-only sum would see at most the last 2 slices; the
+    // listener accumulator must carry the rest
+    val prev = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2")
+    try {
+      val parser = AdtlParser.fromFile("src/test/resources/golden/parsers/epoch.json")
+      val batches = (1 to 5).map(i =>
+        Seq((i.toString, "11/01/1999", "24/01/1999", s"row $i")))
+
+      val mem = MemoryStream[(String, String, String, String)]
+      val src = mem.toDF().toDF("Entry_ID", "Epoch", "SomeDate", "Text")
+      val q = parser.parseStream(spark, src)("table").writeStream
+        .format("memory").queryName("adtl_stream_window_wrap")
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      assert(q.recentProgress.length <= 2) // the window really wrapped
+
+      // the listener bus is asynchronous — poll until it drains
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def totals() = parser.streamingReportTotals(q).get("table")
+      while (!totals().contains((5L, 5L)) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(totals().contains((5L, 5L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+        case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+      }
+    }
+  }
+
   test("groupBy specs without orderCol are rejected in streaming mode") {
     import spark.implicits._
     val parser = AdtlParser.fromJsonString(

@@ -167,6 +167,13 @@ class OpsSpec extends SparkSpec {
     val four = Multimodal.resizeNearest(img, 4, 4)
     for (y <- 0 until 4; x <- 0 until 4)
       assert((four.getRGB(x, y) & 0xffffff) == (img.getRGB(x / 2, y / 2) & 0xffffff))
+    // coordinate map is Long-safe: x·srcW here reaches 39999·60000 ≈ 2.4e9
+    // > Int.MaxValue — Int math would index negative and throw
+    val wide = new java.awt.image.BufferedImage(60000, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    wide.setRGB(59998, 0, 0xABCDEF)
+    val shrunk = Multimodal.resizeNearest(wide, 40000, 1)
+    assert((shrunk.getRGB(39999, 0) & 0xffffff) == 0xABCDEF) // 39999·60000/40000 = 59998
 
     // distributed path: real decode → resize → histogram of RESIZED raster
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
