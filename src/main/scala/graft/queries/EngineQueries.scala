@@ -239,6 +239,73 @@ object EngineQueries {
       |  }
       |}""".stripMargin
 
+  /** Validation-surface input: okey/status/opri plus a date column that is
+    * deliberately unparseable on every 4th key. */
+  private def validationInput(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("string").as("okey"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("opri"),
+      when(col("o_orderkey") % 4 === 0, "not-a-date")
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("mdate"))
+
+  /** Schema-validation spec (S7/R6): oneToMany with a discriminator-
+    * dispatched oneOf validator — required + enum + format:date per branch,
+    * plus a discriminator value ("misc") no branch covers, exercising the
+    * reference's "No validator found" path (parser.py:736-757,
+    * util.py:43-98). Entries without `if` take the derived default-if. */
+  private val validationSpec =
+    """{
+      |  "adtl": {"name": "vspec", "description": "schema validation", "tables": {
+      |    "obs": {"kind": "oneToMany", "discriminator": "name", "schema": "obs-schema.json"}}},
+      |  "obs": [
+      |    {"if": {"status": {"!=": ""}}, "name": "status",
+      |     "okey": {"field": "okey"}, "value": {"field": "status"}},
+      |    {"name": "event_date", "okey": {"field": "okey"}, "value": {"field": "mdate"}},
+      |    {"name": "urgent", "okey": {"field": "okey"},
+      |     "value": {"field": "opri", "if": {"opri": {"=~": "1-"}}}},
+      |    {"name": "misc", "okey": {"field": "okey"}, "value": {"field": "okey"}}
+      |  ]
+      |}""".stripMargin
+
+  private val validationSchema =
+    """{
+      |  "required": ["name"],
+      |  "properties": {
+      |    "name": {"type": "string"},
+      |    "okey": {"type": "string"},
+      |    "value": {}
+      |  },
+      |  "oneOf": [
+      |    {"properties": {"name": {"const": "status"},
+      |       "value": {"enum": ["O", "F"]}}, "required": ["value"]},
+      |    {"properties": {"name": {"const": "event_date"},
+      |       "value": {"format": "date"}}, "required": ["value"]},
+      |    {"properties": {"name": {"enum": ["urgent"]}}, "required": ["value"]}
+      |  ]
+      |}""".stripMargin
+
+  /** returnUnmatched spec: the header option flips values-map misses to raw
+    * pass-through and degrades mapped columns to string with Python-rendered
+    * values — True / 2.0 / 0 beside raw keys — and unparseable dates pass
+    * through verbatim (get_value.py:100-106,128; the reference blocks
+    * parquet output for this mode, cli.py:72-73 — here the engine renders
+    * the mixed-type story into string columns). */
+  private val returnUnmatchedSpec =
+    """{
+      |  "adtl": {"name": "ru", "description": "returnUnmatched pass-through",
+      |    "returnUnmatched": true,
+      |    "tables": {"t": {"kind": "oneToOne"}}},
+      |  "t": {
+      |    "okey": {"field": "okey"},
+      |    "status_name": {"field": "status",
+      |      "values": {"O": "open", "F": "finished"}},
+      |    "pri_mixed": {"field": "opri",
+      |      "values": {"1-URGENT": true, "2-HIGH": 2.0, "3-MEDIUM": 0}},
+      |    "date_ru": {"field": "mdate", "source_date": "%Y-%m-%d", "date": "%d/%m/%Y"}
+      |  }
+      |}""".stripMargin
+
   private val oneToManySpec =
     """{
       |  "adtl": {"name": "orders", "description": "order observations", "tables": {
@@ -345,7 +412,10 @@ object EngineQueries {
         .orderBy("okey")
     },
     // P12: JSON-schema type coercion with the reference's raw-on-failure
-    // union (string-typed canonical-or-raw columns).
+    // union (string-typed canonical-or-raw columns). The driver-side temp
+    // schema file is HARNESS-ONLY plumbing (gate queries are self-contained
+    // functions); engine users ship the schema next to the spec like the
+    // reference does.
     "p12_coercion" -> { (s, d) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-p12")
       java.nio.file.Files.writeString(tmp.resolve("coerce-schema.json"), coercionSchema)
@@ -353,6 +423,27 @@ object EngineQueries {
           specDir = Some(tmp.toString))
         .parseDataFrame(s, ordersInput(s, d), skipValidation = true)("coerced")
         .orderBy("okey_int")
+    },
+    // S7/R6: the adtl_valid/adtl_error annotation surface — required,
+    // enum, format:date, and oneOf-discriminator dispatch (incl. the
+    // "No validator found" fallback), hash-pinned against DuckDB CASE
+    // predicates. Validation never drops rows. (Temp schema file =
+    // harness-only plumbing, as in p12_coercion.)
+    "v_schema_validate" -> { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vsv")
+      java.nio.file.Files.writeString(tmp.resolve("obs-schema.json"), validationSchema)
+      AdtlParser.fromSpec(graft.adtl.SpecLoader.parseJson(validationSpec),
+          specDir = Some(tmp.toString))
+        .parseDataFrame(s, validationInput(s, d))("obs")
+        .orderBy("okey", "name")
+    },
+    // returnUnmatched: values-map misses pass raw values through and the
+    // column degrades to string with Python-rendered mapped values; dates
+    // that fail source_date parsing pass through verbatim
+    "v_return_unmatched" -> { (s, d) =>
+      AdtlParser.fromJsonString(returnUnmatchedSpec)
+        .parseDataFrame(s, validationInput(s, d))("t")
+        .orderBy("okey")
     })
 
   val oracles: Map[String, String] = Map(
@@ -474,5 +565,45 @@ object EngineQueries {
         |  UNION ALL
         |  SELECT 'orders_v1', 'urgent', o_orderpriority
         |  FROM orders WHERE regexp_matches(o_orderpriority, '^(?:1-)', 'i')
-        |) ORDER BY value, name""".stripMargin)
+        |) ORDER BY value, name""".stripMargin,
+    // each emitted row fails at most ONE check, so the first-error coalesce
+    // order cannot diverge between engines
+    "v_schema_validate" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+        |    o_orderstatus AS status, o_orderpriority AS opri,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 'not-a-date'
+        |      ELSE strftime(o_orderdate, '%Y-%m-%d') END AS mdate
+        |  FROM orders),
+        |rows_ AS (
+        |  SELECT 'status' AS name, okey, status AS value,
+        |    CASE WHEN status NOT IN ('O', 'F')
+        |      THEN 'data.value must be one of [''O'', ''F'']' END AS adtl_error
+        |  FROM src WHERE status <> ''
+        |  UNION ALL
+        |  SELECT 'event_date', okey, mdate,
+        |    CASE WHEN try_strptime(mdate, '%Y-%m-%d') IS NULL
+        |      THEN 'data.value must be date' END
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'urgent', okey,
+        |    CASE WHEN regexp_matches(opri, '^(?:1-)', 'i') THEN opri END,
+        |    CASE WHEN NOT regexp_matches(opri, '^(?:1-)', 'i')
+        |      THEN 'data must contain [''name'', ''value''] properties' END
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'misc', okey, okey,
+        |    'No validator found for attribute ''misc'' in table ''obs'''
+        |  FROM src)
+        |SELECT name, okey, value, adtl_error IS NULL AS adtl_valid, adtl_error
+        |FROM rows_ ORDER BY okey, name""".stripMargin,
+    "v_return_unmatched" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+        |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+        |    ELSE o_orderstatus END AS status_name,
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN 'True' WHEN '2-HIGH' THEN '2.0'
+        |    WHEN '3-MEDIUM' THEN '0' ELSE o_orderpriority END AS pri_mixed,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN 'not-a-date'
+        |    ELSE strftime(o_orderdate, '%d/%m/%Y') END AS date_ru
+        |FROM orders ORDER BY okey""".stripMargin)
 }
