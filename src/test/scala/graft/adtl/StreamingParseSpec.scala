@@ -42,6 +42,53 @@ class StreamingParseSpec extends SparkSpec {
       ("cough", "2022-03-03"), ("headache", "2022-03-03")))
   }
 
+  test("oneToMany fan-out under micro-batches equals the batch parse") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // three entries (two if-gated, one unconditional via values-derived
+    // default-if semantics shape) + common merge: every micro-batch row
+    // fans out to 0-3 observation rows
+    val parser = AdtlParser.fromJsonString(
+      """{
+        |  "adtl": {"name": "s", "description": "d", "tables": {
+        |    "obs": {"kind": "oneToMany", "discriminator": "name", "common": {"src": "stream"}}}},
+        |  "obs": [
+        |    {"if": {"headache": "1"}, "name": "headache", "sid": {"field": "sid"}, "date": {"field": "dt"}},
+        |    {"if": {"cough": "1"}, "name": "cough", "sid": {"field": "sid"}, "date": {"field": "dt"}},
+        |    {"if": {"temp": {">": 38.0}}, "name": "fever", "sid": {"field": "sid"}, "value": {"field": "temp"}}
+        |  ]
+        |}""".stripMargin)
+
+    val batches = Seq(
+      Seq(("s1", "2022-03-01", "1", "0", "39.1"), ("s2", "2022-03-01", "0", "0", "36.6")),
+      Seq(("s3", "2022-03-02", "1", "1", "38.5")),
+      Seq(("s4", "2022-03-03", "0", "1", "40.0"), ("s5", "2022-03-03", "1", "1", "37.0")))
+
+    val mem = MemoryStream[(String, String, String, String, String)]
+    val src = mem.toDF().toDF("sid", "dt", "headache", "cough", "temp")
+    val q = parser.parseStream(spark, src)("obs").writeStream
+      .format("memory").queryName("adtl_stream_fanout")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|")
+    val streamed = spark.table("adtl_stream_fanout")
+    val batch = parser.parseDataFrame(spark,
+      batches.flatten.toDF("sid", "dt", "headache", "cough", "temp"))("obs")
+    assert(streamed.columns.sorted.sameElements(batch.columns.sorted))
+    val streamedRows = streamed.select(batch.columns.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(key).sorted.toList
+    val batchRows = batch.collect().map(key).sorted.toList
+    assert(streamedRows == batchRows)
+    assert(streamedRows.nonEmpty)
+    // the fan-out really fanned out: s3 emits headache+cough+fever
+    assert(streamedRows.count(_.contains("s3")) == 3)
+  }
+
   test("streaming validation report (observe) matches the batch report") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
