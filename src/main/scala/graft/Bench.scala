@@ -92,10 +92,30 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // per-query seconds rounded to ms: the harness stores only the last
+    // 2000 chars of output, and full-precision doubles push the JSON line
+    // past that window (the round-5 artifact's parsed:null failure mode)
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A/B context: tools/bench_ab.sh runs the PREVIOUS round's commit in
+    // the same session and records its total in BENCH_PREV.json — emitting
+    // it here makes drift-vs-regression decidable from the bench artifact
+    // alone (same box, same day, two commits).
+    val prev = try {
+      val p = java.nio.file.Paths.get("BENCH_PREV.json")
+      if (java.nio.file.Files.exists(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        def f(k: String) = ("\"" + k + "\":\\s*\"?([^,}\"]+)\"?").r
+          .findFirstMatchIn(s).map(_.group(1))
+        (f("commit"), f("total")) match {
+          case (Some(c), Some(t)) => s""","prev_commit":"$c","prev_commit_total":$t"""
+          case _ => ""
+        }
+      } else ""
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$prev}""")
     spark.stop()
   }
 }

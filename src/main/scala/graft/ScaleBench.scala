@@ -5,14 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Scale-headroom evidence: replicate sf0.1 N× (shifted ids) and time the
   * most expensive gate queries at the larger scale, to confirm the plans
-  * stay near-linear at 10× data.
+  * stay near-linear at 10× (and, for the flagship pipelines, 100×) data.
   *
   * Replication is designed so output sizes grow LINEARLY with the data —
   * otherwise the measurement conflates plan scaling with data-property
   * changes:
-  *  - document text goes through a per-copy Caesar cipher, so shingle and
-  *    fingerprint sets are disjoint across copies (straight copies would
-  *    make every doc a 10-way near-duplicate and the candidate-pair count
+  *  - document text goes through a per-copy AFFINE substitution cipher
+  *    (letter i → a·i+b mod 26, a coprime to 26 — 312 distinct members, so
+  *    copies stay pairwise-distinct well past 100×; copy 0 is identity and
+  *    copies 1-25 coincide with the former Caesar family). An injective
+  *    letter map preserves every within-copy shingle/fingerprint relation
+  *    while cross-copy shingle sets stay disjoint (straight copies would
+  *    make every doc an N-way near-duplicate and the candidate-pair count
   *    quadratic by construction);
   *  - embeddings get a per-copy deterministic SIGN-FLIP isometry (copy 0 is
   *    identity): flipping a pseudo-random half of the dimensions preserves
@@ -22,7 +26,9 @@ import org.apache.spark.sql.functions._
   *    as a disjoint shard — near-dup candidates and output grow linearly;
   *  - orders replicate with shifted keys (row-linear operators only).
   *
-  * Usage: runMain graft.ScaleBench <srcSfDir> <workDir> <copies>
+  * Usage: runMain graft.ScaleBench <srcSfDir> <workDir> <copies> [q1 q2 …]
+  * An explicit query list restricts the run (and the replication to just
+  * the tables those queries read — the 100× flagship mode).
   * Prints one JSON line {"metric":"scale_total", ...} like Bench.
   */
 object ScaleBench {
@@ -33,76 +39,115 @@ object ScaleBench {
     "d_ngram_jaccard", "d_ngram_jaccard_bounded", "m_media_feature",
     "adtl_apply_dates", "r3_one_to_many", "q_stream_window")
 
-  private def caesar(k: Int): (String, String) = {
+  /** Tables each benched query scans — replication writes only what the
+    * selected queries read (a 100× lineitem is wasted work for a
+    * documents-only flagship run). */
+  private val TablesFor: Map[String, Set[String]] = Map(
+    "s_ivf_kmeans_topk" -> Set("embeddings"), "s_ivf_topk" -> Set("embeddings"),
+    "s_cosine_topk" -> Set("embeddings"), "d_embed_neardup" -> Set("embeddings"),
+    "d_minhash_lsh" -> Set("documents"), "d_lsh_jaccard_verify" -> Set("documents"),
+    "d_simhash" -> Set("documents"), "q_clean_corpus" -> Set("documents"),
+    "d_ngram_jaccard" -> Set("documents"), "d_ngram_jaccard_bounded" -> Set("documents"),
+    "m_media_feature" -> Set("documents"),
+    "adtl_onetomany" -> Set("orders"),
+    "adtl_apply_dates" -> Set("orders", "lineitem"),
+    "r3_one_to_many" -> Set("orders", "lineitem"),
+    "q_stream_window" -> Set("events"))
+
+  /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
+    * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,
+    * pairwise-distinct for k < 312, identity at k = 0. */
+  private[graft] def affine(k: Int): (String, String) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    def rot(s: String) = s.drop(k % 26) + s.take(k % 26)
-    (lower + upper, rot(lower) + rot(upper))
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = units((k / 26) % units.length)
+    val b = k % 26
+    val mapped = (0 until 26).map(i => lower((a * i + b) % 26)).mkString
+    (lower + lower.toUpperCase, mapped + mapped.toUpperCase)
   }
 
-  def replicate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
-    (0 until copies).map { k =>
-      val (from, to) = caesar(k)
-      docs.select(
-        (col("doc_id") + lit(k * nDocs)).as("doc_id"),
-        translate(col("text"), from, to).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  val AllTables: Set[String] =
+    Set("documents", "embeddings", "orders", "lineitem", "events")
 
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val nVecs = emb.agg(max("vec_id")).head.getLong(0) + 1
-    val nLabels = emb.agg(max("label")).head.getInt(0) + 1
-    (0 until copies).map { k =>
-      val sign =
-        if (k == 0) (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) => x
-        else (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
-          (x * (lit(1) - lit(2) * pmod(xxhash64(i, lit(k)), lit(2)).cast("int"))
-            .cast("float")).cast("float")
-      emb.select(
-        (col("vec_id") + lit(k * nVecs)).as("vec_id"),
-        transform(col("embedding"), (x, i) => sign(x, i)).as("embedding"),
-        (col("label") + lit(k * nLabels)).cast("int").as("label"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  def replicate(spark: SparkSession, src: String, out: String, copies: Int,
+      tables: Set[String] = AllTables): Unit = {
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+      (0 until copies).map { k =>
+        val (from, to) = affine(k)
+        docs.select(
+          (col("doc_id") + lit(k * nDocs)).as("doc_id"),
+          translate(col("text"), from, to).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
-    val orders = spark.read.parquet(s"$src/orders.parquet")
-    val nOrders = orders.agg(max("o_orderkey")).head.getLong(0) + 1
-    (0 until copies).map { k =>
-      orders.withColumn("o_orderkey", col("o_orderkey") + lit(k * nOrders))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    if (tables("embeddings")) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val nVecs = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val nLabels = emb.agg(max("label")).head.getInt(0) + 1
+      (0 until copies).map { k =>
+        val sign =
+          if (k == 0) (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) => x
+          else (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+            (x * (lit(1) - lit(2) * pmod(xxhash64(i, lit(k)), lit(2)).cast("int"))
+              .cast("float")).cast("float")
+        emb.select(
+          (col("vec_id") + lit(k * nVecs)).as("vec_id"),
+          transform(col("embedding"), (x, i) => sign(x, i)).as("embedding"),
+          (col("label") + lit(k * nLabels)).cast("int").as("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
-    // lineitem shifts l_orderkey by the same stride as orders so each copy
-    // joins exactly its own orders copy — join output grows linearly
-    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
-    (0 until copies).map { k =>
-      lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(k * nOrders))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    if (tables("orders") || tables("lineitem")) {
+      val orders = spark.read.parquet(s"$src/orders.parquet")
+      val nOrders = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      if (tables("orders"))
+        (0 until copies).map { k =>
+          orders.withColumn("o_orderkey", col("o_orderkey") + lit(k * nOrders))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+      // lineitem shifts l_orderkey by the same stride as orders so each copy
+      // joins exactly its own orders copy — join output grows linearly
+      if (tables("lineitem")) {
+        val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+        (0 until copies).map { k =>
+          lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(k * nOrders))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      }
+    }
 
     // events: read RAW (ts stays a nanos long — a converted timestamp
     // column would break Tables.events' div-1000 truncation on re-read),
     // shift event and user ids; timestamps repeat per copy, so windowed
     // aggregations keep the same groups with 10× the rows per group
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$src/events.parquet")
-    val nEvents = events.agg(max("event_id")).head.getLong(0) + 1
-    val nUsers = events.agg(max("user_id")).head.getLong(0) + 1
-    (0 until copies).map { k =>
-      events
-        .withColumn("event_id", col("event_id") + lit(k * nEvents))
-        .withColumn("user_id", col("user_id") + lit(k * nUsers))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    if (tables("events")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = spark.read.parquet(s"$src/events.parquet")
+      val nEvents = events.agg(max("event_id")).head.getLong(0) + 1
+      val nUsers = events.agg(max("user_id")).head.getLong(0) + 1
+      (0 until copies).map { k =>
+        events
+          .withColumn("event_id", col("event_id") + lit(k * nEvents))
+          .withColumn("user_id", col("user_id") + lit(k * nUsers))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val work = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val selected = if (args.length > 3) args.drop(3).toSeq else Queries
+    selected.foreach(q => require(SparkEntry.queries.contains(q),
+      s"unknown query: $q"))
+    val needed = selected.flatMap(q => TablesFor.getOrElse(q, AllTables)).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,23 +159,23 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$work/orders.parquet").exists())
-      replicate(spark, src, work, copies)
+    val missing = needed.filterNot(t =>
+      new java.io.File(s"$work/$t.parquet").exists())
+    if (missing.nonEmpty) replicate(spark, src, work, copies, missing)
 
     // warmup (untimed): JIT + codegen for the shared kernels
     locally {
       def warm(body: => Unit): Unit =
         try body catch { case e: Throwable =>
           System.err.println(s"[scalebench] warmup failed: $e") }
-      warm(spark.read.parquet(s"$work/documents.parquet").count())
-      warm(spark.read.parquet(s"$work/embeddings.parquet").count())
-      warm(spark.read.parquet(s"$work/orders.parquet").count())
-      warm {
+      needed.intersect(Set("documents", "embeddings", "orders")).foreach(t =>
+        warm(spark.read.parquet(s"$work/$t.parquet").count()))
+      if (needed("documents")) warm {
         val d = spark.read.parquet(s"$work/documents.parquet").limit(64)
         d.select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
           .groupBy("fp").count().count()
       }
-      warm {
+      if (needed("embeddings")) warm {
         val e = spark.read.parquet(s"$work/embeddings.parquet").limit(64)
         val v = graft.ops.Similarity.toDouble(col("embedding"))
         e.select((graft.ops.Similarity.norm(v) +
@@ -138,7 +183,7 @@ object ScaleBench {
       }
     }
 
-    val results = Queries.map { name =>
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val rows = try fn(spark, work).count() catch {
