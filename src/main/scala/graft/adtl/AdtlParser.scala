@@ -302,7 +302,7 @@ final class AdtlParser private (
   def parseStream(spark: SparkSession, source: DataFrame,
       orderCol: Option[String] = None): Map[String, DataFrame] = {
     require(source.isStreaming, "parseStream expects a streaming DataFrame")
-    ensureProgressListener(spark)
+    AdtlParser.ensureProgressListener(spark)
     val groupTables = spec.tables.collect { case (t, m) if m.kind == "groupBy" => t }
     if (groupTables.nonEmpty && orderCol.isEmpty)
       throw new SpecValidationError(
@@ -368,59 +368,7 @@ final class AdtlParser private (
     }
   }
 
-  /** Per-query accumulated append-mode slices, fed by a
-    * StreamingQueryListener so the running total survives past
-    * `spark.sql.streaming.numRecentProgressUpdates` (default 100) — the
-    * recentProgress window `streamingReportTotals` would otherwise sum
-    * silently undercounts once a long-running stream wraps it. Keyed by
-    * query id (stable across restarts, like batch ids from the
-    * checkpoint); value = (last batch id folded in, per-table totals).
-    * O(1) per table — batches are folded as they arrive, never stored. */
-  private val streamingAcc = new java.util.concurrent.ConcurrentHashMap[
-    java.util.UUID, (Long, Map[String, (Long, Long)])]()
-  private var progressListenerRegistered = false
-
-  private def observedSlices(
-      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Map[String, (Long, Long)] = {
-    import scala.jdk.CollectionConverters._
-    p.observedMetrics.asScala.collect {
-      case (name, row) if name.startsWith(AdtlParser.ReportMetricPrefix) =>
-        name.stripPrefix(AdtlParser.ReportMetricPrefix) ->
-          (row.getAs[Long]("valid"), row.getAs[Long]("total"))
-    }.toMap
-  }
-
-  private def mergeSlices(acc: Map[String, (Long, Long)],
-      slice: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
-    slice.foldLeft(acc) { case (m, (t, (v, n))) =>
-      val (v0, n0) = m.getOrElse(t, (0L, 0L))
-      m + (t -> (v0 + v, n0 + n))
-    }
-
-  private def ensureProgressListener(spark: SparkSession): Unit = synchronized {
-    if (!progressListenerRegistered) {
-      spark.streams.addListener(
-        new org.apache.spark.sql.streaming.StreamingQueryListener {
-          override def onQueryStarted(
-              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-          override def onQueryTerminated(
-              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-          override def onQueryProgress(
-              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-            val p = e.progress
-            val slice = observedSlices(p)
-            if (slice.nonEmpty) streamingAcc.compute(p.id, (_, prev) => {
-              // no-data ticks re-report the last batch id with no observed
-              // metrics; a seen batch id is never folded twice
-              val (last, acc) = if (prev == null) (-1L, Map.empty[String, (Long, Long)]) else prev
-              if (p.batchId <= last) (last, acc)
-              else (p.batchId, mergeSlices(acc, slice))
-            })
-          }
-        })
-      progressListenerRegistered = true
-    }
-  }
+  import AdtlParser.{mergeSlices, observedSlices, streamingAcc}
 
   /** Append-mode counterpart: stateless tables (oneToOne/oneToMany) observe
     * each micro-batch's slice, so the running total is the SUM across
@@ -843,6 +791,63 @@ final class AdtlParser private (
 object AdtlParser {
   /** Observed-metric name prefix for streaming validation accounting. */
   val ReportMetricPrefix = "adtl_report_"
+
+  /** Per-query accumulated append-mode slices, fed by ONE
+    * StreamingQueryListener per SparkSession (registered lazily at the
+    * first parseStream — companion-level so any number of parsers share
+    * it instead of stacking listeners on the session), so the running
+    * total survives past `spark.sql.streaming.numRecentProgressUpdates`
+    * (default 100) — a recentProgress-window sum silently undercounts once
+    * a long-running stream wraps it. Keyed by query id (stable across
+    * restarts, like batch ids from the checkpoint); value = (last batch id
+    * folded in, per-table totals). O(1) per table — batches are folded as
+    * they arrive, never stored. */
+  private val streamingAcc = new java.util.concurrent.ConcurrentHashMap[
+    java.util.UUID, (Long, Map[String, (Long, Long)])]()
+  private val listenerSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  private def observedSlices(
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    p.observedMetrics.asScala.collect {
+      case (name, row) if name.startsWith(ReportMetricPrefix) =>
+        name.stripPrefix(ReportMetricPrefix) ->
+          (row.getAs[Long]("valid"), row.getAs[Long]("total"))
+    }.toMap
+  }
+
+  private def mergeSlices(acc: Map[String, (Long, Long)],
+      slice: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+    slice.foldLeft(acc) { case (m, (t, (v, n))) =>
+      val (v0, n0) = m.getOrElse(t, (0L, 0L))
+      m + (t -> (v0 + v, n0 + n))
+    }
+
+  // one listener per StreamingQueryManager (= per session state; sessions
+  // sharing a manager share its listener bus)
+  private def ensureProgressListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (listenerSessions.add(System.identityHashCode(spark.streams))) {
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+            val p = e.progress
+            val slice = observedSlices(p)
+            if (slice.nonEmpty) streamingAcc.compute(p.id, (_, prev) => {
+              // no-data ticks re-report the last batch id with no observed
+              // metrics; a seen batch id is never folded twice
+              val (last, acc) = if (prev == null) (-1L, Map.empty[String, (Long, Long)]) else prev
+              if (p.batchId <= last) (last, acc)
+              else (p.batchId, mergeSlices(acc, slice))
+            })
+          }
+        })
+    }
 
   /** GET a JSON document with a short timeout; None on any failure
     * (connect error, non-200, unparseable body). */
