@@ -67,6 +67,16 @@ object Dedup {
     * then verify est similarity (= fraction of equal minhashes) against
     * `threshold`.
     *
+    * Parameter selection: recall at `threshold` is governed by the banding
+    * S-curve midpoint (1/bands)^(bands/numHashes) — see lshCollisionMidpoint.
+    * The defaults (64 hashes, 16 bands → midpoint 0.5) suit near-dup
+    * thresholds ≥ 0.5; for lower thresholds pick parameters with
+    * lshParamsFor(threshold, numHashes, bands) or pairs far below the
+    * midpoint are rarely emitted. (Unlike ngramJaccardPairsBounded — whose
+    * contract is "approximate the exact path" and which auto-tunes — the
+    * contract HERE is banded candidate generation at the given parameters,
+    * which the d_minhash_lsh oracle replicates band for band.)
+    *
     * Scale discipline: the bucket join and pair-dedup run on skinny
     * (band, hash, id) rows — signatures are joined back only for the
     * deduped candidates; degenerate buckets larger than `maxBucketSize`

@@ -105,6 +105,14 @@ class PairOpsInvarianceSpec extends SparkSpec {
       Dedup.lshParamsFor(0.0005, 32, 8, maxNumHashes = 1024)
     }
     assert(e.getMessage.contains("collision midpoint"))
+    // sweep: every selected configuration meets the midpoint contract,
+    // bands divide numHashes, and the caller's params are never made worse
+    for (t <- Seq(0.999, 0.9, 0.75, 0.6, 0.45, 0.3, 0.2, 0.12, 0.07, 0.04,
+        0.02, 0.005, 0.001)) {
+      val (h, b) = Dedup.lshParamsFor(t, 32, 8)
+      assert(h % b == 0, s"t=$t gave ($h, $b)")
+      assert(Dedup.lshCollisionMidpoint(h, b) <= t, s"t=$t gave ($h, $b)")
+    }
   }
 
   // near-dup corpus with a wide similarity gap (dup pairs J≈0.9, cross
