@@ -38,6 +38,24 @@ object Streaming {
       .start()
   }
 
+  /** Streaming exact dedup — the streaming counterpart of
+    * Dedup.dropExactDuplicates: fingerprint each document (16-byte
+    * canonical md5, same kernel as the batch path) and keep the FIRST
+    * arrival per fingerprint. State is BOUNDED by the event-time watermark
+    * (dropDuplicatesWithinWatermark): a fingerprint's state is dropped once
+    * the watermark passes its event time plus the horizon — the only state
+    * contract that survives an unbounded stream. Duplicates separated by
+    * more than the horizon re-emit; at 100 TB/day the horizon trades state
+    * size against cross-horizon duplicate leakage, and a periodic batch
+    * dropExactDuplicates over the sink closes the remainder. Stateless
+    * columns pass through unchanged. */
+  def dedupStream(docs: DataFrame, textCol: String,
+      tsCol: String, horizon: String): DataFrame =
+    docs
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class Sess(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long)
 
   final case class UserRunningState(nEvents: Long, totalValueCents: Long)

@@ -221,6 +221,41 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup keeps one row per fingerprint across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // batch 2 re-sends doc 1's text (different id, later ts) and adds a new
+    // doc; batch 3 re-sends again — still within the watermark horizon
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma", ts(0)), (2L, "delta epsilon", ts(1))),
+      Seq((3L, "alpha beta gamma", ts(2)), (4L, "zeta eta", ts(3))),
+      Seq((5L, "delta epsilon", ts(4)), (6L, "alpha beta gamma", ts(5))))
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streaming.dedupStream(src, "text", "ts", "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val kept = spark.table("dedup_stream_test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // first arrival per distinct text wins; repeats within the horizon drop
+    assert(kept == Set(1L, 2L, 4L))
+    // and the surviving fingerprint set equals the batch dedup's on the
+    // same rows (same fingerprint kernel on both paths)
+    val all = batches.flatten.toDF("doc_id", "text", "ts")
+    val batchFps = Dedup.dropExactDuplicates(all, "doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0)).toSet
+    val streamFps = spark.table("dedup_stream_test")
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(streamFps == batchFps)
+  }
+
   test("flatMapGroupsWithState running totals match a batch aggregation") {
     val src = java.nio.file.Files.createTempDirectory("graftstate").toString
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
