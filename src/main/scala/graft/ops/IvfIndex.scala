@@ -88,6 +88,37 @@ object IvfIndex {
       (base.withColumn("cell", nearestCell(col("v"), centroids)), centroids)
   }
 
+  /** Persist a built index: assignments written PARTITIONED BY CELL — the
+    * on-disk analogue of the inverted file. A search against the loaded
+    * index joins assignments to the (broadcast) probed cells on the
+    * partition column, so dynamic partition pruning reads only the probed
+    * cells' files instead of the corpus — the property that makes a
+    * persisted 100 TB index useful (build once, probe cheaply forever).
+    * Centroids ride as a small parquet table next to it. */
+  def save(assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      dir: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    centroids.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a persisted index in the (assignments, centroids) shape build()
+    * returns; search() runs on it unchanged. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val assigned = spark.read.parquet(s"$dir/assignments")
+      .select(col("cell").cast("int").as("cell"), col("id"), col("v"))
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => r.getInt(r.fieldIndex("cell")) ->
+        r.getSeq[Double](r.fieldIndex("centroid")).toSeq)
+      .toSeq.sortBy(_._1)
+    (assigned, centroids)
+  }
+
   /** Probe-and-score search over a built index. */
   def search(assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
       queries: DataFrame, queryId: String, queryVec: String,

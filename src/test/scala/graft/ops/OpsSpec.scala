@@ -79,6 +79,27 @@ class OpsSpec extends SparkSpec {
     assert(ivf.forall(r => cellIds.contains(r.getAs[Long]("n_id"))))
   }
 
+  test("IVF index persists partitioned by cell and searches identically after load") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (assigned, centroids) = IvfIndex.build(e, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graftivf").toString
+    IvfIndex.save(assigned, centroids, dir)
+    // on-disk inverted file: one directory per cell (partition pruning =
+    // a probe reads only its cells' files)
+    val cellDirs = new java.io.File(s"$dir/assignments").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty && cellDirs.subsetOf(
+      (0 until 8).map(c => s"cell=$c").toSet))
+
+    val (loaded, loadedCentroids) = IvfIndex.load(spark, dir)
+    assert(loadedCentroids == centroids)
+    val queries = e.filter(col("vec_id") < 10)
+    def run(a: org.apache.spark.sql.DataFrame, c: Seq[(Int, Seq[Double])]) =
+      IvfIndex.search(a, c, queries, "vec_id", "embedding", k = 5, nProbe = 3)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(run(loaded, loadedCentroids) == run(assigned, centroids))
+  }
+
   test("IVF index: deterministic build, sane recall vs brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (assigned, centroids) = IvfIndex.build(e, "vec_id", "embedding", nCells = 8)
