@@ -21,7 +21,8 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q3_join_agg", "q4_anti_join", "p7_values_map",
         "r3_one_to_many", "a1_a6_group_modes", "adtl_onetoone", "t_text_profile",
-        "d_minhash_lsh", "s_cosine_topk")
+        "d_minhash_lsh", "s_cosine_topk", "d_lsh_jaccard_verify",
+        "v_schema_validate")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

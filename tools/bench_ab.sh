@@ -33,8 +33,12 @@ echo "$PREV_LINE"
 PREV_TOTAL=$(PREV_LINE="$PREV_LINE" python3 -c \
   'import json,os; print(json.loads(os.environ["PREV_LINE"])["value"])')
 
+# keep the per-query map so like-for-like totals stay computable from the
+# artifact when the query set grows between rounds
+PREV_QUERIES=$(PREV_LINE="$PREV_LINE" python3 -c \
+  'import json,os; print(json.dumps(json.loads(os.environ["PREV_LINE"])["queries"]))')
 cat > BENCH_PREV.json <<EOF
-{"commit":"$(git rev-parse --short "$PREV")","total":$PREV_TOTAL,"sf":"$SF_DIR","at":"$(date -u +%FT%TZ)"}
+{"commit":"$(git rev-parse --short "$PREV")","total":$PREV_TOTAL,"sf":"$SF_DIR","at":"$(date -u +%FT%TZ)","queries":$PREV_QUERIES}
 EOF
 echo "== BENCH_PREV.json: prev total ${PREV_TOTAL}s"
 
