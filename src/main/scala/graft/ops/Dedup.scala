@@ -615,4 +615,22 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("bkt", "id_a", "id_b", "cosine")
   }
+
+  /** Label-free embedding near-dup: quantize to IVF cells (deterministic
+    * DECIMAL-exact k-means, IvfIndex.build) and run the bucketed pairwise
+    * comparison within cells — the composition to reach for when no
+    * natural bucket column exists. Identical vectors ALWAYS land in the
+    * same cell (one deterministic argmin kernel), so exact duplicates are
+    * never missed; near-dup pairs split across a cell boundary are lost at
+    * banding-style recall (standard IVF trade — lower `nCells` or a
+    * multi-probe assignment widens recall at quadratic-in-cell cost). */
+  def embeddingNearDupPairsByCell(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double = 0.95, iters: Int = 2,
+      trainFraction: Double = 1.0,
+      initCell: Option[Column] = None): DataFrame = {
+    val (assigned, _) = IvfIndex.build(df, idCol, vecCol, nCells, iters,
+      initCell = initCell, trainFraction = trainFraction)
+    embeddingNearDupPairs(assigned, "id", "v", "cell", threshold)
+      .withColumnRenamed("bkt", "cell")
+  }
 }

@@ -144,6 +144,18 @@ object PipelineQueries {
         "label", threshold = 0.2)
         .orderBy("bkt", "id_a", "id_b")
     },
+    // label-free variant: the deterministic k-means quantizer supplies the
+    // buckets (modulo init + one DECIMAL-exact Lloyd step, the
+    // oracle-replicable family from s_ivf_kmeans_topk), then the same
+    // within-cell pairwise compare. Fixed-size input slice so the oracle's
+    // quadratic-in-cell SQL stays cheap at every sf.
+    "d_embed_neardup_cells" -> { (s, d) =>
+      Dedup.embeddingNearDupPairsByCell(
+        Tables.embeddings(s, d).filter(col("vec_id") < 1500),
+        "vec_id", "embedding", nCells = 16, threshold = 0.2, iters = 1,
+        initCell = Some(pmod(col("id").cast("bigint"), lit(16L)).cast("int")))
+        .orderBy("cell", "id_a", "id_b")
+    },
     // multimodal metadata decode (deterministic stub) — plumbing proof
     "m_media_meta" -> { (s, d) =>
       Multimodal.decodeMetaExpr(Tables.documents(s, d), "doc_id")
@@ -583,6 +595,36 @@ object PipelineQueries {
         |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(b.e, x -> x * x)), (x, y) -> x + y))) AS cosine
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.2 ORDER BY bkt, id_a, id_b""".stripMargin,
+    // the label-free variant re-derives the quantizer in SQL (modulo init,
+    // one DECIMAL-exact Lloyd step, ties to the smaller cell — the
+    // s_ivf_kmeans_topk machinery) and compares pairwise within cells
+    "d_embed_neardup_cells" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), (x, y) -> x + y)"
+      def sq(a: String): String =
+        s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (x, y) -> x + y))"
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings WHERE vec_id < 1500),
+         |a0 AS (SELECT vec_id, e, CAST(vec_id % 16 AS INT) AS cell FROM v),
+         |c1 AS (
+         |  SELECT cell, list(m ORDER BY pos) AS c FROM (
+         |    SELECT cell, pos, CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+         |    FROM (SELECT cell, unnest(e) AS val, unnest(range(len(e))) AS pos FROM a0)
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell),
+         |a1 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c1.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY -(${dot("v.e", "c1.c")}), c1.cell) AS rn
+         |    FROM v CROSS JOIN c1) WHERE rn = 1)
+         |SELECT * FROM (
+         |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dot("a.e", "b.e")} / (${sq("a.e")} * ${sq("b.e")}) AS cosine
+         |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.2 ORDER BY cell, id_a, id_b""".stripMargin
+    },
     "s_cosine_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         |q AS (SELECT * FROM v WHERE vec_id < 20),

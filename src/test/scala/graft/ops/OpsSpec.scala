@@ -79,6 +79,25 @@ class OpsSpec extends SparkSpec {
     assert(ivf.forall(r => cellIds.contains(r.getAs[Long]("n_id"))))
   }
 
+  test("cell-bucketed embedding near-dup finds every exact duplicate with no label column") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // append exact duplicates of the first 30 vectors under shifted ids
+    val dups = e.filter(col("vec_id") < 30)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+    val corpus = e.unionByName(dups)
+    val pairs = Dedup.embeddingNearDupPairsByCell(corpus, "vec_id", "embedding",
+      nCells = 8, threshold = 0.9999)
+    val found = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors quantize to the same cell (one deterministic argmin
+    // kernel), so every duplicate pair MUST surface; random 0.9999-cosine
+    // pairs between distinct vectors do not exist in this corpus
+    val expected = (0L until 30L).map(i => (i, i + 100000L)).toSet
+    assert(found == expected)
+    // reported cosines are the true values (≈1 for exact duplicates)
+    assert(pairs.select(min(col("cosine"))).head.getDouble(0) > 0.9999)
+  }
+
   test("IVF index persists partitioned by cell and searches identically after load") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (assigned, centroids) = IvfIndex.build(e, "vec_id", "embedding", nCells = 8)
