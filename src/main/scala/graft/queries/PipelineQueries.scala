@@ -22,8 +22,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
     // exact-duplicate groups on the canonical fingerprint
+    // the raw corpus has no exact duplicates (a 0-row gate proves little),
+    // so the input plants one duplicate of every document under a shifted
+    // id: every fingerprint group must come back with keep_id = the
+    // original and n_dups = 2 (plus any genuine same-text collisions)
     "d_exact_dup" -> { (s, d) =>
-      Dedup.exactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("text"))
+      Dedup.exactDuplicateGroups(docs.unionByName(planted), "doc_id", "text")
         .orderBy("fp")
     },
     // blocked exact n-gram Jaccard pairs (verification-stage dedup)
@@ -453,9 +460,13 @@ object PipelineQueries {
         |  md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS fingerprint
         |FROM toks ORDER BY doc_id""".stripMargin,
     "d_exact_dup" ->
-      """WITH fp AS (
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |fp AS (
         |  SELECT doc_id, md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS fp
-        |  FROM documents)
+        |  FROM all_docs)
         |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM fp GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
     "d_ngram_jaccard" ->
