@@ -56,7 +56,11 @@ object Relational {
     // Anti join (NOT EXISTS): customers with no orders.
     "q4_anti_join" -> { (s, d) =>
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d).select(col("o_custkey"))
+      // restrict the right side: in this synthetic corpus every customer
+      // has at least one order, so an unrestricted anti-join returns 0
+      // rows at every sf — a no-output==no-output compare proves little
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === 0).select(col("o_custkey"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
@@ -110,7 +114,8 @@ object Relational {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q4_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderkey % 3 = 0)
         |ORDER BY c_custkey""".stripMargin,
     "q5_semi_join" ->
       """SELECT n_nationkey, n_name FROM nation
