@@ -288,10 +288,17 @@ object Dedup {
       md5BaseHashes(text, 1), bits = 31)
   }
 
-  /** Near-dup candidates by SimHash: same value in any of `tables` rotated
-    * 16-bit prefixes → Hamming-verify ≤ maxHamming. */
+  /** Near-dup candidates by SimHash: same value in any of maxHamming+1
+    * bit blocks → Hamming-verify ≤ maxHamming. The block count is DERIVED
+    * from the budget (a pair within Hamming ≤ h differing in every one of
+    * h+1 disjoint blocks would need h+1 differing bits — pigeonhole), so
+    * the pair set is EXACT for any `maxHamming`, not just the old fixed
+    * 4×16-bit layout's ≤ 3 (larger budgets silently lost the pairs that
+    * disagreed in all four quarters). More blocks = coarser keys = more
+    * candidates to verify — the inherent cost of a wider exact budget. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val spark = df.sparkSession
     val toks = TextAnalysis.tokens(col(textCol))
     // single-pass codegen'd kernel (empty docs keep signature 0, like the
@@ -301,11 +308,18 @@ object Dedup {
         graft.functions.TextHashExprs.simhashCol(spark,
           graft.functions.TextHashExprs.ngramHashes(spark, toks, 1)))
         .otherwise(lit(0L)).as("sig"))
-    // 4 tables keyed by each 16-bit quarter: a pair within Hamming≤3 of 64
-    // bits must agree exactly on at least one quarter (pigeonhole)
-    val keyed = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL)): _*)))
+    // maxHamming+1 nearly-equal blocks over the 64 bits (first `rem`
+    // blocks one bit wider); a pair within budget agrees exactly on ≥1
+    val nBlocks = maxHamming + 1
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    val blocks = (0 until nBlocks).map { q =>
+      val width = if (q < rem) base + 1 else base
+      val offset = q * base + math.min(q, rem)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("sig"), offset).bitwiseAND(mask)
+    }
+    val keyed = sigs.select(col("id"), col("sig"), posexplode(array(blocks: _*)))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "qkey")
     val a = keyed.select(col("q"), col("qkey"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = keyed.select(col("q"), col("qkey"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -622,15 +636,34 @@ object Dedup {
     * natural bucket column exists. Identical vectors ALWAYS land in the
     * same cell (one deterministic argmin kernel), so exact duplicates are
     * never missed; near-dup pairs split across a cell boundary are lost at
-    * banding-style recall (standard IVF trade — lower `nCells` or a
-    * multi-probe assignment widens recall at quadratic-in-cell cost). */
+    * banding-style recall — `probes` > 1 widens it by assigning each
+    * vector to its top-`probes` cells (the search-side nProbe ranking:
+    * dot-product order, ties to the smaller cell; the top-1 equals the
+    * build assignment), at `probes`× the pairwise work. probes = nCells
+    * degenerates to exact all-pairs. Emitted pairs are deduped to their
+    * smallest shared cell. */
   def embeddingNearDupPairsByCell(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, threshold: Double = 0.95, iters: Int = 2,
       trainFraction: Double = 1.0,
-      initCell: Option[Column] = None): DataFrame = {
-    val (assigned, _) = IvfIndex.build(df, idCol, vecCol, nCells, iters,
+      initCell: Option[Column] = None, probes: Int = 1): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    val (assigned, centroids) = IvfIndex.build(df, idCol, vecCol, nCells, iters,
       initCell = initCell, trainFraction = trainFraction)
-    embeddingNearDupPairs(assigned, "id", "v", "cell", threshold)
-      .withColumnRenamed("bkt", "cell")
+    val probed =
+      if (probes <= 1) assigned
+      else {
+        val cellScores = centroids.map { case (cell, c) =>
+          struct((lit(-1.0) * Similarity.dot(col("v"), array(c.map(lit): _*))).as("negSim"),
+            lit(cell).as("cell"))
+        }
+        assigned.select(col("id"), col("v"),
+          explode(slice(array_sort(array(cellScores: _*)), 1, math.min(probes, centroids.size))
+            .getField("cell")).as("cell"))
+      }
+    val pairs = embeddingNearDupPairs(probed, "id", "v", "cell", threshold)
+    if (probes <= 1) pairs.withColumnRenamed("bkt", "cell")
+    else pairs.groupBy("id_a", "id_b")
+      .agg(min(col("bkt")).as("cell"), max(col("cosine")).as("cosine"))
+      .select("cell", "id_a", "id_b", "cosine")
   }
 }

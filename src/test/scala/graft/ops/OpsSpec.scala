@@ -96,6 +96,20 @@ class OpsSpec extends SparkSpec {
     assert(found == expected)
     // reported cosines are the true values (≈1 for exact duplicates)
     assert(pairs.select(min(col("cosine"))).head.getDouble(0) > 0.9999)
+
+    // multi-probe recall widening: probing EVERY cell degenerates to the
+    // exact all-pairs comparison (every pair shares a cell), and the
+    // single-probe pairs are a subset of any wider probe budget
+    val thr = 0.15
+    val allPairs = Dedup.embeddingNearDupPairs(
+      corpus.withColumn("one", lit(1)), "vec_id", "embedding", "one", thr)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def byCell(p: Int) = Dedup.embeddingNearDupPairsByCell(corpus, "vec_id",
+      "embedding", nCells = 8, threshold = thr, probes = p)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = byCell(1); val p8 = byCell(8)
+    assert(p8 == allPairs)
+    assert(p1.subsetOf(p8))
   }
 
   test("IVF index persists partitioned by cell and searches identically after load") {

@@ -35,6 +35,30 @@ class PairOpsInvarianceSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("simhashPairs is pigeonhole-EXACT at any Hamming budget") {
+    // brute-force truth: all pairs with bit_count(xor) <= h over the same
+    // signatures the operator computes
+    val toks = TextAnalysis.tokens(col("text"))
+    val sigs = docs.select(col("doc_id").as("id"),
+      when(size(toks) > 0,
+        graft.functions.TextHashExprs.simhashCol(spark,
+          graft.functions.TextHashExprs.ngramHashes(spark, toks, 1)))
+        .otherwise(lit(0L)).as("sig"))
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val all = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+    // h=3 is the old fixed 4x16 layout; h=7 and h=12 need the derived
+    // block count (the fixed layout silently dropped their extra pairs)
+    for (h <- Seq(1, 3, 7, 12)) {
+      val brute = all.filter(col("hamming") <= h)
+      val op = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = h)
+      assert(op.exceptAll(brute).count() == 0, s"h=$h emitted a false pair")
+      assert(brute.exceptAll(op).count() == 0, s"h=$h lost a true pair")
+    }
+  }
+
   test("candidate-verify Jaccard agrees with the block self-join pair for pair") {
     // same gram domain (xxhash64 ngram hashes) on both paths: every pair
     // the block join emits must verify to the IDENTICAL jaccard value
