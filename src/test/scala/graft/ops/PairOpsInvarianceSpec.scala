@@ -35,6 +35,18 @@ class PairOpsInvarianceSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("cell-bucketed embedding near-dup is partition-invariant (exact k-means)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.embeddingNearDupPairsByCell(df, "vec_id", "embedding",
+        nCells = 8, threshold = 0.15, probes = 2)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = run(e.repartition(1))
+    assert(base == run(e.repartition(7)))
+    assert(base.nonEmpty)
+  }
+
   test("simhashPairs is pigeonhole-EXACT at any Hamming budget") {
     // brute-force truth: all pairs with bit_count(xor) <= h over the same
     // signatures the operator computes
