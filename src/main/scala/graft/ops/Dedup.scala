@@ -332,8 +332,10 @@ object Dedup {
 
   /** Oracle-replicable SimHash pairs over the 31-bit md5-based signature:
     * four rotated 8-bit prefixes (pigeonhole for Hamming ≤ 3 at 31 bits —
-    * wider budgets widen recall via the same bucketing), exact-Hamming
-    * verify. Every step (signature, bucketing, pair dedup, bit_count of
+    * wider budgets widen recall via the same bucketing; the production
+    * simhashPairs derives maxHamming+1 blocks and is exact at any budget,
+    * but HERE the 4-block layout is part of the oracle-pinned contract),
+    * exact-Hamming verify. Every step (signature, bucketing, pair dedup, bit_count of
     * xor) is plain integer SQL, so pair emission is hash-checkable against
     * the DuckDB oracle. */
   def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
