@@ -444,6 +444,22 @@ object EngineQueries {
       AdtlParser.fromJsonString(returnUnmatchedSpec)
         .parseDataFrame(s, validationInput(s, d))("t")
         .orderBy("okey")
+    },
+    // S7: the validation REPORT numbers themselves — valid/total and the
+    // per-error-message histogram the markdown/JSON report renders
+    // (parser.py report surface), pinned through the actual report() API
+    // (one aggregation job; the tiny result is re-lifted into a DataFrame
+    // for the hash compare)
+    "v_report_errors" -> { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vre")
+      java.nio.file.Files.writeString(tmp.resolve("obs-schema.json"), validationSchema)
+      val p = AdtlParser.fromSpec(graft.adtl.SpecLoader.parseJson(validationSpec),
+        specDir = Some(tmp.toString))
+      val tables = p.parseDataFrame(s, validationInput(s, d))
+      val (valid, total, errors) = p.report(tables)("obs")
+      import s.implicits._
+      (errors.toSeq :+ ("<valid>" -> valid) :+ ("<total>" -> total))
+        .toDF("error", "n").orderBy("error")
     })
 
   val oracles: Map[String, String] = Map(
@@ -597,6 +613,36 @@ object EngineQueries {
         |  FROM src)
         |SELECT name, okey, value, adtl_error IS NULL AS adtl_valid, adtl_error
         |FROM rows_ ORDER BY okey, name""".stripMargin,
+    "v_report_errors" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+        |    o_orderstatus AS status, o_orderpriority AS opri,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 'not-a-date'
+        |      ELSE strftime(o_orderdate, '%Y-%m-%d') END AS mdate
+        |  FROM orders),
+        |rows_ AS (
+        |  SELECT CASE WHEN status NOT IN ('O', 'F')
+        |      THEN 'data.value must be one of [''O'', ''F'']' END AS adtl_error
+        |  FROM src WHERE status <> ''
+        |  UNION ALL
+        |  SELECT CASE WHEN try_strptime(mdate, '%Y-%m-%d') IS NULL
+        |      THEN 'data.value must be date' END
+        |  FROM src
+        |  UNION ALL
+        |  SELECT CASE WHEN NOT regexp_matches(opri, '^(?:1-)', 'i')
+        |      THEN 'data must contain [''name'', ''value''] properties' END
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'No validator found for attribute ''misc'' in table ''obs'''
+        |  FROM src)
+        |SELECT error, n FROM (
+        |  SELECT adtl_error AS error, count(*) AS n FROM rows_
+        |  WHERE adtl_error IS NOT NULL GROUP BY 1
+        |  UNION ALL
+        |  SELECT '<valid>', count(*) FROM rows_ WHERE adtl_error IS NULL
+        |  UNION ALL
+        |  SELECT '<total>', count(*) FROM rows_
+        |) ORDER BY error""".stripMargin,
     "v_return_unmatched" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS okey,
         |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
