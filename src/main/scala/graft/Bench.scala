@@ -94,8 +94,11 @@ object Bench {
     }
     // per-query seconds rounded to ms: the harness stores only the last
     // 2000 chars of output, and full-precision doubles push the JSON line
-    // past that window (the round-5 artifact's parsed:null failure mode)
-    def r3(v: Double): String = f"$v%.3f"
+    // past that window (the round-5 artifact's parsed:null failure mode).
+    // Locale.ROOT: a comma-decimal default locale would emit "1,234" and
+    // make the JSON line unparseable.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -45,6 +45,8 @@ object ScaleBench {
   private val TablesFor: Map[String, Set[String]] = Map(
     "s_ivf_kmeans_topk" -> Set("embeddings"), "s_ivf_topk" -> Set("embeddings"),
     "s_cosine_topk" -> Set("embeddings"), "d_embed_neardup" -> Set("embeddings"),
+    "d_embed_neardup_probes" -> Set("embeddings"),
+    "d_cells1024_probe2" -> Set("embeddings"),
     "d_minhash_lsh" -> Set("documents"), "d_lsh_jaccard_verify" -> Set("documents"),
     "d_simhash" -> Set("documents"), "q_clean_corpus" -> Set("documents"),
     "d_ngram_jaccard" -> Set("documents"), "d_ngram_jaccard_bounded" -> Set("documents"),

@@ -651,17 +651,17 @@ object Dedup {
     require(probes >= 1, "probes must be >= 1")
     val (assigned, centroids) = IvfIndex.build(df, idCol, vecCol, nCells, iters,
       initCell = initCell, trainFraction = trainFraction)
+    // top-`probes` cells via the codegen kernel (one task-broadcast matrix,
+    // expression-tree size independent of nCells) — bit-identical ranking to
+    // the declarative slice(array_sort(struct(negSim, cell))) form: same dot
+    // fold, descending similarity, ties to the smaller cell, element 0 equal
+    // to the build-time argmin assignment
     val probed =
       if (probes <= 1) assigned
-      else {
-        val cellScores = centroids.map { case (cell, c) =>
-          struct((lit(-1.0) * Similarity.dot(col("v"), array(c.map(lit): _*))).as("negSim"),
-            lit(cell).as("cell"))
-        }
-        assigned.select(col("id"), col("v"),
-          explode(slice(array_sort(array(cellScores: _*)), 1, math.min(probes, centroids.size))
-            .getField("cell")).as("cell"))
-      }
+      else assigned.select(col("id"), col("v"),
+        explode(graft.functions.NearestCellExpr.nearestCellsTopK(
+          df.sparkSession, col("v"), centroids,
+          math.min(probes, centroids.size))).as("cell"))
     val pairs = embeddingNearDupPairs(probed, "id", "v", "cell", threshold)
     if (probes <= 1) pairs.withColumnRenamed("bkt", "cell")
     else pairs.groupBy("id_a", "id_b")

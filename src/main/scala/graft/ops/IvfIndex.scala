@@ -125,13 +125,15 @@ object IvfIndex {
       k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(queryId).as("q_id"),
       Similarity.toDouble(col(queryVec)).as("q_v"))
-    // rank cells per query by centroid dot product, keep top nProbe
-    val cellScores = centroids.map { case (cell, c) =>
-      struct((lit(-1.0) * dotD(col("q_v"), array(c.map(lit): _*))).as("negSim"),
-        lit(cell).as("cell"))
-    }
+    // rank cells per query by centroid dot product, keep top nProbe — via
+    // the codegen top-k kernel (task-broadcast matrix; the literal
+    // slice(array_sort(...)) form it replaces built nCells × dim literal
+    // expressions, pathological at real IVF sizes). Bit-identical ranking:
+    // same dot fold, descending similarity, ties to the smaller cell.
     val probed = q.withColumn("probes",
-        slice(array_sort(array(cellScores: _*)), 1, nProbe).getField("cell"))
+        graft.functions.NearestCellExpr.nearestCellsTopK(
+          org.apache.spark.sql.SparkSession.active, col("q_v"), centroids,
+          math.min(nProbe, centroids.size)))
       .select(col("q_id"), col("q_v"), explode(col("probes")).as("cell"))
     var scored = assigned.join(broadcast(probed), Seq("cell"))
       .withColumn("sim", dotD(col("v"), col("q_v")) /

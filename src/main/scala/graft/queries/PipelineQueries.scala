@@ -163,6 +163,31 @@ object PipelineQueries {
         initCell = Some(pmod(col("id").cast("bigint"), lit(16L)).cast("int")))
         .orderBy("cell", "id_a", "id_b")
     },
+    // multi-probe widening of the same pipeline: each vector joins its TOP-2
+    // cells (NearestCellsTopKExpr — one codegen kernel over the
+    // task-broadcast centroid matrix, ranked by descending dot / ascending
+    // cell, element 0 = the build argmin), pairs deduped to their smallest
+    // shared cell. Oracle re-derives the probe assignment as rn <= 2 over
+    // the same Lloyd centroids — pins the kernel's ranking order end-to-end.
+    "d_embed_neardup_probes" -> { (s, d) =>
+      Dedup.embeddingNearDupPairsByCell(
+        Tables.embeddings(s, d).filter(col("vec_id") < 1500),
+        "vec_id", "embedding", nCells = 16, threshold = 0.2, iters = 1,
+        initCell = Some(pmod(col("id").cast("bigint"), lit(16L)).cast("int")),
+        probes = 2)
+        .orderBy("cell", "id_a", "id_b")
+    },
+    // the real-IVF-size shape (rows-only gate; ScaleBench case): 1024 cells,
+    // 2 probes, sample-trained quantizer. Before the kernel this plan was
+    // un-buildable — the declarative probe ranking put nCells × dim literal
+    // expressions in the tree; now the plan is O(1) in nCells.
+    "d_cells1024_probe2" -> { (s, d) =>
+      Dedup.embeddingNearDupPairsByCell(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        nCells = 1024, threshold = 0.5, iters = 2, trainFraction = 0.25,
+        probes = 2)
+        .orderBy("cell", "id_a", "id_b")
+    },
     // multimodal metadata decode (deterministic stub) — plumbing proof
     "m_media_meta" -> { (s, d) =>
       Multimodal.decodeMetaExpr(Tables.documents(s, d), "doc_id")
@@ -635,6 +660,41 @@ object PipelineQueries {
          |    ${dot("a.e", "b.e")} / (${sq("a.e")} * ${sq("b.e")}) AS cosine
          |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.2 ORDER BY cell, id_a, id_b""".stripMargin
+    },
+    // multi-probe variant: assignment keeps rn <= 2 (each vector in its two
+    // best cells — the NearestCellsTopKExpr ranking: descending dot,
+    // ascending cell), pairs deduped to min(cell) across shared cells
+    "d_embed_neardup_probes" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), (x, y) -> x + y)"
+      def sq(a: String): String =
+        s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (x, y) -> x + y))"
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings WHERE vec_id < 1500),
+         |a0 AS (SELECT vec_id, e, CAST(vec_id % 16 AS INT) AS cell FROM v),
+         |c1 AS (
+         |  SELECT cell, list(m ORDER BY pos) AS c FROM (
+         |    SELECT cell, pos, CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+         |    FROM (SELECT cell, unnest(e) AS val, unnest(range(len(e))) AS pos FROM a0)
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell),
+         |a1 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c1.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY -(${dot("v.e", "c1.c")}), c1.cell) AS rn
+         |    FROM v CROSS JOIN c1) WHERE rn <= 2),
+         |p AS (
+         |  SELECT * FROM (
+         |    SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         |      ${dot("a.e", "b.e")} / (${sq("a.e")} * ${sq("b.e")}) AS cosine
+         |    FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |  WHERE cosine >= 0.2)
+         |SELECT cell, id_a, id_b, cosine FROM (
+         |  SELECT id_a, id_b, min(cell) AS cell, max(cosine) AS cosine
+         |  FROM p GROUP BY id_a, id_b)
+         |ORDER BY cell, id_a, id_b""".stripMargin
     },
     "s_cosine_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
