@@ -517,24 +517,45 @@ object Dedup {
     * verbatim; if their midpoint sits above `threshold`, any block that
     * actually routes fails the job in-plan (same lazy broadcast-count
     * raise_error shape as the maxBlockSize guard) instead of quietly
-    * dropping recall. Blocks under the cap are never affected — they take
-    * the exact path regardless of banding parameters. */
+    * dropping recall. An auto-tune that cannot reach the threshold under
+    * `maxNumHashes` is deferred the same way: blocks under the cap take
+    * the exact path regardless of banding, so the job only fails if a
+    * block actually routes. Blocks under the cap are never affected.
+    *
+    * `materializePath`: the shared base scan (gram set + band keys) is
+    * consumed by both paths and must be materialized once — every lazy
+    * formulation re-evaluates the signature expressions per consumer. By
+    * default it lands in `localCheckpoint()` (executor-local blocks: fine
+    * single-node, but on a cluster with dynamic allocation the blocks die
+    * with their executors). Passing a path writes it to parquet there
+    * instead — the reliable cluster form (any filesystem the session can
+    * reach; the caller owns cleanup). Output is identical either way. */
   def ngramJaccardPairsBounded(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 2, threshold: Double = 0.5,
       chunks: Int = 8, maxBlockSize: Int = 10000,
       numHashes: Int = 32, bands: Int = 8, maxBucketSize: Int = 500,
-      autoTune: Boolean = true, maxNumHashes: Int = 1024): DataFrame = {
+      autoTune: Boolean = true, maxNumHashes: Int = 1024,
+      materializePath: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val (nh, nb) =
-      if (autoTune) lshParamsFor(threshold, numHashes, bands, maxNumHashes)
-      else (numHashes, bands)
+    // unreachable-threshold auto-tune failures are deferred to the in-plan
+    // routed-branch guard (blocks under the cap never need the banding);
+    // malformed thresholds still fail eagerly via the require above/inside
+    val tuned: Either[String, (Int, Int)] =
+      if (!autoTune) Right((numHashes, bands))
+      else try Right(lshParamsFor(threshold, numHashes, bands, maxNumHashes))
+      catch {
+        case e: IllegalArgumentException
+            if Option(e.getMessage).exists(_.startsWith("lshParamsFor")) =>
+          Left(e.getMessage)
+      }
+    val (nh, nb) = tuned.getOrElse((numHashes, bands))
     val midpoint = lshCollisionMidpoint(nh, nb)
     val spark = df.sparkSession
     val counts = df.groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("__bn"))
     // one hash scan serves both paths; materialized because every lazy
     // formulation re-evaluates the signature expressions per consumer
-    // (see minhashLshPairs) — at cluster scale use a parquet temp table
-    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+    // (see minhashLshPairs)
+    val baseRaw = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         graft.functions.TextHashExprs.ngramHashes(spark,
           TextAnalysis.tokens(col(textCol)), n).as("__h"))
       .select(col("blk"), col("id"),
@@ -543,30 +564,47 @@ object Dedup {
           nh, nb, affine = false).as("bk"))
       .withColumn("nc", (length(col("g")) / 8).cast("int"))
       .join(broadcast(counts), Seq("blk"))
-      .localCheckpoint()
+    val base = materializePath match {
+      case Some(p) =>
+        baseRaw.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => baseRaw.localCheckpoint()
+    }
     val small = base.filter(col("__bn") <= maxBlockSize)
       .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
     val exact = triangleJaccard(small, small, threshold, chunks)
 
-    // recall guard (autoTune=false only): a block that routes while the
-    // caller's banding midpoint sits above the threshold would silently
+    // recall guard: a block that routes while the effective banding
+    // midpoint sits above the threshold (autoTune=false with bad params,
+    // or an auto-tune that could not reach the threshold) would silently
     // lose nearly all true pairs — fail the job in-plan instead, the same
     // lazy shape as the maxBlockSize guard (when() keeps raise_error out
     // of reorderable predicate position; no driver job, no effect while
     // every block stays under the cap)
     val bigAll = base.filter(col("__bn") > maxBlockSize)
-    val big = if (midpoint <= threshold) bigAll else bigAll
-      .filter(when(col("__bn") > maxBlockSize,
-        raise_error(concat(
-          lit("ngramJaccardPairsBounded: block '"), col("blk").cast("string"),
-          lit("' holds "), col("__bn").cast("string"),
-          lit(s" docs > maxBlockSize=$maxBlockSize and would route through" +
-            f" LSH banding, but threshold=$threshold%s sits below the banding" +
-            f" collision midpoint $midpoint%.4f = (1/$nb)^($nb/$nh) — nearly" +
-            " all true pairs would be dropped silently. Use autoTune=true" +
-            " (the default) or pick bands/numHashes whose midpoint is at or" +
-            " below the threshold"))).cast("boolean"))
-        .otherwise(lit(true)))
+    val guardTail = tuned match {
+      case Left(msg) => Some(" docs > maxBlockSize=" + maxBlockSize +
+        " and would route through LSH banding, but auto-tuning found no " +
+        "reachable configuration: " + msg)
+      case Right(_) if midpoint > threshold => Some(
+        s" docs > maxBlockSize=$maxBlockSize and would route through" +
+          f" LSH banding, but threshold=$threshold%s sits below the banding" +
+          f" collision midpoint $midpoint%.4f = (1/$nb)^($nb/$nh) — nearly" +
+          " all true pairs would be dropped silently. Use autoTune=true" +
+          " (the default) or pick bands/numHashes whose midpoint is at or" +
+          " below the threshold")
+      case _ => None
+    }
+    val big = guardTail match {
+      case None => bigAll
+      case Some(tail) => bigAll
+        .filter(when(col("__bn") > maxBlockSize,
+          raise_error(concat(
+            lit("ngramJaccardPairsBounded: block '"), col("blk").cast("string"),
+            lit("' holds "), col("__bn").cast("string"),
+            lit(tail))).cast("boolean"))
+          .otherwise(lit(true)))
+    }
     val banded = big.select(col("blk"), col("id"), posexplode(col("bk")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     // in-block banding: bucket on (blk, band, band_hash) so candidates

@@ -198,6 +198,40 @@ class PairOpsInvarianceSpec extends SparkSpec {
       m.contains("autoTune=true")))
   }
 
+  test("parquet materialization route returns pairs identical to localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmat").toString + "/base"
+    val viaCheckpoint = Dedup.ngramJaccardPairsBounded(nearDupDocs, "doc_id",
+      "text", "source", 2, 0.5, maxBlockSize = 5)
+      .select("blk", "id_a", "id_b", "jaccard")
+    val viaParquet = Dedup.ngramJaccardPairsBounded(nearDupDocs, "doc_id",
+      "text", "source", 2, 0.5, maxBlockSize = 5,
+      materializePath = Some(dir))
+      .select("blk", "id_a", "id_b", "jaccard")
+    assert(viaCheckpoint.count() > 0)
+    assert(viaCheckpoint.exceptAll(viaParquet).count() == 0)
+    assert(viaParquet.exceptAll(viaCheckpoint).count() == 0)
+    // the base scan actually landed on disk (the cluster-safe route)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("unreachable auto-tune threshold is deferred to the routed branch: " +
+      "exact-path-only jobs succeed, routing blocks fail in-plan") {
+    // 0.0005 < 1/1024: lshParamsFor cannot reach it — but with every block
+    // under the cap the banding is never used, so the job must succeed
+    val under = Dedup.ngramJaccardPairsBounded(nearDupDocs, "doc_id", "text",
+      "source", 2, 0.0005, maxBlockSize = 1000)
+    assert(under.count() > 0)
+    // a block that actually routes surfaces the auto-tune failure in-plan
+    val e = intercept[Exception] {
+      Dedup.ngramJaccardPairsBounded(nearDupDocs, "doc_id", "text",
+        "source", 2, 0.0005, maxBlockSize = 5).count()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("auto-tuning found no reachable") &&
+      m.contains("lshParamsFor")))
+  }
+
   test("triangle-join Jaccard pairs are partition-invariant and chunk-invariant") {
     val base = pairSet(Dedup.ngramJaccardPairs(docs.repartition(1),
       "doc_id", "text", "source", 2, 0.05))
