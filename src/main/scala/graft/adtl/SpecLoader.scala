@@ -14,8 +14,11 @@ object SpecLoader {
 
   def fromJsonNode(n: JsonNode): Any = n match {
     case o: ObjectNode =>
+      // fieldNames(), not properties(): as of Jackson 2.21 properties()
+      // returns an UNORDERED set copy, silently shuffling spec/schema key
+      // order; fieldNames() iterates document order
       scala.collection.immutable.VectorMap.from(
-        o.properties().asScala.map(e => e.getKey -> fromJsonNode(e.getValue)))
+        o.fieldNames().asScala.map(k => k -> fromJsonNode(o.get(k))))
     case a: ArrayNode => a.elements().asScala.map(fromJsonNode).toList
     case t: TextNode => t.textValue()
     case b: BooleanNode => b.booleanValue()

@@ -70,9 +70,11 @@ object AutoparserMain {
       case "create-mapping" =>
         System.err.println(
           "create-mapping drives an LLM to propose source->schema field " +
-            "mappings and is out of scope for this engine (SURVEY §2.9); " +
-            "write the intermediate mapping CSV by hand or with your own " +
-            "LLM tooling, then run create-parser.")
+            "mappings; network providers are out of scope for this CLI " +
+            "(zero egress). Programmatic use: implement graft.adtl." +
+            "autoparser.LlmClient (or use CannedLlmClient) and call " +
+            "Mapper.createWideMapping / createLongMapping, then feed the " +
+            "result to create-parser.")
         sys.exit(1)
       case other =>
         System.err.println(s"Unknown subcommand: $other"); usage(); sys.exit(1)

@@ -33,7 +33,10 @@ object DictReader {
       if (kv.length != 2) return None
       opts(kv(0).trim) = kv(1).trim
     }
-    if (opts.isEmpty) None else Some(opts.toMap)
+    // VectorMap: choices keep file order (the mapper's choice relabeling
+    // emits them back in this order)
+    if (opts.isEmpty) None
+    else Some(scala.collection.immutable.VectorMap.from(opts))
   }
 
   /** Normalize + validate a user dictionary loaded from a CSV/XLSX/parquet
