@@ -802,10 +802,19 @@ object AdtlParser {
     * restarts, like batch ids from the checkpoint); value = (last batch id
     * folded in, per-table totals). O(1) per table — batches are folded as
     * they arrive, never stored. */
-  private val streamingAcc = new java.util.concurrent.ConcurrentHashMap[
+  private[adtl] val streamingAcc = new java.util.concurrent.ConcurrentHashMap[
     java.util.UUID, (Long, Map[String, (Long, Long)])]()
-  private val listenerSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // terminated queries retire from streamingAcc after `terminatedRetention`
+  // LATER terminations (not immediately: callers read final totals after
+  // stop(), and a checkpoint restart reuses the query id) — long-lived
+  // sessions stay bounded at ~retention entries instead of growing forever
+  private[adtl] var terminatedRetention = 256
+  private val terminatedOrder = new java.util.ArrayDeque[java.util.UUID]()
+  // one listener per StreamingQueryManager, tracked by WEAK reference
+  // (identity equality): a GC'd session's slot disappears instead of
+  // leaking, and no identity-hash collision can suppress registration
+  private val listenerManagers = new java.util.WeakHashMap[
+    org.apache.spark.sql.streaming.StreamingQueryManager, java.lang.Boolean]()
 
   private def observedSlices(
       p: org.apache.spark.sql.streaming.StreamingQueryProgress): Map[String, (Long, Long)] = {
@@ -827,13 +836,21 @@ object AdtlParser {
   // one listener per StreamingQueryManager (= per session state; sessions
   // sharing a manager share its listener bus)
   private def ensureProgressListener(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (listenerSessions.add(System.identityHashCode(spark.streams))) {
-      spark.streams.addListener(
+    listenerManagers.synchronized {
+      if (!listenerManagers.containsKey(spark.streams)) {
+        listenerManagers.put(spark.streams, java.lang.Boolean.TRUE)
+        spark.streams.addListener(
         new org.apache.spark.sql.streaming.StreamingQueryListener {
           override def onQueryStarted(
               e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
           override def onQueryTerminated(
-              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+            terminatedOrder.synchronized {
+              terminatedOrder.remove(e.id) // a restart re-terminating keeps one slot
+              terminatedOrder.addLast(e.id)
+              while (terminatedOrder.size > terminatedRetention)
+                streamingAcc.remove(terminatedOrder.removeFirst())
+            }
           override def onQueryProgress(
               e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
             val p = e.progress
@@ -847,6 +864,7 @@ object AdtlParser {
             })
           }
         })
+      }
     }
 
   /** GET a JSON document with a short timeout; None on any failure

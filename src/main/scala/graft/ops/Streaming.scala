@@ -62,11 +62,19 @@ object Streaming {
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** True streaming custom state: per-user running totals via
-    * flatMapGroupsWithState (update mode, processing-time timeout). Value
-    * cents accumulate as longs so state merges are exact. */
+    * flatMapGroupsWithState (update mode). Value cents accumulate as longs
+    * so state merges are exact.
+    *
+    * `idleTimeout` (e.g. "1 hour"): processing-time state TTL — a user
+    * idle for that long since their last update is evicted (state removed,
+    * nothing emitted), so state stays bounded by the ACTIVE user set on an
+    * unbounded user space. A returning user restarts from zero; size the
+    * TTL to the horizon within which totals must stay exact. None (the
+    * default) keeps state per user forever — bounded by user cardinality,
+    * the gate-scale configuration. */
   def runningUserTotalsStream(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType,
-      queryName: String): StreamingQuery = {
+      queryName: String, idleTimeout: Option[String] = None): StreamingQuery = {
     import spark.implicits._
     val events = spark.readStream.schema(schema).parquet(sourceDir)
       .select(col("user_id").cast("long").as("uid"),
@@ -75,17 +83,22 @@ object Streaming {
 
     def update(uid: Long, batch: Iterator[(Long, Long)],
         state: GroupState[UserRunningState]): Iterator[UserRunning] = {
-      val prev = state.getOption.getOrElse(UserRunningState(0L, 0L))
-      var n = prev.nEvents
-      var cents = prev.totalValueCents
-      batch.foreach { case (_, c) => n += 1; cents += c }
-      state.update(UserRunningState(n, cents))
-      Iterator.single(UserRunning(uid, n, cents / 100.0))
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val prev = state.getOption.getOrElse(UserRunningState(0L, 0L))
+        var n = prev.nEvents
+        var cents = prev.totalValueCents
+        batch.foreach { case (_, c) => n += 1; cents += c }
+        state.update(UserRunningState(n, cents))
+        idleTimeout.foreach(state.setTimeoutDuration)
+        Iterator.single(UserRunning(uid, n, cents / 100.0))
+      }
     }
 
     events.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update(),
-        GroupStateTimeout.NoTimeout())(update)
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(update)
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
@@ -116,30 +129,74 @@ object Streaming {
     * the batch (memory bounded by batch size, never by user history) and
     * fold into the state. Emits the running (n_sessions, n_events) per
     * user in update mode. Late events older than lastTs are counted into
-    * the current session (use a watermark upstream to bound lateness). */
+    * the current session (use a watermark upstream to bound lateness).
+    *
+    * `idleTimeoutSeconds`: EVENT-TIME state TTL — a user's state is
+    * evicted once the watermark passes lastTs + TTL, bounding state by the
+    * ACTIVE user set instead of the all-time user space (the dedup path's
+    * watermark contract, applied to custom state). Requires a watermark on
+    * `events`' ts column. A user returning after the TTL restarts at
+    * session 1 — counts within the horizon are unaffected (eviction fires
+    * only once the watermark proves no in-horizon event can still
+    * arrive). */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
-      gapSeconds: Long): DataFrame = {
+      gapSeconds: Long, idleTimeoutSeconds: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val typed = events.select(col("user_id").cast("long"),
-      unix_timestamp(col("ts")).as("epoch")).as[(Long, Long)]
-    typed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[SessState]) =>
-          val batch = it.map(_._2).toArray
-          java.util.Arrays.sort(batch)
-          val prev = state.getOption.getOrElse(
-            SessState(Long.MinValue / 4, 0L, 0L)) // avoid t - MinValue overflow
-          var last = prev.lastTs
-          var sessions = prev.nSessions
-          var n = prev.nEvents
-          batch.foreach { t =>
-            if (t - last > gapSeconds) sessions += 1
-            if (t > last) last = t
-            n += 1
-          }
-          state.update(SessState(last, sessions, n))
-          Iterator.single((uid, sessions, n))
+
+    // shared per-group fold: sort the batch, fold into (lastTs, counters)
+    def fold(epochs: Array[Long], state: GroupState[SessState]): SessState = {
+      java.util.Arrays.sort(epochs)
+      val prev = state.getOption.getOrElse(
+        SessState(Long.MinValue / 4, 0L, 0L)) // avoid t - MinValue overflow
+      var last = prev.lastTs
+      var sessions = prev.nSessions
+      var n = prev.nEvents
+      epochs.foreach { t =>
+        if (t - last > gapSeconds) sessions += 1
+        if (t > last) last = t
+        n += 1
       }
-      .toDF("user_id", "n_sessions", "n_events")
+      val next = SessState(last, sessions, n)
+      state.update(next)
+      next
+    }
+
+    idleTimeoutSeconds match {
+      case None =>
+        events.select(col("user_id").cast("long"),
+            unix_timestamp(col("ts")).as("epoch")).as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update(),
+            GroupStateTimeout.NoTimeout()) {
+            (uid: Long, it: Iterator[(Long, Long)],
+                state: GroupState[SessState]) =>
+              val s = fold(it.map(_._2).toArray, state)
+              Iterator.single((uid, s.nSessions, s.nEvents))
+          }
+          .toDF("user_id", "n_sessions", "n_events")
+      case Some(ttl) =>
+        // the watermarked ts column must ride through to the stateful
+        // operator — Spark ties event-time timeout to that attribute
+        events.select(col("user_id").cast("long"),
+            unix_timestamp(col("ts")).as("epoch"), col("ts"))
+          .as[(Long, Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update(),
+            GroupStateTimeout.EventTimeTimeout()) {
+            (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+                state: GroupState[SessState]) =>
+              if (state.hasTimedOut) { state.remove(); Iterator.empty }
+              else {
+                val s = fold(it.map(_._2).toArray, state)
+                // evict at lastTs + TTL; must sit strictly past the
+                // current watermark or Spark rejects the timestamp
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs() + 1000L,
+                  s.lastTs * 1000L + ttl * 1000L))
+                Iterator.single((uid, s.nSessions, s.nEvents))
+              }
+          }
+          .toDF("user_id", "n_sessions", "n_events")
+    }
   }
 }

@@ -197,6 +197,48 @@ class StreamingParseSpec extends SparkSpec {
     }
   }
 
+  test("listener accumulator evicts terminated queries after the retention " +
+      "window; recent totals stay readable after stop()") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val prevRetention = AdtlParser.terminatedRetention
+    AdtlParser.terminatedRetention = 2
+    try {
+      val parser = AdtlParser.fromFile("src/test/resources/golden/parsers/epoch.json")
+      def runOne(i: Int): java.util.UUID = {
+        val mem = MemoryStream[(String, String, String, String)]
+        val src = mem.toDF().toDF("Entry_ID", "Epoch", "SomeDate", "Text")
+        val q = parser.parseStream(spark, src)("table").writeStream
+          .format("memory").queryName(s"adtl_evict_$i")
+          .outputMode("append").start()
+        mem.addData(Seq((i.toString, "11/01/1999", "24/01/1999", "r")): _*)
+        q.processAllAvailable()
+        // totals are readable while the query runs AND right after stop
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (parser.streamingReportTotals(q).get("table").isEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+        assert(parser.streamingReportTotals(q)("table") == (1L, 1L))
+        q.stop()
+        assert(parser.streamingReportTotals(q)("table") == (1L, 1L))
+        q.id
+      }
+      val ids = (1 to 4).map(runOne)
+      // the termination listener is asynchronous — wait for eviction of the
+      // oldest entries (retention 2 keeps only the last two terminated)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def evicted() = !AdtlParser.streamingAcc.containsKey(ids(0)) &&
+        !AdtlParser.streamingAcc.containsKey(ids(1))
+      while (!evicted() && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(evicted())
+      assert(AdtlParser.streamingAcc.containsKey(ids(2)))
+      assert(AdtlParser.streamingAcc.containsKey(ids(3)))
+    } finally {
+      AdtlParser.terminatedRetention = prevRetention
+    }
+  }
+
   test("streaming parse restarts from the checkpoint: no loss, no double-count, " +
       "running totals carry across the restart") {
     import spark.implicits._

@@ -383,6 +383,60 @@ class OpsSpec extends SparkSpec {
     assert(last(2L) == (1L, 1L))
   }
 
+  test("sessionize state TTL: idle users evict at watermark + TTL, totals " +
+      "within the horizon stay exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+    // gap 30 min, TTL 2 h: user 1's state must survive batch boundaries
+    // within the horizon, then evict once the watermark passes last+TTL
+    val q = Streaming.sessionizeStream(spark, src, gapSeconds = 1800,
+        idleTimeoutSeconds = Some(7200L))
+      .writeStream.format("memory").queryName("sess_ttl_test")
+      .outputMode("update").start()
+    val batches = Seq(
+      Seq((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00"))),
+      Seq((1L, ts("2024-01-01 00:20:00"))), // same session, state carries
+      // user 2 far in the future advances the watermark past 1's TTL…
+      Seq((2L, ts("2024-01-01 06:00:00"))),
+      Seq((2L, ts("2024-01-01 06:10:00"))), // …and this batch evicts user 1
+      // user 1 returns after eviction: fresh state, session count restarts
+      Seq((1L, ts("2024-01-01 06:30:00"))))
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val rows = spark.table("sess_ttl_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val u1 = rows.filter(_._1 == 1L)
+    // within the horizon the totals accumulated exactly: 1 session, 3 events
+    assert(u1.contains((1L, 1L, 3L)))
+    // after eviction the returning user starts over — NOT (2, 4), which is
+    // what un-evicted state (or NoTimeout) would emit
+    assert(u1.last == (1L, 1L, 1L))
+    assert(!u1.contains((1L, 2L, 4L)))
+    // the bystander's totals are untouched
+    assert(rows.filter(_._1 == 2L).last == (2L, 1L, 2L))
+
+    // control: without TTL the same feed keeps user 1's state alive
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp)]
+    val src2 = mem2.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+    val q2 = Streaming.sessionizeStream(spark, src2, gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_nottl_test")
+      .outputMode("update").start()
+    batches.foreach { b => mem2.addData(b: _*); q2.processAllAvailable() }
+    q2.stop()
+    val u1NoTtl = spark.table("sess_nottl_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 == 1L)
+    assert(u1NoTtl.last == (1L, 2L, 4L))
+  }
+
   test("text quality: clean prose scores higher than repetitive junk") {
     val df = docs(
       1L -> "the quick brown fox jumps over a lazy dog and runs to the river in the morning light",
