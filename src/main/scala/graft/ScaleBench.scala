@@ -37,7 +37,13 @@ object ScaleBench {
     "s_ivf_kmeans_topk", "d_minhash_lsh", "d_lsh_jaccard_verify", "d_simhash",
     "s_cosine_topk", "adtl_onetomany", "d_embed_neardup", "q_clean_corpus",
     "d_ngram_jaccard", "d_ngram_jaccard_bounded", "m_media_feature",
-    "adtl_apply_dates", "r3_one_to_many", "q_stream_window")
+    "adtl_apply_dates", "r3_one_to_many", "q_stream_window",
+    "d_embed_neardup_probes", "d_cells1024_probe2")
+
+  /** Default queries for `--skew` runs: the two operators whose straggler
+    * bounds (LSH bucket caps, two-stage salting) the skewed replication is
+    * built to exercise. */
+  private val SkewQueries = Seq("d_lsh_jaccard_verify", "q_salted_agg")
 
   /** Tables each benched query scans — replication writes only what the
     * selected queries read (a 100× lineitem is wasted work for a
@@ -71,15 +77,29 @@ object ScaleBench {
   val AllTables: Set[String] =
     Set("documents", "embeddings", "orders", "lineitem", "events")
 
+  /** Replicate `src` tables into `out`.
+    *
+    * `skew = true` produces a deliberately SKEWED universe instead of the
+    * uniform one, to prove the straggler bounds hold (the uniform runs
+    * can't show that — every shard is the same size):
+    *  - documents: on top of the `copies` affine shards, shard 0's text is
+    *    re-appended IDENTITY-ciphered `copies-1` more times under shifted
+    *    ids — one content shard is `copies`× hotter than the rest (hot
+    *    fingerprints, hot LSH band buckets; near-dup output grows by the
+    *    duplicate-pair count of the hot shard, time must not blow up);
+    *  - events: ~half of ALL rows get their event_type overridden to one
+    *    hot key — the heavy-hitter shape two-stage salting exists for.
+    *  Embeddings/orders/lineitem replicate uniformly either way. */
   def replicate(spark: SparkSession, src: String, out: String, copies: Int,
-      tables: Set[String] = AllTables): Unit = {
+      tables: Set[String] = AllTables, skew: Boolean = false): Unit = {
     if (tables("documents")) {
       val docs = spark.read.parquet(s"$src/documents.parquet")
       val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
-      (0 until copies).map { k =>
-        val (from, to) = affine(k)
+      val hotExtra = if (skew) copies - 1 else 0
+      (0 until copies + hotExtra).map { k =>
+        val (from, to) = affine(if (k < copies) k else 0) // extras: identity of shard 0
         docs.select(
-          (col("doc_id") + lit(k * nDocs)).as("doc_id"),
+          (col("doc_id") + lit(k.toLong * nDocs)).as("doc_id"),
           translate(col("text"), from, to).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
@@ -133,20 +153,50 @@ object ScaleBench {
       val events = spark.read.parquet(s"$src/events.parquet")
       val nEvents = events.agg(max("event_id")).head.getLong(0) + 1
       val nUsers = events.agg(max("user_id")).head.getLong(0) + 1
-      (0 until copies).map { k =>
+      val replicated = (0 until copies).map { k =>
         events
           .withColumn("event_id", col("event_id") + lit(k * nEvents))
           .withColumn("user_id", col("user_id") + lit(k * nUsers))
       }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      // heavy-hitter key: ~half of all rows collapse onto one event_type
+      val out0 = if (!skew) replicated else replicated
+        .withColumn("event_type",
+          when(pmod(xxhash64(col("event_id")), lit(2L)) === 0, lit("hot"))
+            .otherwise(col("event_type")))
+      out0.write.mode("overwrite").parquet(s"$out/events.parquet")
     }
   }
+
+  /** workDir provenance marker: a directory replicated with different
+    * (src, copies, skew) must never be silently mixed into a run — that
+    * corrupts the linearity evidence. Missing marker + pre-existing tables
+    * is treated the same way (unknown provenance → re-replicate). */
+  private def markerPath(work: String) =
+    java.nio.file.Paths.get(work, "_graft_replica.json")
+
+  private def writeMarker(work: String, src: String, copies: Int,
+      skew: Boolean): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+    java.nio.file.Files.write(markerPath(work),
+      s"""{"src":"$src","copies":$copies,"skew":$skew}""".getBytes("UTF-8"))
+  }
+
+  private def markerMatches(work: String, src: String, copies: Int,
+      skew: Boolean): Boolean =
+    java.nio.file.Files.exists(markerPath(work)) &&
+      new String(java.nio.file.Files.readAllBytes(markerPath(work)),
+        "UTF-8") == s"""{"src":"$src","copies":$copies,"skew":$skew}"""
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val work = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
-    val selected = if (args.length > 3) args.drop(3).toSeq else Queries
+    val (flags, queryArgs) = args.drop(3).partition(_ == "--skew")
+    val skew = flags.nonEmpty
+    val selected =
+      if (queryArgs.nonEmpty) queryArgs.toSeq
+      else if (skew) SkewQueries
+      else Queries
     selected.foreach(q => require(SparkEntry.queries.contains(q),
       s"unknown query: $q"))
     val needed = selected.flatMap(q => TablesFor.getOrElse(q, AllTables)).toSet
@@ -161,9 +211,21 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val missing = needed.filterNot(t =>
+    // provenance check: replicas from a different (src, copies, skew) — or
+    // of unknown origin — are re-created, never mixed in
+    val present = AllTables.filter(t =>
       new java.io.File(s"$work/$t.parquet").exists())
-    if (missing.nonEmpty) replicate(spark, src, work, copies, missing)
+    val trusted = markerMatches(work, src, copies, skew)
+    if (present.nonEmpty && !trusted)
+      System.err.println(s"[scalebench] workDir $work has " +
+        s"${if (java.nio.file.Files.exists(markerPath(work))) "a DIFFERENT"
+        else "no"} replica marker for (src=$src, copies=$copies, " +
+        s"skew=$skew) - re-replicating the needed tables")
+    val missing =
+      if (trusted) needed.filterNot(present)
+      else needed
+    if (missing.nonEmpty) replicate(spark, src, work, copies, missing, skew)
+    if (!trusted) writeMarker(work, src, copies, skew)
 
     // warmup (untimed): JIT + codegen for the shared kernels
     locally {
@@ -185,22 +247,51 @@ object ScaleBench {
       }
     }
 
+    // per-task durations per query: the straggler evidence — a bounded
+    // max/median ratio under skew means no single task carries the hot key
+    val taskTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null && t.taskInfo.successful)
+            taskTimes.add(t.taskInfo.duration)
+      })
+
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
+      taskTimes.clear()
       val t0 = System.nanoTime()
       val rows = try fn(spark, work).count() catch {
         case e: Throwable =>
           System.err.println(s"[scalebench] $name failed: ${e.getMessage}")
           -1L
       }
-      (name, (System.nanoTime() - t0) / 1e9, rows)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async with no public drain — poll until the
+      // task count stabilizes (50 ms quiet period, 5 s cap)
+      var size = -1
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (size != taskTimes.size && System.nanoTime() < deadline) {
+        size = taskTimes.size
+        Thread.sleep(50)
+      }
+      val durations = taskTimes.toArray(Array.empty[java.lang.Long])
+        .map(_.longValue()).sorted
+      val ratio =
+        if (durations.isEmpty) 0.0
+        else {
+          val med = math.max(1L, durations(durations.length / 2))
+          durations.last.toDouble / med
+        }
+      (name, sec, rows, ratio)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val rs = results.map { case (k, _, r) => "\"" + k + "\":" + r }
-      .mkString("{", ",", "}")
+    def j[A](f: ((String, Double, Long, Double)) => A): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"queries":$qs,"rows":$rs,"src":"$src"}""")
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"skew":$skew,"queries":${j(_._2)},"rows":${j(_._3)},"task_max_over_median":${j(r => r2(r._4))},"src":"$src"}""")
     spark.stop()
   }
 }
