@@ -16,7 +16,9 @@ cd "$(dirname "$0")/.."
 
 SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
-PREV="${1:-$(git log --grep='^round ' --format=%H -n 1)}"
+# default PREV: the newest 'round N' commit EXCLUDING HEAD — right after a
+# round commit, HEAD itself matches the grep and would A/B against itself
+PREV="${1:-$(git log --grep='^round ' --format=%H -n 20 | grep -v "^$(git rev-parse HEAD)$" | head -1)}"
 if [ -z "$PREV" ]; then
   echo "no previous round commit found; pass one explicitly" >&2
   exit 1
@@ -24,6 +26,8 @@ fi
 
 WT=/tmp/graft_prev_wt
 git worktree remove --force "$WT" 2>/dev/null || true
+# set -e: a mid-script failure must not leak the worktree
+trap 'git worktree remove --force "$WT" 2>/dev/null || true' EXIT
 git worktree add --detach "$WT" "$PREV" >/dev/null
 
 echo "== bench @ previous commit $(git rev-parse --short "$PREV")"
@@ -46,5 +50,3 @@ echo "== bench @ current working tree"
 CUR_LINE=$(SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
   sbt -batch 'runMain graft.Bench' 2>&1 | grep -o '{"metric".*}' | tail -1)
 echo "$CUR_LINE"
-
-git worktree remove --force "$WT"
