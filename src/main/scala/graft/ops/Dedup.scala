@@ -35,6 +35,19 @@ object Dedup {
       .filter(col("__keep")).drop("__fp", "__keep")
   }
 
+  /** Materialize a shared base projection consumed by several plan
+    * branches: parquet at `path` when given — the cluster-safe form (any
+    * reachable filesystem, survives executor loss under dynamic
+    * allocation; caller owns cleanup) — else `localCheckpoint()`
+    * (executor-local blocks; fine single-node). Output identical. */
+  private def materializeBase(df: DataFrame, path: Option[String]): DataFrame =
+    path match {
+      case Some(p) =>
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => df.localCheckpoint()
+    }
+
   // ---- shingles + MinHash ------------------------------------------------
 
   /** Word n-gram shingles of the lowercased text. */
@@ -86,7 +99,8 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, maxBucketSize: Int = 500): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 500,
+      materializePath: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // staged projection: shingle strings → long hashes (once) → 64 minima
@@ -107,9 +121,9 @@ object Dedup {
     // every lazy formulation re-evaluates the signature expression at each
     // consuming operator (generators and windows re-evaluate inlined
     // aliases; the columnar cache is pathological on arrays). It is tiny
-    // (numHashes longs + bands short strings per doc); at cluster scale
-    // write it to a parquet temp table instead — same role, fault-tolerant.
-    val base = df.select(col(idCol).as("id"),
+    // (numHashes longs + bands short strings per doc); `materializePath`
+    // lands it in parquet — the cluster form — instead of localCheckpoint.
+    val baseRaw = df.select(col(idCol).as("id"),
         graft.functions.TextHashExprs.ngramHashes(spark,
           TextAnalysis.tokens(col(textCol)), n).as("__h"))
       .select(col("id"),
@@ -117,7 +131,7 @@ object Dedup {
           graft.functions.TextHashExprs.minhashSig(spark, col("__h"), numHashes)).as("sig"),
         graft.functions.TextHashExprs.bandKeysCol(spark, col("__h"),
           numHashes, bands, affine = false).as("bk"))
-      .localCheckpoint()
+    val base = materializeBase(baseRaw, materializePath)
     val sig = base.select(col("id"), col("sig"))
     val banded = base.select(col("id"), posexplode(col("bk")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -133,19 +147,19 @@ object Dedup {
   def minhashLshPairsMd5(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5, maxBucketSize: Int = 500): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 500,
+      materializePath: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
     // materialized like the xxhash64 path (see minhashLshPairs)
-    val base = df.select(col(idCol).as("id"),
+    val base = materializeBase(df.select(col(idCol).as("id"),
         md5BaseHashes(col(textCol), n).as("__h"))
       .select(col("id"),
         graft.functions.PackedLongs.pack(spark,
           graft.functions.TextHashExprs.affineMinhashSig(spark, col("__h"),
             numHashes)).as("sig"),
         graft.functions.TextHashExprs.bandKeysCol(spark, col("__h"),
-          numHashes, bands, affine = true).as("bk"))
-      .localCheckpoint()
+          numHashes, bands, affine = true).as("bk")), materializePath)
     val sig = base.select(col("id"), col("sig"))
     val banded = base.select(col("id"), posexplode(col("bk")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -162,10 +176,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, numHashes: Int = 16, bands: Int = 8,
       estThreshold: Double = 0.5, maxBucketSize: Int = 500,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      materializePath: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
-    val base = df.select(col(idCol).as("id"),
+    val base = materializeBase(df.select(col(idCol).as("id"),
         md5BaseHashes(col(textCol), n).as("__h"))
       .select(col("id"),
         graft.functions.PackedLongs.pack(spark,
@@ -174,8 +189,7 @@ object Dedup {
         graft.functions.TextHashExprs.bandKeysCol(spark, col("__h"),
           numHashes, bands, affine = true).as("bk"),
         graft.functions.PackedLongs.packSortedSet(spark, col("__h")).as("g"))
-      .withColumn("nc", (length(col("g")) / 8).cast("int"))
-      .localCheckpoint()
+      .withColumn("nc", (length(col("g")) / 8).cast("int")), materializePath)
     val sig = base.select(col("id"), col("sig"))
     val banded = base.select(col("id"), posexplode(col("bk")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -564,12 +578,7 @@ object Dedup {
           nh, nb, affine = false).as("bk"))
       .withColumn("nc", (length(col("g")) / 8).cast("int"))
       .join(broadcast(counts), Seq("blk"))
-    val base = materializePath match {
-      case Some(p) =>
-        baseRaw.write.mode("overwrite").parquet(p)
-        spark.read.parquet(p)
-      case None => baseRaw.localCheckpoint()
-    }
+    val base = materializeBase(baseRaw, materializePath)
     val small = base.filter(col("__bn") <= maxBlockSize)
       .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
     val exact = triangleJaccard(small, small, threshold, chunks)

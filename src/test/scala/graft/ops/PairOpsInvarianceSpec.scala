@@ -198,6 +198,19 @@ class PairOpsInvarianceSpec extends SparkSpec {
       m.contains("autoTune=true")))
   }
 
+  test("lshVerifiedPairsMd5 parquet materialization equals localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graftlshmat").toString + "/base"
+    def run(path: Option[String]) =
+      Dedup.lshVerifiedPairsMd5(nearDupDocs, "doc_id", "text",
+        n = 2, numHashes = 16, bands = 8, materializePath = path)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = run(None)
+    val b = run(Some(dir))
+    assert(a.nonEmpty && a == b)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
   test("parquet materialization route returns pairs identical to localCheckpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graftmat").toString + "/base"
     val viaCheckpoint = Dedup.ngramJaccardPairsBounded(nearDupDocs, "doc_id",
