@@ -694,7 +694,8 @@ object Dedup {
   def embeddingNearDupPairsByCell(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, threshold: Double = 0.95, iters: Int = 2,
       trainFraction: Double = 1.0,
-      initCell: Option[Column] = None, probes: Int = 1): DataFrame = {
+      initCell: Option[Column] = None, probes: Int = 1,
+      materializePath: Option[String] = None): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
     val (assigned, centroids) = IvfIndex.build(df, idCol, vecCol, nCells, iters,
       initCell = initCell, trainFraction = trainFraction)
@@ -703,12 +704,19 @@ object Dedup {
     // the declarative slice(array_sort(struct(negSim, cell))) form: same dot
     // fold, descending similarity, ties to the smaller cell, element 0 equal
     // to the build-time argmin assignment
-    val probed =
+    val probedLazy =
       if (probes <= 1) assigned
       else assigned.select(col("id"), col("v"),
         explode(graft.functions.NearestCellExpr.nearestCellsTopK(
           df.sparkSession, col("v"), centroids,
           math.min(probes, centroids.size))).as("cell"))
+    // the within-cell pairwise is a SELF-join: without materialization both
+    // sides re-run the scan + assignment kernel (nCells × dim work per row).
+    // A parquet path lands the (cell, id, v) assignment once — the same
+    // table IvfIndex.save partitions by cell at index-build time.
+    val probed =
+      if (materializePath.isDefined) materializeBase(probedLazy, materializePath)
+      else probedLazy
     val pairs = embeddingNearDupPairs(probed, "id", "v", "cell", threshold)
     if (probes <= 1) pairs.withColumnRenamed("bkt", "cell")
     else pairs.groupBy("id_a", "id_b")

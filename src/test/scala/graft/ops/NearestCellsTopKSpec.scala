@@ -107,4 +107,19 @@ class NearestCellsTopKSpec extends SparkSpec {
       assert(got.nonEmpty)
     }
   }
+
+  test("materialized-assignment route returns identical multi-probe pairs") {
+    val e = embeddings.filter(col("vec_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("graftcellmat")
+      .toString + "/assign"
+    def run(path: Option[String]) =
+      Dedup.embeddingNearDupPairsByCell(e, "vec_id", "embedding",
+          nCells = 8, threshold = 0.15, probes = 2, materializePath = path)
+        .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("id_a"),
+          r.getAs[Long]("id_b"), r.getAs[Double]("cosine"))).toSet
+    val a = run(None)
+    val b = run(Some(dir))
+    assert(a.nonEmpty && a == b)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".parquet")))
+  }
 }
