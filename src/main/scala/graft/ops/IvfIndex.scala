@@ -17,9 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
   /** Deterministic element-wise mean per cell: posexplode to (cell, dim),
     * DECIMAL-exact sums cast to double before the division — the exact sum
     * makes centroids partition-invariant, and double-division of the exact
@@ -130,14 +127,25 @@ object IvfIndex {
     // slice(array_sort(...)) form it replaces built nCells × dim literal
     // expressions, pathological at real IVF sizes). Bit-identical ranking:
     // same dot fold, descending similarity, ties to the smaller cell.
+    val spark = org.apache.spark.sql.SparkSession.active
     val probed = q.withColumn("probes",
         graft.functions.NearestCellExpr.nearestCellsTopK(
-          org.apache.spark.sql.SparkSession.active, col("q_v"), centroids,
+          spark, col("q_v"), centroids,
           math.min(nProbe, centroids.size)))
-      .select(col("q_id"), col("q_v"), explode(col("probes")).as("cell"))
-    var scored = assigned.join(broadcast(probed), Seq("cell"))
-      .withColumn("sim", dotD(col("v"), col("q_v")) /
-        (Similarity.norm(col("v")) * Similarity.norm(col("q_v"))))
+      .select(col("q_id"),
+        graft.functions.PackedDoubles.packCol(spark, col("q_v")).as("q_vp"),
+        Similarity.norm(col("q_v")).as("q_nrm"),
+        explode(col("probes")).as("cell"))
+    // packed vectors + per-row norms; the per-pair dot runs in the codegen
+    // kernel (bit-identical to the declarative sequential fold)
+    var scored = assigned
+      .select(col("cell"), col("id"),
+        graft.functions.PackedDoubles.packCol(spark, col("v")).as("vp"),
+        Similarity.norm(col("v")).as("nrm"))
+      .join(broadcast(probed), Seq("cell"))
+      .withColumn("sim",
+        graft.functions.PackedDoubles.dotCol(spark, col("vp"), col("q_vp")) /
+          (col("nrm") * col("q_nrm")))
       .select(col("q_id"), col("id").as("n_id"), col("sim"))
     if (excludeSelf) scored = scored.filter(col("q_id") =!= col("n_id"))
     Similarity.topKPerGroup(scored, "q_id", "n_id", "sim", k)

@@ -28,15 +28,28 @@ object Similarity {
 
   /** Exact brute-force top-k neighbors for each query vector.
     * Two-phase: partial top-k per shuffle partition, then global merge —
-    * bounded memory per task at any corpus size. Ties broken by id. */
+    * bounded memory per task at any corpus size. Ties broken by id.
+    * Vectors ride packed (one binary blob) with norms precomputed per ROW;
+    * the per-PAIR dot runs in the codegen kernel bit-identical to the
+    * declarative sequential fold (the interpreted zip_with/aggregate pair
+    * fold dominated otherwise — same treatment as embeddingNearDupPairs). */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(corpusId).as("n_id"), toDouble(col(corpusVec)).as("n_v"))
-    val q = queries.select(col(queryId).as("q_id"), toDouble(col(queryVec)).as("q_v"))
+    val spark = corpus.sparkSession
+    val cv = toDouble(col(corpusVec))
+    val qv = toDouble(col(queryVec))
+    val c = corpus.select(col(corpusId).as("n_id"),
+      graft.functions.PackedDoubles.packCol(spark, cv).as("n_vp"),
+      norm(cv).as("n_nrm"))
+    val q = queries.select(col(queryId).as("q_id"),
+      graft.functions.PackedDoubles.packCol(spark, qv).as("q_vp"),
+      norm(qv).as("q_nrm"))
     var scored = c.crossJoin(broadcast(q))
-      .withColumn("sim", dot(col("n_v"), col("q_v")) / (norm(col("n_v")) * norm(col("q_v"))))
+      .withColumn("sim",
+        graft.functions.PackedDoubles.dotCol(spark, col("n_vp"), col("q_vp")) /
+          (col("n_nrm") * col("q_nrm")))
       .select(col("q_id"), col("n_id"), col("sim"))
     if (excludeSelf) scored = scored.filter(col("q_id") =!= col("n_id"))
     topKPerGroup(scored, "q_id", "n_id", "sim", k)
@@ -50,12 +63,19 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String, cellCol: String,
       queries: DataFrame, queryId: String, queryVec: String, queryCell: String,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    val cv = toDouble(col(corpusVec))
+    val qv = toDouble(col(queryVec))
     val c = corpus.select(col(cellCol).as("cell"), col(corpusId).as("n_id"),
-      toDouble(col(corpusVec)).as("n_v"))
+      graft.functions.PackedDoubles.packCol(spark, cv).as("n_vp"),
+      norm(cv).as("n_nrm"))
     val q = queries.select(col(queryCell).as("cell"), col(queryId).as("q_id"),
-      toDouble(col(queryVec)).as("q_v"))
+      graft.functions.PackedDoubles.packCol(spark, qv).as("q_vp"),
+      norm(qv).as("q_nrm"))
     var scored = c.join(broadcast(q), Seq("cell"))
-      .withColumn("sim", dot(col("n_v"), col("q_v")) / (norm(col("n_v")) * norm(col("q_v"))))
+      .withColumn("sim",
+        graft.functions.PackedDoubles.dotCol(spark, col("n_vp"), col("q_vp")) /
+          (col("n_nrm") * col("q_nrm")))
       .select(col("q_id"), col("n_id"), col("sim"))
     if (excludeSelf) scored = scored.filter(col("q_id") =!= col("n_id"))
     topKPerGroup(scored, "q_id", "n_id", "sim", k)
