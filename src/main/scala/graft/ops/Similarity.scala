@@ -81,21 +81,22 @@ object Similarity {
     topKPerGroup(scored, "q_id", "n_id", "sim", k)
   }
 
-  /** Distributed top-k per group without collecting whole groups:
-    * phase 1 reduces each (group, partition) slice to k candidates, phase 2
-    * merges the per-partition winners. Deterministic ordering (score desc,
-    * id asc). */
+  /** Distributed top-k per group with O(k) aggregation state: ONE
+    * groupBy whose bounded TypedImperativeAggregate (TopKStructAgg) holds
+    * at most k entries per group per task and partially merges map-side —
+    * one shuffle, and no task ever materializes a group's slice (the
+    * previous two-phase collect_list form held whole partition slices
+    * before sorting). Deterministic ordering (score desc, id asc),
+    * bit-identical to slice(array_sort(collect_list(...)), 1, k). */
   def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
-    val item = struct((lit(-1.0) * col(scoreCol)).as("negScore"), col(idCol).as("id"))
-    val partial = scored
-      .groupBy(col(groupCol), spark_partition_id().as("__p"))
-      .agg(slice(array_sort(collect_list(item)), 1, k).as("cands"))
-    val merged = partial
-      .select(col(groupCol), explode(col("cands")).as("c"))
+    val spark = scored.sparkSession
+    val item = struct((lit(-1.0) * col(scoreCol)).as("negScore"),
+      col(idCol).cast("long").as("id"))
+    scored
       .groupBy(col(groupCol))
-      .agg(slice(array_sort(collect_list(col("c"))), 1, k).as("top"))
-    merged.select(col(groupCol), posexplode(col("top")))
+      .agg(graft.functions.TopKStructAgg.topK(spark, item, k).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
       .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(idCol), (lit(-1.0) * col("col.negScore")).as(scoreCol))
   }
