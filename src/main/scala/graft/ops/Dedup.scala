@@ -723,4 +723,86 @@ object Dedup {
       .agg(min(col("bkt")).as("cell"), max(col("cosine")).as("cosine"))
       .select("cell", "id_a", "id_b", "cosine")
   }
+
+  /** Training-free embedding near-dup via sign-random-projection (hyperplane)
+    * LSH: an `nBits`-bit signature (bit k = sign of the dot with a
+    * deterministic pseudo-random hyperplane — [[graft.functions.SrpBitsExpr]])
+    * is split into `bands` nearly-equal bit blocks; vectors agreeing exactly
+    * on any block become candidates, verified with EXACT cosine >= `threshold`
+    * — precision is exact, recall follows the banding S-curve
+    * 1-(1-p^w)^bands with p = 1-θ/π (SrpExprs.srpRecallAt). Complements the
+    * k-means-cell route (embeddingNearDupPairsByCell): no quantizer to train
+    * and recall is angle-governed rather than cell-boundary-governed, at the
+    * cost of `bands` bucket joins instead of one.
+    *
+    * Scale shape: the bucket join and pair dedup run on skinny
+    * (band, key, id) rows; packed vectors + precomputed norms join back only
+    * for deduped candidates (SHUFFLE_HASH, no broadcast of the corpus);
+    * degenerate buckets above `maxBucketSize` are dropped like every LSH
+    * path here (their exact-duplicate pairs are exact-dedup's job). One
+    * signature scan feeds banding and verification via `materializeBase` —
+    * `materializePath` lands it in parquet for cluster reliability,
+    * `None` keeps single-node localCheckpoint.
+    *
+    * Recall discipline: a `minRecall` > 0 fails fast at plan-build time when
+    * the banding S-curve at `threshold` cannot reach it — the mirror of
+    * lshParamsFor's midpoint rule for the Jaccard family (by default the
+    * parameters are taken verbatim, matching the minhashLshPairs contract
+    * that the oracle replicates band for band). */
+  def embeddingSrpLshPairs(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 16, bands: Int = 4, threshold: Double = 0.8,
+      maxBucketSize: Int = 200, minRecall: Double = 0.0,
+      materializePath: Option[String] = None): DataFrame = {
+    require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")
+    require(bands >= 1 && bands <= nBits,
+      s"bands must be in [1, nBits], got $bands")
+    if (minRecall > 0.0) {
+      val r = graft.functions.SrpExprs.srpRecallAt(threshold, nBits, bands)
+      require(r >= minRecall,
+        f"embeddingSrpLshPairs: banded recall at cosine >= $threshold%.3f is " +
+          f"$r%.3f with nBits=$nBits bands=$bands, below minRecall=" +
+          f"$minRecall%.3f — add bands (wider S-curve) or lower nBits/bands " +
+          "width, or verify candidates from a coarser route")
+    }
+    val spark = df.sparkSession
+    val vd = Similarity.toDouble(col(vecCol))
+    val base = materializeBase(
+      df.select(col(idCol).as("id"),
+        graft.functions.PackedDoubles.packCol(spark, vd).as("v"),
+        Similarity.norm(vd).as("nrm"),
+        graft.functions.SrpExprs.srpBits(spark, vd, nBits).as("sig")),
+      materializePath)
+    // nearly-equal bit blocks (first `rem` one bit wider) — simhashPairs
+    // layout generalized to nBits
+    val nBlocks = bands
+    val blockBase = nBits / nBlocks
+    val rem = nBits % nBlocks
+    val blocks = (0 until nBlocks).map { q =>
+      val width = if (q < rem) blockBase + 1 else blockBase
+      val offset = q * blockBase + math.min(q, rem)
+      val mask = (1L << width) - 1L
+      shiftrightunsigned(col("sig"), offset).bitwiseAND(mask)
+    }
+    val keyed = base.select(col("id"), posexplode(array(blocks: _*)))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qkey")
+    val bucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q"), col("qkey"))
+    val capped = keyed.withColumn("__bsz", count(lit(1)).over(bucket))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val a = capped.select(col("q"), col("qkey"), col("id").as("id_a"))
+    val b = capped.select(col("q"), col("qkey"), col("id").as("id_b"))
+    val cands = a.join(b.hint("SHUFFLE_HASH"), Seq("q", "qkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")).hint("SHUFFLE_HASH"), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")).hint("SHUFFLE_HASH"), "id_b")
+      .withColumn("cosine",
+        graft.functions.PackedDoubles.dotCol(spark, col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

@@ -177,6 +177,17 @@ object PipelineQueries {
         probes = 2)
         .orderBy("cell", "id_a", "id_b")
     },
+    // training-free hyperplane-LSH near-dup: 16 sign bits over deterministic
+    // affine hyperplanes (SrpBitsExpr kernel), 4 bands of 4 bits, bucket
+    // cap, exact-cosine verify. Every stage — centered-residue hyperplane
+    // arithmetic, sequential dot folds, band extraction, cap, pair dedup —
+    // is integer/double math DuckDB replicates exactly, so the whole
+    // pipeline is hash-pinned band for band (the minhashLshPairs contract).
+    "d_embed_srp_lsh" -> { (s, d) =>
+      Dedup.embeddingSrpLshPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        nBits = 16, bands = 4, threshold = 0.2, maxBucketSize = 200)
+        .orderBy("id_a", "id_b")
+    },
     // the real-IVF-size shape (rows-only gate; ScaleBench case): 1024 cells,
     // 2 probes, sample-trained quantizer. Before the kernel this plan was
     // un-buildable — the declarative probe ranking put nCells × dim literal
@@ -695,6 +706,50 @@ object PipelineQueries {
          |  SELECT id_a, id_b, min(cell) AS cell, max(cosine) AS cosine
          |  FROM p GROUP BY id_a, id_b)
          |ORDER BY cell, id_a, id_b""".stripMargin
+    },
+    // the SRP pipeline re-derived in SQL: per-bit centered-residue
+    // hyperplane dots (exact BIGINT arithmetic, doubles folded in kernel
+    // order), equal-width band extraction by integer div/mod, the same
+    // bucket cap, pair dedup, and exact-cosine verify
+    "d_embed_srp_lsh" -> {
+      val nBits = 16
+      val bands = 4
+      val width = nBits / bands
+      val seeds = graft.functions.TextHashExprs.affineSeeds(nBits)
+      val p = graft.functions.TextHashExprs.AffineP
+      val h = (p - 1L) / 2L
+      val bitTerms = seeds.zipWithIndex.map { case ((a, b), k) =>
+        s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(range(len(e)), j -> e[j+1] * CAST(($a * (j+1) + $b) % $p - $h AS DOUBLE))),
+           |    (x, y) -> x + y) >= 0 THEN ${1L << k} ELSE 0 END""".stripMargin
+      }.mkString("\n  + ")
+      val bandRows = (0 until bands)
+        .map(q => s"($q, ${1L << (q * width)})").mkString(", ")
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), (x, y) -> x + y)"
+      def sq(a: String): String =
+        s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (x, y) -> x + y))"
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |sig AS (SELECT vec_id, $bitTerms AS sig FROM v),
+         |bands AS (SELECT * FROM (VALUES $bandRows) AS t(q, d)),
+         |keyed AS (
+         |  SELECT s.vec_id, b.q, (s.sig // b.d) % ${1L << width} AS qkey
+         |  FROM sig s CROSS JOIN bands b),
+         |capped AS (
+         |  SELECT vec_id, q, qkey FROM (
+         |    SELECT vec_id, q, qkey, count(*) OVER (PARTITION BY q, qkey) AS bsz
+         |    FROM keyed) WHERE bsz <= 200),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM capped a JOIN capped b ON a.q = b.q AND a.qkey = b.qkey
+         |    AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    ${dot("va.e", "vb.e")} / (${sq("va.e")} * ${sq("vb.e")}) AS cosine
+         |  FROM cand c
+         |  JOIN v va ON va.vec_id = c.id_a
+         |  JOIN v vb ON vb.vec_id = c.id_b)
+         |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
     "s_cosine_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
