@@ -460,6 +460,23 @@ object EngineQueries {
       import s.implicits._
       (errors.toSeq :+ ("<valid>" -> valid) :+ ("<total>" -> total))
         .toDF("error", "n").orderBy("error")
+    },
+    // G1: autoparser dictionary inference as a distributed profiling job —
+    // dtype → {number,string,list} mapping, bracket/comma list-column
+    // detection with element re-count, and the common-values selection
+    // (distinct-count cap, singleton drop). A synthetic bracketed `tags`
+    // column ("[src, lang]") exercises the list path: bracket strip, comma
+    // split, per-element trim, and the ≤-cap boundary (exactly 25 distinct
+    // elements). Common values render SORTED for a deterministic compare —
+    // the reference's frequency-order render is pinned by
+    // DictWriterGoldenSpec's file-order fixtures instead.
+    "g1_dict_infer" -> { (s, d) =>
+      val input = Tables.documents(s, d).withColumn("tags",
+        concat(lit("["), col("source"), lit(", "), col("lang"), lit("]")))
+      val dict = graft.adtl.autoparser.DictWriter.createDict(s, input)
+      graft.adtl.autoparser.DictWriter.toDataFrame(
+          s, dict.map(f => f.copy(commonValues = f.commonValues.sorted)))
+        .orderBy("source_field")
     })
 
   val oracles: Map[String, String] = Map(
@@ -651,5 +668,48 @@ object EngineQueries {
         |    WHEN '3-MEDIUM' THEN '0' ELSE o_orderpriority END AS pri_mixed,
         |  CASE WHEN o_orderkey % 4 = 0 THEN 'not-a-date'
         |    ELSE strftime(o_orderdate, '%d/%m/%Y') END AS date_ru
-        |FROM orders ORDER BY okey""".stripMargin)
+        |FROM orders ORDER BY okey""".stripMargin,
+    // G1 re-derived in SQL: per string column, non-empty values; list
+    // detection via bracket/comma EXISTS; elements = bracket-stripped,
+    // comma-split, trimmed (non-list columns keep the value whole); common
+    // values = the non-singleton values, kept only when the distinct count
+    // is within the cap (25), rendered sorted. Numeric columns are typed by
+    // schema, never profiled — constant rows, like the Spark side's dtype
+    // branch.
+    "g1_dict_infer" -> {
+      def colCte(name: String, expr: String) =
+        s"""${name}_vals AS (
+           |  SELECT CAST($expr AS VARCHAR) AS v FROM documents
+           |  WHERE $expr IS NOT NULL AND CAST($expr AS VARCHAR) <> ''),
+           |${name}_islist AS (
+           |  SELECT EXISTS(SELECT 1 FROM ${name}_vals
+           |    WHERE v LIKE '%[%' OR v LIKE '%,%') AS b),
+           |${name}_elems AS (
+           |  SELECT unnest(CASE WHEN (SELECT b FROM ${name}_islist)
+           |    THEN list_transform(
+           |      string_split(regexp_replace(v, '^[\\[\\]]+|[\\[\\]]+$$', '', 'g'), ','),
+           |      x -> trim(x))
+           |    ELSE [v] END) AS v
+           |  FROM ${name}_vals),
+           |${name}_counts AS (SELECT v, count(*) AS c FROM ${name}_elems GROUP BY v),
+           |${name}_row AS (
+           |  SELECT CASE WHEN (SELECT b FROM ${name}_islist) THEN 'list' ELSE 'string' END AS ty,
+           |    CASE WHEN (SELECT count(*) FROM ${name}_counts) BETWEEN 1 AND 25
+           |      THEN COALESCE((SELECT string_agg(v, ', ' ORDER BY v)
+           |                     FROM ${name}_counts WHERE c > 1), '')
+           |      ELSE '' END AS cv)""".stripMargin
+      s"""WITH
+         |${colCte("t", "text")},
+         |${colCte("l", "lang")},
+         |${colCte("s", "source")},
+         |${colCte("g", "concat('[', source, ', ', lang, ']')")}
+         |SELECT * FROM (
+         |  SELECT 'doc_id' AS source_field, 'number' AS source_type, '' AS common_values
+         |  UNION ALL SELECT 'n_chars', 'number', ''
+         |  UNION ALL SELECT 'text', ty, cv FROM t_row
+         |  UNION ALL SELECT 'lang', ty, cv FROM l_row
+         |  UNION ALL SELECT 'source', ty, cv FROM s_row
+         |  UNION ALL SELECT 'tags', ty, cv FROM g_row)
+         |ORDER BY source_field""".stripMargin
+    })
 }
