@@ -461,6 +461,30 @@ object EngineQueries {
       (errors.toSeq :+ ("<valid>" -> valid) :+ ("<total>" -> total))
         .toDF("error", "n").orderBy("error")
     },
+    // S4: the CSV sink round-trip, end to end — parse, write through the
+    // real sink (sorted header, Python-style rendering, empty-as-null), and
+    // read the files back; the oracle recomputes the table with every cell
+    // as VARCHAR, so null round-tripping and the string renders (double,
+    // sha256 hex, recoded enums, reformatted dates) are all hash-pinned.
+    "v_csv_sink" -> { (s, d) =>
+      val p = AdtlParser.fromJsonString(oneToOneSpec)
+      val tables = p.parseDataFrame(s, ordersInput(s, d))
+      val dir = java.nio.file.Files.createTempDirectory("graft-vcs")
+        .toString + "/order_fact"
+      p.writeCsv(tables, "order_fact", dir)
+      s.read.option("header", "true").csv(dir).orderBy("order_key")
+    },
+    // S5: the parquet sink round-trip (type-preserving, validation columns
+    // ordered first when present) — same parse, through writeParquet and
+    // back; the oracle is the parse oracle itself.
+    "v_parquet_sink" -> { (s, d) =>
+      val p = AdtlParser.fromJsonString(oneToOneSpec)
+      val tables = p.parseDataFrame(s, ordersInput(s, d))
+      val dir = java.nio.file.Files.createTempDirectory("graft-vps")
+        .toString + "/order_fact"
+      p.writeParquet(tables, "order_fact", dir)
+      s.read.parquet(dir).orderBy("order_key")
+    },
     // G1: autoparser dictionary inference as a distributed profiling job —
     // dtype → {number,string,list} mapping, bracket/comma list-column
     // detection with element re-count, and the common-values selection
@@ -669,6 +693,26 @@ object EngineQueries {
         |  CASE WHEN o_orderkey % 4 = 0 THEN 'not-a-date'
         |    ELSE strftime(o_orderdate, '%d/%m/%Y') END AS date_ru
         |FROM orders ORDER BY okey""".stripMargin,
+    // the CSV round-trip: the parse oracle with every column rendered to
+    // VARCHAR (CSV carries no types; DuckDB's shortest double render
+    // matches the Java one at these magnitudes — no exponent range)
+    "v_csv_sink" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS order_key,
+        |  sha256(CAST(o_orderkey AS VARCHAR)) AS okey_hash,
+        |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished' WHEN 'P' THEN 'pending' END AS status_name,
+        |  CASE WHEN regexp_matches(o_orderpriority, '^(?:1-)', 'i') THEN o_orderpriority END AS urgent_pri,
+        |  strftime(o_orderdate, '%d/%m/%Y') AS date_dmy,
+        |  CAST(CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS VARCHAR) AS total_f
+        |FROM orders ORDER BY order_key""".stripMargin,
+    // the parquet round-trip is type-preserving: the parse oracle verbatim
+    "v_parquet_sink" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS order_key,
+        |  sha256(CAST(o_orderkey AS VARCHAR)) AS okey_hash,
+        |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished' WHEN 'P' THEN 'pending' END AS status_name,
+        |  CASE WHEN regexp_matches(o_orderpriority, '^(?:1-)', 'i') THEN o_orderpriority END AS urgent_pri,
+        |  strftime(o_orderdate, '%d/%m/%Y') AS date_dmy,
+        |  CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS total_f
+        |FROM orders ORDER BY order_key""".stripMargin,
     // G1 re-derived in SQL: per string column, non-empty values; list
     // detection via bracket/comma EXISTS; elements = bracket-stripped,
     // comma-split, trimmed (non-list columns keep the value whole); common
