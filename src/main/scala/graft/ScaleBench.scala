@@ -38,7 +38,7 @@ object ScaleBench {
     "s_cosine_topk", "adtl_onetomany", "d_embed_neardup", "q_clean_corpus",
     "d_ngram_jaccard", "d_ngram_jaccard_bounded", "m_media_feature",
     "adtl_apply_dates", "r3_one_to_many", "q_stream_window",
-    "d_embed_neardup_probes", "d_cells1024_probe2")
+    "d_embed_neardup_probes", "d_cells1024_probe2", "d_embed_srp_lsh")
 
   /** Default queries for `--skew` runs: the two operators whose straggler
     * bounds (LSH bucket caps, two-stage salting) the skewed replication is
@@ -53,6 +53,7 @@ object ScaleBench {
     "s_cosine_topk" -> Set("embeddings"), "d_embed_neardup" -> Set("embeddings"),
     "d_embed_neardup_probes" -> Set("embeddings"),
     "d_cells1024_probe2" -> Set("embeddings"),
+    "d_embed_srp_lsh" -> Set("embeddings"),
     "d_minhash_lsh" -> Set("documents"), "d_lsh_jaccard_verify" -> Set("documents"),
     "d_simhash" -> Set("documents"), "q_clean_corpus" -> Set("documents"),
     "d_ngram_jaccard" -> Set("documents"), "d_ngram_jaccard_bounded" -> Set("documents"),

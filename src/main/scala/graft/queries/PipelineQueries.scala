@@ -177,15 +177,18 @@ object PipelineQueries {
         probes = 2)
         .orderBy("cell", "id_a", "id_b")
     },
-    // training-free hyperplane-LSH near-dup: 16 sign bits over deterministic
-    // affine hyperplanes (SrpBitsExpr kernel), 4 bands of 4 bits, bucket
+    // training-free hyperplane-LSH near-dup: 32 sign bits over deterministic
+    // affine hyperplanes (SrpBitsExpr kernel), 4 bands of 8 bits, bucket
     // cap, exact-cosine verify. Every stage — centered-residue hyperplane
     // arithmetic, sequential dot folds, band extraction, cap, pair dedup —
     // is integer/double math DuckDB replicates exactly, so the whole
     // pipeline is hash-pinned band for band (the minhashLshPairs contract).
+    // 8-bit band keys size the buckets for the 10× ScaleBench run too
+    // (avg bucket = n/256 per band; 4-bit keys would push every bucket
+    // past the cap once the corpus clears ~3k vectors).
     "d_embed_srp_lsh" -> { (s, d) =>
       Dedup.embeddingSrpLshPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        nBits = 16, bands = 4, threshold = 0.2, maxBucketSize = 200)
+        nBits = 32, bands = 4, threshold = 0.2, maxBucketSize = 200)
         .orderBy("id_a", "id_b")
     },
     // the real-IVF-size shape (rows-only gate; ScaleBench case): 1024 cells,
@@ -712,7 +715,7 @@ object PipelineQueries {
     // order), equal-width band extraction by integer div/mod, the same
     // bucket cap, pair dedup, and exact-cosine verify
     "d_embed_srp_lsh" -> {
-      val nBits = 16
+      val nBits = 32
       val bands = 4
       val width = nBits / bands
       val seeds = graft.functions.TextHashExprs.affineSeeds(nBits)
