@@ -38,7 +38,8 @@ object ScaleBench {
     "s_cosine_topk", "adtl_onetomany", "d_embed_neardup", "q_clean_corpus",
     "d_ngram_jaccard", "d_ngram_jaccard_bounded", "m_media_feature",
     "adtl_apply_dates", "r3_one_to_many", "q_stream_window",
-    "d_embed_neardup_probes", "d_cells1024_probe2", "d_embed_srp_lsh")
+    "d_embed_neardup_probes", "d_cells1024_probe2", "d_embed_srp_lsh",
+    "t_winnow_overlap")
 
   /** Default queries for `--skew` runs: the two operators whose straggler
     * bounds (LSH bucket caps, two-stage salting) the skewed replication is
@@ -58,6 +59,7 @@ object ScaleBench {
     "d_simhash" -> Set("documents"), "q_clean_corpus" -> Set("documents"),
     "d_ngram_jaccard" -> Set("documents"), "d_ngram_jaccard_bounded" -> Set("documents"),
     "m_media_feature" -> Set("documents"),
+    "t_winnow_overlap" -> Set("documents"),
     "adtl_onetomany" -> Set("orders"),
     "adtl_apply_dates" -> Set("orders", "lineitem"),
     "r3_one_to_many" -> Set("orders", "lineitem"),

@@ -40,7 +40,7 @@ object Dedup {
     * reachable filesystem, survives executor loss under dynamic
     * allocation; caller owns cleanup) — else `localCheckpoint()`
     * (executor-local blocks; fine single-node). Output identical. */
-  private def materializeBase(df: DataFrame, path: Option[String]): DataFrame =
+  private[ops] def materializeBase(df: DataFrame, path: Option[String]): DataFrame =
     path match {
       case Some(p) =>
         df.write.mode("overwrite").parquet(p)

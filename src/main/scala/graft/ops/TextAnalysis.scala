@@ -99,4 +99,40 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Winnowed rolling-hash fingerprints, one row per (id, fingerprint) —
+    * the partial-overlap detector the whole-document [[fingerprint]] can't
+    * be: any shared substring of >= w + k - 1 code points is guaranteed a
+    * shared fingerprint ([[graft.functions.WinnowExpr]]), at ~2/(w+1)
+    * fingerprints per position. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.WinnowExprs.winnow(
+          df.sparkSession, col(textCol), k, w)).as("fp"))
+
+  /** Document-overlap (contamination) pairs by shared winnowed
+    * fingerprints: pairs sharing at least `minShared` fingerprints, with
+    * the shared count. The inverted-index self-join runs on skinny
+    * (fp, id) rows; fingerprints shared by more than `maxDocsPerFp`
+    * documents (boilerplate that would pair everything with everything)
+    * are dropped before pairing — the LSH bucket-cap discipline. At corpus
+    * scale the fingerprint table is the operator's one shuffle;
+    * `materializePath` lands it in parquet when the plan is consumed twice
+    * on a cluster (the bounded-Jaccard materialization contract). */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 16, maxDocsPerFp: Int = 50, minShared: Int = 3,
+      materializePath: Option[String] = None): DataFrame = {
+    val fps = Dedup.materializeBase(
+      winnowFingerprints(df, idCol, textCol, k, w), materializePath)
+    val bucket = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val capped = fps.withColumn("__c", count(lit(1)).over(bucket))
+      .filter(col("__c") <= maxDocsPerFp).drop("__c")
+    val a = capped.select(col("fp"), col("id").as("id_a"))
+    val b = capped.select(col("fp"), col("id").as("id_b"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -248,6 +248,16 @@ object PipelineQueries {
         .select("doc_id", "fps", "duration_s", "frame_idx")
         .orderBy("doc_id", "frame_idx")
     },
+    // winnowed rolling-hash fingerprint overlap (contamination detection):
+    // k=16-codepoint grams hashed base-31 mod 2^31-1, window-of-16 minima
+    // (the winnowing guarantee: any shared substring >= 31 chars produces a
+    // shared fingerprint), boilerplate fingerprints capped, pairs by shared
+    // count. Integer hashing end to end — hash-pinned against the oracle.
+    "t_winnow_overlap" -> { (s, d) =>
+      TextAnalysis.winnowOverlapPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 16, w = 16, maxDocsPerFp = 50, minShared = 3)
+        .orderBy("id_a", "id_b")
+    },
     // tumbling 5-minute event stats (batch form of the streaming op)
     "q_stream_window" -> { (s, d) =>
       Streaming.windowStatsBatch(Tables.events(s, d), "5 minutes")
@@ -710,6 +720,26 @@ object PipelineQueries {
          |  FROM p GROUP BY id_a, id_b)
          |ORDER BY cell, id_a, id_b""".stripMargin
     },
+    // winnowing re-derived in SQL: per-position Horner base-31 gram hashes
+    // (same residues as the kernel's rolling recurrence), sliding window-
+    // of-16 minima via a frame window function (partial frame at the end
+    // covers the m <= w single-fingerprint case), distinct per doc, hot-
+    // fingerprint cap, inverted-index pair counts
+    "t_winnow_overlap" ->
+      """WITH docs2 AS (SELECT doc_id, text AS t, len(text) AS n FROM documents),
+        |cps AS (SELECT doc_id, n, list_transform(range(n), i -> unicode(substr(t, CAST(i+1 AS INT), 1))) AS cp FROM docs2 WHERE n > 0),
+        |hs AS (SELECT doc_id, greatest(n - 16 + 1, 1) AS m,
+        |  list_transform(range(greatest(n - 16 + 1, 1)), i ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(least(16, n)), j -> CAST(cp[CAST(i+j+1 AS INT)] AS BIGINT))), (acc, c) -> (acc * 31 + c) % 2147483647)) AS h
+        |  FROM cps),
+        |hpos AS (SELECT doc_id, m, unnest(h) AS hv, unnest(range(len(h))) AS i FROM hs),
+        |wins AS (SELECT doc_id, i, m, min(hv) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin FROM hpos),
+        |sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM wins WHERE i <= greatest(m - 16, 0)),
+        |capped AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS c FROM sel) WHERE c <= 50),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // the SRP pipeline re-derived in SQL: per-bit centered-residue
     // hyperplane dots (exact BIGINT arithmetic, doubles folded in kernel
     // order), equal-width band extraction by integer div/mod, the same
