@@ -48,7 +48,7 @@ object DictWriter {
       } else (maxCommonCount.toDouble, minCommonFreq)
     val rid = monotonically_increasing_id()
 
-    df.schema.fields.toList.map { f =>
+    def inferField(f: StructField): FieldInfo = {
       val baseType = f.dataType match {
         case _: NumericType => "number"
         case DateType | TimestampType => "date"
@@ -74,17 +74,26 @@ object DictWriter {
         minFreq.foreach { mf =>
           counts = counts.filter(col("cnt") > math.max(1.0, n * mf))
         }
-        // privacy guard: collect only when the distinct count is under the
-        // cap — identifier-like columns never reach the driver
-        val distinctCount = counts.count()
+        // privacy guard: the collect is bounded at cap+1 rows, so
+        // identifier-like columns never stream to the driver — one extra
+        // row decides over-cap without a separate count() job
+        val capped = counts
+          .orderBy(col("cnt").desc, col("first_seen").asc)
+          .limit(maxCc.toInt + 1).collect()
         val common: List[String] =
-          if (distinctCount == 0 || distinctCount > maxCc) Nil
-          else counts.filter(col("cnt") > 1)
-            .orderBy(col("cnt").desc, col("first_seen").asc)
-            .collect().map(_.getString(0)).toList
+          if (capped.isEmpty || capped.length > maxCc) Nil
+          else capped.filter(_.getLong(1) > 1).map(_.getString(0)).toList
         FieldInfo(f.name, if (isList) "list" else "string", common)
       }
     }
+    // columns profile independently — run their (tiny, two-job) pipelines
+    // concurrently; result order stays the schema order
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    df.schema.fields.toList
+      .map(f => Future(inferField(f)))
+      .map(Await.result(_, Duration.Inf))
   }
 
   /** Render the dictionary as the CSV-ish rows the mapping stage consumes. */
