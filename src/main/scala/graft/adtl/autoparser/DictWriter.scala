@@ -48,52 +48,81 @@ object DictWriter {
       } else (maxCommonCount.toDouble, minCommonFreq)
     val rid = monotonically_increasing_id()
 
-    def inferField(f: StructField): FieldInfo = {
-      val baseType = f.dataType match {
-        case _: NumericType => "number"
-        case DateType | TimestampType => "date"
-        case BooleanType => "boolean"
-        case _ => "string"
-      }
-      if (baseType != "string") FieldInfo(f.name, baseType, Nil)
+    def baseType(f: StructField): String = f.dataType match {
+      case _: NumericType => "number"
+      case DateType | TimestampType => "date"
+      case BooleanType => "boolean"
+      case _ => "string"
+    }
+    val stringFields = df.schema.fields.toList.filter(baseType(_) == "string")
+
+    // Fixed TWO profiling scans regardless of column count — per-column
+    // jobs would re-read the table 2x per string column, the wrong shape
+    // for wide tables at scale. Scan 1: every column's list-ness in one
+    // aggregation. Scan 2: all columns' value counts at once via a stacked
+    // (column, value) projection.
+    val isList: Map[String, Boolean] =
+      if (stringFields.isEmpty) Map.empty
       else {
-        val c = col(f.name).cast("string")
-        val present = df.select(c.as("v"), rid.as("r"))
+        val aggExprs = stringFields.map { f =>
+          val v = col(f.name).cast("string")
+          max(v.isNotNull && v =!= "" &&
+            (v.contains("[") || v.contains(","))).as(f.name)
+        }
+        val row = df.agg(aggExprs.head, aggExprs.tail: _*).head
+        stringFields.map { f =>
+          val i = row.fieldIndex(f.name)
+          f.name -> (!row.isNullAt(i) && row.getBoolean(i))
+        }.toMap
+      }
+    val listCols = stringFields.map(_.name).filter(isList)
+
+    val common: Map[String, List[String]] =
+      if (stringFields.isEmpty) Map.empty
+      else {
+        val structs = stringFields.map(f =>
+          struct(lit(f.name).as("c"), col(f.name).cast("string").as("v")))
+        val stacked = df.select(rid.as("r"), explode(array(structs: _*)).as("s"))
+          .select(col("r"), col("s.c").as("c"), col("s.v").as("v"))
           .filter(col("v").isNotNull && col("v") =!= "")
-        val isList = present
-          .filter(col("v").contains("[") || col("v").contains(","))
-          .limit(1).count() > 0
-        val values =
-          if (isList)
-            present.select(explode(transform(
-              split(regexp_replace(col("v"), "^[\\[\\]]+|[\\[\\]]+$", ""), ","),
-              x => trim(x))).as("v"), col("r"))
-          else present
-        var counts = values.groupBy("v")
+        val values = stacked.withColumn("va",
+            when(col("c").isin(listCols: _*),
+              transform(split(regexp_replace(col("v"), "^[\\[\\]]+|[\\[\\]]+$", ""), ","),
+                x => trim(x)))
+              .otherwise(array(col("v"))))
+          .select(col("c"), col("r"), explode(col("va")).as("v"))
+        var counts = values.groupBy("c", "v")
           .agg(count(lit(1)).as("cnt"), min(col("r")).as("first_seen"))
         minFreq.foreach { mf =>
           counts = counts.filter(col("cnt") > math.max(1.0, n * mf))
         }
-        // privacy guard: the collect is bounded at cap+1 rows, so
-        // identifier-like columns never stream to the driver — one extra
-        // row decides over-cap without a separate count() job
-        val capped = counts
-          .orderBy(col("cnt").desc, col("first_seen").asc)
-          .limit(maxCc.toInt + 1).collect()
-        val common: List[String] =
-          if (capped.isEmpty || capped.length > maxCc) Nil
-          else capped.filter(_.getLong(1) > 1).map(_.getString(0)).toList
-        FieldInfo(f.name, if (isList) "list" else "string", common)
+        // privacy guard: the collect is bounded at (cap+1) rows PER COLUMN
+        // (one extra row decides over-cap), so identifier-like columns
+        // never stream to the driver
+        val perCol = org.apache.spark.sql.expressions.Window.partitionBy("c")
+        val collected = counts
+          .withColumn("rn", row_number().over(
+            perCol.orderBy(col("cnt").desc, col("first_seen").asc)))
+          .withColumn("dcount", count(lit(1)).over(perCol))
+          .filter(col("rn") <= maxCc.toInt + 1)
+          .collect()
+        collected.groupBy(_.getString(0)).map { case (c, rows) =>
+          val dcount = rows.head.getAs[Long]("dcount")
+          c -> (if (dcount > maxCc) Nil
+                else rows.sortBy(_.getAs[Int]("rn"))
+                  .filter(_.getAs[Long]("cnt") > 1)
+                  .map(_.getString(1)).toList)
+        }
+      }
+
+    df.schema.fields.toList.map { f =>
+      baseType(f) match {
+        case "string" => FieldInfo(f.name,
+          if (isList(f.name)) "list" else "string",
+          common.getOrElse(f.name, Nil))
+        case t => FieldInfo(f.name, t, Nil)
       }
     }
-    // columns profile independently — run their (tiny, two-job) pipelines
-    // concurrently; result order stays the schema order
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    df.schema.fields.toList
-      .map(f => Future(inferField(f)))
-      .map(Await.result(_, Duration.Inf))
   }
 
   /** Render the dictionary as the CSV-ish rows the mapping stage consumes. */
