@@ -100,6 +100,29 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint(t))
   }
 
+  /** PII scrubbing for training corpora: emails, IPv4 addresses, phone-like
+    * digit runs, and long id-like digit runs replaced with typed
+    * placeholders, in that fixed cascade order (earlier redactions can
+    * absorb text later patterns would otherwise match — deterministic by
+    * construction). Patterns stay in the RE2-compatible subset (no
+    * lookaround, no backreferences) with identical leftmost-first greedy
+    * semantics in java.util.regex and RE2, so a SQL engine replicates the
+    * output byte for byte. Pure codegen'd regexp_replace chain — no UDF. */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+    // the leading '+' keeps plain digit runs for the id rule below
+    val phone = "\\+\\d[\\d() -]{6,}\\d"
+    val idRun = "\\b\\d{9,}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, email, "<EMAIL>"),
+          ipv4, "<IP>"),
+        phone, "<PHONE>"),
+      idRun, "<ID>")
+  }
+
   /** Winnowed rolling-hash fingerprints, one row per (id, fingerprint) —
     * the partial-overlap detector the whole-document [[fingerprint]] can't
     * be: any shared substring of >= w + k - 1 code points is guaranteed a

@@ -248,6 +248,20 @@ object PipelineQueries {
         .select("doc_id", "fps", "duration_s", "frame_idx")
         .orderBy("doc_id", "frame_idx")
     },
+    // PII scrubbing: emails / IPv4 / +phone / long id runs planted
+    // deterministically from doc_id, redacted by the fixed regexp_replace
+    // cascade — RE2-subset patterns, so DuckDB replicates byte for byte
+    "t_redact_pii" -> { (s, d) =>
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555 01"),
+        lpad(col("doc_id").cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 ref 9"), lpad(col("doc_id").cast("string"), 9, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.redactPii(planted).as("redacted"))
+        .orderBy("doc_id")
+    },
     // winnowed rolling-hash fingerprint overlap (contamination detection):
     // k=16-codepoint grams hashed base-31 mod 2^31-1, window-of-16 minima
     // (the winnowing guarantee: any shared substring >= 31 chars produces a
@@ -720,6 +734,22 @@ object PipelineQueries {
          |  FROM p GROUP BY id_a, id_b)
          |ORDER BY cell, id_a, id_b""".stripMargin
     },
+    // the same plant + redaction cascade in RE2 syntax ('g' = replace all,
+    // Spark's default)
+    "t_redact_pii" ->
+      """WITH planted AS (
+        |  SELECT doc_id, concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |    '@example.com or +1 555 01', lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+        |    ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 ref 9',
+        |    lpad(CAST(doc_id AS VARCHAR), 9, '0')) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d() -]{6,}\d', '<PHONE>', 'g'),
+        |    '\b\d{9,}\b', '<ID>', 'g') AS redacted
+        |FROM planted ORDER BY doc_id""".stripMargin,
     // winnowing re-derived in SQL: per-position Horner base-31 gram hashes
     // (same residues as the kernel's rolling recurrence), sliding window-
     // of-16 minima via a frame window function (partial frame at the end

@@ -445,4 +445,18 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(scores(1L) > scores(2L))
   }
+
+  test("PII redaction: typed placeholders, cascade order, clean text untouched") {
+    val df = docs(
+      1L -> "mail me at jane.doe+spam@mail.example.org today",
+      2L -> "server 192.168.001.42 and phone +44 (020) 7946-0958 end",
+      3L -> "account 123456789012 but short 12345678 stays",
+      4L -> "no pii in this sentence at all")
+    val out = df.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    assert(out(2L) == "server <IP> and phone <PHONE> end")
+    assert(out(3L) == "account <ID> but short 12345678 stays")
+    assert(out(4L) == "no pii in this sentence at all")
+  }
 }
