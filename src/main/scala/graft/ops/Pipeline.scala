@@ -28,4 +28,31 @@ object Pipeline {
       .filter(col("__keep"))
       .drop("__fp", "__keep")
   }
+
+  /** Deterministic train/validation/test assignment: bucket = (first 60
+    * bits of md5("salt:id")) mod 10000, compared against cumulative
+    * per-ten-thousandth weight thresholds. Pure expressions and NEVER
+    * rand() — the split of a given id is stable under re-runs, task
+    * retries, cluster size, and data order, and any engine with md5 can
+    * reproduce it (the md5-affine discipline of the dedup oracles).
+    * Weights must sum to 1; every row gets exactly one split name. */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "validation" -> 0.01, "test" -> 0.01),
+      salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(10000L))
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * 10000).toInt)
+    val assign = splits.zip(thresholds).dropRight(1)
+      .foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
+        case (((name, _), t), acc) => when(bucket < t, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split_bucket", bucket).withColumn("split", assign)
+  }
 }

@@ -248,6 +248,14 @@ object PipelineQueries {
         .select("doc_id", "fps", "duration_s", "frame_idx")
         .orderBy("doc_id", "frame_idx")
     },
+    // deterministic train/validation/test assignment: md5-bucket mod 10000
+    // vs cumulative thresholds — never rand(), stable under retries and
+    // cluster size, and SQL-replicable per row (the md5-affine discipline)
+    "q_split_assign" -> { (s, d) =>
+      graft.ops.Pipeline.splitAssign(Tables.documents(s, d), "doc_id")
+        .select("doc_id", "split_bucket", "split")
+        .orderBy("doc_id")
+    },
     // PII scrubbing: emails / IPv4 / +phone / long id runs planted
     // deterministically from doc_id, redacted by the fixed regexp_replace
     // cascade — RE2-subset patterns, so DuckDB replicates byte for byte
@@ -734,6 +742,20 @@ object PipelineQueries {
          |  FROM p GROUP BY id_a, id_b)
          |ORDER BY cell, id_a, id_b""".stripMargin
     },
+    // per-row split assignment re-derived: the same 60-bit md5 fold the
+    // dedup oracles use, mod 10000, CASE over the cumulative thresholds
+    "q_split_assign" ->
+      """SELECT doc_id, b AS split_bucket,
+        |  CASE WHEN b < 9800 THEN 'train'
+        |       WHEN b < 9900 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('graft:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+        |      (acc, d) -> acc * 16 + d) % 10000 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // the same plant + redaction cascade in RE2 syntax ('g' = replace all,
     // Spark's default)
     "t_redact_pii" ->

@@ -446,6 +446,29 @@ class OpsSpec extends SparkSpec {
     assert(scores(1L) > scores(2L))
   }
 
+  test("splitAssign: exhaustive, deterministic, proportional, rand()-free") {
+    import spark.implicits._
+    val ids = (0L until 5000L).toDF("id")
+    val out = Pipeline.splitAssign(ids, "id")
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000L) // every row assigned exactly once
+    assert(counts("train") > 4700 && counts("train") < 4950)
+    assert(counts.getOrElse("validation", 0L) > 10)
+    assert(counts.getOrElse("test", 0L) > 10)
+    // same ids, different order/partitioning → identical assignments
+    val again = Pipeline.splitAssign(
+        ids.orderBy(col("id").desc).repartition(7), "id")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = out.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.splitAssign(ids, "id", Seq("train" -> 0.5, "test" -> 0.2))
+    }
+    assert(ex.getMessage.contains("sum to 1"))
+  }
+
   test("PII redaction: typed placeholders, cascade order, clean text untouched") {
     val df = docs(
       1L -> "mail me at jane.doe+spam@mail.example.org today",
