@@ -134,6 +134,43 @@ object TextAnalysis {
         explode(graft.functions.WinnowExprs.winnow(
           df.sparkSession, col(textCol), k, w)).as("fp"))
 
+  /** Benchmark decontamination: drop corpus documents sharing at least
+    * `minShared` winnowed fingerprints with ANY document of the eval set —
+    * the standard held-out-benchmark leak filter, with the winnowing
+    * guarantee that any verbatim overlap of >= w + k - 1 code points is
+    * caught.
+    *
+    * Scale shape: the corpus is NEVER shuffled. Its fingerprints explode
+    * narrowly, meet the (small) eval fingerprint set in a broadcast join,
+    * only the matched sliver aggregates to contaminated ids, and those
+    * broadcast back as a left_anti — a 100 TB corpus flows through as one
+    * narrow scan plus two broadcasts of eval-sized data. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+      k: Int = 16, w: Int = 16, minShared: Int = 3): DataFrame = {
+    val cfp = winnowFingerprints(corpus, idCol, textCol, k, w)
+    val efp = winnowFingerprints(evalSet, evalIdCol, evalTextCol, k, w)
+      .select("fp").distinct()
+    val contaminated = cfp.join(broadcast(efp), Seq("fp"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id").as(idCol))
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
+  /** Stateless streaming form: eval fingerprints ride as a literal array
+    * (eval sets are bounded — collect them once with
+    * `winnowFingerprints(eval...).select("fp").distinct()`), so the filter
+    * is a pure per-row expression, safe in any streaming output mode with
+    * no state store. size(array_intersect) counts shared fingerprints
+    * because winnow output is distinct per document. */
+  def decontaminateFilter(text: Column, evalFps: Seq[Long],
+      k: Int = 16, w: Int = 16, minShared: Int = 3): Column =
+    size(array_intersect(
+      graft.functions.WinnowExprs.winnow(
+        org.apache.spark.sql.SparkSession.active, text, k, w),
+      typedlit(evalFps))) < minShared
+
   /** Document-overlap (contamination) pairs by shared winnowed
     * fingerprints: pairs sharing at least `minShared` fingerprints, with
     * the shared count. The inverted-index self-join runs on skinny

@@ -248,6 +248,19 @@ object PipelineQueries {
         .select("doc_id", "fps", "duration_s", "frame_idx")
         .orderBy("doc_id", "frame_idx")
     },
+    // benchmark decontamination: every 50th doc plays the held-out eval
+    // set; corpus docs sharing >= 3 winnowed fingerprints with any eval
+    // doc are dropped (eval members remove themselves via full overlap).
+    // The corpus side never shuffles — eval fingerprints broadcast in,
+    // contaminated ids broadcast back as a left_anti.
+    "q_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      TextAnalysis.decontaminate(docs, "doc_id", "text",
+          evalSet, "doc_id", "text", k = 16, w = 16, minShared = 3)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
     // deterministic train/validation/test assignment: md5-bucket mod 10000
     // vs cumulative thresholds — never rand(), stable under retries and
     // cluster size, and SQL-replicable per row (the md5-affine discipline)
@@ -319,6 +332,21 @@ object PipelineQueries {
 
   private val tokensSql =
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  /** Shared winnowing CTE chain (codepoints → Horner base-31 gram hashes →
+    * window-of-16 minima → distinct (doc_id, fp)), prefixed so one oracle
+    * can instantiate it for several inputs; final CTE is `{p}sel`. Used by
+    * the t_winnow_overlap and q_decontaminate oracles. */
+  private def winnowSelCtes(p: String, source: String): String =
+    s"""${p}docs2 AS (SELECT doc_id, text AS t, len(text) AS n FROM $source),
+       |${p}cps AS (SELECT doc_id, n, list_transform(range(n), i -> unicode(substr(t, CAST(i+1 AS INT), 1))) AS cp FROM ${p}docs2 WHERE n > 0),
+       |${p}hs AS (SELECT doc_id, greatest(n - 16 + 1, 1) AS m,
+       |  list_transform(range(greatest(n - 16 + 1, 1)), i ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(least(16, n)), j -> CAST(cp[CAST(i+j+1 AS INT)] AS BIGINT))), (acc, c) -> (acc * 31 + c) % 2147483647)) AS h
+       |  FROM ${p}cps),
+       |${p}hpos AS (SELECT doc_id, m, unnest(h) AS hv, unnest(range(len(h))) AS i FROM ${p}hs),
+       |${p}wins AS (SELECT doc_id, i, m, min(hv) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin FROM ${p}hpos),
+       |${p}sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM ${p}wins WHERE i <= greatest(m - 16, 0))""".stripMargin
 
   /** Shared md5-affine LSH CTE chain (toks → grams → hashes → sigs →
     * banded → capped → cand → est) re-deriving the whole candidate
@@ -778,20 +806,24 @@ object PipelineQueries {
     // covers the m <= w single-fingerprint case), distinct per doc, hot-
     // fingerprint cap, inverted-index pair counts
     "t_winnow_overlap" ->
-      """WITH docs2 AS (SELECT doc_id, text AS t, len(text) AS n FROM documents),
-        |cps AS (SELECT doc_id, n, list_transform(range(n), i -> unicode(substr(t, CAST(i+1 AS INT), 1))) AS cp FROM docs2 WHERE n > 0),
-        |hs AS (SELECT doc_id, greatest(n - 16 + 1, 1) AS m,
-        |  list_transform(range(greatest(n - 16 + 1, 1)), i ->
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(least(16, n)), j -> CAST(cp[CAST(i+j+1 AS INT)] AS BIGINT))), (acc, c) -> (acc * 31 + c) % 2147483647)) AS h
-        |  FROM cps),
-        |hpos AS (SELECT doc_id, m, unnest(h) AS hv, unnest(range(len(h))) AS i FROM hs),
-        |wins AS (SELECT doc_id, i, m, min(hv) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin FROM hpos),
-        |sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM wins WHERE i <= greatest(m - 16, 0)),
+      s"""WITH ${winnowSelCtes("", "documents")},
         |capped AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS c FROM sel) WHERE c <= 50),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // decontamination: corpus + eval fingerprint CTEs (same winnow chain),
+    // shared-count >= 3 per corpus doc against the eval set, anti-join
+    "q_decontaminate" ->
+      s"""WITH ${winnowSelCtes("c", "documents")},
+        |${winnowSelCtes("e", "(SELECT * FROM documents WHERE doc_id % 50 = 0)")},
+        |contaminated AS (
+        |  SELECT c.doc_id FROM csel c
+        |  JOIN (SELECT DISTINCT fp FROM esel) e ON c.fp = e.fp
+        |  GROUP BY c.doc_id HAVING count(*) >= 3)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
     // the SRP pipeline re-derived in SQL: per-bit centered-residue
     // hyperplane dots (exact BIGINT arithmetic, doubles folded in kernel
     // order), equal-width band extraction by integer div/mod, the same
