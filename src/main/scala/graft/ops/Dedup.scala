@@ -748,7 +748,14 @@ object Dedup {
     * the banding S-curve at `threshold` cannot reach it — the mirror of
     * lshParamsFor's midpoint rule for the Jaccard family (by default the
     * parameters are taken verbatim, matching the minhashLshPairs contract
-    * that the oracle replicates band for band). */
+    * that the oracle replicates band for band).
+    *
+    * Sizing: band-key width w = nBits/bands caps useful corpus size — the
+    * mean bucket is n/2^w per band, so once n approaches
+    * maxBucketSize · 2^w the caps start dropping everything (at w=8 that
+    * is ~50k vectors). Grow nBits with the corpus (w=12 → ~800k, w=16 →
+    * ~13M at the default cap); more bits cost one kernel pass, not plan
+    * size. */
   def embeddingSrpLshPairs(df: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 16, bands: Int = 4, threshold: Double = 0.8,
       maxBucketSize: Int = 200, minRecall: Double = 0.0,
