@@ -47,6 +47,36 @@ class PairOpsInvarianceSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("SRP hyperplane-LSH pairs are partition-invariant") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(df: DataFrame) = pairSet(
+      Dedup.embeddingSrpLshPairs(df, "vec_id", "embedding",
+        nBits = 16, bands = 4, threshold = 0.2))
+    val base = run(e.repartition(1))
+    assert(base == run(e.repartition(7)))
+    assert(base.nonEmpty)
+  }
+
+  test("winnow overlap pairs are partition-invariant") {
+    def run(df: DataFrame) = pairSet(
+      TextAnalysis.winnowOverlapPairs(df, "doc_id", "text"))
+    val base = run(docs.repartition(1))
+    assert(base == run(docs.repartition(7)))
+    assert(base.nonEmpty)
+  }
+
+  test("decontamination survivor set is partition-invariant") {
+    def run(df: DataFrame) = {
+      val evalSet = df.filter(col("doc_id") % 10 === 0)
+      TextAnalysis.decontaminate(df, "doc_id", "text",
+          evalSet, "doc_id", "text", minShared = 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val base = run(docs.repartition(1))
+    assert(base == run(docs.repartition(7)))
+    assert(base.nonEmpty)
+  }
+
   test("simhashPairs is pigeonhole-EXACT at any Hamming budget") {
     // brute-force truth: all pairs with bit_count(xor) <= h over the same
     // signatures the operator computes
