@@ -100,6 +100,34 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint(t))
   }
 
+  /** Corpus term statistics: per token, the document frequency and total
+    * occurrence count — the vocabulary table behind stopword lists, IDF
+    * weights, and frequency-based quality filters. One explode + one
+    * aggregation (distinct-doc count runs as a partial-aggregated
+    * two-phase plan); output size is the vocabulary, not the corpus. */
+  def termStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col("id")).as("doc_freq"),
+        count(lit(1)).as("total_freq"))
+
+  /** Mean corpus-frequency of a document's tokens — the crude
+    * common-token fluency proxy (frequency-based filtering without a
+    * language model): junk strings score near 1, text made of common
+    * words scores high. Integer sum over exact counts with ONE final
+    * double division, so any SQL engine replicates it bit for bit. The
+    * token join is SHUFFLE_HASH, not broadcast — real vocabularies don't
+    * fit a broadcast. */
+  def meanTokenFreqScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = termStats(df, idCol, textCol).select("token", "total_freq")
+    toks.join(tf.hint("SHUFFLE_HASH"), Seq("token"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum("total_freq").cast("double") / count(lit(1))).as("mean_tok_freq"))
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses, phone-like
     * digit runs, and long id-like digit runs replaced with typed
     * placeholders, in that fixed cascade order (earlier redactions can

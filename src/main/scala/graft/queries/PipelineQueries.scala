@@ -248,6 +248,19 @@ object PipelineQueries {
         .select("doc_id", "fps", "duration_s", "frame_idx")
         .orderBy("doc_id", "frame_idx")
     },
+    // corpus vocabulary statistics: per-token document frequency + total
+    // occurrences — the table behind stopword/IDF/frequency filters
+    "t_term_stats" -> { (s, d) =>
+      TextAnalysis.termStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("token")
+    },
+    // frequency-based fluency proxy: mean corpus-frequency of each doc's
+    // tokens (exact integer sum, one final double division)
+    "t_token_freq_score" -> { (s, d) =>
+      TextAnalysis.meanTokenFreqScore(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     // benchmark decontamination: every 50th doc plays the held-out eval
     // set; corpus docs sharing >= 3 winnowed fingerprints with any eval
     // doc are dropped (eval members remove themselves via full overlap).
@@ -770,6 +783,17 @@ object PipelineQueries {
          |  FROM p GROUP BY id_a, id_b)
          |ORDER BY cell, id_a, id_b""".stripMargin
     },
+    "t_term_stats" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
+        |SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_freq
+        |FROM toks GROUP BY token ORDER BY token""".stripMargin,
+    "t_token_freq_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+        |tf AS (SELECT token, count(*) AS total_freq FROM toks GROUP BY token)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(tf.total_freq) AS DOUBLE) / count(*) AS mean_tok_freq
+        |FROM toks t JOIN tf ON t.token = tf.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // per-row split assignment re-derived: the same 60-bit md5 fold the
     // dedup oracles use, mod 10000, CASE over the cumulative thresholds
     "q_split_assign" ->
