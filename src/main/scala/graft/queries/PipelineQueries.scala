@@ -145,6 +145,28 @@ object PipelineQueries {
         e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5, nProbe = 4)
         .orderBy("q_id", "rank")
     },
+    // product quantization + ADC search: per-subspace DECIMAL-exact Lloyd
+    // codebooks (modulo init — the oracle-replicable family), dense
+    // position codes, and the asymmetric-distance score computed as
+    // per-query LUT (PqLutExpr kernel, task-broadcast codebooks) + m array
+    // lookups summed in subspace order. The whole compressed-search path —
+    // training, encoding, LUT, scoring, ranking — is hash-pinned.
+    // score rendered at 9 dp: this is the first gate whose output VALUES
+    // (not just rankings) depend on centroid values, and the two engines'
+    // double→DECIMAL(28,14) casts round the 15th digit differently →
+    // centroids (hence ADC scores) can differ by 1 ulp. Codes, ranks and
+    // neighbor ids compare exactly; the 9-dp render pins the score to far
+    // beyond the quantizer's meaningful precision.
+    "s_pq_adc_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (codes, books) = graft.ops.PqIndex.build(e, "vec_id", "embedding",
+        m = 2, ksub = 8, iters = 1,
+        initCell = Some(pmod(col("id").cast("bigint"), lit(8L)).cast("int")))
+      graft.ops.PqIndex.searchAdc(codes, books,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+        .withColumn("score", round(col("score"), 9))
+        .orderBy("q_id", "rank")
+    },
     // embedding-cosine near-duplicate pairs within label buckets
     "d_embed_neardup" -> { (s, d) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -947,6 +969,51 @@ object PipelineQueries {
          |SELECT q_id, rank, n_id, sim FROM (
          |  SELECT q_id, n_id, sim,
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+    // the PQ/ADC pipeline re-derived: per-subspace modulo-init centroids
+    // (DECIMAL-exact means), dense position relabel, argmin codes, and the
+    // two-term ADC score in subspace order
+    "s_pq_adc_topk" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> ($a)[i+1] * ($b)[i+1])), (x, y) -> x + y)"
+      def centroidsOf(src: String): String =
+        s"""SELECT cell, list(m ORDER BY pos) AS c FROM (
+           |    SELECT cell, pos, CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+           |    FROM (SELECT cell, unnest(sub) AS val, unnest(range(len(sub))) AS pos FROM $src)
+           |    GROUP BY cell, pos)
+           |  GROUP BY cell""".stripMargin
+      def codesOf(s: String, b: String): String =
+        s"""SELECT vec_id, pos AS code FROM (
+           |    SELECT $s.vec_id, $b.pos,
+           |      row_number() OVER (PARTITION BY $s.vec_id
+           |        ORDER BY -(${dot(s"$s.sub", s"$b.c")}), $b.pos) AS rn
+           |    FROM $s CROSS JOIN $b) WHERE rn = 1""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |s0 AS (SELECT vec_id, e[1:32] AS sub FROM v),
+         |s1 AS (SELECT vec_id, e[33:64] AS sub FROM v),
+         |a0 AS (SELECT vec_id, sub, CAST(vec_id % 8 AS INT) AS cell FROM s0),
+         |a1 AS (SELECT vec_id, sub, CAST(vec_id % 8 AS INT) AS cell FROM s1),
+         |c0 AS (${centroidsOf("a0")}),
+         |c1 AS (${centroidsOf("a1")}),
+         |b0 AS (SELECT row_number() OVER (ORDER BY cell) - 1 AS pos, c FROM c0),
+         |b1 AS (SELECT row_number() OVER (ORDER BY cell) - 1 AS pos, c FROM c1),
+         |k0 AS (${codesOf("s0", "b0")}),
+         |k1 AS (${codesOf("s1", "b1")}),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT q.q_id, k0.vec_id AS n_id,
+         |    ${dot("q.qe[1:32]", "bb0.c")} + ${dot("q.qe[33:64]", "bb1.c")} AS score
+         |  FROM q CROSS JOIN k0
+         |  JOIN k1 ON k1.vec_id = k0.vec_id
+         |  JOIN b0 bb0 ON bb0.pos = k0.code
+         |  JOIN b1 bb1 ON bb1.pos = k1.code
+         |  WHERE k0.vec_id <> q.q_id)
+         |SELECT q_id, rank, n_id, ROUND(score, 9) AS score FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
