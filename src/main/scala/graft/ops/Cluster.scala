@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate clustering: the stage AFTER pair generation in a production
+  * dedup pipeline. LSH / SimHash / Jaccard emit PAIRS; dropping duplicates
+  * needs CLUSTERS (near-duplication is not transitive at any threshold, so
+  * A~B, B~C must merge into one group even when A~C missed the cut) and a
+  * canonical survivor per cluster.
+  *
+  * Connected components by iterative min-label propagation with pointer
+  * jumping, all in the DataFrame API so every step is a shuffle Catalyst
+  * plans (hash-join on id — AQE-coalesced, skew-split like any join):
+  *
+  *  1. label(v) ← min(label(v), min over neighbors u of label(u))
+  *  2. label(v) ← label(label(v))            (pointer jump)
+  *
+  * Step 1 alone needs O(diameter) rounds; the jump halves pointer chains
+  * each round, so convergence is O(log d) — a 100-hop chain closes in ~7
+  * rounds. Labels only ever DECREASE, so `sum(label)` is strictly
+  * monotone until the fixpoint: convergence detection is one tiny
+  * aggregate per round, no change-flag join. Per-round lineage is cut via
+  * [[Dedup.materializeBase]] (localCheckpoint, or parquet under
+  * `materializePath` — the cluster-safe form under dynamic allocation).
+  *
+  * All operators are min/least folds — order- and partition-invariant,
+  * deterministic. The known alternative for adversarial graphs (star
+  * graphs of stars) is alternating large-star/small-star [Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14]; min-label +
+  * jumping matches it on dedup-shaped graphs (small components, short
+  * chains) with half the per-round shuffles.
+  */
+object Cluster {
+
+  /** Connected components over an undirected pair list. Returns one row
+    * per distinct node: (id, cluster) with cluster = the minimum id
+    * reachable from it. Throws if `maxIters` rounds don't reach the
+    * fixpoint (deterministic failure beats silently-unmerged clusters);
+    * with pointer jumping 25 rounds cover diameters up to ~2^25. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25, materializePath: Option[String] = None): DataFrame = {
+    val half = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst")).filter(col("src") =!= col("dst"))
+    // symmetric, deduped, reused every round — materialize once
+    val edges = Dedup.materializeBase(
+      half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(),
+      materializePath.map(_ + "/edges"))
+
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("nm"))
+      .select(col("src").as("id"), least(col("src"), col("nm")).as("lbl"))
+    var prevSum: java.math.BigDecimal = null
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      labels = Dedup.materializeBase(step(edges, labels),
+        materializePath.map(_ + s"/labels_$it"))
+      val lblSum = labels
+        .agg(org.apache.spark.sql.functions.sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+      converged = prevSum != null && lblSum.compareTo(prevSum) == 0
+      prevSum = lblSum
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds - " +
+          "raise maxIters (diameter coverage doubles per round)")
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** One round: neighbor-min then pointer jump. */
+  private def step(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nm = edges
+      .join(labels.select(col("id").as("dst"), col("lbl").as("nl")), "dst")
+      .groupBy("src").agg(min(col("nl")).as("nm"))
+    val stepped = labels
+      .join(nm.select(col("src").as("id"), col("nm")), Seq("id"), "left")
+      .select(col("id"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+    // label values are themselves node ids, so the jump join always hits
+    stepped
+      .join(stepped.select(col("id").as("lbl"), col("lbl").as("jl")), Seq("lbl"))
+      .select(col("id"), col("jl").as("lbl"))
+  }
+
+  /** The actual near-dedup: keep the minimum-id member of every cluster
+    * plus every row that appears in no pair. Cluster ids broadcast back
+    * onto the corpus when small; the corpus itself never shuffles. */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25, materializePath: Option[String] = None): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol, maxIters, materializePath)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__drop_id"))
+    df.join(losers, col(idCol) === col("__drop_id"), "left_anti")
+  }
+}

@@ -52,6 +52,20 @@ object PipelineQueries {
         blockCol = "source", n = 2, threshold = 0.05, maxBlockSize = 1000)
         .orderBy("blk", "id_a", "id_b")
     },
+    // pairs → CLUSTERS: connected components (min-label propagation +
+    // pointer jumping) over the blocked Jaccard pairs, then the per-cluster
+    // membership with the canonical (min-id) survivor. Near-duplication is
+    // not transitive — this is the stage that turns pair lists into an
+    // actual dedup decision, and the whole iterative fixpoint is pinned
+    // against a DuckDB recursive-CTE transitive closure.
+    "d_dup_clusters" -> { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        blockCol = "source", n = 2, threshold = 0.05)
+      graft.ops.Cluster.connectedComponents(pairs, "id_a", "id_b")
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
+        .orderBy("cluster", "id")
+    },
     // MinHash+LSH near-dup candidate pairs over the md5-affine family: the
     // full pipeline (banding, bucket cap, pair dedup, agreement estimate)
     // is hash-checked against the DuckDB oracle. The xxhash64 production
@@ -637,6 +651,36 @@ object PipelineQueries {
         |      ELSE 0.0 END AS jaccard
         |  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.05 ORDER BY blk, id_a, id_b""".stripMargin,
+    // the clustering fixpoint re-derived as a transitive closure: same
+    // pair CTEs as d_ngram_jaccard, symmetric edges, recursive reachability,
+    // cluster = min reachable id
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, $tokensSql AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CASE WHEN len(list_distinct(a.g || b.g)) > 0
+        |        THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+        |        ELSE 0.0 END AS jaccard
+        |    FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        |SELECT id, cluster, count(*) OVER (PARTITION BY cluster) AS cluster_size
+        |FROM cl ORDER BY cluster, id""".stripMargin,
     "s_embed_stats" ->
       """SELECT vec_id, len(embedding) AS dim,
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) AS ssum,

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected components: multi-hop merging, pointer-jump convergence on
+  * long chains, partition invariance, survivor selection, and the
+  * deterministic non-convergence failure. */
+class ClusterSpec extends SparkSpec {
+
+  private def pairsDf(ps: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    ps.toDF("id_a", "id_b")
+  }
+
+  test("multi-hop chains merge even when the far pair is missing") {
+    // 1~2, 2~3, 3~4 but never 1~4; plus an island 10~11 and reversed 21~20
+    val cc = Cluster.connectedComponents(
+      pairsDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))),
+      "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("a 200-hop path converges well inside the default round budget") {
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val cc = Cluster.connectedComponents(pairsDf(chain), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 201 && cc.values.forall(_ == 0L))
+  }
+
+  test("labels are partition-invariant") {
+    val ps = pairsDf(Seq((5L, 3L), (3L, 9L), (100L, 7L), (7L, 5L), (40L, 41L)))
+    def run(parts: Int) = Cluster.connectedComponents(
+      ps.repartition(parts), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(7))
+    assert(run(1)(100L) == 3L)
+  }
+
+  test("self-pairs are ignored; exhausting maxIters throws") {
+    val cc = Cluster.connectedComponents(
+      pairsDf(Seq((1L, 1L), (2L, 3L))), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(2L -> 2L, 3L -> 2L)) // pure self-loop nodes drop out
+    val chain = (0L until 2000L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Cluster.connectedComponents(pairsDf(chain), "id_a", "id_b", maxIters = 3)
+    }
+  }
+
+  test("dropNearDuplicates keeps the min-id member plus unpaired rows") {
+    import spark.implicits._
+    val corpus = Seq(1L, 2L, 3L, 4L, 10L, 11L, 50L).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+    val kept = Cluster.dropNearDuplicates(corpus, "doc_id",
+      pairsDf(Seq((1L, 2L), (2L, 3L), (10L, 11L))), "id_a", "id_b")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 10L, 50L))
+  }
+
+  test("parquet materialization path yields identical clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    val ps = pairsDf(Seq((1L, 2L), (2L, 3L), (7L, 9L)))
+    val a = Cluster.connectedComponents(ps, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Cluster.connectedComponents(ps, "id_a", "id_b",
+      materializePath = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
