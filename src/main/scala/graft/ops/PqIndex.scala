@@ -57,13 +57,21 @@ object PqIndex {
       // the argmin kernel ("smaller cell first") keep the same winner
       cents.sortBy(_._1).map(_._2)
     }
-    val codeCols = (0 until m).map { s =>
-      graft.functions.NearestCellExpr.nearestCell(spark,
-        slice(col("v"), s * dsub + 1, dsub),
-        books(s).zipWithIndex.map { case (vec, pos) => pos -> vec })
-    }
-    (base.select(col("id"), array(codeCols: _*).as("code")), Codebooks(m, dsub, books))
+    val cb = Codebooks(m, dsub, books)
+    (base.select(col("id"), encodeCol(spark, col("v"), cb).as("code")), cb)
   }
+
+  /** Codes column (array<int>, one dense code per subspace) for a
+    * double-array vector column against trained codebooks — the single
+    * encode kernel both the standalone PQ path and the IVF-PQ residual
+    * path run. */
+  def encodeCol(spark: org.apache.spark.sql.SparkSession, vec: Column,
+      books: Codebooks): Column =
+    array((0 until books.m).map { s =>
+      graft.functions.NearestCellExpr.nearestCell(spark,
+        slice(vec, s * books.dsub + 1, books.dsub),
+        books.books(s).zipWithIndex.map { case (cent, pos) => pos -> cent })
+    }: _*)
 
   /** ADC top-k: score = sum over subspaces of LUT[offset_s + code_s],
     * terms added in subspace order (t0 + t1 + ... — the exact form the

@@ -181,6 +181,22 @@ object PipelineQueries {
         .withColumn("score", round(col("score"), 9))
         .orderBy("q_id", "rank")
     },
+    // IVF-PQ: the composed billion-vector shape — coarse cells prune WHICH
+    // rows a query scans, residual PQ codes shrink WHAT each row costs.
+    // score = dot(q, coarse centroid) + residual-LUT lookups, the exact
+    // Faiss-style ADC decomposition, every stage DECIMAL-exact under the
+    // modulo init so the oracle re-derives coarse cells, residuals,
+    // codebooks, codes, probes and scores. 9-dp render as s_pq_adc_topk.
+    "s_ivfpq_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (codes, cents, books) = graft.ops.IvfPq.build(e, "vec_id", "embedding",
+        nCells = 8, m = 2, ksub = 8, ivfIters = 1, pqIters = 1,
+        initCell = Some(pmod(col("id").cast("bigint"), lit(8L)).cast("int")))
+      graft.ops.IvfPq.search(codes, cents, books,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5, nProbe = 2)
+        .withColumn("score", round(col("score"), 9))
+        .orderBy("q_id", "rank")
+    },
     // embedding-cosine near-duplicate pairs within label buckets
     "d_embed_neardup" -> { (s, d) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -1055,6 +1071,72 @@ object PipelineQueries {
          |  JOIN b0 bb0 ON bb0.pos = k0.code
          |  JOIN b1 bb1 ON bb1.pos = k1.code
          |  WHERE k0.vec_id <> q.q_id)
+         |SELECT q_id, rank, n_id, ROUND(score, 9) AS score FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+    // the composed IVF-PQ pipeline re-derived end to end: modulo-init
+    // coarse centroids (one Lloyd step), argmin cell assignment, exact
+    // residuals, per-subspace residual codebooks (modulo init, one step),
+    // dense relabel, argmin codes, top-2 probe ranking, and the
+    // cdot + LUT0 + LUT1 ADC score in that fold order
+    "s_ivfpq_topk" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> ($a)[i+1] * ($b)[i+1])), (x, y) -> x + y)"
+      def centroidsOf(src: String, vcol: String): String =
+        s"""SELECT cell, list(m ORDER BY pos) AS c FROM (
+           |    SELECT cell, pos, CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+           |    FROM (SELECT cell, unnest($vcol) AS val, unnest(range(len($vcol))) AS pos FROM $src)
+           |    GROUP BY cell, pos)
+           |  GROUP BY cell""".stripMargin
+      def codesOf(s: String, b: String): String =
+        s"""SELECT vec_id, pos AS code FROM (
+           |    SELECT $s.vec_id, $b.pos,
+           |      row_number() OVER (PARTITION BY $s.vec_id
+           |        ORDER BY -(${dot(s"$s.sub", s"$b.c")}), $b.pos) AS rn
+           |    FROM $s CROSS JOIN $b) WHERE rn = 1""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |a0 AS (SELECT vec_id, e, CAST(vec_id % 8 AS INT) AS cell FROM v),
+         |cc AS (${centroidsOf("a0", "e")}),
+         |a1 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, cc.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY -(${dot("v.e", "cc.c")}), cc.cell) AS rn
+         |    FROM v CROSS JOIN cc) WHERE rn = 1),
+         |res AS (
+         |  SELECT a1.vec_id, a1.cell,
+         |    list_transform(range(len(a1.e)), i -> a1.e[i+1] - cc.c[i+1]) AS r
+         |  FROM a1 JOIN cc ON cc.cell = a1.cell),
+         |s0 AS (SELECT vec_id, r[1:32] AS sub FROM res),
+         |s1 AS (SELECT vec_id, r[33:64] AS sub FROM res),
+         |pa0 AS (SELECT vec_id, sub, CAST(vec_id % 8 AS INT) AS cell FROM s0),
+         |pa1 AS (SELECT vec_id, sub, CAST(vec_id % 8 AS INT) AS cell FROM s1),
+         |pc0 AS (${centroidsOf("pa0", "sub")}),
+         |pc1 AS (${centroidsOf("pa1", "sub")}),
+         |b0 AS (SELECT row_number() OVER (ORDER BY cell) - 1 AS pos, c FROM pc0),
+         |b1 AS (SELECT row_number() OVER (ORDER BY cell) - 1 AS pos, c FROM pc1),
+         |k0 AS (${codesOf("s0", "b0")}),
+         |k1 AS (${codesOf("s1", "b1")}),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 20),
+         |probes AS (
+         |  SELECT q_id, qe, cell, cd FROM (
+         |    SELECT q.q_id, q.qe, cc.cell, ${dot("q.qe", "cc.c")} AS cd,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY -(${dot("q.qe", "cc.c")}), cc.cell) AS rn
+         |    FROM q CROSS JOIN cc) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.q_id, res.vec_id AS n_id,
+         |    p.cd + ${dot("p.qe[1:32]", "bb0.c")} + ${dot("p.qe[33:64]", "bb1.c")} AS score
+         |  FROM probes p
+         |  JOIN res ON res.cell = p.cell AND res.vec_id <> p.q_id
+         |  JOIN k0 ON k0.vec_id = res.vec_id
+         |  JOIN k1 ON k1.vec_id = res.vec_id
+         |  JOIN b0 bb0 ON bb0.pos = k0.code
+         |  JOIN b1 bb1 ON bb1.pos = k1.code)
          |SELECT q_id, rank, n_id, ROUND(score, 9) AS score FROM (
          |  SELECT q_id, n_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: ADC decomposition parity with explicit reconstruction, probe
+  * pruning, partition invariance, and the broadcast-only search plan. */
+class IvfPqSpec extends SparkSpec {
+
+  private def embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def smallIndex = IvfPq.build(
+    embeddings.filter(col("vec_id") < 300), "vec_id", "embedding",
+    nCells = 4, m = 2, ksub = 4)
+
+  test("score equals dot(q, cell centroid) + dot(q_sub, decoded residual)") {
+    val e = embeddings.filter(col("vec_id") < 300)
+    val (codes, cents, books) = smallIndex
+    val queries = e.filter(col("vec_id") < 5)
+    val got = IvfPq.search(codes, cents, books, queries, "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val centMap = cents.toMap
+    val codeMap = codes.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    val qVecs = queries
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((qId, nId), score) =>
+      val (cell, code) = codeMap(nId)
+      val q = qVecs(qId)
+      val cent = centMap(cell)
+      var want = cent.indices.map(i => q(i) * cent(i)).foldLeft(0.0)(_ + _)
+      (0 until books.m).foreach { s =>
+        val bc = books.books(s)(code(s))
+        var acc = 0.0
+        var j = 0
+        while (j < books.dsub) { acc += q(s * books.dsub + j) * bc(j); j += 1 }
+        want = want + acc
+      }
+      assert(score == want, s"q=$qId n=$nId")
+    }
+  }
+
+  test("neighbors only come from the probed cells") {
+    val e = embeddings.filter(col("vec_id") < 300)
+    val (codes, cents, books) = smallIndex
+    val queries = e.filter(col("vec_id") < 5)
+    val probes = queries
+      .select(col("vec_id").as("q_id"),
+        graft.functions.NearestCellExpr.nearestCellsTopK(spark,
+          Similarity.toDouble(col("embedding")), cents, 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    val cellOf = codes.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    IvfPq.search(codes, cents, books, queries, "vec_id", "embedding",
+        k = 50, nProbe = 2)
+      .collect().foreach { r =>
+        assert(probes(r.getLong(0)).contains(cellOf(r.getLong(2))))
+      }
+  }
+
+  test("codes, centroids and codebooks are partition-invariant") {
+    def run(parts: Int) = {
+      val (codes, cents, books) = IvfPq.build(
+        embeddings.repartition(parts), "vec_id", "embedding",
+        nCells = 4, m = 2, ksub = 4)
+      (codes.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap,
+        cents, books)
+    }
+    val (ca, na, ba) = run(1)
+    val (cb, nb, bb) = run(7)
+    assert(na == nb && ba == bb && ca == cb && ca.nonEmpty)
+  }
+
+  test("search broadcasts the probed queries; codes never pre-shuffle") {
+    val (codes, cents, books) = smallIndex
+    val plan = IvfPq.search(codes, cents, books,
+      embeddings.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
