@@ -128,6 +128,46 @@ object TextAnalysis {
         (sum("total_freq").cast("double") / count(lit(1))).as("mean_tok_freq"))
   }
 
+  /** Gopher-style repetition quality filter [Rae et al. 2021 §A1.1,
+    * adapted to token n-grams]: per document, the coverage of the single
+    * most frequent token, the most frequent bigram, and all bigrams that
+    * occur more than once. Highly repetitive machine-generated or
+    * boilerplate text scores high and is dropped by `keep`.
+    *
+    * Two explode→count aggregations (unigrams, bigrams), both partially
+    * aggregated map-side — the shuffled rows are per-doc DISTINCT grams,
+    * not token instances — then one id-keyed join back. Every fraction is
+    * an integer ratio with a single double division, so a SQL oracle
+    * matches bit for bit. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      maxTopUnigramFrac: Double = 0.09,
+      maxDupBigramFrac: Double = 0.2): DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")))
+    val ug = base.select(col("id"), explode(col("t")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("ug_max"))
+    val bigrams = when(col("n") >= 2,
+      transform(sequence(lit(0), col("n") - 2),
+        i => array_join(slice(col("t"), i + 1, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val bg = base.select(col("id"), explode(bigrams).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("bg_max"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("bg_dup"))
+    def frac(num: Column): Column =
+      when(col("n") > 0, num.cast("double") / col("n")).otherwise(lit(0.0))
+    base.select(col("id"), col("n"))
+      .join(ug, Seq("id"), "left")
+      .join(bg, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n").as("n_tokens"),
+        frac(coalesce(col("ug_max"), lit(0L))).as("top_unigram_frac"),
+        least(lit(1.0), frac(coalesce(col("bg_max"), lit(0L)) * 2)).as("top_bigram_frac"),
+        least(lit(1.0), frac(coalesce(col("bg_dup"), lit(0L)) * 2)).as("dup_bigram_frac"))
+      .withColumn("keep", col("top_unigram_frac") <= maxTopUnigramFrac &&
+        col("dup_bigram_frac") <= maxDupBigramFrac)
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses, phone-like
     * digit runs, and long id-like digit runs replaced with typed
     * placeholders, in that fixed cascade order (earlier redactions can

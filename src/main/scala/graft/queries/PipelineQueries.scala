@@ -306,6 +306,13 @@ object PipelineQueries {
       TextAnalysis.termStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy("token")
     },
+    // Gopher-style repetition filter: top-unigram / top-bigram /
+    // duplicated-bigram token coverage per doc + the keep decision
+    // (integer-ratio fractions — exact in both engines)
+    "t_repetition_filter" -> { (s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     // frequency-based fluency proxy: mean corpus-frequency of each doc's
     // tokens (exact integer sum, one final double division)
     "t_token_freq_score" -> { (s, d) =>
@@ -869,6 +876,29 @@ object PipelineQueries {
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
         |SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_freq
         |FROM toks GROUP BY token ORDER BY token""".stripMargin,
+    // the repetition metrics re-derived: per-doc gram counts via unnest,
+    // integer-ratio coverages, the same least-capped doubles and keep rule
+    "t_repetition_filter" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n, t FROM toks),
+        |ug AS (SELECT doc_id, max(c) AS ug_max FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(t) AS g FROM base) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |bg AS (SELECT doc_id, max(c) AS bg_max,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS bg_dup FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS g
+        |      FROM base WHERE len(t) >= 2) GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, n AS n_tokens,
+        |  CASE WHEN n > 0 THEN CAST(coalesce(ug_max, 0) AS DOUBLE) / n ELSE 0.0 END AS top_unigram_frac,
+        |  least(CAST(1.0 AS DOUBLE), CASE WHEN n > 0 THEN CAST(coalesce(bg_max, 0) * 2 AS DOUBLE) / n ELSE 0.0 END) AS top_bigram_frac,
+        |  least(CAST(1.0 AS DOUBLE), CASE WHEN n > 0 THEN CAST(coalesce(bg_dup, 0) * 2 AS DOUBLE) / n ELSE 0.0 END) AS dup_bigram_frac,
+        |  (CASE WHEN n > 0 THEN CAST(coalesce(ug_max, 0) AS DOUBLE) / n ELSE 0.0 END) <= CAST(0.09 AS DOUBLE)
+        |    AND least(CAST(1.0 AS DOUBLE), CASE WHEN n > 0 THEN CAST(coalesce(bg_dup, 0) * 2 AS DOUBLE) / n ELSE 0.0 END) <= CAST(0.2 AS DOUBLE) AS keep
+        |FROM base b LEFT JOIN ug USING (doc_id) LEFT JOIN bg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t_token_freq_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
         |tf AS (SELECT token, count(*) AS total_freq FROM toks GROUP BY token)

@@ -469,6 +469,28 @@ class OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("sum to 1"))
   }
 
+  test("repetition filter: coverages are exact integer ratios; keep splits") {
+    val df = docs(
+      // 8 tokens, "spam spam" bigram 3x (positions overlap), top token 4x
+      1L -> "spam spam spam spam then something else here",
+      // 6 distinct tokens, no repeated gram
+      2L -> "one two three four five six",
+      3L -> "") // empty doc: all fractions 0, kept
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(out(1L) == ((8, 4.0 / 8, 2 * 3.0 / 8, 2 * 3.0 / 8, false)))
+    assert(out(2L) == ((6, 1.0 / 6, 2 * 1.0 / 6, 0.0, false)))
+    assert(out(3L)._5 && out(3L)._2 == 0.0)
+    // partition invariance
+    val again = TextAnalysis.repetitionStats(df.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(again == out)
+  }
+
   test("PII redaction: typed placeholders, cascade order, clean text untouched") {
     val df = docs(
       1L -> "mail me at jane.doe+spam@mail.example.org today",
