@@ -306,6 +306,20 @@ object PipelineQueries {
       TextAnalysis.termStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy("token")
     },
+    // BM25 ranked retrieval: every 100th doc's first 5 tokens play the
+    // query set; postings + query-vocabulary document frequencies +
+    // length-normalized scoring, summed in DECIMAL (order-invariant),
+    // 9-dp render (ln() may differ 1 ulp across libm builds)
+    "t_bm25_topk" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 5), " ").as("q_text"))
+      graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "doc_id", "q_text", k = 5)
+        .withColumn("score", round(col("score"), 9))
+        .orderBy("q_id", "rank")
+    },
     // Gopher-style repetition filter: top-unigram / top-bigram /
     // duplicated-bigram token coverage per doc + the keep decision
     // (integer-ratio fractions — exact in both engines)
@@ -876,6 +890,35 @@ object PipelineQueries {
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
         |SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_freq
         |FROM toks GROUP BY token ORDER BY token""".stripMargin,
+    // BM25 re-derived: postings with carried doc length, query-restricted
+    // document frequencies, the same fixed parenthesization per term,
+    // DECIMAL(28,14) per-doc sums, rank by score desc / doc asc
+    "t_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |stats AS (SELECT CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl,
+        |    CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |post AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+        |  GROUP BY doc_id, dl, term),
+        |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(t[1:5])) AS term
+        |  FROM toks WHERE doc_id % 100 = 0),
+        |dfc AS (SELECT term, count(*) AS dfreq FROM post
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |scored AS (
+        |  SELECT qt.q_id, post.doc_id,
+        |    CAST(sum(CAST(
+        |      ln((n - CAST(dfreq AS DOUBLE) + 0.5) / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0)
+        |      * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+        |    AS DECIMAL(28,14))) AS DOUBLE) AS score
+        |  FROM qt JOIN post ON post.term = qt.term
+        |  JOIN dfc ON dfc.term = qt.term
+        |  CROSS JOIN stats
+        |  GROUP BY qt.q_id, post.doc_id)
+        |SELECT q_id, rank, doc_id, ROUND(score, 9) AS score FROM (
+        |  SELECT q_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // the repetition metrics re-derived: per-doc gram counts via unnest,
     // integer-ratio coverages, the same least-capped doubles and keep rule
     "t_repetition_filter" ->

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25: exact parity with a driver-side re-computation (including the
+  * DECIMAL(28,14) per-term rounding), self-retrieval sanity, partition
+  * invariance, and the broadcast-only scoring plan. */
+class RetrievalSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = Seq(
+    1L -> "spark shuffles data across the cluster",
+    2L -> "the cluster runs spark jobs",
+    3L -> "data pipelines clean data for training",
+    4L -> "an unrelated sentence about cats",
+    5L -> "spark spark spark everywhere")
+
+  test("scores match a driver-side BM25 with decimal term rounding") {
+    val queries = docs(100L -> "spark data", 200L -> "cats")
+    val got = Retrieval.bm25TopK(docs(corpus: _*), "doc_id", "text",
+        queries, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    // recompute: same formula, same parenthesization, DECIMAL(28,14) sum
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    }
+    val n = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    def bm25(qTerms: Seq[String]): Map[Long, Double] =
+      toks.flatMap { case (id, ts) =>
+        val dl = ts.size
+        val terms = qTerms.distinct.flatMap { term =>
+          val tf = ts.count(_ == term)
+          if (tf == 0) None else {
+            val dfreq = toks.count(_._2.contains(term)).toDouble
+            val idf = math.log((n.toDouble - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            val x = idf * ((tf.toDouble * 2.2) /
+              (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl))))
+            // Spark's double->decimal cast goes through the SHORTEST
+            // decimal rep (BigDecimal.valueOf), so mirror exactly that
+            Some(scala.math.BigDecimal(x)
+              .setScale(14, scala.math.BigDecimal.RoundingMode.HALF_UP))
+          }
+        }
+        if (terms.isEmpty) None
+        else Some(id -> terms.sum.doubleValue)
+      }.toMap
+    val q1 = bm25(Seq("spark", "data"))
+    got.collect { case ((100L, _, nId), score) =>
+      assert(score == q1(nId), s"doc $nId")
+    }
+    // "cats" appears only in doc 4
+    val ranked200 = got.keys.filter(_._1 == 200L).toSeq
+    assert(ranked200 == Seq((200L, 1L, 4L)))
+    // higher tf wins among single-term matches: doc 5 (3x spark) outranks
+    // doc 2 (1x spark, no data)
+    val rankOf = got.keys.collect { case (100L, r, nid) => nid -> r }.toMap
+    assert(rankOf(5L) < rankOf(2L))
+  }
+
+  test("scores are partition-invariant") {
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val queries = big.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 5), " ").as("q"))
+    def run(parts: Int) = Retrieval.bm25TopK(big.repartition(parts), "doc_id",
+        "text", queries, "doc_id", "q", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val a = run(1)
+    assert(a == run(7) && a.nonEmpty)
+  }
+
+  test("scoring joins broadcast the query side; no sort-merge join") {
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val queries = big.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("text").as("q"))
+    val plan = Retrieval.bm25TopK(big, "doc_id", "text",
+        queries, "doc_id", "q", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
