@@ -39,7 +39,8 @@ object ScaleBench {
     "d_ngram_jaccard", "d_ngram_jaccard_bounded", "m_media_feature",
     "adtl_apply_dates", "r3_one_to_many", "q_stream_window",
     "d_embed_neardup_probes", "d_cells1024_probe2", "d_embed_srp_lsh",
-    "t_winnow_overlap")
+    "t_winnow_overlap", "s_pq_adc_topk", "s_ivfpq_topk", "t_bm25_topk",
+    "d_dup_clusters", "t_repetition_filter")
 
   /** Default queries for `--skew` runs: the two operators whose straggler
     * bounds (LSH bucket caps, two-stage salting) the skewed replication is
@@ -55,6 +56,9 @@ object ScaleBench {
     "d_embed_neardup_probes" -> Set("embeddings"),
     "d_cells1024_probe2" -> Set("embeddings"),
     "d_embed_srp_lsh" -> Set("embeddings"),
+    "s_pq_adc_topk" -> Set("embeddings"), "s_ivfpq_topk" -> Set("embeddings"),
+    "t_bm25_topk" -> Set("documents"), "d_dup_clusters" -> Set("documents"),
+    "t_repetition_filter" -> Set("documents"),
     "d_minhash_lsh" -> Set("documents"), "d_lsh_jaccard_verify" -> Set("documents"),
     "d_simhash" -> Set("documents"), "q_clean_corpus" -> Set("documents"),
     "d_ngram_jaccard" -> Set("documents"), "d_ngram_jaccard_bounded" -> Set("documents"),

@@ -58,6 +58,44 @@ object IvfPq {
     (codes, cents, books)
   }
 
+  /** Persist a built index: codes PARTITIONED BY CELL (the on-disk
+    * inverted file, as [[IvfIndex.save]]) — a search against the loaded
+    * index joins codes to the broadcast probed cells on the partition
+    * column, so only the probed cells' files are read. Coarse centroids
+    * and the flattened residual codebooks ride as small parquet tables. */
+  def save(codes: DataFrame, cents: Seq[(Int, Seq[Double])],
+      books: PqIndex.Codebooks, dir: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    cents.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    books.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cent, pos) => (s, pos, books.dsub, cent) }
+    }.toDF("subspace", "pos", "dsub", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Load a persisted index in the (codes, centroids, codebooks) shape
+    * build() returns; search() runs on it unchanged. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Seq[Double])], PqIndex.Codebooks) = {
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("cell").cast("int").as("cell"), col("id"), col("code"))
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => r.getInt(r.fieldIndex("cell")) ->
+        r.getSeq[Double](r.fieldIndex("centroid")).toSeq)
+      .toSeq.sortBy(_._1)
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(r.fieldIndex("subspace")), r.getInt(r.fieldIndex("pos")),
+        r.getInt(r.fieldIndex("dsub")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toSeq))
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, bs) => bs.sortBy(_._2).map(_._4).toSeq }
+    (codes, cents, PqIndex.Codebooks(books.size, rows.head._3, books))
+  }
+
   /** Probe + ADC search: per query, the top-`nProbe` cells by centroid
     * dot (the [[graft.functions.NearestCellExpr.nearestCellsTopK]]
     * kernel), the residual LUT, and dot(q, centroid) per probed cell are

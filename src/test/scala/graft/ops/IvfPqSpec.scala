@@ -74,6 +74,24 @@ class IvfPqSpec extends SparkSpec {
     assert(na == nb && ba == bb && ca == cb && ca.nonEmpty)
   }
 
+  test("index persists partitioned by cell and searches identically after load") {
+    val (codes, cents, books) = smallIndex
+    val dir = java.nio.file.Files.createTempDirectory("graftivfpq").toString
+    IvfPq.save(codes, cents, books, dir)
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty && cellDirs.subsetOf(
+      (0 until 4).map(c => s"cell=$c").toSet))
+    val (lCodes, lCents, lBooks) = IvfPq.load(spark, dir)
+    assert(lCents == cents && lBooks == books)
+    val queries = embeddings.filter(col("vec_id") < 5)
+    def run(c: org.apache.spark.sql.DataFrame, ce: Seq[(Int, Seq[Double])],
+        b: PqIndex.Codebooks) =
+      IvfPq.search(c, ce, b, queries, "vec_id", "embedding", k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(run(lCodes, lCents, lBooks) == run(codes, cents, books))
+  }
+
   test("search broadcasts the probed queries; codes never pre-shuffle") {
     val (codes, cents, books) = smallIndex
     val plan = IvfPq.search(codes, cents, books,
