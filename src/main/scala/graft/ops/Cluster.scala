@@ -40,22 +40,38 @@ object Cluster {
     * with pointer jumping 25 rounds cover diameters up to ~2^25. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25, materializePath: Option[String] = None): DataFrame = {
-    val half = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst")).filter(col("src") =!= col("dst"))
-    // symmetric, deduped, reused every round — materialize once
+    // materialize the pair list BEFORE symmetrizing: the union references
+    // it twice, and an unmaterialized (possibly quadratic) pair plan would
+    // execute once per reference
+    val half = Dedup.materializeBase(
+      pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst")).filter(col("src") =!= col("dst")),
+      materializePath.map(_ + "/pairs"))
+    // symmetric, deduped, PLUS a self-loop per node: with (v,v) present,
+    // "min label over N(v) ∪ {v}" is ONE join + ONE aggregation per round
+    // instead of neighbor-min plus a separate merge join. Materialized
+    // once, reused every round.
+    val sym = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
     val edges = Dedup.materializeBase(
-      half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      sym.unionByName(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
         .distinct(),
       materializePath.map(_ + "/edges"))
 
-    var labels = edges.groupBy("src").agg(min(col("dst")).as("nm"))
-      .select(col("src").as("id"), least(col("src"), col("nm")).as("lbl"))
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
     var prevSum: java.math.BigDecimal = null
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      labels = Dedup.materializeBase(step(edges, labels),
-        materializePath.map(_ + s"/labels_$it"))
+      // LAZY checkpoint: the convergence aggregate right below is the
+      // action that materializes it — one job per round, not two
+      labels = materializePath match {
+        case Some(p) => Dedup.materializeBase(step(edges, labels),
+          Some(p + s"/labels_$it"))
+        case None => step(edges, labels).localCheckpoint(false)
+      }
       val lblSum = labels
         .agg(org.apache.spark.sql.functions.sum(col("lbl").cast("decimal(38,0)")).as("s"))
         .head.getDecimal(0)
@@ -70,14 +86,13 @@ object Cluster {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
-  /** One round: neighbor-min then pointer jump. */
+  /** One round: min label over N(v) ∪ {v} (the self-loops make the own
+    * label part of the same aggregation), then pointer jump. */
   private def step(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val nm = edges
-      .join(labels.select(col("id").as("dst"), col("lbl").as("nl")), "dst")
-      .groupBy("src").agg(min(col("nl")).as("nm"))
-    val stepped = labels
-      .join(nm.select(col("src").as("id"), col("nm")), Seq("id"), "left")
-      .select(col("id"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+    val stepped = edges
+      .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+      .groupBy("src").agg(min(col("lbl")).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
     // label values are themselves node ids, so the jump join always hits
     stepped
       .join(stepped.select(col("id").as("lbl"), col("lbl").as("jl")), Seq("lbl"))

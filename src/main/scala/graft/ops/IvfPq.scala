@@ -41,16 +41,23 @@ object IvfPq {
       nCells: Int, m: Int, ksub: Int,
       ivfIters: Int = 1, pqIters: Int = 1,
       initCell: Option[Column] = None,
-      trainFraction: Double = 1.0)
+      trainFraction: Double = 1.0,
+      materializePath: Option[String] = None)
       : (DataFrame, Seq[(Int, Seq[Double])], PqIndex.Codebooks) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (assigned, cents) = IvfIndex.build(corpus, idCol, vecCol, nCells,
       ivfIters, initCell, trainFraction)
     val cdf = broadcast(cents.toDF("cell", "cvec"))
-    val res = assigned.join(cdf, "cell")
-      .select(col("id"), col("cell"),
-        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("r"))
+    // the residual frame feeds every subspace training, the encode pass
+    // and (via codes) the search — materialize it once instead of
+    // re-running the coarse assignment per consumer (parquet under
+    // `materializePath` for the cluster-safe form)
+    val res = Dedup.materializeBase(
+      assigned.join(cdf, "cell")
+        .select(col("id"), col("cell"),
+          zip_with(col("v"), col("cvec"), (a, b) => a - b).as("r")),
+      materializePath)
     val (_, books) = PqIndex.build(res, "id", "r", m, ksub, pqIters,
       initCell, trainFraction)
     val codes = res.select(col("id"), col("cell"),

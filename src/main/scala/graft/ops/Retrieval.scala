@@ -35,12 +35,15 @@ object Retrieval {
     val Row(sumDl: Long, n: Long) = toks
       .agg(sum(size(col("t")).cast("long")), count(lit(1))).head
     val avgdl = sumDl.toDouble / n
-    val post = toks
-      .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
-      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
     val qt = queries.select(col(queryIdCol).as("q_id"),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
-    val restricted = post.join(broadcast(qt.select("term").distinct()), Seq("term"))
+    // the broadcast vocabulary filter sits BELOW the postings aggregation:
+    // only query-term instances reach the (doc, term) groupBy, so the
+    // shuffle is the query vocabulary's postings, never the whole corpus's
+    val restricted = toks
+      .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
     // document frequency per query term — identical to the full-corpus df
     // because restriction only drops OTHER terms' postings
     val dfc = restricted.groupBy("term").agg(count(lit(1)).as("dfreq"))
