@@ -55,4 +55,32 @@ object Pipeline {
       }
     df.withColumn("split_bucket", bucket).withColumn("split", assign)
   }
+
+  /** Deterministic stratified sampling — the source-mixing knob of a
+    * pretraining data run (sample web at 0.3, books at 1.0, …). Per
+    * stratum, a row survives iff its [[splitAssign]]-style md5 bucket
+    * falls under rate·10000; strata missing from `rates` get
+    * `defaultRate`. Same guarantees as splitAssign: NEVER rand(), stable
+    * under re-runs, retries, partitioning, and data order; a pure
+    * filter expression — no shuffle, pushes past column pruning into the
+    * scan. Rates are exact at 1/10000 granularity (a rate's survivors
+    * are a strict superset of any smaller rate's). */
+  def sampleByStratum(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1], got $r"))
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(10000L))
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(math.round(defaultRate * 10000).toInt)
+          : org.apache.spark.sql.Column) {
+        case ((name, r), acc) =>
+          when(col(stratumCol) === name,
+            lit(math.round(r * 10000).toInt)).otherwise(acc)
+      }
+    df.filter(bucket < threshold)
+  }
 }

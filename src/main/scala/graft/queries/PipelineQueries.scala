@@ -66,6 +66,17 @@ object PipelineQueries {
           org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
         .orderBy("cluster", "id")
     },
+    // the end-to-end near-dedup DECISION: same pairs, clusters resolved,
+    // all non-canonical members dropped via a broadcast left_anti — the
+    // corpus itself never shuffles. Output is the surviving corpus slice.
+    "q_drop_near_dups" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = "source", n = 2, threshold = 0.05)
+      graft.ops.Cluster.dropNearDuplicates(docs, "doc_id", pairs, "id_a", "id_b")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
     // MinHash+LSH near-dup candidate pairs over the md5-affine family: the
     // full pipeline (banding, bucket cap, pair dedup, agreement estimate)
     // is hash-checked against the DuckDB oracle. The xxhash64 production
@@ -332,6 +343,17 @@ object PipelineQueries {
     "t_token_freq_score" -> { (s, d) =>
       TextAnalysis.meanTokenFreqScore(Tables.documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    // deterministic stratified sampling — the source-mixing knob: src0 at
+    // 1/4, src1 dropped, src2 in full, everything else at 1/2, decided by
+    // the same md5 bucket family as q_split_assign (never rand(); a pure
+    // pushed-down filter, no shuffle)
+    "q_stratified_sample" -> { (s, d) =>
+      graft.ops.Pipeline.sampleByStratum(Tables.documents(s, d), "doc_id",
+        "source", Map("src0" -> 0.25, "src1" -> 0.0, "src2" -> 1.0),
+        defaultRate = 0.5)
+        .select("doc_id", "source")
         .orderBy("doc_id")
     },
     // benchmark decontamination: every 50th doc plays the held-out eval
@@ -718,6 +740,35 @@ object PipelineQueries {
         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
         |SELECT id, cluster, count(*) OVER (PARTITION BY cluster) AS cluster_size
         |FROM cl ORDER BY cluster, id""".stripMargin,
+    // the dedup decision: drop every clustered id except the cluster min
+    "q_drop_near_dups" ->
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, $tokensSql AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CASE WHEN len(list_distinct(a.g || b.g)) > 0
+        |        THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+        |        ELSE 0.0 END AS jaccard
+        |    FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "s_embed_stats" ->
       """SELECT vec_id, len(embedding) AS dim,
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) AS ssum,
@@ -949,6 +1000,18 @@ object PipelineQueries {
         |  CAST(sum(tf.total_freq) AS DOUBLE) / count(*) AS mean_tok_freq
         |FROM toks t JOIN tf ON t.token = tf.token
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // stratified sampling re-derived: same md5 bucket, per-source rate
+    // thresholds
+    "q_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('graft:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+        |      (acc, d) -> acc * 16 + d) % 10000 AS b
+        |  FROM documents)
+        |WHERE b < CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 0
+        |  WHEN 'src2' THEN 10000 ELSE 5000 END
+        |ORDER BY doc_id""".stripMargin,
     // per-row split assignment re-derived: the same 60-bit md5 fold the
     // dedup oracles use, mod 10000, CASE over the cumulative thresholds
     "q_split_assign" ->

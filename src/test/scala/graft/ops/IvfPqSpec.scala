@@ -74,6 +74,41 @@ class IvfPqSpec extends SparkSpec {
     assert(na == nb && ba == bb && ca == cb && ca.nonEmpty)
   }
 
+  test("sane recall vs exact dot on clustered data (the ANN regime)") {
+    // iid-random embeddings concentrate all pairwise dots, so ANY
+    // approximation scrambles a top-k there; recall is only meaningful on
+    // clustered data. Build 50 clusters of 10 perturbed copies each from
+    // real embedding rows (deterministic — no RNG, resume-safe).
+    import spark.implicits._
+    val centers = embeddings.filter(col("vec_id") < 50)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val rows = (0 until 500).map { i =>
+      val c = centers(i % 50)
+      val noise = centers((i * 7 + 13) % 50)
+      i.toLong -> c.indices.map(j => c(j) + 0.05 * noise(j)).toSeq
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val (codes, cents, books) = IvfPq.build(e, "vec_id", "embedding",
+      nCells = 8, m = 8, ksub = 16, ivfIters = 2, pqIters = 2)
+    val queries = e.filter(col("vec_id") < 20)
+    val pq = IvfPq.search(codes, cents, books, queries, "vec_id", "embedding",
+        k = 9, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val vecs = rows.toMap
+    val brute = (0L until 20L).flatMap { q =>
+      rows.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, vecs(q).zip(v).map { case (a, b) => a * b }.sum)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(9)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("index persists partitioned by cell and searches identically after load") {
     val (codes, cents, books) = smallIndex
     val dir = java.nio.file.Files.createTempDirectory("graftivfpq").toString

@@ -469,6 +469,33 @@ class OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("sum to 1"))
   }
 
+  test("stratified sampling: exact rate semantics, nesting, no shuffle") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, s"src${i % 4}"))
+      .toDF("id", "source")
+    val out = Pipeline.sampleByStratum(df, "id", "source",
+      Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.3), defaultRate = 0.5)
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0"))
+    assert(bySrc("src1") == 1000)
+    // md5 buckets are uniform-ish: 0.3 of 1000 within a loose band
+    assert(bySrc("src2") > 200 && bySrc("src2") < 400)
+    assert(bySrc("src3") > 400 && bySrc("src3") < 600)
+    // a smaller rate's survivors nest inside a larger rate's
+    val r03 = Pipeline.sampleByStratum(df, "id", "source",
+      Map(), defaultRate = 0.3).select("id").collect().map(_.getLong(0)).toSet
+    val r05 = Pipeline.sampleByStratum(df, "id", "source",
+      Map(), defaultRate = 0.5).select("id").collect().map(_.getLong(0)).toSet
+    assert(r03.subsetOf(r05))
+    // deterministic under reshuffled input, and a pure filter (no exchange)
+    val again = Pipeline.sampleByStratum(df.repartition(7), "id", "source",
+      Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.3), defaultRate = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("repetition filter: coverages are exact integer ratios; keep splits") {
     val df = docs(
       // 8 tokens, "spam spam" bigram 3x (positions overlap), top token 4x
