@@ -128,42 +128,57 @@ object TextAnalysis {
         (sum("total_freq").cast("double") / count(lit(1))).as("mean_tok_freq"))
   }
 
+  /** Per-gram-array run statistics WITHOUT a shuffle: sort the array, then
+    * one codegen'd `aggregate` fold over the sorted runs yields the
+    * multiset's max count (`best`) and the total count of elements whose
+    * gram occurs more than once (`dup`) — exactly what an
+    * explode→groupBy→count would produce, computed inside the row. */
+  private def gramRunStats(arr: Column): Column = {
+    val stepped = aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("dup")),
+      (acc, x) => {
+        val cont = x <=> acc.getField("prev")
+        val run = when(cont, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("dup") + when(!cont && acc.getField("run") >= 2L,
+            acc.getField("run")).otherwise(lit(0L))).as("dup"))
+      })
+    struct(stepped.getField("best").as("best"),
+      (stepped.getField("dup") + when(stepped.getField("run") >= 2L,
+        stepped.getField("run")).otherwise(lit(0L))).as("dup"))
+  }
+
   /** Gopher-style repetition quality filter [Rae et al. 2021 §A1.1,
     * adapted to token n-grams]: per document, the coverage of the single
     * most frequent token, the most frequent bigram, and all bigrams that
     * occur more than once. Highly repetitive machine-generated or
     * boilerplate text scores high and is dropped by `keep`.
     *
-    * Two explode→count aggregations (unigrams, bigrams), both partially
-    * aggregated map-side — the shuffled rows are per-doc DISTINCT grams,
-    * not token instances — then one id-keyed join back. Every fraction is
-    * an integer ratio with a single double division, so a SQL oracle
-    * matches bit for bit. */
+    * ZERO shuffles: gram counting runs as in-row sorted-run folds
+    * ([[gramRunStats]] — identical results to an explode→groupBy→count,
+    * which is what the DuckDB oracle computes), so the whole filter is a
+    * stateless narrow map — streaming-safe as-is, and at 100 TB it scans
+    * without exchanging a single row. Every fraction is an integer ratio
+    * with a single double division, so a SQL oracle matches bit for bit. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       maxTopUnigramFrac: Double = 0.09,
       maxDupBigramFrac: Double = 0.2): DataFrame = {
-    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
-      .withColumn("n", size(col("t")))
-    val ug = base.select(col("id"), explode(col("t")).as("g"))
-      .groupBy("id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(max(col("c")).as("ug_max"))
     val bigrams = when(col("n") >= 2,
       transform(sequence(lit(0), col("n") - 2),
         i => array_join(slice(col("t"), i + 1, lit(2)), " ")))
       .otherwise(array().cast("array<string>"))
-    val bg = base.select(col("id"), explode(bigrams).as("g"))
-      .groupBy("id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(max(col("c")).as("bg_max"),
-        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("bg_dup"))
     def frac(num: Column): Column =
       when(col("n") > 0, num.cast("double") / col("n")).otherwise(lit(0.0))
-    base.select(col("id"), col("n"))
-      .join(ug, Seq("id"), "left")
-      .join(bg, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n").as("n_tokens"),
-        frac(coalesce(col("ug_max"), lit(0L))).as("top_unigram_frac"),
-        least(lit(1.0), frac(coalesce(col("bg_max"), lit(0L)) * 2)).as("top_bigram_frac"),
-        least(lit(1.0), frac(coalesce(col("bg_dup"), lit(0L)) * 2)).as("dup_bigram_frac"))
+    df.select(col(idCol), tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("ug", gramRunStats(col("t")))
+      .withColumn("bg", gramRunStats(bigrams))
+      .select(col(idCol), col("n").as("n_tokens"),
+        frac(col("ug").getField("best")).as("top_unigram_frac"),
+        least(lit(1.0), frac(col("bg").getField("best") * 2)).as("top_bigram_frac"),
+        least(lit(1.0), frac(col("bg").getField("dup") * 2)).as("dup_bigram_frac"))
       .withColumn("keep", col("top_unigram_frac") <= maxTopUnigramFrac &&
         col("dup_bigram_frac") <= maxDupBigramFrac)
   }

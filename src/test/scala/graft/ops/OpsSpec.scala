@@ -510,12 +510,44 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == ((8, 4.0 / 8, 2 * 3.0 / 8, 2 * 3.0 / 8, false)))
     assert(out(2L) == ((6, 1.0 / 6, 2 * 1.0 / 6, 0.0, false)))
     assert(out(3L)._5 && out(3L)._2 == 0.0)
-    // partition invariance
+    // partition invariance, and a shuffle-free narrow plan
     val again = TextAnalysis.repetitionStats(df.repartition(5), "doc_id", "text")
+    val againMap = again
       .collect().map(r => r.getLong(0) ->
         (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
       .toMap
-    assert(again == out)
+    assert(againMap == out)
+    assert(!TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("repetition filter is stateless: batch == stream, no state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      1L -> "spam spam spam spam then something else here",
+      2L -> "one two three four five six",
+      3L -> "a b a b a b a b")
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.repetitionStats(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("rep_stream_test")
+      .outputMode("append").start()
+    // two micro-batches: per-row metrics must not depend on batch grouping
+    mem.addData(rows.take(1): _*); q.processAllAvailable()
+    mem.addData(rows.drop(1): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rep_stream_test").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    val batch = TextAnalysis.repetitionStats(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(streamed == batch && streamed.size == 3)
   }
 
   test("PII redaction: typed placeholders, cascade order, clean text untouched") {
