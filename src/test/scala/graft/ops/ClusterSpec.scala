@@ -60,6 +60,37 @@ class ClusterSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 10L, 50L))
   }
 
+  test("matches a driver-side union-find on a pathological graph") {
+    // deterministic adversarial mix: a star of stars (high-degree hubs
+    // chained together), long paths, cliques, and cross edges
+    val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    (0 until 10).foreach { hub => // stars: hub h*100 with 30 leaves
+      (1 to 30).foreach(l => edges += ((hub * 100L, hub * 100L + l)))
+    }
+    (0 until 9).foreach(h => // chain the stars leaf-to-leaf
+      edges += ((h * 100L + 30, (h + 1) * 100L + 29)))
+    (2000L until 2050L).foreach(i => edges += ((i, i + 1))) // long path
+    (3000L until 3005L).foreach(a => // clique
+      (a + 1 to 3005L).foreach(b => edges += ((a, b))))
+    edges += ((2050L, 3000L)) // path joins clique
+    // reference: plain union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = Cluster.connectedComponents(pairsDf(edges.toSeq), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // one component spans all ten stars
+    assert(got(930L) == 0L)
+  }
+
   test("parquet materialization path yields identical clusters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
     val ps = pairsDf(Seq((1L, 2L), (2L, 3L), (7L, 9L)))

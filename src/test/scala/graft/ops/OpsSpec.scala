@@ -496,6 +496,28 @@ class OpsSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("stratified sampling is a stateless filter: batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0L until 300L).map(i => (i, s"src${i % 3}"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipeline.sampleByStratum(
+        mem.toDF().toDF("id", "source"), "id", "source",
+        Map("src0" -> 0.0, "src1" -> 0.4), defaultRate = 0.8)
+      .writeStream.format("memory").queryName("sample_stream_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(100): _*); q.processAllAvailable()
+    mem.addData(rows.drop(100): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sample_stream_test")
+      .collect().map(_.getLong(0)).toSet
+    val batch = Pipeline.sampleByStratum(rows.toDF("id", "source"), "id",
+        "source", Map("src0" -> 0.0, "src1" -> 0.4), defaultRate = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("repetition filter: coverages are exact integer ratios; keep splits") {
     val df = docs(
       // 8 tokens, "spam spam" bigram 3x (positions overlap), top token 4x
