@@ -40,7 +40,7 @@ object ScaleBench {
     "adtl_apply_dates", "r3_one_to_many", "q_stream_window",
     "d_embed_neardup_probes", "d_cells1024_probe2", "d_embed_srp_lsh",
     "t_winnow_overlap", "s_pq_adc_topk", "s_ivfpq_topk", "t_bm25_topk",
-    "d_dup_clusters", "t_repetition_filter")
+    "d_dup_clusters", "t_repetition_filter", "q_asof_join", "q_range_join")
 
   /** Default queries for `--skew` runs: the two operators whose straggler
     * bounds (LSH bucket caps, two-stage salting) the skewed replication is
@@ -67,7 +67,8 @@ object ScaleBench {
     "adtl_onetomany" -> Set("orders"),
     "adtl_apply_dates" -> Set("orders", "lineitem"),
     "r3_one_to_many" -> Set("orders", "lineitem"),
-    "q_stream_window" -> Set("events"))
+    "q_stream_window" -> Set("events"),
+    "q_asof_join" -> Set("events"), "q_range_join" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

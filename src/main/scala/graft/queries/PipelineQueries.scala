@@ -430,6 +430,42 @@ object PipelineQueries {
         .select("doc_id", "quality_score")
         .orderBy("doc_id")
     },
+    // AS-OF join (the operator Spark lacks natively): each click joins the
+    // latest error at or before it per user — interleaved union + window
+    // carry-forward, ONE key shuffle, no per-row range probe. The state
+    // side dedupes to unique (user, ts) so tie semantics can't differ
+    // from DuckDB's native ASOF LEFT JOIN oracle.
+    "q_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("err_ts"), col("value").as("err_value"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "err_ts").orderBy(col("err_id").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.ops.TemporalJoin.asofJoin(clicks, errs, "user_id", "ts", "err_ts",
+        Seq("err_id", "err_value"))
+        .orderBy("event_id")
+    },
+    // RANGE join: clicks within 2 minutes after an error, same user —
+    // interval ends quantized onto 60s buckets, equi-join on
+    // (user, bucket), exact band filter after. Hash join, never a
+    // BroadcastNestedLoop.
+    "q_range_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 120 SECONDS")).as("end_ts"))
+      graft.ops.TemporalJoin.rangeJoin(clicks, intervals, "user_id", "ts",
+        "start_ts", "end_ts", Seq("err_id"), bucketSeconds = 60)
+        .orderBy("event_id", "range_err_id")
+    },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
     // event types): exact same result as a direct groupBy, skew-free plan
     "q_salted_agg" -> { (s, d) =>
@@ -629,6 +665,31 @@ object PipelineQueries {
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // DuckDB's NATIVE ASOF LEFT JOIN is the oracle for the composed
+    // union+window implementation — two independent constructions
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |errs AS (
+        |  SELECT event_id AS err_id, user_id, ts AS err_ts, value AS err_value
+        |  FROM events WHERE event_type = 'error'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  e.err_id AS asof_err_id, e.err_value AS asof_err_value
+        |FROM clicks c ASOF LEFT JOIN errs e
+        |  ON c.user_id = e.user_id AND c.ts >= e.err_ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |errs AS (
+        |  SELECT event_id AS err_id, user_id, ts AS err_ts
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.ts, c.value, e.err_id AS range_err_id
+        |FROM clicks c JOIN errs e
+        |  ON c.user_id = e.user_id
+        |  AND c.ts >= e.err_ts AND c.ts <= e.err_ts + INTERVAL 120 SECOND
+        |ORDER BY c.event_id, range_err_id""".stripMargin,
     "t_text_profile" ->
       s"""WITH toks AS (
         |  SELECT doc_id, text, $tokensSql AS t FROM documents)
