@@ -22,7 +22,9 @@ object ExplainAudit {
       else Seq("q1_agg", "q3_join_agg", "q4_anti_join", "p7_values_map",
         "r3_one_to_many", "a1_a6_group_modes", "adtl_onetoone", "t_text_profile",
         "d_minhash_lsh", "s_cosine_topk", "d_lsh_jaccard_verify",
-        "v_schema_validate")
+        "v_schema_validate", "s_ivfpq_topk", "t_bm25_topk",
+        "t_repetition_filter", "q_stratified_sample", "q_asof_join",
+        "q_range_join")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")
