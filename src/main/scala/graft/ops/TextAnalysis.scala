@@ -183,6 +183,39 @@ object TextAnalysis {
         col("dup_bigram_frac") <= maxDupBigramFrac)
   }
 
+  /** Sliding-window document chunking — the step before embedding in any
+    * pretraining/RAG pipeline: windows of `chunkTokens` tokens starting
+    * every `strideTokens` (overlap = chunkTokens − strideTokens), the
+    * last window partial, every token covered, no window that is a
+    * strict suffix of its predecessor. chunk count =
+    * max(1, ⌈(n − chunk)/stride⌉ + 1) for non-empty docs; empty docs
+    * emit nothing. A narrow projection + explode — zero shuffles,
+    * streaming-safe, integer arithmetic throughout so a SQL oracle
+    * matches exactly. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    val n = size(col("__t"))
+    // positive-int floor division via double: exact for any array size
+    val nChunks = when(n === 0, lit(0))
+      .when(n <= chunkTokens, lit(1))
+      .otherwise(floor((n - chunkTokens + (strideTokens - 1))
+        .cast("double") / strideTokens).cast("int") + 1)
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", n)
+      .select(col(idCol), col("__t"), col("__n"),
+        // sequence(0, -1) would DESCEND; empty docs must emit no chunks
+        explode(when(nChunks > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__t"), col("chunk_id") * strideTokens + 1,
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens),
+          col("__n") - col("chunk_id") * strideTokens).as("n_chunk_tokens"))
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses, phone-like
     * digit runs, and long id-like digit runs replaced with typed
     * placeholders, in that fixed cascade order (earlier redactions can

@@ -331,6 +331,14 @@ object PipelineQueries {
         .withColumn("score", round(col("score"), 9))
         .orderBy("q_id", "rank")
     },
+    // sliding-window chunking (the pre-embedding step): 32-token windows
+    // every 24 tokens, partial tail, empty docs emit nothing — a narrow
+    // explode, integer arithmetic end to end
+    "t_chunk_docs" -> { (s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 32, strideTokens = 24)
+        .orderBy("doc_id", "chunk_id")
+    },
     // Gopher-style repetition filter: top-unigram / top-bigram /
     // duplicated-bigram token coverage per doc + the keep decision
     // (integer-ratio fractions — exact in both engines)
@@ -1031,6 +1039,20 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // chunking re-derived: same integer chunk-count formula, 1-based list
+    // slices, least-capped tail length
+    "t_chunk_docs" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |meta AS (SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) = 0 THEN 0
+        |         WHEN len(t) <= 32 THEN 1
+        |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS nc
+        |  FROM toks),
+        |chunks AS (SELECT doc_id, t, n, unnest(range(nc)) AS chunk_id FROM meta)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  array_to_string(t[CAST(chunk_id * 24 + 1 AS INT) : CAST(least(chunk_id * 24 + 32, n) AS INT)], ' ') AS chunk_text,
+        |  CAST(least(32, n - chunk_id * 24) AS INT) AS n_chunk_tokens
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
     // the repetition metrics re-derived: per-doc gram counts via unnest,
     // integer-ratio coverages, the same least-capped doubles and keep rule
     "t_repetition_filter" ->

@@ -496,6 +496,29 @@ class OpsSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("chunking: stride windows, partial tail, full coverage, empty docs") {
+    val df = docs(
+      1L -> (1 to 10).map(i => s"w$i").mkString(" "), // n=10: chunks at 0,4
+      2L -> "a b c",                                  // n=3 <= chunk: one
+      3L -> "")                                       // nothing
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 8, strideTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3)))
+      .toMap
+    assert(out.keySet == Set((1L, 0), (1L, 1), (2L, 0)))
+    assert(out((1L, 0)) == (((1 to 8).map(i => s"w$i").mkString(" "), 8)))
+    assert(out((1L, 1)) == (((5 to 10).map(i => s"w$i").mkString(" "), 6)))
+    assert(out((2L, 0)) == (("a b c", 3)))
+    // every token covered: union of chunk tokens == doc tokens
+    val covered = out.collect { case ((1L, _), (txt, _)) => txt.split(" ") }
+      .flatten.toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+    // zero shuffles
+    assert(!TextAnalysis.chunkDocuments(df, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("stratified sampling is a stateless filter: batch == stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
