@@ -40,7 +40,8 @@ object ScaleBench {
     "adtl_apply_dates", "r3_one_to_many", "q_stream_window",
     "d_embed_neardup_probes", "d_cells1024_probe2", "d_embed_srp_lsh",
     "t_winnow_overlap", "s_pq_adc_topk", "s_ivfpq_topk", "t_bm25_topk",
-    "d_dup_clusters", "t_repetition_filter", "q_asof_join", "q_range_join")
+    "d_dup_clusters", "t_repetition_filter", "q_asof_join", "q_range_join",
+    "t_chunk_docs")
 
   /** Default queries for `--skew` runs: the two operators whose straggler
     * bounds (LSH bucket caps, two-stage salting) the skewed replication is
@@ -59,6 +60,7 @@ object ScaleBench {
     "s_pq_adc_topk" -> Set("embeddings"), "s_ivfpq_topk" -> Set("embeddings"),
     "t_bm25_topk" -> Set("documents"), "d_dup_clusters" -> Set("documents"),
     "t_repetition_filter" -> Set("documents"),
+    "t_chunk_docs" -> Set("documents"),
     "d_minhash_lsh" -> Set("documents"), "d_lsh_jaccard_verify" -> Set("documents"),
     "d_simhash" -> Set("documents"), "q_clean_corpus" -> Set("documents"),
     "d_ngram_jaccard" -> Set("documents"), "d_ngram_jaccard_bounded" -> Set("documents"),
