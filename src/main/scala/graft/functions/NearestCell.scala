@@ -68,6 +68,9 @@ case class NearestCellExpr(child: Expression, cells: Array[Int],
 case class NearestCellsTopKExpr(child: Expression, cells: Array[Int],
     flat: Array[Double], dim: Int, k: Int) extends UnaryExpression {
 
+  require(k >= 1, s"nearestCellsTopK: k must be >= 1, got $k " +
+    "(nProbe = 0 probes no cells)")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_nearest_cells_topk"
 

@@ -75,7 +75,10 @@ object Cluster {
       val lblSum = labels
         .agg(org.apache.spark.sql.functions.sum(col("lbl").cast("decimal(38,0)")).as("s"))
         .head.getDecimal(0)
-      converged = prevSum != null && lblSum.compareTo(prevSum) == 0
+      // null sum ⇔ zero label rows ⇔ empty pair list — already a fixpoint
+      // (a clean corpus with no near-dup pairs is a normal outcome)
+      converged = lblSum == null ||
+        (prevSum != null && lblSum.compareTo(prevSum) == 0)
       prevSum = lblSum
       it += 1
     }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Ranked text retrieval over the corpus — BM25 (Robertson/Lucene
@@ -32,8 +32,18 @@ object Retrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("t"))
-    val Row(sumDl: Long, n: Long) = toks
+    val aggRow = toks
       .agg(sum(size(col("t")).cast("long")), count(lit(1))).head
+    val n = aggRow.getLong(1)
+    if (n == 0L) {
+      // empty corpus: sum is null (MatchError) and avgdl divides by zero —
+      // return an empty frame with the exact output schema instead
+      val scored0 = df.limit(0).select(col(idCol).as("doc_id"))
+        .crossJoin(queries.limit(0).select(col(queryIdCol).as("q_id")))
+        .select(col("q_id"), col("doc_id"), lit(0.0).as("score"))
+      return Similarity.topKPerGroup(scored0, "q_id", "doc_id", "score", k)
+    }
+    val sumDl = aggRow.getLong(0)
     val avgdl = sumDl.toDouble / n
     val qt = queries.select(col(queryIdCol).as("q_id"),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))

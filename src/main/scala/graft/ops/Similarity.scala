@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Approximate/exact nearest-neighbor search over embedding columns
   * (Array[Float]). Dot products are sequential left-to-right folds in
@@ -81,23 +82,42 @@ object Similarity {
     topKPerGroup(scored, "q_id", "n_id", "sim", k)
   }
 
-  /** Distributed top-k per group with O(k) aggregation state: ONE
-    * groupBy whose bounded TypedImperativeAggregate (TopKStructAgg) holds
-    * at most k entries per group per task and partially merges map-side —
-    * one shuffle, and no task ever materializes a group's slice (the
-    * previous two-phase collect_list form held whole partition slices
-    * before sorting). Deterministic ordering (score desc, id asc),
-    * bit-identical to slice(array_sort(collect_list(...)), 1, k). */
+  /** Distributed top-k per group. Deterministic ordering (score desc,
+    * id asc), bit-identical to slice(array_sort(collect_list(...)), 1, k).
+    *
+    * Integral ids (byte/short/int/long — surfaced as long) take the O(k)
+    * aggregation-state path: ONE groupBy whose bounded
+    * TypedImperativeAggregate (TopKStructAgg) holds at most k entries per
+    * group per task and partially merges map-side — one shuffle, and no
+    * task ever materializes a group's slice. Any other id type (string
+    * doc ids, decimals) keeps its type through the generic
+    * collect_list/array_sort path — same ordering and output, O(group)
+    * per-task state, so prefer integral ids for very large groups. */
   def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     val spark = scored.sparkSession
-    val item = struct((lit(-1.0) * col(scoreCol)).as("negScore"),
-      col(idCol).cast("long").as("id"))
-    scored
-      .groupBy(col(groupCol))
-      .agg(graft.functions.TopKStructAgg.topK(spark, item, k).as("top"))
-      .select(col(groupCol), posexplode(col("top")))
-      .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as(idCol), (lit(-1.0) * col("col.negScore")).as(scoreCol))
+    val integralId = scored.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId) {
+      val item = struct((lit(-1.0) * col(scoreCol)).as("negScore"),
+        col(idCol).cast("long").as("id"))
+      scored
+        .groupBy(col(groupCol))
+        .agg(graft.functions.TopKStructAgg.topK(spark, item, k).as("top"))
+        .select(col(groupCol), posexplode(col("top")))
+        .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as(idCol), (lit(-1.0) * col("col.negScore")).as(scoreCol))
+    } else {
+      val item = struct((lit(-1.0) * col(scoreCol)).as("negScore"),
+        col(idCol).as("id"))
+      scored
+        .groupBy(col(groupCol))
+        .agg(slice(array_sort(collect_list(item)), 1, k).as("top"))
+        .select(col(groupCol), posexplode(col("top")))
+        .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as(idCol), (lit(-1.0) * col("col.negScore")).as(scoreCol))
+    }
   }
 }

@@ -81,6 +81,11 @@ object TemporalJoin {
         raise_error(lit(s"rangeJoin: interval spans more than " +
           s"$maxBucketsPerInterval buckets of ${bucketSeconds}s - widen " +
           "bucketSeconds or split the interval")).cast("long"))
+        // inverted interval (end < start): nBuckets < 1 would make the
+        // band sequence descend — unbounded spurious replication
+        .when(nBuckets < 1,
+          raise_error(lit("rangeJoin: interval end precedes start - " +
+            "fix or drop the inverted interval")).cast("long"))
         .otherwise(nBuckets))
     val iStruct = struct(intervalCols.map(col): _*)
     val probes = left.select(col(key).as("__k"), bucketOf(col(leftTime)).as("__b"),

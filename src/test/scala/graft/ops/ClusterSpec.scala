@@ -91,6 +91,20 @@ class ClusterSpec extends SparkSpec {
     assert(got(930L) == 0L)
   }
 
+  test("empty pair list converges to an empty result; corpus unchanged") {
+    import spark.implicits._
+    val none = pairsDf(Seq.empty)
+    assert(Cluster.connectedComponents(none, "id_a", "id_b").count() == 0L)
+    // all-self-loop pairs filter down to zero edges too
+    assert(Cluster.connectedComponents(
+      pairsDf(Seq((4L, 4L), (9L, 9L))), "id_a", "id_b").count() == 0L)
+    val corpus = Seq(1L, 2L, 3L).toDF("doc_id")
+    val kept = Cluster.dropNearDuplicates(corpus, "doc_id",
+      none, "id_a", "id_b").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("parquet materialization path yields identical clusters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
     val ps = pairsDf(Seq((1L, 2L), (2L, 3L), (7L, 9L)))

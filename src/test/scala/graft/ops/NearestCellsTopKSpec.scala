@@ -55,6 +55,20 @@ class NearestCellsTopKSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("k < 1 fails fast at construction, not deep in a task") {
+    val (_, centroids) = IvfIndex.build(embeddings, "vec_id", "embedding",
+      nCells = 4)
+    val v = Similarity.toDouble(col("embedding"))
+    for (k <- Seq(0, -1)) {
+      val ex = intercept[Exception] {
+        embeddings.select(graft.functions.NearestCellExpr
+          .nearestCellsTopK(spark, v, centroids, k)).collect()
+      }
+      assert(ex.getMessage.contains("k must be >= 1") ||
+        Option(ex.getCause).exists(_.getMessage.contains("k must be >= 1")))
+    }
+  }
+
   test("ties rank the smaller cell first") {
     import spark.implicits._
     // two identical centroids under different ids: both dots tie, the

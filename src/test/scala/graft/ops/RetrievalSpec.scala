@@ -65,6 +65,14 @@ class RetrievalSpec extends SparkSpec {
     assert(rankOf(5L) < rankOf(2L))
   }
 
+  test("empty corpus returns an empty frame, not a MatchError") {
+    val queries = docs(100L -> "spark data")
+    val out = Retrieval.bm25TopK(docs(), "doc_id", "text",
+      queries, "doc_id", "text", k = 5)
+    assert(out.columns.toSeq == Seq("q_id", "rank", "doc_id", "score"))
+    assert(out.count() == 0L)
+  }
+
   test("scores are partition-invariant") {
     val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val queries = big.filter(col("doc_id") % 100 === 0)

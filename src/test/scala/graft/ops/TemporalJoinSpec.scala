@@ -99,6 +99,17 @@ class TemporalJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("widen bucketSeconds"))
   }
 
+  test("range join guard fails fast on inverted intervals (end < start)") {
+    import spark.implicits._
+    val inverted = Seq((700L, 10L, ts("2024-01-01 00:10:00"), ts("2024-01-01 00:00:00")))
+      .toDF("iid", "k", "s", "e")
+    val ex = intercept[Exception] {
+      TemporalJoin.rangeJoin(probes, inverted, "k", "t", "s", "e",
+        Seq("iid"), bucketSeconds = 60).collect()
+    }
+    assert(ex.getMessage.contains("end precedes start"))
+  }
+
   test("range join plan is a hash join on (key, bucket), not a nested loop") {
     import spark.implicits._
     val intervals = Seq((500L, 10L, ts("2024-01-01 00:00:10"), ts("2024-01-01 00:00:30")))

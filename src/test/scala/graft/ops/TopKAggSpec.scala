@@ -60,4 +60,39 @@ class TopKAggSpec extends SparkSpec {
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(got.toList == List((1L, 2L), (2L, 5L)))
   }
+
+  test("string ids keep their type and values through the generic path") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0, "doc-b", 1.0), (0, "doc-a", 1.0), (0, "doc-z", 2.0),
+        (0, "doc-c", 0.5), (1, "only", 3.0))
+      .toDF("grp", "id", "score")
+    val out = Similarity.topKPerGroup(df, "grp", "id", "score", 2)
+    assert(out.schema("id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val got = out.orderBy("grp", "rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    // score desc, then id asc on the tie — doc-a before doc-b
+    assert(got.toList == List((0, 1L, "doc-z", 2.0), (0, 2L, "doc-a", 1.0),
+      (1, 1L, "only", 3.0)))
+  }
+
+  test("string-id corpora flow end to end through bruteForceTopK and bm25") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.9f, 0.1f)),
+        ("c", Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val nn = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === "a"), "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(nn.toList == List(("a", "b"))) // silently-empty would be Nil
+    val docs = Seq(("d1", "spark cluster"), ("d2", "cats"))
+      .toDF("doc_id", "text")
+    val hits = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq(("q1", "spark")).toDF("doc_id", "text"), "doc_id", "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(hits.toList == List(("q1", "d1")))
+  }
 }
