@@ -41,12 +41,18 @@ object ScaleBench {
     "d_embed_neardup_probes", "d_cells1024_probe2", "d_embed_srp_lsh",
     "t_winnow_overlap", "s_pq_adc_topk", "s_ivfpq_topk", "t_bm25_topk",
     "d_dup_clusters", "t_repetition_filter", "q_asof_join", "q_range_join",
-    "t_chunk_docs")
+    "t_chunk_docs", "q_corpus_pipeline")
 
-  /** Default queries for `--skew` runs: the two operators whose straggler
-    * bounds (LSH bucket caps, two-stage salting) the skewed replication is
-    * built to exercise. */
-  private val SkewQueries = Seq("d_lsh_jaccard_verify", "q_salted_agg")
+  /** Default queries for `--skew` runs: the operators whose straggler
+    * bounds the skewed replication is built to exercise — LSH bucket caps
+    * (d_lsh_jaccard_verify), two-stage salting (q_salted_agg), the
+    * giant-component shape for connected components (the hot content
+    * shard merges every copy of shard 0 into ONE cluster holding most
+    * pair endpoints — d_dup_clusters), and the hot-join-key shape for the
+    * as-of carry-forward window (~half of surviving click/error history
+    * lands on one user — q_asof_join). */
+  private val SkewQueries =
+    Seq("d_lsh_jaccard_verify", "q_salted_agg", "d_dup_clusters", "q_asof_join")
 
   /** Tables each benched query scans — replication writes only what the
     * selected queries read (a 100× lineitem is wasted work for a
@@ -61,6 +67,7 @@ object ScaleBench {
     "t_bm25_topk" -> Set("documents"), "d_dup_clusters" -> Set("documents"),
     "t_repetition_filter" -> Set("documents"),
     "t_chunk_docs" -> Set("documents"),
+    "q_corpus_pipeline" -> Set("documents"),
     "d_minhash_lsh" -> Set("documents"), "d_lsh_jaccard_verify" -> Set("documents"),
     "d_simhash" -> Set("documents"), "q_clean_corpus" -> Set("documents"),
     "d_ngram_jaccard" -> Set("documents"), "d_ngram_jaccard_bounded" -> Set("documents"),
@@ -168,11 +175,17 @@ object ScaleBench {
           .withColumn("event_id", col("event_id") + lit(k * nEvents))
           .withColumn("user_id", col("user_id") + lit(k * nUsers))
       }.reduce(_ unionByName _)
-      // heavy-hitter key: ~half of all rows collapse onto one event_type
+      // heavy-hitter keys: ~half of all rows collapse onto one event_type
+      // (the salted-agg shape) and, independently, ~half onto one user_id
+      // (the as-of-join hot-history shape — the carry-forward window sorts
+      // each key's history in one task, so user 0 carries ~half the rows)
       val out0 = if (!skew) replicated else replicated
         .withColumn("event_type",
           when(pmod(xxhash64(col("event_id")), lit(2L)) === 0, lit("hot"))
             .otherwise(col("event_type")))
+        .withColumn("user_id",
+          when(pmod(xxhash64(col("event_id"), lit(7L)), lit(2L)) === 0, lit(0L))
+            .otherwise(col("user_id")))
       out0.write.mode("overwrite").parquet(s"$out/events.parquet")
     }
   }

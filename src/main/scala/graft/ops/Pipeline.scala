@@ -56,6 +56,70 @@ object Pipeline {
     df.withColumn("split_bucket", bucket).withColumn("split", assign)
   }
 
+  /** The full composed corpus-preparation run — the chain a pretraining
+    * data pipeline actually executes, as ONE plan:
+    *
+    *  1. [[cleanCorpus]] — quality gate + exact dedup (keep min id per
+    *     canonical fingerprint);
+    *  2. near-dup pairs over the CLEANED corpus
+    *     ([[Dedup.ngramJaccardPairsBounded]]: exact in-block Jaccard while
+    *     blocks fit `maxBlockSize`, auto-tuned LSH banding above it — the
+    *     linear-at-scale route);
+    *  3. [[Cluster.dropNearDuplicates]] — pairs → connected components →
+    *     drop all but each cluster's min-id survivor (broadcast anti-join;
+    *     the corpus never shuffles);
+    *  4. [[TextAnalysis.decontaminate]] — drop docs sharing >= `minShared`
+    *     winnowed fingerprints with the eval set (eval fps broadcast in,
+    *     contaminated ids broadcast back);
+    *  5. [[splitAssign]] — md5-bucket train/validation/test, never rand();
+    *  6. [[sampleByStratum]] — per-source mixing rates, a pure pushed-down
+    *     filter. `sampleSalt` MUST differ from the split salt: with the
+    *     same salt the sample bucket and the split bucket are the same
+    *     number, so e.g. rate 0.5 would silently keep only 'train' rows;
+    *  7. [[TextAnalysis.chunkDocuments]] — stride windows carrying
+    *     (stratum, split) through, the pre-embedding step.
+    *
+    * Output: one row per chunk — (id, chunk_id, chunk_text,
+    * n_chunk_tokens, stratum, split).
+    *
+    * Scale shape: the corpus flows through as narrow scans; the only
+    * shuffles are the clean-stage fingerprint window, the bounded
+    * pair-generation, and the CC fixpoint over the (tiny) pair list —
+    * stages 4–7 are broadcasts and pure projections. The cleaned corpus
+    * is materialized once ([[Dedup.materializeBase]]) because pair
+    * generation, the anti-join, and the downstream chain all consume it;
+    * pass `materializePath` for the cluster-durable parquet form. */
+  def corpusPrep(docs: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, evalSet: DataFrame,
+      minQuality: Double = 0.5,
+      ngramN: Int = 2, jaccardThreshold: Double = 0.05,
+      maxBlockSize: Int = 1000,
+      winnowK: Int = 16, winnowW: Int = 16, minShared: Int = 3,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "validation" -> 0.01, "test" -> 0.01),
+      sampleRates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0, sampleSalt: String = "mix",
+      chunkTokens: Int = 32, strideTokens: Int = 24,
+      materializePath: Option[String] = None): DataFrame = {
+    val cleaned = Dedup.materializeBase(
+      cleanCorpus(docs, idCol, textCol, minQuality),
+      materializePath.map(_ + "/cleaned"))
+    val pairs = Dedup.ngramJaccardPairsBounded(cleaned, idCol, textCol,
+      blockCol = stratumCol, n = ngramN, threshold = jaccardThreshold,
+      maxBlockSize = maxBlockSize,
+      materializePath = materializePath.map(_ + "/pairs"))
+    val deduped = Cluster.dropNearDuplicates(cleaned, idCol,
+      pairs, "id_a", "id_b",
+      materializePath = materializePath.map(_ + "/cc"))
+    val decont = TextAnalysis.decontaminate(deduped, idCol, textCol,
+      evalSet, idCol, textCol, k = winnowK, w = winnowW,
+      minShared = minShared)
+    val sampled = sampleByStratum(splitAssign(decont, idCol, splits),
+      idCol, stratumCol, sampleRates, defaultRate, salt = sampleSalt)
+    TextAnalysis.chunkDocuments(sampled, idCol, textCol,
+      chunkTokens, strideTokens, carryCols = Seq(stratumCol, "split"))
+  }
+
   /** Deterministic stratified sampling — the source-mixing knob of a
     * pretraining data run (sample web at 0.3, books at 1.0, …). Per
     * stratum, a row survives iff its [[splitAssign]]-style md5 bucket

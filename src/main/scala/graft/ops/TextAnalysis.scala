@@ -193,27 +193,30 @@ object TextAnalysis {
     * streaming-safe, integer arithmetic throughout so a SQL oracle
     * matches exactly. */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, strideTokens: Int): DataFrame = {
+      chunkTokens: Int, strideTokens: Int,
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(strideTokens >= 1 && strideTokens <= chunkTokens,
       s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    val carry = carryCols.map(col)
     val n = size(col("__t"))
     // positive-int floor division via double: exact for any array size
     val nChunks = when(n === 0, lit(0))
       .when(n <= chunkTokens, lit(1))
       .otherwise(floor((n - chunkTokens + (strideTokens - 1))
         .cast("double") / strideTokens).cast("int") + 1)
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    df.select(col(idCol) +: carry :+ tokens(col(textCol)).as("__t"): _*)
       .withColumn("__n", n)
-      .select(col(idCol), col("__t"), col("__n"),
+      .select((col(idCol) +: carry) ++ Seq(col("__t"), col("__n"),
         // sequence(0, -1) would DESCEND; empty docs must emit no chunks
         explode(when(nChunks > 0, sequence(lit(0), nChunks - 1))
-          .otherwise(array().cast("array<int>"))).as("chunk_id"))
-      .select(col(idCol), col("chunk_id"),
+          .otherwise(array().cast("array<int>"))).as("chunk_id")): _*)
+      .select(Seq(col(idCol), col("chunk_id"),
         array_join(slice(col("__t"), col("chunk_id") * strideTokens + 1,
           lit(chunkTokens)), " ").as("chunk_text"),
         least(lit(chunkTokens),
           col("__n") - col("chunk_id") * strideTokens).as("n_chunk_tokens"))
+        ++ carry: _*)
   }
 
   /** PII scrubbing for training corpora: emails, IPv4 addresses, phone-like

@@ -438,6 +438,22 @@ object PipelineQueries {
         .select("doc_id", "quality_score")
         .orderBy("doc_id")
     },
+    // THE end-to-end corpus-prep run, all seven stages as ONE plan with
+    // ONE oracle: clean (quality + exact dedup) → bounded n-gram Jaccard
+    // pairs → CC cluster → drop near-dups → decontaminate vs the eval
+    // slice → split assign → stratified source mixing → chunk. Catches the
+    // composition bugs per-op gates can't: column collisions between
+    // stages, pair generation on the wrong corpus snapshot, salt reuse
+    // between split and sample buckets, order sensitivity of drop vs
+    // sample.
+    "q_corpus_pipeline" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      graft.ops.Pipeline.corpusPrep(docs, "doc_id", "text", "source", evalSet,
+        sampleRates = Map("src0" -> 0.25, "src1" -> 0.0, "src2" -> 1.0),
+        defaultRate = 0.5)
+        .orderBy("doc_id", "chunk_id")
+    },
     // AS-OF join (the operator Spark lacks natively): each click joins the
     // latest error at or before it per user — interleaved union + window
     // carry-forward, ONE key shuffle, no per-row range probe. The state
@@ -668,6 +684,91 @@ object PipelineQueries {
         |  SELECT doc_id, quality_score, min(doc_id) OVER (PARTITION BY fp) AS keeper
         |  FROM survivors)
         |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
+    // the seven-stage corpus-prep chain re-derived as one CTE pipeline:
+    // quality+exact-dedup survivors, all-pairs Jaccard on the CLEANED
+    // corpus, recursive-CTE transitive closure, winnow decontamination vs
+    // the eval slice, the two independent md5 bucket families (split salt
+    // 'graft', sample salt 'mix'), and the chunk expansion carrying
+    // (source, split)
+    "q_corpus_pipeline" ->
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, text, $tokensSql AS t FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source, text,
+        |    ((CASE WHEN len(t) BETWEEN 8 AND 4096 THEN 1.0 WHEN len(t) > 0 THEN 0.5 ELSE 0.0 END)
+        |     + (CASE WHEN coalesce(CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) END, 0.0) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
+        |     + (CASE WHEN coalesce(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END, 0.0) <= 0.2 THEN 1.0 ELSE 0.0 END)
+        |     + coalesce(CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) END, 0.0)) / 4.0 AS quality_score
+        |  FROM toks),
+        |cleaned AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |      min(doc_id) OVER (PARTITION BY fp) AS keeper
+        |    FROM (
+        |      SELECT doc_id, source, text,
+        |        md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS fp
+        |      FROM scored WHERE quality_score >= 0.5))
+        |  WHERE doc_id = keeper),
+        |ctoks AS (SELECT doc_id, source, $tokensSql AS t FROM cleaned),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM ctoks),
+        |pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CASE WHEN len(list_distinct(a.g || b.g)) > 0
+        |        THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+        |        ELSE 0.0 END AS jaccard
+        |    FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r)),
+        |deduped AS (
+        |  SELECT * FROM cleaned WHERE doc_id NOT IN (SELECT id FROM losers)),
+        |${winnowSelCtes("c", "deduped")},
+        |${winnowSelCtes("e", "(SELECT * FROM documents WHERE doc_id % 50 = 0)")},
+        |contaminated AS (
+        |  SELECT c.doc_id FROM csel c
+        |  JOIN (SELECT DISTINCT fp FROM esel) e ON c.fp = e.fp
+        |  GROUP BY c.doc_id HAVING count(*) >= 3),
+        |sampled AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN sb < 9800 THEN 'train'
+        |         WHEN sb < 9900 THEN 'validation'
+        |         ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id, source, text,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('graft:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+        |        (acc, d) -> acc * 16 + d) % 10000 AS sb,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+        |        (acc, d) -> acc * 16 + d) % 10000 AS mb
+        |    FROM deduped
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |  WHERE mb < CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 0
+        |    WHEN 'src2' THEN 10000 ELSE 5000 END),
+        |stoks AS (SELECT doc_id, source, split, $tokensSql AS t FROM sampled),
+        |smeta AS (SELECT doc_id, source, split, t, len(t) AS n,
+        |    CASE WHEN len(t) = 0 THEN 0
+        |         WHEN len(t) <= 32 THEN 1
+        |         ELSE (len(t) - 32 + 23) // 24 + 1 END AS nc
+        |  FROM stoks),
+        |schunks AS (SELECT doc_id, source, split, t, n, unnest(range(nc)) AS chunk_id FROM smeta)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  array_to_string(t[CAST(chunk_id * 24 + 1 AS INT) : CAST(least(chunk_id * 24 + 32, n) AS INT)], ' ') AS chunk_text,
+        |  CAST(least(32, n - chunk_id * 24) AS INT) AS n_chunk_tokens,
+        |  source, split
+        |FROM schunks ORDER BY doc_id, chunk_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,

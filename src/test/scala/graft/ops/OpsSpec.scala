@@ -519,6 +519,80 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("chunking is stateless: batch == stream, two micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      1L -> (1 to 20).map(i => s"w$i").mkString(" "),
+      2L -> "short doc",
+      3L -> "", // empty doc: no chunks in either mode
+      4L -> (1 to 9).map(i => s"x$i").mkString(" "))
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.chunkDocuments(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 8, 4)
+      .writeStream.format("memory").queryName("chunk_stream_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*); q.processAllAvailable()
+    mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))
+    val streamed = spark.table("chunk_stream_test").collect().map(key).toMap
+    val batch = TextAnalysis.chunkDocuments(rows.toDF("doc_id", "text"),
+      "doc_id", "text", 8, 4).collect().map(key).toMap
+    assert(streamed == batch && batch.nonEmpty)
+    assert(!streamed.keys.exists(_._1 == 3L))
+  }
+
+  test("chunking carries pass-through columns without extra shuffles") {
+    import spark.implicits._
+    val df = Seq((1L, "srcA", "train", (1 to 10).map(i => s"w$i").mkString(" ")),
+        (2L, "srcB", "test", "tiny"))
+      .toDF("doc_id", "source", "split", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text", 8, 4,
+      carryCols = Seq("source", "split"))
+    assert(out.columns.toSeq == Seq("doc_id", "chunk_id", "chunk_text",
+      "n_chunk_tokens", "source", "split"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getString(4), r.getString(5))).toSet
+    assert(rows == Set((1L, 0, "srcA", "train"), (1L, 1, "srcA", "train"),
+      (2L, 0, "srcB", "test")))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("corpusPrep composes the seven stages with the right interactions") {
+    import spark.implicits._
+    val dup = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val good = (1 to 40).map(i => s"uniq${i}word").mkString(" ")
+    val evalText = (100 to 140).map(i => s"evaltok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", dup),       // near-dup cluster {1,2}: 1 survives
+      (2L, "srcA", dup + " extraone extratwo exthree efour efive esix"),
+      (3L, "srcA", good),      // clean unique doc: survives
+      (4L, "srcA", evalText),  // contaminated vs eval set: dropped
+      (5L, "srcA", "a a a a a a a a a a a a a a a a"), // quality 0.52: dropped
+      (6L, "srcB", good + " tail"), // srcB sampled at rate 0
+      (50L, "srcEval", evalText)) // the eval slice (id % 50 == 0)
+      .toDF("doc_id", "source", "text")
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    val out = Pipeline.corpusPrep(docs, "doc_id", "text", "source", evalSet,
+      minQuality = 0.55, jaccardThreshold = 0.3,
+      sampleRates = Map("srcB" -> 0.0), defaultRate = 1.0,
+      chunkTokens = 16, strideTokens = 8)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 lost to near-dedup (keep 1), 4 to decontamination, 5 to quality,
+    // 6 to sampling, 50 to self-decontamination (full eval overlap)
+    assert(ids == Set(1L, 3L))
+    val cols = out.columns.toSeq
+    assert(cols == Seq("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens",
+      "source", "split"))
+    // every kept doc chunks fully: 40 tokens -> ceil((40-16)/8)+1 = 4 chunks
+    val byDoc = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.values.forall(_ == 4L))
+  }
+
   test("stratified sampling is a stateless filter: batch == stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
