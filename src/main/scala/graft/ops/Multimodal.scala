@@ -28,51 +28,67 @@ object Multimodal {
     df.withColumn("payload", to_binary(sha2(concat(col(idCol).cast("string"),
       lit(":"), col(textCol)), 256), lit("hex")))
 
-  /** STUB decode ??? — replace with a real codec (e.g. javacv) for media
-    * formats the JDK can't read. Deterministic fake: metadata derived from
-    * the payload bytes. */
+  /** The codec seam: one per-payload decode method, implementations are
+    * Serializable so a codec instance ships once per task closure (the
+    * same seam pattern as autoparser's LlmClient). Plug a JNI/javacv
+    * implementation for audio/video (decode the first frame, or any
+    * representative raster) WITHOUT touching any operator code —
+    * decodeImages/resizeImages take the codec as a parameter. Returning
+    * None routes the payload to the deterministic fallback pair
+    * (decodeStub/featureStub), so partial codecs compose safely. */
+  trait MediaCodec extends Serializable {
+    /** Decode to (metadata, raster); None if this codec can't read it. */
+    def decode(payload: Array[Byte]): Option[(MediaMeta, java.awt.image.BufferedImage)]
+  }
+
+  private def looksLikePng(p: Array[Byte]): Boolean =
+    p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+
+  /** The default codec: REAL decode for JDK-supported image formats
+    * (PNG/JPEG/GIF via javax.imageio, which ships with the JDK — no
+    * external dependency). Width, height and channel count come from the
+    * actual decoded image. */
+  object ImageIoCodec extends MediaCodec {
+    def decode(
+        payload: Array[Byte]): Option[(MediaMeta, java.awt.image.BufferedImage)] = {
+      val isJpeg = payload.length > 3 &&
+        (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+      val isGif = payload.length > 3 &&
+        payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'
+      if (looksLikePng(payload) || isJpeg || isGif) {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img != null)
+          return Some((MediaMeta(img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents,
+            if (looksLikePng(payload)) "image/png"
+            else if (isJpeg) "image/jpeg" else "image/gif"), img))
+      }
+      None
+    }
+  }
+
+  /** Deterministic fallback metadata for payloads no codec reads
+    * (audio/video in this container — no JVM decoder exists here):
+    * dimensions derived from the payload bytes, flagged by the "fake/"
+    * format prefix. The test codec of the seam, mirrored in SQL by
+    * [[decodeMetaExpr]] so fallback outputs stay oracle-checkable. */
   def decodeStub(payload: Array[Byte]): MediaMeta = {
-    // ??? real decoder goes here; fake derives dimensions from the payload
     val b0 = payload(0) & 0xff
     val b1 = payload(1) & 0xff
     MediaMeta(width = 320 + (b0 % 5) * 160, height = 240 + (b1 % 5) * 120,
       nChannels = 3, format = "fake/rgb8")
   }
 
-  private def looksLikePng(p: Array[Byte]): Boolean =
-    p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
-
-  /** REAL decode for JDK-supported image formats (PNG/JPEG/GIF/BMP via
-    * javax.imageio — ships with the JDK, no external codec): width, height
-    * and channel count come from the actual decoded image. Unrecognized
-    * payloads fall back to the clearly-marked stub. */
+  /** Metadata via the default (JDK ImageIO) codec, fallback for the rest. */
   def decodeMedia(payload: Array[Byte]): MediaMeta = decodeFull(payload)._1
 
-  /** Decode a JDK-supported image payload to its pixels + metadata; None
-    * for non-image payloads (audio/video — no JDK codec). */
-  private def decodeBuffered(
-      payload: Array[Byte]): Option[(MediaMeta, java.awt.image.BufferedImage)] = {
-    val isJpeg = payload.length > 3 &&
-      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
-    val isGif = payload.length > 3 &&
-      payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'
-    if (looksLikePng(payload) || isJpeg || isGif) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img != null)
-        return Some((MediaMeta(img.getWidth, img.getHeight,
-          img.getColorModel.getNumComponents,
-          if (looksLikePng(payload)) "image/png"
-          else if (isJpeg) "image/jpeg" else "image/gif"), img))
-    }
-    None
-  }
-
   /** One decode pass producing metadata AND the feature vector, so
-    * decodeImages never reads the same payload twice. Image payloads get a
-    * REAL feature (8-bin luminance histogram over the decoded pixels);
-    * non-image payloads fall back to the stub pair. */
-  def decodeFull(payload: Array[Byte]): (MediaMeta, Array[Float]) =
-    decodeBuffered(payload) match {
+    * decodeImages never reads the same payload twice. Payloads the codec
+    * reads get a REAL feature (8-bin luminance histogram over the decoded
+    * pixels); the rest fall back to the deterministic fake pair. */
+  def decodeFull(payload: Array[Byte],
+      codec: MediaCodec = ImageIoCodec): (MediaMeta, Array[Float]) =
+    codec.decode(payload) match {
       case Some((meta, img)) => (meta, imageHistogram(img))
       case None => (decodeStub(payload), featureStub(payload))
     }
@@ -151,14 +167,15 @@ object Multimodal {
   /** Partition-batched decode: one decoder instance per partition (the
     * expensive-init pattern for real codecs), iterator-in/iterator-out so
     * batches stream without materializing a partition. */
-  def decodeImages(spark: SparkSession, df: DataFrame, idCol: String): Dataset[DecodedDoc] = {
+  def decodeImages(spark: SparkSession, df: DataFrame, idCol: String,
+      codec: MediaCodec = ImageIoCodec): Dataset[DecodedDoc] = {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init would happen here
         it.map { case (id, payload) =>
-          val (meta, feature) = decodeFull(payload)
+          val (meta, feature) = decodeFull(payload, codec)
           DecodedDoc(id, meta, feature) }
       }
   }
@@ -215,13 +232,13 @@ object Multimodal {
     * streaming, partition-preserving. Non-image payloads keep the stub
     * pair with the requested raster dims (no JDK codec). */
   def resizeImages(spark: SparkSession, df: DataFrame, idCol: String,
-      w: Int, h: Int): Dataset[ResizedDoc] = {
+      w: Int, h: Int, codec: MediaCodec = ImageIoCodec): Dataset[ResizedDoc] = {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          decodeBuffered(payload) match {
+          codec.decode(payload) match {
             case Some((meta, img)) =>
               ResizedDoc(id, meta, w, h, imageHistogram(resizeNearest(img, w, h)))
             case None =>

@@ -254,14 +254,19 @@ object PipelineQueries {
         nBits = 32, bands = 4, threshold = 0.2, maxBucketSize = 200)
         .orderBy("id_a", "id_b")
     },
-    // the real-IVF-size shape (rows-only gate; ScaleBench case): 1024 cells,
-    // 2 probes, sample-trained quantizer. Before the kernel this plan was
-    // un-buildable — the declarative probe ranking put nCells × dim literal
-    // expressions in the tree; now the plan is O(1) in nCells.
+    // the real-IVF-size shape (ScaleBench case): 1024 cells, 2 probes.
+    // Before the kernel this plan was un-buildable — the declarative probe
+    // ranking put nCells × dim literal expressions in the tree; now the
+    // plan is O(1) in nCells. Fully oracled since round 8: the modulo-init
+    // + one-DECIMAL-exact-Lloyd-step family (same as d_embed_neardup_cells,
+    // at 64× the cell count) makes centroids, probe ranking and pairs
+    // SQL-replicable; the sample-trained hash-init production quantizer
+    // stays covered by OpsSpec + s_ivf_topk.
     "d_cells1024_probe2" -> { (s, d) =>
       Dedup.embeddingNearDupPairsByCell(
         Tables.embeddings(s, d), "vec_id", "embedding",
-        nCells = 1024, threshold = 0.5, iters = 2, trainFraction = 0.25,
+        nCells = 1024, threshold = 0.35, iters = 1,
+        initCell = Some(pmod(col("id").cast("bigint"), lit(1024L)).cast("int")),
         probes = 2)
         .orderBy("cell", "id_a", "id_b")
     },
@@ -474,20 +479,26 @@ object PipelineQueries {
         Seq("err_id", "err_value"))
         .orderBy("event_id")
     },
-    // RANGE join: clicks within 2 minutes after an error, same user —
-    // interval ends quantized onto 60s buckets, equi-join on
+    // RANGE join: clicks within 4 hours after an error, same user —
+    // interval ends quantized onto 600s buckets, equi-join on
     // (user, bucket), exact band filter after. Hash join, never a
-    // BroadcastNestedLoop.
+    // BroadcastNestedLoop. Probe and interval times are minute-truncated
+    // so the gate exercises BOTH bucket-edge cases at volume: every
+    // interval start/end lands exactly on a bucket boundary, and ~1/10 of
+    // probes land exactly on one (the +1 band replication off-by-one
+    // surface) — and matches number in the hundreds, not 1.
     "q_range_join" -> { (s, d) =>
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts", "value")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("minute", col("ts")).as("ts"), col("value"))
       val intervals = ev.filter(col("event_type") === "error")
         .select(col("event_id").as("err_id"), col("user_id"),
-          col("ts").as("start_ts"),
-          (col("ts") + expr("INTERVAL 120 SECONDS")).as("end_ts"))
+          date_trunc("minute", col("ts")).as("start_ts"),
+          (date_trunc("minute", col("ts")) +
+            expr("INTERVAL 14400 SECONDS")).as("end_ts"))
       graft.ops.TemporalJoin.rangeJoin(clicks, intervals, "user_id", "ts",
-        "start_ts", "end_ts", Seq("err_id"), bucketSeconds = 60)
+        "start_ts", "end_ts", Seq("err_id"), bucketSeconds = 600)
         .orderBy("event_id", "range_err_id")
     },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
@@ -790,14 +801,15 @@ object PipelineQueries {
         |ORDER BY c.event_id""".stripMargin,
     "q_range_join" ->
       """WITH clicks AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |  SELECT event_id, user_id, date_trunc('minute', ts) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
         |errs AS (
-        |  SELECT event_id AS err_id, user_id, ts AS err_ts
+        |  SELECT event_id AS err_id, user_id, date_trunc('minute', ts) AS err_ts
         |  FROM events WHERE event_type = 'error')
         |SELECT c.event_id, c.user_id, c.ts, c.value, e.err_id AS range_err_id
         |FROM clicks c JOIN errs e
         |  ON c.user_id = e.user_id
-        |  AND c.ts >= e.err_ts AND c.ts <= e.err_ts + INTERVAL 120 SECOND
+        |  AND c.ts >= e.err_ts AND c.ts <= e.err_ts + INTERVAL 14400 SECOND
         |ORDER BY c.event_id, range_err_id""".stripMargin,
     "t_text_profile" ->
       s"""WITH toks AS (
@@ -1102,6 +1114,42 @@ object PipelineQueries {
          |      ${dot("a.e", "b.e")} / (${sq("a.e")} * ${sq("b.e")}) AS cosine
          |    FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |  WHERE cosine >= 0.2)
+         |SELECT cell, id_a, id_b, cosine FROM (
+         |  SELECT id_a, id_b, min(cell) AS cell, max(cosine) AS cosine
+         |  FROM p GROUP BY id_a, id_b)
+         |ORDER BY cell, id_a, id_b""".stripMargin
+    },
+    // the 1024-cell multi-probe pipeline re-derived at full IVF size: the
+    // same CTE chain as d_embed_neardup_probes with 1024 modulo-init cells
+    // over the whole table (empty cells drop out of the centroid aggregate
+    // on both sides)
+    "d_cells1024_probe2" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), (x, y) -> x + y)"
+      def sq(a: String): String =
+        s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (x, y) -> x + y))"
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |a0 AS (SELECT vec_id, e, CAST(vec_id % 1024 AS INT) AS cell FROM v),
+         |c1 AS (
+         |  SELECT cell, list(m ORDER BY pos) AS c FROM (
+         |    SELECT cell, pos, CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+         |    FROM (SELECT cell, unnest(e) AS val, unnest(range(len(e))) AS pos FROM a0)
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell),
+         |a1 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c1.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY -(${dot("v.e", "c1.c")}), c1.cell) AS rn
+         |    FROM v CROSS JOIN c1) WHERE rn <= 2),
+         |p AS (
+         |  SELECT * FROM (
+         |    SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         |      ${dot("a.e", "b.e")} / (${sq("a.e")} * ${sq("b.e")}) AS cosine
+         |    FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |  WHERE cosine >= 0.35)
          |SELECT cell, id_a, id_b, cosine FROM (
          |  SELECT id_a, id_b, min(cell) AS cell, max(cosine) AS cosine
          |  FROM p GROUP BY id_a, id_b)

@@ -246,6 +246,50 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: a custom MediaCodec plugs in without operator changes") {
+    // a "codec" for a made-up RAWB format: magic 'RAWB', then w, h bytes,
+    // then w*h gray pixels — stands in for a javacv audio/video decoder
+    object RawbCodec extends Multimodal.MediaCodec {
+      def decode(p: Array[Byte]) = {
+        if (p.length > 6 && p(0) == 'R' && p(1) == 'A' && p(2) == 'W' && p(3) == 'B') {
+          val w = p(4) & 0xff
+          val h = p(5) & 0xff
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until h; x <- 0 until w) {
+            val g = p(6 + y * w + x) & 0xff
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          }
+          Some((Multimodal.MediaMeta(w, h, 1, "rawb/gray8"), img))
+        } else Multimodal.ImageIoCodec.decode(p) // chain to the default
+      }
+    }
+    import spark.implicits._
+    def rawb(id: Long): Array[Byte] = {
+      val (w, h) = (2 + (id % 3).toInt, 2)
+      Array[Byte]('R', 'A', 'W', 'B', w.toByte, h.toByte) ++
+        Array.tabulate(w * h)(i => ((id * 37 + i * 11) % 256).toByte)
+    }
+    val df = (1L to 10L).map(id => (id, rawb(id))).toDF("doc_id", "payload")
+    val decoded = Multimodal.decodeImages(spark, df, "doc_id",
+      codec = RawbCodec).collect()
+    decoded.foreach { r =>
+      assert(r.meta.format == "rawb/gray8")
+      assert(r.meta.width == 2 + (r.doc_id % 3).toInt && r.meta.height == 2)
+      assert(math.abs(r.feature.sum - 1.0f) < 1e-5) // REAL histogram path
+    }
+    // unrecognized payloads still fall back to the deterministic pair
+    val junk = Seq((99L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+      .toDF("doc_id", "payload")
+    val fb = Multimodal.decodeImages(spark, junk, "doc_id",
+      codec = RawbCodec).collect().head
+    assert(fb.meta.format == "fake/rgb8")
+    // resize flows through the same seam
+    val rz = Multimodal.resizeImages(spark, df, "doc_id", 4, 4,
+      codec = RawbCodec).collect()
+    assert(rz.forall(r => r.width == 4 && r.meta.format == "rawb/gray8"))
+  }
+
   test("multimodal: partition-batched decode matches the expression path") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val withPayload = Multimodal.withFakePayload(d, "doc_id", "text")

@@ -99,6 +99,39 @@ class TemporalJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("widen bucketSeconds"))
   }
 
+  test("range join bucket edges: probe and interval ends exactly on boundaries") {
+    import spark.implicits._
+    // bucketSeconds = 60; epoch-aligned boundaries at :00 of each minute.
+    // interval 800: [00:01:00, 00:03:00] — start AND end exactly on bucket
+    // boundaries (spans buckets 1,2,3 — the ceil(len/width)+1 replication)
+    // interval 801: [00:04:30, 00:05:00] — end on a boundary, start not
+    val intervals = Seq(
+      (800L, 1L, ts("2024-01-01 00:01:00"), ts("2024-01-01 00:03:00")),
+      (801L, 1L, ts("2024-01-01 00:04:30"), ts("2024-01-01 00:05:00"))
+    ).toDF("iid", "k", "s", "e")
+    // probes at every boundary and just around them
+    val edgeProbes = Seq(
+      (10L, 1L, ts("2024-01-01 00:01:00")), // == start of 800 (boundary)
+      (11L, 1L, ts("2024-01-01 00:00:59")), // 1s before start: no match
+      (12L, 1L, ts("2024-01-01 00:02:00")), // interior boundary
+      (13L, 1L, ts("2024-01-01 00:03:00")), // == end of 800 (boundary, inclusive)
+      (14L, 1L, ts("2024-01-01 00:03:01")), // 1s after end: no match
+      (15L, 1L, ts("2024-01-01 00:05:00")), // == end of 801 (boundary, inclusive)
+      (16L, 1L, ts("2024-01-01 00:04:30")), // == start of 801 (not boundary)
+      (17L, 1L, ts("2024-01-01 00:04:00"))  // boundary before 801 starts: no match
+    ).toDF("id", "k", "t")
+    val got = TemporalJoin.rangeJoin(edgeProbes, intervals, "k", "t", "s", "e",
+        Seq("iid"), bucketSeconds = 60)
+      .select("id", "range_iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 800L), (12L, 800L), (13L, 800L),
+      (15L, 801L), (16L, 801L)))
+    // no duplicates from the band replication
+    val n = TemporalJoin.rangeJoin(edgeProbes, intervals, "k", "t", "s", "e",
+      Seq("iid"), bucketSeconds = 60).count()
+    assert(n == 5L)
+  }
+
   test("range join guard fails fast on inverted intervals (end < start)") {
     import spark.implicits._
     val inverted = Seq((700L, 10L, ts("2024-01-01 00:10:00"), ts("2024-01-01 00:00:00")))
