@@ -219,6 +219,59 @@ object TextAnalysis {
         ++ carry: _*)
   }
 
+  /** Word-bigram strings ("w1 w2" — unambiguous since tokens are
+    * whitespace-split) for LM scoring; docs under 2 tokens yield an
+    * empty array. */
+  private def bigramStrings(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2), i =>
+        concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Reference-LM fluency scoring — the CCNet-style quality filter: train
+    * an add-k-smoothed BIGRAM language model on a curated reference slice,
+    * score every corpus document by its mean bigram log-probability
+    * (low = far from the reference distribution: boilerplate, gibberish,
+    * wrong language). p(w2|w1) = (c(w1 w2) + k) / (ctx(w1) + k·(V+1)) with
+    * ctx(w1) = Σ_w c(w1 w), V = reference vocabulary size; an unseen
+    * context scores ln(1/(V+1)).
+    *
+    * Scale shape: the reference is bounded (a curated slice), so its
+    * bigram and context tables BROADCAST onto the corpus's exploded
+    * bigrams — the corpus's only shuffle is the final per-doc aggregation.
+    * Per-bigram log-probs accumulate in DECIMAL(28,14) (order-invariant,
+    * oracle-replicable) with one double cast and division at the end.
+    * Deterministic; docs with fewer than 2 tokens surface with
+    * n_bigrams = 0 and a null score (a one-row-per-doc sentinel keeps
+    * them in the same single aggregation — no corpus-wide re-join). */
+  def lmScore(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be positive, got $addK")
+    val refToks = reference.select(tokens(col(refTextCol)).as("t"))
+    val vocab = refToks.select(explode(col("t")).as("w"))
+      .agg(count_distinct(col("w"))).head.getLong(0)
+    val c2 = refToks.select(explode(bigramStrings(col("t"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt2"))
+    val ctx = c2.select(substring_index(col("bg"), " ", 1).as("w1"), col("cnt2"))
+      .groupBy("w1").agg(sum(col("cnt2")).as("ctx"))
+    val denomK = addK * (vocab.toDouble + 1.0)
+    // sentinel null bigram keeps <2-token docs in the aggregation
+    val inst = corpus.select(col(idCol).as("id"),
+        explode(concat(bigramStrings(tokens(col(textCol))),
+          array(lit(null).cast("string")))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(c2), Seq("bg"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .withColumn("logp", when(col("bg").isNotNull,
+        log((coalesce(col("cnt2"), lit(0L)).cast("double") + addK) /
+          (coalesce(col("ctx"), lit(0L)).cast("double") + denomK))))
+    inst.groupBy("id")
+      .agg(count(col("bg")).as("n_bigrams"),
+        (sum(col("logp").cast("decimal(28,14)")).cast("double") /
+          count(col("bg")).cast("double")).as("lm_logprob"))
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses, phone-like
     * digit runs, and long id-like digit runs replaced with typed
     * placeholders, in that fixed cascade order (earlier redactions can

@@ -344,6 +344,19 @@ object PipelineQueries {
         chunkTokens = 32, strideTokens = 24)
         .orderBy("doc_id", "chunk_id")
     },
+    // CCNet-style reference-LM fluency: add-0.5-smoothed bigram LM trained
+    // on the doc_id % 10 slice, every doc scored by mean bigram
+    // log-probability. The reference tables broadcast; the corpus's only
+    // shuffle is the per-doc aggregation; DECIMAL(28,14) per-bigram sums.
+    // 9-dp render for the ln ulp (the bm25 discipline).
+    "t_lm_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ref = docs.filter(col("doc_id") % 10 === 0)
+      TextAnalysis.lmScore(docs, "doc_id", "text", ref, "text", addK = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lm_logprob", round(col("lm_logprob"), 9))
+        .orderBy("doc_id")
+    },
     // Gopher-style repetition filter: top-unigram / top-bigram /
     // duplicated-bigram token coverage per doc + the keep decision
     // (integer-ratio fractions — exact in both engines)
@@ -1202,6 +1215,36 @@ object PipelineQueries {
         |  array_to_string(t[CAST(chunk_id * 24 + 1 AS INT) : CAST(least(chunk_id * 24 + 32, n) AS INT)], ' ') AS chunk_text,
         |  CAST(least(32, n - chunk_id * 24) AS INT) AS n_chunk_tokens
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    // the bigram LM re-derived: reference bigram/context counts, vocabulary
+    // scalar, per-instance add-k log-probs with the same parenthesization,
+    // DECIMAL per-doc sums, left join keeping <2-token docs at 0 bigrams
+    "t_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |rt AS (SELECT t FROM toks WHERE doc_id % 10 = 0),
+        |vocab AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(t) AS w FROM rt)),
+        |rbg AS (SELECT bg, count(*) AS cnt2 FROM (
+        |    SELECT unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS bg
+        |    FROM rt WHERE len(t) >= 2) GROUP BY bg),
+        |rctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cnt2) AS ctx
+        |  FROM rbg GROUP BY 1),
+        |inst AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS bg
+        |    FROM toks WHERE len(t) >= 2)),
+        |scored AS (
+        |  SELECT i.doc_id,
+        |    ln((CAST(coalesce(rbg.cnt2, 0) AS DOUBLE) + 0.5) /
+        |       (CAST(coalesce(rctx.ctx, 0) AS DOUBLE) + 0.5 * (v + 1.0))) AS logp
+        |  FROM inst i LEFT JOIN rbg ON i.bg = rbg.bg
+        |  LEFT JOIN rctx ON i.w1 = rctx.w1
+        |  CROSS JOIN vocab),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CAST(logp AS DECIMAL(28,14))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lm
+        |  FROM scored GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+        |  ROUND(agg.lm, 9) AS lm_logprob
+        |FROM toks t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // the repetition metrics re-derived: per-doc gram counts via unnest,
     // integer-ratio coverages, the same least-capped doubles and keep rule
     "t_repetition_filter" ->

@@ -105,6 +105,27 @@ class ClusterSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("giant component: one cluster holding half of all endpoints") {
+    // the 100 TB adversary the skewed ScaleBench run can't reach through
+    // BLOCKED pair generation (pairs never cross source blocks, so any
+    // single cluster is bounded by its block): a giant star whose hub
+    // label is the hot key of both the neighbor-min aggregation and the
+    // pointer-jump join. 30k leaves on one hub = half of all pair
+    // endpoints in ONE cluster; the other half spread over 15k islands.
+    val n = 30000L
+    val giant = (1L to n).map(l => (0L, l))
+    val islands = (0L until n / 2).map(i => (100000L + 2 * i, 100001L + 2 * i))
+    val cc = Cluster.connectedComponents(pairsDf(giant ++ islands), "id_a", "id_b")
+    val sizes = cc.groupBy("cluster").count()
+    val giantRow = sizes.filter(col("cluster") === 0L).head
+    assert(giantRow.getLong(1) == n + 1)
+    assert(cc.count() == 2 * n + 1)
+    // star diameter 2: the fixpoint must close in the first rounds, not
+    // crawl — 4 rounds of budget is enough (1 to fix + jump, 1 to confirm)
+    Cluster.connectedComponents(pairsDf(giant ++ islands), "id_a", "id_b",
+      maxIters = 4)
+  }
+
   test("parquet materialization path yields identical clusters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
     val ps = pairsDf(Seq((1L, 2L), (2L, 3L), (7L, 9L)))

@@ -713,6 +713,55 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 3)
   }
 
+  test("lmScore matches a driver-side bigram LM with add-k smoothing") {
+    val ref = docs(
+      10L -> "the cat sat on the mat",
+      20L -> "the dog sat on the rug")
+    val corpus = docs(
+      1L -> "the cat sat",      // all bigrams seen
+      2L -> "the zebra ran",    // unseen bigrams, seen + unseen contexts
+      3L -> "single",           // no bigrams: null score
+      4L -> "")                 // empty doc: null score
+    val k = 0.5
+    // driver-side LM over the reference
+    val refToks = Seq("the cat sat on the mat", "the dog sat on the rug")
+      .map(_.split(" ").toSeq)
+    val vocabN = refToks.flatten.distinct.size // 8
+    val c2 = refToks.flatMap(t => t.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (g, v) => g -> v.size }
+    val ctx = c2.groupBy(_._1.split(" ")(0)).map { case (w, m) => w -> m.values.sum }
+    def logp(bg: String): Double = {
+      val w1 = bg.split(" ")(0)
+      math.log((c2.getOrElse(bg, 0).toDouble + k) /
+        (ctx.getOrElse(w1, 0).toDouble + k * (vocabN + 1.0)))
+    }
+    def want(text: String): Option[(Long, Double)] = {
+      val bgs = text.split(" ").filter(_.nonEmpty).toSeq.sliding(2)
+        .filter(_.size == 2).map(_.mkString(" ")).toSeq
+      if (bgs.isEmpty) None
+      else Some(bgs.size.toLong -> {
+        val s = bgs.map(b => scala.math.BigDecimal(logp(b))
+          .setScale(14, scala.math.BigDecimal.RoundingMode.HALF_UP)).sum
+        s.doubleValue / bgs.size
+      })
+    }
+    val got = TextAnalysis.lmScore(corpus, "doc_id", "text", ref, "text", k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L) == ((2L, Some(want("the cat sat").get._2))))
+    assert(got(2L) == ((2L, Some(want("the zebra ran").get._2))))
+    assert(got(3L) == ((0L, None)))
+    assert(got(4L) == ((0L, None)))
+    // seen text scores strictly higher than unseen text
+    assert(got(1L)._2.get > got(2L)._2.get)
+    // partition invariance (DECIMAL sums are order-safe)
+    val again = TextAnalysis.lmScore(corpus.repartition(7), "doc_id", "text",
+        ref, "text", k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(again == got)
+  }
+
   test("PII redaction: typed placeholders, cascade order, clean text untouched") {
     val df = docs(
       1L -> "mail me at jane.doe+spam@mail.example.org today",
