@@ -85,7 +85,18 @@ object Bench {
         parsed("a").count(); parsed("b").count()
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args restrict the run to the named queries (still in sorted
+    // order) — the regression-attribution mode: time a query alone vs after
+    // its alphabetical neighbors without editing the suite. The driver
+    // passes no args and gets the full suite.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
