@@ -17,7 +17,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional trailing args restrict the dump to the named queries (the
+    // iteration mode — tools/verify_local.py compares whatever is dumped);
+    // the driver passes none and gets the full surface
+    val selected =
+      if (args.length <= 2) SparkEntry.queries
+      else {
+        val want = args.drop(2).toSet
+        val unknown = want.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(want).toMap
+      }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

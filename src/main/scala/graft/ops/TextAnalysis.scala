@@ -237,13 +237,15 @@ object TextAnalysis {
     * context scores ln(1/(V+1)).
     *
     * Scale shape: the reference is bounded (a curated slice), so its
-    * bigram and context tables BROADCAST onto the corpus's exploded
-    * bigrams — the corpus's only shuffle is the final per-doc aggregation.
-    * Per-bigram log-probs accumulate in DECIMAL(28,14) (order-invariant,
-    * oracle-replicable) with one double cast and division at the end.
-    * Deterministic; docs with fewer than 2 tokens surface with
-    * n_bigrams = 0 and a null score (a one-row-per-doc sentinel keeps
-    * them in the same single aggregation — no corpus-wide re-join). */
+    * bigram counts COLLECT to the driver and ride task-broadcast inside
+    * one [[graft.functions.LmScoreExpr]] kernel (the centroid-matrix
+    * pattern) — the corpus folds to `(n_bigrams, Σ logp)` in a single
+    * narrow codegen projection over ONE scan: zero corpus shuffles, zero
+    * joins, no instance-stream explode. Per-bigram log-probs accumulate
+    * in DECIMAL(28,14) exactly as the exploded+joined+aggregated form
+    * did (order-invariant, oracle-replicable) with one double cast and
+    * division at the end. Deterministic; docs with fewer than 2 tokens
+    * surface with n_bigrams = 0 and a null score. */
   def lmScore(corpus: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
       addK: Double = 0.5): DataFrame = {
@@ -253,23 +255,18 @@ object TextAnalysis {
       .agg(count_distinct(col("w"))).head.getLong(0)
     val c2 = refToks.select(explode(bigramStrings(col("t"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cnt2"))
-    val ctx = c2.select(substring_index(col("bg"), " ", 1).as("w1"), col("cnt2"))
-      .groupBy("w1").agg(sum(col("cnt2")).as("ctx"))
-    val denomK = addK * (vocab.toDouble + 1.0)
-    // sentinel null bigram keeps <2-token docs in the aggregation
-    val inst = corpus.select(col(idCol).as("id"),
-        explode(concat(bigramStrings(tokens(col(textCol))),
-          array(lit(null).cast("string")))).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(broadcast(c2), Seq("bg"), "left")
-      .join(broadcast(ctx), Seq("w1"), "left")
-      .withColumn("logp", when(col("bg").isNotNull,
-        log((coalesce(col("cnt2"), lit(0L)).cast("double") + addK) /
-          (coalesce(col("ctx"), lit(0L)).cast("double") + denomK))))
-    inst.groupBy("id")
-      .agg(count(col("bg")).as("n_bigrams"),
-        (sum(col("logp").cast("decimal(28,14)")).cast("double") /
-          count(col("bg")).cast("double")).as("lm_logprob"))
+      .collect() // bounded: the curated reference slice
+    val s = graft.functions.LmExprs.lmScoreCol(corpus.sparkSession,
+      tokens(col(textCol)), c2.map(_.getString(0)).toSeq,
+      c2.map(_.getLong(1)).toSeq, addK, vocab)
+    // two-step select: __lm is referenced three times below, and
+    // CollapseProject only inlines multiply-referenced NON-cheap
+    // producers when forced — the kernel stays evaluated once per row
+    corpus.select(col(idCol).as("id"), s.as("__lm"))
+      .select(col("id"),
+        col("__lm").getField("n_bigrams").as("n_bigrams"),
+        (col("__lm").getField("logp_sum").cast("double") /
+          col("__lm").getField("n_bigrams").cast("double")).as("lm_logprob"))
   }
 
   /** PII scrubbing for training corpora: emails, IPv4 addresses, phone-like

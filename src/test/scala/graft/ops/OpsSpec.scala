@@ -762,6 +762,40 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("lmScore: multibyte tokens order and look up correctly in the kernel") {
+    // ü (2 bytes), 中/文 (3 bytes), асдф (cyrillic) — keys whose unsigned
+    // byte order differs from UTF-16 char order exercise the kernel's
+    // sorted-array binary search; 'zz' sorts between the multibyte keys'
+    // first bytes and plain ASCII
+    val ref = docs(
+      10L -> "über zz über 中文 中文 асдф",
+      20L -> "zz über асдф zz")
+    val corpus = docs(
+      1L -> "über zz über 中文", // seen bigrams
+      2L -> "中文 асдф zz näin") // mixed seen/unseen
+    val k = 0.25
+    val refToks = Seq("über zz über 中文 中文 асдф", "zz über асдф zz")
+      .map(_.split(" ").toSeq)
+    val vocabN = refToks.flatten.distinct.size
+    val c2 = refToks.flatMap(t => t.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (g, v) => g -> v.size }
+    val ctx = c2.groupBy(_._1.split(" ")(0)).map { case (w, m) => w -> m.values.sum }
+    def score(text: String): Double = {
+      val bgs = text.split(" ").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+      val s = bgs.map { bg =>
+        val w1 = bg.split(" ")(0)
+        scala.math.BigDecimal(math.log((c2.getOrElse(bg, 0).toDouble + k) /
+          (ctx.getOrElse(w1, 0).toDouble + k * (vocabN + 1.0))))
+          .setScale(14, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      s.doubleValue / bgs.size
+    }
+    val got = TextAnalysis.lmScore(corpus, "doc_id", "text", ref, "text", k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((3L, score("über zz über 中文"))))
+    assert(got(2L) == ((3L, score("中文 асдф zz näin"))))
+  }
+
   test("PII redaction: typed placeholders, cascade order, clean text untouched") {
     val df = docs(
       1L -> "mail me at jane.doe+spam@mail.example.org today",
