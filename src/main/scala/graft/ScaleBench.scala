@@ -41,7 +41,7 @@ object ScaleBench {
     "d_embed_neardup_probes", "d_cells1024_probe2", "d_embed_srp_lsh",
     "t_winnow_overlap", "s_pq_adc_topk", "s_ivfpq_topk", "t_bm25_topk",
     "d_dup_clusters", "t_repetition_filter", "q_asof_join", "q_range_join",
-    "t_chunk_docs", "q_corpus_pipeline")
+    "t_chunk_docs", "q_corpus_pipeline", "t_pack_sequences")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -68,6 +68,7 @@ object ScaleBench {
     "t_repetition_filter" -> Set("documents"),
     "t_chunk_docs" -> Set("documents"),
     "q_corpus_pipeline" -> Set("documents"),
+    "t_pack_sequences" -> Set("documents"),
     "d_minhash_lsh" -> Set("documents"), "d_lsh_jaccard_verify" -> Set("documents"),
     "d_simhash" -> Set("documents"), "q_clean_corpus" -> Set("documents"),
     "d_ngram_jaccard" -> Set("documents"), "d_ngram_jaccard_bounded" -> Set("documents"),

@@ -147,4 +147,108 @@ object Pipeline {
       }
     df.filter(bucket < threshold)
   }
+
+  /** Sequence packing — the final pre-training step: concatenate every
+    * document's token stream in ascending-`idCol` order and cut the
+    * stream every `capacity` tokens, so each training sequence is exactly
+    * full (documents straddle sequence boundaries, GPT-style). Output is
+    * one row per (document, sequence) PIECE:
+    *
+    *   (idCol, seq_id, seq_offset, doc_offset, piece_tokens, piece_text)
+    *
+    * where the piece is the document's tokens [doc_offset, doc_offset +
+    * piece_tokens) placed at [seq_offset, …) of sequence seq_id. Zero-token
+    * documents emit nothing; `idCol` must be a unique key (it defines the
+    * global concatenation order — with duplicates the order is ambiguous).
+    *
+    * Scale shape: the global running-token-count is the trap here — a
+    * bare `sum over (order by id)` window is ONE task holding the whole
+    * corpus. Instead this is a distributed prefix-sum:
+    *
+    *  1. at plan-build time a seeded sample of ids picks `buckets − 1`
+    *     range boundaries, baked into the plan as LITERALS — bucket
+    *     membership is a pure function of the id, so recomputation,
+    *     retries and both plan branches always agree (no reliance on
+    *     exchange reuse or on `spark_partition_id`);
+    *  2. per-bucket running sums via a window partitioned BY BUCKET — the
+    *     one corpus-wide shuffle, `capacity`-independent and parallel
+    *     across buckets;
+    *  3. bucket token totals (a map-side-combined aggregate over the same
+    *     scan) prefix-scan in a single tiny window over `buckets` rows and
+    *     broadcast-join back — each row's global end-offset is its bucket
+    *     offset plus its in-bucket running sum;
+    *  4. each row then derives its straddled sequence range with exact
+    *     integer arithmetic (`DIV` — no double rounding at petabyte token
+    *     counts) and explodes into pieces: a narrow projection.
+    *
+    * Every output value is a pure integer function of (token counts,
+    * order), so a SQL engine's global-window cumsum reproduces it exactly
+    * — the oracle at gate scale IS the one-task form this plan avoids. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, buckets: Int = 32): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+    // plan-build-time boundaries. Numeric ids: approxQuantile (one bounded
+    // pass, sketch-sized driver state). Other orderable ids: a seeded
+    // sample (boundary QUALITY only affects bucket balance — bucket
+    // membership stays a pure function of the id either way).
+    val cuts: Array[Any] =
+      if (buckets == 1) Array.empty[Any]
+      else df.schema(idCol).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          base.stat.approxQuantile(idCol,
+            (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+            .distinct.sorted.map(v => v: Any)
+        case _ =>
+          implicit val ord: Ordering[Any] = new Ordering[Any] {
+            def compare(a: Any, b: Any): Int =
+              a.asInstanceOf[Comparable[Any]].compareTo(b)
+          }
+          val ids = base.select(col(idCol)).sample(withReplacement = false,
+            fraction = 0.02, seed = 42).limit(buckets * 4096)
+            .collect().map(_.get(0)).sorted
+          if (ids.isEmpty) Array.empty[Any]
+          else (1 until buckets).map { i =>
+            ids((i.toLong * ids.length / buckets).toInt.min(ids.length - 1))
+          }.distinct.toArray
+      }
+    // bucket = #{cuts <= id}: a literal when-chain, codegen'd,
+    // deterministic. foldLeft puts the HIGHEST cut outermost — the first
+    // matching `when` must be the largest boundary the id clears.
+    val bucket = cuts.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (cut, i)) => when(col(idCol) >= lit(cut), lit(i + 1))
+        .otherwise(acc)
+    }
+    val wRun = Window.partitionBy(col("__b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withB = base.withColumn("__b", bucket)
+    val offsets = withB.groupBy(col("__b"))
+      .agg(sum(col("__n").cast("long")).as("__bsum"))
+      .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
+      .drop("__bsum")
+    val cum = withB
+      .withColumn("__lce", sum(col("__n").cast("long")).over(wRun))
+      .join(broadcast(offsets), "__b")
+      .withColumn("__ce", col("__off") + col("__lce"))
+      .withColumn("__cs", col("__ce") - col("__n"))
+    val c = capacity.toLong
+    cum
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__cs DIV ${c}L"), expr(s"(__ce - 1) DIV ${c}L"))))
+      .withColumn("__ps", greatest(col("__cs"), col("seq_id") * c))
+      .withColumn("__pe", least(col("__ce"), (col("seq_id") + 1) * c))
+      .select(col(idCol), col("seq_id"),
+        (col("__ps") - col("seq_id") * c).cast("int").as("seq_offset"),
+        (col("__ps") - col("__cs")).cast("int").as("doc_offset"),
+        (col("__pe") - col("__ps")).cast("int").as("piece_tokens"),
+        array_join(slice(col("__t"),
+          (col("__ps") - col("__cs")).cast("int") + 1,
+          (col("__pe") - col("__ps")).cast("int")), " ").as("piece_text"))
+  }
 }

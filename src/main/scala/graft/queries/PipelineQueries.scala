@@ -336,6 +336,16 @@ object PipelineQueries {
         .withColumn("score", round(col("score"), 9))
         .orderBy("q_id", "rank")
     },
+    // GPT-style sequence packing: concatenate the corpus token stream in
+    // doc_id order, cut every 512 tokens; one row per (doc, sequence)
+    // piece. Distributed prefix-sum (literal-boundary buckets), never a
+    // one-task global window — the oracle's global cumsum IS the shape
+    // this plan avoids
+    "t_pack_sequences" -> { (s, d) =>
+      graft.ops.Pipeline.packSequences(Tables.documents(s, d), "doc_id",
+        "text", capacity = 512)
+        .orderBy("seq_id", "doc_id")
+    },
     // sliding-window chunking (the pre-embedding step): 32-token windows
     // every 24 tokens, partial tail, empty docs emit nothing — a narrow
     // explode, integer arithmetic end to end
@@ -1215,6 +1225,25 @@ object PipelineQueries {
         |  array_to_string(t[CAST(chunk_id * 24 + 1 AS INT) : CAST(least(chunk_id * 24 + 32, n) AS INT)], ' ') AS chunk_text,
         |  CAST(least(32, n - chunk_id * 24) AS INT) AS n_chunk_tokens
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    // packing re-derived: the one-task global-cumsum form (fine at oracle
+    // scale), integer floor-division sequence ranges, 1-based list slices
+    "t_pack_sequences" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |c AS (SELECT doc_id, t, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS ce FROM nz),
+        |s AS (SELECT doc_id, t, n, ce - n AS cs, ce FROM c),
+        |x AS (SELECT doc_id, t, cs, ce,
+        |    unnest(range(cs // 512, (ce - 1) // 512 + 1)) AS seq_id FROM s),
+        |p AS (SELECT doc_id, t, cs, ce, seq_id,
+        |    greatest(cs, seq_id * 512) AS ps,
+        |    least(ce, (seq_id + 1) * 512) AS pe FROM x)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(ps - seq_id * 512 AS INT) AS seq_offset,
+        |  CAST(ps - cs AS INT) AS doc_offset,
+        |  CAST(pe - ps AS INT) AS piece_tokens,
+        |  array_to_string(t[CAST(ps - cs + 1 AS INT) : CAST(pe - cs AS INT)], ' ') AS piece_text
+        |FROM p ORDER BY seq_id, doc_id""".stripMargin,
     // the bigram LM re-derived: reference bigram/context counts, vocabulary
     // scalar, per-instance add-k log-probs with the same parenthesization,
     // DECIMAL per-doc sums, left join keeping <2-token docs at 0 bigrams

@@ -563,6 +563,72 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("packing: straddling docs, exact boundaries, empty docs, coverage") {
+    // stream: d1=5 d2=3 d4=8 d5=4 tokens (d3 empty) → cum 5,8,16,20; C=8
+    // cuts: d1 [0,5) seq0; d2 [5,8) seq0 (ends ON the boundary);
+    // d4 [8,16) seq1 exactly full; d5 [16,20) seq2
+    val df = docs(
+      1L -> "a b c d e",
+      2L -> "f g h",
+      3L -> "",
+      4L -> "i j k l m n o p",
+      5L -> "q r s t")
+    val out = graft.ops.Pipeline.packSequences(df, "doc_id", "text",
+        capacity = 8, buckets = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))
+      .toMap
+    assert(out.keySet == Set((1L, 0L), (2L, 0L), (4L, 1L), (5L, 2L)))
+    assert(out((1L, 0L)) == ((0, 0, 5, "a b c d e")))
+    assert(out((2L, 0L)) == ((5, 0, 3, "f g h")))
+    assert(out((4L, 1L)) == ((0, 0, 8, "i j k l m n o p")))
+    assert(out((5L, 2L)) == ((0, 0, 4, "q r s t")))
+  }
+
+  test("packing: a doc larger than capacity spans multiple sequences") {
+    val df = docs(
+      1L -> "p q r",                                       // [0,3)
+      2L -> (1 to 20).map(i => s"w$i").mkString(" "))      // [3,23): seqs 0-2
+    val out = graft.ops.Pipeline.packSequences(df, "doc_id", "text",
+        capacity = 8, buckets = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))
+      .toMap
+    assert(out.keySet == Set((1L, 0L), (2L, 0L), (2L, 1L), (2L, 2L)))
+    assert(out((2L, 0L)) == ((3, 0, 5, (1 to 5).map(i => s"w$i").mkString(" "))))
+    assert(out((2L, 1L)) == ((0, 5, 8, (6 to 13).map(i => s"w$i").mkString(" "))))
+    assert(out((2L, 2L)) == ((0, 13, 7, (14 to 20).map(i => s"w$i").mkString(" "))))
+    // full coverage: pieces of doc 2 concatenate back to its token stream
+    val joined = out.toSeq.filter(_._1._1 == 2L).sortBy(_._1._2)
+      .map(_._2._4).mkString(" ")
+    assert(joined == (1 to 20).map(i => s"w$i").mkString(" "))
+    // every sequence except the last is exactly full
+    val perSeq = out.toSeq.groupBy(_._1._2)
+      .map { case (s, ps) => s -> ps.map(_._2._3).sum }
+    assert(perSeq == Map(0L -> 8, 1L -> 8, 2L -> 7))
+  }
+
+  test("packing is bucket-count invariant and avoids a one-task window") {
+    import spark.implicits._
+    val df = (1L to 60L).map(i =>
+        i -> (1 to (i % 7 + 1).toInt).map(j => s"t${i}_$j").mkString(" "))
+      .toDF("doc_id", "text")
+    def run(b: Int) = graft.ops.Pipeline.packSequences(
+        df, "doc_id", "text", capacity = 16, buckets = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getString(5))).toSet
+    val one = run(1)
+    assert(run(4) == one && run(13) == one && one.nonEmpty)
+    // the corpus-side running sum is partitioned by bucket — no empty-
+    // partition windowspec over the base rows (only the tiny per-bucket
+    // offsets window is global)
+    val plan = graft.ops.Pipeline.packSequences(df, "doc_id", "text",
+      capacity = 16, buckets = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__b"))
+  }
+
   test("chunking is stateless: batch == stream, two micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
