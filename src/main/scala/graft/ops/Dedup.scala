@@ -812,4 +812,32 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): quantize embeddings to k-means cells, find
+    * within-cell pairs above the cosine threshold
+    * ([[embeddingNearDupPairsByCell]]), resolve pairs into clusters, and
+    * keep ONE representative per semantic cluster — the minimum-id member
+    * (plus every vector in no pair). The cluster resolution is
+    * [[Cluster.dropNearDuplicates]]'s connected components, so chains
+    * a~b~c collapse to one survivor even when a and c never pair
+    * directly.
+    *
+    * Scale shape: inherits the cell route's linearity (pairwise work is
+    * quadratic only WITHIN a cell — size cells via nCells; `probes` > 1
+    * widens cross-boundary recall), and CC runs on the tiny pair list,
+    * never the corpus; survivors come back as one broadcast left_anti.
+    * `materializePath` lands the cell assignment and CC labels in parquet
+    * for cluster-durable reuse. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double = 0.95, iters: Int = 2,
+      trainFraction: Double = 1.0, initCell: Option[Column] = None,
+      probes: Int = 1, maxIters: Int = 25,
+      materializePath: Option[String] = None): DataFrame = {
+    val pairs = embeddingNearDupPairsByCell(df, idCol, vecCol, nCells,
+      threshold, iters, trainFraction, initCell, probes,
+      materializePath.map(_ + "/pairs"))
+    Cluster.dropNearDuplicates(df, idCol, pairs, "id_a", "id_b",
+      maxIters, materializePath.map(_ + "/cc"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,6 +13,91 @@ import org.apache.spark.sql.functions._
   * removals.
   */
 object Pipeline {
+
+  /** 60-bit integer drawn uniformly from md5("salt:id") — the
+    * deterministic pseudo-randomness every sampling/ordering decision in
+    * this pipeline uses instead of rand(): stable under re-runs, task
+    * retries, cluster size, and data order, and replicable by any engine
+    * with md5 (the md5-affine oracle discipline). */
+  private[ops] def md5Long60(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))),
+      1, 15), 16, 10).cast("long")
+
+  /** Distributed running sum — the primitive under [[packSequences]],
+    * [[sampleToTokenBudget]] and [[shuffleShards]]. Adds `outCol` =
+    * inclusive prefix sum of `value` over rows in ascending
+    * (`orderCol`, tieCols) order, independently per `partCols` group.
+    *
+    * The naive form — `sum over (partition by part order by ord)` — is
+    * ONE task per group holding the group's entire history; with few or
+    * no groups that is the whole corpus on one core. This runs in three
+    * bounded steps instead:
+    *
+    *  1. `buckets − 1` range boundaries over `orderCol` are baked into
+    *     the plan as LITERALS (either caller-supplied `cuts` — the right
+    *     move when `orderCol` is a uniform hash with known range — or a
+    *     plan-build-time quantile/sample sketch). Bucket membership is a
+    *     pure function of the row, so retries and both plan branches
+    *     always agree;
+    *  2. per-(group, bucket) running sums via a window — the one
+    *     corpus-wide shuffle, parallel across groups × buckets;
+    *  3. per-(group, bucket) totals prefix-scan in a tiny window over
+    *     groups × buckets rows and broadcast back.
+    *
+    * (`orderCol`, tieCols) must be unique within each group — it defines
+    * the order, so with duplicates the sum is ambiguous. */
+  private[ops] def runningSum(df: DataFrame, orderCol: String, value: Column,
+      outCol: String, buckets: Int, partCols: Seq[String] = Nil,
+      tieCols: Seq[String] = Nil, cuts: Option[Array[Any]] = None)
+      : DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val bounds: Array[Any] = cuts.getOrElse {
+      if (buckets == 1) Array.empty[Any]
+      else df.schema(orderCol).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          df.filter(col(orderCol).isNotNull).stat.approxQuantile(orderCol,
+            (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+            .distinct.sorted.map(v => v: Any)
+        case _ =>
+          implicit val ord: Ordering[Any] = new Ordering[Any] {
+            def compare(a: Any, b: Any): Int =
+              a.asInstanceOf[Comparable[Any]].compareTo(b)
+          }
+          val ids = df.select(col(orderCol)).sample(withReplacement = false,
+            fraction = 0.02, seed = 42).limit(buckets * 4096)
+            .collect().map(_.get(0)).sorted
+          if (ids.isEmpty) Array.empty[Any]
+          else (1 until buckets).map { i =>
+            ids((i.toLong * ids.length / buckets).toInt.min(ids.length - 1))
+          }.distinct.toArray
+      }
+    }
+    // bucket = #{bounds <= ord}: a literal when-chain, codegen'd. foldLeft
+    // puts the HIGHEST cut outermost — the first matching `when` must be
+    // the largest boundary the row clears.
+    val bucket = bounds.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (cut, i)) => when(col(orderCol) >= lit(cut), lit(i + 1))
+        .otherwise(acc)
+    }
+    val partB = partCols :+ "__rs_b"
+    val wRun = Window.partitionBy(partB.map(col): _*)
+      .orderBy((orderCol +: tieCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(partCols.map(col): _*).orderBy(col("__rs_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withB = df.withColumn("__rs_b", bucket)
+      .withColumn("__rs_v", value.cast("long"))
+    val offsets = withB.groupBy(partB.map(col): _*)
+      .agg(sum(col("__rs_v")).as("__rs_bsum"))
+      .withColumn("__rs_off",
+        coalesce(sum(col("__rs_bsum")).over(wOff), lit(0L)))
+      .drop("__rs_bsum")
+    withB
+      .withColumn("__rs_run", sum(col("__rs_v")).over(wRun))
+      .join(broadcast(offsets), partB)
+      .withColumn(outCol, col("__rs_off") + col("__rs_run"))
+      .drop("__rs_b", "__rs_v", "__rs_run", "__rs_off")
+  }
 
   def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
       minQuality: Double): DataFrame = {
@@ -187,55 +272,11 @@ object Pipeline {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       capacity: Int, buckets: Int = 32): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val base = df
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
       .withColumn("__n", size(col("__t")))
       .filter(col("__n") > 0)
-    // plan-build-time boundaries. Numeric ids: approxQuantile (one bounded
-    // pass, sketch-sized driver state). Other orderable ids: a seeded
-    // sample (boundary QUALITY only affects bucket balance — bucket
-    // membership stays a pure function of the id either way).
-    val cuts: Array[Any] =
-      if (buckets == 1) Array.empty[Any]
-      else df.schema(idCol).dataType match {
-        case _: org.apache.spark.sql.types.NumericType =>
-          base.stat.approxQuantile(idCol,
-            (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-            .distinct.sorted.map(v => v: Any)
-        case _ =>
-          implicit val ord: Ordering[Any] = new Ordering[Any] {
-            def compare(a: Any, b: Any): Int =
-              a.asInstanceOf[Comparable[Any]].compareTo(b)
-          }
-          val ids = base.select(col(idCol)).sample(withReplacement = false,
-            fraction = 0.02, seed = 42).limit(buckets * 4096)
-            .collect().map(_.get(0)).sorted
-          if (ids.isEmpty) Array.empty[Any]
-          else (1 until buckets).map { i =>
-            ids((i.toLong * ids.length / buckets).toInt.min(ids.length - 1))
-          }.distinct.toArray
-      }
-    // bucket = #{cuts <= id}: a literal when-chain, codegen'd,
-    // deterministic. foldLeft puts the HIGHEST cut outermost — the first
-    // matching `when` must be the largest boundary the id clears.
-    val bucket = cuts.zipWithIndex.foldLeft(lit(0)) {
-      case (acc, (cut, i)) => when(col(idCol) >= lit(cut), lit(i + 1))
-        .otherwise(acc)
-    }
-    val wRun = Window.partitionBy(col("__b")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wOff = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withB = base.withColumn("__b", bucket)
-    val offsets = withB.groupBy(col("__b"))
-      .agg(sum(col("__n").cast("long")).as("__bsum"))
-      .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
-      .drop("__bsum")
-    val cum = withB
-      .withColumn("__lce", sum(col("__n").cast("long")).over(wRun))
-      .join(broadcast(offsets), "__b")
-      .withColumn("__ce", col("__off") + col("__lce"))
+    val cum = runningSum(base, idCol, col("__n"), "__ce", buckets)
       .withColumn("__cs", col("__ce") - col("__n"))
     val c = capacity.toLong
     cum
@@ -250,5 +291,68 @@ object Pipeline {
         array_join(slice(col("__t"),
           (col("__ps") - col("__cs")).cast("int") + 1,
           (col("__pe") - col("__ps")).cast("int")), " ").as("piece_text"))
+  }
+
+  /** Token-budget mixture sampling — "take 30B tokens of web, 5B of
+    * books": per stratum, documents are visited in deterministic
+    * md5-shuffled order and kept while the stratum's INCLUSIVE running
+    * token count stays within its budget (whole documents only; the
+    * budget is never exceeded). Output = surviving rows + `n_tokens` +
+    * `cum_tokens` (the stratum's running total through this doc).
+    *
+    * The visit order is the [[md5Long60]] hash of (salt, id) — never
+    * rand(), stable under re-runs/retries/partitioning, and a DIFFERENT
+    * salt gives an independent resample. The running count is the
+    * distributed [[runningSum]] with equal-width literal cuts over the
+    * hash's full 2^60 range (md5 is uniform by construction — no
+    * quantile pass needed), so no stratum ever serializes through one
+    * task no matter how few strata there are. */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue, salt: String = "budget",
+      buckets: Int = 32): DataFrame = {
+    (budgets.values.toSeq :+ defaultBudget).foreach(b =>
+      require(b >= 0L, s"budgets must be >= 0, got $b"))
+    val withH = df
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))))
+      .withColumn("__h", md5Long60(col(idCol), salt))
+    val width = (1L << 60) / buckets
+    val cuts = (1 until buckets).map(i => (i * width): Any).toArray
+    val cum = runningSum(withH, "__h", col("n_tokens"), "cum_tokens",
+      buckets, partCols = Seq(stratumCol), tieCols = Seq(idCol),
+      cuts = Some(cuts))
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultBudget): org.apache.spark.sql.Column) {
+        case ((name, b), acc) =>
+          when(col(stratumCol) === name, lit(b)).otherwise(acc)
+      }
+    cum.filter(col("cum_tokens") <= budget).drop("__h")
+  }
+
+  /** Deterministic corpus shuffle + fixed shard assignment — the
+    * training-order step: every row gets a `shard` in [0, numShards) and
+    * a dense 0-based `shard_pos` giving its position within the shard,
+    * both pure functions of (salt, id). Writing `partitionBy("shard")`
+    * sorted by `shard_pos` yields the shuffled training shards; a
+    * different salt is an independent reshuffle (epoch re-orders without
+    * rewriting data: new salt, same corpus).
+    *
+    * shard = [[md5Long60]] mod numShards; position = the distributed
+    * [[runningSum]] of 1 per shard in hash order (equal-width literal
+    * cuts over the uniform hash range) — dense and collision-free even
+    * when numShards is small, because no shard's numbering ever
+    * serializes through one task. Size numShards to the training-file
+    * unit, not the cluster (tens of thousands at 100 TB). */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+      salt: String = "shuffle", buckets: Int = 32): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val withH = df.withColumn("__h", md5Long60(col(idCol), salt))
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)).cast("int"))
+    val width = (1L << 60) / buckets
+    val cuts = (1 until buckets).map(i => (i * width): Any).toArray
+    runningSum(withH, "__h", lit(1L), "shard_pos", buckets,
+        partCols = Seq("shard"), tieCols = Seq(idCol), cuts = Some(cuts))
+      .withColumn("shard_pos", (col("shard_pos") - 1L).cast("int"))
+      .drop("__h")
   }
 }

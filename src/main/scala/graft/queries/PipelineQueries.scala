@@ -226,6 +226,20 @@ object PipelineQueries {
         initCell = Some(pmod(col("id").cast("bigint"), lit(16L)).cast("int")))
         .orderBy("cell", "id_a", "id_b")
     },
+    // SemDeDup (arXiv:2303.09540): the cells pipeline taken to its
+    // DECISION — within-cell cosine pairs resolved into connected
+    // components, one min-id survivor kept per semantic cluster (plus
+    // every unpaired vector). Same oracle-replicable modulo-init
+    // one-Lloyd-step family as d_embed_neardup_cells, CC pinned against
+    // a recursive-CTE transitive closure
+    "d_semdedup" -> { (s, d) =>
+      Dedup.semDedup(
+        Tables.embeddings(s, d).filter(col("vec_id") < 1500),
+        "vec_id", "embedding", nCells = 16, threshold = 0.2, iters = 1,
+        initCell = Some(pmod(col("id").cast("bigint"), lit(16L)).cast("int")))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
     // multi-probe widening of the same pipeline: each vector joins its TOP-2
     // cells (NearestCellsTopKExpr — one codegen kernel over the
     // task-broadcast centroid matrix, ranked by descending dot / ascending
@@ -345,6 +359,30 @@ object PipelineQueries {
       graft.ops.Pipeline.packSequences(Tables.documents(s, d), "doc_id",
         "text", capacity = 512)
         .orderBy("seq_id", "doc_id")
+    },
+    // token-budget mixture sampling ("take N tokens of web, M of books"):
+    // per stratum, docs visited in md5-shuffled order, whole docs kept
+    // while the stratum's inclusive running token count fits its budget.
+    // Per-stratum distributed prefix-sum with equal-width literal cuts
+    // over the uniform 2^60 hash range — no stratum serializes through
+    // one task, however few strata there are
+    "q_token_budget" -> { (s, d) =>
+      graft.ops.Pipeline.sampleToTokenBudget(Tables.documents(s, d),
+        "doc_id", "text", "source",
+        Map("src0" -> 700L, "src1" -> 0L), defaultBudget = 900L)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    },
+    // deterministic corpus shuffle + sharding (the training-order step):
+    // shard = md5 mod 8, dense 0-based position within shard in hash
+    // order — both pure functions of (salt, id); the position numbering
+    // is the distributed running COUNT, never one row_number task per
+    // shard
+    "q_shuffle_shards" -> { (s, d) =>
+      graft.ops.Pipeline.shuffleShards(Tables.documents(s, d), "doc_id",
+        numShards = 8)
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("doc_id")
     },
     // sliding-window chunking (the pre-embedding step): 32-token windows
     // every 24 tokens, partial tail, empty docs emit nothing — a narrow
@@ -1107,6 +1145,50 @@ object PipelineQueries {
          |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.2 ORDER BY cell, id_a, id_b""".stripMargin
     },
+    // SemDeDup re-derived: the d_embed_neardup_cells CTE chain for the
+    // pairs, then symmetric edges -> recursive transitive closure ->
+    // cluster = min reachable id -> drop every clustered id except its
+    // cluster's min (survivors = anti-join)
+    "d_semdedup" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), (x, y) -> x + y)"
+      def sq(a: String): String =
+        s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (x, y) -> x + y))"
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings WHERE vec_id < 1500),
+         |a0 AS (SELECT vec_id, e, CAST(vec_id % 16 AS INT) AS cell FROM v),
+         |c1 AS (
+         |  SELECT cell, list(m ORDER BY pos) AS c FROM (
+         |    SELECT cell, pos, CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+         |    FROM (SELECT cell, unnest(e) AS val, unnest(range(len(e))) AS pos FROM a0)
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell),
+         |a1 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c1.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY -(${dot("v.e", "c1.c")}), c1.cell) AS rn
+         |    FROM v CROSS JOIN c1) WHERE rn = 1),
+         |prs AS (
+         |  SELECT * FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      ${dot("a.e", "b.e")} / (${sq("a.e")} * ${sq("b.e")}) AS cosine
+         |    FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |  WHERE cosine >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT vec_id, label FROM v
+         |WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> cluster)
+         |ORDER BY vec_id""".stripMargin
+    },
     // multi-probe variant: assignment keeps rn <= 2 (each vector in its two
     // best cells — the NearestCellsTopKExpr ranking: descending dot,
     // ascending cell), pairs deduped to min(cell) across shared cells
@@ -1318,6 +1400,38 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
     // per-row split assignment re-derived: the same 60-bit md5 fold the
     // dedup oracles use, mod 10000, CASE over the cumulative thresholds
+    // token-budget sampling re-derived with the same 60-bit md5 integer
+    // ('budget:' salt), the per-stratum cumsum as a plain window (fine at
+    // oracle scale — the one-task form the Spark plan avoids), inclusive
+    // whole-doc budget test
+    "q_token_budget" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len($tokensSql) AS INT) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('budget:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+        |      (acc, d) -> acc * 16 + d) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 700
+        |                                WHEN 'src1' THEN 0 ELSE 900 END
+        |ORDER BY doc_id""".stripMargin,
+    // shuffle-sharding re-derived: shard = the same 60-bit md5 integer
+    // ('shuffle:' salt) mod 8, position = row_number in (h, id) order - 1
+    "q_shuffle_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+        |      (acc, d) -> acc * 16 + d) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS INT) AS shard_pos
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id, b AS split_bucket,
         |  CASE WHEN b < 9800 THEN 'train'

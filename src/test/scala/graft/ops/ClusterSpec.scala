@@ -126,6 +126,28 @@ class ClusterSpec extends SparkSpec {
       maxIters = 4)
   }
 
+  test("semDedup keeps one min-id survivor per semantic cluster, CC-chained") {
+    import spark.implicits._
+    // unit vectors at known angles, all forced into one k-means cell:
+    // 0°/10°/20° chain at threshold cos(15°) — 1~2 and 2~3 pair, 1~3 does
+    // NOT (20° apart), yet CC collapses all three; 80°/90° pair; 45° alone
+    def v(deg: Double) = Seq(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq(1L -> v(0), 2L -> v(10), 3L -> v(20), 4L -> v(80),
+      5L -> v(90), 6L -> v(45)).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", nCells = 1,
+        threshold = math.cos(math.toRadians(15)), iters = 1,
+        initCell = Some(lit(0)))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 4L, 6L))
+    // clean corpus: no pair clears the threshold — everything survives
+    val clean = Dedup.semDedup(df, "vec_id", "embedding", nCells = 1,
+        threshold = 0.9999, iters = 1, initCell = Some(lit(0)))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("parquet materialization path yields identical clusters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
     val ps = pairsDf(Seq((1L, 2L), (2L, 3L), (7L, 9L)))

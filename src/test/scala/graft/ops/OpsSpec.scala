@@ -626,7 +626,84 @@ class OpsSpec extends SparkSpec {
     // offsets window is global)
     val plan = graft.ops.Pipeline.packSequences(df, "doc_id", "text",
       capacity = 16, buckets = 4).queryExecution.executedPlan.toString
-    assert(plan.contains("windowspecdefinition(__b"))
+    assert(plan.contains("windowspecdefinition(__rs_b"))
+  }
+
+  // the 60-bit md5 integer the sampling/ordering ops derive their
+  // determinism from, recomputed driver-side
+  private def md5h(salt: String, id: Long): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+
+  test("token budget: md5-order whole-doc prefix, inclusive edge, zero budget") {
+    import spark.implicits._
+    val rows = (1L to 40L).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      (i, src, (1 to (i % 5 + 1).toInt).map(j => s"w${i}_$j").mkString(" "))
+    } ++ Seq((101L, "c", "x y z"), (102L, "c", "x y z"), (103L, "c", "x y z"))
+    val df = rows.toDF("doc_id", "source", "text").repartition(7)
+    val budgets = Map("a" -> 30L, "c" -> 6L)
+    // driver-side expectation: per source, visit in (md5h, id) order,
+    // keep while the inclusive cumsum fits
+    val expect = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      val budget = budgets.getOrElse(src, 25L)
+      var cum = 0L
+      rs.sortBy(r => (md5h("budget", r._1), r._1)).flatMap { r =>
+        val n = r._3.split(" ").length
+        cum += n
+        if (cum <= budget) Some((r._1, src, n, cum)) else None
+      }
+    }.toSet
+    val out = graft.ops.Pipeline.sampleToTokenBudget(df, "doc_id", "text",
+        "source", budgets, defaultBudget = 25L, buckets = 5)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(out == expect)
+    // the 'c' stratum pins the INCLUSIVE edge deterministically: 3 docs of
+    // 3 tokens against budget 6 — the doc landing exactly ON the budget
+    // survives, the next is dropped
+    assert(out.count(_._2 == "c") == 2)
+    assert(out.filter(_._2 == "c").map(_._4) == Set(3L, 6L))
+    // zero budget drops the stratum entirely
+    val zero = graft.ops.Pipeline.sampleToTokenBudget(df, "doc_id", "text",
+      "source", Map("a" -> 0L), defaultBudget = 1000000L)
+    assert(zero.filter(col("source") === "a").count() == 0)
+    assert(zero.filter(col("source") === "b").count() == 20)
+  }
+
+  test("shuffle shards: md5 assignment, dense 0-based positions, invariance") {
+    import spark.implicits._
+    val df = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame, buckets: Int) =
+      graft.ops.Pipeline.shuffleShards(d, "doc_id", numShards = 4,
+        buckets = buckets)
+        .select("doc_id", "shard", "shard_pos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val out = run(df, 5)
+    // driver-side recompute: shard = h mod 4, pos = rank in (h, id) order
+    val expect = (1L to 60L).map(i => (i, md5h("shuffle", i)))
+      .groupBy(t => (t._2 % 4).toInt).flatMap { case (shard, ids) =>
+        ids.sortBy(t => (t._2, t._1)).zipWithIndex.map {
+          case ((id, _), pos) => (id, shard, pos)
+        }
+      }.toSet
+    assert(out == expect)
+    // positions are dense 0..n-1 within every shard
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3) == (0 until rs.size).toSet)
+    }
+    // invariant to input partitioning and bucket count
+    assert(run(df.repartition(13), 1) == out && run(df.coalesce(1), 7) == out)
+    // a different salt is an independent reshuffle of the same corpus
+    val re = graft.ops.Pipeline.shuffleShards(df, "doc_id", numShards = 4,
+        salt = "epoch2")
+      .select("doc_id", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(re != out && re.map(_._1) == out.map(_._1))
   }
 
   test("chunking is stateless: batch == stream, two micro-batches") {
