@@ -162,10 +162,11 @@ object ScaleBench {
       }
     }
 
-    // events: read RAW (ts stays a nanos long — a converted timestamp
-    // column would break Tables.events' div-1000 truncation on re-read),
-    // shift event and user ids; timestamps repeat per copy, so windowed
-    // aggregations keep the same groups with 10× the rows per group
+    // events: read RAW (ts keeps its on-disk physical form — nanos-long or
+    // TIMESTAMP_NTZ; Tables.events normalizes either on re-read, so no
+    // conversion here), shift event and user ids; timestamps repeat per
+    // copy, so windowed aggregations keep the same groups with 10× the
+    // rows per group
     if (tables("events")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = spark.read.parquet(s"$src/events.parquet")

@@ -16,16 +16,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects.
-    * Read nanos as long and truncate to microseconds — the same truncation
-    * DuckDB applies when it loads nanosecond timestamps, so oracle-comparable.
-    * Integer `div` (not `/`) — ns-since-epoch exceeds double's 2^53 mantissa.
+  /** events.ts normalizes to session-timezone TimestampType (UTC in every
+    * entry point) whatever physical form the generator wrote:
+    *  - TIMESTAMP(NANOS) parquet (vanilla Spark rejects it): read nanos as
+    *    long, truncate to micros — the same truncation DuckDB applies on
+    *    load, so oracle-comparable. Integer `div` (not `/`) — ns-since-epoch
+    *    exceeds double's 2^53 mantissa;
+    *  - TIMESTAMP(MICROS) isAdjustedToUTC=false (pandas tz-naive → Spark
+    *    TIMESTAMP_NTZ): cast to TimestampType — identity on the underlying
+    *    micros under the UTC session zone, and DuckDB reads the same file as
+    *    a naive timestamp, so oracle-comparable;
+    *  - already TimestampType: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
