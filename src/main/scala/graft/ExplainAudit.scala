@@ -24,7 +24,9 @@ object ExplainAudit {
         "d_minhash_lsh", "s_cosine_topk", "d_lsh_jaccard_verify",
         "v_schema_validate", "s_ivfpq_topk", "t_bm25_topk",
         "t_repetition_filter", "q_stratified_sample", "q_asof_join",
-        "q_range_join")
+        "q_range_join", "q_corpus_pipeline", "t_lm_score",
+        "t_pack_sequences", "q_token_budget", "q_shuffle_shards",
+        "d_semdedup", "d_exact_substr")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

@@ -41,7 +41,15 @@ object ScaleBench {
     "d_embed_neardup_probes", "d_cells1024_probe2", "d_embed_srp_lsh",
     "t_winnow_overlap", "s_pq_adc_topk", "s_ivfpq_topk", "t_bm25_topk",
     "d_dup_clusters", "t_repetition_filter", "q_asof_join", "q_range_join",
-    "t_chunk_docs", "q_corpus_pipeline", "t_pack_sequences")
+    "t_chunk_docs", "q_corpus_pipeline", "t_pack_sequences",
+    // q_token_budget's OUTPUT is budget-capped (constant rows at any
+    // scale) but its work is the full-corpus scan + per-stratum prefix
+    // sum — the time, not the rows, is the scaling evidence.
+    // d_semdedup is deliberately absent: its gate pins a FIXED 1500-vector
+    // slice (constant work at any sf); its two constituents — the cell
+    // pair pipeline (d_embed_neardup*) and CC (d_dup_clusters) — carry
+    // the scale evidence.
+    "q_token_budget", "q_shuffle_shards", "d_exact_substr")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -69,6 +77,9 @@ object ScaleBench {
     "t_chunk_docs" -> Set("documents"),
     "q_corpus_pipeline" -> Set("documents"),
     "t_pack_sequences" -> Set("documents"),
+    "q_token_budget" -> Set("documents"),
+    "q_shuffle_shards" -> Set("documents"),
+    "d_exact_substr" -> Set("documents"),
     "d_minhash_lsh" -> Set("documents"), "d_lsh_jaccard_verify" -> Set("documents"),
     "d_simhash" -> Set("documents"), "q_clean_corpus" -> Set("documents"),
     "d_ngram_jaccard" -> Set("documents"), "d_ngram_jaccard_bounded" -> Set("documents"),

@@ -840,4 +840,74 @@ object Dedup {
     Cluster.dropNearDuplicates(df, idCol, pairs, "id_a", "id_b",
       maxIters, materializePath.map(_ + "/cc"))
   }
+
+  /** ExactSubstr-style repeated-span removal (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): every
+    * `n`-token window whose exact token sequence occurs `minOccurrences`+
+    * times in the corpus (across docs or within one) is removed from every
+    * doc EXCEPT the globally-first occurrence — the (doc_id, position)
+    * minimum — so one copy of each repeated passage survives. Output = one
+    * row per input doc: the surviving text (`text_dedup`), original and
+    * kept token counts. The reference algorithm builds a suffix array; this
+    * fixed-window n-gram formulation is the distributable, oracle-exact
+    * equivalent at span length exactly n (a repeat of length L ≥ n is
+    * removed as its covering n-windows, which over-eat up to n-1 trailing
+    * tokens per flank relative to suffix-array spans — deterministic and
+    * documented, the standard windowed approximation).
+    *
+    * Scale shape: window generation is a narrow posexplode (linear, ~1 row
+    * per corpus token); duplicate detection is ONE shuffle on the n-gram
+    * key with a map-side-combinable min/count aggregate; the only other
+    * shuffles key on doc id (removed-position collection + reassembly
+    * join — same key, exchange reused). Per-doc reassembly work is
+    * O(tokens × removed-spans-in-doc) in a single codegen projection —
+    * no UDFs, no driver collection, output rows = input rows. For corpora
+    * where the n-gram STRING shuffle payload dominates, pre-hash the gram
+    * (xxhash64) at the standard collision-rate cost; this exact form is
+    * the oracle-pinnable default. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minOccurrences: Int = 2): DataFrame = {
+    require(n >= 2, s"span length n must be >= 2, got $n")
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2, got $minOccurrences")
+    val base = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    // one row per n-token window: (id, start, gram string)
+    val wins = base
+      .filter(size(col("__t")) >= n)
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(0), size(col("__t")) - n), i =>
+          array_join(slice(col("__t"), i + 1, lit(n)), " "))))
+      .toDF("__id", "__pos", "__g")
+    // per gram: occurrence count + globally-first occurrence. min of an
+    // (id, pos) struct is lexicographic — exactly "first doc, then first
+    // position"; both aggregates combine map-side.
+    val occ = wins.groupBy("__g").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col("__id").as("kid"), col("__pos").as("kpos"))).as("__keep"))
+      .filter(col("__cnt") >= minOccurrences)
+    // every duplicated occurrence EXCEPT its keeper → its doc's removed
+    // span starts (one aggregation keyed on doc id)
+    val removed = wins.join(occ, "__g")
+      .filter(col("__id") =!= col("__keep.kid") ||
+        col("__pos") =!= col("__keep.kpos"))
+      .groupBy("__id")
+      .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    // reassembly: token i survives unless some removed span [s, s+n)
+    // covers it; one narrow projection, spans stay a per-doc array
+    base.join(removed, Seq("__id"), "left")
+      .withColumn("__kept", when(col("__starts").isNull, col("__t"))
+        .otherwise(transform(
+          filter(transform(col("__t"),
+            (t, i) => struct(t.as("t"), i.as("i"))),
+            s => !exists(col("__starts"), st =>
+              s.getField("i") >= st && s.getField("i") < st + n)),
+          s => s.getField("t"))))
+      .select(col("__id").as(idCol),
+        size(col("__t")).as("n_tokens"),
+        size(col("__kept")).as("n_tokens_kept"),
+        // fully-eaten docs surface as NULL text (not ''): SQL engines
+        // disagree on joining an empty list, NULL render-matches everywhere
+        nullif(array_join(col("__kept"), " "), lit("")).as("text_dedup"))
+  }
 }

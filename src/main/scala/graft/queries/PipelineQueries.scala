@@ -240,6 +240,15 @@ object PipelineQueries {
         .select("vec_id", "label")
         .orderBy("vec_id")
     },
+    // ExactSubstr-style repeated-span removal (arXiv:2107.06499): every
+    // 8-token window occurring 2+ times corpus-wide is cut from every doc
+    // except its globally-first (doc, pos) occurrence — one gram-key
+    // shuffle with map-side-combinable min/count, doc-key reassembly
+    "d_exact_substr" -> { (s, d) =>
+      Dedup.removeRepeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 8)
+        .orderBy("doc_id")
+    },
     // multi-probe widening of the same pipeline: each vector joins its TOP-2
     // cells (NearestCellsTopKExpr — one codegen kernel over the
     // task-broadcast centroid matrix, ranked by descending dot / ascending
@@ -1189,6 +1198,39 @@ object PipelineQueries {
          |WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> cluster)
          |ORDER BY vec_id""".stripMargin
     },
+    // ExactSubstr re-derived: zip-unnested 8-token windows, per-gram count
+    // + row_number in (doc, pos) order (rn=1 = the surviving occurrence),
+    // removed starts per doc, coverage filter over token positions
+    "d_exact_substr" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(range(len(t) - 8 + 1)) AS pos,
+         |    unnest(list_transform(range(len(t) - 8 + 1), i ->
+         |      array_to_string(t[i+1:i+8], ' '))) AS g
+         |  FROM toks WHERE len(t) >= 8),
+         |r AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY g) AS cnt,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         |  FROM w),
+         |rem AS (
+         |  SELECT doc_id, list(pos) AS starts FROM r
+         |  WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id)
+         |SELECT toks.doc_id,
+         |  CAST(len(t) AS INT) AS n_tokens,
+         |  CAST(CASE WHEN starts IS NULL THEN len(t)
+         |    ELSE len(list_filter(range(len(t)), i ->
+         |      len(list_filter(starts, s -> i >= s AND i < s + 8)) = 0))
+         |    END AS INT) AS n_tokens_kept,
+         |  CASE WHEN starts IS NULL THEN array_to_string(t, ' ')
+         |    ELSE array_to_string(list_transform(
+         |      list_filter(range(len(t)), i ->
+         |        len(list_filter(starts, s -> i >= s AND i < s + 8)) = 0),
+         |      i -> t[CAST(i + 1 AS INT)]), ' ')
+         |    END AS text_dedup
+         |FROM toks LEFT JOIN rem USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // multi-probe variant: assignment keeps rn <= 2 (each vector in its two
     // best cells — the NearestCellsTopKExpr ranking: descending dot,
     // ascending cell), pairs deduped to min(cell) across shared cells

@@ -53,6 +53,31 @@ class OpsSpec extends SparkSpec {
     assert(pairs.find(r => (r.getLong(0), r.getLong(1)) == (1L, 2L)).get.getAs[Long]("hamming") == 0L)
   }
 
+  test("exact-substr span removal: keeper survives, spans cut, full-eat → null") {
+    val df = docs(
+      1L -> "a b c d e f",       // keeper of "a b c"/"b c d" — untouched
+      2L -> "a b c d x y",       // loses spans at 0 and 1 → keeps "x y"
+      3L -> "z z z z z z z",     // within-doc repeat: keeps only pos 0
+      4L -> "q r",               // shorter than n — untouched
+      5L -> "p q r",             // keeper of "p q r"
+      6L -> "p q r")             // fully eaten → null text
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.removeRepeatedSpans(d, "doc_id", "text", n = 3)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+        .toMap
+    val out = run(df)
+    assert(out(1L) == ((6, 6, "a b c d e f")))
+    assert(out(2L) == ((6, 2, "x y")))
+    assert(out(3L) == ((7, 1, "z")))
+    assert(out(4L) == ((2, 2, "q r")))
+    assert(out(5L) == ((3, 3, "p q r")))
+    assert(out(6L) == ((3, 0, null)))
+    // invariant to input partitioning (keeper = global (doc, pos) min, not
+    // an order-dependent accident)
+    assert(run(df.repartition(5)) == out)
+  }
+
   test("bruteForceTopK: k rows per query, self excluded, rank 1 is the max") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.bruteForceTopK(e, "vec_id", "embedding",
