@@ -285,13 +285,14 @@ object ScaleBench {
 
     // per-task durations per query: the straggler evidence — a bounded
     // max/median ratio under skew means no single task carries the hot key
-    val taskTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val taskTimes =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (t.taskInfo != null && t.taskInfo.successful)
-            taskTimes.add(t.taskInfo.duration)
+            taskTimes.add((t.stageId, t.taskInfo.duration))
       })
 
     val results = selected.map { name =>
@@ -312,22 +313,30 @@ object ScaleBench {
         size = taskTimes.size
         Thread.sleep(50)
       }
-      val durations = taskTimes.toArray(Array.empty[java.lang.Long])
-        .map(_.longValue()).sorted
+      val all = taskTimes.toArray(Array.empty[(Int, Long)])
+      // Straggler bound PER STAGE: max/median of task durations within one
+      // stage answers "does one task carry the load while its peers idle?".
+      // A query-global median is meaningless for iterative queries (CC runs
+      // a tiny convergence aggregate per round — hundreds of ~ms tasks
+      // dragging the median down made healthy runs read as 30-50×). Only
+      // stages whose slowest task is ≥ 200 ms matter: a 3-task metadata
+      // stage with a 1 ms median proves nothing about scale.
+      val byStage = all.groupBy(_._1).values.map(_.map(_._2).sorted)
+      val significant = byStage.filter(d => d.last >= 200L)
       val ratio =
-        if (durations.isEmpty) 0.0
-        else {
-          val med = math.max(1L, durations(durations.length / 2))
-          durations.last.toDouble / med
-        }
-      (name, sec, rows, ratio)
+        if (significant.isEmpty) 1.0
+        else significant.map(d =>
+          d.last.toDouble / math.max(1L, d(d.length / 2))).max
+      val maxTaskSec =
+        if (all.isEmpty) 0.0 else all.map(_._2).max / 1e3
+      (name, sec, rows, ratio, maxTaskSec)
     }
-    def j[A](f: ((String, Double, Long, Double)) => A): String =
+    def j[A](f: ((String, Double, Long, Double, Double)) => A): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def r2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"skew":$skew,"queries":${j(_._2)},"rows":${j(_._3)},"task_max_over_median":${j(r => r2(r._4))},"src":"$src"}""")
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"skew":$skew,"queries":${j(_._2)},"rows":${j(_._3)},"task_max_over_median":${j(r => r2(r._4))},"task_max_sec":${j(r => r2(r._5))},"src":"$src"}""")
     spark.stop()
   }
 }

@@ -109,6 +109,66 @@ case class LmScoreExpr(child: Expression,
     copy(child = c)
 }
 
+/** Naive-Bayes (fastText-style linear) token log-odds scoring as ONE
+  * expression over a task-broadcast vocabulary — the scoring side of
+  * [[graft.ops.TextAnalysis.nbQualityScore]] with zero joins and zero
+  * shuffles, the same design as [[LmScoreExpr]] but simpler: the per-token
+  * log-odds is a pure function of the bounded training counts, so it is
+  * precomputed driver-side and pre-quantized to DECIMAL(28,14) once
+  * (`BigDecimal.valueOf` shortest-form + HALF_UP at scale 14 — exactly
+  * Spark's double→decimal cast), leaving the per-row work at one binary
+  * search + one exact decimal add per token. Docs fold to
+  * `(n_tokens, Σ log-odds)`; unseen tokens take the shared smoothed
+  * constant. Decimal addition is order-invariant, so the result is
+  * bit-identical to the explode+join+aggregate form at any parallelism. */
+case class NbScoreExpr(child: Expression,
+    words: Array[Array[Byte]], lo: Array[JBigDecimal],
+    unseen: JBigDecimal) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("lo_sum", DecimalType(38, 14), nullable = true)))
+  override def prettyName: String = "graft_nb_score"
+
+  @transient private lazy val wordsU = words.map(UTF8String.fromBytes)
+
+  private def lookup(w: UTF8String): JBigDecimal = {
+    var lo0 = 0
+    var hi = wordsU.length - 1
+    while (lo0 <= hi) {
+      val mid = (lo0 + hi) >>> 1
+      val c = w.compareTo(wordsU(mid))
+      if (c == 0) return lo(mid)
+      else if (c < 0) hi = mid - 1
+      else lo0 = mid + 1
+    }
+    unseen
+  }
+
+  def compute(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    if (n == 0) return new GenericInternalRow(Array[Any](0L, null))
+    var sum = JBigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      sum = sum.add(lookup(toks.getUTF8String(i)))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, Decimal(sum, 38, 14)))
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nbScore", this, classOf[NbScoreExpr].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object LmExprs {
   @volatile private var registered = Set.empty[String]
 
@@ -154,6 +214,19 @@ object LmExprs {
       addK, addK * (vocab.toDouble + 1.0))
   }
 
+  /** Sorted-vocab NbScoreExpr from (word, log-odds) pairs; quantizes each
+    * log-odds to DECIMAL(28,14) once, driver-side. */
+  private[functions] def buildNb(child: Expression, words: Array[UTF8String],
+      logOdds: Array[Double], unseen: Double): NbScoreExpr = {
+    def q(d: Double): JBigDecimal =
+      JBigDecimal.valueOf(d).setScale(14, RoundingMode.HALF_UP)
+    val bytes = words.map(_.getBytes)
+    val order = Array.range(0, bytes.length).sortWith((a, b) =>
+      java.util.Arrays.compareUnsigned(bytes(a), bytes(b)) < 0)
+    NbScoreExpr(child, order.map(bytes), order.map(i => q(logOdds(i))),
+      q(unseen))
+  }
+
   def register(spark: SparkSession): Unit = {
     val id = spark.sessionState.toString
     if (!registered.contains(id)) synchronized {
@@ -168,6 +241,16 @@ object LmExprs {
           val vocab = exprs(4).eval(null).asInstanceOf[Long]
           build(exprs(0), bigrams, counts, addK, vocab)
         }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_nb_score",
+        exprs => {
+          val warr = exprs(1).eval(null).asInstanceOf[ArrayData]
+          val words = (0 until warr.numElements())
+            .map(warr.getUTF8String).toArray
+          val lo = exprs(2).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+          val unseen = exprs(3).eval(null).asInstanceOf[Double]
+          buildNb(exprs(0), words, lo, unseen)
+        }, "scala_udf")
       registered += id
     }
   }
@@ -180,5 +263,15 @@ object LmExprs {
     import org.apache.spark.sql.functions.{call_function, lit, typedlit}
     call_function("graft_lm_score", toks,
       typedlit(bigrams), typedlit(counts), lit(addK), lit(vocab))
+  }
+
+  /** Column form: `(n_tokens, lo_sum)` struct for a token-array column
+    * against driver-precomputed per-word log-odds. */
+  def nbScoreCol(spark: SparkSession, toks: Column, words: Seq[String],
+      logOdds: Seq[Double], unseen: Double): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{call_function, lit, typedlit}
+    call_function("graft_nb_score", toks,
+      typedlit(words), typedlit(logOdds), lit(unseen))
   }
 }

@@ -269,6 +269,56 @@ object TextAnalysis {
           col("__lm").getField("n_bigrams").cast("double")).as("lm_logprob"))
   }
 
+  /** FastText-style linear quality classifier, trained as naive Bayes —
+    * the CCNet/DCLM-style "does this look like the curated set" filter:
+    * per-token add-k log-odds between a positive (curated) and a negative
+    * (raw/rejected) reference slice, every doc scored by its MEAN token
+    * log-odds (positive = curated-like). For token w with class counts
+    * c⁺(w), c⁻(w), totals N⁺, N⁻ and joint vocabulary size V:
+    * `lo(w) = ln((c⁺(w)+k)/(N⁺+k·(V+1))) − ln((c⁻(w)+k)/(N⁻+k·(V+1)))`;
+    * a token in neither slice takes the smoothed constant (c⁺=c⁻=0). This
+    * is exactly a linear text classifier (fastText with unigram features
+    * and no learned reweighting): score = w·x/|x| over the bag of tokens.
+    *
+    * Scale shape: both reference slices are bounded and curated, so their
+    * token counts collect to the driver, the per-token log-odds table is
+    * precomputed AND pre-quantized there, and scoring rides task-broadcast
+    * inside one [[graft.functions.NbScoreExpr]] codegen kernel — one
+    * corpus scan, zero joins, zero shuffles, DECIMAL(28,14) accumulation
+    * (order-invariant, oracle-replicable). Docs with no tokens surface
+    * with n_tokens = 0 and a null score. */
+  def nbQualityScore(corpus: DataFrame, idCol: String, textCol: String,
+      positive: DataFrame, posTextCol: String,
+      negative: DataFrame, negTextCol: String,
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be positive, got $addK")
+    def classCounts(df: DataFrame, tc: String): Array[(String, Long)] =
+      df.select(explode(tokens(col(tc))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))) // bounded slice
+    val pc = classCounts(positive, posTextCol)
+    val nc = classCounts(negative, negTextCol)
+    val nPos = pc.map(_._2).sum.toDouble
+    val nNeg = nc.map(_._2).sum.toDouble
+    val vocab = (pc.map(_._1) ++ nc.map(_._1)).distinct
+    val v = vocab.length.toDouble
+    val pMap = pc.toMap
+    val nMap = nc.toMap
+    // identical arithmetic shape to the SQL oracle: (cnt + k) / (N + k(V+1))
+    def lo(cp: Long, cn: Long): Double =
+      Math.log((cp.toDouble + addK) / (nPos + addK * (v + 1.0))) -
+        Math.log((cn.toDouble + addK) / (nNeg + addK * (v + 1.0)))
+    val s = graft.functions.LmExprs.nbScoreCol(corpus.sparkSession,
+      tokens(col(textCol)), vocab.toSeq,
+      vocab.map(w => lo(pMap.getOrElse(w, 0L), nMap.getOrElse(w, 0L))).toSeq,
+      lo(0L, 0L))
+    corpus.select(col(idCol).as("id"), s.as("__nb"))
+      .select(col("id"),
+        col("__nb").getField("n_tokens").as("n_tokens"),
+        (col("__nb").getField("lo_sum").cast("double") /
+          col("__nb").getField("n_tokens").cast("double")).as("nb_logodds"))
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4 addresses, phone-like
     * digit runs, and long id-like digit runs replaced with typed
     * placeholders, in that fixed cascade order (earlier redactions can

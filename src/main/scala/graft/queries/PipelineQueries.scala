@@ -421,6 +421,21 @@ object PipelineQueries {
       TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
     },
+    // fastText-style linear quality classifier trained as naive Bayes:
+    // per-token add-0.5 log-odds between the src0 (positive) and src1
+    // (negative) slices, every doc scored by mean token log-odds — the
+    // log-odds table precomputes AND pre-quantizes driver-side, scoring
+    // rides task-broadcast in one codegen kernel (zero joins/shuffles);
+    // 9-dp render for the ln ulp (the bm25/lm discipline)
+    "t_nb_quality" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.nbQualityScore(docs, "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text",
+        docs.filter(col("source") === "src1"), "text")
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("nb_logodds", round(col("nb_logodds"), 9))
+        .orderBy("doc_id")
+    },
     // frequency-based fluency proxy: mean corpus-frequency of each doc's
     // tokens (exact integer sum, one final double division)
     "t_token_freq_score" -> { (s, d) =>
@@ -1396,6 +1411,40 @@ object PipelineQueries {
         |  FROM scored GROUP BY doc_id)
         |SELECT t.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
         |  ROUND(agg.lm, 9) AS lm_logprob
+        |FROM toks t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // the NB classifier re-derived: class token counts, joint vocabulary,
+    // identical (cnt + k) / (N + k(V+1)) parenthesization, per-instance
+    // DECIMAL(28,14) quantization of the ln difference, unseen constant
+    "t_nb_quality" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
+        |pc AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(t) AS w FROM toks WHERE source = 'src0') GROUP BY w),
+        |nc AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(t) AS w FROM toks WHERE source = 'src1') GROUP BY w),
+        |st AS (SELECT
+        |    CAST((SELECT coalesce(sum(c), 0) FROM pc) AS DOUBLE) AS np,
+        |    CAST((SELECT coalesce(sum(c), 0) FROM nc) AS DOUBLE) AS nn,
+        |    CAST((SELECT count(*) FROM (SELECT w FROM pc UNION SELECT w FROM nc)) AS DOUBLE) AS v),
+        |lo AS (SELECT u.w,
+        |    ln((CAST(coalesce(pc.c, 0) AS DOUBLE) + 0.5) / (np + 0.5 * (v + 1.0))) -
+        |    ln((CAST(coalesce(nc.c, 0) AS DOUBLE) + 0.5) / (nn + 0.5 * (v + 1.0))) AS lo
+        |  FROM (SELECT w FROM pc UNION SELECT w FROM nc) u
+        |  LEFT JOIN pc ON u.w = pc.w LEFT JOIN nc ON u.w = nc.w
+        |  CROSS JOIN st),
+        |unseen AS (SELECT
+        |    ln(0.5 / (np + 0.5 * (v + 1.0))) -
+        |    ln(0.5 / (nn + 0.5 * (v + 1.0))) AS lo FROM st),
+        |inst AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |scored AS (SELECT i.doc_id,
+        |    coalesce(lo.lo, (SELECT lo FROM unseen)) AS lo
+        |  FROM inst i LEFT JOIN lo ON i.w = lo.w),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CAST(lo AS DECIMAL(28,14))) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE) AS s
+        |  FROM scored GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+        |  ROUND(agg.s, 9) AS nb_logodds
         |FROM toks t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // the repetition metrics re-derived: per-doc gram counts via unnest,

@@ -930,6 +930,48 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("nbQualityScore matches a driver-side naive-Bayes model") {
+    val pos = docs(10L -> "good clear prose with structure",
+      20L -> "clear good writing")
+    val neg = docs(30L -> "spam spam junk junk junk", 40L -> "junk spam")
+    val corpus = docs(
+      1L -> "good clear writing",   // all-positive tokens
+      2L -> "spam junk spam",       // all-negative tokens
+      3L -> "good mystery junk",    // mixed + unseen
+      4L -> "")                     // empty: null score
+    val k = 0.5
+    val pToks = Seq("good clear prose with structure", "clear good writing")
+      .flatMap(_.split(" "))
+    val nToks = Seq("spam spam junk junk junk", "junk spam").flatMap(_.split(" "))
+    val pCnt = pToks.groupBy(identity).map { case (w, v) => w -> v.size }
+    val nCnt = nToks.groupBy(identity).map { case (w, v) => w -> v.size }
+    val v = (pToks ++ nToks).distinct.size.toDouble
+    def lo(w: String): Double =
+      math.log((pCnt.getOrElse(w, 0).toDouble + k) / (pToks.size + k * (v + 1.0))) -
+        math.log((nCnt.getOrElse(w, 0).toDouble + k) / (nToks.size + k * (v + 1.0)))
+    def want(text: String): Option[Double] = {
+      val ts = text.split(" ").filter(_.nonEmpty).toSeq
+      if (ts.isEmpty) None
+      else Some(ts.map(w => scala.math.BigDecimal(lo(w))
+        .setScale(14, scala.math.BigDecimal.RoundingMode.HALF_UP)).sum
+        .doubleValue / ts.size)
+    }
+    val got = TextAnalysis.nbQualityScore(corpus, "doc_id", "text",
+        pos, "text", neg, "text", k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, want("good clear writing"))))
+    assert(got(2L) == ((3L, want("spam junk spam"))))
+    assert(got(3L) == ((3L, want("good mystery junk"))))
+    assert(got(4L) == ((0L, None)))
+    // the classifier separates: curated-like > junk-like, mixed between
+    assert(got(1L)._2.get > got(3L)._2.get && got(3L)._2.get > got(2L)._2.get)
+    // zero joins, zero shuffles: no Exchange anywhere in the plan
+    val plan = TextAnalysis.nbQualityScore(corpus, "doc_id", "text",
+      pos, "text", neg, "text", k).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("lmScore: multibyte tokens order and look up correctly in the kernel") {
     // ü (2 bytes), 中/文 (3 bytes), асдф (cyrillic) — keys whose unsigned
     // byte order differs from UTF-16 char order exercise the kernel's

@@ -43,6 +43,8 @@ def per_query(c1, big, copies):
             "task_max_over_median_big": float(big["task_max_over_median"][q]),
             "pass": ratio <= 2 * copies,
         }
+        if "task_max_sec" in big:
+            out[q]["task_max_sec_big"] = float(big["task_max_sec"][q])
     return out
 
 
@@ -60,6 +62,8 @@ def main():
                 "rows_skew": skew["rows"][q],
                 "task_max_over_median": float(skew["task_max_over_median"][q]),
             }
+            if "task_max_sec" in skew:
+                entry["task_max_sec"] = float(skew["task_max_sec"][q])
             if q in queries:
                 # skewed docs volume is ~1.9x the uniform 10x run
                 lin = queries[q]["sec_1x"] * copies * 1.9
