@@ -26,7 +26,8 @@ object ExplainAudit {
         "t_repetition_filter", "q_stratified_sample", "q_asof_join",
         "q_range_join", "q_corpus_pipeline", "t_lm_score",
         "t_pack_sequences", "q_token_budget", "q_shuffle_shards",
-        "d_semdedup", "d_exact_substr", "t_nb_quality")
+        "d_semdedup", "d_exact_substr", "t_nb_quality",
+        "q_importance_resample")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

@@ -60,7 +60,8 @@ object ScaleBench {
     * as-of carry-forward window (~half of surviving click/error history
     * lands on one user — q_asof_join). */
   private val SkewQueries =
-    Seq("d_lsh_jaccard_verify", "q_salted_agg", "d_dup_clusters", "q_asof_join")
+    Seq("d_lsh_jaccard_verify", "q_salted_agg", "d_dup_clusters",
+      "q_asof_join", "d_exact_substr")
 
   /** Tables each benched query scans — replication writes only what the
     * selected queries read (a 100× lineitem is wasted work for a
@@ -299,7 +300,17 @@ object ScaleBench {
       val fn = SparkEntry.queries(name)
       taskTimes.clear()
       val t0 = System.nanoTime()
-      val rows = try fn(spark, work).count() catch {
+      // Force FULL evaluation with a noop-sink write: a count() action lets
+      // Catalyst prune every computed column and eliminate row-preserving
+      // left joins, so narrow row-preserving operators (span removal,
+      // repetition stats) would time as near-zero scans. The row count
+      // rides as an observed metric in the same pass — no second job.
+      val rows = try {
+        val obs = new org.apache.spark.sql.Observation(s"rows_$name")
+        fn(spark, work).observe(obs, count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+        obs.get("n").asInstanceOf[Long]
+      } catch {
         case e: Throwable =>
           System.err.println(s"[scalebench] $name failed: ${e.getMessage}")
           -1L

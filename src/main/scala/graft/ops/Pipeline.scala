@@ -355,4 +355,46 @@ object Pipeline {
       .withColumn("shard_pos", (col("shard_pos") - 1L).cast("int"))
       .drop("__h")
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    * select `sampleSize` docs from the corpus so the sample's distribution
+    * tilts toward a target domain. Each doc's importance weight is its
+    * SUMMED token log-odds between the target and raw reference slices
+    * (the [[TextAnalysis.nbLogOddsStruct]] bag-of-tokens model — DSIR's
+    * hashed-n-gram ratio without the hashing, so the weight is exact and
+    * oracle-replicable); sampling-without-replacement with probability
+    * ∝ exp(weight) is drawn via the Gumbel-top-k trick made deterministic:
+    * `key = weight + (−ln(−ln(u)))` with `u = (md5(salt,id)+1) / (2^60+1)`
+    * — never rand(), so re-runs, retries and partitioning cannot change
+    * the sample, and a different salt is an independent redraw. Empty docs
+    * carry weight 0 (no evidence), staying eligible at the prior.
+    *
+    * Scale shape: the weight model rides task-broadcast in the NbScoreExpr
+    * codegen kernel (zero joins/shuffles), and the global top-k compiles
+    * to TakeOrderedAndProject — per-partition k-heaps merged on the
+    * driver, never a full sort shuffle. Driver memory is O(sampleSize);
+    * for samples too large for one driver, take per-shard top-ks with
+    * [[splitAssign]]-style md5 shards and union. */
+  def importanceResample(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      raw: DataFrame, rawTextCol: String,
+      sampleSize: Int, addK: Double = 0.5,
+      salt: String = "dsir"): DataFrame = {
+    require(sampleSize >= 1, s"sampleSize must be >= 1, got $sampleSize")
+    val s = TextAnalysis.nbLogOddsStruct(corpus.sparkSession,
+      TextAnalysis.tokens(col(textCol)), target, targetTextCol,
+      raw, rawTextCol, addK)
+    // u in (0,1): (h+1)/(2^60+1) — h spans [0, 2^60), so u never hits 0
+    // (ln(0)) or 1 (ln(-0.0) after the inner ln)
+    val u = (md5Long60(col(idCol), salt).cast("double") + lit(1.0)) /
+      lit(1.152921504606846977e18)
+    corpus.select(col(idCol), s.as("__nb"))
+      .select(col(idCol),
+        col("__nb").getField("n_tokens").as("n_tokens"),
+        coalesce(col("__nb").getField("lo_sum").cast("double"), lit(0.0))
+          .as("logratio"))
+      .withColumn("gumbel_key", col("logratio") - log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(sampleSize)
+  }
 }

@@ -291,6 +291,23 @@ object TextAnalysis {
       positive: DataFrame, posTextCol: String,
       negative: DataFrame, negTextCol: String,
       addK: Double = 0.5): DataFrame = {
+    val s = nbLogOddsStruct(corpus.sparkSession, tokens(col(textCol)),
+      positive, posTextCol, negative, negTextCol, addK)
+    corpus.select(col(idCol).as("id"), s.as("__nb"))
+      .select(col("id"),
+        col("__nb").getField("n_tokens").as("n_tokens"),
+        (col("__nb").getField("lo_sum").cast("double") /
+          col("__nb").getField("n_tokens").cast("double")).as("nb_logodds"))
+  }
+
+  /** The trained log-odds kernel behind [[nbQualityScore]] (and
+    * [[Pipeline.importanceResample]]'s weight model): collects the two
+    * bounded slices' token counts, precomputes + pre-quantizes the
+    * per-token log-odds driver-side, returns the task-broadcast
+    * `(n_tokens, lo_sum)` struct column over `toks`. */
+  private[ops] def nbLogOddsStruct(spark: org.apache.spark.sql.SparkSession,
+      toks: Column, positive: DataFrame, posTextCol: String,
+      negative: DataFrame, negTextCol: String, addK: Double): Column = {
     require(addK > 0, s"addK must be positive, got $addK")
     def classCounts(df: DataFrame, tc: String): Array[(String, Long)] =
       df.select(explode(tokens(col(tc))).as("w"))
@@ -308,15 +325,9 @@ object TextAnalysis {
     def lo(cp: Long, cn: Long): Double =
       Math.log((cp.toDouble + addK) / (nPos + addK * (v + 1.0))) -
         Math.log((cn.toDouble + addK) / (nNeg + addK * (v + 1.0)))
-    val s = graft.functions.LmExprs.nbScoreCol(corpus.sparkSession,
-      tokens(col(textCol)), vocab.toSeq,
+    graft.functions.LmExprs.nbScoreCol(spark, toks, vocab.toSeq,
       vocab.map(w => lo(pMap.getOrElse(w, 0L), nMap.getOrElse(w, 0L))).toSeq,
       lo(0L, 0L))
-    corpus.select(col(idCol).as("id"), s.as("__nb"))
-      .select(col("id"),
-        col("__nb").getField("n_tokens").as("n_tokens"),
-        (col("__nb").getField("lo_sum").cast("double") /
-          col("__nb").getField("n_tokens").cast("double")).as("nb_logodds"))
   }
 
   /** PII scrubbing for training corpora: emails, IPv4 addresses, phone-like

@@ -382,6 +382,21 @@ object PipelineQueries {
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
     },
+    // DSIR-style importance resampling: summed token log-odds between the
+    // src0 (target) and src1 (raw) slices as the importance weight, the
+    // 200-doc sample drawn by deterministic Gumbel-top-k (md5 uniform →
+    // −ln(−ln u)); global top-k compiles to TakeOrderedAndProject, the
+    // weight model rides the same task-broadcast NB kernel
+    "q_importance_resample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.Pipeline.importanceResample(docs, "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text",
+        docs.filter(col("source") === "src1"), "text",
+        sampleSize = 200)
+        .withColumn("logratio", round(col("logratio"), 9))
+        .withColumn("gumbel_key", round(col("gumbel_key"), 9))
+        .orderBy("doc_id")
+    },
     // deterministic corpus shuffle + sharding (the training-order step):
     // shard = md5 mod 8, dense 0-based position within shard in hash
     // order — both pure functions of (salt, id); the position numbering
@@ -1511,6 +1526,50 @@ object PipelineQueries {
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 700
         |                                WHEN 'src1' THEN 0 ELSE 900 END
         |ORDER BY doc_id""".stripMargin,
+    // importance resampling re-derived: the NB log-odds CTEs with a SUM
+    // per doc, the same 60-bit md5 fold ('dsir:' salt) → uniform →
+    // Gumbel, ORDER BY key DESC LIMIT 200, re-sorted by doc_id
+    "q_importance_resample" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
+        |pc AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(t) AS w FROM toks WHERE source = 'src0') GROUP BY w),
+        |nc AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(t) AS w FROM toks WHERE source = 'src1') GROUP BY w),
+        |st AS (SELECT
+        |    CAST((SELECT coalesce(sum(c), 0) FROM pc) AS DOUBLE) AS np,
+        |    CAST((SELECT coalesce(sum(c), 0) FROM nc) AS DOUBLE) AS nn,
+        |    CAST((SELECT count(*) FROM (SELECT w FROM pc UNION SELECT w FROM nc)) AS DOUBLE) AS v),
+        |lo AS (SELECT u.w,
+        |    ln((CAST(coalesce(pc.c, 0) AS DOUBLE) + 0.5) / (np + 0.5 * (v + 1.0))) -
+        |    ln((CAST(coalesce(nc.c, 0) AS DOUBLE) + 0.5) / (nn + 0.5 * (v + 1.0))) AS lo
+        |  FROM (SELECT w FROM pc UNION SELECT w FROM nc) u
+        |  LEFT JOIN pc ON u.w = pc.w LEFT JOIN nc ON u.w = nc.w
+        |  CROSS JOIN st),
+        |unseen AS (SELECT
+        |    ln(0.5 / (np + 0.5 * (v + 1.0))) -
+        |    ln(0.5 / (nn + 0.5 * (v + 1.0))) AS lo FROM st),
+        |inst AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |scored AS (SELECT i.doc_id,
+        |    coalesce(lo.lo, (SELECT lo FROM unseen)) AS lo
+        |  FROM inst i LEFT JOIN lo ON i.w = lo.w),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CAST(lo AS DECIMAL(28,14))) AS DOUBLE) AS w
+        |  FROM scored GROUP BY doc_id),
+        |h AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+        |      (acc, d) -> acc * 16 + d) AS h
+        |  FROM documents),
+        |keyed AS (SELECT t.doc_id,
+        |    CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |    coalesce(agg.w, 0.0) AS logratio,
+        |    coalesce(agg.w, 0.0) -
+        |      ln(-ln((CAST(h.h AS DOUBLE) + 1.0) / 1152921504606846977.0)) AS gumbel_key
+        |  FROM toks t LEFT JOIN agg USING (doc_id) JOIN h USING (doc_id)),
+        |top AS (SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 200)
+        |SELECT doc_id, n_tokens, ROUND(logratio, 9) AS logratio,
+        |  ROUND(gumbel_key, 9) AS gumbel_key
+        |FROM top ORDER BY doc_id""".stripMargin,
     // shuffle-sharding re-derived: shard = the same 60-bit md5 integer
     // ('shuffle:' salt) mod 8, position = row_number in (h, id) order - 1
     "q_shuffle_shards" ->

@@ -972,6 +972,34 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("importanceResample: deterministic Gumbel-top-k, tilted toward target") {
+    val target = docs(100L -> "alpha beta gamma delta", 101L -> "alpha beta gamma")
+    val raw = docs(200L -> "noise junk clutter spam", 201L -> "junk spam noise")
+    // weight spans ±tens of nats (20 strongly-classed tokens per doc), so
+    // the bounded Gumbel noise cannot flip target-like below raw-like
+    val corpus = docs(
+      (1L to 10L).map(i => i -> Seq.fill(10)("alpha beta").mkString(" ")) ++
+        (11L to 20L).map(i => i -> Seq.fill(10)("junk spam").mkString(" ")): _*)
+    def run(salt: String, k: Int) =
+      graft.ops.Pipeline.importanceResample(corpus, "doc_id", "text",
+        target, "text", raw, "text", sampleSize = k, salt = salt)
+    val out = run("dsir", 8).collect()
+    assert(out.length == 8)
+    // every sampled doc is target-like, none raw-like
+    assert(out.map(_.getLong(0)).forall(id => id >= 1L && id <= 10L))
+    // deterministic: a second run is identical, row for row
+    assert(run("dsir", 8).collect().toSeq == out.toSeq)
+    // a different salt is an independent redraw: same sample size, keys move
+    val re = run("epoch2", 8).collect()
+    assert(re.length == 8 &&
+      re.map(_.getDouble(3)).toSet != out.map(_.getDouble(3)).toSet)
+    // sampleSize >= corpus returns everything
+    assert(run("dsir", 50).count() == 20)
+    // global top-k compiles to TakeOrderedAndProject, never a full sort
+    val plan = run("dsir", 8).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("lmScore: multibyte tokens order and look up correctly in the kernel") {
     // ü (2 bytes), 中/文 (3 bytes), асдф (cyrillic) — keys whose unsigned
     // byte order differs from UTF-16 char order exercise the kernel's
