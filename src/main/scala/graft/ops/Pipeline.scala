@@ -356,6 +356,47 @@ object Pipeline {
       .drop("__h")
   }
 
+  /** The round-8 composition gate: assemble a training mix by chaining the
+    * four newest pipeline stages over one corpus —
+    *
+    *  1. [[Dedup.removeRepeatedSpans]] (ExactSubstr window dedup; docs the
+    *     dedup fully eats drop out),
+    *  2. [[TextAnalysis.nbLogOddsStruct]] quality filter on the DEDUPED
+    *     text against positive/negative source slices drawn from the
+    *     deduped corpus itself (mean token log-odds ≥ `minLogOdds`),
+    *  3. [[sampleToTokenBudget]] per-source token-budget mixing on the
+    *     surviving docs,
+    *  4. [[packSequences]] into fixed-capacity training sequences.
+    *
+    * Each stage is individually oracle-pinned; this operator exists for
+    * the composition bugs per-stage gates cannot see (fingerprint/column
+    * collisions across stages, order sensitivity between the filter and
+    * the budget's running sum, re-tokenization drift between the joined
+    * `text_dedup` string and the original token stream). One id-keyed
+    * join carries `sourceCol` back onto the dedup output; everything else
+    * is the stages' own shuffle discipline (gram key, per-stratum prefix
+    * sum, pack prefix sum — the NB filter adds zero). */
+  def assembleTrainingMix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, spanN: Int, posSource: String, negSource: String,
+      minLogOdds: Double, budgets: Map[String, Long], defaultBudget: Long,
+      capacity: Int, addK: Double = 0.5): DataFrame = {
+    val des = Dedup.removeRepeatedSpans(df, idCol, textCol, spanN)
+      .filter(col("n_tokens_kept") > 0)
+      .join(df.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val s = TextAnalysis.nbLogOddsStruct(df.sparkSession,
+      TextAnalysis.tokens(col("text_dedup")),
+      des.filter(col(sourceCol) === posSource), "text_dedup",
+      des.filter(col(sourceCol) === negSource), "text_dedup", addK)
+    val kept = des.withColumn("__nb", s)
+      .withColumn("__nbs", col("__nb").getField("lo_sum").cast("double") /
+        col("__nb").getField("n_tokens").cast("double"))
+      .filter(col("__nbs") >= minLogOdds)
+      .drop("__nb", "__nbs", "n_tokens", "n_tokens_kept")
+    val mixed = sampleToTokenBudget(kept, idCol, "text_dedup", sourceCol,
+      budgets, defaultBudget)
+    packSequences(mixed, idCol, "text_dedup", capacity)
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
     * select `sampleSize` docs from the corpus so the sample's distribution
     * tilts toward a target domain. Each doc's importance weight is its

@@ -382,6 +382,18 @@ object PipelineQueries {
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
     },
+    // the round-8 composed gate: ExactSubstr span dedup → NB quality
+    // filter (slices drawn from the deduped corpus itself) → per-source
+    // token-budget mix → fixed-capacity sequence packing, as ONE operator
+    // with ONE chained oracle — the composition-bug net for the new ops
+    "q_training_mix" -> { (s, d) =>
+      graft.ops.Pipeline.assembleTrainingMix(Tables.documents(s, d),
+        "doc_id", "text", "source", spanN = 8,
+        posSource = "src0", negSource = "src1", minLogOdds = -0.02,
+        budgets = Map("src2" -> 300L, "src3" -> 0L), defaultBudget = 600L,
+        capacity = 128)
+        .orderBy("seq_id", "doc_id")
+    },
     // DSIR-style importance resampling: summed token log-odds between the
     // src0 (target) and src1 (raw) slices as the importance weight, the
     // 200-doc sample drawn by deterministic Gumbel-top-k (md5 uniform →
@@ -1526,6 +1538,81 @@ object PipelineQueries {
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 700
         |                                WHEN 'src1' THEN 0 ELSE 900 END
         |ORDER BY doc_id""".stripMargin,
+    // the composed training-mix re-derived end to end: span-dedup CTEs
+    // (kept as token LISTS — join/split roundtrips exactly since tokens
+    // are nonempty and space-free), NB filter CTEs over the deduped
+    // slices, per-source budget cumsum in md5 order ('budget:' salt),
+    // global pack cumsum + piece explode
+    "q_training_mix" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(range(len(t) - 8 + 1)) AS pos,
+        |    unnest(list_transform(range(len(t) - 8 + 1), i ->
+        |      array_to_string(t[i+1:i+8], ' '))) AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM w),
+        |rem AS (SELECT doc_id, list(pos) AS starts FROM r
+        |  WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id),
+        |es AS (SELECT toks.doc_id, source,
+        |    CASE WHEN starts IS NULL THEN t
+        |      ELSE list_transform(list_filter(range(len(t)), i ->
+        |        len(list_filter(starts, s -> i >= s AND i < s + 8)) = 0),
+        |        i -> t[CAST(i + 1 AS INT)]) END AS t2
+        |  FROM toks LEFT JOIN rem USING (doc_id)),
+        |nz AS (SELECT * FROM es WHERE len(t2) > 0),
+        |pc AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(t2) AS w FROM nz WHERE source = 'src0') GROUP BY w),
+        |nc AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(t2) AS w FROM nz WHERE source = 'src1') GROUP BY w),
+        |st AS (SELECT
+        |    CAST((SELECT coalesce(sum(c), 0) FROM pc) AS DOUBLE) AS np,
+        |    CAST((SELECT coalesce(sum(c), 0) FROM nc) AS DOUBLE) AS nn,
+        |    CAST((SELECT count(*) FROM (SELECT w FROM pc UNION SELECT w FROM nc)) AS DOUBLE) AS v),
+        |lo AS (SELECT u.w,
+        |    ln((CAST(coalesce(pc.c, 0) AS DOUBLE) + 0.5) / (np + 0.5 * (v + 1.0))) -
+        |    ln((CAST(coalesce(nc.c, 0) AS DOUBLE) + 0.5) / (nn + 0.5 * (v + 1.0))) AS lo
+        |  FROM (SELECT w FROM pc UNION SELECT w FROM nc) u
+        |  LEFT JOIN pc ON u.w = pc.w LEFT JOIN nc ON u.w = nc.w
+        |  CROSS JOIN st),
+        |un AS (SELECT ln(0.5 / (np + 0.5 * (v + 1.0))) -
+        |    ln(0.5 / (nn + 0.5 * (v + 1.0))) AS lo FROM st),
+        |inst AS (SELECT doc_id, unnest(t2) AS w FROM nz),
+        |sc AS (SELECT i.doc_id, coalesce(lo.lo, (SELECT lo FROM un)) AS lo
+        |  FROM inst i LEFT JOIN lo ON i.w = lo.w),
+        |nbagg AS (SELECT doc_id,
+        |    CAST(sum(CAST(lo AS DECIMAL(28,14))) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE) AS s
+        |  FROM sc GROUP BY doc_id),
+        |keep AS (SELECT nz.doc_id, nz.source, nz.t2
+        |  FROM nz JOIN nbagg USING (doc_id) WHERE nbagg.s >= -0.02),
+        |hh AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('budget:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+        |      (acc, d) -> acc * 16 + d) AS h
+        |  FROM keep),
+        |cb AS (SELECT k.doc_id, k.source, k.t2,
+        |    CAST(sum(len(k.t2)) OVER (PARTITION BY k.source ORDER BY hh.h, k.doc_id) AS BIGINT) AS cum
+        |  FROM keep k JOIN hh USING (doc_id)),
+        |mix AS (SELECT doc_id, t2 FROM cb
+        |  WHERE cum <= CASE source WHEN 'src2' THEN 300
+        |                           WHEN 'src3' THEN 0 ELSE 600 END),
+        |pz AS (SELECT doc_id, t2 AS t, len(t2) AS n FROM mix WHERE len(t2) > 0),
+        |pcum AS (SELECT doc_id, t, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS ce FROM pz),
+        |ps AS (SELECT doc_id, t, n, ce - n AS cs, ce FROM pcum),
+        |px AS (SELECT doc_id, t, cs, ce,
+        |    unnest(range(cs // 128, (ce - 1) // 128 + 1)) AS seq_id FROM ps),
+        |pp AS (SELECT doc_id, t, cs, ce, seq_id,
+        |    greatest(cs, seq_id * 128) AS p0,
+        |    least(ce, (seq_id + 1) * 128) AS pe FROM px)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(p0 - seq_id * 128 AS INT) AS seq_offset,
+        |  CAST(p0 - cs AS INT) AS doc_offset,
+        |  CAST(pe - p0 AS INT) AS piece_tokens,
+        |  array_to_string(t[CAST(p0 - cs + 1 AS INT) : CAST(pe - cs AS INT)], ' ') AS piece_text
+        |FROM pp ORDER BY seq_id, doc_id""".stripMargin,
     // importance resampling re-derived: the NB log-odds CTEs with a SUM
     // per doc, the same 60-bit md5 fold ('dsir:' salt) → uniform →
     // Gumbel, ORDER BY key DESC LIMIT 200, re-sorted by doc_id

@@ -972,6 +972,36 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("assembleTrainingMix: budget counts DEDUPED tokens, stages compose") {
+    import spark.implicits._
+    // doc 1 and 2 share an 8-token span (2 loses it: 12 -> 4 tokens);
+    // doc 4's source gets budget 0 and must vanish before packing
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = Seq(
+      (1L, s"$span a b c d", "A"),
+      (2L, s"$span e f g h", "A"),
+      (3L, "u1 u2 u3 u4 u5 u6", "A"),
+      (4L, "v1 v2 v3 v4", "B")).toDF("doc_id", "text", "source")
+    val out = graft.ops.Pipeline.assembleTrainingMix(df, "doc_id", "text",
+        "source", spanN = 8, posSource = "A", negSource = "B",
+        minLogOdds = -100.0, budgets = Map("B" -> 0L),
+        defaultBudget = 1000L, capacity = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getString(5)))
+    // zero-budget source B is gone; A survives in full
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    // doc 2 contributes its DEDUPED 4 tokens (span cut), not 12: total
+    // stream = 12 + 4 + 6 = 22 tokens -> pieces of 4, last piece 2
+    assert(out.map(_._5).sum == 22)
+    assert(out.forall(_._5 <= 4))
+    // per-doc coverage: piece_tokens reassemble each surviving doc exactly
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(perDoc == Map(1L -> 12, 2L -> 4, 3L -> 6))
+    // doc 2's pieces carry the deduped text only
+    val d2 = out.filter(_._1 == 2L).sortBy(_._2).flatMap(_._6.split(" "))
+    assert(d2.toSeq == Seq("e", "f", "g", "h"))
+  }
+
   test("importanceResample: deterministic Gumbel-top-k, tilted toward target") {
     val target = docs(100L -> "alpha beta gamma delta", 101L -> "alpha beta gamma")
     val raw = docs(200L -> "noise junk clutter spam", 201L -> "junk spam noise")
