@@ -27,7 +27,7 @@ object ExplainAudit {
         "q_range_join", "q_corpus_pipeline", "t_lm_score",
         "t_pack_sequences", "q_token_budget", "q_shuffle_shards",
         "d_semdedup", "d_exact_substr", "t_nb_quality",
-        "q_importance_resample", "q_training_mix")
+        "q_importance_resample", "q_training_mix", "q_zorder_layout")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

@@ -613,6 +613,23 @@ object PipelineQueries {
         "start_ts", "end_ts", Seq("err_id"), bucketSeconds = 600)
         .orderBy("event_id", "range_err_id")
     },
+    // Z-order (Morton) clustering layout: equal-width literal cuts over
+    // (user_id, value) at 4 bits/dim, bins bit-interleaved into the
+    // z-value parquet row-group pruning sorts by — boundaries are
+    // plan-time literals derived from min/max by exact arithmetic, so the
+    // oracle re-derives them from the same scalars
+    "q_zorder_layout" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val r = ev.agg(min("user_id"), max("user_id"),
+        min("value"), max("value")).head
+      val z = graft.ops.Layout.zvalue(Seq(
+        col("user_id") ->
+          graft.ops.Layout.longCuts(r.getLong(0), r.getLong(1), 4),
+        col("value") ->
+          graft.ops.Layout.doubleCuts(r.getDouble(2), r.getDouble(3), 4)),
+        bits = 4)
+      ev.select(col("event_id"), z.as("zval")).orderBy("event_id")
+    },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
     // event types): exact same result as a direct groupBy, skew-free plan
     "q_salted_agg" -> { (s, d) =>
@@ -892,6 +909,26 @@ object PipelineQueries {
         |  CAST(least(32, n - chunk_id * 24) AS INT) AS n_chunk_tokens,
         |  source, split
         |FROM schunks ORDER BY doc_id, chunk_id""".stripMargin,
+    // z-order re-derived: the same min/max scalars, integer-// long cuts
+    // and IEEE double cuts with identical parenthesization, CASE-sum bins,
+    // shift/mask interleave
+    "q_zorder_layout" -> {
+      def binSum(v: String, cut: Int => String): String =
+        (1 to 15).map(i => s"(CASE WHEN $v >= ${cut(i)} THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", ")")
+      val bu = binSum("user_id", i => s"(ulo + (uhi - ulo + 1) * $i // 16)")
+      val bv = binSum("value", i => s"(vlo + (vhi - vlo) * $i / 16.0)")
+      val z = (0 until 4).flatMap { j =>
+        Seq(s"((bu >> $j) & 1) * ${1L << (j * 2)}",
+          s"((bv >> $j) & 1) * ${1L << (j * 2 + 1)}")
+      }.mkString(" + ")
+      s"""WITH st AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+         |    min(value) AS vlo, max(value) AS vhi FROM events),
+         |b AS (SELECT event_id, $bu AS bu, $bv AS bv
+         |  FROM events CROSS JOIN st)
+         |SELECT event_id, CAST($z AS BIGINT) AS zval
+         |FROM b ORDER BY event_id""".stripMargin
+    },
     "q_salted_agg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,

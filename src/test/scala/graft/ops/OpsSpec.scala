@@ -972,6 +972,34 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("zorder: exact Morton interleave, null lane, clustered-write plan") {
+    import spark.implicits._
+    val df = Seq((0L, 0.0), (3L, 0.0), (0L, 3.0), (3L, 3.0), (2L, 1.0))
+      .toDF("a", "b")
+    val cuts = (c: String) => Array(lit(1), lit(2), lit(3)) // bins 0..3 at bits=2
+    val z = graft.ops.Layout.zvalue(
+      Seq(col("a") -> cuts("a"), col("b").cast("int") -> cuts("b")), bits = 2)
+    val got = df.select(col("a"), col("b"), z.as("z")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    def morton(x: Int, y: Int): Long =
+      (0 until 2).map(j => (((x >> j) & 1) << (2 * j)) |
+        (((y >> j) & 1) << (2 * j + 1))).sum.toLong
+    assert(got((0L, 0.0)) == morton(0, 0) && got((3L, 0.0)) == morton(3, 0))
+    assert(got((0L, 3.0)) == morton(0, 3) && got((3L, 3.0)) == morton(3, 3))
+    assert(got((2L, 1.0)) == morton(2, 1))
+    // nulls bin to lane 0 deterministically
+    val nz = Seq((Option.empty[Long], 2.0)).toDF("a", "b")
+      .select(graft.ops.Layout.zvalue(
+        Seq(col("a") -> cuts("a"), col("b").cast("int") -> cuts("b")),
+        bits = 2).as("z")).head.getLong(0)
+    assert(nz == morton(0, 2))
+    // clusterByZ range-partitions on zval (the clustered-write shape)
+    val plan = graft.ops.Layout.clusterByZ(df,
+      Seq(col("a") -> cuts("a"), col("b").cast("int") -> cuts("b")),
+      bits = 2, numPartitions = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(zval"))
+  }
+
   test("assembleTrainingMix: budget counts DEDUPED tokens, stages compose") {
     import spark.implicits._
     // doc 1 and 2 share an 8-token span (2 loses it: 12 -> 4 tokens);
