@@ -49,7 +49,8 @@ object ScaleBench {
     // slice (constant work at any sf); its two constituents — the cell
     // pair pipeline (d_embed_neardup*) and CC (d_dup_clusters) — carry
     // the scale evidence.
-    "q_token_budget", "q_shuffle_shards", "d_exact_substr")
+    "q_token_budget", "q_shuffle_shards", "d_exact_substr",
+    "q_training_mix", "q_zorder_layout")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -81,6 +82,8 @@ object ScaleBench {
     "q_token_budget" -> Set("documents"),
     "q_shuffle_shards" -> Set("documents"),
     "d_exact_substr" -> Set("documents"),
+    "q_training_mix" -> Set("documents"),
+    "q_zorder_layout" -> Set("events"),
     "d_minhash_lsh" -> Set("documents"), "d_lsh_jaccard_verify" -> Set("documents"),
     "d_simhash" -> Set("documents"), "q_clean_corpus" -> Set("documents"),
     "d_ngram_jaccard" -> Set("documents"), "d_ngram_jaccard_bounded" -> Set("documents"),
