@@ -44,13 +44,17 @@ object ScaleBench {
     "t_chunk_docs", "q_corpus_pipeline", "t_pack_sequences",
     // q_token_budget's OUTPUT is budget-capped (constant rows at any
     // scale) but its work is the full-corpus scan + per-stratum prefix
-    // sum — the time, not the rows, is the scaling evidence.
-    // d_semdedup is deliberately absent: its gate pins a FIXED 1500-vector
-    // slice (constant work at any sf); its two constituents — the cell
-    // pair pipeline (d_embed_neardup*) and CC (d_dup_clusters) — carry
-    // the scale evidence.
+    // sum — the time, not the rows, is the scaling evidence. The same
+    // holds for q_importance_resample (fixed 200-row sample, full-corpus
+    // scoring scan + top-k).
     "q_token_budget", "q_shuffle_shards", "d_exact_substr",
-    "q_training_mix", "q_zorder_layout")
+    "q_training_mix", "q_zorder_layout",
+    // d_semdedup's gate pins a FIXED 1500-vector slice (constant work at
+    // any sf — its rows_ratio reads 1.0 by construction); the honest
+    // scaling form is d_semdedup_scale: full table at 1024 cells, the
+    // d_cells1024_probe2 family taken to the CC + survivor decision.
+    "d_semdedup", "d_semdedup_scale",
+    "t_lm_score", "t_nb_quality", "q_importance_resample")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -62,7 +66,12 @@ object ScaleBench {
     * lands on one user — q_asof_join). */
   private val SkewQueries =
     Seq("d_lsh_jaccard_verify", "q_salted_agg", "d_dup_clusters",
-      "q_asof_join", "d_exact_substr")
+      "q_asof_join", "d_exact_substr",
+      // the composed mix on the skewed corpus: the hot content shard
+      // stresses its ExactSubstr gram shuffle, and the per-source budget /
+      // packing prefix sums must survive one source holding ~all tokens
+      // (hot stratum = one runningSum partition family)
+      "q_training_mix")
 
   /** Tables each benched query scans — replication writes only what the
     * selected queries read (a 100× lineitem is wasted work for a
@@ -83,6 +92,10 @@ object ScaleBench {
     "q_shuffle_shards" -> Set("documents"),
     "d_exact_substr" -> Set("documents"),
     "q_training_mix" -> Set("documents"),
+    "t_lm_score" -> Set("documents"), "t_nb_quality" -> Set("documents"),
+    "q_importance_resample" -> Set("documents"),
+    "d_semdedup" -> Set("embeddings"),
+    "d_semdedup_scale" -> Set("embeddings"),
     "q_zorder_layout" -> Set("events"),
     "d_minhash_lsh" -> Set("documents"), "d_lsh_jaccard_verify" -> Set("documents"),
     "d_simhash" -> Set("documents"), "q_clean_corpus" -> Set("documents"),
@@ -350,7 +363,12 @@ object ScaleBench {
     val total = results.map(_._2).sum
     def r2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"skew":$skew,"queries":${j(_._2)},"rows":${j(_._3)},"task_max_over_median":${j(r => r2(r._4))},"task_max_sec":${j(r => r2(r._5))},"src":"$src"}""")
+    // straggler_metric_version 2 = PER-STAGE max/median over stages whose
+    // slowest task is >= 200 ms, empty = 1.0 (since round 8; version 1 was
+    // a query-global max/median with empty = 0.0 — the two are NOT
+    // comparable, and cross-round tooling must check this field before
+    // comparing task_max_over_median values)
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"skew":$skew,"straggler_metric_version":2,"queries":${j(_._2)},"rows":${j(_._3)},"task_max_over_median":${j(r => r2(r._4))},"task_max_sec":${j(r => r2(r._5))},"src":"$src"}""")
     spark.stop()
   }
 }

@@ -375,14 +375,31 @@ object Pipeline {
     * `text_dedup` string and the original token stream). One id-keyed
     * join carries `sourceCol` back onto the dedup output; everything else
     * is the stages' own shuffle discipline (gram key, per-stratum prefix
-    * sum, pack prefix sum — the NB filter adds zero). */
+    * sum, pack prefix sum — the NB filter adds zero).
+    *
+    * Scale shape: the ExactSubstr subtree is by far the heaviest stage
+    * (the corpus-wide gram shuffle), and FOUR downstream consumers would
+    * otherwise re-execute it — the two bounded NB class-count collects,
+    * the pack stage's order-statistics pass, and the final job. So the
+    * dedup output is materialized ONCE ([[Dedup.materializeBase]]; pass
+    * `materializePath` for the cluster-durable parquet form, else
+    * localCheckpoint) and every consumer reads the materialized form. The
+    * budget-mixed survivors are materialized the same way: at real scale
+    * they ARE the training corpus about to be packed and written, and the
+    * pack stage reads them three times (bucket cuts, bucket totals, final
+    * explode). Net job shape: ONE heavy job (the span dedup), two bounded
+    * NB collects, one bounded mix job, and the cheap pack passes over the
+    * materialized mix — pinned by the job-count test in OpsSpec. */
   def assembleTrainingMix(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, spanN: Int, posSource: String, negSource: String,
       minLogOdds: Double, budgets: Map[String, Long], defaultBudget: Long,
-      capacity: Int, addK: Double = 0.5): DataFrame = {
-    val des = Dedup.removeRepeatedSpans(df, idCol, textCol, spanN)
-      .filter(col("n_tokens_kept") > 0)
-      .join(df.select(col(idCol), col(sourceCol)), Seq(idCol))
+      capacity: Int, addK: Double = 0.5,
+      materializePath: Option[String] = None): DataFrame = {
+    val des = Dedup.materializeBase(
+      Dedup.removeRepeatedSpans(df, idCol, textCol, spanN)
+        .filter(col("n_tokens_kept") > 0)
+        .join(df.select(col(idCol), col(sourceCol)), Seq(idCol)),
+      materializePath.map(_ + "/span_dedup"))
     val s = TextAnalysis.nbLogOddsStruct(df.sparkSession,
       TextAnalysis.tokens(col("text_dedup")),
       des.filter(col(sourceCol) === posSource), "text_dedup",
@@ -392,8 +409,10 @@ object Pipeline {
         col("__nb").getField("n_tokens").cast("double"))
       .filter(col("__nbs") >= minLogOdds)
       .drop("__nb", "__nbs", "n_tokens", "n_tokens_kept")
-    val mixed = sampleToTokenBudget(kept, idCol, "text_dedup", sourceCol,
-      budgets, defaultBudget)
+    val mixed = Dedup.materializeBase(
+      sampleToTokenBudget(kept, idCol, "text_dedup", sourceCol,
+        budgets, defaultBudget),
+      materializePath.map(_ + "/mixed"))
     packSequences(mixed, idCol, "text_dedup", capacity)
   }
 
@@ -435,7 +454,15 @@ object Pipeline {
         coalesce(col("__nb").getField("lo_sum").cast("double"), lit(0.0))
           .as("logratio"))
       .withColumn("gumbel_key", col("logratio") - log(-log(u)))
-      .orderBy(col("gumbel_key").desc, col(idCol))
+      // SELECTION key quantized to 9 dp: ln() is not correctly-rounded,
+      // and Spark's Math.log vs another engine's libm can differ by 1 ulp
+      // — on the raw double key that could flip which doc sits at the
+      // sampleSize boundary even when every RENDERED value matches. After
+      // HALF_UP rounding at 9 dp both engines agree unless the true value
+      // sits within an ulp of a 5e-10 boundary (never observed for
+      // transcendental keys; documented tolerance). Ties on the rounded
+      // key break by id, so membership is engine-exact.
+      .orderBy(round(col("gumbel_key"), 9).desc, col(idCol))
       .limit(sampleSize)
   }
 }

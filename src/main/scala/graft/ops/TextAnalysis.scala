@@ -248,14 +248,25 @@ object TextAnalysis {
     * surface with n_bigrams = 0 and a null score. */
   def lmScore(corpus: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
-      addK: Double = 0.5): DataFrame = {
+      addK: Double = 0.5, maxBigrams: Int = LmMaxBigrams): DataFrame = {
     require(addK > 0, s"addK must be positive, got $addK")
+    require(maxBigrams >= 1, s"maxBigrams must be >= 1, got $maxBigrams")
     val refToks = reference.select(tokens(col(refTextCol)).as("t"))
     val vocab = refToks.select(explode(col("t")).as("w"))
       .agg(count_distinct(col("w"))).head.getLong(0)
+    // The collect is CAPPED to the maxBigrams most frequent bigrams
+    // (count desc, bigram asc — deterministic), compiled to a bounded
+    // TakeOrderedAndProject: when the "reference" is a corpus slice that
+    // grows with the data (t_lm_score's doc_id%10 slice does), driver
+    // memory and the task-broadcast model stay bounded. Bigrams beyond
+    // the cap score as unseen — the model is the one trained on the kept
+    // counts. The cap never binds on the test corpus (~900 distinct
+    // bigrams even at 10x; 31-token synthetic vocab), so gate results
+    // are unchanged; it is the 100-TB guard rail.
     val c2 = refToks.select(explode(bigramStrings(col("t"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cnt2"))
-      .collect() // bounded: the curated reference slice
+      .sort(col("cnt2").desc, col("bg")).limit(maxBigrams)
+      .collect()
     val s = graft.functions.LmExprs.lmScoreCol(corpus.sparkSession,
       tokens(col(textCol)), c2.map(_.getString(0)).toSeq,
       c2.map(_.getLong(1)).toSeq, addK, vocab)
@@ -280,11 +291,14 @@ object TextAnalysis {
     * is exactly a linear text classifier (fastText with unigram features
     * and no learned reweighting): score = w·x/|x| over the bag of tokens.
     *
-    * Scale shape: both reference slices are bounded and curated, so their
-    * token counts collect to the driver, the per-token log-odds table is
-    * precomputed AND pre-quantized there, and scoring rides task-broadcast
-    * inside one [[graft.functions.NbScoreExpr]] codegen kernel — one
-    * corpus scan, zero joins, zero shuffles, DECIMAL(28,14) accumulation
+    * Scale shape: each class's token counts collect to the driver CAPPED
+    * at the [[NbMaxVocab]] most frequent tokens (reference slices are
+    * often corpus slices that grow with the data — the cap keeps driver
+    * memory and plan size O(maxVocab); beyond-cap tokens score as
+    * unseen), the per-token log-odds table is precomputed AND
+    * pre-quantized there, and scoring rides task-broadcast inside one
+    * [[graft.functions.NbScoreExpr]] codegen kernel — one corpus scan,
+    * zero joins, zero shuffles, DECIMAL(28,14) accumulation
     * (order-invariant, oracle-replicable). Docs with no tokens surface
     * with n_tokens = 0 and a null score. */
   def nbQualityScore(corpus: DataFrame, idCol: String, textCol: String,
@@ -300,19 +314,40 @@ object TextAnalysis {
           col("__nb").getField("n_tokens").cast("double")).as("nb_logodds"))
   }
 
+  /** Cap on the per-class token vocabulary [[nbLogOddsStruct]] collects,
+    * and on the reference bigram table [[lmScore]] collects. The callers'
+    * "reference" slices are often corpus slices that grow with the data
+    * (t_nb_quality / q_training_mix / q_importance_resample all score
+    * against source-sliced corpus text), so an uncapped collect + typedlit
+    * vocab array would grow the driver heap and the codegen'd plan
+    * linearly with corpus size. 64k tokens ≈ the fastText-style
+    * classifier's working vocabulary; the synthetic test corpus never
+    * comes near it (≤ ~3k distinct tokens even at 100× replication), so
+    * every oracle-pinned result is unchanged. */
+  val NbMaxVocab: Int = 1 << 16
+  val LmMaxBigrams: Int = 1 << 17
+
   /** The trained log-odds kernel behind [[nbQualityScore]] (and
     * [[Pipeline.importanceResample]]'s weight model): collects the two
-    * bounded slices' token counts, precomputes + pre-quantizes the
+    * slices' token counts — each class CAPPED to the `maxVocab` most
+    * frequent tokens (count desc, token asc: deterministic, compiled to a
+    * bounded TakeOrderedAndProject, so driver memory and the broadcast
+    * plan stay O(maxVocab) even when the slices grow with the corpus;
+    * tokens beyond the cap score as unseen, i.e. the model is the one
+    * trained on the kept counts) — precomputes + pre-quantizes the
     * per-token log-odds driver-side, returns the task-broadcast
     * `(n_tokens, lo_sum)` struct column over `toks`. */
   private[ops] def nbLogOddsStruct(spark: org.apache.spark.sql.SparkSession,
       toks: Column, positive: DataFrame, posTextCol: String,
-      negative: DataFrame, negTextCol: String, addK: Double): Column = {
+      negative: DataFrame, negTextCol: String, addK: Double,
+      maxVocab: Int = NbMaxVocab): Column = {
     require(addK > 0, s"addK must be positive, got $addK")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     def classCounts(df: DataFrame, tc: String): Array[(String, Long)] =
       df.select(explode(tokens(col(tc))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getString(0), r.getLong(1))) // bounded slice
+        .sort(col("c").desc, col("w")).limit(maxVocab)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
     val pc = classCounts(positive, posTextCol)
     val nc = classCounts(negative, negTextCol)
     val nPos = pc.map(_._2).sum.toDouble

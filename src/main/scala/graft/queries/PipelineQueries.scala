@@ -240,6 +240,20 @@ object PipelineQueries {
         .select("vec_id", "label")
         .orderBy("vec_id")
     },
+    // SemDeDup in its SCALE shape: the full embeddings table at the
+    // real-IVF cell count (1024 — the d_cells1024_probe2 family), so the
+    // per-cell pair stage stays linear as the table grows. This is the
+    // ScaleBench form; the fixed-slice d_semdedup above pins the decision
+    // logic at constant size. Same modulo-init one-Lloyd-step oracle
+    // family; CC pinned against the recursive-CTE transitive closure.
+    "d_semdedup_scale" -> { (s, d) =>
+      Dedup.semDedup(
+        Tables.embeddings(s, d),
+        "vec_id", "embedding", nCells = 1024, threshold = 0.35, iters = 1,
+        initCell = Some(pmod(col("id").cast("bigint"), lit(1024L)).cast("int")))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
     // ExactSubstr-style repeated-span removal (arXiv:2107.06499): every
     // 8-token window occurring 2+ times corpus-wide is cut from every doc
     // except its globally-first (doc, pos) occurrence — one gram-key
@@ -1277,6 +1291,48 @@ object PipelineQueries {
          |WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> cluster)
          |ORDER BY vec_id""".stripMargin
     },
+    // the scale-shaped variant: full table, 1024 cells, threshold 0.35 —
+    // the same CTE chain with the slice filter and modulus swapped
+    "d_semdedup_scale" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), (x, y) -> x + y)"
+      def sq(a: String): String =
+        s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (x, y) -> x + y))"
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |a0 AS (SELECT vec_id, e, CAST(vec_id % 1024 AS INT) AS cell FROM v),
+         |c1 AS (
+         |  SELECT cell, list(m ORDER BY pos) AS c FROM (
+         |    SELECT cell, pos, CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+         |    FROM (SELECT cell, unnest(e) AS val, unnest(range(len(e))) AS pos FROM a0)
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell),
+         |a1 AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c1.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY -(${dot("v.e", "c1.c")}), c1.cell) AS rn
+         |    FROM v CROSS JOIN c1) WHERE rn = 1),
+         |prs AS (
+         |  SELECT * FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      ${dot("a.e", "b.e")} / (${sq("a.e")} * ${sq("b.e")}) AS cosine
+         |    FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |  WHERE cosine >= 0.35),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT vec_id, label FROM v
+         |WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> cluster)
+         |ORDER BY vec_id""".stripMargin
+    },
     // ExactSubstr re-derived: zip-unnested 8-token windows, per-gram count
     // + row_number in (doc, pos) order (rn=1 = the surviving occurrence),
     // removed starts per doc, coverage filter over token positions
@@ -1690,7 +1746,8 @@ object PipelineQueries {
         |    coalesce(agg.w, 0.0) -
         |      ln(-ln((CAST(h.h AS DOUBLE) + 1.0) / 1152921504606846977.0)) AS gumbel_key
         |  FROM toks t LEFT JOIN agg USING (doc_id) JOIN h USING (doc_id)),
-        |top AS (SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 200)
+        |top AS (SELECT * FROM keyed
+        |  ORDER BY ROUND(gumbel_key, 9) DESC, doc_id LIMIT 200)
         |SELECT doc_id, n_tokens, ROUND(logratio, 9) AS logratio,
         |  ROUND(gumbel_key, 9) AS gumbel_key
         |FROM top ORDER BY doc_id""".stripMargin,

@@ -1030,6 +1030,104 @@ class OpsSpec extends SparkSpec {
     assert(d2.toSeq == Seq("e", "f", "g", "h"))
   }
 
+  test("assembleTrainingMix: span-dedup subtree materialized ONCE, lineage cut") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i =>
+        (i, (1 to 20).map(j => s"w${(i * 7 + j) % 13}").mkString(" "),
+          if (i % 2 == 0) "A" else "B"))
+      .toDF("doc_id", "text", "source")
+    def build() = graft.ops.Pipeline.assembleTrainingMix(df, "doc_id",
+      "text", "source", spanN = 8, posSource = "A", negSource = "B",
+      minLogOdds = -100.0, budgets = Map.empty, defaultBudget = 1000L,
+      capacity = 16)
+    // The round-8 plan re-executed the ExactSubstr subtree ~4x (two NB
+    // collects + the pack order-statistics pass + the final job). Now the
+    // dedup output and the budget-mixed survivors are materialized, so the
+    // FINAL plan's lineage is cut: every leaf is a materialized scan, and
+    // the heavy span-removal operators (posexplode window generation, the
+    // gram Window, the source join) appear nowhere in it.
+    val out = build()
+    val optimized = out.queryExecution.optimizedPlan
+    val plan = optimized.toString
+    assert(!plan.contains("posexplode"), s"span-dedup lineage not cut:\n$plan")
+    // the only join left is the pack stage's tiny broadcast of bucket
+    // offsets — the id-keyed source join lives behind the materialization
+    assert(optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.rightHint.isEmpty && j.hint.leftHint.isEmpty => j
+    }.isEmpty, s"non-broadcast join in the final plan:\n$plan")
+    val leaves = optimized.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.getClass.getSimpleName.contains("LogicalRDD")),
+      s"expected only materialized-scan leaves, got ${leaves.map(_.nodeName)}")
+    // Execution-count evidence (job counts are meaningless under AQE —
+    // every query stage is its own job): an accumulator bumped per
+    // SOURCE row proves the raw corpus is read only while building the
+    // materialized stages, and NEVER again by the NB collects, the pack
+    // order-statistics pass, or the final job. Round 8's unmaterialized
+    // plan re-scanned the source in all of them.
+    val scans = spark.sparkContext.longAccumulator("graft_test_src_scans")
+    val bump = udf { (s: String) => scans.add(1); true }
+    val counted = df.filter(bump(col("text")))
+    val mixed = graft.ops.Pipeline.assembleTrainingMix(counted, "doc_id",
+      "text", "source", spanN = 8, posSource = "A", negSource = "B",
+      minLogOdds = -100.0, budgets = Map.empty, defaultBudget = 1000L,
+      capacity = 16)
+    // materialization is eager, so all source reads have happened by now:
+    // the span-dedup plan reads the source a small constant number of
+    // times (gram generation + reassembly + the id->source join branch)
+    val afterBuild = scans.value
+    assert(afterBuild >= 40L && afterBuild <= 5L * 40,
+      s"source scanned ${afterBuild / 40.0}x at build — expected the one " +
+        "materialization pass (<= 5 plan branches)")
+    assert(mixed.collect().length > 0)
+    assert(scans.value == afterBuild,
+      s"final job re-read the raw source: ${scans.value} vs $afterBuild")
+    // cluster-durable form: materializePath writes real parquet stages and
+    // produces identical output
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    val viaPath = graft.ops.Pipeline.assembleTrainingMix(df, "doc_id",
+      "text", "source", spanN = 8, posSource = "A", negSource = "B",
+      minLogOdds = -100.0, budgets = Map.empty, defaultBudget = 1000L,
+      capacity = 16, materializePath = Some(tmp))
+    assert(new java.io.File(s"$tmp/span_dedup").exists())
+    assert(new java.io.File(s"$tmp/mixed").exists())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getString(5))
+    assert(viaPath.collect().map(key).sortBy(k => (k._2, k._1)).toSeq ==
+      out.collect().map(key).sortBy(k => (k._2, k._1)).toSeq)
+  }
+
+  test("importanceResample: partition-invariant and engine-exact at the boundary") {
+    val corpus = docs((1L to 60L).map(i =>
+      i -> (1 to 12).map(j => s"t${(i + j) % 9}").mkString(" ")): _*)
+    val target = docs(900L -> "t0 t1 t2 t3", 901L -> "t1 t2")
+    val raw = docs(950L -> "t5 t6 t7 t8", 951L -> "t7 t8")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Pipeline.importanceResample(df, "doc_id", "text",
+        target, "text", raw, "text", sampleSize = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq
+    val base = run(corpus)
+    assert(base.length == 20)
+    // partitioning cannot change the sample: the Gumbel keys are pure
+    // functions of (salt, id) and the top-k merge is order-insensitive
+    assert(run(corpus.repartition(7)) == base)
+    assert(run(corpus.coalesce(1)) == base)
+    // the SELECTION key is the 9-dp-rounded gumbel_key (ties by id): a
+    // 1-ulp ln() difference between engines cannot flip membership unless
+    // it crosses a 5e-10 rounding boundary — pin the ordering contract by
+    // recomputing the selection driver-side from the full corpus's keys
+    val all = graft.ops.Pipeline.importanceResample(corpus, "doc_id",
+      "text", target, "text", raw, "text", sampleSize = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val expect = all.sortBy { case (id, k) =>
+      (-BigDecimal(k).setScale(9, BigDecimal.RoundingMode.HALF_UP), id) }
+      .take(20).map(_._1).toSet
+    assert(base.map(_._1).toSet == expect)
+  }
+
   test("importanceResample: deterministic Gumbel-top-k, tilted toward target") {
     val target = docs(100L -> "alpha beta gamma delta", 101L -> "alpha beta gamma")
     val raw = docs(200L -> "noise junk clutter spam", 201L -> "junk spam noise")
@@ -1104,5 +1202,128 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == "server <IP> and phone <PHONE> end")
     assert(out(3L) == "account <ID> but short 12345678 stays")
     assert(out(4L) == "no pii in this sentence at all")
+  }
+
+  test("nbQualityScore is stateless: batch == stream, two micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pos = docs(100L -> "good clear prose", 101L -> "clear good words")
+    val neg = docs(200L -> "junk spam junk", 201L -> "spam noise")
+    val rows = Seq(1L -> "good clear text here", 2L -> "spam junk noise",
+      3L -> "", 4L -> "good junk mixed words")
+    val mem = MemoryStream[(Long, String)]
+    // the model trains from the STATIC slices at plan-build time; scoring
+    // is one stateless kernel projection, so the streaming ingest path can
+    // run the same operator unchanged
+    val q = TextAnalysis.nbQualityScore(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", pos, "text", neg, "text")
+      .writeStream.format("memory").queryName("nb_stream_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*); q.processAllAvailable()
+    mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    val streamed = spark.table("nb_stream_test").collect().map(key).toMap
+    val batch = TextAnalysis.nbQualityScore(rows.toDF("doc_id", "text"),
+      "doc_id", "text", pos, "text", neg, "text").collect().map(key).toMap
+    assert(streamed == batch && batch.size == 4)
+    assert(streamed(3L) == ((0L, None)))
+  }
+
+  test("lmScore is stateless: batch == stream, two micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = docs(100L -> "the quick fox jumps", 101L -> "the quick dog")
+    val rows = Seq(1L -> "the quick fox", 2L -> "unseen words only",
+      3L -> "solo", 4L -> "the quick dog jumps")
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.lmScore(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", ref, "text")
+      .writeStream.format("memory").queryName("lm_stream_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*); q.processAllAvailable()
+    mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    val streamed = spark.table("lm_stream_test").collect().map(key).toMap
+    val batch = TextAnalysis.lmScore(rows.toDF("doc_id", "text"),
+      "doc_id", "text", ref, "text").collect().map(key).toMap
+    assert(streamed == batch && batch.size == 4)
+    // <2-token doc surfaces with n_bigrams = 0 and a null score both ways
+    assert(streamed(3L) == ((0L, None)))
+  }
+
+  test("nb/lm vocab caps: deterministic top-N training counts, unseen beyond") {
+    // maxVocab = 2 keeps only each class's two most frequent tokens
+    // (count desc, token asc) — every other token scores as unseen. The
+    // cap never binds at gate scale; this pins its semantics + tie-break.
+    val pos = docs(1L -> "aa aa aa bb bb cc")  // keep aa(3), bb(2); drop cc
+    val neg = docs(2L -> "xx xx yy")           // keep xx(2), yy(1)
+    val corpus = docs(10L -> "aa cc", 11L -> "cc cc")
+    def score(maxVocab: Int) = {
+      val s = TextAnalysis.nbLogOddsStruct(spark,
+        TextAnalysis.tokens(col("text")), pos, "text", neg, "text", 0.5,
+        maxVocab)
+      corpus.select(col("doc_id"), s.getField("lo_sum").cast("double"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val capped = score(2)
+    val full = score(1 << 16)
+    // doc 11 (all out-of-cap tokens) folds to 2x the unseen constant;
+    // under the full vocab cc is a trained positive token, so they differ
+    assert(capped != full)
+    // the capped model is still deterministic and order-invariant
+    assert(score(2) == capped)
+    // ties: bb(2) vs cc(...) — with counts aa=3,bb=2,cc=1 there is no tie;
+    // force one: maxVocab=1 keeps only aa (count desc, token asc)
+    val one = score(1)
+    assert(one(10L) != capped(10L))
+  }
+
+  test("zorder layout: predicates on the NON-leading dimension skip files") {
+    // 4096 rows over a 64x64 (a, b) grid, b decorrelated from a. Written
+    // as 16 range-partitioned files, a z-ordered file covers a ~16x16
+    // tile in BOTH dimensions, while a lexicographic (a, b) sort leaves
+    // every file spanning b's full range — so a predicate on b alone
+    // prunes most z-ordered files and NO lexicographic ones. Per-file
+    // min/max intersection is exactly the statistic parquet row-group
+    // pruning uses; measuring it directly keeps the evidence engine-
+    // version-independent.
+    val n = 4096
+    val base = spark.range(n).select(
+      (col("id") % 64).as("a"),
+      pmod(xxhash64(col("id")), lit(64)).as("b"))
+    val bits = 6 // 64 bins per dimension, 2 dims * 6 bits = 12-bit z
+    val cuts = graft.ops.Layout.longCuts(0L, 63L, bits)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_z").toString
+    graft.ops.Layout.clusterByZ(base,
+        Seq(col("a") -> cuts, col("b") -> cuts), bits, numPartitions = 16)
+      .write.parquet(s"$tmp/zorder")
+    base.repartitionByRange(16, col("a"), col("b"))
+      .sortWithinPartitions("a", "b")
+      .write.parquet(s"$tmp/lex")
+    def fileRanges(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val zf = fileRanges(s"$tmp/zorder")
+    val lf = fileRanges(s"$tmp/lex")
+    assert(zf.length == 16 && lf.length == 16)
+    // b in [8, 15]: files whose [b0, b1] intersects the range must be read
+    def hitB(fs: Array[(Long, Long, Long, Long)]) =
+      fs.count { case (_, _, b0, b1) => b0 <= 15 && b1 >= 8 }
+    // a in [8, 15]: the leading dimension prunes under BOTH layouts
+    def hitA(fs: Array[(Long, Long, Long, Long)]) =
+      fs.count { case (a0, a1, _, _) => a0 <= 15 && a1 >= 8 }
+    assert(hitB(lf) == 16, s"lex layout should read all files on b, read ${hitB(lf)}")
+    assert(hitB(zf) <= 8, s"z layout should skip most files on b, read ${hitB(zf)}")
+    assert(hitA(zf) <= 8 && hitA(lf) <= 8,
+      s"leading-dim pruning lost: z=${hitA(zf)} lex=${hitA(lf)}")
   }
 }

@@ -23,6 +23,13 @@ def load(path):
     raise SystemExit(f"no ScaleBench JSON line in {path}")
 
 
+def metric_version(run):
+    # version 2 (round 8+): per-stage max/median over stages whose slowest
+    # task >= 200ms, empty=1.0. Version 1 (pre-round-8): query-global
+    # max/median, empty=0.0. The two are NOT comparable; refuse to mix.
+    return run.get("straggler_metric_version", 1)
+
+
 def per_query(c1, big, copies):
     out = {}
     for q, sec_big in big["queries"].items():
@@ -53,6 +60,11 @@ def main():
     if mode == "sf1":
         c1, big, skew = load(sys.argv[2]), load(sys.argv[3]), load(sys.argv[4])
         out_path, note, skew_note = sys.argv[5], sys.argv[6], sys.argv[7]
+        versions = {metric_version(r) for r in (c1, big, skew)}
+        if versions != {2}:
+            raise SystemExit(
+                f"straggler metric version mismatch: {versions} — "
+                "refusing to assemble across metric definitions")
         copies = big["copies"]
         queries = per_query(c1, big, copies)
         skew_queries = {}
@@ -77,6 +89,7 @@ def main():
             "harness": note,
             "cpus": 32,
             "copies": copies,
+            "straggler_metric_version": 2,
             "gate": "no query > 2x its linear extrapolation "
                     f"({copies}x the copies=1 time)",
             "queries": queries,
@@ -93,11 +106,17 @@ def main():
     elif mode == "sf10":
         c1, big = load(sys.argv[2]), load(sys.argv[3])
         out_path, note = sys.argv[4], sys.argv[5]
+        versions = {metric_version(r) for r in (c1, big)}
+        if versions != {2}:
+            raise SystemExit(
+                f"straggler metric version mismatch: {versions} — "
+                "refusing to assemble across metric definitions")
         copies = big["copies"]
         doc = {
             "harness": note,
             "cpus": 32,
             "copies": copies,
+            "straggler_metric_version": 2,
             "gate": "no query > 2x its linear extrapolation "
                     f"({copies}x the copies=1 time)",
             "queries": per_query(c1, big, copies),
