@@ -394,7 +394,44 @@ object Pipeline {
       sourceCol: String, spanN: Int, posSource: String, negSource: String,
       minLogOdds: Double, budgets: Map[String, Long], defaultBudget: Long,
       capacity: Int, addK: Double = 0.5,
-      materializePath: Option[String] = None): DataFrame = {
+      materializePath: Option[String] = None): DataFrame =
+    assembleTrainingMixStaged(df, idCol, textCol, sourceCol, spanN,
+      posSource, negSource, minLogOdds, budgets, defaultBudget, capacity,
+      addK, materializePath).packed
+
+  /** The intermediate frames of one [[assembleTrainingMix]] run.
+    * `spanDedup` and `mixed` are the MATERIALIZED stages (checkpoint or
+    * parquet — scanning them never re-executes the pipeline); `kept` is a
+    * cheap filter view over `spanDedup`; `packed` is the final output.
+    * [[report]] turns them into the per-stage accounting a data run logs:
+    * docs and tokens surviving each stage, priced as one cheap scan per
+    * stage — possible only BECAUSE the stages are materialized. */
+  case class TrainingMixStages(spanDedup: DataFrame, kept: DataFrame,
+      mixed: DataFrame, packed: DataFrame, sourceCol: String) {
+    /** (stage, source) → docs + tokens after that stage, one row each for
+      * stages span_dedup / quality_filter / token_budget. Token counts
+      * use the stages' own `text_dedup` tokenization. */
+    def report: DataFrame = {
+      def stage(df: DataFrame, name: String) = df
+        .groupBy(col(sourceCol).as("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(TextAnalysis.tokens(col("text_dedup"))).cast("long"))
+            .as("tokens"))
+        .withColumn("stage", lit(name))
+      stage(spanDedup, "span_dedup")
+        .unionByName(stage(kept, "quality_filter"))
+        .unionByName(stage(mixed, "token_budget"))
+        .select("stage", "source", "docs", "tokens")
+    }
+  }
+
+  /** [[assembleTrainingMix]] with the per-stage frames exposed — see
+    * [[TrainingMixStages]]. Same plan, same materialization discipline. */
+  def assembleTrainingMixStaged(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, spanN: Int, posSource: String,
+      negSource: String, minLogOdds: Double, budgets: Map[String, Long],
+      defaultBudget: Long, capacity: Int, addK: Double = 0.5,
+      materializePath: Option[String] = None): TrainingMixStages = {
     val des = Dedup.materializeBase(
       Dedup.removeRepeatedSpans(df, idCol, textCol, spanN)
         .filter(col("n_tokens_kept") > 0)
@@ -413,7 +450,8 @@ object Pipeline {
       sampleToTokenBudget(kept, idCol, "text_dedup", sourceCol,
         budgets, defaultBudget),
       materializePath.map(_ + "/mixed"))
-    packSequences(mixed, idCol, "text_dedup", capacity)
+    TrainingMixStages(des, kept, mixed,
+      packSequences(mixed, idCol, "text_dedup", capacity), sourceCol)
   }
 
   /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):

@@ -1099,6 +1099,37 @@ class OpsSpec extends SparkSpec {
       out.collect().map(key).sortBy(k => (k._2, k._1)).toSeq)
   }
 
+  test("trainingMix per-stage report rides the materialized frames") {
+    import spark.implicits._
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = Seq(
+      (1L, s"$span a b c d", "A"),
+      (2L, s"$span e f g h", "A"),
+      (3L, "u1 u2 u3 u4 u5 u6", "A"),
+      (4L, "v1 v2 v3 v4", "B")).toDF("doc_id", "text", "source")
+    val st = graft.ops.Pipeline.assembleTrainingMixStaged(df, "doc_id",
+      "text", "source", spanN = 8, posSource = "A", negSource = "B",
+      minLogOdds = -100.0, budgets = Map("B" -> 0L), defaultBudget = 1000L,
+      capacity = 4)
+    val rep = st.report.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // span_dedup: doc 2 loses its 8-token span → A = 12 + 4 + 6 tokens
+    assert(rep(("span_dedup", "A")) == ((3L, 22L)))
+    assert(rep(("span_dedup", "B")) == ((1L, 4L)))
+    // the -100 log-odds floor keeps everything
+    assert(rep(("quality_filter", "A")) == ((3L, 22L)))
+    assert(rep(("quality_filter", "B")) == ((1L, 4L)))
+    // zero budget eliminates B entirely; A fits its budget in full
+    assert(rep(("token_budget", "A")) == ((3L, 22L)))
+    assert(!rep.contains(("token_budget", "B")))
+    // accounting is FREE of pipeline re-execution: every leaf of the
+    // report plan is a materialized scan
+    assert(st.report.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.getClass.getSimpleName.contains("LogicalRDD")))
+    // and the exposed packed frame is the assembleTrainingMix output
+    assert(st.packed.columns.toSeq.take(2) == Seq("doc_id", "seq_id"))
+  }
+
   test("importanceResample: partition-invariant and engine-exact at the boundary") {
     val corpus = docs((1L to 60L).map(i =>
       i -> (1 to 12).map(j => s"t${(i + j) % 9}").mkString(" ")): _*)
@@ -1321,6 +1352,8 @@ class OpsSpec extends SparkSpec {
     // a in [8, 15]: the leading dimension prunes under BOTH layouts
     def hitA(fs: Array[(Long, Long, Long, Long)]) =
       fs.count { case (a0, a1, _, _) => a0 <= 15 && a1 >= 8 }
+    info(s"files read of 16 — b-range: zorder=${hitB(zf)} lex=${hitB(lf)}; " +
+      s"a-range: zorder=${hitA(zf)} lex=${hitA(lf)}")
     assert(hitB(lf) == 16, s"lex layout should read all files on b, read ${hitB(lf)}")
     assert(hitB(zf) <= 8, s"z layout should skip most files on b, read ${hitB(zf)}")
     assert(hitA(zf) <= 8 && hitA(lf) <= 8,

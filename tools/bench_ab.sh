@@ -1,12 +1,18 @@
 #!/usr/bin/env bash
-# Same-session A/B bench: run the PREVIOUS round's commit and the current
-# working tree back-to-back on the same box (two sbt runs, same machine
-# state), so environmental drift vs code regression is decidable from
-# artifacts instead of builder memory.
+# Same-session INTERLEAVED A/B bench: this box's throughput drifts up to
+# ~1.6x within an hour (round-8 measured 49->70s on untouched queries), so
+# a single prev-then-cur pair cannot separate a code regression from
+# environmental drift. This runs the PREVIOUS round's commit and the
+# current working tree ALTERNATING (A,B,A,B), takes the per-query MIN of
+# each side's two runs (the noise-robust statistic on a contended box),
+# and reports the like-for-like ratio over the shared query set — drift
+# that rises or falls across the session lands on both sides
+# symmetrically instead of all on whichever side ran last.
 #
-# Writes BENCH_PREV.json at the repo root with the previous commit's total;
-# graft.Bench reads it (if present) and emits prev_commit/prev_commit_total
-# in its JSON line, so the driver's BENCH_r{N}.json carries the A/B context.
+# Writes BENCH_PREV.json at the repo root; graft.Bench reads it (if
+# present) and emits prev_commit/prev_commit_total in its JSON line, so
+# the driver's BENCH_r{N}.json carries the A/B context. The file also
+# carries both sides' per-query minima and the interleaved ratio.
 #
 # Usage: tools/bench_ab.sh [prev-commit]
 #   prev-commit defaults to the most recent driver round-artifact commit
@@ -30,23 +36,56 @@ git worktree remove --force "$WT" 2>/dev/null || true
 trap 'git worktree remove --force "$WT" 2>/dev/null || true' EXIT
 git worktree add --detach "$WT" "$PREV" >/dev/null
 
-echo "== bench @ previous commit $(git rev-parse --short "$PREV")"
-PREV_LINE=$(cd "$WT" && SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
-  sbt -batch 'runMain graft.Bench' 2>&1 | grep -o '{"metric".*}' | tail -1)
-echo "$PREV_LINE"
-PREV_TOTAL=$(PREV_LINE="$PREV_LINE" python3 -c \
-  'import json,os; print(json.loads(os.environ["PREV_LINE"])["value"])')
+run_prev() {
+  (cd "$WT" && SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
+    sbt -batch 'runMain graft.Bench' 2>&1 | grep -o '{"metric".*}' | tail -1)
+}
+run_cur() {
+  SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
+    sbt -batch 'runMain graft.Bench' 2>&1 | grep -o '{"metric".*}' | tail -1
+}
 
-# keep the per-query map so like-for-like totals stay computable from the
-# artifact when the query set grows between rounds
-PREV_QUERIES=$(PREV_LINE="$PREV_LINE" python3 -c \
-  'import json,os; print(json.dumps(json.loads(os.environ["PREV_LINE"])["queries"]))')
-cat > BENCH_PREV.json <<EOF
-{"commit":"$(git rev-parse --short "$PREV")","total":$PREV_TOTAL,"sf":"$SF_DIR","at":"$(date -u +%FT%TZ)","queries":$PREV_QUERIES}
+echo "== interleaved A/B vs $(git rev-parse --short "$PREV"): prev, cur, prev, cur"
+A1=$(run_prev); echo "A1(prev) $A1"
+B1=$(run_cur);  echo "B1(cur)  $B1"
+A2=$(run_prev); echo "A2(prev) $A2"
+B2=$(run_cur);  echo "B2(cur)  $B2"
+
+A1="$A1" A2="$A2" B1="$B1" B2="$B2" \
+  PREV_SHA="$(git rev-parse --short "$PREV")" SF_DIR="$SF_DIR" \
+  python3 <<'EOF'
+import json, os, datetime
+a1, a2 = (json.loads(os.environ[k])["queries"] for k in ("A1", "A2"))
+b1, b2 = (json.loads(os.environ[k])["queries"] for k in ("B1", "B2"))
+amin = {q: min(a1[q], a2[q]) for q in a1 if q in a2}
+bmin = {q: min(b1[q], b2[q]) for q in b1 if q in b2}
+shared = sorted(set(amin) & set(bmin))
+at = sum(amin[q] for q in shared)
+bt = sum(bmin[q] for q in shared)
+doc = {
+    "commit": os.environ["PREV_SHA"],
+    "total": round(sum(amin.values()), 3),
+    "sf": os.environ["SF_DIR"],
+    "at": datetime.datetime.now(datetime.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ"),
+    "method": "interleaved A,B,A,B; per-query min of each side's two runs",
+    "queries": {q: round(v, 4) for q, v in sorted(amin.items())},
+    "cur_queries": {q: round(v, 4) for q, v in sorted(bmin.items())},
+    "like_for_like": {
+        "n_shared": len(shared),
+        "prev_sec": round(at, 3),
+        "cur_sec": round(bt, 3),
+        "ratio": round(bt / at, 4) if at else None,
+    },
+}
+with open("BENCH_PREV.json", "w") as f:
+    json.dump(doc, f, indent=1)
+    f.write("\n")
+worst = sorted(((bmin[q] / amin[q] if amin[q] > 0 else 0.0, q)
+                for q in shared), reverse=True)[:8]
+print(f"== like-for-like over {len(shared)} shared queries: "
+      f"prev {at:.1f}s cur {bt:.1f}s ratio {bt/at:.3f}")
+print("== worst per-query ratios: "
+      + ", ".join(f"{q}={r:.2f}" for r, q in worst))
 EOF
-echo "== BENCH_PREV.json: prev total ${PREV_TOTAL}s"
-
-echo "== bench @ current working tree"
-CUR_LINE=$(SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
-  sbt -batch 'runMain graft.Bench' 2>&1 | grep -o '{"metric".*}' | tail -1)
-echo "$CUR_LINE"
+echo "== BENCH_PREV.json written"
