@@ -54,7 +54,14 @@ object ScaleBench {
     // scaling form is d_semdedup_scale: full table at 1024 cells, the
     // d_cells1024_probe2 family taken to the CC + survivor decision.
     "d_semdedup", "d_semdedup_scale",
-    "t_lm_score", "t_nb_quality", "q_importance_resample")
+    "t_lm_score", "t_nb_quality", "q_importance_resample",
+    // round-9 additions: ANN recall evidence (brute-force ground truth ×
+    // fixed query set — the corpus side scales, the query side doesn't),
+    // cluster-balanced sampling (kmeans assign + distributed per-cell
+    // rank), temperature mixing (budget derivation + prefix sum), and the
+    // cross-source contamination matrix (distinct (source,fp) collapse)
+    "s_ann_recall", "q_cluster_sample", "q_temperature_mix",
+    "t_overlap_matrix")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -106,7 +113,11 @@ object ScaleBench {
     "adtl_apply_dates" -> Set("orders", "lineitem"),
     "r3_one_to_many" -> Set("orders", "lineitem"),
     "q_stream_window" -> Set("events"),
-    "q_asof_join" -> Set("events"), "q_range_join" -> Set("events"))
+    "q_asof_join" -> Set("events"), "q_range_join" -> Set("events"),
+    "s_ann_recall" -> Set("embeddings"),
+    "q_cluster_sample" -> Set("embeddings"),
+    "q_temperature_mix" -> Set("documents"),
+    "t_overlap_matrix" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -356,6 +356,87 @@ object Pipeline {
       .drop("__h")
   }
 
+  /** Per-source budgets under temperature-scaled (α-smoothed) mixing
+    * (Conneau et al. 2020, arXiv:1911.02116 §5.1 — the multilingual
+    * rebalance): source s receives budget_s = ⌊T · n_s^α / Σ_t n_t^α⌋
+    * tokens of the total budget T, where n_s is s's corpus token count.
+    * α = 1 reproduces the natural distribution, α → 0 approaches uniform;
+    * α ∈ (0,1) upweights tail sources at the expense of the head. One
+    * bounded agg collect (rows = #sources).
+    *
+    * Engine-exactness: the α = 0.5 default runs on IEEE sqrt (correctly
+    * rounded in every conforming engine, unlike ln/pow) and the weight
+    * sum is folded in ascending source order, so an oracle re-deriving
+    * the budgets from the same table lands on bit-identical doubles all
+    * the way through the ⌊·⌋. Other α route through pow(), which is NOT
+    * correctly rounded — a 1-ulp cross-engine difference can flip a floor
+    * landing exactly on an integer. */
+  def temperatureBudgets(df: DataFrame, textCol: String, sourceCol: String,
+      totalBudget: Long, alpha: Double = 0.5): Map[String, Long] = {
+    require(totalBudget >= 0L, s"totalBudget must be >= 0, got $totalBudget")
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val counts = df
+      .groupBy(col(sourceCol).cast("string").as("s"))
+      .agg(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val weights = counts.map { case (s, n) =>
+      s -> (if (alpha == 0.5) math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, alpha))
+    }
+    val den = weights.foldLeft(0.0)(_ + _._2)
+    if (den == 0.0) weights.map { case (s, _) => s -> 0L }.toMap
+    else weights.map { case (s, wt) =>
+      s -> math.floor(totalBudget.toDouble * (wt / den)).toLong
+    }.toMap
+  }
+
+  /** [[sampleToTokenBudget]] with the budgets derived by
+    * [[temperatureBudgets]]: "mix T tokens at temperature α" as one call.
+    * Same determinism contract as the underlying budget sampler (md5
+    * visit order, per-stratum distributed prefix sum); sources outside
+    * the observed set — impossible here, the budgets cover every source —
+    * would fall to defaultBudget 0. */
+  def sampleByTemperature(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, totalBudget: Long, alpha: Double = 0.5,
+      salt: String = "budget", buckets: Int = 32): DataFrame =
+    sampleToTokenBudget(df, idCol, textCol, sourceCol,
+      temperatureBudgets(df, textCol, sourceCol, totalBudget, alpha),
+      defaultBudget = 0L, salt = salt, buckets = buckets)
+
+  /** Diversity-preserving (cluster-balanced) subsample: assign every
+    * vector its deterministic k-means cell ([[IvfIndex.build]]) and keep
+    * at most `perCellCap` members per cell, visited in md5 hash order of
+    * (salt, id) — dense regions (redundant content) are thinned hard
+    * while sparse regions survive intact, the cluster-balancing step of
+    * SemDeDup-style curation (Abbas et al. 2023, arXiv:2303.09540 §4)
+    * when a hard per-cluster quota, not a similarity threshold, is the
+    * contract. Pure function of (salt, id, centroids): re-runs, retries
+    * and partitioning cannot change the sample; a different salt redraws
+    * within every cell. Output: (idCol, cell, cell_pos) with cell_pos the
+    * 1-based within-cell visit rank.
+    *
+    * Scale shape: cell assignment is the task-broadcast nearest-centroid
+    * kernel (no join, no shuffle), and the within-cell rank is the
+    * distributed [[runningSum]] of 1s in hash order with equal-width
+    * literal cuts over the uniform 2^60 hash range — no cell ever
+    * serializes through one window task, however hot a cluster is. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, perCellCap: Long, iters: Int = 1,
+      initCell: Option[Column] = None, salt: String = "cluster",
+      buckets: Int = 32): DataFrame = {
+    require(perCellCap >= 0L, s"perCellCap must be >= 0, got $perCellCap")
+    val (assigned, _) = IvfIndex.build(
+      df.select(col(idCol), col(vecCol)), idCol, vecCol, nCells, iters,
+      initCell)
+    val withH = assigned.withColumn("__h", md5Long60(col("id"), salt))
+    val width = (1L << 60) / buckets
+    val cuts = (1 until buckets).map(i => (i * width): Any).toArray
+    runningSum(withH, "__h", lit(1L), "cell_pos", buckets,
+        partCols = Seq("cell"), tieCols = Seq("id"), cuts = Some(cuts))
+      .filter(col("cell_pos") <= perCellCap)
+      .select(col("id").as(idCol), col("cell"), col("cell_pos"))
+  }
+
   /** The round-8 composition gate: assemble a training mix by chaining the
     * four newest pipeline stages over one corpus —
     *

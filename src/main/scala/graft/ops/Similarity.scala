@@ -93,6 +93,32 @@ object Similarity {
     * doc ids, decimals) keeps its type through the generic
     * collect_list/array_sort path — same ordering and output, O(group)
     * per-task state, so prefer integral ids for very large groups. */
+  /** Measured ANN quality: recall@k of an approximate top-k result against
+    * the exact top-k over the same query set — the number a production ANN
+    * deployment reports before trading nProbe (or bands, or probes) for
+    * latency. Both inputs are in the (q_id, n_id, …) shape this module's
+    * search operators emit; per query, recall = |approx ∩ exact| / k.
+    * Queries present in `exact` but missing from `approx` (e.g. all probed
+    * cells empty) score 0 — silent disappearance is the failure mode a
+    * recall report exists to catch.
+    *
+    * Scale shape: both inputs are query-set-sized (≤ k rows per evaluated
+    * query — exact ground truth at corpus scale is priced per query, so
+    * recall is evaluated over a SAMPLED query set), so this is a join of
+    * two skinny frames on (q_id, n_id); the corpus itself is never
+    * touched. recall is hits/k with both operands exact small integers —
+    * the double division is correctly rounded and engine-exact. */
+  def annRecall(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hits = approx.select(col("q_id"), col("n_id"))
+      .join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall", col("hits").cast("double") / lit(k.toDouble))
+  }
+
   def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     val spark = scored.sparkSession

@@ -445,6 +445,47 @@ object TextAnalysis {
     * scale the fingerprint table is the operator's one shuffle;
     * `materializePath` lands it in parquet when the plan is consumed twice
     * on a cluster (the bounded-Jaccard materialization contract). */
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many distinct winnowed fingerprints they share, each side's distinct
+    * fingerprint count, and the fingerprint-set Jaccard — the train/eval
+    * hygiene report ("how much of B is verbatim-ish present in A") under
+    * the same ≥ w+k−1-codepoint overlap guarantee as [[decontaminate]].
+    * Every source pair appears, zeros included — an absent row and a
+    * clean pair must not look alike. Sources whose documents are all
+    * shorter than k (no fingerprints) are absent by construction.
+    * jaccard = shared / (|A| + |B| − shared): exact-integer operands, so
+    * the double division is correctly rounded and engine-exact.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, fp) before
+    * anything pairs — at most #sources rows per fingerprint — so the
+    * fp self-join expands each fingerprint to at most (#sources choose 2)
+    * pairs and the output is #source-pairs rows. One narrow explode, one
+    * distinct shuffle, two grouped aggregations; the document text itself
+    * never shuffles, and the totals ride back as broadcasts. */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String,
+      sourceCol: String, k: Int = 16, w: Int = 16): DataFrame = {
+    val sf = df.select(col(sourceCol).cast("string").as("source"),
+        explode(graft.functions.WinnowExprs.winnow(
+          df.sparkSession, col(textCol), k, w)).as("fp"))
+      .distinct()
+    val totals = sf.groupBy("source").agg(count(lit(1)).as("n_fps"))
+    val shared = sf.select(col("source").as("source_a"), col("fp"))
+      .join(sf.select(col("source").as("source_b"), col("fp")), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared_fps"))
+    val pairs = broadcast(totals
+        .select(col("source").as("source_a"), col("n_fps").as("fps_a")))
+      .crossJoin(broadcast(totals
+        .select(col("source").as("source_b"), col("n_fps").as("fps_b"))))
+      .filter(col("source_a") < col("source_b"))
+    pairs.join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("shared_fps", coalesce(col("shared_fps"), lit(0L)))
+      .withColumn("jaccard", col("shared_fps").cast("double") /
+        (col("fps_a") + col("fps_b") - col("shared_fps")).cast("double"))
+      .select("source_a", "source_b", "shared_fps", "fps_a", "fps_b",
+        "jaccard")
+  }
+
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 16, maxDocsPerFp: Int = 50, minShared: Int = 3,
       materializePath: Option[String] = None): DataFrame = {

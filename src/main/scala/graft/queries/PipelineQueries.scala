@@ -170,6 +170,34 @@ object PipelineQueries {
         e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5, nProbe = 4)
         .orderBy("q_id", "rank")
     },
+    // measured ANN recall@k: the IVF index (same deterministic modulo-init
+    // k-means family) probed at nProbe=1 scored against brute-force exact
+    // ground truth per query — the report a production ANN deployment
+    // publishes before trading probe count for latency. recall = hits/k
+    // with exact-integer operands, engine-exact without rounding
+    "s_ann_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val (assigned, centroids) = graft.ops.IvfIndex.build(e, "vec_id",
+        "embedding", nCells = 16, iters = 2,
+        initCell = Some(pmod(col("id").cast("bigint"), lit(16L)).cast("int")))
+      val q = e.filter(col("vec_id") < 20)
+      val approx = graft.ops.IvfIndex.search(assigned, centroids,
+        q, "vec_id", "embedding", k = 5, nProbe = 1)
+      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5)
+      Similarity.annRecall(approx, exact, k = 5).orderBy("q_id")
+    },
+    // cluster-balanced (diversity-preserving) subsample: deterministic
+    // k-means cells (modulo init, one DECIMAL-exact Lloyd step — the
+    // oracle-replicable family), then at most 10 survivors per cell in
+    // md5 hash order; the within-cell rank is the distributed running
+    // count, never one row_number task per cell
+    "q_cluster_sample" -> { (s, d) =>
+      graft.ops.Pipeline.clusterBalancedSample(Tables.embeddings(s, d),
+        "vec_id", "embedding", nCells = 16, perCellCap = 10L, iters = 1,
+        initCell = Some(pmod(col("id").cast("bigint"), lit(16L)).cast("int")))
+        .orderBy("cell", "cell_pos")
+    },
     // product quantization + ADC search: per-subspace DECIMAL-exact Lloyd
     // codebooks (modulo init — the oracle-replicable family), dense
     // position codes, and the asymmetric-distance score computed as
@@ -395,6 +423,32 @@ object PipelineQueries {
         Map("src0" -> 700L, "src1" -> 0L), defaultBudget = 900L)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
+    },
+    // temperature-scaled (α=0.5) source mixing: per-source budgets
+    // ∝ sqrt(source token count) over a 2000-token total — IEEE sqrt is
+    // correctly rounded (unlike ln/pow) and the weight sum folds in
+    // ascending source order, so the oracle re-derives bit-identical
+    // budgets through the floor; then the q_token_budget sampling
+    // discipline (md5 visit order, distributed per-stratum prefix sum)
+    "q_temperature_mix" -> { (s, d) =>
+      graft.ops.Pipeline.sampleByTemperature(Tables.documents(s, d),
+        "doc_id", "text", "source", totalBudget = 2000L)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    },
+    // cross-source contamination matrix: distinct winnowed fingerprints
+    // per source, pairwise shared counts + fingerprint-set Jaccard, every
+    // pair present (zeros included). A planted slice (40 src0-or-other
+    // docs re-tagged 'planted') guarantees a nonzero overlap row — an
+    // all-zero matrix would prove nothing
+    "t_overlap_matrix" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val planted = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text"),
+          lit("planted").as("source"))
+      TextAnalysis.sourceOverlapMatrix(docs.unionByName(planted),
+        "text", "source")
+        .orderBy("source_a", "source_b")
     },
     // the round-8 composed gate: ExactSubstr span dedup → NB quality
     // filter (slices drawn from the deduped corpus itself) → per-source
@@ -1631,6 +1685,59 @@ object PipelineQueries {
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 700
         |                                WHEN 'src1' THEN 0 ELSE 900 END
         |ORDER BY doc_id""".stripMargin,
+    // the temperature mix re-derived: per-source sqrt(token count)
+    // weights, ordered-fold denominator (ascending source — the exact
+    // fold order the Scala side uses, so the doubles are bit-identical),
+    // floored budgets, then the q_token_budget cumsum discipline
+    "q_temperature_mix" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len($tokensSql) AS INT) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('budget:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+        |      (acc, d) -> acc * 16 + d) AS h
+        |  FROM documents),
+        |w AS (SELECT source, sqrt(CAST(sum(n_tokens) AS DOUBLE)) AS wt
+        |  FROM t GROUP BY source),
+        |den AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(wt ORDER BY source)), (a, b) -> a + b) AS den FROM w),
+        |b AS (SELECT source, CAST(floor(2000 * (wt / den.den)) AS BIGINT) AS budget
+        |  FROM w CROSS JOIN den),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+        |FROM c JOIN b ON c.source = b.source
+        |WHERE c.cum_tokens <= b.budget
+        |ORDER BY c.doc_id""".stripMargin,
+    // the contamination matrix re-derived: the shared winnowing CTE chain
+    // over documents + the planted slice, distinct (source, fp), pairwise
+    // shared counts, complete pair grid with zero fill
+    "t_overlap_matrix" ->
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text, 'planted' AS source
+        |  FROM documents WHERE doc_id < 40),
+        |${winnowSelCtes("o", "all_docs")},
+        |sf AS (SELECT DISTINCT d.source, o.fp
+        |  FROM osel o JOIN all_docs d ON o.doc_id = d.doc_id),
+        |tot AS (SELECT source, count(*) AS n_fps FROM sf GROUP BY source),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS shared_fps
+        |  FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY a.source, b.source),
+        |pairs AS (SELECT ta.source AS source_a, tb.source AS source_b,
+        |    ta.n_fps AS fps_a, tb.n_fps AS fps_b
+        |  FROM tot ta, tot tb WHERE ta.source < tb.source)
+        |SELECT p.source_a, p.source_b,
+        |  coalesce(sh.shared_fps, 0) AS shared_fps, p.fps_a, p.fps_b,
+        |  CAST(coalesce(sh.shared_fps, 0) AS DOUBLE) /
+        |    CAST(p.fps_a + p.fps_b - coalesce(sh.shared_fps, 0) AS DOUBLE) AS jaccard
+        |FROM pairs p LEFT JOIN sh
+        |  ON p.source_a = sh.source_a AND p.source_b = sh.source_b
+        |ORDER BY p.source_a, p.source_b""".stripMargin,
     // the composed training-mix re-derived end to end: span-dedup CTEs
     // (kept as token LISTS — join/split roundtrips exactly since tokens
     // are nonempty and space-free), NB filter CTEs over the deduped
@@ -1916,6 +2023,97 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+    // recall@k re-derived end to end: the s_ivf_kmeans_topk CTE chain at
+    // nProbe=1 for the approx side, the s_cosine_topk brute-force chain
+    // for exact ground truth, hits counted on the (q_id, n_id) join
+    "s_ann_recall" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), (x, y) -> x + y)"
+      def sq(a: String): String =
+        s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (x, y) -> x + y))"
+      def centroidsOf(src: String): String =
+        s"""SELECT cell, list(m ORDER BY pos) AS c FROM (
+           |    SELECT cell, pos, CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+           |    FROM (SELECT cell, unnest(e) AS val, unnest(range(len(e))) AS pos FROM $src)
+           |    GROUP BY cell, pos)
+           |  GROUP BY cell""".stripMargin
+      def assignBy(cents: String): String =
+        s"""SELECT vec_id, e, cell FROM (
+           |    SELECT v.vec_id, v.e, $cents.cell,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY -(${dot("v.e", s"$cents.c")}), $cents.cell) AS rn
+           |    FROM v CROSS JOIN $cents) WHERE rn = 1""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |a0 AS (SELECT vec_id, e, CAST(vec_id % 16 AS INT) AS cell FROM v),
+         |c1 AS (${centroidsOf("a0")}),
+         |a1 AS (${assignBy("c1")}),
+         |c2 AS (${centroidsOf("a1")}),
+         |a2 AS (${assignBy("c2")}),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 20),
+         |probes AS (
+         |  SELECT q_id, qe, cell FROM (
+         |    SELECT q.q_id, q.qe, c2.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY -(${dot("q.qe", "c2.c")}), c2.cell) AS rn
+         |    FROM q CROSS JOIN c2) WHERE rn <= 1),
+         |ascored AS (
+         |  SELECT p.q_id, a2.vec_id AS n_id,
+         |    ${dot("a2.e", "p.qe")} / (${sq("a2.e")} * ${sq("p.qe")}) AS sim
+         |  FROM a2 JOIN probes p ON a2.cell = p.cell AND a2.vec_id <> p.q_id),
+         |approx AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |    FROM ascored) WHERE rank <= 5),
+         |escored AS (
+         |  SELECT q.q_id, c.vec_id AS n_id,
+         |    ${dot("c.e", "q.qe")} / (${sq("c.e")} * ${sq("q.qe")}) AS sim
+         |  FROM v c, q WHERE c.vec_id <> q.q_id),
+         |exact AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |    FROM escored) WHERE rank <= 5),
+         |hits AS (SELECT a.q_id, count(*) AS hits
+         |  FROM approx a JOIN exact e ON a.q_id = e.q_id AND a.n_id = e.n_id
+         |  GROUP BY a.q_id)
+         |SELECT eq.q_id, coalesce(h.hits, 0) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) eq
+         |LEFT JOIN hits h ON eq.q_id = h.q_id
+         |ORDER BY eq.q_id""".stripMargin
+    },
+    // the cluster-balanced sample re-derived: one-Lloyd-step modulo-init
+    // cells, md5('cluster:'||id) visit order, row_number per cell (= the
+    // distributed running count), cap at 10
+    "q_cluster_sample" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), (x, y) -> x + y)"
+      def centroidsOf(src: String): String =
+        s"""SELECT cell, list(m ORDER BY pos) AS c FROM (
+           |    SELECT cell, pos, CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+           |    FROM (SELECT cell, unnest(e) AS val, unnest(range(len(e))) AS pos FROM $src)
+           |    GROUP BY cell, pos)
+           |  GROUP BY cell""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |a0 AS (SELECT vec_id, e, CAST(vec_id % 16 AS INT) AS cell FROM v),
+         |c1 AS (${centroidsOf("a0")}),
+         |a1 AS (SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c1.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY -(${dot("v.e", "c1.c")}), c1.cell) AS rn
+         |    FROM v CROSS JOIN c1) WHERE rn = 1),
+         |h AS (SELECT vec_id, cell,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('cluster:' || CAST(vec_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+         |      (acc, d) -> acc * 16 + d) AS h
+         |  FROM a1),
+         |r AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) AS cell_pos
+         |  FROM h)
+         |SELECT vec_id, cell, cell_pos FROM r WHERE cell_pos <= 10
+         |ORDER BY cell, cell_pos""".stripMargin
     },
     // the PQ/ADC pipeline re-derived: per-subspace modulo-init centroids
     // (DECIMAL-exact means), dense position relabel, argmin codes, and the

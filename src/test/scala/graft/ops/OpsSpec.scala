@@ -1359,4 +1359,104 @@ class OpsSpec extends SparkSpec {
     assert(hitA(zf) <= 8 && hitA(lf) <= 8,
       s"leading-dim pruning lost: z=${hitA(zf)} lex=${hitA(lf)}")
   }
+
+  test("annRecall: full probe → 1.0; missing queries → 0; partial counts") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (assigned, centroids) = IvfIndex.build(e, "vec_id", "embedding",
+      nCells = 8)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5)
+    // probing every cell IS brute force → recall exactly 1.0 per query
+    val full = IvfIndex.search(assigned, centroids, q, "vec_id", "embedding",
+      k = 5, nProbe = 8)
+    val r1 = Similarity.annRecall(full, exact, k = 5).collect()
+    assert(r1.length == 10 && r1.forall(_.getAs[Double]("recall") == 1.0))
+    // a query entirely absent from approx scores 0, not a dropped row
+    val partial = full.filter(col("q_id") =!= 3L)
+    val r0 = Similarity.annRecall(partial, exact, k = 5)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall"))
+      .toMap
+    assert(r0(3L) == 0.0 && r0.size == 10)
+    // hand-built: 2 of 3 approx ids are in the exact set → 2/3... with k=3
+    import spark.implicits._
+    val ap = Seq((1L, 10L), (1L, 11L), (1L, 99L)).toDF("q_id", "n_id")
+    val ex = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("q_id", "n_id")
+    val rp = Similarity.annRecall(ap, ex, k = 3).collect()
+    assert(rp.length == 1 && rp(0).getAs[Long]("hits") == 2L &&
+      rp(0).getAs[Double]("recall") == 2.0 / 3.0)
+  }
+
+  test("temperatureBudgets: α=1 natural, α→sqrt compresses, sum ≤ total") {
+    import spark.implicits._
+    // src a: 90 tokens, src b: 10 tokens
+    val df = Seq(
+      (1L, ("w " * 90).trim, "a"), (2L, ("w " * 10).trim, "b"))
+      .toDF("doc_id", "text", "source")
+    val b1 = Pipeline.temperatureBudgets(df, "text", "source", 1000L, alpha = 1.0)
+    assert(b1 == Map("a" -> 900L, "b" -> 100L)) // α=1: natural proportions
+    val bh = Pipeline.temperatureBudgets(df, "text", "source", 1000L)
+    // α=0.5: sqrt(90)/(sqrt(90)+sqrt(10)) = 3/4 exactly (sqrt(9)=3, sqrt(1)=1)
+    assert(bh == Map("a" -> 750L, "b" -> 250L))
+    assert(bh.values.sum <= 1000L && b1.values.sum <= 1000L)
+    // sampleByTemperature == sampleToTokenBudget with the derived budgets
+    val viaTemp = Pipeline.sampleByTemperature(df, "doc_id", "text", "source",
+      totalBudget = 1000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBudget = Pipeline.sampleToTokenBudget(df, "doc_id", "text", "source",
+      bh, defaultBudget = 0L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaTemp == viaBudget)
+    // empty corpus: zero budgets, no crash
+    assert(Pipeline.temperatureBudgets(df.limit(0), "text", "source", 100L)
+      .isEmpty)
+  }
+
+  test("clusterBalancedSample: cap honored, deterministic, partition-invariant") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s1 = Pipeline.clusterBalancedSample(e, "vec_id", "embedding",
+      nCells = 8, perCellCap = 5L)
+    val byCell = s1.groupBy("cell").count().collect()
+    assert(byCell.forall(_.getAs[Long]("count") <= 5L))
+    assert(s1.select("cell_pos").collect()
+      .forall(r => r.getLong(0) >= 1L && r.getLong(0) <= 5L))
+    // sample ids are a subset of the corpus, each at its built cell
+    val (assigned, _) = IvfIndex.build(e, "vec_id", "embedding", nCells = 8,
+      iters = 1) // the operator's default quantizer
+    val mismatched = s1.join(assigned.select(col("id").as("vec_id"),
+        col("cell").as("built_cell")), Seq("vec_id"))
+      .filter(col("cell") =!= col("built_cell")).count()
+    assert(mismatched == 0L)
+    // partition layout cannot change the sample (md5 order, literal cuts)
+    val s2 = Pipeline.clusterBalancedSample(e.repartition(17), "vec_id",
+      "embedding", nCells = 8, perCellCap = 5L)
+    assert(s1.exceptAll(s2).count() == 0L && s2.exceptAll(s1).count() == 0L)
+    // a different salt redraws: same cells+cap, generally different members
+    val s3 = Pipeline.clusterBalancedSample(e, "vec_id", "embedding",
+      nCells = 8, perCellCap = 5L, salt = "other")
+    assert(s3.groupBy("cell").count().collect()
+      .forall(_.getAs[Long]("count") <= 5L))
+  }
+
+  test("sourceOverlapMatrix: planted overlap counted, clean pairs zero-filled") {
+    import spark.implicits._
+    val shared = "the identical forty-plus-codepoint sentence both sources carry verbatim"
+    val df = Seq(
+      (1L, shared + " plus a-side framing around it", "a"),
+      (2L, shared + " and different b-side context here", "b"),
+      (3L, "entirely unrelated c content with its own vocabulary and nothing shared", "c"))
+      .toDF("doc_id", "text", "source")
+    val m = TextAnalysis.sourceOverlapMatrix(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("shared_fps"), r.getAs[Double]("jaccard"))).toMap
+    assert(m.size == 3) // complete pair grid: (a,b) (a,c) (b,c)
+    assert(m(("a", "b"))._1 > 0L, "planted verbatim overlap must fingerprint-collide")
+    assert(m(("a", "c"))._1 == 0L && m(("b", "c"))._1 == 0L)
+    assert(m(("a", "c"))._2 == 0.0)
+    val (sh, j) = m(("a", "b"))
+    // jaccard = shared / (|A| + |B| - shared), recomputed from the parts
+    val row = TextAnalysis.sourceOverlapMatrix(df, "text", "source")
+      .filter(col("source_a") === "a" && col("source_b") === "b").collect()(0)
+    val expect = sh.toDouble /
+      (row.getAs[Long]("fps_a") + row.getAs[Long]("fps_b") - sh).toDouble
+    assert(j == expect)
+  }
 }
