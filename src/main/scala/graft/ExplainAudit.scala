@@ -27,7 +27,9 @@ object ExplainAudit {
         "q_range_join", "q_corpus_pipeline", "t_lm_score",
         "t_pack_sequences", "q_token_budget", "q_shuffle_shards",
         "d_semdedup", "d_exact_substr", "t_nb_quality",
-        "q_importance_resample", "q_training_mix", "q_zorder_layout")
+        "q_importance_resample", "q_training_mix", "q_zorder_layout",
+        "d_paragraph_dedup", "q_incremental_dedup", "q_leakage_safe_split",
+        "s_sq8_topk")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

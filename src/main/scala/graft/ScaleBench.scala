@@ -61,7 +61,12 @@ object ScaleBench {
     // rank), temperature mixing (budget derivation + prefix sum), and the
     // cross-source contamination matrix (distinct (source,fp) collapse)
     "s_ann_recall", "q_cluster_sample", "q_temperature_mix",
-    "t_overlap_matrix")
+    "t_overlap_matrix",
+    // round-9 second wave: paragraph-level (disjoint-segment) dedup,
+    // incremental batch-vs-corpus dedup, leakage-safe (CC-keyed) splits,
+    // and int8 scalar-quantized ADC search
+    "d_paragraph_dedup", "q_incremental_dedup", "q_leakage_safe_split",
+    "s_sq8_topk")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -117,7 +122,11 @@ object ScaleBench {
     "s_ann_recall" -> Set("embeddings"),
     "q_cluster_sample" -> Set("embeddings"),
     "q_temperature_mix" -> Set("documents"),
-    "t_overlap_matrix" -> Set("documents"))
+    "t_overlap_matrix" -> Set("documents"),
+    "d_paragraph_dedup" -> Set("documents"),
+    "q_incremental_dedup" -> Set("documents"),
+    "q_leakage_safe_split" -> Set("documents"),
+    "s_sq8_topk" -> Set("embeddings"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -910,4 +910,66 @@ object Dedup {
         // disagree on joining an empty list, NULL render-matches everywhere
         nullif(array_join(col("__kept"), " "), lit("")).as("text_dedup"))
   }
+
+  /** C4/Dolma-style PARAGRAPH-level exact dedup, generalized to a
+    * delimiter-free segmentation: the corpus is cut into DISJOINT
+    * `segTokens`-token blocks (the unit newline-delimited corpora get from
+    * splitting on "\n"; block boundaries at token positions 0, segTokens,
+    * 2·segTokens, … — last block may be short), and every block whose text
+    * occurs `minOccurrences`+ times corpus-wide survives ONLY at its
+    * globally-first (doc, block) occurrence — later occurrences are cut
+    * and each doc is reassembled from its surviving blocks in order.
+    *
+    * vs [[removeRepeatedSpans]] (ExactSubstr): spans there are OVERLAPPING
+    * n-gram windows and every duplicated occurrence is cut wherever it
+    * appears inside a doc; here the unit is a disjoint segment and the
+    * decision is first-occurrence-wins per distinct segment text — the
+    * cheaper (one row per token/segTokens, not per token) corpus-hygiene
+    * pass pipelines run before the n-gram machinery.
+    *
+    * Scale shape: one shuffle keys on segment TEXT with map-side-combinable
+    * count/min aggregates; the survivor join reuses that exchange; the
+    * reassembly aggregation keys on doc id. Per-doc state is the doc's own
+    * segment list — never a corpus-wide structure. */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int, minOccurrences: Int = 2): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2, got $minOccurrences")
+    val base = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    // one row per disjoint block: (id, block index, block text)
+    val segs = base
+      .filter(size(col("__t")) > 0)
+      .select(col("__id"), posexplode(
+        transform(
+          sequence(lit(0),
+            floor((size(col("__t")) - 1) / lit(segTokens)).cast("int")),
+          j => array_join(slice(col("__t"), j * segTokens + 1, lit(segTokens)), " "))))
+      .toDF("__id", "__seg", "__g")
+    // per distinct block text: occurrence count + globally-first (doc,
+    // block) occurrence. min of an (id, seg) struct is lexicographic —
+    // "first doc, then first position"; both aggregates combine map-side.
+    val occ = segs.groupBy("__g").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col("__id").as("kid"), col("__seg").as("kseg"))).as("__keep"))
+    // survivors: all occurrences of unique blocks + the keeper occurrence
+    // of duplicated blocks; reassembly sorts the doc's survivors by
+    // position (array_sort on the (seg, text) struct is that order)
+    val kept = segs.join(occ, "__g")
+      .filter(col("__cnt") < minOccurrences ||
+        (col("__id") === col("__keep.kid") && col("__seg") === col("__keep.kseg")))
+      .groupBy("__id")
+      .agg(count(lit(1)).cast("int").as("__nkept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__seg"), col("__g")))),
+          s => s.getField("__g")), " ").as("__text"))
+    base.join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        floor((size(col("__t")) + segTokens - 1) / lit(segTokens)).cast("int")
+          .as("n_segs"),
+        coalesce(col("__nkept"), lit(0)).as("n_segs_kept"),
+        // fully-eaten docs surface as NULL text, as removeRepeatedSpans
+        col("__text").as("text_dedup"))
+  }
 }

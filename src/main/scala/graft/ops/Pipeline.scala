@@ -584,4 +584,65 @@ object Pipeline {
       .orderBy(round(col("gumbel_key"), 9).desc, col(idCol))
       .limit(sampleSize)
   }
+
+  /** Incremental corpus ingestion: exact-dedup a NEW batch (today's crawl)
+    * against an EXISTING already-deduped corpus WITHOUT re-deduping the
+    * corpus — the daily-merge operation; re-running full-corpus dedup per
+    * batch is quadratic cluster time over a corpus's life.
+    *
+    * Survivors = batch rows that are (a) the lowest-id occurrence of their
+    * canonical fingerprint within the batch, and (b) absent from the
+    * corpus's fingerprint set. Append the survivors to the corpus and the
+    * invariant "one row per fingerprint" holds.
+    *
+    * Scale shape: both sides collapse to their 16-byte fingerprint before
+    * anything wide; the within-batch keep is one fingerprint-keyed window
+    * over the (small) batch; the batch-vs-corpus check is a left_anti
+    * join co-partitioned on the fingerprint — at 100 TB the corpus side
+    * is a 16-byte-key projection, never the text, and a corpus-side
+    * fingerprint table maintained as its own parquet makes this a
+    * batch-sized shuffle against a sorted key store. */
+  def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, corpusTextCol: String): DataFrame = {
+    val corpusFps = corpus
+      .select(TextAnalysis.fingerprint(col(corpusTextCol)).as("__fp"))
+      .distinct()
+    batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__keep",
+        min(col(idCol)).over(Window.partitionBy(col("__fp"))) === col(idCol))
+      .filter(col("__keep"))
+      .join(corpusFps, Seq("__fp"), "left_anti")
+      .drop("__fp", "__keep")
+  }
+
+  /** Leakage-safe train/validation/test assignment: near-duplicates MUST
+    * land in the same split — [[splitAssign]] on raw ids puts one member
+    * of a near-dup pair in train and its twin in test, and the eval score
+    * is contaminated. Every doc's split is decided by its near-dup
+    * CLUSTER representative (the connected-component min id over
+    * `pairs`), so an entire dup family moves between splits as one unit;
+    * docs in no pair use their own id (their cluster of one).
+    *
+    * `pairs` is any near-dup pair list (n-gram Jaccard, MinHash+LSH,
+    * SimHash, embedding-cosine). Output adds `split_key` (the deciding
+    * id), `split_bucket`, `split`.
+    *
+    * Scale shape: the CC fixpoint runs over the pair list (pairs-sized,
+    * pointer jumping, O(log diameter) rounds — [[Cluster]]); the corpus
+    * itself never shuffles: cluster membership is pairs-sized and joins
+    * back by id, and the split decision is a pure md5 expression on the
+    * resolved key. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "validation" -> 0.01, "test" -> 0.01),
+      salt: String = "graft"): DataFrame = {
+    val clusters = Cluster.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cid"), col("cluster").as("__cluster"))
+    val keyed = df
+      .join(clusters, col(idCol) === col("__cid"), "left")
+      .withColumn("split_key", coalesce(col("__cluster"), col(idCol)))
+      .drop("__cid", "__cluster")
+    splitAssign(keyed, "split_key", splits, salt)
+  }
 }

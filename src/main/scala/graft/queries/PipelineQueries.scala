@@ -698,6 +698,71 @@ object PipelineQueries {
         bits = 4)
       ev.select(col("event_id"), z.as("zval")).orderBy("event_id")
     },
+    // C4/Dolma-style paragraph dedup on a delimiter-free corpus: disjoint
+    // 16-token blocks, first-occurrence-wins, per-doc reassembly. The raw
+    // corpus has few block-aligned duplicates, so the input plants (a) a
+    // full copy of every 5th doc under +1000000 ids (every block a dup →
+    // reassembles to NULL) and (b) every 7th doc's first 16 tokens plus a
+    // unique tail under +2000000 ids (partial removal: the tail survives)
+    "d_paragraph_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val full = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val partial = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          concat(
+            array_join(slice(TextAnalysis.tokens(col("text")), 1, 16), " "),
+            lit(" uniqtail"), col("doc_id").cast("string")).as("text"))
+      Dedup.dedupSegments(docs.unionByName(full).unionByName(partial),
+        "doc_id", "text", segTokens = 16)
+        .orderBy("doc_id")
+    },
+    // incremental ingestion: the src0/src1 slice plays the EXISTING deduped
+    // corpus, the rest the NEW batch — with planted collisions: every 3rd
+    // corpus doc re-appears in the batch under +1000000 ids (cross dup →
+    // dropped by the fingerprint anti-join) and every 4th batch doc twice
+    // under +2000000 (within-batch dup → the min id survives)
+    "q_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("source").isin("src0", "src1"))
+      val newDocs = docs.filter(!col("source").isin("src0", "src1"))
+      val fromCorpus = corpus.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val batchDup = newDocs.filter(col("doc_id") % 4 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L))
+      graft.ops.Pipeline.incrementalDedup(
+        newDocs.unionByName(fromCorpus).unionByName(batchDup),
+        "doc_id", "text", corpus, "text")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    // leakage-safe splits: near-dups MUST share a split — the blocked
+    // Jaccard pairs (the d_dup_clusters family) resolve to a CC
+    // representative and the whole family takes the representative's
+    // md5-bucket split; unpaired docs split on their own id
+    "q_leakage_safe_split" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = "source", n = 2, threshold = 0.05)
+      graft.ops.Pipeline.leakageSafeSplit(docs, "doc_id", pairs,
+        "id_a", "id_b")
+        .select("doc_id", "split_key", "split_bucket", "split")
+        .orderBy("doc_id")
+    },
+    // int8 scalar quantization + asymmetric top-k: per-dim min/max grid
+    // (one narrow agg, dim-bounded driver state), round-half-up codes,
+    // reconstructed-value dot scores folded in ascending-dim order —
+    // codes, ranks and neighbor ids compare exactly; score at 9 dp (the
+    // PQ render discipline)
+    "s_sq8_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val p = graft.ops.SqIndex.train(e, "embedding")
+      val codes = graft.ops.SqIndex.encode(e, "vec_id", "embedding", p)
+      graft.ops.SqIndex.searchAdc(codes, p, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .withColumn("score", round(col("score"), 9))
+        .orderBy("q_id", "rank")
+    },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
     // event types): exact same result as a direct groupBy, skew-free plan
     "q_salted_agg" -> { (s, d) =>
@@ -2238,6 +2303,139 @@ object PipelineQueries {
         |SELECT q_id, rank, n_id, sim FROM (
         |  SELECT q_id, n_id, sim,
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // paragraph dedup re-derived: same plants, disjoint 16-token blocks,
+    // count + row_number in (doc, block) order (rn=1 = the keeper),
+    // survivors reassembled in block order
+    "d_paragraph_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    array_to_string(($tokensSql)[1:16], ' ') || ' uniqtail' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |toks AS (SELECT doc_id, $tokensSql AS t FROM base),
+         |segs AS (
+         |  SELECT doc_id,
+         |    unnest(range((len(t) + 15) // 16)) AS seg,
+         |    unnest(list_transform(range((len(t) + 15) // 16), j ->
+         |      array_to_string(t[j*16+1:j*16+16], ' '))) AS g
+         |  FROM toks WHERE len(t) > 0),
+         |r AS (
+         |  SELECT doc_id, seg, g,
+         |    count(*) OVER (PARTITION BY g) AS cnt,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, seg) AS rn
+         |  FROM segs),
+         |kept AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS nk,
+         |    array_to_string(list(g ORDER BY seg), ' ') AS txt
+         |  FROM r WHERE cnt < 2 OR rn = 1 GROUP BY doc_id)
+         |SELECT toks.doc_id,
+         |  CAST((len(t) + 15) // 16 AS INT) AS n_segs,
+         |  coalesce(nk, 0) AS n_segs_kept,
+         |  txt AS text_dedup
+         |FROM toks LEFT JOIN kept USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // incremental dedup re-derived: canonical fingerprints both sides,
+    // min-id-per-fp within the batch, NOT IN the corpus fp set
+    "q_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents WHERE source IN ('src0', 'src1')),
+        |batch AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |    WHERE source NOT IN ('src0', 'src1')
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source, n_chars FROM corpus
+        |    WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, source, n_chars FROM documents
+        |    WHERE source NOT IN ('src0', 'src1') AND doc_id % 4 = 0),
+        |bfp AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS fp
+        |  FROM batch),
+        |cfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS fp
+        |  FROM corpus),
+        |first_in_batch AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, source, n_chars, fp,
+        |      min(doc_id) OVER (PARTITION BY fp) AS keep
+        |    FROM bfp) WHERE doc_id = keep)
+        |SELECT doc_id, source, n_chars FROM first_in_batch
+        |WHERE fp NOT IN (SELECT fp FROM cfp)
+        |ORDER BY doc_id""".stripMargin,
+    // leakage-safe split re-derived: the d_dup_clusters closure decides
+    // each doc's representative (min reachable id, own id if unpaired),
+    // then the q_split_assign md5 bucket of the REPRESENTATIVE
+    "q_leakage_safe_split" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, source, $tokensSql AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(CASE WHEN len(t) >= 2
+         |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+         |      ELSE [array_to_string(t, ' ')] END) AS g
+         |  FROM toks),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      CASE WHEN len(list_distinct(a.g || b.g)) > 0
+         |        THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+         |        ELSE 0.0 END AS jaccard
+         |    FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.05),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+         |bucketed AS (
+         |  SELECT doc_id, split_key,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('graft:' || CAST(split_key AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+         |      (acc, d) -> acc * 16 + d) % 10000 AS b
+         |  FROM keyed)
+         |SELECT doc_id, split_key, b AS split_bucket,
+         |  CASE WHEN b < 9800 THEN 'train'
+         |       WHEN b < 9900 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM bucketed ORDER BY doc_id""".stripMargin,
+    // int8 scalar quantization re-derived: per-dim min/max grid, round-
+    // half-up codes, reconstruction scores folded in ascending-dim order
+    "s_sq8_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |g AS (
+        |  SELECT pos, min(val) AS mn, (max(val) - min(val)) / 255.0 AS step FROM (
+        |    SELECT unnest(e) AS val, unnest(range(len(e))) AS pos FROM v)
+        |  GROUP BY pos),
+        |grid AS (SELECT list(mn ORDER BY pos) AS mins, list(step ORDER BY pos) AS steps FROM g),
+        |codes AS (
+        |  SELECT vec_id, list_transform(range(len(e)), i ->
+        |    CASE WHEN steps[i+1] = 0 THEN 0
+        |      ELSE greatest(0, least(255, CAST(floor((e[i+1] - mins[i+1]) / steps[i+1] + 0.5) AS INT))) END) AS code
+        |  FROM v CROSS JOIN grid),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id AS n_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(qe)), i ->
+        |        qe[i+1] * (mins[i+1] + c.code[i+1] * steps[i+1]))), (x, y) -> x + y) AS score
+        |  FROM q CROSS JOIN codes c CROSS JOIN grid
+        |  WHERE c.vec_id <> q.q_id)
+        |SELECT q_id, rank, n_id, ROUND(score, 9) AS score FROM (
+        |  SELECT q_id, n_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 }

@@ -1459,4 +1459,105 @@ class OpsSpec extends SparkSpec {
       (row.getAs[Long]("fps_a") + row.getAs[Long]("fps_b") - sh).toDouble
     assert(j == expect)
   }
+
+  test("dedupSegments: first occurrence wins, partial removal, full-eat → null") {
+    // segTokens=2 blocks: doc 1 = [a b][c d], doc 2 = full copy (all dup),
+    // doc 3 = shares block [a b] then unique tail, doc 4 = unique
+    val df = docs(
+      1L -> "a b c d",
+      2L -> "a b c d",
+      3L -> "a b q r",
+      4L -> "u v w")
+    val out = Dedup.dedupSegments(df, "doc_id", "text", segTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((2, 2, "a b c d")))     // keeper doc untouched
+    assert(out(2L)._2 == 0 && out(2L)._3 == null) // full copy fully eaten
+    assert(out(3L) == ((2, 1, "q r")))         // shared block cut, tail kept
+    assert(out(4L) == ((2, 2, "u v w")))       // unique doc: 2 blocks (short tail)
+    // within-doc repeats dedup too: the SECOND [x y] block is a later
+    // occurrence of the first
+    val rep = Dedup.dedupSegments(docs(9L -> "x y x y"), "doc_id", "text", 2)
+      .collect()(0)
+    assert(rep.getInt(2) == 1 && rep.getString(3) == "x y")
+    // partition layout cannot change the outcome
+    val a = Dedup.dedupSegments(df.repartition(7), "doc_id", "text", 2)
+    val b = Dedup.dedupSegments(df, "doc_id", "text", 2)
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+  }
+
+  test("incrementalDedup: within-batch min-id wins, corpus collisions drop") {
+    val corpus = docs(1L -> "old news article body", 2L -> "another old doc")
+    val batch = docs(
+      10L -> "fresh content one",
+      11L -> "old news article body", // already in corpus → dropped
+      12L -> "fresh content one",     // within-batch dup of 10 → dropped
+      13L -> "fresh content two")
+    val kept = Pipeline.incrementalDedup(batch, "doc_id", "text",
+      corpus, "text").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 13L))
+    // idempotence: merging the survivors then re-ingesting the same batch
+    // yields nothing new
+    val merged = corpus.unionByName(
+      batch.filter(col("doc_id").isin(10L, 13L)))
+    assert(Pipeline.incrementalDedup(batch, "doc_id", "text",
+      merged, "text").count() == 0L)
+  }
+
+  test("leakageSafeSplit: a dup family shares its representative's split") {
+    import spark.implicits._
+    val df = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
+    // 2-3-4 one family (via 2-3, 3-4), 1 and 5 singletons
+    val pairs = Seq((2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Pipeline.leakageSafeSplit(df, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id", "split_key", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(2L)._1 == 2L && out(3L)._1 == 2L && out(4L)._1 == 2L)
+    assert(out(3L)._2 == out(2L)._2 && out(4L)._2 == out(2L)._2)
+    assert(out(1L)._1 == 1L && out(5L)._1 == 5L)
+    // singletons agree with plain splitAssign (same salt, same buckets)
+    val plain = Pipeline.splitAssign(df, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L)._2 == plain(1L) && out(5L)._2 == plain(5L))
+    assert(out(2L)._2 == plain(2L)) // the family takes the MIN id's split
+  }
+
+  test("sq8: codes in range, reconstruction within half a step, search sane") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f, -1.0f, 0.5f)),
+      (2L, Array(0.1f, 0.9f, -0.8f, 0.4f)),
+      (3L, Array(-1.0f, 0.0f, 1.0f, -0.5f)),
+      (4L, Array(0.05f, 0.95f, -0.9f, 0.45f))).toDF("vec_id", "embedding")
+    val p = SqIndex.train(vecs, "embedding")
+    assert(p.mins.length == 4 && p.steps.forall(_ >= 0.0))
+    val codes = SqIndex.encode(vecs, "vec_id", "embedding", p)
+    val all = codes.select(explode(col("code"))).collect().map(_.getInt(0))
+    assert(all.forall(c => c >= 0 && c <= 255))
+    // round-half-up: reconstruction error <= step/2 per dimension
+    val rows = codes.join(vecs, codes("id") === vecs("vec_id"))
+      .select(col("code"), Similarity.toDouble(col("embedding")).as("x"))
+      .collect()
+    rows.foreach { r =>
+      val code = r.getSeq[Int](0); val x = r.getSeq[Double](1)
+      (0 until 4).foreach { d =>
+        val dq = p.mins(d) + code(d) * p.steps(d)
+        assert(math.abs(dq - x(d)) <= p.steps(d) / 2 + 1e-12,
+          s"dim $d: |$dq - ${x(d)}| > step/2")
+      }
+    }
+    // ADC scores are DOT products (the PQ convention): vec 2's max-dot
+    // neighbor is vec 1 (2·1 = 1.9 > 2·4 = 1.76), despite 4 being the
+    // closer point — assert the exact ADC ranking
+    val top = SqIndex.searchAdc(codes, p,
+      vecs.filter(col("vec_id") === 2L), "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("n_id")).toSeq == Seq(1L, 4L, 3L))
+    // partition invariance
+    val t1 = SqIndex.searchAdc(SqIndex.encode(vecs.repartition(5), "vec_id",
+      "embedding", p), p, vecs, "vec_id", "embedding", k = 2)
+    val t2 = SqIndex.searchAdc(codes, p, vecs, "vec_id", "embedding", k = 2)
+    assert(t1.exceptAll(t2).count() == 0L && t2.exceptAll(t1).count() == 0L)
+  }
 }
