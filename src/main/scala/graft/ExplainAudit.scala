@@ -29,7 +29,8 @@ object ExplainAudit {
         "d_semdedup", "d_exact_substr", "t_nb_quality",
         "q_importance_resample", "q_training_mix", "q_zorder_layout",
         "d_paragraph_dedup", "q_incremental_dedup", "q_leakage_safe_split",
-        "s_sq8_topk")
+        "s_sq8_topk", "t_lang_id", "t_c4_clean", "t_gopher_quality",
+        "t_heavy_hitters", "t_hll_distinct", "q_page_rank")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

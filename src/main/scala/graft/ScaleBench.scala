@@ -66,7 +66,12 @@ object ScaleBench {
     // incremental batch-vs-corpus dedup, leakage-safe (CC-keyed) splits,
     // and int8 scalar-quantized ADC search
     "d_paragraph_dedup", "q_incremental_dedup", "q_leakage_safe_split",
-    "s_sq8_topk")
+    "s_sq8_topk",
+    // round-9 third wave: char-trigram NB language ID, C4 line cleaning,
+    // Gopher quality rules, Count-Min heavy hitters, HLL distinct
+    // sketches, and 3-iteration weighted PageRank over the order graph
+    "t_lang_id", "t_c4_clean", "t_gopher_quality", "t_heavy_hitters",
+    "t_hll_distinct", "q_page_rank")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -126,7 +131,12 @@ object ScaleBench {
     "d_paragraph_dedup" -> Set("documents"),
     "q_incremental_dedup" -> Set("documents"),
     "q_leakage_safe_split" -> Set("documents"),
-    "s_sq8_topk" -> Set("embeddings"))
+    "s_sq8_topk" -> Set("embeddings"),
+    "t_lang_id" -> Set("documents"), "t_c4_clean" -> Set("documents"),
+    "t_gopher_quality" -> Set("documents"),
+    "t_heavy_hitters" -> Set("documents"),
+    "t_hll_distinct" -> Set("documents"),
+    "q_page_rank" -> Set("orders", "lineitem"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph ranking — the crawl-frontier / source-authority signal a
+  * web-scale corpus pipeline feeds into quality weighting (which domains
+  * to crawl deeper, how much to trust a source when mixing). Same
+  * engineering stance as [[Cluster]]: iterative fixpoint work expressed
+  * as DataFrame joins/aggregations so every round is a shuffle Catalyst
+  * plans and AQE re-optimizes.
+  */
+object Graph {
+
+  /** Weighted PageRank with a FIXED iteration count (Page et al. 1999,
+    * per-node form: `r(v) = (1-d) + d * sum_{u->v} w_uv * r(u) / W_u`),
+    * parallel edges folded into integer weights, dangling nodes simply
+    * not contributing (the simplified no-redistribution form — ranks
+    * then need no global normalizing pass, so no extra all-reduce per
+    * round). Returns (node, rank) for every node in `src ∪ dst`.
+    *
+    * Determinism: the per-edge contribution `((r * d) * w) / W` is one
+    * pinned-parenthesization double expression quantized to
+    * DECIMAL(28,14) (Spark's double→decimal cast is HALF_UP — the same
+    * rounding DuckDB applies, the house nb/lm discipline), summed
+    * exactly (decimal addition is order-invariant), so ranks are
+    * bit-identical at any partitioning and SQL-replicable by an
+    * iteration-unrolled oracle. Fixed iterations, not convergence
+    * detection: rank consumers (crawl schedulers, mixture weights) want
+    * a deterministic artifact, and K is small (rank mass spreads one hop
+    * per round).
+    *
+    * Scale shape: per iteration, ONE shuffle join of edges with the rank
+    * frame on `src` (both sides hash-partitioned on the same key — AQE
+    * coalesces/skew-splits) and ONE aggregation shuffle on `dst`; the
+    * out-weight frame is computed once. Rank lineage is cut every round
+    * via [[Dedup.materializeBase]] (localCheckpoint, or parquet under
+    * `materializePath` for the cluster-durable form) — without the cut,
+    * round k would replay rounds 1..k-1. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, damping: Double = 0.85,
+      materializePath: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val ew = Dedup.materializeBase(
+      e.join(e.groupBy("src").agg(sum(col("w")).as("ow")), Seq("src")), None)
+    val nodes = Dedup.materializeBase(
+      ew.select(col("src").as("node"))
+        .unionByName(ew.select(col("dst").as("node"))).distinct(), None)
+    var ranks = nodes.withColumn("r", lit(1.0))
+    for (i <- 1 to iterations) {
+      val contrib = ew.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          (((col("r") * damping) * col("w").cast("double")) /
+            col("ow").cast("double")).cast("decimal(28,14)").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inflow"))
+      ranks = Dedup.materializeBase(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) +
+              coalesce(col("inflow").cast("double"), lit(0.0))).as("r")),
+        materializePath.map(p => s"$p/iter$i"))
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency/cardinality sketches over token streams — the
+  * corpus-profiling passes a training-data pipeline runs before deciding
+  * filters (which tokens dominate, how diverse is each source). Both
+  * operators follow the md5-affine oracle discipline: every hash is a
+  * Horner fold over md5 hex digits, so DuckDB re-derives sketch contents
+  * bit-for-bit and the gates pin estimate AND exact side by side.
+  *
+  * Scale stance: a sketch's value at 100 TB is that its state is O(1) and
+  * MERGEABLE — per-executor partial sketches combine by cell-wise `+`
+  * (CMS) / `max` (HLL), which is exactly what the `groupBy.agg(sum/max)`
+  * forms below compile to (partial aggregation map-side, merge on the
+  * reduce side). Nothing here collects unbounded data: the CMS grid is a
+  * fixed `depth x width` array, the HLL is `m = 64` registers per group,
+  * and the heavy-hitter candidate pass is vocabulary-sized (a token
+  * `groupBy`), never corpus-sized.
+  */
+object Sketch {
+
+  /** 60-bit salted md5 hash of a token — same Horner-over-hex-digits
+    * family as [[Pipeline.md5Long60]], SQL-replicable. */
+  private def md5Long60(tok: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), tok)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Count-Min sketch over the corpus token stream + heavy-hitter query
+    * (Cormode & Muthukrishnan 2005): `depth` hash rows of `width` counter
+    * buckets, `est(w) = min_r cell(r, h_r(w))`, every token whose
+    * estimate clears the `phiNum/phiDen` frequency threshold reported
+    * with its estimate AND its exact count (CMS never underestimates —
+    * the gate checks `est >= exact` row by row; the threshold compare is
+    * integer cross-multiplication, no division). Top `k` by
+    * (est desc, token asc): a bounded TakeOrderedAndProject.
+    *
+    * Shape: ONE corpus scan builds the vocabulary-sized token-count
+    * frame (map-side combined; materialized because both the grid build
+    * and the scoring pass read it); the grid is `depth x width` counters
+    * — O(1) state, mergeable by cell-wise sum — collected to the driver
+    * and folded back as literal arrays, so the estimate is pure
+    * per-token arithmetic: zero joins, zero extra shuffles. */
+  def cmsHeavyHitters(corpus: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 512,
+      phiNum: Int = 1, phiDen: Int = 200, k: Int = 50,
+      materializePath: Option[String] = None): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad sketch dims $depth x $width")
+    require(phiNum >= 1 && phiDen >= phiNum, s"bad phi $phiNum/$phiDen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = Dedup.materializeBase(
+      corpus.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt")),
+      materializePath)
+    // grid build: one job over the vocab frame; collect is <= depth*width
+    // longs (the sketch IS this grid — per-partition partials merged by
+    // the groupBy's cell-wise sum, the mergeable-sketch combine)
+    val cellRows = toks.select(
+        posexplode(array((0 until depth).map(r =>
+          md5Long60(col("w"), s"cms$r") % width): _*)).as(Seq("row", "bucket")),
+        col("cnt"))
+      .groupBy("row", "bucket").agg(sum(col("cnt")).as("cell"))
+      .collect()
+    val grid = Array.fill(depth, width)(0L)
+    cellRows.foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    val total = grid(0).sum // row 0 holds every token instance exactly once
+    // estimate: min over the depth literal-array lookups — pure arithmetic
+    val lookups = (0 until depth).map(r =>
+      element_at(typedlit(grid(r).toSeq),
+        (md5Long60(col("w"), s"cms$r") % width).cast("int") + 1))
+    val est = if (lookups.sizeIs == 1) lookups.head else least(lookups: _*)
+    toks.select(col("w").as("token"), est.as("est_count"),
+        col("cnt").as("exact_count"))
+      .filter(col("est_count") * phiDen >= lit(total) * phiNum)
+      .orderBy(col("est_count").desc, col("token")).limit(k)
+  }
+
+  /** HyperLogLog registers + estimate of the distinct-token count per
+    * group (Flajolet et al. 2007, m = 64 registers): token hash h (60
+    * bits) splits into register index `h mod 64` and a 54-bit suffix
+    * whose leading-zero run sets rho in [1, 55]; a group's register j
+    * keeps max rho — the mergeable state (cell-wise max). Estimate =
+    * alpha_64 * m^2 / sum_j 2^{-M_j}, with the standard small-range
+    * linear-counting correction `m * ln(m / V)` when V registers are
+    * untouched and the raw estimate is under 2.5m.
+    *
+    * Engine-exact everywhere up to the final formula: rho derives from
+    * `length(bin(suffix))` (pure integer/string work, suffix via bit
+    * shift — never a double division), the harmonic sum runs in INTEGER
+    * arithmetic as sum of 2^{55 - M_j} (every term exact, order-free,
+    * <= 64 * 2^55 so no overflow), and only the last division/ln is
+    * floating point — rendered at 6 dp per the house ln-ulp discipline.
+    * The exact distinct count rides alongside so the gate pins the
+    * estimate's error honestly. */
+  def hllDistinct(corpus: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val m = 64
+    val alpha = 0.709 // alpha_64, Flajolet et al. 2007 Fig. 3
+    val toks = corpus.select(col(groupCol).as("grp"),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val h = md5Long60(col("w"), "hll")
+    val suffix = shiftright(h, 6) // h >= 0: arithmetic shift == logical
+    val rho = when(suffix === 0, lit(55))
+      .otherwise(lit(55) - length(bin(suffix)))
+    val regs = toks
+      .select(col("grp"), (h % m).as("reg"), rho.as("rho"))
+      .groupBy("grp", "reg").agg(max(col("rho")).as("mrho"))
+    // integer harmonic sum: present registers contribute 2^(55 - M_j);
+    // the (m - present) untouched registers (M_j = 0) add 2^55 each and
+    // are the V of the linear-counting correction (present => rho >= 1)
+    val p55 = 1L << 55
+    val agg0 = regs.groupBy("grp").agg(
+      count(lit(1)).as("present"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mrho AS INT))"))
+        .as("s_present"))
+    val exact = toks.groupBy("grp")
+      .agg(count_distinct(col("w")).as("exact_distinct"))
+    val zeroRegs = (lit(m) - col("present")).cast("long")
+    val s = col("s_present") + zeroRegs * p55
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
+      lit(p55.toDouble) / s.cast("double")
+    val estCol = when(zeroRegs > 0 && raw <= lit(2.5 * m),
+        lit(m.toDouble) * log(lit(m.toDouble) / zeroRegs.cast("double")))
+      .otherwise(raw)
+    agg0.join(exact, Seq("grp"))
+      .select(col("grp"), col("exact_distinct"),
+        round(estCol, 6).as("hll_est"), zeroRegs.as("zero_registers"))
+  }
+}

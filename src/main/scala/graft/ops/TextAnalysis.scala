@@ -501,4 +501,157 @@ object TextAnalysis {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Lowercased character n-grams (spaces included — the standard
+    * language-ID feature space). Empty array when the text is shorter
+    * than n; the guard matters because Spark's `sequence(0, neg)` counts
+    * DOWN instead of returning empty. */
+  def charGrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    val len = length(t)
+    when(len >= n,
+      transform(sequence(lit(0), len - n), i => t.substr(i + 1, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** CLD/fastText-style character n-gram language identification, trained
+    * as per-language naive Bayes on a LABELED slice: for each language ℓ
+    * with gram counts c_ℓ(g), total N_ℓ and joint gram vocabulary V,
+    * `logp_ℓ(g) = ln((c_ℓ(g)+k)/(N_ℓ+k·(V+1)))` (unseen grams take the
+    * smoothed constant), a document scores Σ_g logp_ℓ(g) per language and
+    * predicts the argmax — ties broken toward the lexicographically
+    * smallest language, zero-gram documents predict null.
+    *
+    * Scale shape: the model collects ONE bounded job — per-language gram
+    * counts capped at the `maxVocabPerLang` most frequent (count desc,
+    * gram asc — deterministic; the [[NbMaxVocab]] guard-rail discipline),
+    * languages themselves bounded by the label set — and scoring rides k
+    * task-broadcast [[graft.functions.NbScoreExpr]] kernels in ONE corpus
+    * scan: zero joins, zero shuffles. Per-gram log-probs are
+    * pre-quantized to DECIMAL(28,14), so per-language sums are exact,
+    * order-invariant decimals and the argmax is engine-exact. */
+  def langIdClassify(corpus: DataFrame, idCol: String, textCol: String,
+      labeled: DataFrame, labelCol: String, labeledTextCol: String,
+      n: Int = 3, addK: Double = 0.5,
+      maxVocabPerLang: Int = NbMaxVocab): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(addK > 0, s"addK must be positive, got $addK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c").desc, col("g"))
+    val counts = labeled
+      .select(col(labelCol).cast("string").as("lang"),
+        explode(charGrams(col(labeledTextCol), n)).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxVocabPerLang)
+      .select("lang", "g", "c").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(counts.nonEmpty, "labeled slice produced no grams")
+    val langs = counts.map(_._1).distinct.sorted
+    val v = counts.map(_._2).distinct.length.toDouble
+    val spark = corpus.sparkSession
+    val scoreCols = langs.zipWithIndex.map { case (lang, idx) =>
+      val mine = counts.filter(_._1 == lang)
+      val nl = mine.map(_._3).sum.toDouble
+      def logp(c: Long): Double =
+        Math.log((c.toDouble + addK) / (nl + addK * (v + 1.0)))
+      val s = graft.functions.LmExprs.nbScoreCol(spark,
+        charGrams(col(textCol), n),
+        mine.map(_._2).toSeq, mine.map(t => logp(t._3)).toSeq, logp(0L))
+      struct(s.getField("lo_sum").as("s"), lit(-idx).as("nr"),
+        lit(lang).as("lang")).as(s"__s$idx")
+    }
+    val nGrams = size(charGrams(col(textCol), n))
+    val best = array_max(array(scoreCols: _*))
+    corpus.select(col(idCol).as("id"), nGrams.as("n_grams"),
+        when(nGrams > 0, best).as("__b"))
+      .select(col("id"), col("n_grams"),
+        col("__b").getField("lang").as("lang_pred"),
+        round(col("__b").getField("s").cast("double") /
+          col("n_grams").cast("double"), 9).as("mean_logp"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    * lines that end in terminal punctuation AND have at least
+    * `minLineWords` words; drop the whole document when any
+    * case-insensitive `badPhrases` member appears or fewer than
+    * `minLines` lines survive. Returns per-document counts, the keep
+    * decision, and the cleaned text (null when dropped). Pure narrow
+    * per-row expressions — zero shuffles, streaming-safe. */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, badPhrases: Seq[String] = Seq("lorem ipsum"),
+      minLines: Int = 3): DataFrame = {
+    require(minLineWords >= 1 && minLines >= 1, "bad c4 params")
+    require(badPhrases.nonEmpty, "badPhrases must not be empty")
+    val lines = split(col(textCol), "\n")
+    val keepLine = (l: Column) => trim(l).rlike("[.!?\"]$") &&
+      size(filter(split(trim(l), " +"), w => w =!= "")) >= minLineWords
+    val kept = filter(lines, keepLine)
+    val hasBad = badPhrases
+      .map(p => lower(col(textCol)).contains(lit(p.toLowerCase)))
+      .reduce(_ || _)
+    val keepDoc = !hasBad && size(kept) >= minLines
+    df.select(col(idCol).as("id"), size(lines).as("n_lines"),
+      size(kept).as("n_kept_lines"), hasBad.as("has_bad_phrase"),
+      keepDoc.as("kept"),
+      when(keepDoc, array_join(kept, "\n")).as("clean_text"))
+  }
+
+  /** Gopher document-level quality rules (Rae et al. 2021 §A1.1): word
+    * count bounds, mean word length in [3,10], symbol-to-word ratio
+    * ("#" and "..." ≤ 0.1), ≤10% bullet-started lines, ≤30%
+    * ellipsis-ended lines, ≥80% words containing a letter, and ≥2
+    * distinct stopwords present. Every ratio tests as INTEGER
+    * cross-multiplication (the repetition-filter exactness discipline) —
+    * the output is counts + booleans only, no floating point anywhere.
+    * Pure narrow per-row expressions — zero shuffles, streaming-safe. */
+  def gopherQualityStats(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must not be empty")
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val sumLen = coalesce(aggregate(transform(toks, w => length(w)), lit(0L),
+      (acc, x) => acc + x.cast("long")), lit(0L))
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("long")
+    val nEllipsis = size(filter(lines, l =>
+      trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val hashCount = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val dotsCount = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val nSym = (hashCount + dotsCount).cast("long")
+    val nStop = size(filter(typedlit(stopwords),
+      sw => array_contains(toks, sw))).cast("long")
+    df.select(col(idCol).as("id"), nWords.as("n_words"),
+        sumLen.as("sum_word_len"), nLines.as("n_lines"),
+        nBullet.as("n_bullet_lines"), nEllipsis.as("n_ellipsis_lines"),
+        nAlpha.as("n_alpha_words"), nSym.as("n_symbols"),
+        nStop.as("n_stopwords"))
+      .withColumn("ok_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_word_len",
+        col("sum_word_len") >= lit(3) * col("n_words") &&
+          col("sum_word_len") <= lit(10) * col("n_words"))
+      .withColumn("ok_symbol_ratio",
+        lit(10) * col("n_symbols") <= col("n_words"))
+      .withColumn("ok_bullet_lines",
+        lit(10) * col("n_bullet_lines") <= col("n_lines"))
+      .withColumn("ok_ellipsis_lines",
+        lit(10) * col("n_ellipsis_lines") <= lit(3) * col("n_lines"))
+      .withColumn("ok_alpha_words",
+        lit(5) * col("n_alpha_words") >= lit(4) * col("n_words"))
+      .withColumn("ok_stopwords", col("n_stopwords") >= 2)
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_bullet_lines") &&
+          col("ok_ellipsis_lines") && col("ok_alpha_words") &&
+          col("ok_stopwords"))
+  }
 }

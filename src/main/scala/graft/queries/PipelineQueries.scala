@@ -763,6 +763,78 @@ object PipelineQueries {
         .withColumn("score", round(col("score"), 9))
         .orderBy("q_id", "rank")
     },
+    // char-trigram naive-Bayes language ID: per-language gram log-probs
+    // trained on the doc_id%3=0 labeled slice (vocab capped per lang, one
+    // bounded collect), every doc scored by k task-broadcast kernels in
+    // ONE scan, argmax with lang-asc tie-break; DECIMAL(28,14) sums make
+    // the argmax engine-exact, mean at 9 dp (the nb/lm ln discipline)
+    "t_lang_id" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.langIdClassify(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0), "lang", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    // C4 line-level cleaning over a deterministically line-ified corpus
+    // (every ' spark' becomes a sentence break — literal replace, both
+    // engines): keep lines ending in terminal punctuation with >= 5
+    // words, drop docs containing 'customer line' or with < 2 surviving
+    // lines; pure narrow expressions, zero shuffles
+    "t_c4_clean" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("text",
+        expr("replace(text, ' spark', concat('.', chr(10), 'spark'))"))
+      TextAnalysis.c4LineFilter(docs, "doc_id", "text",
+        minLineWords = 5, badPhrases = Seq("customer line"), minLines = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    // Gopher document-level quality rules: counts + integer-ratio
+    // booleans only (no floating point anywhere); stopword list adapted
+    // to the synthetic vocabulary so the stopword rule discriminates
+    "t_gopher_quality" -> { (s, d) =>
+      TextAnalysis.gopherQualityStats(Tables.documents(s, d), "doc_id",
+          "text", minWords = 20, maxWords = 100000,
+          stopwords = Seq("the", "a", "key", "value", "data", "table"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    // Count-Min heavy hitters: d=4 x w=512 grid over the md5-affine hash
+    // family, every token at >= 1/50 of the stream reported with CMS
+    // estimate AND exact count side by side (est >= exact always; the
+    // threshold compare is integer cross-multiplication)
+    "t_heavy_hitters" -> { (s, d) =>
+      graft.ops.Sketch.cmsHeavyHitters(Tables.documents(s, d), "text",
+        depth = 4, width = 512, phiNum = 1, phiDen = 50, k = 50)
+    },
+    // HyperLogLog distinct-token estimate per source, registers from the
+    // md5 hash's bin()-derived leading-zero runs, integer harmonic sum;
+    // the planted '_ids' group (one unique token per doc) exercises the
+    // raw-estimate branch, the word groups the linear-counting branch;
+    // exact distinct rides alongside as the honesty column
+    "t_hll_distinct" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val in = docs.select(col("source"), col("text"))
+        .unionByName(docs.select(lit("_ids").as("source"),
+          concat(lit("id"), col("doc_id")).as("text")))
+      graft.ops.Sketch.hllDistinct(in, "source", "text")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    },
+    // weighted PageRank (3 fixed iterations) over the undirected
+    // customer-supplier order graph: per-edge contributions quantized to
+    // DECIMAL(28,14) so every iteration's ranks are order-invariant,
+    // partition-invariant, and SQL-replicable by an unrolled oracle
+    "q_page_rank" -> { (s, d) =>
+      val pairs = Tables.lineitem(s, d).join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val e = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pageRank(e, "src", "dst", iterations = 3)
+        .withColumn("rank", round(col("rank"), 9))
+        .orderBy("node")
+    },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
     // event types): exact same result as a direct groupBy, skew-free plan
     "q_salted_agg" -> { (s, d) =>
@@ -2437,5 +2509,179 @@ object PipelineQueries {
         |  SELECT q_id, n_id, score,
         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
         |  FROM scored)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // char-trigram NB language ID re-derived: per-lang gram counts off the
+    // labeled slice (vocab cap mirrored though non-binding: <= 27^3 grams),
+    // identical (c+k)/(N+k(V+1)) parenthesization, per-instance
+    // DECIMAL(28,14) quantization, argmax via (score DESC, lang ASC)
+    "t_lang_id" ->
+      s"""WITH tr AS (SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 3 = 0),
+        |gi AS (SELECT lang, unnest($charGramsSql) AS g FROM tr),
+        |counts AS (SELECT lang, g, count(*) AS c FROM gi GROUP BY lang, g
+        |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) <= 65536),
+        |tot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS nl FROM counts GROUP BY lang),
+        |voc AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS v FROM counts),
+        |lo AS (SELECT c2.lang, c2.g,
+        |    ln((CAST(c2.c AS DOUBLE) + 0.5) / (tot.nl + 0.5 * (voc.v + 1.0))) AS lp
+        |  FROM counts c2 JOIN tot ON c2.lang = tot.lang CROSS JOIN voc),
+        |unseen AS (SELECT tot.lang, ln(0.5 / (tot.nl + 0.5 * (voc.v + 1.0))) AS lp
+        |  FROM tot CROSS JOIN voc),
+        |di AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |inst AS (SELECT doc_id, unnest($charGramsSql) AS g FROM di),
+        |scored AS (SELECT i.doc_id, u.lang,
+        |    CAST(coalesce(lo.lp, u.lp) AS DECIMAL(28,14)) AS lp
+        |  FROM inst i CROSS JOIN unseen u
+        |  LEFT JOIN lo ON lo.lang = u.lang AND lo.g = i.g),
+        |per AS (SELECT doc_id, lang, count(*) AS n, sum(lp) AS s
+        |  FROM scored GROUP BY doc_id, lang),
+        |best AS (SELECT doc_id, lang, n, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+        |  FROM per)
+        |SELECT d.doc_id, coalesce(b.n, 0) AS n_grams, b.lang AS lang_pred,
+        |  ROUND(CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE), 9) AS mean_logp
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        |ORDER BY d.doc_id""".stripMargin,
+    // C4 line cleaning re-derived: same literal line-ification, same
+    // terminal-punctuation + min-word line rule, same bad-phrase and
+    // min-surviving-lines document rules
+    "t_c4_clean" ->
+      s"""WITH d2 AS (SELECT doc_id,
+        |    replace(text, ' spark', '.' || chr(10) || 'spark') AS text
+        |  FROM documents),
+        |base AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM d2),
+        |calc AS (SELECT doc_id, len(ls) AS n_lines,
+        |    list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$$') AND
+        |      len(list_filter(string_split_regex(trim(l), ' +'), w -> w <> '')) >= 5) AS kept_lines,
+        |    contains(lower(text), 'customer line') AS has_bad_phrase
+        |  FROM base)
+        |SELECT doc_id, n_lines, len(kept_lines) AS n_kept_lines, has_bad_phrase,
+        |  (NOT has_bad_phrase AND len(kept_lines) >= 2) AS kept,
+        |  CASE WHEN NOT has_bad_phrase AND len(kept_lines) >= 2
+        |    THEN array_to_string(kept_lines, chr(10)) END AS clean_text
+        |FROM calc ORDER BY doc_id""".stripMargin,
+    // Gopher rules re-derived: identical token/line derivations, every
+    // ratio as integer cross-multiplication — no floating point
+    "t_gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks,
+        |    string_split(text, chr(10)) AS ls FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0) AS BIGINT) AS sum_word_len,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l -> starts_with(trim(l), '-') OR
+        |      starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(ls, l -> ends_with(trim(l), '...') OR
+        |      ends_with(trim(l), '…'))) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST((length(text) - length(replace(text, '#', ''))) +
+        |      (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(['the','a','key','value','data','table'],
+        |      sw -> list_contains(toks, sw))) AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, sum_word_len, n_lines, n_bullet_lines,
+        |  n_ellipsis_lines, n_alpha_words, n_symbols, n_stopwords,
+        |  (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+        |  (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words) AS ok_mean_word_len,
+        |  (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+        |  (10 * n_bullet_lines <= n_lines) AS ok_bullet_lines,
+        |  (10 * n_ellipsis_lines <= 3 * n_lines) AS ok_ellipsis_lines,
+        |  (5 * n_alpha_words >= 4 * n_words) AS ok_alpha_words,
+        |  (n_stopwords >= 2) AS ok_stopwords,
+        |  (n_words >= 20 AND n_words <= 100000
+        |    AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+        |    AND 10 * n_symbols <= n_words
+        |    AND 10 * n_bullet_lines <= n_lines
+        |    AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |    AND 5 * n_alpha_words >= 4 * n_words
+        |    AND n_stopwords >= 2) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // Count-Min heavy hitters re-derived: the same md5-Horner bucket
+    // family, the d x w cell grid, min-over-rows estimates, the integer
+    // cross-multiplied threshold, (est DESC, token ASC) top-k
+    "t_heavy_hitters" ->
+      s"""WITH ti AS (SELECT unnest($tokensSql) AS w FROM documents),
+        |tc AS (SELECT w, count(*) AS cnt FROM ti GROUP BY w),
+        |total AS (SELECT sum(cnt) AS n FROM tc),
+        |hashes AS (SELECT w, cnt, r,
+        |    ${md5HornerSql("'cms' || CAST(r AS VARCHAR) || ':' || w")} % 512 AS bucket
+        |  FROM tc CROSS JOIN (SELECT unnest(range(4)) AS r)),
+        |cells AS (SELECT r, bucket, sum(cnt) AS cell FROM hashes GROUP BY r, bucket),
+        |est AS (SELECT h.w, h.cnt, min(c.cell) AS est
+        |  FROM hashes h JOIN cells c ON h.r = c.r AND h.bucket = c.bucket
+        |  GROUP BY h.w, h.cnt)
+        |SELECT w AS token, est AS est_count, cnt AS exact_count
+        |FROM est CROSS JOIN total
+        |WHERE est * 50 >= n * 1
+        |ORDER BY est_count DESC, token LIMIT 50""".stripMargin,
+    // HLL re-derived: register index/rho off the same 60-bit md5 Horner
+    // hash (rho via len(bin(suffix)) — pure integer/string work), integer
+    // harmonic sum as powers of two, identical estimate parenthesization
+    // and linear-counting branch, 6 dp for the final division/ln ulp
+    "t_hll_distinct" ->
+      s"""WITH d2 AS (SELECT source, text FROM documents
+        |  UNION ALL SELECT '_ids' AS source, 'id' || CAST(doc_id AS VARCHAR) AS text FROM documents),
+        |ti AS (SELECT source, unnest($tokensSql) AS w FROM d2),
+        |tw AS (SELECT DISTINCT source, w FROM ti),
+        |h AS (SELECT source, w, ${md5HornerSql("'hll:' || w")} AS hv FROM tw),
+        |regs AS (SELECT source, hv % 64 AS reg,
+        |    max(CASE WHEN hv // 64 = 0 THEN 55
+        |      ELSE 55 - len(bin(hv // 64)) END) AS mrho
+        |  FROM h GROUP BY source, hv % 64),
+        |ag AS (SELECT source, count(*) AS present,
+        |    sum((CAST(1 AS BIGINT) << CAST(55 - mrho AS INT))) AS sp
+        |  FROM regs GROUP BY source),
+        |ex AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+        |  FROM ti GROUP BY source)
+        |SELECT a.source, ex.exact_distinct,
+        |  ROUND(CASE WHEN (64 - a.present) > 0
+        |      AND 0.709e0 * 64e0 * 64e0 * 36028797018963968e0 /
+        |        CAST(a.sp + (64 - a.present) * 36028797018963968 AS DOUBLE) <= 160e0
+        |    THEN 64e0 * ln(64e0 / CAST(64 - a.present AS DOUBLE))
+        |    ELSE 0.709e0 * 64e0 * 64e0 * 36028797018963968e0 /
+        |      CAST(a.sp + (64 - a.present) * 36028797018963968 AS DOUBLE) END, 6) AS hll_est,
+        |  CAST(64 - a.present AS BIGINT) AS zero_registers
+        |FROM ag a JOIN ex ON a.source = ex.source
+        |ORDER BY a.source""".stripMargin,
+    // PageRank unrolled: identical edge/out-weight derivation, the same
+    // ((r * 0.85) * w) / W parenthesization quantized to DECIMAL(28,14)
+    // per edge (exact order-free sums), (1.0 - 0.85) written as the
+    // SUBTRACTION both engines fold to the same IEEE double — never the
+    // 0.15 literal, which is a different number
+    "q_page_rank" ->
+      s"""WITH pairs AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS d2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |eb AS (SELECT s AS src, d2 AS dst FROM pairs
+        |  UNION ALL SELECT d2 AS src, s AS dst FROM pairs),
+        |e AS (SELECT src, dst, count(*) AS w FROM eb GROUP BY src, dst),
+        |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+        |n0 AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n0),
+        |${prIterSql("r0", "i1")},
+        |${prIterSql("i1", "i2")},
+        |${prIterSql("i2", "i3")}
+        |SELECT node, ROUND(r, 9) AS rank FROM i3 ORDER BY node""".stripMargin)
+
+  /** DuckDB equivalent of [[graft.ops.TextAnalysis.charGrams]] (n = 3)
+    * over a column `t` already lowercased. */
+  private def charGramsSql: String =
+    "list_transform(range(greatest(len(t) - 2, 0)), i -> substr(t, CAST(i + 1 AS INT), 3))"
+
+  /** The md5 Horner fold (60-bit salted hash) — DuckDB form of
+    * `conv(substring(md5(x), 1, 15), 16, 10)`. */
+  private def md5HornerSql(sExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(15), hk -> CAST(strpos('0123456789abcdef', substr(md5($sExpr), hk+1, 1)) - 1 AS BIGINT))),
+       |      (acc, hd) -> acc * 16 + hd)""".stripMargin
+
+  /** One unrolled PageRank iteration CTE: ranks `out` from ranks `prev`
+    * over the shared e/ow/n0 CTEs. */
+  private def prIterSql(prev: String, out: String): String =
+    s"""$out AS (SELECT n0.node,
+       |    (1.0 - 0.85) + coalesce(CAST(c.c AS DOUBLE), 0.0) AS r
+       |  FROM n0 LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |      sum(CAST(((r.r * 0.85) * CAST(e.w AS DOUBLE)) / CAST(ow.ow AS DOUBLE) AS DECIMAL(28,14))) AS c
+       |    FROM e JOIN $prev r ON e.src = r.node JOIN ow ON e.src = ow.src
+       |    GROUP BY e.dst) c ON n0.node = c.node)""".stripMargin
 }

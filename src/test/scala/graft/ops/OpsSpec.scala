@@ -1560,4 +1560,154 @@ class OpsSpec extends SparkSpec {
     val t2 = SqIndex.searchAdc(codes, p, vecs, "vec_id", "embedding", k = 2)
     assert(t1.exceptAll(t2).count() == 0L && t2.exceptAll(t1).count() == 0L)
   }
+
+  test("cmsHeavyHitters: est >= exact always, exact when the grid is wide") {
+    val df = docs(
+      1L -> "aa aa aa aa bb bb cc dd",
+      2L -> "aa bb bb cc cc cc ee ff")
+    // wide grid, 8 distinct tokens: collisions are possible but min-over-4
+    // independent rows makes them vanishingly unlikely at width 4096
+    val hh = Sketch.cmsHeavyHitters(df, "text", depth = 4, width = 4096,
+      phiNum = 1, phiDen = 1000, k = 100).collect()
+    val byTok = hh.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byTok("aa") == (5L, 5L) && byTok("bb") == (4L, 4L) &&
+      byTok("cc") == (4L, 4L))
+    hh.foreach(r => assert(r.getLong(1) >= r.getLong(2), s"under-estimate: $r"))
+    // degenerate 1x1 grid: every estimate collapses to the total count
+    val all1 = Sketch.cmsHeavyHitters(df, "text", depth = 1, width = 1,
+      phiNum = 1, phiDen = 1000, k = 100).collect()
+    assert(all1.forall(_.getLong(1) == 16L))
+    // threshold: phi = 1/4 of 16 tokens = 4 occurrences
+    val top = Sketch.cmsHeavyHitters(df, "text", depth = 4, width = 4096,
+      phiNum = 1, phiDen = 4, k = 100).collect()
+    assert(top.map(_.getString(0)).toSet == Set("aa", "bb", "cc"))
+    // partition invariance
+    val a = Sketch.cmsHeavyHitters(df.repartition(7), "text", 4, 512, 1, 1000, 100)
+    val b = Sketch.cmsHeavyHitters(df, "text", 4, 512, 1, 1000, 100)
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+  }
+
+  test("hllDistinct: both estimate branches land near exact, partition-invariant") {
+    import spark.implicits._
+    // small group (30 distinct): the linear-counting branch;
+    // big group (5000 distinct): the raw-estimate branch
+    val small = (0 until 30).map(i => ("s", s"tok$i"))
+    val big = (0 until 5000).map(i => ("b", s"id$i"))
+    val df = (small ++ big).toDF("source", "text")
+    val out = Sketch.hllDistinct(df, "source", "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sEst = out("s").getAs[Double]("hll_est")
+    val bEst = out("b").getAs[Double]("hll_est")
+    assert(out("s").getAs[Long]("exact_distinct") == 30L)
+    assert(out("b").getAs[Long]("exact_distinct") == 5000L)
+    // HLL with m=64 has ~13% standard error; allow 3 sigma
+    assert(math.abs(sEst - 30.0) / 30.0 < 0.4, s"small est $sEst")
+    assert(math.abs(bEst - 5000.0) / 5000.0 < 0.4, s"big est $bEst")
+    assert(out("s").getAs[Long]("zero_registers") > 0)
+    val a = Sketch.hllDistinct(df.repartition(7), "source", "text")
+    val b2 = Sketch.hllDistinct(df, "source", "text")
+    assert(a.exceptAll(b2).count() == 0L && b2.exceptAll(a).count() == 0L)
+  }
+
+  test("pageRank: matches a driver-side reference with the same quantization") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "a"), ("a", "b"))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // reference: same edge weights, same ((r*0.85)*w)/W parenthesization,
+    // same HALF_UP DECIMAL(28,14) quantization, exact decimal sums
+    val w = Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("c", "a") -> 1L)
+    val ow = Map("a" -> 2L, "b" -> 1L, "c" -> 1L)
+    def step(r: Map[String, Double]): Map[String, Double] = {
+      val inflow = w.toSeq.groupBy(_._1._2).map { case (dst, es) =>
+        dst -> es.map { case ((s, _), wt) =>
+          JBD.valueOf(((r(s) * 0.85) * wt.toDouble) / ow(s).toDouble)
+            .setScale(14, RoundingMode.HALF_UP)
+        }.reduce(_ add _)
+      }
+      Seq("a", "b", "c").map(n => n ->
+        ((1.0 - 0.85) + inflow.get(n).map(_.doubleValue).getOrElse(0.0))).toMap
+    }
+    val want = step(step(step(Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))))
+    Seq("a", "b", "c").foreach(n =>
+      assert(got(n) == want(n), s"$n: ${got(n)} != ${want(n)}"))
+    // c has no in-edges: rank is exactly the teleport mass
+    assert(got("c") == 1.0 - 0.85)
+    // partition invariance
+    val a = Graph.pageRank(edges.repartition(5), "src", "dst", 3)
+    val b = Graph.pageRank(edges, "src", "dst", 3)
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+  }
+
+  test("langIdClassify: separable alphabets classify right, ties break to the smaller lang") {
+    import spark.implicits._
+    val labeled = Seq(("xx", "aaab aaba abaa baaa aabb"),
+      ("yy", "zzzy zzyz zyzz yzzz zzyy")).toDF("lang", "t")
+    val corpus = Seq((1L, "aaab abaa"), (2L, "zzzy zyzz"), (3L, "aaaa zzzz"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langIdClassify(corpus, "doc_id", "text",
+      labeled, "lang", "t", n = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "xx" && got(2L) == "yy")
+    // identical training slices => every doc's scores tie exactly; the
+    // argmax must break toward the lexicographically smaller language
+    val tied = Seq(("mm", "aaab aaba"), ("kk", "aaab aaba")).toDF("lang", "t")
+    val g2 = TextAnalysis.langIdClassify(corpus, "doc_id", "text",
+      tied, "lang", "t", n = 3).collect().map(_.getString(2)).toSet
+    assert(g2 == Set("kk"))
+    // empty text => 0 grams, null prediction
+    val g3 = TextAnalysis.langIdClassify(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text",
+      labeled, "lang", "t", n = 3).collect()(0)
+    assert(g3.getInt(1) == 0 && g3.isNullAt(2))
+  }
+
+  test("c4LineFilter: line rules, bad phrase, min surviving lines") {
+    import spark.implicits._
+    val df = Seq(
+      // 2 good lines (>=3 words + terminal punct), 1 short, 1 unterminated
+      (1L, "one two three four.\nshort.\nfive six seven eight!\nno terminal punct here"),
+      // bad phrase anywhere kills the doc even with good lines
+      (2L, "one two three four.\nlorem ipsum five six seven."),
+      // only 1 surviving line < minLines=2
+      (3L, "one two three four.\nnothing else"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(df, "doc_id", "text",
+      minLineWords = 3, badPhrases = Seq("lorem ipsum"), minLines = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("kept"))
+    assert(out(1L).getAs[Int]("n_kept_lines") == 2)
+    assert(out(1L).getAs[String]("clean_text") ==
+      "one two three four.\nfive six seven eight!")
+    assert(out(2L).getAs[Boolean]("has_bad_phrase") && !out(2L).getAs[Boolean]("kept"))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("clean_text")))
+    assert(!out(3L).getAs[Boolean]("kept"))
+  }
+
+  test("gopherQualityStats: integer-ratio rule boundaries") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the a one two three four five six seven eight"), // 10 words, all ok
+      (2L, "the a # # one two three four five six"),         // 2 symbols in 10 words: 20% > 10%
+      (3L, "ab cd ef gh ij kl mn op qr st"))                 // mean len 2 < 3; no stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityStats(df, "doc_id", "text",
+      minWords = 5, maxWords = 100,
+      stopwords = Seq("the", "a", "of")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("ok_symbol_ratio") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("ok_mean_word_len"))
+    assert(!out(3L).getAs[Boolean]("ok_stopwords"))
+    // boundary: exactly 10% symbols passes (integer cross-multiplication)
+    val b = Seq((4L, "# one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val ob = TextAnalysis.gopherQualityStats(b, "doc_id", "text", 5, 100,
+      Seq("one")).collect()(0)
+    assert(ob.getAs[Long]("n_symbols") == 1L &&
+      ob.getAs[Long]("n_words") == 10L &&
+      ob.getAs[Boolean]("ok_symbol_ratio"))
+  }
 }
