@@ -30,7 +30,8 @@ object ExplainAudit {
         "q_importance_resample", "q_training_mix", "q_zorder_layout",
         "d_paragraph_dedup", "q_incremental_dedup", "q_leakage_safe_split",
         "s_sq8_topk", "t_lang_id", "t_c4_clean", "t_gopher_quality",
-        "t_heavy_hitters", "t_hll_distinct", "q_page_rank")
+        "t_heavy_hitters", "t_hll_distinct", "q_page_rank",
+        "d_containment", "s_centroid_outliers", "t_novelty", "t_entropy")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

@@ -71,7 +71,10 @@ object ScaleBench {
     // Gopher quality rules, Count-Min heavy hitters, HLL distinct
     // sketches, and 3-iteration weighted PageRank over the order graph
     "t_lang_id", "t_c4_clean", "t_gopher_quality", "t_heavy_hitters",
-    "t_hll_distinct", "q_page_rank")
+    "t_hll_distinct", "q_page_rank",
+    // round-9 fourth wave: asymmetric containment pairs, embedding
+    // centroid outliers, n-gram novelty, token entropy
+    "d_containment", "s_centroid_outliers", "t_novelty", "t_entropy")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -136,7 +139,10 @@ object ScaleBench {
     "t_gopher_quality" -> Set("documents"),
     "t_heavy_hitters" -> Set("documents"),
     "t_hll_distinct" -> Set("documents"),
-    "q_page_rank" -> Set("orders", "lineitem"))
+    "q_page_rank" -> Set("orders", "lineitem"),
+    "d_containment" -> Set("documents"),
+    "s_centroid_outliers" -> Set("embeddings"),
+    "t_novelty" -> Set("documents"), "t_entropy" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -433,6 +433,75 @@ object Dedup {
     triangleJaccard(guarded, grams, threshold, chunks)
   }
 
+  /** ASYMMETRIC containment pairs — the partial-inclusion detector
+    * Jaccard structurally misses: a short document swallowed whole by a
+    * long one (wire-copy inside a roundup, a quoted post inside a
+    * thread) has containment(A⊂B) = |S_A ∩ S_B| / |S_A| ≈ 1 while its
+    * Jaccard stays arbitrarily low, so no symmetric threshold finds it.
+    * Reports both directed containments per candidate pair, keeping
+    * pairs where either direction clears `threshold`.
+    *
+    * Same blocked-triangle architecture as [[ngramJaccardPairs]] (packed
+    * sorted gram sets, balanced chunk replication, SHUFFLE_HASH, in-plan
+    * oversize guard) with one deliberate difference: the count-ratio
+    * prune is UNSOUND here (min/max set-size says nothing about
+    * inter/min), so no prune — which is exactly why the quadratic
+    * guard matters more, not less. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 2, threshold: Double = 0.6,
+      chunks: Int = 8, maxBlockSize: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val spark = df.sparkSession
+    val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        graft.functions.PackedLongs.packSortedSet(spark,
+          graft.functions.TextHashExprs.ngramHashes(spark,
+            TextAnalysis.tokens(col(textCol)), n)).as("g"))
+      .withColumn("nc", (length(col("g")) / 8).cast("int"))
+      .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
+    val counts = df.groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("__bn"))
+    val guarded = grams.join(broadcast(counts), Seq("blk"))
+      .filter(when(col("__bn") > maxBlockSize,
+        raise_error(concat(
+          lit("containmentPairs: block '"), col("blk").cast("string"),
+          lit("' holds "), col("__bn").cast("string"),
+          lit(s" docs > maxBlockSize=$maxBlockSize; in-block pair work is" +
+            " quadratic — pre-bucket the corpus or raise maxBlockSize")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__bn")
+    val lo = guarded.select(col("blk"),
+      explode(sequence(col("ck"), lit(chunks - 1))).as("hi"), col("ck").as("lo"),
+      col("id").as("id_a"), col("g").as("g_a"), col("nc").as("n_a"))
+    val hi = grams.select(col("blk"),
+      explode(sequence(lit(0), col("ck"))).as("lo"), col("ck").as("hi"),
+      col("id").as("id_b"), col("g").as("g_b"), col("nc").as("n_b"))
+    lo.join(hi.hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
+      .filter(col("lo") =!= col("hi") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("inter", graft.functions.PackedLongs
+        .intersectSize(spark, col("g_a"), col("g_b")))
+      .withColumn("cont_a_in_b", when(col("n_a") > 0,
+        col("inter").cast("double") / col("n_a").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("cont_b_in_a", when(col("n_b") > 0,
+        col("inter").cast("double") / col("n_b").cast("double"))
+        .otherwise(lit(0.0)))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      // cross-chunk tasks see one arbitrary orientation — canonicalize to
+      // id_a < id_b, swapping the directed columns along with the ids
+      .withColumn("__swap", col("id_a") > col("id_b"))
+      .select(col("blk"),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        when(col("__swap"), col("n_b")).otherwise(col("n_a")).as("n_a"),
+        when(col("__swap"), col("n_a")).otherwise(col("n_b")).as("n_b"),
+        col("inter"),
+        when(col("__swap"), col("cont_b_in_a")).otherwise(col("cont_a_in_b"))
+          .as("cont_a_in_b"),
+        when(col("__swap"), col("cont_a_in_b")).otherwise(col("cont_b_in_a"))
+          .as("cont_b_in_a"))
+  }
+
   /** The exact all-pairs core: balanced triangle self-join of the gram
     * projections (blk, id, g, nc, ck), count-ratio prune, packed-set
     * Jaccard. `loSrc`/`hiSrc` are the two join sides (usually the same

@@ -119,6 +119,43 @@ object Similarity {
       .withColumn("recall", col("hits").cast("double") / lit(k.toDouble))
   }
 
+  /** Embedding-space outlier detection — the semantic-quality filter a
+    * curated corpus runs per source/cluster: each group's CENTROID from
+    * exact per-dimension DECIMAL(28,14) sums (order-invariant; one final
+    * double division per dimension), then every vector's cosine to its
+    * own group's centroid via the house sequential fold, flagged when it
+    * falls below `minCos`. Mis-batched documents, garbage embeddings and
+    * boilerplate sit far from their group's mass and surface here.
+    *
+    * Scale shape: ONE narrow explode + (group, dim) aggregation builds
+    * the centroids (rows = groups × dims — tiny), reassembled per group
+    * by a sorted collect, broadcast back onto the corpus for a zero-
+    * shuffle scoring scan. Null/zero-norm guards surface as null cosine
+    * rather than NaN. */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, minCos: Double): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val cells = df.select(col(groupCol).as("grp"),
+        posexplode(v).as(Seq("pos", "val")))
+      .groupBy("grp", "pos")
+      .agg((sum(col("val").cast("decimal(28,14)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+    val cents = cells.groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"))
+    // 9-dp render: the centroid's decimal→double conversion is not
+    // correctly rounded in every engine (measured 1-ulp drift in DuckDB),
+    // so the cosine renders at 9 dp and the outlier decision compares the
+    // ROUNDED value — the same boundary discipline as the ln-based scores
+    df.select(col(idCol).as("id"), col(groupCol).as("grp"), v.as("x"))
+      .join(broadcast(cents), Seq("grp"))
+      .select(col("id"), col("grp"),
+        when(norm(col("x")) * norm(col("c")) > 0,
+          round(cosine(col("x"), col("c")), 9)).as("cos_centroid"))
+      .withColumn("is_outlier",
+        when(col("cos_centroid").isNotNull, col("cos_centroid") < minCos))
+  }
+
   def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     val spark = scored.sparkSession

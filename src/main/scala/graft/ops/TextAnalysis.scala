@@ -550,20 +550,25 @@ object TextAnalysis {
     val langs = counts.map(_._1).distinct.sorted
     val v = counts.map(_._2).distinct.length.toDouble
     val spark = corpus.sparkSession
+    // grams materialize ONCE as a column: k kernels + the size() all
+    // reference it, and CollapseProject keeps multiply-referenced
+    // non-cheap producers un-inlined (the lmScore two-step-select trick)
+    // — without this the char-gram array is rebuilt k+1 times per row
+    val based = corpus.select(col(idCol).as("id"),
+      charGrams(col(textCol), n).as("__g"))
     val scoreCols = langs.zipWithIndex.map { case (lang, idx) =>
       val mine = counts.filter(_._1 == lang)
       val nl = mine.map(_._3).sum.toDouble
       def logp(c: Long): Double =
         Math.log((c.toDouble + addK) / (nl + addK * (v + 1.0)))
-      val s = graft.functions.LmExprs.nbScoreCol(spark,
-        charGrams(col(textCol), n),
+      val s = graft.functions.LmExprs.nbScoreCol(spark, col("__g"),
         mine.map(_._2).toSeq, mine.map(t => logp(t._3)).toSeq, logp(0L))
       struct(s.getField("lo_sum").as("s"), lit(-idx).as("nr"),
         lit(lang).as("lang")).as(s"__s$idx")
     }
-    val nGrams = size(charGrams(col(textCol), n))
+    val nGrams = size(col("__g"))
     val best = array_max(array(scoreCols: _*))
-    corpus.select(col(idCol).as("id"), nGrams.as("n_grams"),
+    based.select(col("id"), nGrams.as("n_grams"),
         when(nGrams > 0, best).as("__b"))
       .select(col("id"), col("n_grams"),
         col("__b").getField("lang").as("lang_pred"),
@@ -653,5 +658,94 @@ object TextAnalysis {
           col("ok_symbol_ratio") && col("ok_bullet_lines") &&
           col("ok_ellipsis_lines") && col("ok_alpha_words") &&
           col("ok_stopwords"))
+  }
+
+  /** N-gram NOVELTY against a reference corpus — the memorization /
+    * redundancy signal (how much of a document is n-gram-new relative to
+    * what the model has already seen): per document, the fraction of its
+    * DISTINCT word n-grams absent from the reference's n-gram set.
+    * novelty 0 = every gram already known (pure rehash), 1 = fully novel.
+    *
+    * Scale shape: the reference gram set collects ONCE, capped at the
+    * `maxRefGrams` most frequent (count desc, gram asc — the NbMaxVocab
+    * guard-rail; beyond-cap grams count as unseen), and membership rides
+    * the same task-broadcast binary-search kernel as NB scoring with
+    * per-gram weight 1 — `lo_sum` IS the seen-count, so the whole scan is
+    * one kernel projection: zero joins, zero shuffles, streaming-safe. */
+  def noveltyScore(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, n: Int = 2,
+      maxRefGrams: Int = NbMaxVocab): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxRefGrams >= 1, s"maxRefGrams must be >= 1, got $maxRefGrams")
+    def grams(text: Column): Column =
+      if (n == 1) tokens(text)
+      else {
+        val t = tokens(text)
+        when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => array_join(slice(t, i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }
+    val refGrams = reference
+      .select(explode(grams(col(refTextCol))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .sort(col("c").desc, col("g")).limit(maxRefGrams)
+      .collect().map(_.getString(0)).toSeq
+    val s = graft.functions.LmExprs.nbScoreCol(corpus.sparkSession,
+      array_distinct(grams(col(textCol))),
+      refGrams, refGrams.map(_ => 1.0), 0.0)
+    corpus.select(col(idCol).as("id"), s.as("__m"))
+      .select(col("id"),
+        col("__m").getField("n_tokens").as("n_grams"),
+        coalesce(col("__m").getField("lo_sum").cast("long"), lit(0L))
+          .as("n_seen"))
+      .withColumn("novelty", when(col("n_grams") > 0,
+        (col("n_grams") - col("n_seen")).cast("double") /
+          col("n_grams").cast("double")))
+  }
+
+  /** Per-document token Shannon entropy (nats) — the information-density
+    * quality signal (low entropy = repetitive/templated text; the cheap
+    * stand-in for a compressibility filter): H = −Σ_w (c_w/n)·ln(c_w/n)
+    * over the document's token counts.
+    *
+    * ZERO shuffles: counts fold in-row over the sorted token array (the
+    * [[gramRunStats]] sorted-run discipline), each completed run adds a
+    * DECIMAL(28,14)-quantized term — exactly what an explode→groupBy
+    * oracle computes with the same (c/n)·ln(c/n) parenthesization — so
+    * the decimal sum is order-invariant and engine-exact. Render at 9 dp
+    * (the ln-ulp discipline). Empty docs surface with null entropy. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    // tokens materialize once as a column (the two-step-select trick —
+    // the fold, the size guard and every per-step 1/n term reference it)
+    val based = df.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("__t"))
+    val t = col("__t")
+    val nD = size(t).cast("double")
+    def term(run: Column): Column = {
+      val p = run.cast("double") / nD
+      (p * log(p)).cast("decimal(28,14)")
+    }
+    val z = struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,14)").as("s"))
+    val stepped = aggregate(array_sort(t), z,
+      (acc, x) => {
+        val cont = x <=> acc.getField("prev")
+        val run = when(cont, acc.getField("run") + 1L).otherwise(lit(1L))
+        val s = when(!cont && acc.getField("run") >= 1L,
+          acc.getField("s") + term(acc.getField("run")))
+          .otherwise(acc.getField("s")).cast("decimal(38,14)")
+        struct(x.as("prev"), run.as("run"), s.as("s"))
+      })
+    val total = when(stepped.getField("run") >= 1L,
+      stepped.getField("s") + term(stepped.getField("run")))
+      .otherwise(stepped.getField("s"))
+    // 0.0 - s, not -s: an all-one-token doc sums to exactly 0 and unary
+    // minus would surface IEEE -0.0 (a different bit pattern than the
+    // oracle's +0.0 under a hash compare)
+    based.select(col("id"), size(t).as("n_tokens"),
+      when(size(t) > 0,
+        round(lit(0.0) - total.cast("double"), 9)).as("entropy"))
   }
 }

@@ -835,6 +835,52 @@ object PipelineQueries {
         .withColumn("rank", round(col("rank"), 9))
         .orderBy("node")
     },
+    // asymmetric containment pairs: every doc_id%7 doc gets a planted
+    // HALF-LENGTH copy under a shifted id — containment(planted ⊂
+    // original) = 1.0 while Jaccard sits near 0.5, exactly the pair
+    // class a symmetric threshold misses; exact integer set sizes,
+    // correctly-rounded double ratios (no ln anywhere → no rounding)
+    "d_containment" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("source", "doc_id", "text")
+      val t = TextAnalysis.tokens(col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("source"), (col("doc_id") + lit(2000000L)).as("doc_id"),
+          array_join(slice(t, lit(1),
+            greatest(floor(size(t).cast("double") / 2).cast("int"), lit(1))),
+            " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(planted), "doc_id", "text",
+        "source", n = 2, threshold = 0.6)
+        .orderBy("blk", "id_a", "id_b")
+    },
+    // per-label centroid from exact DECIMAL per-dim sums, cosine of every
+    // vector to its own label's centroid via the sequential fold —
+    // correctly-rounded double arithmetic end to end (no ln), so raw
+    // doubles hash-match; minCos=0.1 splits the corpus non-trivially
+    "s_centroid_outliers" -> { (s, d) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", minCos = 0.1)
+        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("grp", "label")
+        .orderBy("vec_id")
+    },
+    // n-gram novelty vs the doc_id%5 reference slice: distinct-bigram
+    // membership via the task-broadcast binary-search kernel (weight 1 →
+    // lo_sum IS the seen count); exact integer division at the end
+    "t_novelty" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.noveltyScore(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 5 === 0), "text", n = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    // token Shannon entropy as the zero-shuffle sorted-run fold, each
+    // run's (c/n)·ln(c/n) term quantized to DECIMAL(28,14) — identical
+    // to the oracle's explode→groupBy derivation; 9 dp for the ln ulp
+    "t_entropy" -> { (s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
     // event types): exact same result as a direct groupBy, skew-free plan
     "q_salted_agg" -> { (s, d) =>
@@ -2660,7 +2706,85 @@ object PipelineQueries {
         |${prIterSql("r0", "i1")},
         |${prIterSql("i1", "i2")},
         |${prIterSql("i2", "i3")}
-        |SELECT node, ROUND(r, 9) AS rank FROM i3 ORDER BY node""".stripMargin)
+        |SELECT node, ROUND(r, 9) AS rank FROM i3 ORDER BY node""".stripMargin,
+    // containment re-derived: same planted half-length copies (integer //
+    // truncation both engines), distinct bigram sets, exact intersect
+    // sizes, the same unguarded double ratios and greatest() threshold
+    "d_containment" ->
+      s"""WITH tk AS (SELECT source, doc_id, $tokensSql AS t FROM documents),
+        |planted AS (SELECT source, doc_id + 2000000 AS doc_id,
+        |    array_to_string(t[1:greatest(CAST(len(t) // 2 AS INT), 1)], ' ') AS text
+        |  FROM tk WHERE doc_id % 7 = 0),
+        |allrows AS (SELECT source, doc_id, text FROM documents
+        |  UNION ALL SELECT source, doc_id, text FROM planted),
+        |toks AS (SELECT source, doc_id, $tokensSql AS t FROM allrows),
+        |grams AS (SELECT source, doc_id,
+        |    list_distinct(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |pairs AS (SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(a.g) AS n_a, len(b.g) AS n_b, len(list_intersect(a.g, b.g)) AS inter
+        |  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id),
+        |sc AS (SELECT blk, id_a, id_b, n_a, n_b, inter,
+        |    CASE WHEN n_a > 0 THEN CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) ELSE 0.0 END AS cont_a_in_b,
+        |    CASE WHEN n_b > 0 THEN CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) ELSE 0.0 END AS cont_b_in_a
+        |  FROM pairs)
+        |SELECT * FROM sc WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.6
+        |ORDER BY blk, id_a, id_b""".stripMargin,
+    // centroid outliers re-derived: per-dim DECIMAL(28,14) sums → one
+    // double division per dim, list rebuilt in pos order, the house
+    // sequential cosine fold, raw-double compare against minCos
+    "s_centroid_outliers" ->
+      s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |cells AS (SELECT label, pos,
+        |    CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+        |  FROM (SELECT label, unnest(e) AS val, unnest(range(len(e))) AS pos FROM v)
+        |  GROUP BY label, pos),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM cells GROUP BY label),
+        |sc AS (SELECT v.vec_id, v.label,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len(v.e)), i -> v.e[i+1] * c.c[i+1])), (x, y) -> x + y) AS dt,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v.e, x -> x * x)), (x, y) -> x + y)) AS nx,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(c.c, x -> x * x)), (x, y) -> x + y)) AS nc2
+        |  FROM v JOIN cent c ON v.label = c.label)
+        |SELECT vec_id, label,
+        |  CASE WHEN nx * nc2 > 0 THEN ROUND(dt / (nx * nc2), 9) END AS cos_centroid,
+        |  CASE WHEN nx * nc2 > 0 THEN ROUND(dt / (nx * nc2), 9) < 0.1 END AS is_outlier
+        |FROM sc ORDER BY vec_id""".stripMargin,
+    // novelty re-derived: capped reference gram set (cap mirrored though
+    // non-binding), per-doc distinct bigrams, LEFT-JOIN membership count,
+    // exact integer division
+    "t_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |refg AS (SELECT g, count(*) AS c FROM (
+        |    SELECT unnest(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END) AS g
+        |    FROM toks WHERE doc_id % 5 = 0) GROUP BY g
+        |  QUALIFY row_number() OVER (ORDER BY c DESC, g ASC) <= 65536),
+        |dg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END)) AS g
+        |  FROM toks),
+        |per AS (SELECT d2.doc_id, count(*) AS n, count(refg.g) AS seen
+        |  FROM dg d2 LEFT JOIN refg ON d2.g = refg.g GROUP BY d2.doc_id)
+        |SELECT t.doc_id, coalesce(p.n, 0) AS n_grams, coalesce(p.seen, 0) AS n_seen,
+        |  CASE WHEN p.n > 0 THEN CAST(p.n - p.seen AS DOUBLE) / CAST(p.n AS DOUBLE) END AS novelty
+        |FROM toks t LEFT JOIN per p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // entropy re-derived as the explode→groupBy form the sorted-run fold
+    // is provably equal to: identical (c/n)·ln(c/n) parenthesization,
+    // DECIMAL(28,14) per-term quantization, exact order-free sum
+    "t_entropy" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |inst AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM toks),
+        |cnts AS (SELECT doc_id, n, w, count(*) AS c FROM inst GROUP BY doc_id, n, w),
+        |terms AS (SELECT doc_id,
+        |    CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,14)) AS term
+        |  FROM cnts),
+        |agg AS (SELECT doc_id, CAST(sum(term) AS DOUBLE) AS s FROM terms GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.t) AS n_tokens,
+        |  CASE WHEN len(t.t) > 0 THEN ROUND(0e0 - a.s, 9) END AS entropy
+        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin)
 
   /** DuckDB equivalent of [[graft.ops.TextAnalysis.charGrams]] (n = 3)
     * over a column `t` already lowercased. */

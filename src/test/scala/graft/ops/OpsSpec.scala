@@ -1710,4 +1710,163 @@ class OpsSpec extends SparkSpec {
       ob.getAs[Long]("n_words") == 10L &&
       ob.getAs[Boolean]("ok_symbol_ratio"))
   }
+
+  test("containmentPairs: prefix doc scores containment 1.0, Jaccard threshold would miss it") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val prefix = "alpha beta gamma delta epsilon"
+    val df = docs(1L -> long, 2L -> prefix,
+        3L -> "wholly different tokens with separate vocabulary entirely")
+      .withColumn("blk", lit("b"))
+    val out = Dedup.containmentPairs(df, "doc_id", "text", "blk",
+      n = 2, threshold = 0.9).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    // B (the prefix) is fully contained in A; A is not contained in B
+    assert(r.getAs[Double]("cont_b_in_a") == 1.0)
+    assert(r.getAs[Double]("cont_a_in_b") == 4.0 / 19.0)
+    assert(r.getAs[Int]("n_b") == 4 && r.getAs[Int]("inter") == 4)
+    // the same pair's Jaccard is 4/19 — under any symmetric 0.5 threshold
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", "blk",
+      n = 2, threshold = 0.5).collect()
+    assert(jac.isEmpty)
+    // partition invariance
+    val a = Dedup.containmentPairs(df.repartition(5), "doc_id", "text", "blk", 2, 0.9)
+    val b2 = Dedup.containmentPairs(df, "doc_id", "text", "blk", 2, 0.9)
+    assert(a.exceptAll(b2).count() == 0L && b2.exceptAll(a).count() == 0L)
+  }
+
+  test("centroidOutliers: opposed vector flags, zero vector yields null cosine") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), "g"),
+      (2L, Array(0.9f, 0.1f), "g"),
+      (3L, Array(-1.0f, 0.0f), "g"), // opposed to the group mass
+      (4L, Array(0.0f, 0.0f), "g")   // zero norm → null cosine
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding", "label",
+      minCos = 0.5).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("cos_centroid") > 0.5 &&
+      !out(1L).getAs[Boolean]("is_outlier"))
+    assert(out(3L).getAs[Double]("cos_centroid") < 0 &&
+      out(3L).getAs[Boolean]("is_outlier"))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("cos_centroid")) &&
+      out(4L).isNullAt(out(4L).fieldIndex("is_outlier")))
+    val a = Similarity.centroidOutliers(df.repartition(3), "vec_id",
+      "embedding", "label", 0.5)
+    val b = Similarity.centroidOutliers(df, "vec_id", "embedding", "label", 0.5)
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+  }
+
+  test("noveltyScore: exact seen fraction over distinct bigrams; cap makes grams unseen") {
+    val ref = docs(100L -> "aa bb cc dd")        // ref bigrams: aa bb, bb cc, cc dd
+    val corpus = docs(
+      1L -> "aa bb cc dd",        // all 3 distinct bigrams seen → novelty 0
+      2L -> "aa bb zz yy",        // bigrams: aa bb (seen), bb zz, zz yy → 2/3 novel
+      3L -> "solo")               // no bigrams → null novelty
+    val out = TextAnalysis.noveltyScore(corpus, "doc_id", "text", ref, "text",
+      n = 2).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_seen") == 3L &&
+      out(1L).getAs[Double]("novelty") == 0.0)
+    assert(out(2L).getAs[Long]("n_seen") == 1L &&
+      out(2L).getAs[Double]("novelty") == 2.0 / 3.0)
+    assert(out(3L).getAs[Long]("n_grams") == 0L &&
+      out(3L).isNullAt(out(3L).fieldIndex("novelty")))
+    // cap = 1 keeps only the most frequent ref gram (count desc, gram asc
+    // → 'aa bb' wins the all-tie on gram order): doc 1 sees only 1 of 3
+    val capped = TextAnalysis.noveltyScore(corpus, "doc_id", "text", ref,
+      "text", n = 2, maxRefGrams = 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_seen")).toMap
+    assert(capped(1L) == 1L)
+  }
+
+  test("tokenEntropy: matches the closed form, zero for a one-note doc") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val out = TextAnalysis.tokenEntropy(
+      docs(1L -> "aa aa bb", 2L -> "xx xx xx", 3L -> ""),
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r).toMap
+    def q(c: Long, n: Long): JBD = {
+      val p = c.toDouble / n.toDouble
+      JBD.valueOf(p * Math.log(p)).setScale(14, RoundingMode.HALF_UP)
+    }
+    val want = BigDecimal(0.0) - (BigDecimal(q(2, 3)) + BigDecimal(q(1, 3)))
+    val got = out(1L).getAs[Double]("entropy")
+    assert(math.abs(got - want.toDouble) < 1e-9, s"$got vs $want")
+    // all-identical tokens: entropy exactly +0.0 (never -0.0)
+    assert(out(2L).getAs[Double]("entropy") == 0.0 &&
+      !out(2L).getAs[Double]("entropy").equals(-0.0))
+    assert(out(3L).getAs[Int]("n_tokens") == 0 &&
+      out(3L).isNullAt(out(3L).fieldIndex("entropy")))
+  }
+
+  test("c4LineFilter is stateless: batch == stream, two micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(1L -> "one two three four.\nshort.", 2L -> "lorem ipsum bad.",
+      3L -> "a b c d.\ne f g h!\nx y z w?")
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.c4LineFilter(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", minLineWords = 3, badPhrases = Seq("lorem ipsum"),
+        minLines = 2)
+      .writeStream.format("memory").queryName("c4_stream_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*); q.processAllAvailable()
+    mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getBoolean(3), r.getBoolean(4))
+    val streamed = spark.table("c4_stream_test").collect().map(key).toMap
+    val batch = TextAnalysis.c4LineFilter(rows.toDF("doc_id", "text"),
+      "doc_id", "text", 3, Seq("lorem ipsum"), 2).collect().map(key).toMap
+    assert(streamed == batch && batch.size == 3)
+  }
+
+  test("gopherQualityStats is stateless: batch == stream, two micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(1L -> "the a one two three four five six seven eight",
+      2L -> "tiny", 3L -> "ab cd ef gh ij kl mn op qr st")
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.gopherQualityStats(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", minWords = 5, maxWords = 100,
+        stopwords = Seq("the", "a", "of"))
+      .writeStream.format("memory").queryName("gopher_stream_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*); q.processAllAvailable()
+    mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getAs[Boolean]("keep"))
+    val streamed = spark.table("gopher_stream_test").collect().map(key).toMap
+    val batch = TextAnalysis.gopherQualityStats(rows.toDF("doc_id", "text"),
+      "doc_id", "text", 5, 100, Seq("the", "a", "of")).collect().map(key).toMap
+    assert(streamed == batch && batch.size == 3)
+  }
+
+  test("langIdClassify scoring is stateless: batch == stream (static labeled slice)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val labeled = Seq(("xx", "aaab aaba abaa"), ("yy", "zzzy zzyz zyzz"))
+      .toDF("lang", "t")
+    val rows = Seq(1L -> "aaab", 2L -> "zzzy", 3L -> "")
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.langIdClassify(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", labeled, "lang", "t", n = 3)
+      .writeStream.format("memory").queryName("langid_stream_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*); q.processAllAvailable()
+    mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getInt(1), if (r.isNullAt(2)) None else Some(r.getString(2)))
+    val streamed = spark.table("langid_stream_test").collect().map(key).toMap
+    val batch = TextAnalysis.langIdClassify(rows.toDF("doc_id", "text"),
+      "doc_id", "text", labeled, "lang", "t", n = 3).collect().map(key).toMap
+    assert(streamed == batch && batch.size == 3)
+    assert(streamed(1L)._2.contains("xx") && streamed(2L)._2.contains("yy"))
+  }
 }
