@@ -31,7 +31,8 @@ object ExplainAudit {
         "d_paragraph_dedup", "q_incremental_dedup", "q_leakage_safe_split",
         "s_sq8_topk", "t_lang_id", "t_c4_clean", "t_gopher_quality",
         "t_heavy_hitters", "t_hll_distinct", "q_page_rank",
-        "d_containment", "s_centroid_outliers", "t_novelty", "t_entropy")
+        "d_containment", "s_centroid_outliers", "t_novelty", "t_entropy",
+        "q_corpus_diff", "q_canonical_source", "s_matryoshka_recall")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

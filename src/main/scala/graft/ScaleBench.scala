@@ -74,7 +74,10 @@ object ScaleBench {
     "t_hll_distinct", "q_page_rank",
     // round-9 fourth wave: asymmetric containment pairs, embedding
     // centroid outliers, n-gram novelty, token entropy
-    "d_containment", "s_centroid_outliers", "t_novelty", "t_entropy")
+    "d_containment", "s_centroid_outliers", "t_novelty", "t_entropy",
+    // round-9 fifth wave: snapshot diff, canonical-source dedup
+    // election, matryoshka truncation recall
+    "q_corpus_diff", "q_canonical_source", "s_matryoshka_recall")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -142,7 +145,10 @@ object ScaleBench {
     "q_page_rank" -> Set("orders", "lineitem"),
     "d_containment" -> Set("documents"),
     "s_centroid_outliers" -> Set("embeddings"),
-    "t_novelty" -> Set("documents"), "t_entropy" -> Set("documents"))
+    "t_novelty" -> Set("documents"), "t_entropy" -> Set("documents"),
+    "q_corpus_diff" -> Set("documents"),
+    "q_canonical_source" -> Set("documents"),
+    "s_matryoshka_recall" -> Set("embeddings"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -645,4 +645,60 @@ object Pipeline {
       .drop("__cid", "__cluster")
     splitAssign(keyed, "split_key", splits, salt)
   }
+
+  /** Snapshot DELTA report — the daily question "what changed between
+    * yesterday's corpus and today's": full-outer join on id comparing
+    * canonical text fingerprints, each doc labeled added / removed /
+    * changed / unchanged. The input to incremental reprocessing (only
+    * `added`+`changed` need re-embedding, re-scoring, re-chunking) and
+    * the audit artifact for corpus versioning.
+    *
+    * Scale shape: ONE co-partitioned shuffle join on id (with id-bucketed
+    * tables, zero-shuffle); fingerprints are narrow per-row md5s. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp_old"))
+    val n = newDf.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
+  /** CANONICAL-SOURCE selection among near-duplicates: when the same
+    * content reaches the corpus through several feeds (raw crawl, cleaned
+    * re-release, partner dump), keep ONE copy — from the most trusted
+    * source. Each near-dup cluster (connected components over any pair
+    * list) elects min-by (source priority, id); unpaired docs form
+    * singleton clusters and always survive. Unlisted sources take
+    * `defaultPriority` (worst unless told otherwise).
+    *
+    * Determinism: the winner is `min(struct(prio, id))` — an exact
+    * integer lexicographic min, order- and partition-invariant. Scale
+    * shape: the CC fixpoint is pairs-sized ([[Cluster.connectedComponents]]);
+    * the corpus touches only two id-keyed joins (cluster membership,
+    * winner broadcast-back) and the priority map rides as a literal. */
+  def canonicalBySource(docs: DataFrame, idCol: String, sourceCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      priority: Map[String, Int], defaultPriority: Int = 1000000)
+      : DataFrame = {
+    require(priority.nonEmpty, "priority map must not be empty")
+    val cc = Cluster.connectedComponents(pairs, aCol, bCol)
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+        col(sourceCol).cast("string").as("source"))
+      .join(cc, Seq("id"), "left")
+      .withColumn("cluster_key", coalesce(col("cluster"), col("id")))
+      .withColumn("prio", coalesce(
+        element_at(typedlit(priority), col("source")), lit(defaultPriority)))
+    val winners = keyed.groupBy("cluster_key")
+      .agg(min(struct(col("prio"), col("id"))).as("w"))
+      .select(col("cluster_key"), col("w").getField("id").as("keep_id"))
+    keyed.join(winners, Seq("cluster_key"))
+      .select(col("id"), col("source"), col("cluster_key"), col("keep_id"),
+        (col("id") === col("keep_id")).as("keep"))
+  }
 }

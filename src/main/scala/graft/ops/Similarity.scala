@@ -119,6 +119,26 @@ object Similarity {
       .withColumn("recall", col("hits").cast("double") / lit(k.toDouble))
   }
 
+  /** MATRYOSHKA-style dimension-truncation recall: top-k search on the
+    * first `dims` dimensions (the MRL storage/latency trade — half the
+    * dims, half the scan bytes) measured against full-dimension exact
+    * ground truth over a query set, via [[annRecall]]. The number a
+    * deployment reads before committing to truncated vectors. Both sides
+    * are the exact brute-force path, so the gate's recall values are
+    * exact integer ratios. */
+  def matryoshkaRecall(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      dims: Int, k: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val approx = bruteForceTopK(
+      corpus.withColumn("__mv", slice(col(vecCol), 1, dims)), idCol, "__mv",
+      queries.withColumn("__mq", slice(col(qVecCol), 1, dims)), qIdCol,
+      "__mq", k)
+    val exact = bruteForceTopK(corpus, idCol, vecCol,
+      queries, qIdCol, qVecCol, k)
+    annRecall(approx, exact, k)
+  }
+
   /** Embedding-space outlier detection — the semantic-quality filter a
     * curated corpus runs per source/cluster: each group's CENTROID from
     * exact per-dimension DECIMAL(28,14) sums (order-invariant; one final

@@ -881,6 +881,40 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // snapshot delta: "new" derives from the corpus by dropping %13 ids,
+    // editing %11 texts and adding shifted %17 copies — all four statuses
+    // exercised; one co-partitioned full-outer join on fingerprints
+    "q_corpus_diff" -> { (s, d) =>
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val newDf = base.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+      graft.ops.Pipeline.corpusDiff(base, newDf, "doc_id", "text")
+        .orderBy("id")
+    },
+    // canonical-source selection: near-dup clusters (the q_drop_near_dups
+    // pair family) elect min-by (source priority, id); src0 beats src1
+    // beats everything else — the multi-feed dedup decision
+    "q_canonical_source" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = "source", n = 2, threshold = 0.05)
+      graft.ops.Pipeline.canonicalBySource(docs, "doc_id", "source",
+        pairs, "id_a", "id_b", Map("src0" -> 0, "src1" -> 1),
+        defaultPriority = 5)
+        .orderBy("id")
+    },
+    // matryoshka truncation recall: top-5 on the first 32 of 64 dims vs
+    // full-dimension exact ground truth — exact integer recalls
+    "s_matryoshka_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.matryoshkaRecall(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        dims = 32, k = 5)
+        .orderBy("q_id")
+    },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
     // event types): exact same result as a direct groupBy, skew-free plan
     "q_salted_agg" -> { (s, d) =>
@@ -2784,7 +2818,107 @@ object PipelineQueries {
         |agg AS (SELECT doc_id, CAST(sum(term) AS DOUBLE) AS s FROM terms GROUP BY doc_id)
         |SELECT t.doc_id, len(t.t) AS n_tokens,
         |  CASE WHEN len(t.t) > 0 THEN ROUND(0e0 - a.s, 9) END AS entropy
-        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin)
+        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // snapshot delta re-derived: same new-corpus derivation, same
+    // canonical fingerprint, full-outer join, four-way status CASE
+    "q_corpus_diff" ->
+      s"""WITH o AS (SELECT doc_id AS id, $fingerprintSql AS fp_old FROM documents),
+        |nbase AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 17 = 0),
+        |n AS (SELECT doc_id AS id, $fingerprintSql AS fp_new FROM nbase)
+        |SELECT coalesce(o.id, n.id) AS id, o.fp_old, n.fp_new,
+        |  CASE WHEN o.fp_old IS NULL THEN 'added'
+        |       WHEN n.fp_new IS NULL THEN 'removed'
+        |       WHEN o.fp_old = n.fp_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |ORDER BY id""".stripMargin,
+    // canonical-source selection re-derived: the recursive transitive
+    // closure over the same pair family, singleton fallback, priority
+    // CASE, (prio, id) row_number winner per cluster
+    "q_canonical_source" ->
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, $tokensSql AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CASE WHEN len(list_distinct(a.g || b.g)) > 0
+        |        THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+        |        ELSE 0.0 END AS jaccard
+        |    FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |keyed AS (
+        |  SELECT d.doc_id AS id, d.source,
+        |    coalesce(cl.cluster, d.doc_id) AS cluster_key,
+        |    CASE d.source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1 ELSE 5 END AS prio
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+        |winners AS (
+        |  SELECT cluster_key, id AS keep_id FROM (
+        |    SELECT cluster_key, id,
+        |      row_number() OVER (PARTITION BY cluster_key ORDER BY prio, id) AS rn
+        |    FROM keyed) WHERE rn = 1)
+        |SELECT k.id, k.source, k.cluster_key, w.keep_id,
+        |  k.id = w.keep_id AS keep
+        |FROM keyed k JOIN winners w USING (cluster_key)
+        |ORDER BY k.id""".stripMargin,
+    // matryoshka recall re-derived: both brute-force chains (first-32-dim
+    // truncated vs full 64-dim) with the cosine rank ordering, hits join
+    "s_matryoshka_recall" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), (x, y) -> x + y)"
+      def sq(a: String): String =
+        s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (x, y) -> x + y))"
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |vt AS (SELECT vec_id, e[1:32] AS e FROM v),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 20),
+         |qt AS (SELECT vec_id AS q_id, e[1:32] AS qe FROM v WHERE vec_id < 20),
+         |ascored AS (
+         |  SELECT q.q_id, c.vec_id AS n_id,
+         |    ${dot("c.e", "q.qe")} / (${sq("c.e")} * ${sq("q.qe")}) AS sim
+         |  FROM vt c, qt q WHERE c.vec_id <> q.q_id),
+         |approx AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |    FROM ascored) WHERE rank <= 5),
+         |escored AS (
+         |  SELECT q.q_id, c.vec_id AS n_id,
+         |    ${dot("c.e", "q.qe")} / (${sq("c.e")} * ${sq("q.qe")}) AS sim
+         |  FROM v c, q WHERE c.vec_id <> q.q_id),
+         |exact AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |    FROM escored) WHERE rank <= 5),
+         |hits AS (SELECT a.q_id, count(*) AS hits
+         |  FROM approx a JOIN exact e ON a.q_id = e.q_id AND a.n_id = e.n_id
+         |  GROUP BY a.q_id)
+         |SELECT eq.q_id, coalesce(h.hits, 0) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) eq
+         |LEFT JOIN hits h ON eq.q_id = h.q_id
+         |ORDER BY eq.q_id""".stripMargin
+    })
+
+  /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
+  private def fingerprintSql: String =
+    "md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g'))"
 
   /** DuckDB equivalent of [[graft.ops.TextAnalysis.charGrams]] (n = 3)
     * over a column `t` already lowercased. */

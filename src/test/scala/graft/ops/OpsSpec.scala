@@ -1800,6 +1800,53 @@ class OpsSpec extends SparkSpec {
       out(3L).isNullAt(out(3L).fieldIndex("entropy")))
   }
 
+  test("corpusDiff: all four statuses, fingerprint-insensitive to punctuation noise") {
+    val oldDf = docs(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "keep me")
+    val newDf = docs(1L -> "alpha, beta!", // canonical fp identical
+      2L -> "gamma delta CHANGED", 4L -> "brand new doc")
+    val out = graft.ops.Pipeline.corpusDiff(oldDf, newDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added"))
+  }
+
+  test("canonicalBySource: priority beats id, singletons survive, default is worst") {
+    import spark.implicits._
+    val d = Seq((1L, "raw"), (2L, "clean"), (3L, "raw"), (9L, "unlisted"))
+      .toDF("doc_id", "source")
+    // cluster {1,2,3} via a chain; 9 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = graft.ops.Pipeline.canonicalBySource(d, "doc_id", "source",
+      pairs, "id_a", "id_b", Map("clean" -> 0, "raw" -> 1)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    // 'clean' (prio 0) wins the cluster although id 1 is smaller
+    assert(out(1L) == ((2L, false)) && out(2L) == ((2L, true)) &&
+      out(3L) == ((2L, false)))
+    assert(out(9L) == ((9L, true))) // singleton keeps itself
+    // tie on priority falls back to min id
+    val out2 = graft.ops.Pipeline.canonicalBySource(d, "doc_id", "source",
+      pairs, "id_a", "id_b", Map("clean" -> 1, "raw" -> 1)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out2(1L) == 1L && out2(2L) == 1L && out2(3L) == 1L)
+  }
+
+  test("matryoshkaRecall: identical prefix dims give recall 1.0, hostile tail lowers it") {
+    import spark.implicits._
+    // tail dims dominate the full-dim ranking but vanish when truncated
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 9.0f)),
+      (2L, Array(1.0f, 0.1f, 0.0f, -9.0f)),
+      (3L, Array(0.9f, 0.0f, 0.0f, 9.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 1L)
+    val full = Similarity.matryoshkaRecall(corpus, "vec_id", "embedding",
+      q, "vec_id", "embedding", dims = 4, k = 2).collect()(0)
+    assert(full.getAs[Double]("recall") == 1.0) // dims=all ≡ exact
+    val r2 = Similarity.matryoshkaRecall(corpus, "vec_id", "embedding",
+      q, "vec_id", "embedding", dims = 2, k = 2).collect()(0)
+    assert(r2.getAs[Double]("recall") < 1.0)
+  }
+
   test("c4LineFilter is stateless: batch == stream, two micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
