@@ -32,7 +32,8 @@ object ExplainAudit {
         "s_sq8_topk", "t_lang_id", "t_c4_clean", "t_gopher_quality",
         "t_heavy_hitters", "t_hll_distinct", "q_page_rank",
         "d_containment", "s_centroid_outliers", "t_novelty", "t_entropy",
-        "q_corpus_diff", "q_canonical_source", "s_matryoshka_recall")
+        "q_corpus_diff", "q_canonical_source", "s_matryoshka_recall",
+        "q_dedup_report", "t_quality_report")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

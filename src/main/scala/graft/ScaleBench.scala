@@ -76,8 +76,9 @@ object ScaleBench {
     // centroid outliers, n-gram novelty, token entropy
     "d_containment", "s_centroid_outliers", "t_novelty", "t_entropy",
     // round-9 fifth wave: snapshot diff, canonical-source dedup
-    // election, matryoshka truncation recall
-    "q_corpus_diff", "q_canonical_source", "s_matryoshka_recall")
+    // election, matryoshka truncation recall, the two data-card reports
+    "q_corpus_diff", "q_canonical_source", "s_matryoshka_recall",
+    "q_dedup_report", "t_quality_report")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -148,7 +149,9 @@ object ScaleBench {
     "t_novelty" -> Set("documents"), "t_entropy" -> Set("documents"),
     "q_corpus_diff" -> Set("documents"),
     "q_canonical_source" -> Set("documents"),
-    "s_matryoshka_recall" -> Set("embeddings"))
+    "s_matryoshka_recall" -> Set("embeddings"),
+    "q_dedup_report" -> Set("documents"),
+    "t_quality_report" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

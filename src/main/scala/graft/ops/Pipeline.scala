@@ -701,4 +701,35 @@ object Pipeline {
       .select(col("id"), col("source"), col("cluster_key"), col("keep_id"),
         (col("id") === col("keep_id")).as("keep"))
   }
+
+  /** Per-source DEDUP-RATE report — the data-card numbers a corpus
+    * release publishes ("src3 is 14% exact-duplicate, 31% near-dup"):
+    * per source, document count, documents whose canonical fingerprint
+    * collides corpus-wide (exact dups), documents appearing in any
+    * near-dup pair, and the two rates. Rates are divisions of exact
+    * integers — correctly rounded, engine-exact doubles.
+    *
+    * Scale shape: one fingerprint groupBy (map-side combined), one
+    * distinct over the pairs' endpoints (pairs-sized), two id-keyed
+    * semi-join-shaped marks, one source aggregation. */
+  def dedupReport(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, pairs: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val fps = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val dupFps = fps.groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("fp")
+    val nearIds = pairs.select(col(aCol).cast("long").as("id"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("id"))).distinct()
+    fps.join(dupFps.withColumn("__ex", lit(1)), Seq("fp"), "left")
+      .join(nearIds.withColumn("__nr", lit(1)), Seq("id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__ex").isNotNull, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("__nr").isNotNull, 1L).otherwise(0L)).as("n_near_dup"))
+      .withColumn("exact_dup_rate",
+        col("n_exact_dup").cast("double") / col("n_docs").cast("double"))
+      .withColumn("near_dup_rate",
+        col("n_near_dup").cast("double") / col("n_docs").cast("double"))
+  }
 }

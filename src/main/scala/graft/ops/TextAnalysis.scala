@@ -704,6 +704,36 @@ object TextAnalysis {
           col("n_grams").cast("double")))
   }
 
+  /** Per-source QUALITY report — the rest of the data card: document
+    * count, Gopher keep-rate, mean document length and mean token
+    * entropy per source. Integer counts stay exact; the two means
+    * quantize their per-doc values to DECIMAL(28,14) before the
+    * order-free sum and divide once (the house exact-aggregation
+    * discipline), entropy itself already 9-dp rendered by
+    * [[tokenEntropy]]. One narrow per-doc scoring pass + one source
+    * aggregation. */
+  def corpusQualityReport(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): DataFrame = {
+    val g = gopherQualityStats(df, idCol, textCol, minWords, maxWords,
+      stopwords).select(col("id"), col("n_words"), col("keep"))
+    val e = tokenEntropy(df, idCol, textCol).select(col("id"), col("entropy"))
+    val src = df.select(col(idCol).as("id"), col(sourceCol).as("source"))
+    src.join(g, Seq("id")).join(e, Seq("id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("n_words")).as("total_words"),
+        (sum(col("entropy").cast("decimal(28,14)")).cast("double") /
+          count(col("entropy")).cast("double")).as("mean_entropy"))
+      .withColumn("keep_rate",
+        col("n_keep").cast("double") / col("n_docs").cast("double"))
+      .withColumn("mean_words",
+        col("total_words").cast("double") / col("n_docs").cast("double"))
+      .withColumn("mean_entropy", round(col("mean_entropy"), 9))
+  }
+
   /** Per-document token Shannon entropy (nats) — the information-density
     * quality signal (low entropy = repetitive/templated text; the cheap
     * stand-in for a compressibility filter): H = −Σ_w (c_w/n)·ln(c_w/n)

@@ -915,6 +915,29 @@ object PipelineQueries {
         dims = 32, k = 5)
         .orderBy("q_id")
     },
+    // per-source dedup-rate data card: planted %9 exact copies + the
+    // within-source near-dup pair family; counts exact, rates exact-int
+    // divisions
+    "q_dedup_report" -> { (s, d) =>
+      val base = Tables.documents(s, d).select("doc_id", "source", "text")
+      val withDups = base.unionByName(base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + lit(4000000L)).as("doc_id"), col("source"),
+          col("text")))
+      val pairs = Dedup.ngramJaccardPairs(withDups, "doc_id", "text",
+        blockCol = "source", n = 2, threshold = 0.05)
+      graft.ops.Pipeline.dedupReport(withDups, "doc_id", "text", "source",
+        pairs, "id_a", "id_b")
+        .orderBy("source")
+    },
+    // per-source quality data card: Gopher keep-rate, mean length, mean
+    // entropy (per-doc values DECIMAL-quantized before the order-free
+    // sum, one division)
+    "t_quality_report" -> { (s, d) =>
+      TextAnalysis.corpusQualityReport(Tables.documents(s, d), "doc_id",
+          "text", "source", minWords = 20, maxWords = 100000,
+          stopwords = Seq("the", "a", "key", "value", "data", "table"))
+        .orderBy("source")
+    },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
     // event types): exact same result as a direct groupBy, skew-free plan
     "q_salted_agg" -> { (s, d) =>
@@ -2914,7 +2937,89 @@ object PipelineQueries {
          |FROM (SELECT DISTINCT q_id FROM exact) eq
          |LEFT JOIN hits h ON eq.q_id = h.q_id
          |ORDER BY eq.q_id""".stripMargin
-    })
+    },
+    // dedup data card re-derived: planted exact copies, corpus-wide
+    // fingerprint collisions, the within-source pair family's distinct
+    // endpoints, left-join marks, exact-integer rates
+    "q_dedup_report" ->
+      s"""WITH base AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 4000000, source, text FROM documents WHERE doc_id % 9 = 0),
+        |fps AS (SELECT doc_id AS id, source, $fingerprintSql AS fp FROM base),
+        |dupfps AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1),
+        |toks AS (SELECT doc_id, source, $tokensSql AS t FROM base),
+        |grams AS (SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |pairs AS (SELECT * FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CASE WHEN len(list_distinct(a.g || b.g)) > 0
+        |        THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+        |        ELSE 0.0 END AS jaccard
+        |    FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.05),
+        |near AS (SELECT DISTINCT id FROM (
+        |    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+        |marked AS (SELECT f.source,
+        |    CASE WHEN d2.fp IS NOT NULL THEN 1 ELSE 0 END AS ex,
+        |    CASE WHEN n2.id IS NOT NULL THEN 1 ELSE 0 END AS nr
+        |  FROM fps f
+        |  LEFT JOIN (SELECT DISTINCT fp FROM dupfps) d2 ON f.fp = d2.fp
+        |  LEFT JOIN near n2 ON f.id = n2.id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ex) AS BIGINT) AS n_exact_dup,
+        |  CAST(sum(nr) AS BIGINT) AS n_near_dup,
+        |  CAST(sum(ex) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS exact_dup_rate,
+        |  CAST(sum(nr) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS near_dup_rate
+        |FROM marked GROUP BY source ORDER BY source""".stripMargin,
+    // quality data card re-derived: the Gopher rule chain + the entropy
+    // chain joined per doc, source aggregation with DECIMAL-quantized
+    // entropy mean
+    "t_quality_report" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS toks FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0) AS BIGINT) AS swl,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(string_split(text, chr(10)), l -> starts_with(trim(l), '-') OR
+        |      starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS BIGINT) AS nb,
+        |    CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(trim(l), '...') OR
+        |      ends_with(trim(l), '…'))) AS BIGINT) AS ne,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS na,
+        |    CAST((length(text) - length(replace(text, '#', ''))) +
+        |      (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS ns,
+        |    CAST(len(list_filter(['the','a','key','value','data','table'],
+        |      sw -> list_contains(toks, sw))) AS BIGINT) AS nst
+        |  FROM t),
+        |k AS (SELECT doc_id, source, n_words,
+        |    (n_words >= 20 AND n_words <= 100000
+        |      AND swl >= 3 * n_words AND swl <= 10 * n_words
+        |      AND 10 * ns <= n_words
+        |      AND 10 * nb <= nl
+        |      AND 10 * ne <= 3 * nl
+        |      AND 5 * na >= 4 * n_words
+        |      AND nst >= 2) AS keep
+        |  FROM c),
+        |inst AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS w FROM t),
+        |cnts AS (SELECT doc_id, n, w, count(*) AS cc FROM inst GROUP BY doc_id, n, w),
+        |terms AS (SELECT doc_id,
+        |    CAST((CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,14)) AS term
+        |  FROM cnts),
+        |ent AS (SELECT t.doc_id,
+        |    CASE WHEN len(t.toks) > 0 THEN ROUND(0e0 - a.s, 9) END AS entropy
+        |  FROM t LEFT JOIN (SELECT doc_id, CAST(sum(term) AS DOUBLE) AS s
+        |    FROM terms GROUP BY doc_id) a USING (doc_id))
+        |SELECT k.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(k.n_words) AS BIGINT) AS total_words,
+        |  ROUND(CAST(sum(CAST(e.entropy AS DECIMAL(28,14))) AS DOUBLE) /
+        |    CAST(count(e.entropy) AS DOUBLE), 9) AS mean_entropy,
+        |  CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS keep_rate,
+        |  CAST(sum(k.n_words) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_words
+        |FROM k JOIN ent e USING (doc_id)
+        |GROUP BY k.source ORDER BY k.source""".stripMargin)
 
   /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
   private def fingerprintSql: String =

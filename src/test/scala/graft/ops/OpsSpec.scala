@@ -1847,6 +1847,47 @@ class OpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("recall") < 1.0)
   }
 
+  test("dedupReport: exact and near rates per source, exact-integer divisions") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "same same text here"), (2L, "a", "same same text here"),
+      (3L, "a", "unique alpha beta gamma"), (4L, "b", "other words entirely now"))
+      .toDF("doc_id", "source", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = graft.ops.Pipeline.dedupReport(d, "doc_id", "text", "source",
+      pairs, "id_a", "id_b").collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs") == 3L && a.getAs[Long]("n_exact_dup") == 2L &&
+      a.getAs[Long]("n_near_dup") == 2L)
+    assert(a.getAs[Double]("exact_dup_rate") == 2.0 / 3.0)
+    val b = out("b")
+    assert(b.getAs[Long]("n_exact_dup") == 0L &&
+      b.getAs[Double]("near_dup_rate") == 0.0)
+  }
+
+  test("corpusQualityReport: keep-rate and means per source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s1", "the a one two three four five six"), // 8 words, keeps
+      (2L, "s1", "xx yy"),                             // too short
+      (3L, "s2", "the a seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.corpusQualityReport(d, "doc_id", "text", "source",
+      minWords = 5, maxWords = 100, stopwords = Seq("the", "a", "of"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") == 2L && s1.getAs[Long]("n_keep") == 1L)
+    assert(s1.getAs[Double]("keep_rate") == 0.5)
+    assert(s1.getAs[Long]("total_words") == 10L)
+    assert(s1.getAs[Double]("mean_words") == 5.0)
+    // all-distinct tokens: entropy = ln(n); mean over the two docs
+    val h8 = math.log(8.0); val h2 = math.log(2.0)
+    val wantS1 = (BigDecimal(h8).setScale(9, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(h2).setScale(9, BigDecimal.RoundingMode.HALF_UP)).toDouble / 2.0
+    assert(math.abs(s1.getAs[Double]("mean_entropy") - wantS1) < 1e-8)
+    assert(out("s2").getAs[Double]("keep_rate") == 1.0)
+  }
+
   test("c4LineFilter is stateless: batch == stream, two micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
