@@ -704,6 +704,48 @@ object TextAnalysis {
           col("n_grams").cast("double")))
   }
 
+  /** COMPOSED quality pipeline — the round's composition net (the
+    * q_training_mix pattern): C4 line cleaning → Gopher document rules
+    * on the CLEANED text → token-entropy floor → n-gram novelty floor
+    * (reference = the kept slice itself, so rehashes of kept content
+    * score low), one row per input document with every stage's verdict
+    * and the final keep. Chaining on cleaned text is where composition
+    * bugs live — a per-op gate can't see that Gopher must run on what C4
+    * kept, not on the raw text.
+    *
+    * Scale shape: C4 is a narrow projection; the kept slice materializes
+    * ONCE ([[Dedup.materializeBase]] — three consumers: Gopher, entropy,
+    * novelty, plus novelty's bounded reference collect) and the three
+    * stage frames join back on id (narrow, AQE-broadcast at small
+    * scale, co-partitioned at large). Dropped docs carry null stage
+    * columns and final_keep = false. */
+  def qualityPipeline(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int, badPhrases: Seq[String], minLines: Int,
+      minWords: Int, maxWords: Int, stopwords: Seq[String],
+      minEntropy: Double, refModulo: Int, n: Int, minNovelty: Double,
+      materializePath: Option[String] = None): DataFrame = {
+    val c4 = c4LineFilter(df, idCol, textCol, minLineWords, badPhrases,
+      minLines)
+    val kept = Dedup.materializeBase(
+      c4.filter(col("kept"))
+        .select(col("id"), col("clean_text").as("text")),
+      materializePath)
+    val g = gopherQualityStats(kept, "id", "text", minWords, maxWords,
+      stopwords).select(col("id"), col("keep").as("gopher_keep"))
+    val e = tokenEntropy(kept, "id", "text").select(col("id"), col("entropy"))
+    val nv = noveltyScore(kept, "id", "text",
+      kept.filter(col("id") % refModulo === 0), "text", n)
+      .select(col("id"), col("novelty"))
+    c4.select(col("id"), col("kept").as("c4_kept"))
+      .join(g, Seq("id"), "left")
+      .join(e, Seq("id"), "left")
+      .join(nv, Seq("id"), "left")
+      .withColumn("final_keep", col("c4_kept") &&
+        coalesce(col("gopher_keep"), lit(false)) &&
+        coalesce(col("entropy") >= minEntropy, lit(false)) &&
+        coalesce(col("novelty") >= minNovelty, lit(false)))
+  }
+
   /** Per-source QUALITY report — the rest of the data card: document
     * count, Gopher keep-rate, mean document length and mean token
     * entropy per source. Integer counts stay exact; the two means

@@ -938,6 +938,22 @@ object PipelineQueries {
           stopwords = Seq("the", "a", "key", "value", "data", "table"))
         .orderBy("source")
     },
+    // COMPOSED text-quality pipeline (the q_training_mix pattern for the
+    // round-9 text ops): C4 line cleaning → Gopher rules ON THE CLEANED
+    // TEXT → entropy floor → novelty floor vs the kept %5 slice, one
+    // chained oracle — composition bugs (running Gopher on raw instead
+    // of cleaned text) are exactly what per-op gates cannot see
+    "q_quality_pipeline" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("text",
+        expr("replace(text, ' spark', concat('.', chr(10), 'spark'))"))
+      TextAnalysis.qualityPipeline(docs, "doc_id", "text",
+        minLineWords = 5, badPhrases = Seq("customer line"), minLines = 2,
+        minWords = 10, maxWords = 100000,
+        stopwords = Seq("the", "a", "key", "value", "data", "table"),
+        minEntropy = 3.0, refModulo = 5, n = 2, minNovelty = 0.1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
     // event types): exact same result as a direct groupBy, skew-free plan
     "q_salted_agg" -> { (s, d) =>
@@ -3019,7 +3035,78 @@ object PipelineQueries {
         |    CAST(count(*) AS DOUBLE) AS keep_rate,
         |  CAST(sum(k.n_words) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_words
         |FROM k JOIN ent e USING (doc_id)
-        |GROUP BY k.source ORDER BY k.source""".stripMargin)
+        |GROUP BY k.source ORDER BY k.source""".stripMargin,
+    // the composed quality pipeline re-derived as ONE chained query: the
+    // C4 CTE feeds cleaned text into the Gopher, entropy and novelty
+    // chains (tokenized with a REGEX whitespace split — cleaned text
+    // contains newlines, which the plain ' ' split of the raw-text
+    // oracles never sees), novelty's reference is the kept %5 slice
+    "q_quality_pipeline" ->
+      s"""WITH d2 AS (SELECT doc_id,
+        |    replace(text, ' spark', '.' || chr(10) || 'spark') AS text
+        |  FROM documents),
+        |base AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM d2),
+        |calc AS (SELECT doc_id,
+        |    list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$$') AND
+        |      len(list_filter(string_split_regex(trim(l), ' +'), w -> w <> '')) >= 5) AS kept_lines,
+        |    contains(lower(text), 'customer line') AS bad
+        |  FROM base),
+        |c4 AS (SELECT doc_id, (NOT bad AND len(kept_lines) >= 2) AS c4_kept,
+        |    CASE WHEN NOT bad AND len(kept_lines) >= 2
+        |      THEN array_to_string(kept_lines, chr(10)) END AS ct
+        |  FROM calc),
+        |toks AS (SELECT doc_id AS id, ct AS text,
+        |    list_filter(string_split_regex(lower(ct), '\\s+'), x -> x <> '') AS t
+        |  FROM c4 WHERE c4_kept),
+        |g AS (SELECT id,
+        |    (len(t) >= 10 AND len(t) <= 100000
+        |     AND coalesce(list_sum(list_transform(t, w -> len(w))), 0) >= 3 * len(t)
+        |     AND coalesce(list_sum(list_transform(t, w -> len(w))), 0) <= 10 * len(t)
+        |     AND 10 * ((length(text) - length(replace(text, '#', ''))) +
+        |       (length(text) - length(replace(text, '...', ''))) / 3) <= len(t)
+        |     AND 10 * len(list_filter(string_split(text, chr(10)), l ->
+        |       starts_with(trim(l), '-') OR starts_with(trim(l), '*') OR
+        |       starts_with(trim(l), '•'))) <= len(string_split(text, chr(10)))
+        |     AND 10 * len(list_filter(string_split(text, chr(10)), l ->
+        |       ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) <= 3 * len(string_split(text, chr(10)))
+        |     AND 5 * len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) >= 4 * len(t)
+        |     AND len(list_filter(['the','a','key','value','data','table'],
+        |       sw -> list_contains(t, sw))) >= 2) AS gopher_keep
+        |  FROM toks),
+        |inst AS (SELECT id, len(t) AS n, unnest(t) AS w FROM toks),
+        |cnts AS (SELECT id, n, w, count(*) AS c FROM inst GROUP BY id, n, w),
+        |terms AS (SELECT id,
+        |    CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,14)) AS term
+        |  FROM cnts),
+        |ent AS (SELECT tk.id,
+        |    CASE WHEN len(tk.t) > 0 THEN ROUND(0e0 - a.s, 9) END AS entropy
+        |  FROM toks tk LEFT JOIN (SELECT id, CAST(sum(term) AS DOUBLE) AS s
+        |    FROM terms GROUP BY id) a USING (id)),
+        |refg AS (SELECT g FROM (
+        |    SELECT g, count(*) AS c FROM (
+        |      SELECT unnest(CASE WHEN len(t) >= 2
+        |        THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |        ELSE [] END) AS g
+        |      FROM toks WHERE id % 5 = 0) GROUP BY g
+        |    QUALIFY row_number() OVER (ORDER BY c DESC, g ASC) <= 65536)),
+        |dg AS (SELECT id, unnest(list_distinct(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END)) AS g
+        |  FROM toks),
+        |per AS (SELECT dg.id, count(*) AS n, count(refg.g) AS seen
+        |  FROM dg LEFT JOIN refg USING (g) GROUP BY dg.id),
+        |nv AS (SELECT tk.id,
+        |    CASE WHEN p.n > 0 THEN CAST(p.n - p.seen AS DOUBLE) / CAST(p.n AS DOUBLE) END AS novelty
+        |  FROM toks tk LEFT JOIN per p USING (id))
+        |SELECT c4.doc_id, c4.c4_kept, g.gopher_keep, e.entropy, n2.novelty,
+        |  (c4.c4_kept AND coalesce(g.gopher_keep, false)
+        |    AND coalesce(e.entropy >= 3.0, false)
+        |    AND coalesce(n2.novelty >= 0.1, false)) AS final_keep
+        |FROM c4
+        |LEFT JOIN g ON c4.doc_id = g.id
+        |LEFT JOIN ent e ON c4.doc_id = e.id
+        |LEFT JOIN nv n2 ON c4.doc_id = n2.id
+        |ORDER BY c4.doc_id""".stripMargin)
 
   /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
   private def fingerprintSql: String =

@@ -1888,6 +1888,33 @@ class OpsSpec extends SparkSpec {
     assert(out("s2").getAs[Double]("keep_rate") == 1.0)
   }
 
+  test("qualityPipeline: Gopher runs on the CLEANED text, stage nulls for dropped docs") {
+    // doc 1: raw text has 14 words (Gopher-on-raw would pass minWords=8),
+    // but C4 keeps only the two terminated lines -> cleaned text has 8
+    // words and still passes; the junk line is gone from the entropy too
+    val df = docs(
+      1L -> "one two three four.\nfive six seven eight.\njunk junk junk junk junk junk",
+      2L -> "lorem ipsum one two three four.\nfive six seven eight.", // bad phrase
+      3L -> "unterminated line with many words here")                 // 0 kept lines
+    val out = TextAnalysis.qualityPipeline(df, "doc_id", "text",
+      minLineWords = 3, badPhrases = Seq("lorem ipsum"), minLines = 2,
+      minWords = 8, maxWords = 100, stopwords = Seq("one", "five", "three"),
+      minEntropy = 1.0, refModulo = 1000, n = 2, minNovelty = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("c4_kept"))
+    assert(out(1L).getAs[Boolean]("gopher_keep")) // 8 cleaned words, 3 stopwords
+    // entropy is over the CLEANED 8 distinct words: exactly ln(8)
+    assert(math.abs(out(1L).getAs[Double]("entropy") - math.log(8.0)) < 1e-8)
+    assert(out(1L).getAs[Boolean]("final_keep")) // refModulo=1000: novelty 1.0
+    // dropped docs: stage columns null, final_keep false (never null)
+    for (id <- Seq(2L, 3L)) {
+      assert(!out(id).getAs[Boolean]("c4_kept"))
+      assert(out(id).isNullAt(out(id).fieldIndex("gopher_keep")))
+      assert(out(id).isNullAt(out(id).fieldIndex("entropy")))
+      assert(!out(id).getAs[Boolean]("final_keep"))
+    }
+  }
+
   test("c4LineFilter is stateless: batch == stream, two micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
