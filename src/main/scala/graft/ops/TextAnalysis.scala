@@ -704,6 +704,41 @@ object TextAnalysis {
           col("n_grams").cast("double")))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2019 §4.3): every
+    * document scored by the reference bigram LM ([[lmScore]]), then cut
+    * into head / middle / tail by the per-source TERTILES of the score —
+    * the standard "keep head+middle, drop tail" crawl-filtering shape.
+    * Scores round to 9 dp BEFORE the tertile cuts and the comparisons,
+    * so the bucket decision never rides the ln ulp (the same
+    * rounded-value-decision discipline as centroidOutliers).
+    *
+    * Scale shape: one LM scoring scan (task-broadcast kernel), one
+    * per-source exact-percentile aggregation (the t_length_percentiles
+    * parity pair: Spark `percentile` ≡ DuckDB `quantile_cont`; at
+    * extreme per-source cardinalities swap in approx_percentile or
+    * literal cuts — the same trade the length report takes), cutpoints
+    * broadcast back onto a zero-shuffle bucketing scan. Documents too
+    * short to score (no bigrams) surface with a null bucket. */
+  def perplexityBuckets(corpus: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, reference: DataFrame, refTextCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val scored = lmScore(corpus, idCol, textCol, reference, refTextCol, addK)
+      .withColumn("lm_logprob", round(col("lm_logprob"), 9))
+    val withSrc = corpus
+      .select(col(idCol).as("id"), col(sourceCol).as("source"))
+      .join(scored, Seq("id"))
+    val cuts = withSrc.groupBy("source").agg(
+      expr("percentile(lm_logprob, 0.3333333333333333)").as("cut_low"),
+      expr("percentile(lm_logprob, 0.6666666666666666)").as("cut_high"))
+    withSrc.join(broadcast(cuts), Seq("source"))
+      .withColumn("bucket",
+        when(col("lm_logprob").isNull, lit(null).cast("string"))
+          .when(col("lm_logprob") >= col("cut_high"), lit("head"))
+          .when(col("lm_logprob") >= col("cut_low"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select("id", "source", "n_bigrams", "lm_logprob", "bucket")
+  }
+
   /** COMPOSED quality pipeline — the round's composition net (the
     * q_training_mix pattern): C4 line cleaning → Gopher document rules
     * on the CLEANED text → token-entropy floor → n-gram novelty floor

@@ -954,6 +954,17 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // CCNet-style perplexity buckets: reference-LM scores (doc_id%10
+    // slice) cut into per-source tertiles — head/middle/tail; decisions
+    // on 9-dp-rounded scores (never the ln ulp), cuts via the
+    // percentile/quantile_cont parity pair
+    "q_ccnet_buckets" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "source",
+        docs.filter(col("doc_id") % 10 === 0), "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
     // event types): exact same result as a direct groupBy, skew-free plan
     "q_salted_agg" -> { (s, d) =>
@@ -3106,7 +3117,47 @@ object PipelineQueries {
         |LEFT JOIN g ON c4.doc_id = g.id
         |LEFT JOIN ent e ON c4.doc_id = e.id
         |LEFT JOIN nv n2 ON c4.doc_id = n2.id
-        |ORDER BY c4.doc_id""".stripMargin)
+        |ORDER BY c4.doc_id""".stripMargin,
+    // CCNet buckets re-derived: the t_lm_score LM chain, 9-dp rounded
+    // scores, per-source quantile_cont tertiles (the percentile parity
+    // pair), the same >= comparisons on rounded values
+    "q_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
+        |rt AS (SELECT t FROM toks WHERE doc_id % 10 = 0),
+        |vocab AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(t) AS w FROM rt)),
+        |rbg AS (SELECT bg, count(*) AS cnt2 FROM (
+        |    SELECT unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS bg
+        |    FROM rt WHERE len(t) >= 2) GROUP BY bg),
+        |rctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cnt2) AS ctx
+        |  FROM rbg GROUP BY 1),
+        |inst AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS bg
+        |    FROM toks WHERE len(t) >= 2)),
+        |scored AS (
+        |  SELECT i.doc_id,
+        |    ln((CAST(coalesce(rbg.cnt2, 0) AS DOUBLE) + 0.5) /
+        |       (CAST(coalesce(rctx.ctx, 0) AS DOUBLE) + 0.5 * (v + 1.0))) AS logp
+        |  FROM inst i LEFT JOIN rbg ON i.bg = rbg.bg
+        |  LEFT JOIN rctx ON i.w1 = rctx.w1
+        |  CROSS JOIN vocab),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CAST(logp AS DECIMAL(28,14))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lm
+        |  FROM scored GROUP BY doc_id),
+        |ds AS (SELECT t.doc_id, t.source, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+        |    ROUND(agg.lm, 9) AS lm_logprob
+        |  FROM toks t LEFT JOIN agg USING (doc_id)),
+        |cuts AS (SELECT source,
+        |    quantile_cont(lm_logprob, 0.3333333333333333) AS cut_low,
+        |    quantile_cont(lm_logprob, 0.6666666666666666) AS cut_high
+        |  FROM ds GROUP BY source)
+        |SELECT ds.doc_id, ds.source, ds.n_bigrams, ds.lm_logprob,
+        |  CASE WHEN ds.lm_logprob IS NULL THEN NULL
+        |       WHEN ds.lm_logprob >= c.cut_high THEN 'head'
+        |       WHEN ds.lm_logprob >= c.cut_low THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ds JOIN cuts c USING (source)
+        |ORDER BY ds.doc_id""".stripMargin)
 
   /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
   private def fingerprintSql: String =

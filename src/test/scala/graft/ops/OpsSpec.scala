@@ -1888,6 +1888,24 @@ class OpsSpec extends SparkSpec {
     assert(out("s2").getAs[Double]("keep_rate") == 1.0)
   }
 
+  test("perplexityBuckets: per-source tertiles, fluent reference text heads, short doc null") {
+    import spark.implicits._
+    val ref = docs(100L -> "the quick fox jumps over the lazy dog")
+    val corpus = Seq(
+      (1L, "s", "the quick fox jumps"),     // pure reference bigrams → head
+      (2L, "s", "the quick dog sleeps"),    // partially seen
+      (3L, "s", "zz yy xx ww vv"),          // all unseen → tail
+      (4L, "s", "solo"))                    // no bigrams → null bucket
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.perplexityBuckets(corpus, "doc_id", "text",
+      "source", ref, "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("bucket")).toMap
+    assert(out(1L) == "head" && out(3L) == "tail")
+    assert(out(4L) == null)
+    // with three scored docs the tertiles put exactly one doc per bucket
+    assert(out(2L) == "middle")
+  }
+
   test("qualityPipeline: Gopher runs on the CLEANED text, stage nulls for dropped docs") {
     // doc 1: raw text has 14 words (Gopher-on-raw would pass minWords=8),
     // but C4 keeps only the two terminated lines -> cleaned text has 8
