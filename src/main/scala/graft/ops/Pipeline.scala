@@ -702,6 +702,32 @@ object Pipeline {
         (col("id") === col("keep_id")).as("keep"))
   }
 
+  /** QUALITY-MAX dedup election — [[canonicalBySource]]'s per-document
+    * sibling: each near-dup cluster keeps its HIGHEST-`scoreCol` member
+    * (ties to the smaller id) — "keep the longest / cleanest copy", the
+    * standard near-dup resolution when feeds aren't ranked but documents
+    * are. The winner is `max(struct(score, -id))` — exact lexicographic
+    * max, order- and partition-invariant (use an exact-typed score:
+    * integer counts, or a 9-dp-rounded double per the house boundary
+    * discipline). Same scale shape as canonicalBySource: pairs-sized CC
+    * fixpoint + two id-keyed joins. */
+  def canonicalByQuality(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = Cluster.connectedComponents(pairs, aCol, bCol)
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).as("score"))
+      .join(cc, Seq("id"), "left")
+      .withColumn("cluster_key", coalesce(col("cluster"), col("id")))
+    val winners = keyed.groupBy("cluster_key")
+      .agg(max(struct(col("score").as("s"), (lit(-1L) * col("id")).as("ni")))
+        .as("w"))
+      .select(col("cluster_key"),
+        (lit(-1L) * col("w").getField("ni")).as("keep_id"))
+    keyed.join(winners, Seq("cluster_key"))
+      .select(col("id"), col("score"), col("cluster_key"), col("keep_id"),
+        (col("id") === col("keep_id")).as("keep"))
+  }
+
   /** Per-source DEDUP-RATE report — the data-card numbers a corpus
     * release publishes ("src3 is 14% exact-duplicate, 31% near-dup"):
     * per source, document count, documents whose canonical fingerprint

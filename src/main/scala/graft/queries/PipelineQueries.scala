@@ -965,6 +965,18 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // quality-max dedup election: each near-dup cluster keeps its
+    // longest member (token count — an exact integer score), ties to the
+    // smaller id; the per-document sibling of q_canonical_source
+    "q_canonical_quality" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = "source", n = 2, threshold = 0.05)
+      graft.ops.Pipeline.canonicalByQuality(
+        docs.withColumn("n_toks", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "n_toks", pairs, "id_a", "id_b")
+        .orderBy("id")
+    },
     // salted two-stage aggregation over a heavy-hitter key (5 distinct
     // event types): exact same result as a direct groupBy, skew-free plan
     "q_salted_agg" -> { (s, d) =>
@@ -3157,7 +3169,47 @@ object PipelineQueries {
         |       WHEN ds.lm_logprob >= c.cut_low THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM ds JOIN cuts c USING (source)
-        |ORDER BY ds.doc_id""".stripMargin)
+        |ORDER BY ds.doc_id""".stripMargin,
+    // quality-max election re-derived: same closure chain, winner via
+    // (score DESC, id ASC) row_number
+    "q_canonical_quality" ->
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, $tokensSql AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CASE WHEN len(list_distinct(a.g || b.g)) > 0
+        |        THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+        |        ELSE 0.0 END AS jaccard
+        |    FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |keyed AS (
+        |  SELECT t2.doc_id AS id, len(t2.t) AS score,
+        |    coalesce(cl.cluster, t2.doc_id) AS cluster_key
+        |  FROM toks t2 LEFT JOIN cl ON t2.doc_id = cl.id),
+        |winners AS (
+        |  SELECT cluster_key, id AS keep_id FROM (
+        |    SELECT cluster_key, id,
+        |      row_number() OVER (PARTITION BY cluster_key ORDER BY score DESC, id ASC) AS rn
+        |    FROM keyed) WHERE rn = 1)
+        |SELECT k.id, k.score, k.cluster_key, w.keep_id,
+        |  k.id = w.keep_id AS keep
+        |FROM keyed k JOIN winners w USING (cluster_key)
+        |ORDER BY k.id""".stripMargin)
 
   /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
   private def fingerprintSql: String =

@@ -1888,6 +1888,44 @@ class OpsSpec extends SparkSpec {
     assert(out("s2").getAs[Double]("keep_rate") == 1.0)
   }
 
+  test("canonicalByQuality: highest score wins the cluster, ties fall to min id") {
+    import spark.implicits._
+    val d = Seq((1L, 5), (2L, 9), (3L, 9), (9L, 1))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = graft.ops.Pipeline.canonicalByQuality(d, "doc_id", "score",
+      pairs, "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    // 2 and 3 tie on score 9: the smaller id (2) wins
+    assert(out(1L) == ((2L, false)) && out(2L) == ((2L, true)) &&
+      out(3L) == ((2L, false)))
+    assert(out(9L) == ((9L, true))) // singleton survives
+  }
+
+  test("noveltyScore is stateless: batch == stream (static reference)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = docs(100L -> "aa bb cc dd")
+    val rows = Seq(1L -> "aa bb cc dd", 2L -> "aa bb zz yy", 3L -> "solo")
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.noveltyScore(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", ref, "text", n = 2)
+      .writeStream.format("memory").queryName("novelty_stream_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*); q.processAllAvailable()
+    mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val streamed = spark.table("novelty_stream_test").collect().map(key).toMap
+    val batch = TextAnalysis.noveltyScore(rows.toDF("doc_id", "text"),
+      "doc_id", "text", ref, "text", n = 2).collect().map(key).toMap
+    assert(streamed == batch && batch.size == 3)
+    assert(streamed(3L)._3.isEmpty)
+  }
+
   test("perplexityBuckets: per-source tertiles, fluent reference text heads, short doc null") {
     import spark.implicits._
     val ref = docs(100L -> "the quick fox jumps over the lazy dog")
