@@ -34,7 +34,7 @@ object ExplainAudit {
         "d_containment", "s_centroid_outliers", "t_novelty", "t_entropy",
         "q_corpus_diff", "q_canonical_source", "s_matryoshka_recall",
         "q_dedup_report", "t_quality_report", "q_quality_pipeline",
-        "q_ccnet_buckets", "q_canonical_quality")
+        "q_ccnet_buckets", "q_canonical_quality", "t_subword_tokenize")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

@@ -79,7 +79,7 @@ object ScaleBench {
     // election, matryoshka truncation recall, the two data-card reports
     "q_corpus_diff", "q_canonical_source", "s_matryoshka_recall",
     "q_dedup_report", "t_quality_report", "q_quality_pipeline",
-    "q_ccnet_buckets", "q_canonical_quality")
+    "q_ccnet_buckets", "q_canonical_quality", "t_subword_tokenize")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -155,7 +155,8 @@ object ScaleBench {
     "t_quality_report" -> Set("documents"),
     "q_quality_pipeline" -> Set("documents"),
     "q_ccnet_buckets" -> Set("documents"),
-    "q_canonical_quality" -> Set("documents"))
+    "q_canonical_quality" -> Set("documents"),
+    "t_subword_tokenize" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -704,6 +704,22 @@ object TextAnalysis {
           col("n_grams").cast("double")))
   }
 
+  /** Greedy longest-match SUBWORD tokenization against a broadcast
+    * vocabulary ([[graft.functions.SubwordTokenizeExpr]]) — honest token
+    * accounting for budgets/packing: whitespace "tokens" under-count what
+    * a trainer's subword vocabulary actually sees. Returns per document
+    * the subword count and the space-joined segmentation. One kernel
+    * scan: zero joins, zero shuffles, streaming-safe. */
+  def subwordTokenize(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    val sub = graft.functions.SubwordExprs.subwordTokenizeCol(
+      df.sparkSession, tokens(col(textCol)), vocab)
+    df.select(col(idCol).as("id"), sub.as("__s"))
+      .select(col("id"), size(col("__s")).as("n_subwords"),
+        array_join(col("__s"), " ").as("subword_text"))
+  }
+
   /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2019 §4.3): every
     * document scored by the reference bigram LM ([[lmScore]]), then cut
     * into head / middle / tail by the per-source TERTILES of the score —

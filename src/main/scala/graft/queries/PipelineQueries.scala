@@ -965,6 +965,21 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // greedy longest-match subword tokenization over a DETERMINISTIC
+    // data-derived vocabulary (top-30 tokens + their 3-char prefixes +
+    // the 26 letters): honest subword counts + the full segmentation,
+    // both engines walking the same greedy longest-match
+    "t_subword_tokenize" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val top = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .sort(col("c").desc, col("w")).limit(30).collect().map(_.getString(0))
+      val vocab = (top ++ top.map(_.take(3)) ++
+        ('a' to 'z').map(_.toString)).distinct.toSeq
+      TextAnalysis.subwordTokenize(docs, "doc_id", "text", vocab)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     // quality-max dedup election: each near-dup cluster keeps its
     // longest member (token count — an exact integer score), ties to the
     // smaller id; the per-document sibling of q_canonical_source
@@ -3209,7 +3224,50 @@ object PipelineQueries {
         |SELECT k.id, k.score, k.cluster_key, w.keep_id,
         |  k.id = w.keep_id AS keep
         |FROM keyed k JOIN winners w USING (cluster_key)
-        |ORDER BY k.id""".stripMargin)
+        |ORDER BY k.id""".stripMargin,
+    // subword tokenization re-derived: the same derived vocabulary, the
+    // per-(word,pos) longest-match table (max vocab length with the
+    // char fallback), a linear recursive walk per distinct word, docs
+    // reassembled in word order
+    "t_subword_tokenize" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |tc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |top AS (SELECT w FROM tc QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 30),
+        |vocab AS (SELECT DISTINCT v FROM (
+        |  SELECT w AS v FROM top
+        |  UNION ALL SELECT substr(w, 1, 3) FROM top
+        |  UNION ALL SELECT substr('abcdefghijklmnopqrstuvwxyz', CAST(i + 1 AS INT), 1)
+        |    FROM range(26) t2(i))),
+        |dwords AS (SELECT DISTINCT w FROM (SELECT unnest(t) AS w FROM toks)),
+        |pos AS (SELECT w, CAST(unnest(range(len(w))) + 1 AS BIGINT) AS p
+        |  FROM dwords),
+        |best AS (SELECT p.w, p.p, coalesce(max(len(v.v)), 1) AS bl
+        |  FROM pos p LEFT JOIN vocab v
+        |    ON len(v.v) <= len(p.w) - p.p + 1
+        |    AND substr(p.w, CAST(p.p AS INT), len(v.v)) = v.v
+        |  GROUP BY p.w, p.p),
+        |best2 AS (SELECT w, p, bl,
+        |    substr(w, CAST(p AS INT), CAST(bl AS INT)) AS tok
+        |  FROM best),
+        |walk AS (
+        |  SELECT w, CAST(1 AS BIGINT) AS p, CAST('' AS VARCHAR) AS acc,
+        |    CAST(0 AS BIGINT) AS n
+        |  FROM dwords
+        |  UNION ALL
+        |  SELECT s.w, s.p + b.bl,
+        |    CASE WHEN s.acc = '' THEN b.tok ELSE s.acc || ' ' || b.tok END,
+        |    s.n + 1
+        |  FROM walk s JOIN best2 b ON b.w = s.w AND b.p = s.p
+        |  WHERE s.p <= len(s.w)),
+        |seg AS (SELECT w, acc, n FROM walk WHERE p = len(w) + 1),
+        |inst AS (SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS widx FROM toks),
+        |agg AS (SELECT i.doc_id, CAST(sum(seg.n) AS BIGINT) AS n_subwords,
+        |    string_agg(seg.acc, ' ' ORDER BY i.widx) AS subword_text
+        |  FROM inst i JOIN seg ON i.w = seg.w GROUP BY i.doc_id)
+        |SELECT t.doc_id, coalesce(a.n_subwords, 0) AS n_subwords,
+        |  coalesce(a.subword_text, '') AS subword_text
+        |FROM toks t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin)
 
   /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
   private def fingerprintSql: String =

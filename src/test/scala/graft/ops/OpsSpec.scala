@@ -1888,6 +1888,21 @@ class OpsSpec extends SparkSpec {
     assert(out("s2").getAs[Double]("keep_rate") == 1.0)
   }
 
+  test("subwordTokenize: greedy longest-match, char fallback, word order preserved") {
+    val df = docs(1L -> "abcbc xyz", 2L -> "")
+    val out = TextAnalysis.subwordTokenize(df, "doc_id", "text",
+      Seq("abc", "ab", "a", "bc")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    // 'abcbc': longest-first takes 'abc' then 'bc' (never 'ab');
+    // 'xyz' has no vocab cover -> three single-char fallbacks
+    assert(out(1L) == ((5, "abc bc x y z")))
+    assert(out(2L) == ((0, "")))
+    // a vocab word longer than the remainder never matches past the end
+    val o2 = TextAnalysis.subwordTokenize(docs(3L -> "ab"), "doc_id", "text",
+      Seq("abc", "ab")).collect()(0)
+    assert(o2.getString(2) == "ab")
+  }
+
   test("canonicalByQuality: highest score wins the cluster, ties fall to min id") {
     import spark.implicits._
     val d = Seq((1L, 5), (2L, 9), (3L, 9), (9L, 1))
