@@ -836,8 +836,12 @@ object TextAnalysis {
     * [[gramRunStats]] sorted-run discipline), each completed run adds a
     * DECIMAL(28,14)-quantized term — exactly what an explode→groupBy
     * oracle computes with the same (c/n)·ln(c/n) parenthesization — so
-    * the decimal sum is order-invariant and engine-exact. Render at 9 dp
-    * (the ln-ulp discipline). Empty docs surface with null entropy. */
+    * the decimal sum is order-invariant — but the PRE-quantization
+    * term rides ln (not correctly rounded), so sums can differ ~1e-14
+    * across engines; a 9-dp render measured ONE boundary flip in 5,000
+    * docs at sf0.1, so entropy renders at 6 dp where the 1e-14 slack is
+    * five orders below the rounding boundary. Empty docs surface with
+    * null entropy. */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     // tokens materialize once as a column (the two-step-select trick —
@@ -869,6 +873,6 @@ object TextAnalysis {
     // oracle's +0.0 under a hash compare)
     based.select(col("id"), size(t).as("n_tokens"),
       when(size(t) > 0,
-        round(lit(0.0) - total.cast("double"), 9)).as("entropy"))
+        round(lit(0.0) - total.cast("double"), 6)).as("entropy"))
   }
 }

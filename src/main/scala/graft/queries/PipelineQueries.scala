@@ -2894,7 +2894,7 @@ object PipelineQueries {
         |  FROM cnts),
         |agg AS (SELECT doc_id, CAST(sum(term) AS DOUBLE) AS s FROM terms GROUP BY doc_id)
         |SELECT t.doc_id, len(t.t) AS n_tokens,
-        |  CASE WHEN len(t.t) > 0 THEN ROUND(0e0 - a.s, 9) END AS entropy
+        |  CASE WHEN len(t.t) > 0 THEN ROUND(0e0 - a.s, 6) END AS entropy
         |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // snapshot delta re-derived: same new-corpus derivation, same
     // canonical fingerprint, full-outer join, four-way status CASE
@@ -3061,7 +3061,7 @@ object PipelineQueries {
         |    CAST((CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,14)) AS term
         |  FROM cnts),
         |ent AS (SELECT t.doc_id,
-        |    CASE WHEN len(t.toks) > 0 THEN ROUND(0e0 - a.s, 9) END AS entropy
+        |    CASE WHEN len(t.toks) > 0 THEN ROUND(0e0 - a.s, 6) END AS entropy
         |  FROM t LEFT JOIN (SELECT doc_id, CAST(sum(term) AS DOUBLE) AS s
         |    FROM terms GROUP BY doc_id) a USING (doc_id))
         |SELECT k.source, count(*) AS n_docs,
@@ -3117,7 +3117,7 @@ object PipelineQueries {
         |    CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,14)) AS term
         |  FROM cnts),
         |ent AS (SELECT tk.id,
-        |    CASE WHEN len(tk.t) > 0 THEN ROUND(0e0 - a.s, 9) END AS entropy
+        |    CASE WHEN len(tk.t) > 0 THEN ROUND(0e0 - a.s, 6) END AS entropy
         |  FROM toks tk LEFT JOIN (SELECT id, CAST(sum(term) AS DOUBLE) AS s
         |    FROM terms GROUP BY id) a USING (id)),
         |refg AS (SELECT g FROM (

