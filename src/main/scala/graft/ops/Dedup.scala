@@ -502,6 +502,54 @@ object Dedup {
           .as("cont_b_in_a"))
   }
 
+  /** Measured LSH DEDUP RECALL/PRECISION — the s_ann_recall story for the
+    * dedup side: the banded scale path ([[lshVerifiedPairsMd5]]: LSH
+    * candidates + exact verify, linear in data) measured against exact
+    * all-pairs ground truth ([[ngramJaccardPairs]]) at the same Jaccard
+    * threshold, per block. The number a deployment publishes before
+    * trusting banding parameters: a threshold below the LSH collision
+    * midpoint silently loses pairs while every job "succeeds" — this
+    * operator makes that loss a measured, per-block artifact.
+    *
+    * recall = hits / exact, precision = hits / lsh — divisions of exact
+    * integers (correctly rounded, engine-exact); blocks with no ground
+    * truth / no candidates surface null rather than a fake 1.0. Scale:
+    * the ground-truth side stays quadratic-in-block (that is what makes
+    * it ground truth — run it at audit scale, not corpus scale); the
+    * LSH side is the linear path being measured. */
+  def lshRecallReport(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 2, threshold: Double = 0.4,
+      numHashes: Int = 32, bands: Int = 8, estThreshold: Double = 0.5,
+      maxBucketSize: Int = 200, maxBlockSize: Int = 10000): DataFrame = {
+    val exact = ngramJaccardPairs(df, idCol, textCol, blockCol, n, threshold,
+        maxBlockSize = maxBlockSize)
+      .select(col("blk"), col("id_a"), col("id_b"))
+    val verified = lshVerifiedPairsMd5(df, idCol, textCol, n, numHashes,
+      bands, estThreshold, maxBucketSize, threshold)
+    // the ground truth is blocked — keep candidate pairs within one block
+    val vb = verified
+      .join(df.select(col(idCol).as("id_a"), col(blockCol).as("blk")),
+        Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(blockCol).as("__blk_b")),
+        Seq("id_b"))
+      .filter(col("blk") === col("__blk_b"))
+      .select(col("blk"), col("id_a"), col("id_b"))
+    val e = exact.groupBy("blk").agg(count(lit(1)).as("n_exact"))
+    val c = vb.groupBy("blk").agg(count(lit(1)).as("n_lsh"))
+    val h = vb.join(exact, Seq("blk", "id_a", "id_b"))
+      .groupBy("blk").agg(count(lit(1)).as("n_hit"))
+    e.join(c, Seq("blk"), "full_outer")
+      .join(h, Seq("blk"), "full_outer")
+      .select(col("blk"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", when(col("n_exact") > 0,
+        col("n_hit").cast("double") / col("n_exact").cast("double")))
+      .withColumn("precision", when(col("n_lsh") > 0,
+        col("n_hit").cast("double") / col("n_lsh").cast("double")))
+  }
+
   /** The exact all-pairs core: balanced triangle self-join of the gram
     * projections (blk, id, g, nc, ck), count-ratio prune, packed-set
     * Jaccard. `loSrc`/`hiSrc` are the two join sides (usually the same

@@ -965,6 +965,15 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // measured LSH dedup recall/precision per block: the banded+verified
+    // scale path vs exact all-pairs ground truth at the same threshold —
+    // exact-integer ratios, nulls (never fake 1.0) for empty sides
+    "d_lsh_recall" -> { (s, d) =>
+      Dedup.lshRecallReport(Tables.documents(s, d), "doc_id", "text",
+        blockCol = "source", n = 2, threshold = 0.4, numHashes = 32,
+        bands = 8, estThreshold = 0.5, maxBucketSize = 200)
+        .orderBy("blk")
+    },
     // greedy longest-match subword tokenization over a DETERMINISTIC
     // data-derived vocabulary (top-30 tokens + their 3-char prefixes +
     // the 26 letters): honest subword counts + the full segmentation,
@@ -3267,7 +3276,60 @@ object PipelineQueries {
         |SELECT t.doc_id, coalesce(a.n_subwords, 0) AS n_subwords,
         |  coalesce(a.subword_text, '') AS subword_text
         |FROM toks t LEFT JOIN agg a USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin)
+        |ORDER BY t.doc_id""".stripMargin,
+    // LSH recall report re-derived: the md5 LSH+verify chain (candidate
+    // CTEs shared with d_lsh_jaccard_verify) restricted to same-source
+    // pairs, exact all-pairs ground truth at the same 0.4 threshold,
+    // FULL-OUTER count assembly with the same null semantics
+    "d_lsh_recall" ->
+      s"""WITH ${md5LshOracleCtes(32, 8, 200)},
+         |gsets AS (SELECT doc_id, list_distinct(h) AS hs FROM hashes),
+         |ver AS (SELECT id_a, id_b FROM (
+         |    SELECT e.id_a, e.id_b,
+         |      CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |        / CAST(len(list_distinct(a.hs || b.hs)) AS DOUBLE) AS j
+         |    FROM est e
+         |    JOIN gsets a ON a.doc_id = e.id_a
+         |    JOIN gsets b ON b.doc_id = e.id_b
+         |    WHERE e.est_jaccard >= 0.5)
+         |  WHERE j >= 0.4),
+         |srcm AS (SELECT doc_id, source FROM documents),
+         |vb AS (SELECT sa.source AS blk, v.id_a, v.id_b
+         |  FROM ver v
+         |  JOIN srcm sa ON v.id_a = sa.doc_id
+         |  JOIN srcm sb ON v.id_b = sb.doc_id
+         |  WHERE sa.source = sb.source),
+         |etoks AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
+         |egrams AS (SELECT doc_id, source,
+         |    list_distinct(CASE WHEN len(t) >= 2
+         |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+         |      ELSE [array_to_string(t, ' ')] END) AS g
+         |  FROM etoks),
+         |exact AS (SELECT blk, id_a, id_b FROM (
+         |    SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+         |      CASE WHEN len(list_distinct(a.g || b.g)) > 0
+         |        THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+         |        ELSE 0.0 END AS jaccard
+         |    FROM egrams a JOIN egrams b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.4),
+         |e2 AS (SELECT blk, count(*) AS n_exact FROM exact GROUP BY blk),
+         |c2 AS (SELECT blk, count(*) AS n_lsh FROM vb GROUP BY blk),
+         |h2 AS (SELECT vb.blk, count(*) AS n_hit
+         |  FROM vb JOIN exact ON vb.blk = exact.blk
+         |    AND vb.id_a = exact.id_a AND vb.id_b = exact.id_b
+         |  GROUP BY vb.blk),
+         |assembled AS (
+         |  SELECT coalesce(e2.blk, c2.blk, h2.blk) AS blk,
+         |    coalesce(e2.n_exact, 0) AS n_exact,
+         |    coalesce(c2.n_lsh, 0) AS n_lsh,
+         |    coalesce(h2.n_hit, 0) AS n_hit
+         |  FROM e2
+         |  FULL OUTER JOIN c2 ON e2.blk = c2.blk
+         |  FULL OUTER JOIN h2 ON coalesce(e2.blk, c2.blk) = h2.blk)
+         |SELECT blk, n_exact, n_lsh, n_hit,
+         |  CASE WHEN n_exact > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall,
+         |  CASE WHEN n_lsh > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_lsh AS DOUBLE) END AS "precision"
+         |FROM assembled ORDER BY blk""".stripMargin)
 
   /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
   private def fingerprintSql: String =

@@ -1903,6 +1903,91 @@ class OpsSpec extends SparkSpec {
     assert(o2.getString(2) == "ab")
   }
 
+  test("subwordTokenize: differential vs a naive driver-side greedy reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val alphabet = "abcd"
+    def randWord() = (0 until (1 + rng.nextInt(7)))
+      .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    val vocab = (0 until 40).map(_ => randWord()).distinct
+    val docsRows = (0 until 60).map(i =>
+      (i.toLong, (0 until (1 + rng.nextInt(5))).map(_ => randWord()).mkString(" ")))
+    def naive(text: String): Seq[String] = {
+      val vs = vocab.toSet
+      text.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var p = 0
+        while (p < w.length) {
+          val max = math.min(w.length - p, vocab.map(_.length).max)
+          val hit = (max to 1 by -1).map(l => w.substring(p, p + l))
+            .find(vs.contains)
+          val piece = hit.getOrElse(w.substring(p, p + 1))
+          out += piece; p += piece.length
+        }
+        out.toSeq
+      }
+    }
+    val got = TextAnalysis.subwordTokenize(docsRows.toDF("doc_id", "text"),
+      "doc_id", "text", vocab).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    docsRows.foreach { case (id, text) =>
+      val want = naive(text)
+      assert(got(id) == ((want.length, want.mkString(" "))),
+        s"doc $id: ${got(id)} != $want")
+    }
+  }
+
+  test("subwordTokenize is stateless: batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vocab = Seq("abc", "ab", "bc")
+    val rows = Seq(1L -> "abcbc ab", 2L -> "", 3L -> "xyz")
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.subwordTokenize(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", vocab)
+      .writeStream.format("memory").queryName("subword_stream_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*); q.processAllAvailable()
+    mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getInt(1), r.getString(2))
+    val streamed = spark.table("subword_stream_test").collect().map(key).toMap
+    val batch = TextAnalysis.subwordTokenize(rows.toDF("doc_id", "text"),
+      "doc_id", "text", vocab).collect().map(key).toMap
+    assert(streamed == batch && batch.size == 3)
+  }
+
+  test("lshRecallReport: hit/missed/absent blocks, exact-integer ratios, null not fake 1.0") {
+    import spark.implicits._
+    // block a: identical pair (LSH must find) + a disjoint-vocab moderate
+    // pair at bigram-jaccard 3/7 ≈ 0.43 (exact ground truth at 0.4, but
+    // killed by estThreshold=0.99 → a measured miss); block b: only a
+    // moderate pair → zero LSH pairs → precision null, recall 0.0;
+    // block c: a singleton → absent from the report entirely
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "a"),
+      (2L, "alpha beta gamma delta", "a"),
+      (3L, "p q r s t u", "a"),
+      (4L, "p q r s x y", "a"),
+      (5L, "m n o w v z", "b"),
+      (6L, "m n o w k j", "b"),
+      (7L, "lonely single document here", "c"))
+      .toDF("doc_id", "text", "src")
+    val rep = Dedup.lshRecallReport(docs, "doc_id", "text", "src",
+        n = 2, threshold = 0.4, numHashes = 32, bands = 8,
+        estThreshold = 0.99, maxBucketSize = 200)
+      .orderBy("blk").collect()
+    assert(rep.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = rep(0)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) == ((2L, 1L, 1L)))
+    assert(a.getDouble(4) == 0.5 && a.getDouble(5) == 1.0)
+    val b = rep(1)
+    assert((b.getLong(1), b.getLong(2), b.getLong(3)) == ((1L, 0L, 0L)))
+    assert(b.getDouble(4) == 0.0 && b.isNullAt(5))
+  }
+
   test("canonicalByQuality: highest score wins the cluster, ties fall to min id") {
     import spark.implicits._
     val d = Seq((1L, 5), (2L, 9), (3L, 9), (9L, 1))
