@@ -70,4 +70,72 @@ object Retrieval {
         .cast("double").as("score"))
     Similarity.topKPerGroup(scored, "q_id", "doc_id", "score", k)
   }
+
+  /** All-pairs sparse TF-IDF cosine similarity over the corpus (the
+    * posting-list self-join of Lin's "Brute Force and Indexed Approaches
+    * to Pairwise Document Similarity" / Twitter DISCO): pairs of documents
+    * whose tf·idf vectors — restricted to NON-STOP terms — have cosine
+    * ≥ `minSim`, with the common-term count.
+    *
+    * Scale shape: documents never pair directly. Each doc explodes to its
+    * distinct (term, tf) postings (one grouped-count shuffle); terms with
+    * document frequency > `maxDf` are dropped BEFORE pairing — the
+    * df-prune that makes the self-join linear-ish (a term pairs df²/2
+    * docs, so capping df caps the expansion exactly like the LSH bucket
+    * cap), and simultaneously the classic stop-term removal (df > maxDf
+    * terms carry ~no discriminative weight). The self-join then runs on
+    * skinny (term, id, w) rows, and each pair's products fold in one
+    * grouped sum.
+    *
+    * Engine-exact arithmetic: idf quantizes to an integer once
+    * (`round(ln(N/df)·10⁶)` — the house ln-ulp discipline; everything
+    * after is BIGINT-exact and order-invariant), weights/dots/norms stay
+    * integers, and the one final `dot / sqrt(ssqa·ssqb)` is two
+    * correctly-rounded IEEE ops from exact integers — bit-identical in
+    * any engine. Terms with df = N (idf 0) contribute nothing and are
+    * dropped with the stop terms. Norms are over the SAME pruned term
+    * space, so the metric is self-consistent. Integer overflow headroom:
+    * w ≤ tf·ln(N)·10⁶ — at tf 10³, N 10¹², w ~ 2.8e10, w² ~ 7.6e20
+    * overflows — so per-term weights are asserted < 3e9 in-plan
+    * (raise_error), the documented contract (shorten docs or raise maxDf
+    * quantization before hitting it).
+    *
+    * `terms` is the per-document term array (whitespace tokens, n-gram
+    * shingles, subword pieces — the caller's vector space). */
+  def tfidfSimilarPairs(df: DataFrame, idCol: String,
+      terms: org.apache.spark.sql.Column,
+      maxDf: Long = 100, minSim: Double = 0.2): DataFrame = {
+    val n = df.count()
+    val toks = df.select(col(idCol).as("id"), explode(terms).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = toks.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= maxDf && col("dfreq") < n)
+    val idfQ = round(log(lit(n.toDouble) / col("dfreq").cast("double")) * 1e6, 0)
+      .cast("long")
+    val weighted = toks.join(dfc.hint("SHUFFLE_HASH"), Seq("term"))
+      .select(col("id"), col("term"),
+        (col("tf") * idfQ).as("w"))
+      .withColumn("w",
+        when(col("w") < 3000000000L, col("w"))
+          .otherwise(raise_error(concat(lit(
+            "tfidfSimilarPairs: per-term weight exceeds the 3e9 integer-" +
+            "overflow headroom (tf*idfQ="), col("w").cast("string")))))
+    val norms = weighted.groupBy("id")
+      .agg(sum(col("w") * col("w")).as("ssq"))
+    val a = weighted.select(col("term"), col("id").as("id_a"), col("w").as("w_a"))
+    val b = weighted.select(col("term"), col("id").as("id_b"), col("w").as("w_b"))
+    val dots = a.join(b.hint("SHUFFLE_HASH"), Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("w_a") * col("w_b")).as("dot"),
+        count(lit(1)).as("n_common"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("ssq").as("ssq_a")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("ssq").as("ssq_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("dot").cast("double")
+          / sqrt(col("ssq_a").cast("double") * col("ssq_b").cast("double")))
+          .as("cosine"))
+      .filter(col("cosine") >= minSim)
+  }
 }

@@ -875,4 +875,82 @@ object TextAnalysis {
       when(size(t) > 0,
         round(lit(0.0) - total.cast("double"), 6)).as("entropy"))
   }
+
+  // ---- Bloom-prefiltered decontamination ----------------------------------
+
+  /** Distributed Bloom-filter build over a fingerprint column: each
+    * fingerprint expands to its k bit positions
+    * ([[graft.functions.BloomExprs]], Kirsch–Mitzenmacher double hashing),
+    * positions fold to 64-bit words with one `bit_or` aggregation, and the
+    * driver collects exactly `numBits/64` longs — bounded by the filter
+    * SIZE (a design parameter), never by the fingerprint count. A 1.2 GB
+    * filter admits ~10⁹ members at 1% fpp; the set itself would be 8 GB+
+    * plus literal-plan bloat, past any broadcast or typedlit budget. */
+  def buildBloomFilter(fps: DataFrame, fpCol: String, numBits: Long,
+      numHashes: Int): Array[Long] = {
+    val spark = fps.sparkSession
+    require(numBits > 0 && numBits % 64 == 0, s"numBits must be a positive multiple of 64, got $numBits")
+    val numWords = (numBits / 64).toInt
+    val rows = fps
+      .select(explode(graft.functions.BloomExprs.bitPositions(
+        spark, col(fpCol), numHashes, numBits)).as("pos"))
+      .select(shiftright(col("pos"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("w").agg(bit_or(col("bit")).as("word"))
+      .collect()
+    val words = new Array[Long](numWords)
+    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** [[decontaminate]] with a Bloom prefilter — the 100 TB shape when the
+    * eval/blocklist fingerprint set outgrows a broadcast. Plain
+    * `decontaminate` broadcasts eval fingerprints to every task (fine for
+    * benchmark suites, ~10⁶ fps); against a large blocklist (every eval
+    * suite + opt-out registry + prior-corpus fps) the broadcast itself
+    * becomes the bottleneck. Here:
+    *
+    *  1. eval fingerprints build a Bloom filter DISTRIBUTED (one narrow
+    *     explode + bit_or shuffle over eval only); the driver holds
+    *     numBits/64 longs,
+    *  2. the corpus scan stays one narrow codegen projection — winnow the
+    *     doc, count fingerprints landing in the task-broadcast filter
+    *     ([[graft.functions.BloomExprs.BloomCountContainedExpr]]); docs
+    *     with fewer than `minShared` Bloom hits are DEFINITIVELY clean
+    *     (no false negatives), and at the default 1% fpp that is ~all of
+    *     a clean corpus — the 100 TB never shuffles,
+    *  3. only the sliver that passed re-explodes and exact-verifies in a
+    *     fingerprint shuffle join against the eval set (false positives
+    *     die here), so results are bit-identical to [[decontaminate]].
+    *
+    * `materializePath` lands the deduped eval fingerprints in parquet for
+    * the two consumers (filter build + verify join) — the cluster-durable
+    * form of the default localCheckpoint. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+      k: Int = 16, w: Int = 16, minShared: Int = 3, fpp: Double = 0.01,
+      materializePath: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val efp = Dedup.materializeBase(
+      winnowFingerprints(evalSet, evalIdCol, evalTextCol, k, w)
+        .select("fp").distinct(), materializePath)
+    val nEval = math.max(efp.count(), 1L)
+    val numBits = graft.functions.BloomExprs.optimalNumBits(nEval, fpp)
+    val numHashes = graft.functions.BloomExprs.optimalNumHashes(nEval, numBits)
+    val words = buildBloomFilter(efp, "fp", numBits, numHashes)
+
+    val docFps = graft.functions.WinnowExprs.winnow(spark, col(textCol), k, w)
+    val bloomHits = graft.functions.BloomExprs.countContained(
+      spark, docFps, words, numHashes)
+    val candidates = corpus
+      .withColumn("__bloom_hits", bloomHits)
+      .filter(col("__bloom_hits") >= minShared)
+      .drop("__bloom_hits")
+    val cfp = winnowFingerprints(candidates, idCol, textCol, k, w)
+    val contaminated = cfp.join(efp.hint("SHUFFLE_HASH"), Seq("fp"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id").as(idCol))
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
 }

@@ -401,6 +401,20 @@ object PipelineQueries {
         .withColumn("score", round(col("score"), 9))
         .orderBy("q_id", "rank")
     },
+    // all-pairs sparse TF-IDF cosine over trigram shingles: posting-list
+    // self-join with the df <= 50 stop-term prune (the expansion cap —
+    // a term pairs at most df^2/2 docs); idf quantized to an integer once
+    // (round(ln(N/df)*1e6), the ln-ulp discipline), then weights, dots
+    // and norms stay BIGINT-exact, and the one final dot/sqrt(ssq*ssq)
+    // is correctly-rounded IEEE from exact integers — engine-exact; 9-dp
+    // render
+    "s_tfidf_pairs" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.Retrieval.tfidfSimilarPairs(docs, "doc_id",
+          Dedup.shingles(col("text"), 3), maxDf = 50, minSim = 0.04)
+        .withColumn("cosine", round(col("cosine"), 9))
+        .orderBy("id_a", "id_b")
+    },
     // GPT-style sequence packing: concatenate the corpus token stream in
     // doc_id order, cut every 512 tokens; one row per (doc, sequence)
     // piece. Distributed prefix-sum (literal-boundary buckets), never a
@@ -559,6 +573,22 @@ object PipelineQueries {
       val evalSet = docs.filter(col("doc_id") % 50 === 0)
       TextAnalysis.decontaminate(docs, "doc_id", "text",
           evalSet, "doc_id", "text", k = 16, w = 16, minShared = 3)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+    // Bloom-prefiltered decontamination — the blocklist-too-big-to-
+    // broadcast shape: eval fps build a distributed Bloom filter, the
+    // corpus scan counts task-broadcast filter hits in one narrow codegen
+    // projection, and only the passing sliver exact-verifies in a
+    // fingerprint shuffle join. Bit-identical to plain decontamination
+    // (no false negatives; false positives die in the verify join), so
+    // the oracle is the exact winnow-chain SQL with these parameters.
+    "q_decon_bloom" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 37 === 0)
+      TextAnalysis.decontaminateBloom(docs, "doc_id", "text",
+          evalSet, "doc_id", "text", k = 16, w = 16, minShared = 2,
+          fpp = 0.01)
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
@@ -1798,6 +1828,38 @@ object PipelineQueries {
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
         |SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_freq
         |FROM toks GROUP BY token ORDER BY token""".stripMargin,
+    // sparse TF-IDF cosine pairs re-derived: trigram shingles (same CASE
+    // as the Jaccard oracles), tf + df, integer-quantized idf with the
+    // df<=50 AND df<N stop-term prune, BIGINT weights/dots/norms, the one
+    // double division from exact integers, raw-cosine threshold, 9-dp
+    "s_tfidf_pairs" ->
+      s"""WITH toksq AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |      ELSE [array_to_string(t, ' ')] END) AS term
+        |  FROM toksq),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfreq FROM tfq GROUP BY 1),
+        |keep AS (SELECT term,
+        |    CAST(round(ln(CAST((SELECT n FROM nd) AS DOUBLE) / CAST(dfreq AS DOUBLE)) * 1000000) AS BIGINT) AS idfq
+        |  FROM dfq WHERE dfreq <= 50 AND dfreq < (SELECT n FROM nd)),
+        |w AS (SELECT doc_id, tfq.term, tf * idfq AS w
+        |  FROM tfq JOIN keep ON tfq.term = keep.term),
+        |norms AS (SELECT doc_id, sum(w * w) AS ssq FROM w GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    sum(a.w * b.w) AS dot, count(*) AS n_common
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common, round(cosine, 9) AS cosine FROM (
+        |  SELECT id_a, id_b, n_common,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(na.ssq AS DOUBLE) * CAST(nb.ssq AS DOUBLE)) AS cosine
+        |  FROM dots
+        |  JOIN norms na ON dots.id_a = na.doc_id
+        |  JOIN norms nb ON dots.id_b = nb.doc_id)
+        |WHERE cosine >= 0.04
+        |ORDER BY id_a, id_b""".stripMargin,
     // BM25 re-derived: postings with carried doc length, query-restricted
     // document frequencies, the same fixed parenthesization per term,
     // DECIMAL(28,14) per-doc sums, rank by score desc / doc asc
@@ -2222,6 +2284,19 @@ object PipelineQueries {
         |  SELECT c.doc_id FROM csel c
         |  JOIN (SELECT DISTINCT fp FROM esel) e ON c.fp = e.fp
         |  GROUP BY c.doc_id HAVING count(*) >= 3)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+    // the Bloom route is exact (prefilter has no false negatives, the
+    // verify join kills false positives), so its oracle is the same
+    // winnow-chain anti-join — only the parameters differ
+    "q_decon_bloom" ->
+      s"""WITH ${winnowSelCtes("c", "documents")},
+        |${winnowSelCtes("e", "(SELECT * FROM documents WHERE doc_id % 37 = 0)")},
+        |contaminated AS (
+        |  SELECT c.doc_id FROM csel c
+        |  JOIN (SELECT DISTINCT fp FROM esel) e ON c.fp = e.fp
+        |  GROUP BY c.doc_id HAVING count(*) >= 2)
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin,

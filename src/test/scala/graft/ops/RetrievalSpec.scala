@@ -97,4 +97,81 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  // ---- tfidfSimilarPairs ---------------------------------------------------
+
+  test("tfidf pairs match a driver-side integer-quantized recomputation") {
+    val c = docs(corpus: _*)
+    val got = Retrieval.tfidfSimilarPairs(c, "doc_id",
+        TextAnalysis.tokens(col("text")), maxDf = 3, minSim = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    // independent reference: plain Scala maps, same quantization
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val n = corpus.size
+    val tf = toks.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (k, v) => k -> v.size.toLong } }.toMap
+    val dfm = toks.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val keep = dfm.filter { case (_, d) => d <= 3 && d < n }
+      .map { case (t, d) => t -> math.round(math.log(n.toDouble / d) * 1e6) }
+    val w = tf.map { case (id, m) =>
+      id -> m.collect { case (t, f) if keep.contains(t) => t -> f * keep(t) } }
+    val ssq = w.map { case (id, m) => id -> m.values.map(x => x * x).sum }
+    for {
+      (a, wa) <- w; (b, wb) <- w if a < b
+      common = wa.keySet.intersect(wb.keySet) if common.nonEmpty
+    } {
+      val dot = common.toSeq.map(t => wa(t) * wb(t)).sum
+      val exp = dot.toDouble / math.sqrt(ssq(a).toDouble * ssq(b).toDouble)
+      val (nc, cos) = got((a, b))
+      assert(nc == common.size, s"pair ($a,$b) n_common")
+      assert(cos == exp, s"pair ($a,$b): $cos vs $exp") // bit-identical, not approx
+    }
+    // no pair with zero common non-stop terms may appear
+    assert(got.keySet.forall { case (a, b) =>
+      w(a).keySet.intersect(w(b).keySet).nonEmpty })
+  }
+
+  test("tfidf prune: terms above maxDf never contribute") {
+    // 'shared' is in all 4 docs (df=4 > maxDf=2) — without the prune every
+    // pair would match; with it only the planted near-pair survives
+    val c = docs(
+      1L -> "shared alpha beta gamma",
+      2L -> "shared alpha beta delta",
+      3L -> "shared epsilon zeta eta",
+      4L -> "shared theta iota kappa")
+    val pairs = Retrieval.tfidfSimilarPairs(c, "doc_id",
+        TextAnalysis.tokens(col("text")), maxDf = 2, minSim = 0.1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("tfidf identical docs have cosine exactly 1.0") {
+    val c = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delta",
+      3L -> "something entirely different here")
+    val r = Retrieval.tfidfSimilarPairs(c, "doc_id",
+        TextAnalysis.tokens(col("text")), maxDf = 10, minSim = 0.5)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 1L && r.head.getLong(1) == 2L)
+    assert(r.head.getDouble(3) == 1.0)
+  }
+
+  test("tfidf overflow guard raises in-plan on absurd weights") {
+    // one doc repeating a rare term enough that tf*idfQ exceeds 3e9
+    val hot = ("rareterm " * 250000).trim
+    val c = docs(1L -> hot, 2L -> "rareterm once", 3L -> "filler text")
+      .repartition(2)
+    val ex = intercept[Exception] {
+      Retrieval.tfidfSimilarPairs(c, "doc_id",
+        TextAnalysis.tokens(col("text")), maxDf = 2, minSim = 0.0).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
