@@ -79,7 +79,11 @@ object ScaleBench {
     // election, matryoshka truncation recall, the two data-card reports
     "q_corpus_diff", "q_canonical_source", "s_matryoshka_recall",
     "q_dedup_report", "t_quality_report", "q_quality_pipeline",
-    "q_ccnet_buckets", "q_canonical_quality", "t_subword_tokenize")
+    "q_ccnet_buckets", "q_canonical_quality", "t_subword_tokenize",
+    // round-9 sixth wave: Bloom-prefiltered decontamination (the
+    // blocklist-too-big-to-broadcast route) and posting-list TF-IDF
+    // cosine pairs (df-prune-capped self-join)
+    "q_decon_bloom", "s_tfidf_pairs")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps

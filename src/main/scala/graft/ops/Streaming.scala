@@ -199,4 +199,62 @@ object Streaming {
           .toDF("user_id", "n_sessions", "n_events")
     }
   }
+
+  // ---- stream-stream interval (attribution) join ---------------------------
+
+  /** Attribution interval join — batch form: every `leftType` event pairs
+    * with the SAME user's `rightType` events in the preceding
+    * `lookbackSeconds` (inclusive of simultaneous, exclusive of the far
+    * edge): the "purchase ← clicks in the last N minutes" join. One
+    * equi-shuffle on user_id with the band predicate applied in the hash
+    * join (never BroadcastNestedLoop — the key carries the join), so the
+    * plan is the q_asof_join/q_range_join family's shape. */
+  def attributionJoinBatch(events: DataFrame, leftType: String,
+      rightType: String, lookbackSeconds: Long): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"), col("user_id"),
+        col("ts").as("left_ts"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"),
+        col("user_id").as("r_user_id"), col("ts").as("right_ts"))
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("right_ts") <= col("left_ts") &&
+          col("right_ts") > col("left_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"))
+      .select(col("left_id"), col("right_id"), col("user_id"),
+        col("left_ts"), col("right_ts"),
+        (unix_timestamp(col("left_ts")) - unix_timestamp(col("right_ts")))
+          .as("lag_s"))
+  }
+
+  /** Streaming twin: a stream-stream inner join with watermarks on BOTH
+    * sides and the time-range condition — exactly what lets Structured
+    * Streaming bound the join state: the right (trigger) side's buffered
+    * rows are evicted once the watermark passes `lookbackSeconds` behind,
+    * the left side as soon as its watermark passes, so state is
+    * O(traffic × (lookback + watermark delay)) regardless of how long the
+    * streams run. Same output schema and rows as
+    * [[attributionJoinBatch]] (batch==stream pin in OpsSpec).
+    *
+    * `events` must be a streaming DataFrame with the events schema. */
+  def attributionJoinStream(events: DataFrame, leftType: String,
+      rightType: String, lookbackSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"), col("user_id"),
+        col("ts").as("left_ts"))
+      .withWatermark("left_ts", watermark)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"),
+        col("user_id").as("r_user_id"), col("ts").as("right_ts"))
+      .withWatermark("right_ts", watermark)
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("right_ts") <= col("left_ts") &&
+          col("right_ts") > col("left_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"))
+      .select(col("left_id"), col("right_id"), col("user_id"),
+        col("left_ts"), col("right_ts"),
+        (unix_timestamp(col("left_ts")) - unix_timestamp(col("right_ts")))
+          .as("lag_s"))
+  }
 }

@@ -635,6 +635,17 @@ object PipelineQueries {
       Streaming.sessionizeBatch(Tables.events(s, d), gapSeconds = 1800)
         .orderBy("user_id")
     },
+    // attribution interval join: each purchase pairs with the same user's
+    // clicks in the preceding 4 hours — the batch twin of the
+    // stream-stream watermarked join (state bounded by lookback+watermark;
+    // batch==stream pin in OpsSpec). Equi-shuffle on user_id, band
+    // predicate inside the hash join.
+    "q_event_attribution" -> { (s, d) =>
+      Streaming.attributionJoinBatch(Tables.events(s, d),
+          leftType = "purchase", rightType = "click", lookbackSeconds = 14400)
+        .select("left_id", "right_id", "user_id", "lag_s")
+        .orderBy("left_id", "right_id")
+    },
     // corpus length distribution: exact interpolated percentiles per source
     "t_length_percentiles" -> { (s, d) =>
       Tables.documents(s, d)
@@ -1590,6 +1601,18 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN prev IS NULL OR ep - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // interval-join attribution: same-user purchase<-click pairs within
+    // the 4-hour lookback; lag via the floor(epoch) idiom (Spark's
+    // unix_timestamp truncates to seconds), interval bounds compared at
+    // full microsecond precision on both engines
+    "q_event_attribution" ->
+      """SELECT p.event_id AS left_id, c.event_id AS right_id, p.user_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_s
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 14400 SECONDS
+        |ORDER BY left_id, right_id""".stripMargin,
     "q_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,

@@ -2140,4 +2140,59 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch && batch.size == 3)
     assert(streamed(1L)._2.contains("xx") && streamed(2L)._2.contains("yy"))
   }
+
+  test("stream-stream attribution join matches the batch interval join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(min: Int, sec: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    // user 1: two clicks then a purchase (both in window), a late click
+    // (after the purchase — excluded), and a click exactly at the far edge
+    // (excluded: strict >). user 2: click then purchase in a later batch
+    // (crosses the micro-batch boundary — the state buffer must hold it).
+    // user 3: purchase with no clicks.
+    val rows = Seq(
+      Seq((1L, 1L, "click", ts(0)), (2L, 1L, "click", ts(5)),
+        (3L, 2L, "click", ts(6))),
+      Seq((4L, 1L, "purchase", ts(10)), (5L, 1L, "click", ts(11)),
+        (6L, 3L, "purchase", ts(12))),
+      Seq((7L, 2L, "purchase", ts(14)),
+        (8L, 4L, "click", ts(0)), (9L, 4L, "purchase", ts(20))))
+
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val out = Streaming.attributionJoinStream(src, "purchase", "click",
+      lookbackSeconds = 1200, watermark = "10 minutes") // 20-min lookback
+    val q = out.writeStream.format("memory").queryName("attr_stream_test")
+      .outputMode("append").start()
+    rows.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("attr_stream_test")
+      .select("left_id", "right_id", "user_id", "lag_s")
+      .collect().map(key).toSet
+    val batch = Streaming.attributionJoinBatch(
+        rows.flatten.toDF("event_id", "user_id", "event_type", "ts"),
+        "purchase", "click", lookbackSeconds = 1200)
+      .select("left_id", "right_id", "user_id", "lag_s")
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    // exact expected pairs: purchase 4 <- clicks 1,2; purchase 7 <- click 3;
+    // user 4's click at 10:00 vs purchase at 10:20 is EXACTLY the far edge
+    // (strict >) and must not pair
+    assert(batch == Set(
+      (4L, 1L, 1L, 600L), (4L, 2L, 1L, 300L), (7L, 3L, 2L, 480L)))
+  }
+
+  test("attribution join plans as a hash join on the user key, no BNLJ") {
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    val plan = Streaming.attributionJoinBatch(events, "purchase", "click",
+      14400).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("HashJoin"), plan.take(600))
+  }
 }
