@@ -83,7 +83,10 @@ object ScaleBench {
     // round-9 sixth wave: Bloom-prefiltered decontamination (the
     // blocklist-too-big-to-broadcast route) and posting-list TF-IDF
     // cosine pairs (df-prune-capped self-join)
-    "q_decon_bloom", "s_tfidf_pairs")
+    // t_bpe_train's merge table is constant-size output; the scaling work
+    // is the word-count shuffle feeding the capped collect
+    "q_decon_bloom", "s_tfidf_pairs", "t_bpe_train",
+    "q_event_attribution")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps

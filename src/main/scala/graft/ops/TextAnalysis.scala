@@ -876,6 +876,91 @@ object TextAnalysis {
         round(lit(0.0) - total.cast("double"), 6)).as("entropy"))
   }
 
+  // ---- BPE merge training --------------------------------------------------
+
+  /** Byte-pair-encoding merge training (Sennrich, Haddow, Birch — "Neural
+    * Machine Translation of Rare Words with Subword Units", ACL 2016) in
+    * the shape every production tokenizer trainer uses (HuggingFace
+    * tokenizers, SentencePiece BPE): ONE distributed word-count shuffle
+    * (map-side combinable), then the merge loop runs on the driver over
+    * the BOUNDED word table — capped to the top-`maxWords` words by
+    * (count desc, word asc), the [[lmScore]]/[[nbQualityScore]] bounded-
+    * TakeOrdered discipline, so driver memory is O(cap) however large the
+    * corpus. This is not a shortcut: pair statistics are a pure function
+    * of the word-count dictionary, so the loop over it is exact for the
+    * kept words, and at any real cap (~10⁵) the dropped tail is hapax
+    * noise by Zipf.
+    *
+    * Deterministic semantics an oracle can replay: words split to code
+    * points; each round counts ADJACENT symbol pairs weighted by word
+    * count (overlapping occurrences all count), picks max count with ties
+    * to the UTF-8-byte-order-smallest `left + ' ' + right` pair, and
+    * re-segments every word by one greedy left-to-right non-overlapping
+    * fold (a fresh merge result never re-pairs with the next symbol in
+    * the same round). Stops early when no pair remains.
+    *
+    * Returns one row per learned merge:
+    * (rank, left, right, merged, pair_count). Apply the learned
+    * vocabulary with [[subwordTokenize]] (base code points + merged
+    * symbols). */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 50000): DataFrame = {
+    val spark = df.sparkSession
+    val wc = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .sort(col("c").desc, col("w")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    def utf8Less(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+    var segs: Array[(Array[String], Long)] = wc.map { case (w, c) =>
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      (cps, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      segs.foreach { case (s, c) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = counts.reduceLeft { (x, y) =>
+          if (y._2 > x._2) y
+          else if (y._2 == x._2 &&
+            utf8Less(y._1._1 + " " + y._1._2, x._1._1 + " " + x._1._2)) y
+          else x
+        }
+        merges += ((r, a, b, a + b, cnt))
+        segs = segs.map { case (s, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          s.foreach { x =>
+            if (out.nonEmpty && out.last == a && x == b)
+              out(out.length - 1) = a + b
+            else out += x
+          }
+          (out.toArray, c)
+        }
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   // ---- Bloom-prefiltered decontamination ----------------------------------
 
   /** Distributed Bloom-filter build over a fingerprint column: each

@@ -1030,6 +1030,16 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // BPE merge training: one word-count shuffle, bounded driver merge
+    // loop (top-maxWords cap, the TakeOrdered discipline); 12 learned
+    // merges with exact pair counts, ties to the UTF-8-smallest pair —
+    // the oracle replays all 12 rounds as chained CTEs (pair count →
+    // argmax → greedy left-to-right list_reduce re-segmentation)
+    "t_bpe_train" -> { (s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), "text",
+          numMerges = 12, maxWords = 1000)
+        .orderBy("rank")
+    },
     // quality-max dedup election: each near-dup cluster keeps its
     // longest member (token count — an exact integer score), ties to the
     // smaller id; the per-document sibling of q_canonical_source
@@ -1052,6 +1062,43 @@ object PipelineQueries {
 
   private val tokensSql =
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  /** BPE training re-derived as chained CTEs: capped word counts, then per
+    * round k — adjacent-pair counts weighted by word count, argmax with
+    * the (count desc, pair asc) tie-break (binary collation = the
+    * kernel's UTF-8 byte order), and one greedy left-to-right
+    * `list_reduce` re-segmentation (the merge result never re-pairs with
+    * the next symbol inside a round — same fold as the driver loop).
+    * Symbols contain no spaces (words come from whitespace split), so a
+    * space-joined segmentation string round-trips exactly. */
+  private def bpeOracleCtes(numMerges: Int, maxWords: Int): String = {
+    val rounds = (1 to numMerges).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+         |    SELECT cnt, unnest(list_transform(range(len(s) - 1),
+         |      i -> s[i+1] || ' ' || s[i+2])) AS pair
+         |    FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg${k - 1}))
+         |  GROUP BY pair),
+         |b$k AS MATERIALIZED (SELECT split_part(pair, ' ', 1) AS a,
+         |    split_part(pair, ' ', 2) AS b, pc
+         |  FROM p$k ORDER BY pc DESC, pair LIMIT 1),
+         |seg$k AS MATERIALIZED (SELECT w, cnt,
+         |    list_reduce(string_split(seg, ' '), (acc, x) ->
+         |      CASE WHEN (acc = a OR ends_with(acc, ' ' || a)) AND x = b
+         |        THEN left(acc, len(acc) - len(a)) || a || b
+         |        ELSE acc || ' ' || x END) AS seg
+         |  FROM seg${k - 1}, b$k)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to numMerges).map { k =>
+      s"""SELECT $k AS rank, a AS "left", b AS "right", a || b AS merged, pc AS pair_count FROM b$k"""
+    }.mkString("\n  UNION ALL ")
+    s"""btoks AS (SELECT $tokensSql AS t FROM documents),
+       |wc AS (SELECT w, count(*) AS cnt
+       |  FROM (SELECT unnest(t) AS w FROM btoks)
+       |  GROUP BY w ORDER BY cnt DESC, w LIMIT $maxWords),
+       |seg0 AS (SELECT w, cnt, array_to_string(list_transform(range(len(w)),
+       |    i -> substr(w, CAST(i+1 AS INT), 1)), ' ') AS seg FROM wc),
+       |$rounds""".stripMargin + s"\nSELECT * FROM (\n  $unions)\nORDER BY rank"
+  }
 
   /** Shared winnowing CTE chain (codepoints → Horner base-31 gram hashes →
     * window-of-16 minima → distinct (doc_id, fp)), prefixed so one oracle
@@ -1886,6 +1933,7 @@ object PipelineQueries {
     // BM25 re-derived: postings with carried doc length, query-restricted
     // document frequencies, the same fixed parenthesization per term,
     // DECIMAL(28,14) per-doc sums, rank by score desc / doc asc
+    "t_bpe_train" -> s"WITH ${bpeOracleCtes(12, 1000)}",
     "t_bm25_topk" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
         |stats AS (SELECT CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl,
