@@ -233,6 +233,53 @@ object Pipeline {
     df.filter(bucket < threshold)
   }
 
+  /** Fractional-epoch source upsampling — the repeat-factor knob of a
+    * training mixture (LLaMA's "books ×2.3": high-value sources repeat,
+    * the fractional remainder is a deterministic subsample; DoReMi-style
+    * reweighting materialized as data). Each row of stratum `s` with
+    * factor e emits ⌊e⌋ full copies (epoch 0..⌊e⌋−1) plus one more
+    * (epoch ⌊e⌋) iff its [[sampleByStratum]]-style md5 bucket falls under
+    * the fractional remainder ×10000 — so epoch k's membership is a
+    * strict superset of epoch k+1's source subsample semantics, stable
+    * under re-runs/retries/partitioning, and the SAME rows get the extra
+    * epoch at any cluster size. Factors quantize at 1/10000 like the
+    * sampler's rates.
+    *
+    * Scale shape: one narrow projection + generate — no shuffle, no
+    * rand(); e < 1 strata degrade to exactly [[sampleByStratum]] (empty
+    * sequence rows drop in the explode). Downstream training order comes
+    * from [[shuffleShards]] over (id, epoch). */
+  def epochUpsample(df: DataFrame, idCol: String, stratumCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    (epochs.values.toSeq :+ defaultEpochs).foreach(e =>
+      require(e >= 0.0, s"epoch factors must be >= 0, got $e"))
+    def parts(e: Double): (Int, Int) = {
+      val bp = math.round(e * 10000)
+      ((bp / 10000).toInt, (bp % 10000).toInt)
+    }
+    val zero: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+      val (f, b) = parts(defaultEpochs)
+      (lit(f), lit(b))
+    }
+    val (nFull, fracBp) = epochs.toSeq.sortBy(_._1).foldRight(zero) {
+      case ((name, e), (accF, accB)) =>
+        val (f, b) = parts(e)
+        (when(col(stratumCol) === name, lit(f)).otherwise(accF),
+          when(col(stratumCol) === name, lit(b)).otherwise(accB))
+    }
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(10000L))
+    val nCopies = (nFull + when(bucket < fracBp, 1).otherwise(0)).cast("int")
+    df.withColumn("__n", nCopies)
+      .withColumn("epoch",
+        explode(when(col("__n") > 0, sequence(lit(0), col("__n") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__n")
+  }
+
   /** Sequence packing — the final pre-training step: concatenate every
     * document's token stream in ascending-`idCol` order and cut the
     * stream every `capacity` tokens, so each training sequence is exactly

@@ -600,6 +600,17 @@ object PipelineQueries {
         .select("doc_id", "split_bucket", "split")
         .orderBy("doc_id")
     },
+    // fractional-epoch upsampling: src0 x2.3 (2 full copies + 30% get a
+    // third), src1 x0.4 (pure subsample), src2 x1.0, default x1.5 — the
+    // repeat-factor training mixture, materialized deterministically
+    // (md5 bucket, never rand()); one narrow projection + generate
+    "q_epoch_upsample" -> { (s, d) =>
+      graft.ops.Pipeline.epochUpsample(Tables.documents(s, d), "doc_id",
+          "source", Map("src0" -> 2.3, "src1" -> 0.4, "src2" -> 1.0),
+          defaultEpochs = 1.5)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    },
     // PII scrubbing: emails / IPv4 / +phone / long id runs planted
     // deterministically from doc_id, redacted by the fixed regexp_replace
     // cascade — RE2-subset patterns, so DuckDB replicates byte for byte
@@ -2099,6 +2110,21 @@ object PipelineQueries {
         |WHERE b < CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 0
         |  WHEN 'src2' THEN 10000 ELSE 5000 END
         |ORDER BY doc_id""".stripMargin,
+    // epoch upsampling re-derived: same md5 fold, full copies via
+    // unnest(range(nfull + frac-survival)), epoch index from the range
+    "q_epoch_upsample" ->
+      """SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS epoch FROM (
+        |  SELECT doc_id, source,
+        |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 1 ELSE 1 END)
+        |    + (CASE WHEN
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(15), k -> CAST(strpos('0123456789abcdef', substr(md5('graft:' || CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT))),
+        |          (acc, d) -> acc * 16 + d) % 10000
+        |        < CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 4000 WHEN 'src2' THEN 0 ELSE 5000 END
+        |      THEN 1 ELSE 0 END) AS n
+        |  FROM documents)
+        |WHERE n > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
     // per-row split assignment re-derived: the same 60-bit md5 fold the
     // dedup oracles use, mod 10000, CASE over the cumulative thresholds
     // token-budget sampling re-derived with the same 60-bit md5 integer

@@ -2141,6 +2141,44 @@ class OpsSpec extends SparkSpec {
     assert(streamed(1L)._2.contains("xx") && streamed(2L)._2.contains("yy"))
   }
 
+  test("epoch upsampling: exact copy counts, sampler consistency, invariance") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Pipeline.epochUpsample(docs, "doc_id", "source",
+      Map("src0" -> 2.3, "src1" -> 0.4), defaultEpochs = 1.0)
+    val counts = out.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver recompute: nfull + md5-bucket fractional survival
+    val expected = docs.select("doc_id", "source").collect().map { r =>
+      val (id, src) = (r.getLong(0), r.getString(1))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val b = java.lang.Long.parseLong(hex, 16) % 10000
+      val (nf, fb) = src match {
+        case "src0" => (2, 3000); case "src1" => (0, 4000); case _ => (1, 0)
+      }
+      id -> (nf + (if (b < fb) 1 else 0)).toLong
+    }.toMap
+    assert(counts == expected.filter(_._2 > 0))
+    // epoch indices are dense 0..n-1
+    val eps = out.filter(col("doc_id") === expected.find(_._2 == 3L).get._1)
+      .select("epoch").collect().map(_.getInt(0)).sorted.toSeq
+    assert(eps == Seq(0, 1, 2))
+    // an e<1 stratum IS sampleByStratum at that rate (same salt, same rows)
+    val frac = out.filter(col("source") === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = Pipeline.sampleByStratum(docs.filter(col("source") === "src1"),
+        "doc_id", "source", Map("src1" -> 0.4))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(frac == sampled)
+    // partition invariance
+    val again = Pipeline.epochUpsample(docs.repartition(13), "doc_id",
+        "source", Map("src0" -> 2.3, "src1" -> 0.4), defaultEpochs = 1.0)
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
