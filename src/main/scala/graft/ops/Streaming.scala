@@ -200,6 +200,36 @@ object Streaming {
     }
   }
 
+  // ---- exactly-once foreachBatch sink --------------------------------------
+
+  /** Write one micro-batch to `outDir/batch_id=<id>` with overwrite — the
+    * idempotent-write half of the exactly-once recipe for
+    * non-transactional sinks: a batch REPLAYED after a failure or a
+    * restart-from-checkpoint lands in the same directory and rewrites it,
+    * never duplicates it. Factored out of the stream wiring so the replay
+    * path is directly testable. */
+  def writeBatchIdempotent(batch: DataFrame, outDir: String,
+      batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Exactly-once parquet sink via foreachBatch + idempotent batch-keyed
+    * overwrite. Structured Streaming's checkpoint gives at-least-once
+    * foreachBatch invocation with a STABLE batchId across replays; keying
+    * the write by that id and overwriting makes the pair exactly-once —
+    * the standard pattern for stores without transactional commit.
+    * Readers see the whole output as one partitioned table
+    * (`spark.read.parquet(outDir)` with `batch_id` as a partition
+    * column). */
+  def idempotentParquetSink(df: DataFrame, outDir: String,
+      checkpointDir: String, queryName: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(batch.toDF(), outDir, id)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .start()
+
   // ---- stream-stream interval (attribution) join ---------------------------
 
   /** Attribution interval join — batch form: every `leftType` event pairs

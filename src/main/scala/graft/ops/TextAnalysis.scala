@@ -720,6 +720,38 @@ object TextAnalysis {
         array_join(col("__s"), " ").as("subword_text"))
   }
 
+  /** Tokenizer data card — per-source fertility and compression of a
+    * subword vocabulary over the corpus: n_docs, whitespace-token /
+    * subword / word-character totals, fertility (subwords per whitespace
+    * token — the standard "how finely does this tokenizer cut this
+    * source" diagnostic) and compression (word characters per subword).
+    * The two ratios are single IEEE divisions of exact BIGINT sums —
+    * engine-exact — rendered at 9 dp.
+    *
+    * One kernel scan (subword segmentation and character totals ride the
+    * same projection — no join back) + one per-source aggregation. */
+  def tokenizerStats(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    val t = tokens(col(textCol))
+    val sub = graft.functions.SubwordExprs.subwordTokenizeCol(
+      df.sparkSession, t, vocab)
+    df.select(col(sourceCol).as("source"), size(t).as("__ntok"),
+        size(sub).as("__nsub"),
+        aggregate(t, lit(0L), (a, x) => a + length(x)).as("__nchar"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok").cast("long")).as("n_tokens"),
+        sum(col("__nsub").cast("long")).as("n_subwords"),
+        sum(col("__nchar")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_subwords"), col("n_chars"),
+        round(col("n_subwords").cast("double") / col("n_tokens").cast("double"), 9)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 9)
+          .as("compression"))
+  }
+
   /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2019 §4.3): every
     * document scored by the reference bigram LM ([[lmScore]]), then cut
     * into head / middle / tail by the per-source TERTILES of the score —

@@ -1041,6 +1041,19 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // tokenizer fertility/compression data card per source: same top-30
+    // vocab as t_subword_tokenize, one kernel scan (segmentation + char
+    // totals in the same projection, no join back), one aggregation
+    "t_tokenizer_card" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val top = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .sort(col("c").desc, col("w")).limit(30).collect().map(_.getString(0))
+      val vocab = (top ++ top.map(_.take(3)) ++
+        ('a' to 'z').map(_.toString)).distinct.toSeq
+      TextAnalysis.tokenizerStats(docs, "doc_id", "text", "source", vocab)
+        .orderBy("source")
+    },
     // BPE merge training: one word-count shuffle, bounded driver merge
     // loop (top-maxWords cap, the TakeOrdered discipline); 12 learned
     // merges with exact pair counts, ties to the UTF-8-smallest pair —
@@ -1073,6 +1086,45 @@ object PipelineQueries {
 
   private val tokensSql =
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  /** Shared greedy longest-match subword CTE chain (top-30 vocab + 3-char
+    * prefixes + a-z, per-distinct-word recursive walk): yields `toks`
+    * (doc_id, source, t), `seg` (w, acc, n) and `inst` (doc_id, source,
+    * w, widx). Used by the t_subword_tokenize and t_tokenizer_card
+    * oracles — both must see the SAME segmentation. Requires WITH
+    * RECURSIVE on the consumer. */
+  private val subwordSegCtes: String =
+    s"""toks AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
+      |tc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |top AS (SELECT w FROM tc QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 30),
+      |vocab AS (SELECT DISTINCT v FROM (
+      |  SELECT w AS v FROM top
+      |  UNION ALL SELECT substr(w, 1, 3) FROM top
+      |  UNION ALL SELECT substr('abcdefghijklmnopqrstuvwxyz', CAST(i + 1 AS INT), 1)
+      |    FROM range(26) t2(i))),
+      |dwords AS (SELECT DISTINCT w FROM (SELECT unnest(t) AS w FROM toks)),
+      |pos AS (SELECT w, CAST(unnest(range(len(w))) + 1 AS BIGINT) AS p
+      |  FROM dwords),
+      |best AS (SELECT p.w, p.p, coalesce(max(len(v.v)), 1) AS bl
+      |  FROM pos p LEFT JOIN vocab v
+      |    ON len(v.v) <= len(p.w) - p.p + 1
+      |    AND substr(p.w, CAST(p.p AS INT), len(v.v)) = v.v
+      |  GROUP BY p.w, p.p),
+      |best2 AS (SELECT w, p, bl,
+      |    substr(w, CAST(p AS INT), CAST(bl AS INT)) AS tok
+      |  FROM best),
+      |walk AS (
+      |  SELECT w, CAST(1 AS BIGINT) AS p, CAST('' AS VARCHAR) AS acc,
+      |    CAST(0 AS BIGINT) AS n
+      |  FROM dwords
+      |  UNION ALL
+      |  SELECT s.w, s.p + b.bl,
+      |    CASE WHEN s.acc = '' THEN b.tok ELSE s.acc || ' ' || b.tok END,
+      |    s.n + 1
+      |  FROM walk s JOIN best2 b ON b.w = s.w AND b.p = s.p
+      |  WHERE s.p <= len(s.w)),
+      |seg AS (SELECT w, acc, n FROM walk WHERE p = len(w) + 1),
+      |inst AS (SELECT doc_id, source, unnest(t) AS w, unnest(range(len(t))) AS widx FROM toks)""".stripMargin
 
   /** BPE training re-derived as chained CTEs: capped word counts, then per
     * round k — adjacent-pair counts weighted by word count, argmax with
@@ -3411,37 +3463,7 @@ object PipelineQueries {
     // char fallback), a linear recursive walk per distinct word, docs
     // reassembled in word order
     "t_subword_tokenize" ->
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
-        |tc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
-        |top AS (SELECT w FROM tc QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 30),
-        |vocab AS (SELECT DISTINCT v FROM (
-        |  SELECT w AS v FROM top
-        |  UNION ALL SELECT substr(w, 1, 3) FROM top
-        |  UNION ALL SELECT substr('abcdefghijklmnopqrstuvwxyz', CAST(i + 1 AS INT), 1)
-        |    FROM range(26) t2(i))),
-        |dwords AS (SELECT DISTINCT w FROM (SELECT unnest(t) AS w FROM toks)),
-        |pos AS (SELECT w, CAST(unnest(range(len(w))) + 1 AS BIGINT) AS p
-        |  FROM dwords),
-        |best AS (SELECT p.w, p.p, coalesce(max(len(v.v)), 1) AS bl
-        |  FROM pos p LEFT JOIN vocab v
-        |    ON len(v.v) <= len(p.w) - p.p + 1
-        |    AND substr(p.w, CAST(p.p AS INT), len(v.v)) = v.v
-        |  GROUP BY p.w, p.p),
-        |best2 AS (SELECT w, p, bl,
-        |    substr(w, CAST(p AS INT), CAST(bl AS INT)) AS tok
-        |  FROM best),
-        |walk AS (
-        |  SELECT w, CAST(1 AS BIGINT) AS p, CAST('' AS VARCHAR) AS acc,
-        |    CAST(0 AS BIGINT) AS n
-        |  FROM dwords
-        |  UNION ALL
-        |  SELECT s.w, s.p + b.bl,
-        |    CASE WHEN s.acc = '' THEN b.tok ELSE s.acc || ' ' || b.tok END,
-        |    s.n + 1
-        |  FROM walk s JOIN best2 b ON b.w = s.w AND b.p = s.p
-        |  WHERE s.p <= len(s.w)),
-        |seg AS (SELECT w, acc, n FROM walk WHERE p = len(w) + 1),
-        |inst AS (SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS widx FROM toks),
+      s"""WITH RECURSIVE $subwordSegCtes,
         |agg AS (SELECT i.doc_id, CAST(sum(seg.n) AS BIGINT) AS n_subwords,
         |    string_agg(seg.acc, ' ' ORDER BY i.widx) AS subword_text
         |  FROM inst i JOIN seg ON i.w = seg.w GROUP BY i.doc_id)
@@ -3449,6 +3471,22 @@ object PipelineQueries {
         |  coalesce(a.subword_text, '') AS subword_text
         |FROM toks t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // tokenizer data card: same segmentation chain, summed per source;
+    // fertility/compression are single IEEE divisions of exact BIGINTs
+    "t_tokenizer_card" ->
+      s"""WITH RECURSIVE $subwordSegCtes,
+        |card1 AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+        |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(t, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b)) AS BIGINT) AS n_chars
+        |  FROM toks GROUP BY source),
+        |card2 AS (SELECT i.source, CAST(sum(seg.n) AS BIGINT) AS n_subwords
+        |  FROM inst i JOIN seg ON i.w = seg.w GROUP BY i.source)
+        |SELECT source, n_docs, n_tokens, n_subwords, n_chars,
+        |  round(CAST(n_subwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS fertility,
+        |  round(CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE), 9) AS compression
+        |FROM card1 JOIN card2 USING (source)
+        |ORDER BY source""".stripMargin,
     // LSH recall report re-derived: the md5 LSH+verify chain (candidate
     // CTEs shared with d_lsh_jaccard_verify) restricted to same-source
     // pairs, exact all-pairs ground truth at the same 0.4 threshold,
