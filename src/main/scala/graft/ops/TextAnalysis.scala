@@ -908,6 +908,20 @@ object TextAnalysis {
         round(lit(0.0) - total.cast("double"), 6)).as("entropy"))
   }
 
+  // ---- Unicode normalization ------------------------------------------------
+
+  /** Unicode text canonicalization — the pass that must run BEFORE any
+    * hashing/dedup/tokenization on a mixed-source corpus: NFC
+    * canonical composition ([[graft.functions.UnicodeExprs]] — composed
+    * and decomposed forms of the same text otherwise fingerprint as
+    * different documents), then the C0/C1-control strip (tab/newline
+    * kept). One narrow codegen projection, streaming-safe. */
+  def unicodeClean(text: Column): Column =
+    regexp_replace(
+      graft.functions.UnicodeExprs.nfcNormalize(
+        org.apache.spark.sql.SparkSession.active, text),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
   // ---- BPE merge training --------------------------------------------------
 
   /** Byte-pair-encoding merge training (Sennrich, Haddow, Birch — "Neural

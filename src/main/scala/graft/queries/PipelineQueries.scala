@@ -600,6 +600,27 @@ object PipelineQueries {
         .select("doc_id", "split_bucket", "split")
         .orderBy("doc_id")
     },
+    // unicode canonicalization: each doc gets a decomposed suffix
+    // (" cafe" + combining acute + a control char) planted; NFC composes
+    // it, the control strip removes it — md5 of the normalized bytes
+    // pins Java's Normalizer against DuckDB's utf8proc byte-for-byte
+    "t_unicode_nfc" -> { (s, d) =>
+      val raw = concat(col("text"), lit(" cafe\u0301\u0007"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(raw).as("n_raw"),
+          TextAnalysis.unicodeClean(raw).as("__c"))
+        .select(col("doc_id"), col("n_raw"),
+          length(col("__c")).as("n_clean"), md5(col("__c")).as("h"))
+        .orderBy("doc_id")
+    },
+    // semi-structured extraction: the events props JSON payload parsed
+    // with an explicit schema (one codegen projection, no inference pass,
+    // malformed -> null), exact integer stats per event type
+    "q_json_props" -> { (s, d) =>
+      graft.ops.Semistructured.jsonPropStats(Tables.events(s, d),
+          "props", "k", "event_type")
+        .orderBy("event_type")
+    },
     // fractional-epoch upsampling: src0 x2.3 (2 full copies + 30% get a
     // third), src1 x0.4 (pure subsample), src2 x1.0, default x1.5 — the
     // repeat-factor training mixture, materialized deterministically
@@ -2162,6 +2183,30 @@ object PipelineQueries {
         |WHERE b < CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 0
         |  WHEN 'src2' THEN 10000 ELSE 5000 END
         |ORDER BY doc_id""".stripMargin,
+    // unicode canonicalization: same decomposed-suffix construction via
+    // chr(), utf8proc nfc_normalize + the same control-strip regex ('g'
+    // flag: DuckDB replaces first match only by default), md5 of the
+    // normalized bytes — byte-for-byte parity with Java's Normalizer
+    "t_unicode_nfc" ->
+      """SELECT doc_id, len(raw) AS n_raw, len(c) AS n_clean, md5(c) AS h
+        |FROM (SELECT doc_id, raw,
+        |    regexp_replace(nfc_normalize(raw),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS c
+        |  FROM (SELECT doc_id,
+        |      text || ' caf' || chr(101) || chr(769) || chr(7) AS raw
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    // JSON prop extraction re-derived with the regex equivalent for this
+    // payload shape ({"k": N}) — the gate compares VALUES, not parsers;
+    // a row whose props lacks a numeric k counts as missing on both sides
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  CAST(sum(v) AS BIGINT) AS sum_v, min(v) AS min_v, max(v) AS max_v
+        |FROM (SELECT event_type,
+        |    CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS v
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // epoch upsampling re-derived: same md5 fold, full copies via
     // unnest(range(nfull + frac-survival)), epoch index from the range
     "q_epoch_upsample" ->

@@ -2226,6 +2226,55 @@ class OpsSpec extends SparkSpec {
       (4L, 1L, 1L, 600L), (4L, 2L, 1L, 300L), (7L, 3L, 2L, 480L)))
   }
 
+  test("unicode clean: NFC composes, controls strip, dedup unifies") {
+    import spark.implicits._
+    val composed = "caf\u00e9 data"
+    val decomposed = "cafe\u0301 data"
+    val withCtl = "caf\u00e9\u0000 da\u0007ta" // NUL + BEL stripped
+    val df = Seq((1L, composed), (2L, decomposed), (3L, withCtl))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.unicodeClean(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == composed)           // already-NFC fast path: unchanged
+    assert(out(2L) == composed)           // decomposed composes
+    assert(out(3L) == composed)        // controls vanish
+    // the operator's purpose: exact-dedup fingerprints unify post-clean
+    val fps = df.select(TextAnalysis.fingerprint(
+      TextAnalysis.unicodeClean(col("text")))).collect().map(_.getString(0))
+    assert(fps.distinct.length == 1)
+    val fpsRaw = df.select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(_.getString(0))
+    assert(fpsRaw.distinct.length == 3)   // without it: three "documents"
+    // idempotence
+    val twice = df.select(TextAnalysis.unicodeClean(
+      TextAnalysis.unicodeClean(col("text"))).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == df.select(TextAnalysis.unicodeClean(col("text")))
+      .collect().map(_.getString(0)).toSeq)
+  }
+
+  test("json extraction: explicit schema, malformed rows become nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 5, "tag": "a"}"""),
+      (2L, """{"k": -3}"""),
+      (3L, """not json at all"""),
+      (4L, """{"k": "not a number"}""")).toDF("id", "props")
+    val out = Semistructured.extractJson(df, "props", "k BIGINT, tag STRING")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      Option(r.getString(2)))).toSeq == Seq(
+      (1L, Some(5L), Some("a")), (2L, Some(-3L), None),
+      (3L, None, None), (4L, None, None)))
+    // stats: missing counts malformed + non-numeric + absent alike
+    val stats = Semistructured.jsonPropStats(
+        df.withColumn("g", lit("x")), "props", "k", "g").collect().head
+    assert(stats.getLong(1) == 4L && stats.getLong(2) == 2L &&
+      stats.getLong(3) == 2L && stats.getLong(4) == -3L && stats.getLong(5) == 5L)
+  }
+
   test("idempotent sink: replayed batches rewrite, restarts never duplicate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
