@@ -34,7 +34,10 @@ object ExplainAudit {
         "d_containment", "s_centroid_outliers", "t_novelty", "t_entropy",
         "q_corpus_diff", "q_canonical_source", "s_matryoshka_recall",
         "q_dedup_report", "t_quality_report", "q_quality_pipeline",
-        "q_ccnet_buckets", "q_canonical_quality", "t_subword_tokenize")
+        "q_ccnet_buckets", "q_canonical_quality", "t_subword_tokenize",
+        "q_decon_bloom", "s_tfidf_pairs", "q_event_attribution",
+        "t_bpe_train", "q_epoch_upsample", "t_tokenizer_card",
+        "t_unicode_nfc", "q_json_props")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

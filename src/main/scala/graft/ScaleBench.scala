@@ -87,7 +87,7 @@ object ScaleBench {
     // is the word-count shuffle feeding the capped collect
     "q_decon_bloom", "s_tfidf_pairs", "t_bpe_train",
     "q_event_attribution", "q_epoch_upsample", "t_tokenizer_card",
-    "t_unicode_nfc", "q_json_props")
+    "t_unicode_nfc", "q_json_props", "q_hybrid_dedup")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps

@@ -113,4 +113,39 @@ object Cluster {
       .select(col("id").as("__drop_id"))
     df.join(losers, col(idCol) === col("__drop_id"), "left_anti")
   }
+
+  /** Multi-signal (hybrid) dedup clustering: a document is a duplicate if
+    * it near-dups another TEXTUALLY (n-gram Jaccard pairs) OR
+    * SEMANTICALLY (embedding cosine pairs) — the two detectors' edge
+    * lists union into one graph and connected components merge chains
+    * that CROSS signals (text a~b, semantic b~c ⇒ {a,b,c} one cluster:
+    * paraphrases and verbatim copies of the same document collapse
+    * together, which neither detector finds alone). Per cluster member:
+    * the canonical min-id `cluster`, the cluster size, and how many of
+    * its incident edges came from each signal — the audit trail for "why
+    * was this dropped".
+    *
+    * Scale shape: each detector keeps its own banded/bucketed pair plan;
+    * the union is pair-lists only (never corpus rows) and the CC engine
+    * iterates on that same skinny edge list. */
+  def hybridDupClusters(textPairs: DataFrame, semanticPairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val t = textPairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .distinct().withColumn("sig", lit("text"))
+    val s = semanticPairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .distinct().withColumn("sig", lit("semantic"))
+    val tagged = t.unionByName(s)
+    val edges = tagged.select("id_a", "id_b").distinct()
+    val perId = tagged
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"), col("sig"))
+      .groupBy("id")
+      .agg(sum(when(col("sig") === "text", 1L).otherwise(0L)).as("n_text_edges"),
+        sum(when(col("sig") === "semantic", 1L).otherwise(0L)).as("n_sem_edges"))
+    connectedComponents(edges, "id_a", "id_b", maxIters)
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
+      .join(perId, Seq("id"))
+      .select("cluster", "id", "cluster_size", "n_text_edges", "n_sem_edges")
+  }
 }

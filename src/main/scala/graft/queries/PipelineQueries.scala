@@ -600,6 +600,18 @@ object PipelineQueries {
         .select("doc_id", "split_bucket", "split")
         .orderBy("doc_id")
     },
+    // multi-signal dedup: textual n-gram-Jaccard pairs UNION semantic
+    // embedding-cosine pairs -> one CC graph (chains crossing signals
+    // collapse: paraphrase + verbatim copies of one doc merge), with the
+    // per-signal incident-edge audit trail
+    "q_hybrid_dedup" -> { (s, d) =>
+      val textPairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", blockCol = "source", n = 2, threshold = 0.05)
+      val semPairs = Dedup.embeddingNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", threshold = 0.2)
+      graft.ops.Cluster.hybridDupClusters(textPairs, semPairs)
+        .orderBy("cluster", "id")
+    },
     // unicode canonicalization: each doc gets a decomposed suffix
     // (" cafe" + combining acute + a control char) planted; NFC composes
     // it, the control strip removes it — md5 of the normalized bytes
@@ -2183,6 +2195,57 @@ object PipelineQueries {
         |WHERE b < CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 0
         |  WHEN 'src2' THEN 10000 ELSE 5000 END
         |ORDER BY doc_id""".stripMargin,
+    // hybrid dedup re-derived: both detectors' pair CTEs (the
+    // q_drop_near_dups gram-Jaccard chain + the d_embed_neardup cosine
+    // chain), tagged union, recursive transitive closure, min-id cluster,
+    // per-signal incident-edge counts
+    "q_hybrid_dedup" ->
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, $tokensSql AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks),
+        |tpairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CASE WHEN len(list_distinct(a.g || b.g)) > 0
+        |        THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+        |        ELSE 0.0 END AS jaccard
+        |    FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.05),
+        |v AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |spairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a.e, x -> x * x)), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(b.e, x -> x * x)), (x, y) -> x + y))) AS cosine
+        |    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  WHERE cosine >= 0.2),
+        |tagged AS (
+        |  SELECT id_a, id_b, 'text' AS sig FROM tpairs
+        |  UNION ALL SELECT id_a, id_b, 'semantic' FROM spairs),
+        |uedges AS (SELECT DISTINCT id_a, id_b FROM tagged),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM uedges
+        |  UNION SELECT id_b, id_a FROM uedges),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |clus AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |perid AS (SELECT id,
+        |    CAST(sum(CASE WHEN sig = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text_edges,
+        |    CAST(sum(CASE WHEN sig = 'semantic' THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_edges
+        |  FROM (SELECT id_a AS id, sig FROM tagged
+        |    UNION ALL SELECT id_b, sig FROM tagged) GROUP BY id)
+        |SELECT c.cluster, c.id,
+        |  count(*) OVER (PARTITION BY c.cluster) AS cluster_size,
+        |  p.n_text_edges, p.n_sem_edges
+        |FROM clus c JOIN perid p USING (id)
+        |ORDER BY cluster, id""".stripMargin,
     // unicode canonicalization: same decomposed-suffix construction via
     // chr(), utf8proc nfc_normalize + the same control-strip regex ('g'
     // flag: DuckDB replaces first match only by default), md5 of the

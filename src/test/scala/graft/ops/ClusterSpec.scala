@@ -158,4 +158,27 @@ class ClusterSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("hybrid clusters merge chains that cross signals, with audit counts") {
+    import spark.implicits._
+    // text finds 1~2; semantic finds 2~3 and 5~6; 4 pairs with nobody
+    val textPairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val semPairs = Seq((2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Cluster.hybridDupClusters(textPairs, semPairs)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // {1,2,3} one cluster (neither signal alone finds it), {5,6} another
+    assert(out(1L) == ((1L, 3L, 1L, 0L)))
+    assert(out(2L) == ((1L, 3L, 1L, 1L))) // 2 touches both signals
+    assert(out(3L) == ((1L, 3L, 0L, 1L)))
+    assert(out(5L) == ((5L, 2L, 0L, 1L)))
+    assert(out(6L) == ((5L, 2L, 0L, 1L)))
+    assert(out.size == 5)
+    // the same edge reported by BOTH detectors counts once per signal
+    val dup = Cluster.hybridDupClusters(
+      Seq((7L, 8L)).toDF("id_a", "id_b"), Seq((7L, 8L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(dup(7L) == ((1L, 1L)) && dup(8L) == ((1L, 1L)))
+  }
 }
