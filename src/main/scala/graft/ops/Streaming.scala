@@ -56,6 +56,35 @@ object Streaming {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Composed streaming ingest: Unicode canonicalization
+    * ([[TextAnalysis.unicodeClean]] — so composed/decomposed forms of one
+    * text dedup together) → stateless quality gate (min token count +
+    * min distinct-token ratio, the Gopher-lite pair) → watermarked exact
+    * dedup on the CLEANED text. Every pre-dedup stage is a stateless
+    * kernel, so the batch form ([[ingestBatch]]) keeps the identical
+    * survivor fingerprint set — the OpsSpec batch==stream pin. Chain
+    * [[idempotentParquetSink]] on the result for exactly-once landing. */
+  def ingestStream(docs: DataFrame, textCol: String, tsCol: String,
+      horizon: String, minTokens: Int = 5,
+      minDistinctRatio: Double = 0.1): DataFrame =
+    dedupStream(cleanAndFilter(docs, textCol, minTokens, minDistinctRatio),
+      textCol, tsCol, horizon)
+
+  /** Batch twin of [[ingestStream]] (same kernels, batch exact dedup). */
+  def ingestBatch(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 5, minDistinctRatio: Double = 0.1): DataFrame =
+    Dedup.dropExactDuplicates(
+      cleanAndFilter(docs, textCol, minTokens, minDistinctRatio),
+      idCol, textCol)
+
+  private def cleanAndFilter(docs: DataFrame, textCol: String,
+      minTokens: Int, minDistinctRatio: Double): DataFrame = {
+    val cleaned = TextAnalysis.unicodeClean(col(textCol))
+    docs.withColumn(textCol, cleaned)
+      .filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens &&
+        TextAnalysis.distinctRatio(col(textCol)) >= minDistinctRatio)
+  }
+
   final case class Sess(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long)
 
   final case class UserRunningState(nEvents: Long, totalValueCents: Long)

@@ -2226,6 +2226,44 @@ class OpsSpec extends SparkSpec {
       (4L, 1L, 1L, 600L), (4L, 2L, 1L, 300L), (7L, 3L, 2L, 480L)))
   }
 
+  test("composed ingest: stream == batch survivors; clean runs before dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val composed = "caf\u00e9 data quality tokens here"
+    val decomposed = "cafe\u0301 data quality tokens here"
+    val batches = Seq(
+      Seq((1L, composed, ts(0)), (2L, "too short", ts(1))),
+      // decomposed form of doc 1's text: dedup must catch it POST-clean
+      Seq((3L, decomposed, ts(2)),
+        (4L, "rep rep rep rep rep rep rep rep rep rep rep", ts(3)), // low distinct ratio
+        (5L, "a genuinely different document with words", ts(4))))
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("doc_id", "text", "ts")
+    val out = Streaming.ingestStream(src, "text", "ts", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("ingest_stream_t")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.table("ingest_stream_t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 survives; 2 (short) and 4 (repetitive) fail quality; 3 dups 1
+    // post-NFC; 5 survives
+    assert(streamed == Set(1L, 5L))
+    val batch = Streaming.ingestBatch(
+        batches.flatten.toDF("doc_id", "text", "ts"), "doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(_.getString(0)).toSet
+    val streamFps = spark.table("ingest_stream_t")
+      .select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(_.getString(0)).toSet
+    assert(streamFps == batch)
+  }
+
   test("unicode clean: NFC composes, controls strip, dedup unifies") {
     import spark.implicits._
     val composed = "caf\u00e9 data"
