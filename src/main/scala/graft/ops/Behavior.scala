@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product-analytics operators over event logs.
+  *
+  * Beyond-reference scope (SURVEY.md §2.11 L74–L76): the event-sequence
+  * analytics an engine holding an `events` stream is asked for next —
+  * ordered funnels, cohort retention, next-event transition matrices.
+  *
+  * Scale discipline shared by all three: every shuffle keys on the user
+  * column (one exchange family, AQE-reusable), per-user state after each
+  * reduction is ONE row (a timestamp or a week), never a collected event
+  * list — a hot user costs a wider aggregation buffer, not a row
+  * explosion. Ratios are single IEEE divisions of exact integer counts,
+  * rendered at 9 dp (the house cross-engine float discipline).
+  */
+object Behavior {
+
+  /** Ordered-funnel conversion with first-touch semantics: step k
+    * completes at the user's EARLIEST `steps(k-1)`-typed event STRICTLY
+    * after their step k−1 completion. One output row per step: users
+    * reaching it, conversion vs step 1 and vs the previous step.
+    *
+    * Plan: per step, a filtered scan → equi-join on the gating frame →
+    * map-combinable min aggregation, all keyed on `userCol`. Each step
+    * frame (one row per surviving user) is consumed twice — by the next
+    * step's gate and by its own count — so it is materialized once
+    * (localCheckpoint, or durable parquet under `materializePath` for
+    * cluster runs), the `corpusPrep` discipline; the funnel is linear in
+    * the event volume, never the q_training_mix recompute shape.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      materializePath: Option[String] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    val base = events.select(col(userCol).as("__u"), col(tsCol).as("__t"),
+      col(typeCol).as("__e"))
+    // reached(k): one row per user who completed step k, with that time
+    val reached = steps.zipWithIndex
+      .scanLeft(Option.empty[DataFrame]) { case (prev, (step, i)) =>
+        val mine = base.filter(col("__e") === step)
+        val gated = prev match {
+          case None => mine
+          case Some(p) =>
+            mine.join(p.select(col("__u"), col("__ct").as("__prev")),
+              Seq("__u")).filter(col("__t") > col("__prev"))
+        }
+        val frame = gated.groupBy("__u").agg(min(col("__t")).as("__ct"))
+        Some(Dedup.materializeBase(frame,
+          materializePath.map(p => s"$p/step_$i")))
+      }
+      .flatten
+    val counts = reached.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
+          col("users"))
+    }.reduce(_.unionByName(_))
+    // the remaining windows/joins run on a steps-sized frame (post-agg)
+    val first = counts.filter(col("step") === 1)
+      .select(col("users").as("__first"))
+    val w = Window.orderBy("step")
+    counts.crossJoin(broadcast(first))
+      .withColumn("prev_users", lag(col("users"), 1).over(w))
+      .select(col("step"), col("event_type"), col("users"),
+        round(col("users").cast("double") / col("__first"), 9)
+          .as("conv_from_first"),
+        when(col("prev_users").isNotNull,
+          round(col("users").cast("double") / col("prev_users"), 9))
+          .as("conv_from_prev"))
+  }
+
+  /** Weekly cohort retention: users cohorted by the Monday-truncated week
+    * of their first event; `retention(c, k)` = distinct cohort-c users
+    * active in week c+k over the cohort size. Exact integer counts, one
+    * IEEE division per output row.
+    *
+    * Plan: distinct (user, week) — the only pass over raw events — is
+    * materialized once and feeds both the per-user min (cohort week,
+    * map-combinable) and the offset join; everything shuffles on `__u`
+    * until the final cohort-sized aggregation.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      maxWeeks: Int = 4,
+      materializePath: Option[String] = None): DataFrame = {
+    require(maxWeeks >= 0, "cohortRetention: maxWeeks must be >= 0")
+    val weeks = Dedup.materializeBase(
+      events.select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).cast("date").as("__w")).distinct(),
+      materializePath.map(p => s"$p/user_weeks"))
+    val cohort = weeks.groupBy("__u").agg(min(col("__w")).as("__c"))
+    val sizes = cohort.groupBy("__c").agg(count(lit(1)).as("cohort_size"))
+    weeks.join(cohort, Seq("__u"))
+      .withColumn("week_offset",
+        (datediff(col("__w"), col("__c")) / 7).cast("int"))
+      .filter(col("week_offset") <= maxWeeks)
+      .groupBy(col("__c"), col("week_offset"))
+      .agg(count_distinct(col("__u")).as("active_users"))
+      .join(sizes, Seq("__c"))
+      .select(date_format(col("__c"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users"), col("cohort_size"),
+        round(col("active_users").cast("double") / col("cohort_size"), 9)
+          .as("retention"))
+  }
+
+  /** Next-event transition matrix (first-order Markov estimate): for each
+    * (from, to) adjacent pair in a user's timeline — ordered by (ts,
+    * tieCol), the unique-key house tie-break — the transition count and
+    * its row-normalized probability.
+    *
+    * Plan: one `lead` window partitioned by user (the same per-user
+    * shuffle family), then an event-type-pair aggregation; the
+    * normalizing sum runs over the |types|²-sized post-agg frame.
+    */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val totals = Window.partitionBy(col("from_type"))
+    events
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(totals), 9))
+  }
+}

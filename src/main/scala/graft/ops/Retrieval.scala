@@ -138,4 +138,35 @@ object Retrieval {
           .as("cosine"))
       .filter(col("cosine") >= minSim)
   }
+
+  /** Per-document top-k KEYWORDS by tf·idf — the extractive tagging /
+    * indexing primitive (search facets, topic labels, weak supervision).
+    *
+    * Same integer discipline as [[tfidfSimilarPairs]]: idf is quantized
+    * ONCE to `round(ln(N/df)·1e6)` (the ln-ulp discipline) so the weight
+    * `tf · idfQ` is BIGINT-exact and ranking is engine-exact with ties to
+    * the lexicographically-smaller term. Terms above `maxDf` (stop terms)
+    * and corpus-universal terms carry no signal and are pruned BEFORE the
+    * join, so the weighting join only shuffles the informative postings.
+    * The per-doc rank window partitions on the document id — millions of
+    * small groups, never a global sort. */
+  def tfidfKeywords(df: DataFrame, idCol: String,
+      terms: org.apache.spark.sql.Column,
+      k: Int = 3, maxDf: Long = 100): DataFrame = {
+    require(k >= 1, s"tfidfKeywords: k must be >= 1, got $k")
+    val n = df.count()
+    val toks = df.select(col(idCol).as("id"), explode(terms).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = toks.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= maxDf && col("dfreq") < n)
+    val idfQ = round(log(lit(n.toDouble) / col("dfreq").cast("double")) * 1e6, 0)
+      .cast("long")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("w").desc, col("term").asc)
+    toks.join(dfc.hint("SHUFFLE_HASH"), Seq("term"))
+      .select(col("id"), col("term"), (col("tf") * idfQ).as("w"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("w"))
+  }
 }

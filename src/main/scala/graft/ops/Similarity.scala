@@ -82,6 +82,29 @@ object Similarity {
     topKPerGroup(scored, "q_id", "n_id", "sim", k)
   }
 
+  /** Metadata-FILTERED ANN with pre-filter semantics: the predicate is
+    * applied to the corpus BEFORE cell probing and scoring, so every
+    * query still gets k survivors drawn from the eligible set — the
+    * filtered-vector-search contract. The naive alternative (post-filter
+    * an unfiltered top-k) silently returns fewer than k rows as the
+    * filter gets selective and is exactly the bug this operator exists
+    * to prevent; the wrapper owns that semantic so callers can't
+    * mis-order the composition.
+    *
+    * Scale: the predicate is a plain `Column`, so Catalyst pushes it
+    * into the corpus parquet scan (PushedFilters — cheaper than any
+    * index when selectivity is modest); the probed-cell join then runs
+    * over the filtered slice only. For highly selective predicates the
+    * plan degrades gracefully toward a brute-force scan of the eligible
+    * sliver, which is the correct regime there. */
+  def filteredIvfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String, cellCol: String,
+      predicate: org.apache.spark.sql.Column,
+      queries: DataFrame, queryId: String, queryVec: String, queryCell: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame =
+    ivfTopK(corpus.filter(predicate), corpusId, corpusVec, cellCol,
+      queries, queryId, queryVec, queryCell, k, excludeSelf)
+
   /** Distributed top-k per group. Deterministic ordering (score desc,
     * id asc), bit-identical to slice(array_sort(collect_list(...)), 1, k).
     *

@@ -1115,6 +1115,65 @@ object PipelineQueries {
       graft.ops.Skew.saltedSumCount(Tables.events(s, d), "event_type", "value",
         salts = 16, saltSource = col("event_id"))
         .orderBy("event_type")
+    },
+    // ordered-funnel conversion (first-touch): step k completes at the
+    // EARLIEST step-k event strictly after step k-1's completion; every
+    // shuffle keys on user_id, per-step frames materialized once (linear,
+    // never the recompute shape), counts exact ints, ratios one IEEE
+    // division at 9 dp
+    "q_event_funnel" -> { (s, d) =>
+      graft.ops.Behavior.funnel(Tables.events(s, d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    },
+    // weekly cohort retention: users cohorted by the Monday-truncated
+    // week of their first event; distinct (user, week) materialized once
+    // and reused by both the cohort min and the offset join
+    "q_cohort_retention" -> { (s, d) =>
+      graft.ops.Behavior.cohortRetention(Tables.events(s, d), "user_id",
+          "ts", maxWeeks = 4)
+        .orderBy("cohort_week", "week_offset")
+    },
+    // next-event transition matrix (first-order Markov): one lead window
+    // per user with the (ts, event_id) unique tie-break, |types|^2-sized
+    // normalization frame
+    "q_event_transitions" -> { (s, d) =>
+      graft.ops.Behavior.eventTransitions(Tables.events(s, d), "user_id",
+          "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    },
+    // ORC sink round-trip — the third columnar format next to parquet and
+    // csv: typed write + read-back, byte fidelity pinned via md5(text)
+    "v_orc_sink" -> { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-orc")
+        .toString + "/docs"
+      Tables.documents(s, d).select("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .select(col("doc_id"), md5(col("text")).as("h"), col("source"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+    // metadata-filtered ANN (pre-filter semantics — k survivors from the
+    // ELIGIBLE set, the filtered-vector-search contract): label cells,
+    // an id-parity attribute filter ORTHOGONAL to the cell structure
+    // (every probed cell keeps eligible vectors — the regime filtered
+    // vector search is built for)
+    "s_filtered_ann" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.filteredIvfTopK(
+        e, "vec_id", "embedding", "label", pmod(col("vec_id"), lit(2)) === 0,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 5)
+        .orderBy("q_id", "rank")
+    },
+    // per-doc top-3 tf-idf keywords over trigram shingles: integer
+    // weights (tf x idf quantized once — the ln-ulp discipline), ties to
+    // the smaller term; stop terms pruned before the weighting join
+    "t_keywords_tfidf" -> { (s, d) =>
+      graft.ops.Retrieval.tfidfKeywords(Tables.documents(s, d), "doc_id",
+          Dedup.shingles(col("text"), 3), k = 3, maxDf = 50)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")
     })
 
   private val tokensSql =
@@ -3647,7 +3706,85 @@ object PipelineQueries {
          |SELECT blk, n_exact, n_lsh, n_hit,
          |  CASE WHEN n_exact > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall,
          |  CASE WHEN n_lsh > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_lsh AS DOUBLE) END AS "precision"
-         |FROM assembled ORDER BY blk""".stripMargin)
+         |FROM assembled ORDER BY blk""".stripMargin,
+    "q_event_funnel" ->
+      """WITH base AS (SELECT user_id AS u, ts AS t, event_type AS e FROM events),
+        |s1 AS (SELECT u, min(t) AS ct FROM base WHERE e = 'view' GROUP BY u),
+        |s2 AS (SELECT b.u, min(b.t) AS ct FROM base b JOIN s1 ON b.u = s1.u AND b.t > s1.ct
+        |  WHERE b.e = 'click' GROUP BY b.u),
+        |s3 AS (SELECT b.u, min(b.t) AS ct FROM base b JOIN s2 ON b.u = s2.u AND b.t > s2.ct
+        |  WHERE b.e = 'purchase' GROUP BY b.u),
+        |counts AS (
+        |  SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT step, event_type, users,
+        |  round(CAST(users AS DOUBLE) / (SELECT users FROM counts WHERE step = 1), 9) AS conv_from_first,
+        |  round(CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step), 9) AS conv_from_prev
+        |FROM counts ORDER BY step""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH weeks AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |cohort AS (SELECT u, min(w) AS c FROM weeks GROUP BY u),
+        |sizes AS (SELECT c, count(*) AS cohort_size FROM cohort GROUP BY c),
+        |act AS (SELECT cohort.c AS c,
+        |    CAST(floor(date_diff('day', cohort.c, weeks.w) / 7) AS INTEGER) AS week_offset,
+        |    count(DISTINCT weeks.u) AS active_users
+        |  FROM weeks JOIN cohort ON weeks.u = cohort.u
+        |  WHERE floor(date_diff('day', cohort.c, weeks.w) / 7) <= 4
+        |  GROUP BY 1, 2)
+        |SELECT strftime(act.c, '%Y-%m-%d') AS cohort_week, week_offset,
+        |  active_users, cohort_size,
+        |  round(CAST(active_users AS DOUBLE) / cohort_size, 9) AS retention
+        |FROM act JOIN sizes ON act.c = sizes.c
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_event_transitions" ->
+      """WITH nexted AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |counts AS (SELECT from_type, to_type, count(*) AS n
+        |  FROM nexted WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 9) AS p
+        |FROM counts ORDER BY from_type, to_type""".stripMargin,
+    "v_orc_sink" ->
+      """SELECT doc_id, md5(text) AS h, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s_filtered_ann" ->
+      """WITH v AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len(c.e)), i -> c.e[i+1] * q.e[i+1])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(c.e, x -> x * x)), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(q.e, x -> x * x)), (x, y) -> x + y))) AS sim
+        |  FROM v c JOIN q ON c.label = q.label AND c.vec_id <> q.vec_id
+        |  WHERE c.vec_id % 2 = 0)
+        |SELECT q_id, rank, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "t_keywords_tfidf" ->
+      s"""WITH toksq AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |      ELSE [array_to_string(t, ' ')] END) AS term
+        |  FROM toksq),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfreq FROM tfq GROUP BY 1),
+        |keep AS (SELECT term,
+        |    CAST(round(ln(CAST((SELECT n FROM nd) AS DOUBLE) / CAST(dfreq AS DOUBLE)) * 1000000) AS BIGINT) AS idfq
+        |  FROM dfq WHERE dfreq <= 50 AND dfreq < (SELECT n FROM nd)),
+        |w AS (SELECT doc_id, tfq.term, tf * idfq AS w
+        |  FROM tfq JOIN keep ON tfq.term = keep.term)
+        |SELECT doc_id, rank, term, w FROM (
+        |  SELECT doc_id, term, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC) AS rank
+        |  FROM w)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
 
   /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
   private def fingerprintSql: String =

@@ -92,6 +92,36 @@ object Relational {
           sum(col("value").cast("decimal(14,2)")).over(w).cast("double"))
         .select("user_id", "event_id", "running_value")
         .orderBy("user_id", "event_id")
+    },
+    // OLAP grouping sets: ROLLUP subtotals + grand total in ONE shuffle
+    // (Spark expands the grouping sets map-side — no per-level rescan),
+    // grouping_id disambiguates data NULLs from rolled-up levels. Within
+    // a gid the rolled-up columns are uniformly NULL, so the (gid, keys)
+    // ORDER BY is total despite Spark/DuckDB null-order defaults
+    // differing.
+    "q_rollup_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integer-valued doubles
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+    // Pivot / crosstab with an EXPLICIT value list: no driver-side
+    // distinct pass to discover columns (the scale contract — pivoting on
+    // an unbounded value domain is a schema explosion, not a query);
+    // count cells that pivot leaves NULL for absent combinations are
+    // filled to 0 to match the conditional-aggregation contract.
+    "q_pivot_wide" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("user_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -128,5 +158,22 @@ object Relational {
     "q7_running_sum" ->
       """SELECT user_id, event_id,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-        |FROM events ORDER BY user_id, event_id""".stripMargin)
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_pivot_wide" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS "click",
+        |  count(*) FILTER (WHERE event_type = 'error') AS "error",
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+        |  count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+        |  count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the behavioral-analytics operators
+  * (ordered funnel, cohort retention, transition matrix) plus the
+  * filtered-ANN pre-filter contract and tf-idf keyword ranking. The
+  * DuckDB gates (q_event_funnel, q_cohort_retention,
+  * q_event_transitions, s_filtered_ann, t_keywords_tfidf) pin engine
+  * parity at sf scale; these pin the SEMANTICS on inputs small enough
+  * to verify by hand — strictly-after gating, same-timestamp
+  * exclusion, cohort week arithmetic, pre- vs post-filter k.
+  */
+class BehaviorSpec extends SparkSpec {
+
+  private def events(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("user_id", "tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss")))
+      .withColumn("event_id", monotonically_increasing_id())
+  }
+
+  test("funnel: first-touch chain with strictly-after gating") {
+    val ev = events(
+      (1L, "2024-01-01 00:01:00", "view"),
+      (1L, "2024-01-01 00:02:00", "click"),
+      (1L, "2024-01-01 00:03:00", "purchase"),
+      // u2: first click precedes the first view; the qualifying click is
+      // the later one, and the purchase lands BEFORE it → step 2 only
+      (2L, "2024-01-01 00:01:00", "click"),
+      (2L, "2024-01-01 00:02:00", "view"),
+      (2L, "2024-01-01 00:04:00", "purchase"),
+      (2L, "2024-01-01 00:05:00", "click"),
+      // u3: purchase before any view, no click at all → step 1 only
+      (3L, "2024-01-01 00:01:00", "purchase"),
+      (3L, "2024-01-01 00:02:00", "view"),
+      // u4: click at the SAME instant as the view → strictly-after
+      // excludes it → step 1 only
+      (4L, "2024-01-01 00:01:00", "view"),
+      (4L, "2024-01-01 00:01:00", "click"))
+    val out = Behavior.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).orderBy("step").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 0.5, 0.25))
+    assert(out(0).isNullAt(4))
+    assert(out(1).getDouble(4) == 0.5)
+    assert(out(2).getDouble(4) == 0.5)
+  }
+
+  test("funnel: partition-invariant") {
+    val ev = events(
+      (1L, "2024-01-01 00:01:00", "view"),
+      (1L, "2024-01-01 00:02:00", "click"),
+      (2L, "2024-01-01 00:01:00", "view"))
+    val a = Behavior.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click")).orderBy("step").collect().toSeq
+    val b = Behavior.funnel(ev.repartition(7), "user_id", "ts", "event_type",
+      Seq("view", "click")).orderBy("step").collect().toSeq
+    assert(a == b)
+  }
+
+  test("cohortRetention: Monday-truncated cohorts and week offsets") {
+    // 2024-01-01 is a Monday
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", "view"), // cohort w0
+      (1L, "2024-01-10 10:00:00", "view"), // offset 1
+      (2L, "2024-01-02 10:00:00", "view"), // cohort w0 only
+      (3L, "2024-01-09 10:00:00", "view"), // cohort w1 (Jan 8)
+      (3L, "2024-01-22 10:00:00", "view")) // offset 2 from w1
+    val out = Behavior.cohortRetention(ev, "user_id", "ts", maxWeeks = 4)
+      .orderBy("cohort_week", "week_offset").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSeq == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-08", 0, 1L, 1L, 1.0),
+      ("2024-01-08", 2, 1L, 1L, 1.0)))
+  }
+
+  test("cohortRetention: maxWeeks bounds the offsets") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-03-01 10:00:00", "view")) // offset 8 — dropped at max 4
+    val out = Behavior.cohortRetention(ev, "user_id", "ts", maxWeeks = 4)
+      .collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0))
+  }
+
+  test("eventTransitions: lead pairs and row-normalized probabilities") {
+    val ev = events(
+      (1L, "2024-01-01 00:01:00", "a"),
+      (1L, "2024-01-01 00:02:00", "b"),
+      (1L, "2024-01-01 00:03:00", "a"),
+      (2L, "2024-01-01 00:01:00", "a"),
+      (2L, "2024-01-01 00:02:00", "a"))
+    val out = Behavior.eventTransitions(ev, "user_id", "ts", "event_type",
+      "event_id").orderBy("from_type", "to_type").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getDouble(3))).toSeq == Seq(
+      ("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
+  test("filteredIvfTopK: pre-filter keeps k from the ELIGIBLE set") {
+    import spark.implicits._
+    // one cell; vec 11 is the nearest to the query but ineligible (odd id)
+    val rows = Seq(
+      (10L, Array(1.0f, 0.0f), 0),
+      (11L, Array(0.99f, 0.14f), 0), // nearest, filtered out
+      (12L, Array(0.9f, 0.44f), 0),
+      (14L, Array(0.5f, 0.87f), 0),
+      (99L, Array(1.0f, 0.01f), 0)) // the query itself
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val q = e.filter(col("vec_id") === 99L)
+    val out = Similarity.filteredIvfTopK(e, "vec_id", "embedding", "label",
+      pmod(col("vec_id"), lit(2)) === 0, q, "vec_id", "embedding", "label",
+      k = 2).orderBy("rank").collect()
+    // post-filtering an unfiltered top-2 would have returned only vec 10;
+    // pre-filter returns 2 eligible neighbors with 11 absent
+    assert(out.map(_.getAs[Long]("n_id")).toSeq == Seq(10L, 12L))
+  }
+
+  test("tfidfKeywords: integer tf·idf ranking with term-asc ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val out = Retrieval.tfidfKeywords(docs, "doc_id",
+      split(col("text"), " "), k = 2, maxDf = 10)
+      .orderBy(col("id"), col("rank")).collect()
+    val idf1 = math.round(math.log(3.0 / 1.0) * 1e6) // df=1 → 1098612
+    val idf2 = math.round(math.log(3.0 / 2.0) * 1e6) // df=2 → 405465
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+      r.getLong(3))).toSeq == Seq(
+      (1L, 1, "apple", 2 * idf1), (1L, 2, "banana", idf2),
+      // doc 2: banana and cherry tie at idf2 → term asc
+      (2L, 1, "banana", idf2), (2L, 2, "cherry", idf2),
+      (3L, 1, "date", idf1), (3L, 2, "cherry", idf2)))
+  }
+}
