@@ -87,7 +87,19 @@ object ScaleBench {
     // is the word-count shuffle feeding the capped collect
     "q_decon_bloom", "s_tfidf_pairs", "t_bpe_train",
     "q_event_attribution", "q_epoch_upsample", "t_tokenizer_card",
-    "t_unicode_nfc", "q_json_props", "q_hybrid_dedup")
+    "t_unicode_nfc", "q_json_props", "q_hybrid_dedup",
+    // round-9 seventh wave: behavioral analytics (funnel/retention/
+    // transitions — user-keyed shuffle families over the replicated
+    // event log), per-doc tf-idf keywords (posting prune + rank window),
+    // filtered ANN (fixed query set, scaling corpus), ROLLUP grouping
+    // sets and explicit-list pivot
+    "q_event_funnel", "q_cohort_retention", "q_event_transitions",
+    "t_keywords_tfidf", "s_filtered_ann", "q_rollup_agg", "q_pivot_wide",
+    // CDC merge (full-outer key shuffle over the replicated snapshot +
+    // a snapshot-sized change batch) and the in-plan sliding-window
+    // expansion; v_schema_merge is a sink round-trip, benched in Bench
+    // like the other sinks rather than here
+    "q_apply_changes", "q_sliding_window")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -164,7 +176,16 @@ object ScaleBench {
     "q_quality_pipeline" -> Set("documents"),
     "q_ccnet_buckets" -> Set("documents"),
     "q_canonical_quality" -> Set("documents"),
-    "t_subword_tokenize" -> Set("documents"))
+    "t_subword_tokenize" -> Set("documents"),
+    "q_event_funnel" -> Set("events"),
+    "q_cohort_retention" -> Set("events"),
+    "q_event_transitions" -> Set("events"),
+    "t_keywords_tfidf" -> Set("documents"),
+    "s_filtered_ann" -> Set("embeddings"),
+    "q_rollup_agg" -> Set("lineitem"),
+    "q_pivot_wide" -> Set("events"),
+    "q_apply_changes" -> Set("documents"),
+    "q_sliding_window" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

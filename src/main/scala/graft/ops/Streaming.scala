@@ -12,6 +12,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** SLIDING (overlapping) window event stats — batch form: each event
+    * lands in len/slide windows (Spark's `window(col, len, slide)`
+    * expands them in-plan as a narrow generate — no self-union, no
+    * second scan). The smoothing/alerting view a tumbling window can't
+    * express: a spike straddling a tumbling boundary splits in half,
+    * while every length-`windowLen` interval aligned to `slide` is
+    * scored here. Same DECIMAL sum discipline as the tumbling form;
+    * works unchanged under `readStream` + watermark (the window
+    * expression is streaming-safe). */
+  def slidingWindowStatsBatch(events: DataFrame, windowLen: String,
+      slide: String): DataFrame =
+    events.groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Tumbling-window event stats — batch form. */
   def windowStatsBatch(events: DataFrame, windowLen: String): DataFrame =
     events.groupBy(window(col("ts"), windowLen), col("event_type"))

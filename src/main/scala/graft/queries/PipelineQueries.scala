@@ -1174,6 +1174,58 @@ object PipelineQueries {
           Dedup.shingles(col("text"), 3), k = 3, maxDf = 50)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rank")
+    },
+    // CDC MERGE/upsert: a deterministic change batch (deletes on id%10=0,
+    // two out-of-order updates on id%10=1 — seq 2 must win — inserts on
+    // id%10=2 under shifted ids) applied onto the documents snapshot in
+    // ONE full-outer key shuffle; conflicting same-seq changes raise
+    // in-plan
+    "q_apply_changes" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def ch(pred: org.apache.spark.sql.Column, op: String, seq: Long,
+          idC: org.apache.spark.sql.Column,
+          textC: org.apache.spark.sql.Column) =
+        docs.filter(pred).select(idC.as("doc_id"), lit(op).as("op"),
+          lit(seq).as("seq"), textC.as("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val changes =
+        ch(col("doc_id") % 10 === 0, "D", 1L, col("doc_id"), col("text"))
+          .unionByName(ch(col("doc_id") % 10 === 1, "U", 1L, col("doc_id"),
+            upper(col("text"))))
+          .unionByName(ch(col("doc_id") % 10 === 1, "U", 2L, col("doc_id"),
+            concat(col("text"), lit(" rev2"))))
+          .unionByName(ch(col("doc_id") % 10 === 2, "I", 1L,
+            col("doc_id") + 10000000L, concat(col("text"), lit(" v2"))))
+      graft.ops.Cdc.applyChanges(docs, changes, "doc_id", "op", Some("seq"))
+        .select(col("doc_id"), md5(col("text")).as("h"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    // schema-evolution merge read: two parquet batches with DIFFERENT
+    // column sets under one logical table, mergeSchema read unions the
+    // schemas and null-fills — the append-only ingest contract when a
+    // source adds columns mid-stream
+    "v_schema_merge" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-merge")
+        .toString
+      val docs = Tables.documents(s, d)
+      docs.select("doc_id", "text")
+        .write.mode("overwrite").parquet(root + "/batch1")
+      docs.select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          col("n_chars"))
+        .write.mode("overwrite").parquet(root + "/batch2")
+      s.read.option("mergeSchema", "true")
+        .parquet(root + "/batch1", root + "/batch2")
+        .select(col("doc_id"), md5(col("text")).as("h"), col("lang"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+    // sliding (overlapping) 10-minute windows every 5 minutes: each event
+    // scored into exactly 2 windows, expanded in-plan (no self-union)
+    "q_sliding_window" -> { (s, d) =>
+      Streaming.slidingWindowStatsBatch(Tables.events(s, d),
+          "10 minutes", "5 minutes")
+        .orderBy("window_start", "event_type")
     })
 
   private val tokensSql =
@@ -3784,7 +3836,48 @@ object PipelineQueries {
         |  SELECT doc_id, term, w,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC) AS rank
         |  FROM w)
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_apply_changes" ->
+      """WITH changes AS (
+        |  SELECT doc_id, 'D' AS op, 1 AS seq, text, lang, source, n_chars
+        |    FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, 'U', 1, upper(text), lang, source, n_chars
+        |    FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id, 'U', 2, text || ' rev2', lang, source, n_chars
+        |    FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 10000000, 'I', 1, text || ' v2', lang, source, n_chars
+        |    FROM documents WHERE doc_id % 10 = 2),
+        |latest AS (
+        |  SELECT doc_id, arg_max(op, seq) AS op, arg_max(text, seq) AS text,
+        |    arg_max(lang, seq) AS lang, arg_max(source, seq) AS source,
+        |    arg_max(n_chars, seq) AS n_chars
+        |  FROM changes GROUP BY doc_id),
+        |merged AS (
+        |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.op,
+        |    CASE WHEN l.doc_id IS NULL THEN s.text ELSE l.text END AS text,
+        |    CASE WHEN l.doc_id IS NULL THEN s.lang ELSE l.lang END AS lang,
+        |    CASE WHEN l.doc_id IS NULL THEN s.source ELSE l.source END AS source,
+        |    CASE WHEN l.doc_id IS NULL THEN s.n_chars ELSE l.n_chars END AS n_chars
+        |  FROM documents s FULL OUTER JOIN latest l ON s.doc_id = l.doc_id)
+        |SELECT doc_id, md5(text) AS h, lang, source, n_chars
+        |FROM merged WHERE op IS NULL OR op <> 'D'
+        |ORDER BY doc_id""".stripMargin,
+    "v_schema_merge" ->
+      """SELECT doc_id, md5(text) AS h, CAST(NULL AS VARCHAR) AS lang,
+        |  CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 10000000, NULL, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_sliding_window" ->
+      """WITH slots AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type, value FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM slots GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
   private def fingerprintSql: String =

@@ -344,6 +344,34 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sliding window agg: streaming form matches the batch form") {
+    val src = java.nio.file.Files.createTempDirectory("graftslide").toString
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("slide_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+        "SELECT event_type, sum(n) AS n FROM slide_test GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Streaming.slidingWindowStatsBatch(events, "10 minutes", "5 minutes")
+      .groupBy("event_type").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    // each event lands in exactly len/slide = 2 windows
+    val tumbling = Streaming.windowStatsBatch(events, "5 minutes")
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(batch.values.sum == 2 * tumbling)
+  }
+
   test("streaming exact dedup keeps one row per fingerprint across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
