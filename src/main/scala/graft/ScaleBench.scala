@@ -99,7 +99,10 @@ object ScaleBench {
     // a snapshot-sized change batch) and the in-plan sliding-window
     // expansion; v_schema_merge is a sink round-trip, benched in Bench
     // like the other sinks rather than here
-    "q_apply_changes", "q_sliding_window")
+    "q_apply_changes", "q_sliding_window",
+    // degree-ordered triangle counting (wedge join bounded at sqrt(m)
+    // out-degree) and df-capped token-PMI pairs
+    "q_triangle_count", "t_token_pmi")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -185,7 +188,9 @@ object ScaleBench {
     "q_rollup_agg" -> Set("lineitem"),
     "q_pivot_wide" -> Set("events"),
     "q_apply_changes" -> Set("documents"),
-    "q_sliding_window" -> Set("events"))
+    "q_sliding_window" -> Set("events"),
+    "q_triangle_count" -> Set("lineitem"),
+    "t_token_pmi" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

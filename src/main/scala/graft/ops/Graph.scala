@@ -65,4 +65,55 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** Exact triangle count over the undirected simple graph of `edges`
+    * (parallel edges collapse, self-loops drop) — the clustering /
+    * community-density signal (a link farm and an organic topic cluster
+    * have very different triangle densities at equal edge counts).
+    *
+    * Scale shape: DEGREE-ORDERED orientation (each edge points from its
+    * (degree, id)-smaller endpoint to the larger) before the wedge
+    * self-join — the classic distributed-triangle trick: every node's
+    * out-degree is O(√m), so the wedge count is Σ outdeg² ≤ m^1.5
+    * instead of Σ deg² (which a hub node makes quadratic). Each triangle
+    * is counted exactly once: orientation by a total order is acyclic,
+    * and exactly one of the three nodes holds both out-edges. Three
+    * equi-shuffles (degree agg, wedge self-join on the apex, closing-
+    * edge join); counts are exact integers.
+    *
+    * Returns a single row (n_nodes, n_edges, n_triangles). */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val und2 = Dedup.materializeBase(
+      und
+        .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v")),
+      None)
+    // orient by the (deg, id) total order; carry the head's degree so the
+    // closing pair can be oriented without another degree join
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und2.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("db"))
+    val wedges = oriented.select(col("a"), col("b").as("x"), col("db").as("dx"))
+      .join(oriented.select(col("a"), col("b").as("y"), col("db").as("dy")),
+        Seq("a"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("x").as("a"), col("y").as("b"))
+    val triangles = wedges.join(oriented.select("a", "b"), Seq("a", "b"))
+    und2.agg(count(lit(1)).as("n_edges")).crossJoin(
+        deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      .select("n_nodes", "n_edges", "n_triangles")
+  }
 }

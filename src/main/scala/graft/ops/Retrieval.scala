@@ -169,4 +169,54 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("term"), col("w"))
   }
+
+  /** Document-level token co-occurrence with pointwise mutual
+    * information — collocation mining ("new york"), taxonomy seeds,
+    * embedding-free relatedness: for term pair (a, b),
+    * `pmi = ln(N · c_ab / (df_a · df_b))` over document frequencies.
+    *
+    * Scale shape: the same posting-list self-join as
+    * [[tfidfSimilarPairs]] with the identical df ≤ maxDf stop-term cap
+    * (a term expands at most df² pairs), pair counts by ONE grouped sum,
+    * `minPairCount` pruning the long co-occurrence tail before the
+    * (broadcast-sized) df join-back. All PMI operands are exact BIGINTs;
+    * the ratio is one IEEE division and one `ln`, rendered at 6 dp (the
+    * t_entropy discipline — a 9-dp render can flip on a 1-ulp libm
+    * difference). */
+  def tokenPmi(df: DataFrame, idCol: String,
+      terms: org.apache.spark.sql.Column,
+      maxDf: Long = 100, minPairCount: Long = 2,
+      maxTermsPerDoc: Long = 1000): DataFrame = {
+    val n = df.count()
+    val postings = df.select(col(idCol).as("id"), explode(terms).as("term"))
+      .distinct()
+    val dfc = postings.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= maxDf)
+    // the pair join is per-doc quadratic in KEPT terms — bound it
+    // in-plan (the ngramJaccard maxBlockSize discipline); the guard
+    // rides the id column the join reads, so pruning can't drop it
+    val kept0 = Dedup.materializeBase(
+      postings.join(dfc.hint("SHUFFLE_HASH"), Seq("term")), None)
+    val kept = kept0
+      .join(kept0.groupBy("id").agg(count(lit(1)).as("__npd")), Seq("id"))
+      .withColumn("id",
+        when(col("__npd") <= maxTermsPerDoc, col("id"))
+          .otherwise(raise_error(concat(
+            lit(s"tokenPmi: document with more than $maxTermsPerDoc kept " +
+              "terms (raise maxTermsPerDoc or tighten maxDf); id="),
+            col("id").cast("string")))))
+    val a = kept.select(col("id"), col("term").as("term_a"),
+      col("dfreq").as("df_a"))
+    val b = kept.select(col("id"), col("term").as("term_b"),
+      col("dfreq").as("df_b"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("id"))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b")
+      .agg(count(lit(1)).as("c_ab"), first(col("df_a")).as("df_a"),
+        first(col("df_b")).as("df_b"))
+      .filter(col("c_ab") >= minPairCount)
+      .select(col("term_a"), col("term_b"), col("c_ab"),
+        round(log((lit(n) * col("c_ab")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
+  }
 }

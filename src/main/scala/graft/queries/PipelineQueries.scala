@@ -1226,6 +1226,40 @@ object PipelineQueries {
       Streaming.slidingWindowStatsBatch(Tables.events(s, d),
           "10 minutes", "5 minutes")
         .orderBy("window_start", "event_type")
+    },
+    // exact triangle count over the supplier co-purchase graph (suppliers
+    // sharing an order): degree-ordered orientation bounds the wedge
+    // join at sqrt(m) out-degree — the hub-node-safe distributed shape
+    "q_triangle_count" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val e = li.select(col("ok"), col("sk").as("s1"))
+        .join(li.select(col("ok"), col("sk").as("s2")), Seq("ok"))
+        .filter(col("s1") < col("s2"))
+        .select(col("s1").as("src"), col("s2").as("dst"))
+      graft.ops.Graph.triangleCount(e, "src", "dst")
+    },
+    // document-level token co-occurrence PMI (collocation mining) over
+    // whitespace tokens: df-capped posting join, exact-integer operands,
+    // 6-dp render (the t_entropy ln-ulp discipline)
+    "t_token_pmi" -> { (s, d) =>
+      graft.ops.Retrieval.tokenPmi(Tables.documents(s, d), "doc_id",
+          TextAnalysis.tokens(col("text")), maxDf = 50, minPairCount = 2)
+        .orderBy("term_a", "term_b")
+    },
+    // hive-style partitioned layout: write partitioned by source, read
+    // back with a partition predicate — the scan must prune to one
+    // directory (PartitionFilters, checked by ExplainAudit), never list
+    // the full table
+    "v_partitioned_write" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-part")
+        .toString + "/docs"
+      Tables.documents(s, d).select("doc_id", "text", "source")
+        .write.mode("overwrite").partitionBy("source").parquet(root)
+      s.read.parquet(root).filter(col("source") === "src1")
+        .select(col("doc_id"), md5(col("text")).as("h"), col("source"))
+        .orderBy("doc_id")
     })
 
   private val tokensSql =
@@ -3877,7 +3911,38 @@ object PipelineQueries {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
-        |FROM slots GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM slots GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |und AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+        |nodes AS (SELECT count(DISTINCT n) AS c FROM (
+        |  SELECT u AS n FROM und UNION ALL SELECT v FROM und)),
+        |tri AS (SELECT count(*) AS c FROM und e1
+        |  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT (SELECT c FROM nodes) AS n_nodes,
+        |  (SELECT count(*) FROM und) AS n_edges,
+        |  (SELECT c FROM tri) AS n_triangles""".stripMargin,
+    "t_token_pmi" ->
+      s"""WITH toksq AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |postings AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toksq),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |dfq AS (SELECT term, count(*) AS dfreq FROM postings
+        |  GROUP BY 1 HAVING count(*) <= 50),
+        |kept AS (SELECT doc_id, postings.term, dfreq
+        |  FROM postings JOIN dfq ON postings.term = dfq.term),
+        |pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+        |    count(*) AS c_ab, min(a.dfreq) AS df_a, min(b.dfreq) AS df_b
+        |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT term_a, term_b, c_ab,
+        |  round(ln(CAST((SELECT n FROM nd) * c_ab AS DOUBLE)
+        |    / CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
+        |FROM pairs ORDER BY term_a, term_b""".stripMargin,
+    "v_partitioned_write" ->
+      """SELECT doc_id, md5(text) AS h, source
+        |FROM documents WHERE source = 'src1' ORDER BY doc_id""".stripMargin)
 
   /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
   private def fingerprintSql: String =

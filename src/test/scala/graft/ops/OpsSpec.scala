@@ -1669,6 +1669,55 @@ class OpsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
   }
 
+  test("triangleCount: hand-counted graphs, hubs, dedup, self-loops") {
+    import spark.implicits._
+    // K4 has 4 triangles; an extra pendant edge adds none; parallel
+    // edges and self-loops must not inflate anything
+    val k4 = for { i <- 1 to 4; j <- 1 to 4 if i < j } yield (i.toLong, j.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 5L), (2L, 1L), (3L, 3L)))
+      .toDF("src", "dst")
+    val r = Graph.triangleCount(edges, "src", "dst").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (5L, 7L, 4L))
+    // star graph (hub): zero triangles despite the hub's degree
+    val star = (2 to 30).map(i => (1L, i.toLong)).toDF("src", "dst")
+    assert(Graph.triangleCount(star, "src", "dst")
+      .collect().head.getLong(2) == 0L)
+    // partition invariance
+    val p = Graph.triangleCount(edges.repartition(7), "src", "dst")
+      .collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == (5L, 7L, 4L))
+  }
+
+  test("tokenPmi: exact counts, df cap, pair floor, per-doc guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york pizza"),
+      (2L, "new york subway"),
+      (3L, "new jersey"),
+      (4L, "old york"),
+      (5L, "filler filler")).toDF("doc_id", "text")
+    val out = Retrieval.tokenPmi(docs, "doc_id",
+        split(col("text"), " "), maxDf = 10, minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // only (new, york) co-occurs >= 2 times: c_ab=2, df_new=3, df_york=3
+    assert(out.toSeq == Seq(("new", "york", 2L,
+      BigDecimal(math.log(5.0 * 2 / 9.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // df cap: capping at 2 removes 'new' and 'york' (df 3) entirely
+    val capped = Retrieval.tokenPmi(docs, "doc_id",
+      split(col("text"), " "), maxDf = 2, minPairCount = 2)
+    assert(capped.count() == 0L)
+    // per-doc kept-terms guard raises
+    val ex = intercept[Exception] {
+      Retrieval.tokenPmi(docs, "doc_id", split(col("text"), " "),
+        maxDf = 10, minPairCount = 1, maxTermsPerDoc = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("kept")))
+  }
+
   test("langIdClassify: separable alphabets classify right, ties break to the smaller lang") {
     import spark.implicits._
     val labeled = Seq(("xx", "aaab aaba abaa baaa aabb"),
