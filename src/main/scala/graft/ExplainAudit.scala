@@ -37,7 +37,11 @@ object ExplainAudit {
         "q_ccnet_buckets", "q_canonical_quality", "t_subword_tokenize",
         "q_decon_bloom", "s_tfidf_pairs", "q_event_attribution",
         "t_bpe_train", "q_epoch_upsample", "t_tokenizer_card",
-        "t_unicode_nfc", "q_json_props")
+        "t_unicode_nfc", "q_json_props",
+        "q_event_funnel", "q_cohort_retention", "q_event_transitions",
+        "s_filtered_ann", "t_keywords_tfidf", "q_rollup_agg",
+        "q_pivot_wide", "q_apply_changes", "q_sliding_window",
+        "q_triangle_count", "t_token_pmi", "v_partitioned_write")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

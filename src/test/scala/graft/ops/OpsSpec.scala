@@ -1637,6 +1637,29 @@ class OpsSpec extends SparkSpec {
     assert(a.exceptAll(b2).count() == 0L && b2.exceptAll(a).count() == 0L)
   }
 
+  test("cmsCells: streaming complete-mode grid matches the batch grid") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val texts = Seq("alpha beta alpha", "beta gamma", "alpha delta epsilon")
+    val batch = Sketch.cmsCells(texts.toDF("text"), "text",
+        depth = 3, width = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mem = MemoryStream[String]
+    val q = Sketch.cmsCells(mem.toDF().toDF("text"), "text",
+        depth = 3, width = 32)
+      .writeStream.format("memory").queryName("cms_cells_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .start()
+    texts.foreach { t => mem.addData(t); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cms_cells_test")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // state is grid-bounded: never more rows than depth x width
+    assert(streamed.size <= 3 * 32)
+  }
+
   test("pageRank: matches a driver-side reference with the same quantization") {
     import spark.implicits._
     import java.math.{BigDecimal => JBD, RoundingMode}
