@@ -1248,6 +1248,23 @@ object PipelineQueries {
           TextAnalysis.tokens(col("text")), maxDf = 50, minPairCount = 2)
         .orderBy("term_a", "term_b")
     },
+    // JSONL source/sink round-trip — the LLM-corpus interchange format:
+    // write as line-delimited JSON, read back with an EXPLICIT schema
+    // (no inference pass to schedule over 100 TB; malformed rows → null
+    // columns, the PERMISSIVE contract), byte fidelity via md5(text)
+    "v_jsonl_source" -> { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+        .toString + "/docs"
+      Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(dir)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      s.read.schema(schema).json(dir)
+        .select(col("doc_id"), md5(col("text")).as("h"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
     // hive-style partitioned layout: write partitioned by source, read
     // back with a partition predicate — the scan must prune to one
     // directory (PartitionFilters, checked by ExplainAudit), never list
@@ -3942,7 +3959,10 @@ object PipelineQueries {
         |FROM pairs ORDER BY term_a, term_b""".stripMargin,
     "v_partitioned_write" ->
       """SELECT doc_id, md5(text) AS h, source
-        |FROM documents WHERE source = 'src1' ORDER BY doc_id""".stripMargin)
+        |FROM documents WHERE source = 'src1' ORDER BY doc_id""".stripMargin,
+    "v_jsonl_source" ->
+      """SELECT doc_id, md5(text) AS h, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
   private def fingerprintSql: String =
