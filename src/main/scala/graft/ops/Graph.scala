@@ -104,8 +104,15 @@ object Graph {
       when(uFirst, col("u")).otherwise(col("v")).as("a"),
       when(uFirst, col("v")).otherwise(col("u")).as("b"),
       when(uFirst, col("dv")).otherwise(col("du")).as("db"))
-    val wedges = oriented.select(col("a"), col("b").as("x"), col("db").as("dx"))
-      .join(oriented.select(col("a"), col("b").as("y"), col("db").as("dy")),
+    // pin the wedge join's partition count: AQE sizes partitions by the
+    // INPUT bytes of the edge list, but the join's output is the wedge
+    // expansion (outdeg² per apex) — letting AQE coalesce the small edge
+    // shuffle funnels the expansion through a handful of tasks. An
+    // explicit repartition(n, apex) keeps the expansion spread.
+    val p = und2.sparkSession.sessionState.conf.numShufflePartitions
+    val byApex = oriented.repartition(p, col("a"))
+    val wedges = byApex.select(col("a"), col("b").as("x"), col("db").as("dx"))
+      .join(byApex.select(col("a"), col("b").as("y"), col("db").as("dy")),
         Seq("a"))
       .filter(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")))

@@ -1227,24 +1227,38 @@ object PipelineQueries {
           "10 minutes", "5 minutes")
         .orderBy("window_start", "event_type")
     },
-    // exact triangle count over the supplier co-purchase graph (suppliers
-    // sharing an order): degree-ordered orientation bounds the wedge
-    // join at sqrt(m) out-degree — the hub-node-safe distributed shape
+    // exact triangle count over the PART co-purchase graph: parts on
+    // ADJACENT line numbers of one order link (a linear-in-lineitem edge
+    // build — an all-pairs-within-order projection over a small supplier
+    // universe degenerates to a complete graph, useless as a fixture);
+    // ~20k part nodes keep the graph sparse, and degree-ordered
+    // orientation bounds the wedge join at sqrt(m) out-degree
     "q_triangle_count" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val e = li.select(col("ok"), col("sk").as("s1"))
-        .join(li.select(col("ok"), col("sk").as("s2")), Seq("ok"))
-        .filter(col("s1") < col("s2"))
-        .select(col("s1").as("src"), col("s2").as("dst"))
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("pk"))
+      val e = li.select(col("ok"), col("ln"), col("pk").as("p1"))
+        .join(li.select(col("ok"), (col("ln") - 1).as("ln"),
+          col("pk").as("p2")), Seq("ok", "ln"))
+        .filter(col("p1") =!= col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
       graft.ops.Graph.triangleCount(e, "src", "dst")
     },
     // document-level token co-occurrence PMI (collocation mining) over
     // whitespace tokens: df-capped posting join, exact-integer operands,
-    // 6-dp render (the t_entropy ln-ulp discipline)
+    // 6-dp render (the t_entropy ln-ulp discipline). The raw corpus has
+    // no rare-token pairs recurring at any sf (a 0-row gate proves
+    // little — the d_exact_dup lesson), so each doc gets a PLANTED
+    // collocation "kwM kzM" with M = doc_id % 401: per-suffix df stays
+    // ~N/401 (under the cap at every benched sf), every suffix group
+    // co-occurs df times → the gate exercises the cap, the floor and
+    // the exact PMI arithmetic on hundreds of rows
     "t_token_pmi" -> { (s, d) =>
-      graft.ops.Retrieval.tokenPmi(Tables.documents(s, d), "doc_id",
+      val planted = Tables.documents(s, d)
+        .withColumn("text", concat(col("text"), lit(" kw"),
+          (col("doc_id") % 401).cast("string"), lit(" kz"),
+          (col("doc_id") % 401).cast("string")))
+      graft.ops.Retrieval.tokenPmi(planted, "doc_id",
           TextAnalysis.tokens(col("text")), maxDf = 50, minPairCount = 2)
         .orderBy("term_a", "term_b")
     },
@@ -3930,9 +3944,10 @@ object PipelineQueries {
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM slots GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_triangle_count" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-        |und AS (SELECT DISTINCT a.sk AS u, b.sk AS v
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS p1, b.pk AS p2 FROM li a
+        |  JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.pk <> b.pk),
+        |und AS (SELECT DISTINCT least(p1, p2) AS u, greatest(p1, p2) AS v FROM e0),
         |nodes AS (SELECT count(DISTINCT n) AS c FROM (
         |  SELECT u AS n FROM und UNION ALL SELECT v FROM und)),
         |tri AS (SELECT count(*) AS c FROM und e1
@@ -3942,7 +3957,11 @@ object PipelineQueries {
         |  (SELECT count(*) FROM und) AS n_edges,
         |  (SELECT c FROM tri) AS n_triangles""".stripMargin,
     "t_token_pmi" ->
-      s"""WITH toksq AS (SELECT doc_id, $tokensSql AS t FROM documents),
+      s"""WITH docs2 AS (SELECT doc_id,
+        |    text || ' kw' || CAST(doc_id % 401 AS VARCHAR)
+        |         || ' kz' || CAST(doc_id % 401 AS VARCHAR) AS text
+        |  FROM documents),
+        |toksq AS (SELECT doc_id, $tokensSql AS t FROM docs2),
         |postings AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toksq),
         |nd AS (SELECT count(*) AS n FROM documents),
         |dfq AS (SELECT term, count(*) AS dfreq FROM postings
