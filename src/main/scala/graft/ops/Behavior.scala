@@ -105,6 +105,43 @@ object Behavior {
           .as("retention"))
   }
 
+  /** Two-sample A/B experiment readout (Welch's t): units split by
+    * `unitCol % 2` (the deterministic stand-in for an assignment
+    * column — pass a real one by deriving `unitCol` upstream), per-unit
+    * metric totals FIRST (the randomization unit is the user, so
+    * per-event analysis would understate variance), then per-variant
+    * moments and the Welch statistic.
+    *
+    * Determinism: per-unit totals and per-variant Σm, Σm² accumulate in
+    * DECIMAL (exact, order-free); means/variances/t are a fixed
+    * parenthesization of IEEE ops over those exact operands, rendered at
+    * 6 dp. Two user-keyed shuffles + a 2-row moments frame. */
+  def abTestStats(events: DataFrame, unitCol: String,
+      metricCol: String): DataFrame = {
+    val perUnit = events.groupBy(col(unitCol).as("u"))
+      .agg(sum(col(metricCol).cast("decimal(14,2)"))
+        .cast("decimal(14,2)").as("m"))
+      .withColumn("variant", (col("u") % 2).cast("int"))
+    val stats = perUnit.groupBy("variant").agg(
+      count(lit(1)).as("n"),
+      sum(col("m")).cast("double").as("s"),
+      sum(col("m") * col("m")).cast("double").as("ss"))
+    def side(v: Int, c: String) = max(when(col("variant") === v, col(c)))
+    val w = stats.agg(
+      side(0, "n").as("n0"), side(1, "n").as("n1"),
+      side(0, "s").as("s0"), side(1, "s").as("s1"),
+      side(0, "ss").as("ss0"), side(1, "ss").as("ss1"))
+    val mean0 = col("s0") / col("n0")
+    val mean1 = col("s1") / col("n1")
+    val varTerm0 = ((col("ss0") - (col("s0") * col("s0")) / col("n0")) /
+      (col("n0") - 1)) / col("n0")
+    val varTerm1 = ((col("ss1") - (col("s1") * col("s1")) / col("n1")) /
+      (col("n1") - 1)) / col("n1")
+    w.select(col("n0"), col("n1"),
+      round(mean0, 6).as("mean0"), round(mean1, 6).as("mean1"),
+      round((mean1 - mean0) / sqrt(varTerm1 + varTerm0), 6).as("t_stat"))
+  }
+
   /** Next-event transition matrix (first-order Markov estimate): for each
     * (from, to) adjacent pair in a user's timeline — ordered by (ts,
     * tieCol), the unique-key house tie-break — the transition count and

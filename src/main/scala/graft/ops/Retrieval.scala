@@ -219,4 +219,33 @@ object Retrieval {
         round(log((lit(n) * col("c_ab")).cast("double") /
           (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
   }
+
+  /** Feature-HASHING TF-IDF document vectors (the hashing trick /
+    * HashingTF): each term folds into a fixed `dims`-sized feature space
+    * via the md5-affine hash, collisions summing — the featurizer whose
+    * memory is a design constant instead of a vocabulary table, which is
+    * what makes it usable on an unbounded term space at corpus scale.
+    * Output is SPARSE (id, dim, weight) rows — densifying 100 TB of
+    * mostly-zero lanes is the caller's mistake to make, not this
+    * operator's default. Weights are the [[tfidfKeywords]] BIGINT
+    * discipline (tf · idf quantized once), so vectors are engine-exact.
+    * One explode + two grouped sums + one posting join; no driver state
+    * beyond the corpus count. */
+  def hashedTfidf(df: DataFrame, idCol: String,
+      terms: org.apache.spark.sql.Column,
+      dims: Int = 64, maxDf: Long = 100): DataFrame = {
+    require(dims >= 1, s"hashedTfidf: dims must be >= 1, got $dims")
+    val n = df.count()
+    val toks = df.select(col(idCol).as("id"), explode(terms).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = toks.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= maxDf && col("dfreq") < n)
+    val idfQ = round(log(lit(n.toDouble) / col("dfreq").cast("double")) * 1e6, 0)
+      .cast("long")
+    toks.join(dfc.hint("SHUFFLE_HASH"), Seq("term"))
+      .select(col("id"),
+        (Pipeline.md5Long60(col("term"), "feat") % dims).cast("int").as("dim"),
+        (col("tf") * idfQ).as("w"))
+      .groupBy("id", "dim").agg(sum(col("w")).as("weight"))
+  }
 }

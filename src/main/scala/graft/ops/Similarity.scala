@@ -105,6 +105,47 @@ object Similarity {
     ivfTopK(corpus.filter(predicate), corpusId, corpusVec, cellCol,
       queries, queryId, queryVec, queryCell, k, excludeSelf)
 
+  /** kNN GRAPH construction (every vector's top-k neighbors — the
+    * backbone of kNN-graph clustering, label propagation, HNSW-style
+    * index builds): a cell-bucketed SELF-join, so the corpus is both
+    * sides — unlike [[ivfTopK]] nothing is broadcast-sized. Per cell the
+    * work is quadratic BY DESIGN (that is what a kNN graph costs inside
+    * a bucket); the in-plan `maxCellSize` guard fails fast instead of
+    * letting one mega-cell quietly own the stage — re-cluster with more
+    * cells, the documented contract. One cell equi-shuffle + the O(k)-
+    * state top-k aggregation (TopKStructAgg — no per-cell slice ever
+    * materializes per task). Neighbors come from the vector's OWN cell
+    * (nProbe=1 semantics): recall at cell boundaries is the measured
+    * trade [[annRecall]] reports, not a silent loss. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, k: Int, maxCellSize: Long = 10000): DataFrame = {
+    require(k >= 1, s"knnGraph: k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    val v = toDouble(col(vecCol))
+    val base = corpus.select(col(cellCol).as("cell"), col(idCol).as("id"),
+      graft.functions.PackedDoubles.packCol(spark, v).as("vp"),
+      norm(v).as("nrm"))
+    val sized = base
+      .join(base.groupBy("cell").agg(count(lit(1)).as("__cs")), Seq("cell"))
+      .withColumn("cell",
+        when(col("__cs") <= maxCellSize, col("cell"))
+          .otherwise(raise_error(concat(
+            lit(s"knnGraph: cell larger than $maxCellSize (size="),
+            col("__cs").cast("string"),
+            lit(") — re-cluster with more cells")))))
+    val a = sized.select(col("cell"), col("id").as("q_id"),
+      col("vp").as("q_vp"), col("nrm").as("q_nrm"))
+    val b = base.select(col("cell"), col("id").as("n_id"),
+      col("vp").as("n_vp"), col("nrm").as("n_nrm"))
+    val scored = a.join(b.hint("SHUFFLE_HASH"), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.functions.PackedDoubles.dotCol(spark, col("q_vp"), col("n_vp")) /
+          (col("q_nrm") * col("n_nrm")))
+      .select(col("q_id"), col("n_id"), col("sim"))
+    topKPerGroup(scored, "q_id", "n_id", "sim", k)
+  }
+
   /** Distributed top-k per group. Deterministic ordering (score desc,
     * id asc), bit-identical to slice(array_sort(collect_list(...)), 1, k).
     *

@@ -1262,6 +1262,29 @@ object PipelineQueries {
           TextAnalysis.tokens(col("text")), maxDf = 50, minPairCount = 2)
         .orderBy("term_a", "term_b")
     },
+    // kNN GRAPH: every vector's top-3 same-cell neighbors via the
+    // cell-bucketed self-join (nothing broadcast — the corpus is both
+    // sides), O(k)-state top-k aggregation, in-plan mega-cell guard
+    "s_knn_graph" -> { (s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+          "label", k = 3)
+        .orderBy("q_id", "rank")
+    },
+    // feature-hashing TF-IDF (HashingTF): terms fold into 64 fixed
+    // feature lanes via the md5-affine hash, collisions sum, sparse
+    // (id, dim, weight) output; BIGINT-exact weights
+    "t_hashing_tfidf" -> { (s, d) =>
+      graft.ops.Retrieval.hashedTfidf(Tables.documents(s, d), "doc_id",
+          Dedup.shingles(col("text"), 3), dims = 64, maxDf = 50)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "dim")
+    },
+    // A/B experiment readout: units split by user_id parity, per-UNIT
+    // metric totals first (the randomization unit is the user), Welch's
+    // t from DECIMAL-exact moments, 6-dp render
+    "q_ab_ttest" -> { (s, d) =>
+      graft.ops.Behavior.abTestStats(Tables.events(s, d), "user_id", "value")
+    },
     // JSONL source/sink round-trip — the LLM-corpus interchange format:
     // write as line-delimited JSON, read back with an EXPLICIT schema
     // (no inference pass to schedule over 100 TB; malformed rows → null
@@ -3981,7 +4004,60 @@ object PipelineQueries {
         |FROM documents WHERE source = 'src1' ORDER BY doc_id""".stripMargin,
     "v_jsonl_source" ->
       """SELECT doc_id, md5(text) AS h, lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s_knn_graph" ->
+      """WITH v AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(len(c.e)), i -> c.e[i+1] * q.e[i+1])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(q.e, x -> x * x)), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(c.e, x -> x * x)), (x, y) -> x + y))) AS sim
+        |  FROM v q JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id)
+        |SELECT q_id, rank, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "t_hashing_tfidf" ->
+      s"""WITH toksq AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |      ELSE [array_to_string(t, ' ')] END) AS term
+        |  FROM toksq),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfreq FROM tfq GROUP BY 1),
+        |keep AS (SELECT term,
+        |    CAST(round(ln(CAST((SELECT n FROM nd) AS DOUBLE) / CAST(dfreq AS DOUBLE)) * 1000000) AS BIGINT) AS idfq
+        |  FROM dfq WHERE dfreq <= 50 AND dfreq < (SELECT n FROM nd)),
+        |w AS (SELECT doc_id,
+        |    CAST(${md5HornerSql("'feat:' || tfq.term")} % 64 AS INTEGER) AS dim,
+        |    tf * idfq AS w
+        |  FROM tfq JOIN keep ON tfq.term = keep.term)
+        |SELECT doc_id, dim, sum(w) AS weight FROM w
+        |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+    "q_ab_ttest" ->
+      """WITH pu AS (SELECT user_id AS u,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS m
+        |  FROM events GROUP BY 1),
+        |pv AS (SELECT CAST(u % 2 AS INTEGER) AS variant, count(*) AS n,
+        |    CAST(sum(m) AS DOUBLE) AS s, CAST(sum(m * m) AS DOUBLE) AS ss
+        |  FROM pu GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+        |    max(CASE WHEN variant = 0 THEN s END) AS s0,
+        |    max(CASE WHEN variant = 1 THEN s END) AS s1,
+        |    max(CASE WHEN variant = 0 THEN ss END) AS ss0,
+        |    max(CASE WHEN variant = 1 THEN ss END) AS ss1
+        |  FROM pv)
+        |SELECT n0, n1,
+        |  round(s0 / n0, 6) AS mean0, round(s1 / n1, 6) AS mean1,
+        |  round(((s1 / n1) - (s0 / n0))
+        |    / sqrt((((ss1 - (s1 * s1) / n1) / (n1 - 1)) / n1)
+        |         + (((ss0 - (s0 * s0) / n0) / (n0 - 1)) / n0)), 6) AS t_stat
+        |FROM w""".stripMargin)
 
   /** DuckDB form of [[graft.ops.TextAnalysis.fingerprint]]. */
   private def fingerprintSql: String =

@@ -122,6 +122,58 @@ class BehaviorSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_id")).toSeq == Seq(10L, 12L))
   }
 
+  test("abTestStats: Welch t from hand-computed moments") {
+    import spark.implicits._
+    val ev = Seq((1L, 2.0), (1L, 4.0), (2L, 1.0), (3L, 2.0), (4L, 3.0))
+      .toDF("user_id", "value")
+    val r = Behavior.abTestStats(ev, "user_id", "value").collect().head
+    // variant 1 = users {1, 3}: m = 6, 2 -> n=2 s=8 ss=40, var=8
+    // variant 0 = users {2, 4}: m = 1, 3 -> n=2 s=4 ss=10, var=2
+    // t = (4 - 2) / sqrt(8/2/2 + 2/2/2) -> 2/sqrt(5)
+    assert((r.getLong(0), r.getLong(1)) == (2L, 2L))
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == BigDecimal(2.0 / math.sqrt(5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("knnGraph: same-cell top-k, self excluded, mega-cell guard") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.44f), 0),
+      (3L, Array(0.0f, 1.0f), 0), (4L, Array(1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnGraph(e, "vec_id", "embedding", "label", k = 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    // cell 0: 1<->2 nearest each other; 3's nearest is 2; 4 alone -> no rows
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    val ex = intercept[Exception] {
+      Similarity.knnGraph(e, "vec_id", "embedding", "label", k = 1,
+        maxCellSize = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("re-cluster")))
+  }
+
+  test("hashedTfidf: mass-preserving fold into bounded lanes") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "bb dd"), (3L, "ee ff"))
+      .toDF("doc_id", "text")
+    val hashed = Retrieval.hashedTfidf(docs, "doc_id",
+      split(col("text"), " "), dims = 4, maxDf = 10)
+    val lanes = hashed.select("dim").distinct().collect().map(_.getInt(0))
+    assert(lanes.forall(d => d >= 0 && d < 4))
+    // collision folding preserves total weight per doc: compare against
+    // the unhashed per-term weights from the keywords path (k large)
+    val flat = Retrieval.tfidfKeywords(docs, "doc_id",
+      split(col("text"), " "), k = 100, maxDf = 10)
+    val hSums = hashed.groupBy("id").agg(sum("weight").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fSums = flat.groupBy("id").agg(sum("w").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hSums == fSums)
+  }
+
   test("tfidfKeywords: integer tf·idf ranking with term-asc ties") {
     import spark.implicits._
     val docs = Seq(
