@@ -105,6 +105,28 @@ object Behavior {
           .as("retention"))
   }
 
+  /** Per-user MOVING-window metric features (lag / rolling mean — the
+    * feature-engineering primitive for sequence models and anomaly
+    * baselines): over each user's timeline in (orderCol) order, the
+    * previous value and the inclusive trailing `window`-row mean.
+    * DECIMAL accumulation keeps the rolling sum exact and
+    * order-established; the mean is one IEEE division per row. One
+    * user-partitioned window — the same shuffle family as every other
+    * operator on this table. */
+  def rollingFeatures(events: DataFrame, userCol: String, orderCol: String,
+      metricCol: String, window: Int = 3): DataFrame = {
+    require(window >= 1, s"rollingFeatures: window must be >= 1")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(orderCol))
+    val wk = w.rowsBetween(-(window - 1), Window.currentRow)
+    events.select(col(userCol), col(orderCol), col(metricCol))
+      .withColumn("prev_value", lag(col(metricCol), 1).over(w))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("rolling_mean",
+        round(sum(col(metricCol).cast("decimal(14,2)")).over(wk)
+          .cast("double") / col("__n"), 6))
+      .drop("__n")
+  }
+
   /** Two-sample A/B experiment readout (Welch's t): units split by
     * `unitCol % 2` (the deterministic stand-in for an assignment
     * column — pass a real one by deriving `unitCol` upstream), per-unit

@@ -1084,4 +1084,28 @@ object TextAnalysis {
       .select(col("id").as(idCol))
     corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
+
+  /** Percentile WINSORIZATION of a numeric column per source (outlier
+    * clipping before any mean-based statistic or length-normalized
+    * score — one pathological 500 MB "document" otherwise owns the
+    * average): values clamp to the per-source [pLo, pHi] interpolated
+    * percentiles. Cuts come from the Spark `percentile` ≡ DuckDB
+    * `quantile_cont` parity pair (the t_length_percentiles gate pins
+    * it) and broadcast back onto a zero-shuffle clipping scan — the
+    * perplexityBuckets route. The clipped value renders at 6 dp (the
+    * interpolation is a double). */
+  def winsorize(df: DataFrame, idCol: String, valueCol: String,
+      sourceCol: String, pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
+      s"winsorize: need 0 <= pLo <= pHi <= 1, got [$pLo, $pHi]")
+    val cuts = df.groupBy(col(sourceCol).as("source")).agg(
+      expr(s"percentile($valueCol, $pLo)").as("__lo"),
+      expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    df.select(col(idCol).as("id"), col(sourceCol).as("source"),
+        col(valueCol).as("v"))
+      .join(broadcast(cuts), Seq("source"))
+      .select(col("id"), col("source"), col("v"),
+        round(greatest(col("__lo"), least(col("__hi"),
+          col("v").cast("double"))), 6).as("v_winsorized"))
+  }
 }

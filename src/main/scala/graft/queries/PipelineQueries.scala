@@ -1262,6 +1262,21 @@ object PipelineQueries {
           TextAnalysis.tokens(col("text")), maxDf = 50, minPairCount = 2)
         .orderBy("term_a", "term_b")
     },
+    // per-user rolling features (lag + trailing 3-row mean): exact
+    // DECIMAL window sums, one user-partitioned window
+    "q_rolling_features" -> { (s, d) =>
+      graft.ops.Behavior.rollingFeatures(Tables.events(s, d), "user_id",
+          "event_id", "value", window = 3)
+        .orderBy("user_id", "event_id")
+    },
+    // per-source percentile winsorization of n_chars (outlier clipping):
+    // percentile ≡ quantile_cont parity cuts broadcast onto a
+    // zero-shuffle clamp scan
+    "t_winsorize" -> { (s, d) =>
+      TextAnalysis.winsorize(Tables.documents(s, d), "doc_id", "n_chars",
+          "source", pLo = 0.05, pHi = 0.95)
+        .orderBy("id")
+    },
     // kNN GRAPH: every vector's top-3 same-cell neighbors via the
     // cell-bucketed self-join (nothing broadcast — the corpus is both
     // sides), O(k)-state top-k aggregation, in-plan mega-cell guard
@@ -4005,6 +4020,20 @@ object PipelineQueries {
     "v_jsonl_source" ->
       """SELECT doc_id, md5(text) AS h, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_rolling_features" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_mean
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "t_winsorize" ->
+      """WITH cuts AS (SELECT source,
+        |    quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id AS id, d.source, n_chars AS v,
+        |  round(greatest(lo, least(hi, CAST(n_chars AS DOUBLE))), 6) AS v_winsorized
+        |FROM documents d JOIN cuts ON d.source = cuts.source
+        |ORDER BY id""".stripMargin,
     "s_knn_graph" ->
       """WITH v AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         |scored AS (
