@@ -102,7 +102,12 @@ object ScaleBench {
     "q_apply_changes", "q_sliding_window",
     // degree-ordered triangle counting (wedge join bounded at sqrt(m)
     // out-degree) and df-capped token-PMI pairs
-    "q_triangle_count", "t_token_pmi")
+    "q_triangle_count", "t_token_pmi",
+    // round-9 eighth wave: kNN-graph self-join (per-cell quadratic by
+    // design), feature-hashing TF-IDF, Welch A/B readout, rolling
+    // window features, percentile winsorization
+    "s_knn_graph", "t_hashing_tfidf", "q_ab_ttest",
+    "q_rolling_features", "t_winsorize")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -119,7 +124,10 @@ object ScaleBench {
       // stresses its ExactSubstr gram shuffle, and the per-source budget /
       // packing prefix sums must survive one source holding ~all tokens
       // (hot stratum = one runningSum partition family)
-      "q_training_mix")
+      "q_training_mix",
+      // ~half of all events on one user: the bucket-stitched transition
+      // windows must NOT serialize the hot user through one task
+      "q_event_transitions")
 
   /** Tables each benched query scans — replication writes only what the
     * selected queries read (a 100× lineitem is wasted work for a
@@ -190,7 +198,12 @@ object ScaleBench {
     "q_apply_changes" -> Set("documents"),
     "q_sliding_window" -> Set("events"),
     "q_triangle_count" -> Set("lineitem"),
-    "t_token_pmi" -> Set("documents"))
+    "t_token_pmi" -> Set("documents"),
+    "s_knn_graph" -> Set("embeddings"),
+    "t_hashing_tfidf" -> Set("documents"),
+    "q_ab_ttest" -> Set("events"),
+    "q_rolling_features" -> Set("events"),
+    "t_winsorize" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -112,7 +112,11 @@ object Behavior {
     * DECIMAL accumulation keeps the rolling sum exact and
     * order-established; the mean is one IEEE division per row. One
     * user-partitioned window — the same shuffle family as every other
-    * operator on this table. */
+    * operator on this table. A pathologically hot user serializes its
+    * own timeline through one task (frames straddle any split, so the
+    * eventTransitions bucket-stitch doesn't apply verbatim); for that
+    * regime pre-bucket the timeline and accept frame resets, or carry
+    * the k−1 boundary rows — documented trade, not silent. */
   def rollingFeatures(events: DataFrame, userCol: String, orderCol: String,
       metricCol: String, window: Int = 3): DataFrame = {
     require(window >= 1, s"rollingFeatures: window must be >= 1")
@@ -169,19 +173,43 @@ object Behavior {
     * tieCol), the unique-key house tie-break — the transition count and
     * its row-normalized probability.
     *
-    * Plan: one `lead` window partitioned by user (the same per-user
-    * shuffle family), then an event-type-pair aggregation; the
-    * normalizing sum runs over the |types|²-sized post-agg frame.
+    * Skew design: a plain per-user `lead` window serializes a hot user's
+    * ENTIRE history through one task (the skew run plants ~half of all
+    * events on one user — at corpus scale that's the stage). Instead the
+    * timeline splits into (user, time-bucket) windows — adjacency within
+    * a bucket is an ordinary bounded window — and the cross-bucket
+    * adjacencies are STITCHED: each bucket reduces to its (first, last)
+    * events via map-combinable min/max struct aggregation, and a per-user
+    * window over the bucket SUMMARIES (≤ time-range/bucketLen rows per
+    * user, however hot) links each bucket's last event to the next
+    * bucket's first. Identical output to the naive single window —
+    * pinned by a differential test.
     */
   def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, tieCol: String): DataFrame = {
-    val w = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol), col(tieCol))
-    val totals = Window.partitionBy(col("from_type"))
-    events
-      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      typeCol: String, tieCol: String,
+      bucketLen: String = "1 day"): DataFrame = {
+    val bucket = window(col(tsCol), bucketLen).getField("start")
+    val base = events.select(col(userCol).as("__u"), col(tsCol).as("__t"),
+      col(tieCol).as("__tie"), col(typeCol).as("__e"),
+      bucket.as("__b"))
+    val inBucket = Window.partitionBy(col("__u"), col("__b"))
+      .orderBy(col("__t"), col("__tie"))
+    val within = base
+      .withColumn("to_type", lead(col("__e"), 1).over(inBucket))
       .filter(col("to_type").isNotNull)
-      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .select(col("__e").as("from_type"), col("to_type"))
+    val key = struct(col("__t"), col("__tie"), col("__e"))
+    val summaries = base.groupBy("__u", "__b")
+      .agg(min(key).as("__first"), max(key).as("__last"))
+    val overBuckets = Window.partitionBy(col("__u")).orderBy(col("__b"))
+    val boundary = summaries
+      .withColumn("__nextFirst", lead(col("__first"), 1).over(overBuckets))
+      .filter(col("__nextFirst").isNotNull)
+      .select(col("__last.__e").as("from_type"),
+        col("__nextFirst.__e").as("to_type"))
+    val totals = Window.partitionBy(col("from_type"))
+    within.unionByName(boundary)
+      .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
       .withColumn("p",
         round(col("n").cast("double") / sum(col("n")).over(totals), 9))

@@ -1249,17 +1249,19 @@ object PipelineQueries {
     // 6-dp render (the t_entropy ln-ulp discipline). The raw corpus has
     // no rare-token pairs recurring at any sf (a 0-row gate proves
     // little — the d_exact_dup lesson), so each doc gets a PLANTED
-    // collocation "kwM kzM" with M = doc_id % 401: per-suffix df stays
-    // ~N/401 (under the cap at every benched sf), every suffix group
-    // co-occurs df times → the gate exercises the cap, the floor and
-    // the exact PMI arithmetic on hundreds of rows
+    // collocation "kwM kzM" with M = doc_id % 401: per-suffix df is
+    // ~N/401 — ≥2 from the sf0.01 gate scale up, and under the 200 cap
+    // through the 10× sf0.1 ScaleBench scale (≈125) — so the gate
+    // exercises the cap, the floor and the exact PMI arithmetic on
+    // hundreds of rows at every benched sf (beyond ~80k docs the
+    // planted family crosses the cap by design — the cap doing its job)
     "t_token_pmi" -> { (s, d) =>
       val planted = Tables.documents(s, d)
         .withColumn("text", concat(col("text"), lit(" kw"),
           (col("doc_id") % 401).cast("string"), lit(" kz"),
           (col("doc_id") % 401).cast("string")))
       graft.ops.Retrieval.tokenPmi(planted, "doc_id",
-          TextAnalysis.tokens(col("text")), maxDf = 50, minPairCount = 2)
+          TextAnalysis.tokens(col("text")), maxDf = 200, minPairCount = 2)
         .orderBy("term_a", "term_b")
     },
     // per-user rolling features (lag + trailing 3-row mean): exact
@@ -4003,7 +4005,7 @@ object PipelineQueries {
         |postings AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toksq),
         |nd AS (SELECT count(*) AS n FROM documents),
         |dfq AS (SELECT term, count(*) AS dfreq FROM postings
-        |  GROUP BY 1 HAVING count(*) <= 50),
+        |  GROUP BY 1 HAVING count(*) <= 200),
         |kept AS (SELECT doc_id, postings.term, dfreq
         |  FROM postings JOIN dfq ON postings.term = dfq.term),
         |pairs AS (SELECT a.term AS term_a, b.term AS term_b,

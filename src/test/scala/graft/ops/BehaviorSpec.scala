@@ -122,6 +122,44 @@ class BehaviorSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_id")).toSeq == Seq(10L, 12L))
   }
 
+  test("eventTransitions: bucket-stitched == naive single window (differential)") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random timeline: 3 users x 40 events spread
+    // over 6 days, types from a 4-letter alphabet; 5-minute buckets force
+    // MANY boundary stitches
+    val rows = for (u <- 1L to 3L; i <- 0 until 40) yield {
+      val h = (u * 7919 + i * 104729) % 100000
+      (u, f"2024-01-0${1 + (h % 6)}%s ${(h / 7) % 24}%02d:${h % 60}%02d:00",
+        "abcd".charAt((h % 4).toInt).toString)
+    }
+    val ev = events(rows: _*)
+    def naive(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      df.withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val got = Behavior.eventTransitions(ev, "user_id", "ts", "event_type",
+        "event_id", bucketLen = "5 minutes")
+      .select("from_type", "to_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = naive(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // hot-user shape: one user holds ~all events — result unchanged
+    val hot = events((1 to 60).map(i =>
+      (9L, f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00",
+        "xy".charAt(i % 2).toString)): _*)
+    val g2 = Behavior.eventTransitions(hot, "user_id", "ts", "event_type",
+        "event_id", bucketLen = "10 minutes")
+      .select("from_type", "to_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w2 = naive(hot)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(g2 == w2)
+  }
+
   test("abTestStats: Welch t from hand-computed moments") {
     import spark.implicits._
     val ev = Seq((1L, 2.0), (1L, 4.0), (2L, 1.0), (3L, 2.0), (4L, 3.0))
