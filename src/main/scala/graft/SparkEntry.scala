@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.AdtlOps.queries ++
       graft.queries.EngineQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.AdtlOps.oracles ++
       graft.queries.EngineQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.AnalyticsQueries.oracles
 }

@@ -214,4 +214,89 @@ object Behavior {
       .withColumn("p",
         round(col("n").cast("double") / sum(col("n")).over(totals), 9))
   }
+
+  /** Regular-interval time-series with forward fill — the resample step
+    * before any sequence model or dashboard reads an event stream: each
+    * key's observations bucket to `stepSeconds`-wide epoch buckets
+    * (DECIMAL-exact per-bucket sums), the grid of EVERY bucket between
+    * the key's first and last observation is generated in-plan
+    * (`sequence` + explode — a narrow generate, rows ∝ output, no
+    * driver loop), and empty buckets carry the last observed value
+    * forward (`last(ignoreNulls)` over the key's bucket order).
+    *
+    * Scale shape: one (key, bucket) aggregation, one key aggregation for
+    * the spans, one equi-join grid↔observed on (key, bucket), one
+    * per-key window — every exchange keys on the key column. A key's
+    * cost is its own span/step (bounded by data retention), never the
+    * corpus. Integer bucket arithmetic (epoch div) — engine-exact; the
+    * filled value is an exact DECIMAL carried unchanged.
+    *
+    * `maxBucketsPerKey` guards the generate: a key whose span/step
+    * exceeds it (a 10-year span at 1-second steps = a 300M-row explode
+    * per key) raises IN-PLAN rather than OOMing an executor. */
+  def gapFill(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long,
+      maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
+    // floor, not cast: Spark double→long casts truncate but DuckDB's
+    // round — floor() agrees (epochs here are non-negative anyway)
+    val bucket = floor(unix_timestamp(col(tsCol)).cast("double") /
+      lit(stepSeconds.toDouble)).cast("long") * stepSeconds
+    val observed = events
+      .select(col(userCol).as("u"), bucket.as("b"),
+        col(valueCol).cast("decimal(14,2)").as("__v"))
+      .groupBy("u", "b")
+      .agg(sum(col("__v")).cast("decimal(24,2)").as("v_obs"))
+    val spans = observed.groupBy("u")
+      .agg(min(col("b")).as("__lo"), max(col("b")).as("__hi"))
+      .withColumn("__nb", (col("__hi") - col("__lo")) / lit(stepSeconds) + 1L)
+      .withColumn("__lo", when(col("__nb") <= maxBucketsPerKey, col("__lo"))
+        .otherwise(raise_error(concat(lit("gapFill: key "),
+          col("u").cast("string"), lit(" spans "), col("__nb").cast("string"),
+          lit(" buckets > maxBucketsPerKey")))))
+    val grid = spans.select(col("u"),
+      explode(sequence(col("__lo"), col("__hi"), lit(stepSeconds))).as("b"))
+    val w = Window.partitionBy(col("u")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(observed, Seq("u", "b"), "left")
+      .withColumn("v_filled", last(col("v_obs"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("v_obs").isNotNull)
+  }
+
+  /** Half-life-bucketed exponential time-decay score per key — the
+    * recency-weighted engagement signal (recommendation freshness, user
+    * activity ranking): each event contributes
+    * value · 0.5^(ageDays div halfLifeDays), age measured in whole days
+    * back from `asOfEpoch` (integer floor division — the decay is a step
+    * function of WHOLE half-lives, by design).
+    *
+    * Engine-exactness: the exponent is a small non-negative INTEGER, so
+    * 0.5^n is an exactly-representable binary double any IEEE pow
+    * returns exactly; value·0.5^n is one correctly-rounded multiply;
+    * each term then quantizes to DECIMAL(18,6) (round 6) so the per-key
+    * sum is order- and partition-invariant and a SQL oracle replays it
+    * bit-for-bit. Ages beyond 62 half-lives clamp to weight 0 (the
+    * double would underflow anyway at 1074).
+    *
+    * Scale: one narrow scoring scan + one map-combinable key
+    * aggregation — a single shuffle on the key. */
+  def decayScore(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, asOfEpoch: Long, halfLifeDays: Long): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    // floor(correctly-rounded double division) == the mathematical floor
+    // here (operands << 2^53, so the quotient can only round onto an
+    // integer when it IS one) — and unlike cast(double as long), floor
+    // agrees between engines (Spark casts truncate, DuckDB casts round)
+    val age = (lit(asOfEpoch) - unix_timestamp(col(tsCol)).cast("long"))
+      .cast("double")
+    val periods = floor(age / lit(86400.0 * halfLifeDays)).cast("long")
+    val term = when(periods < 0L || periods > 62L, lit(0.0))
+      .otherwise(col(valueCol) * pow(lit(0.5), periods.cast("double")))
+    events
+      .select(col(userCol).as("u"),
+        round(term, 6).cast("decimal(18,6)").as("__t"))
+      .groupBy("u")
+      .agg(sum(col("__t")).cast("decimal(28,6)").as("decay_score"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -71,4 +71,43 @@ object Cdc {
       .select(col("__k").as(idCol) +:
         payload.map(p => col(s"__row.$p").as(p)): _*)
   }
+
+  /** SCD Type-2 dimension history (Kimball): collapse a keyed change log
+    * into versioned rows carrying [valid_from, valid_to) and a current
+    * flag — the warehouse primitive behind "what did this row look like
+    * on date X". Consecutive deliveries of the SAME tracked value
+    * compact into one version (re-sending an unchanged payload must not
+    * open a new version); `valid_to` is the NEXT version's start, null
+    * (open) for the key's latest version.
+    *
+    * Scale shape: both windows (the change-vs-previous compaction lag and
+    * the valid_to lead) partition on the key and everything shuffles
+    * exactly once on it — one exchange family, AQE-reusable. Per-key
+    * state is the key's own change rows (bounded by per-entity change
+    * counts, the same contract as [[Behavior.rollingFeatures]]), never a
+    * cross-key structure. Pure integer/struct comparisons — no floats, so
+    * any SQL engine replays it exactly.
+    *
+    * Null-safe: a tracked value of null compacts against null via `<=>`
+    * (re-delivering null does not reopen a version). */
+  def scd2History(changes: DataFrame, keyCol: String, seqCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "scd2History: need at least one tracked column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(seqCol))
+    val v = struct(valueCols.map(col): _*)
+    val compacted = changes
+      .select((keyCol +: seqCol +: valueCols).distinct.map(col): _*)
+      .withColumn("__prev", lag(v, 1).over(w))
+      .withColumn("__first", lag(lit(1), 1).over(w).isNull)
+      // keep the first delivery and every delivery whose tracked struct
+      // differs from the previous one (null-safe: <=> on the struct)
+      .filter(col("__first") || !(v <=> col("__prev")))
+      .drop("__prev", "__first")
+    compacted
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(seqCol)
+  }
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy record linkage — near-identical STRING matching under
+  * edit distance (catalog entry reconciliation, entity dedup across
+  * feeds), the record-linkage sibling of the n-gram document dedup
+  * family (SURVEY.md §2.11 L95).
+  *
+  * Contract (standard record-linkage practice): candidate pairs are
+  * generated WITHIN caller-supplied blocks only — a pair spanning two
+  * blocks is out of scope by definition, and the blocking column is the
+  * recall/cost dial the caller owns. Within a block, matching is exact:
+  * every pair at Levenshtein distance ≤ maxDist is found (plus a
+  * lossless length prune — |len(a) − len(b)| > maxDist bounds the
+  * distance above maxDist, so nothing true is cut).
+  *
+  * Scale shape = the [[Dedup.ngramJaccardPairs]] architecture: each
+  * block splits into `chunks` deterministic id-hash chunks and the
+  * self-join runs as the balanced triangle over unordered chunk pairs —
+  * a low-cardinality blocking key spreads across chunks·(chunks+1)/2
+  * tasks instead of serializing one executor. In-block pair work is
+  * quadratic BY DESIGN; the in-plan oversize guard fails blocks above
+  * `maxBlockSize` with the remediation named, instead of silently
+  * burning a cluster.
+  */
+object Linkage {
+
+  /** All within-block pairs with levenshtein(s_a, s_b) ≤ maxDist,
+    * id_a < id_b, exact integer distance in the output. */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+      blockCol: String, maxDist: Int, chunks: Int = 8,
+      maxBlockSize: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+      .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
+    val counts = base.groupBy(col("blk")).agg(count(lit(1)).as("__bn"))
+    val guarded = base.join(broadcast(counts), Seq("blk"))
+      .filter(when(col("__bn") > maxBlockSize,
+        raise_error(concat(
+          lit("fuzzyPairs: block '"), col("blk").cast("string"),
+          lit("' holds "), col("__bn").cast("string"),
+          lit(s" rows > maxBlockSize=$maxBlockSize; in-block pair work is" +
+            " quadratic — refine the blocking key or raise maxBlockSize")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__bn")
+    val lo = guarded.select(col("blk"),
+      explode(sequence(col("ck"), lit(chunks - 1))).as("hi"),
+      col("ck").as("lo"), col("id").as("id_a"), col("s").as("s_a"),
+      col("len").as("len_a"))
+    val hi = base.select(col("blk"),
+      explode(sequence(lit(0), col("ck"))).as("lo"), col("ck").as("hi"),
+      col("id").as("id_b"), col("s").as("s_b"), col("len").as("len_b"))
+    lo.join(hi.hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
+      // same-chunk tasks see both orientations — keep one; cross-chunk
+      // tasks see exactly one — keep it and reorient on output
+      .filter(col("lo") =!= col("hi") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      // lossless prune: |len_a − len_b| ≤ levenshtein(a, b), so a length
+      // gap beyond maxDist can never be a match — cuts the O(len²) DP
+      // before it runs
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("blk"),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("dist"))
+  }
+}

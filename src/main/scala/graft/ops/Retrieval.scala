@@ -248,4 +248,43 @@ object Retrieval {
         (col("tf") * idfQ).as("w"))
       .groupBy("id", "dim").agg(sum(col("w")).as("weight"))
   }
+
+  /** Conjunctive (AND) term search with optional exact-phrase predicate —
+    * the boolean-retrieval primitive (SURVEY.md §2.11 L98): documents
+    * containing EVERY query term, optionally also a phrase as a
+    * contiguous token sequence, with the total query-term occurrence
+    * count as a rankable hit score.
+    *
+    * Scan form, not index form, on purpose: for a handful of literal
+    * terms the whole predicate compiles into ONE whole-stage-codegen
+    * narrow projection (per-term `array_contains` over the token array —
+    * no explode, no posting-list shuffle, no join), so the filter
+    * composes with any pipeline stage, pushes work to the scan, and is
+    * streaming-safe. The posting-list route (build [[bm25TopK]]-style
+    * postings, intersect) only wins when the query set amortizes an
+    * index build — that path exists as BM25; this is the ad-hoc filter.
+    *
+    * Phrase matching: token-joined text ' t1 t2 ' searched for
+    * ' phrase ' via instr — space-delimited, so matches are exactly the
+    * contiguous token subsequences (no substring false hits). */
+  def conjunctiveSearch(df: DataFrame, idCol: String, textCol: String,
+      allTerms: Seq[String], phrase: Option[String] = None): DataFrame = {
+    require(allTerms.nonEmpty, "conjunctiveSearch: need at least one term")
+    val terms = allTerms.map(_.toLowerCase(java.util.Locale.ROOT))
+    val t = col("__t")
+    val hasAll = terms.map(q => array_contains(t, q)).reduce(_ && _)
+    val phraseOk = phrase match {
+      case None => lit(true)
+      case Some(p) =>
+        val norm = p.toLowerCase(java.util.Locale.ROOT).trim
+          .split("\\s+").mkString(" ")
+        instr(concat(lit(" "), array_join(t, " "), lit(" ")),
+          s" $norm ") > 0
+    }
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(hasAll && phraseOk)
+      .select(col(idCol), size(t).as("n_tokens"),
+        size(filter(t, x =>
+          terms.map(q => x === q).reduce(_ || _))).as("hits"))
+  }
 }

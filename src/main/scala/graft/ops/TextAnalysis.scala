@@ -1108,4 +1108,75 @@ object TextAnalysis {
         round(greatest(col("__lo"), least(col("__hi"),
           col("v").cast("double"))), 6).as("v_winsorized"))
   }
+
+  /** Per-document lexical diversity — type-token ratio plus the hapax
+    * (once-only token) share of the vocabulary: low TTR flags
+    * repetitive/template text the way [[repetitionStats]] does, high
+    * hapax share flags OCR noise / gibberish (every "word" unique), the
+    * two tails a quality gate cuts (SURVEY.md §2.11 L96).
+    *
+    * ZERO shuffles: distinct and hapax counts come from one sorted-run
+    * fold inside the row (the [[repetitionStats]] gramRunStats
+    * discipline — provably equal to the oracle's explode→groupBy
+    * derivation), so the whole op is a stateless narrow map:
+    * streaming-safe, and at 100 TB it scans without exchanging a row.
+    * Ratios are single IEEE divisions of exact integers, 6-dp render. */
+  def lexicalDiversity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    // one fold over the sorted token array: count runs (= distinct
+    // types) and runs of length exactly 1 (= hapaxes)
+    val stepped = aggregate(array_sort(tokens(col(textCol))),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("types"), lit(0L).as("hapax"), lit(0L).as("n")),
+      (acc, x) => {
+        val cont = x <=> acc.getField("prev")
+        struct(x.as("prev"),
+          when(cont, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          (acc.getField("types") + when(cont, 0L).otherwise(1L)).as("types"),
+          (acc.getField("hapax") + when(!cont && acc.getField("run") === 1L,
+            1L).otherwise(0L)).as("hapax"),
+          (acc.getField("n") + 1L).as("n"))
+      })
+    df.select(col(idCol),
+        struct(stepped.getField("n").as("n"),
+          stepped.getField("types").as("types"),
+          (stepped.getField("hapax") +
+            when(stepped.getField("run") === 1L, 1L).otherwise(0L))
+            .as("hapax")).as("__s"))
+      .select(col(idCol), col("__s.n").as("n_tokens"),
+        col("__s.types").as("n_types"), col("__s.hapax").as("n_hapax"),
+        when(col("__s.n") > 0, round(col("__s.types").cast("double") /
+          col("__s.n"), 6)).as("ttr"),
+        when(col("__s.types") > 0, round(col("__s.hapax").cast("double") /
+          col("__s.types"), 6)).as("hapax_ratio"))
+  }
+
+  /** Flesch-reading-ease-style readability score per document with a
+    * deterministic regex syllable proxy (SURVEY.md §2.11 L97): syllables
+    * ≈ vowel-group runs `[aeiouy]+` over the lowercased text (counted
+    * corpus-wide in ONE regexp_extract_all — word boundaries never split
+    * a vowel run, so the per-word sum equals the whole-text count);
+    * sentences ≈ terminator runs `[.!?]+`, floored at 1 so
+    * terminator-free fragments score rather than divide by zero.
+    *
+    * score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * fixed parenthesization, 6-dp render; empty docs → null. A stateless
+    * narrow map — zero shuffles, streaming-safe. The regexes are in the
+    * Java∩RE2 common subset, so the SQL oracle's engine sees the same
+    * matches. */
+  def readability(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = tokenCount(col(textCol))
+    val sentences = greatest(lit(1),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))))
+    val syllables =
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+    df.select(col(idCol), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .withColumn("flesch", when(col("n_words") > 0,
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          6)))
+  }
 }

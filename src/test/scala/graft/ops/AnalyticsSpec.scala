@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the round-9 analytics wave: SCD2 history,
+  * gap fill, decay scoring, grouped z-scores / percent-rank
+  * normalization, lexical diversity, readability, conjunctive search,
+  * and blocked fuzzy linkage. The DuckDB gates pin engine parity at sf
+  * scale; these pin the SEMANTICS on inputs small enough to verify by
+  * hand — compaction under re-delivery, forward-fill across gaps,
+  * half-life bucket edges, phrase contiguity, the lossless length
+  * prune, and the in-plan guards.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("scd2History: compaction, version chaining, null-safe re-delivery") {
+    import spark.implicits._
+    val changes = Seq(
+      // key 1: a -> a (compacts) -> b -> b (compacts) -> a  = 3 versions
+      (1L, 10L, Some("a")), (1L, 20L, Some("a")), (1L, 30L, Some("b")),
+      (1L, 40L, Some("b")), (1L, 50L, Some("a")),
+      // key 2: null -> null (compacts: <=> semantics) -> x  = 2 versions
+      (2L, 10L, None), (2L, 20L, None), (2L, 30L, Some("x")))
+      .toDF("k", "seq", "v")
+    val out = Cdc.scd2History(changes, "k", "seq", Seq("v"))
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, Some("a"), 10L, 30L, false),
+      (1L, Some("b"), 30L, 50L, false),
+      (1L, Some("a"), 50L, -1L, true),
+      (2L, None, 10L, 30L, false),
+      (2L, Some("x"), 30L, -1L, true)))
+  }
+
+  private def tsEvents(rows: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("u0", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+      .withColumnRenamed("u0", "user_id")
+  }
+
+  test("gapFill: grid completeness, forward fill, per-bucket sums") {
+    val ev = tsEvents(
+      (1L, "2024-01-01 05:00:00", 1.5), (1L, "2024-01-01 06:00:00", 2.0),
+      // day 2 empty, day 3 observed
+      (1L, "2024-01-03 01:00:00", 4.0),
+      (2L, "2024-01-05 00:00:00", 7.0)) // singleton: one-bucket grid
+    val out = Behavior.gapFill(ev, "user_id", "ts", "value", 86400L)
+      .orderBy("u", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getDecimal(2)).map(_.doubleValue),
+        r.getDecimal(3).doubleValue, r.getBoolean(4))).toSeq
+    val d1 = 1704067200L // 2024-01-01 epoch
+    assert(out == Seq(
+      (1L, d1, Some(3.5), 3.5, true),
+      (1L, d1 + 86400, None, 3.5, false), // gap carries day 1 forward
+      (1L, d1 + 2 * 86400, Some(4.0), 4.0, true),
+      (2L, d1 + 4 * 86400, Some(7.0), 7.0, true)))
+  }
+
+  test("gapFill: oversize span raises in-plan") {
+    val ev = tsEvents((1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-03-01 00:00:00", 2.0))
+    val ex = intercept[Exception] {
+      Behavior.gapFill(ev, "user_id", "ts", "value", 60L,
+        maxBucketsPerKey = 1000L).collect()
+    }
+    assert(ex.getMessage.contains("maxBucketsPerKey") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxBucketsPerKey")))
+  }
+
+  test("decayScore: half-life bucket edges and exact 0.5^n weights") {
+    // asOf = 2024-02-01 00:00:00 UTC = 1706745600; halfLife 7 days
+    val ev = tsEvents(
+      (1L, "2024-01-31 00:00:00", 8.0),  // age 1d  -> period 0, w=1
+      (1L, "2024-01-25 00:00:01", 8.0),  // age 6d+ -> period 0, w=1
+      (1L, "2024-01-25 00:00:00", 8.0),  // age 7d  -> period 1, w=0.5
+      (1L, "2024-01-11 00:00:00", 8.0),  // age 21d -> period 3, w=0.125
+      (2L, "2024-02-02 00:00:00", 9.0))  // future -> weight 0
+    val out = Behavior.decayScore(ev, "user_id", "ts", "value",
+        asOfEpoch = 1706745600L, halfLifeDays = 7L)
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue, r.getLong(2)))
+      .toSeq
+    assert(out == Seq((1L, 8.0 + 8.0 + 4.0 + 1.0, 4L), (2L, 0.0, 1L)))
+  }
+
+  test("zscoreFlags: moments, flags on the rounded z, degenerate groups") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g1", 10.0), (2L, "g1", 10.0), (3L, "g1", 10.0),
+      (4L, "g1", 10.0), (5L, "g1", 30.0), // mean 14, std ~8.944
+      (6L, "solo", 5.0), // n=1 -> null z
+      (7L, "flat", 3.0), (8L, "flat", 3.0)) // zero variance -> null z
+      .toDF("id", "g", "v")
+    val out = Stats.zscoreFlags(df, "id", "v", "g", zThresh = 1.5)
+      .orderBy("id").collect()
+    val z5 = out(4)
+    assert(math.abs(z5.getDouble(4) - 1.788854) < 1e-6 && z5.getBoolean(5))
+    assert(!out(0).getBoolean(5) && math.abs(out(0).getDouble(4) + 0.447214) < 1e-6)
+    assert(out(5).isNullAt(4) && !out(5).getBoolean(5)) // singleton
+    assert(out(6).isNullAt(4) && !out(6).getBoolean(5)) // zero variance
+  }
+
+  test("percentRankNormalize: ties share rank, singleton is 0") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 5), (2L, "a", 5), (3L, "a", 7), (4L, "b", 99))
+      .toDF("id", "g", "v")
+    val out = Stats.percentRankNormalize(df, "id", "v", "g")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 0.0), (2L, 0.0), (3L, 1.0), (4L, 0.0)))
+  }
+
+  test("lexicalDiversity: fold equals explode-groupBy, empty text") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a c c c"), (2L, "x"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: n=6, types 3 (a,b,c), hapax 1 (b), ttr 0.5, hapax_ratio 1/3
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3),
+      out(0).getDouble(4), out(0).getDouble(5)) ==
+      (6L, 3L, 1L, 0.5, 0.333333))
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(3),
+      out(1).getDouble(4)) == (1L, 1L, 1L, 1.0))
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(4))
+    // differential vs explode→groupBy on a larger random-ish corpus
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(i =>
+        conv(pmod(col("id") * (i + 7) + i * i, lit(17)), 10, 26)): _*)
+        .as("text"))
+    val fold = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+    val oracle = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n"), count(lit(1)).as("types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+    val joined = fold.join(oracle, "doc_id")
+      .filter(col("n_tokens") =!= col("n") ||
+        col("n_types") =!= col("types") || col("n_hapax") =!= col("hapax"))
+    assert(joined.count() == 0)
+  }
+
+  test("readability: vowel-run syllables, sentence floor") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat. It ran!"), // 5 words, 2 sentences, syllables: e,a,a,i,a = 5
+      (2L, "no terminators here"))  // floor -> 1 sentence; o,e,i,a,o,e,e = 7... count below
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) == (5, 2, 5))
+    // "no terminators here": runs o | e,i,a,o | e,e -> n-o t-e-rm-i-n-a-t-o-rs h-e-r-e
+    // vowel runs: o; e; i; a; o; e; e = 7
+    assert((out(1).getInt(1), out(1).getInt(2), out(1).getInt(3)) == (3, 1, 7))
+    val f1 = 206.835 - 1.015 * (5.0 / 2) - 84.6 * (5.0 / 5)
+    assert(math.abs(out(0).getDouble(4) - math.rint(f1 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("conjunctiveSearch: AND semantics, phrase contiguity, hit counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick fox jumps the fence"), // has 'the','fox'; phrase 'the fence'
+      (2L, "fox only here"),                 // missing 'the'
+      (3L, "the fencepost fox"),             // phrase must NOT match 'fencepost'
+      (4L, "THE Fox likes the fence"))       // case-folds
+      .toDF("doc_id", "text")
+    val hit = Retrieval.conjunctiveSearch(df, "doc_id", "text",
+      Seq("the", "fox"), Some("the fence")).orderBy("doc_id").collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(hit.map(_.getInt(2)).toSeq == Seq(3, 3)) // 'the'x2 + 'fox'
+    val noPhrase = Retrieval.conjunctiveSearch(df, "doc_id", "text",
+      Seq("the", "fox"), None).orderBy("doc_id").collect()
+    assert(noPhrase.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("fuzzyPairs: exact within-block pairs, length prune lossless") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b1", "red widget"), (2L, "b1", "red widget"), // dist 0
+      (3L, "b1", "red widgets"),                          // dist 1 to both
+      (4L, "b1", "blue bolt"),                            // far from all
+      (5L, "b2", "red widget"))                           // other block
+      .toDF("id", "blk0", "s")
+    val out = Linkage.fuzzyPairs(df, "id", "s", "blk0", maxDist = 2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(out == Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+    // chunk counts must not change the result (triangle correctness)
+    val out2 = Linkage.fuzzyPairs(df, "id", "s", "blk0", maxDist = 2,
+      chunks = 3).orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(out2 == out)
+  }
+
+  test("fuzzyPairs: oversize block raises in-plan") {
+    import spark.implicits._
+    val df = spark.range(50).select(col("id"), lit("hot").as("blk0"),
+      concat(lit("name"), col("id")).as("s"))
+    val ex = intercept[Exception] {
+      Linkage.fuzzyPairs(df, "id", "s", "blk0", maxDist = 1,
+        maxBlockSize = 10).collect()
+    }
+    assert(ex.getMessage.contains("maxBlockSize") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxBlockSize")))
+  }
+}
