@@ -107,7 +107,25 @@ object ScaleBench {
     // design), feature-hashing TF-IDF, Welch A/B readout, rolling
     // window features, percentile winsorization
     "s_knn_graph", "t_hashing_tfidf", "q_ab_ttest",
-    "q_rolling_features", "t_winsorize")
+    "q_rolling_features", "t_winsorize",
+    // round-9 ninth wave: grouped z-scores (moment agg + broadcast-back
+    // scan), summary-windowed percent-rank, SCD2 compaction (user-keyed
+    // window family), gap fill (in-plan grid generate), decay scoring
+    // (narrow scan + one key shuffle), lexical diversity / readability
+    // (zero-shuffle folds), conjunctive search (codegen scan), and the
+    // blocked-triangle fuzzy linkage (quadratic-in-block by design —
+    // per-copy brand suffixes keep replicated blocks disjoint so pairs
+    // grow linearly)
+    "q_anomaly_zscore", "q_quantile_normalize", "q_scd2_history",
+    "q_gap_fill", "q_decay_score", "t_lexical_diversity", "t_readability",
+    "t_boolean_search", "q_fuzzy_match",
+    // round-9 tenth wave: prefix-filter set-similarity join (candidate
+    // traffic = sum of prefix-gram df² — affine shards keep gram sets
+    // copy-disjoint so it scales with the per-copy df profile), the
+    // one-job table profile, O(k)-state grouped top-k, and the
+    // lead-window time-weighted average
+    "d_prefix_jaccard", "q_profile_table", "q_group_topk",
+    "q_time_weighted_avg")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -203,7 +221,20 @@ object ScaleBench {
     "t_hashing_tfidf" -> Set("documents"),
     "q_ab_ttest" -> Set("events"),
     "q_rolling_features" -> Set("events"),
-    "t_winsorize" -> Set("documents"))
+    "t_winsorize" -> Set("documents"),
+    "q_anomaly_zscore" -> Set("documents"),
+    "q_quantile_normalize" -> Set("documents"),
+    "q_scd2_history" -> Set("events"),
+    "q_gap_fill" -> Set("events"),
+    "q_decay_score" -> Set("events"),
+    "t_lexical_diversity" -> Set("documents"),
+    "t_readability" -> Set("documents"),
+    "t_boolean_search" -> Set("documents"),
+    "q_fuzzy_match" -> Set("part"),
+    "d_prefix_jaccard" -> Set("documents"),
+    "q_profile_table" -> Set("lineitem"),
+    "q_group_topk" -> Set("orders"),
+    "q_time_weighted_avg" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,
@@ -218,7 +249,7 @@ object ScaleBench {
   }
 
   val AllTables: Set[String] =
-    Set("documents", "embeddings", "orders", "lineitem", "events")
+    Set("documents", "embeddings", "orders", "lineitem", "events", "part")
 
   /** Replicate `src` tables into `out`.
     *
@@ -285,6 +316,24 @@ object ScaleBench {
         }.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       }
+    }
+
+    // part: shifted keys; brands get a per-copy suffix (copy 0 identity)
+    // so the fuzzy-linkage blocking key stays copy-disjoint — straight
+    // brand copies would grow every block copies× and the in-block pair
+    // count quadratically, conflating plan scaling with data properties
+    // (the same reasoning as the documents affine cipher)
+    if (tables("part")) {
+      val part = spark.read.parquet(s"$src/part.parquet")
+      val nParts = part.agg(max("p_partkey")).head.getLong(0) + 1
+      (0 until copies).map { k =>
+        part
+          .withColumn("p_partkey", col("p_partkey") + lit(k * nParts))
+          .withColumn("p_brand",
+            if (k == 0) col("p_brand")
+            else concat(col("p_brand"), lit(s"#c$k")))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
     }
 
     // events: read RAW (ts keeps its on-disk physical form — nanos-long or

@@ -299,4 +299,40 @@ object Behavior {
       .agg(sum(col("__t")).cast("decimal(28,6)").as("decay_score"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Time-weighted average per key over IRREGULAR samples — the honest
+    * mean for unevenly-spaced measurements (a value that held for an
+    * hour must outweigh one that held a second; the row-mean is wrong
+    * the moment sampling is load-correlated): each observation is
+    * weighted by how long it remained current (microseconds until the
+    * key's next observation; the final observation has no duration and
+    * carries weight 0, the right-open-interval convention).
+    *
+    * Exactness: durations are exact integer MICROSECONDS (unix_micros —
+    * no truncation mismatch between engines), weights multiply
+    * DECIMAL(14,2) values into exact DECIMAL(38,2) sums, and the single
+    * IEEE division renders at 6 dp. One per-key lead window + one
+    * map-combinable key aggregation — one exchange family on the key;
+    * per-key cost is the key's own history (the rollingFeatures
+    * contract). Keys with a single observation emit null (no interval
+    * to average over). */
+  def timeWeightedAvg(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    // value as the tie-break: same-instant observations order
+    // deterministically (and identically in any SQL oracle), and a
+    // same-instant pair contributes v_first·0 either way
+    val w = Window.partitionBy(col("u")).orderBy(col("__us"), col("__v"))
+    events
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("__us"),
+        col(valueCol).cast("decimal(14,2)").as("__v"))
+      .withColumn("__dur", coalesce(lead(col("__us"), 1).over(w) -
+        col("__us"), lit(0L)))
+      .groupBy("u")
+      .agg(sum((col("__v") * col("__dur")).cast("decimal(38,2)")).as("__ws"),
+        sum(col("__dur")).as("__tot"), count(lit(1)).as("n_events"))
+      .select(col("u"),
+        when(col("__tot") > 0L,
+          round(col("__ws").cast("double") / col("__tot"), 6)).as("twa"),
+        col("n_events"))
+  }
 }

@@ -770,6 +770,73 @@ object Dedup {
     verifyTail(pairs.select(col("id_a"), col("id_b")), grams, threshold)
   }
 
+  /** Prefix-filtered set-similarity join (the SSJoin/PPJoin family —
+    * Chaudhuri et al. ICDE 2006, Xiao et al. WWW 2008): ALL pairs of
+    * documents whose distinct word-n-gram sets have Jaccard ≥ `threshold`,
+    * with GUARANTEED recall 1.0 — the lossless alternative to LSH
+    * banding (which trades recall for cost) and to blocked all-pairs
+    * (which needs a blocking key and is quadratic in the block).
+    *
+    * Why it works: order every gram by (global df, gram) — rarest first.
+    * For J(A,B) ≥ t, |A∩B| ≥ ⌈t·max(|A|,|B|)⌉; the globally-SMALLEST
+    * shared gram w is followed, within each document's ordered set, by
+    * ≥ |A∩B|−1 other shared grams, so w sits within the first
+    * |S| − ⌈t·|S|⌉ + 1 grams of BOTH sets. Joining only on those PREFIX
+    * grams therefore finds every qualifying pair; exact verification
+    * ([[verifyJaccardCandidates]]) removes the false candidates. The
+    * prefix length uses floor (≥ the ⌈⌉-derived sound length), and the
+    * count-ratio prune keeps a 1e-9 slack, so float jitter can only
+    * ADMIT extra candidates — the verify stage is exact either way.
+    *
+    * Scale shape: join traffic is Σ_w df_prefix(w)² over PREFIX grams
+    * only — prefixes hold each document's RAREST grams, so hot grams
+    * (stopword shingles) never enter the join. One df-count shuffle, one
+    * per-doc sort (in-row, after a collect_list), one skinny gram
+    * self-join, pair distinct, then the packed-set verify joins. A
+    * prefix gram whose df still exceeds `maxPrefixDf` fails IN-PLAN with
+    * the remediation named (that corpus shape wants LSH+verify). */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxPrefixDf: Int = 5000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val base = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), n)).as("gs"))
+    val toks = base.select(col("id"), explode(col("gs")).as("g"))
+    val dfc = toks.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val ranked = toks.join(dfc.hint("SHUFFLE_HASH"), Seq("g"))
+    val perDoc = ranked.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("gdf"), col("g")))).as("st"),
+        count(lit(1)).as("nset"))
+    val plen = (col("nset") -
+      floor(lit(threshold) * col("nset")).cast("long") + 1L).cast("int")
+    val prefixes = perDoc
+      .select(col("id"), col("nset"),
+        explode(slice(col("st"), lit(1), plen)).as("p"))
+      .select(col("id"), col("nset"), col("p.g").as("g"),
+        col("p.gdf").as("gdf"))
+    val guarded = prefixes.withColumn("g",
+      when(col("gdf") <= maxPrefixDf, col("g"))
+        .otherwise(raise_error(concat(
+          lit("prefixFilterJaccardPairs: prefix gram df "),
+          col("gdf").cast("string"),
+          lit(s" > maxPrefixDf=$maxPrefixDf — candidate join traffic is" +
+            " df² per gram; use lshVerifiedPairs* (banded candidates +" +
+            " exact verify) for this corpus shape, or raise maxPrefixDf")))))
+    val cands = guarded
+      .select(col("g"), col("id").as("id_a"), col("nset").as("n_a"))
+      .join(prefixes.select(col("g"), col("id").as("id_b"),
+        col("nset").as("n_b")).hint("SHUFFLE_HASH"), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        greatest(col("n_a"), col("n_b")).cast("double") * lit(threshold) -
+          lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    verifyJaccardCandidates(df, idCol,
+      graft.functions.TextHashExprs.ngramHashes(df.sparkSession,
+        TextAnalysis.tokens(col(textCol)), n), cands, threshold)
+  }
+
   // ---- embedding near-dup -----------------------------------------------
 
   /** Embedding-cosine near-duplicates among pairs sharing a coarse bucket

@@ -61,15 +61,34 @@ object Stats {
     * by its rank within the group ((rank − 1)/(n − 1), ties share the
     * rank), the distribution-free calibration that makes thresholds
     * comparable across sources with wildly different scales. Singleton
-    * groups get 0.0 (both engines' percent_rank convention).
+    * groups get 0.0 (both engines' percent_rank convention). Identical
+    * output to `percent_rank() OVER (PARTITION BY group ORDER BY value)`.
     *
-    * One window, partitioned on the group key and ordered by the raw
-    * value: a group costs its own sort. Exact rank arithmetic, one IEEE
-    * division, 9-dp render. */
+    * NOT the naive window: that sorts each whole group inside one task,
+    * so a handful of big sources serializes the corpus. Instead the rank
+    * is derived from per-(group, value) COUNTS — rank(v) = 1 + count of
+    * group rows below v — via a running sum over each group's distinct-
+    * value SUMMARIES (the eventTransitions bucket-summary discipline:
+    * the only windowed frame is distinct-values-sized, bounded by the
+    * value domain, never the row count), joined back on (group, value).
+    * Exact integer rank arithmetic, one IEEE division, 9-dp render. */
   def percentRankNormalize(df: DataFrame, idCol: String, valueCol: String,
       groupCol: String): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val ranks = df
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__rank", col("__cum") - col("__c") + 1L)
+    val totals = Window.partitionBy(col(groupCol))
+    val withN = ranks.withColumn("__n", max(col("__cum")).over(totals))
+      .select(col(groupCol), col(valueCol), col("__rank"),
+        when(col("__n") > 1L,
+          round((col("__rank") - 1L).cast("double") / (col("__n") - 1L), 9))
+          .otherwise(lit(0.0)).as("pr"))
+      .drop("__rank")
     df.select(col(idCol), col(groupCol), col(valueCol))
-      .withColumn("pr", round(percent_rank().over(w), 9))
+      .join(withN, Seq(groupCol, valueCol))
+      .select(col(idCol), col(groupCol), col(valueCol), col("pr"))
   }
 }

@@ -78,6 +78,34 @@ object AnalyticsQueries {
       graft.ops.Linkage.fuzzyPairs(Tables.part(s, d), "p_partkey",
           "p_name", "p_brand", maxDist = 2)
         .orderBy("blk", "id_a", "id_b")
+    },
+    // prefix-filtered set-similarity join: LOSSLESS recall (the oracle is
+    // brute force) — rarest-gram prefixes generate candidates, packed-set
+    // exact verify; no blocking key, no banding recall loss
+    "d_prefix_jaccard" -> { (s, d) =>
+      graft.ops.Dedup.prefixFilterJaccardPairs(Tables.documents(s, d),
+          "doc_id", "text", n = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    },
+    // table profiling data card over lineitem: one aggregation job for
+    // every column's row/null/exact-distinct counts + min/max renders
+    "q_profile_table" -> { (s, d) =>
+      graft.ops.Profile.profileTable(Tables.lineitem(s, d))
+        .orderBy("column")
+    },
+    // grouped top-k WITHOUT a per-group sort: O(k)-state map-combinable
+    // top-k aggregation (TopKStructAgg) — top-3 orders per customer
+    "q_group_topk" -> { (s, d) =>
+      graft.ops.Similarity.topKPerGroup(Tables.orders(s, d), "o_custkey",
+          "o_orderkey", "o_totalprice", k = 3)
+        .orderBy("o_custkey", "rank")
+    },
+    // time-weighted average per user over irregular event samples:
+    // exact microsecond durations, DECIMAL-exact weighted sums
+    "q_time_weighted_avg" -> { (s, d) =>
+      graft.ops.Behavior.timeWeightedAvg(Tables.events(s, d), "user_id",
+          "ts", "value")
+        .orderBy("u")
     })
 
   private val tokensSql =
@@ -175,5 +203,62 @@ object AnalyticsQueries {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
         |  AND abs(a.l - b.l) <= 2
         |WHERE levenshtein(a.s, b.s) <= 2
-        |ORDER BY a.blk, id_a, id_b""".stripMargin)
+        |ORDER BY a.blk, id_a, id_b""".stripMargin,
+    // the selling point of the prefix filter is losslessness, so the
+    // oracle is BRUTE FORCE: every pair sharing >= 1 distinct 3-shingle,
+    // exact intersection from the postings join, Jaccard as one division
+    // of exact integers (identical doubles in both engines)
+    "d_prefix_jaccard" ->
+      s"""WITH toksq AS (SELECT doc_id, $tokensSql AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |      ELSE [array_to_string(t, ' ')] END)) AS g
+        |  FROM toksq),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+        |  JOIN sizes sb ON inter.id_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_profile_table" -> {
+      val cols = Seq(
+        ("l_orderkey", "bigint", false), ("l_partkey", "bigint", false),
+        ("l_suppkey", "bigint", false), ("l_linenumber", "int", false),
+        ("l_quantity", "double", true), ("l_extendedprice", "double", true),
+        ("l_discount", "double", true), ("l_tax", "double", true),
+        ("l_returnflag", "string", false), ("l_linestatus", "string", false),
+        ("l_shipdate", "timestamp_ntz", false))
+      cols.map { case (c, t, dbl) =>
+        val mn = if (dbl) s"CAST(CAST(min($c) AS DECIMAL(28,6)) AS VARCHAR)"
+          else s"CAST(min($c) AS VARCHAR)"
+        val mx = if (dbl) s"CAST(CAST(max($c) AS DECIMAL(28,6)) AS VARCHAR)"
+          else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS "column", '$t' AS dtype, count(*) AS n_rows,
+          |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+          |  $mn AS min_s, $mx AS max_s FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    "q_group_topk" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY (-1.0 * o_totalprice) ASC, o_orderkey ASC) AS BIGINT) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH t AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |    CAST(value AS DECIMAL(14,2)) AS v FROM events),
+        |d AS (SELECT u, v, coalesce(lead(us) OVER (PARTITION BY u
+        |    ORDER BY us, v) - us, 0) AS dur FROM t)
+        |SELECT u,
+        |  CASE WHEN sum(dur) > 0 THEN
+        |    round(CAST(sum(CAST(v * CAST(dur AS DECIMAL(18,0)) AS DECIMAL(38,2))) AS DOUBLE)
+        |      / sum(dur), 6) END AS twa,
+        |  count(*) AS n_events
+        |FROM d GROUP BY u ORDER BY u""".stripMargin)
 }

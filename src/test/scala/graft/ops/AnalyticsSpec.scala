@@ -199,6 +199,115 @@ class AnalyticsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("lexicalDiversity/readability/conjunctiveSearch are stateless: batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(1L -> "the fox runs. the fox hides!",
+      2L -> "table query table", 3L -> "")
+    def run(name: String, f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Map[Long, String] = {
+      val mem = MemoryStream[(Long, String)]
+      val q = f(mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.drop(2): _*); q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.mkString("|")).toMap
+    }
+    def batchOf(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Map[Long, String] =
+      f(rows.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.mkString("|")).toMap
+    val ld = (df: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.lexicalDiversity(df, "doc_id", "text")
+    val rd = (df: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.readability(df, "doc_id", "text")
+    val cs = (df: org.apache.spark.sql.DataFrame) =>
+      Retrieval.conjunctiveSearch(df, "doc_id", "text", Seq("fox"), None)
+    assert(run("ld_stream_test", ld) == batchOf(ld))
+    assert(run("rd_stream_test", rd) == batchOf(rd))
+    assert(run("cs_stream_test", cs) == batchOf(cs))
+  }
+
+  test("prefixFilterJaccardPairs: lossless vs brute force, threshold edge") {
+    import spark.implicits._
+    // crafted corpus: 1-2 near-dup pairs at varying overlap + unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // high overlap with 1
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight"),        // exact dup of 3
+      (5L, "completely different words entirely here now"),
+      (6L, "alpha beta gamma delta epsilon zeta theta eta"))  // permuted tail of 1
+      .toDF("doc_id", "text")
+    def brute(t: Double): Set[(Long, Long)] = {
+      val sets = docs.collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").sliding(3).map(_.mkString(" ")).toSet).toMap
+      (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        i = sets(a).intersect(sets(b)).size
+        u = sets(a).union(sets(b)).size
+        if u > 0 && i.toDouble / u >= t
+      } yield (a, b)).toSet
+    }
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(t), s"threshold $t")
+    }
+    // partition count must not change the pair set
+    val got4 = Dedup.prefixFilterJaccardPairs(docs.repartition(7), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got4 == brute(0.5))
+  }
+
+  test("prefixFilterJaccardPairs: hot prefix gram raises in-plan") {
+    import spark.implicits._
+    // every doc is the SAME text → the prefix gram's df = corpus size
+    val docs = spark.range(30).select(col("id").as("doc_id"),
+      lit("same exact text in every doc").as("text"))
+    val ex = intercept[Exception] {
+      Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.9, maxPrefixDf = 10).collect()
+    }
+    assert(ex.getMessage.contains("maxPrefixDf") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxPrefixDf")))
+  }
+
+  test("profileTable: counts, nulls, distincts, decimal-rendered doubles") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.5), Some("x")), (2L, None, Some("y")),
+      (3L, Some(2.5), None)).toDF("id", "d", "s")
+    val out = Profile.profileTable(df).orderBy("column").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6))).toSeq
+    assert(out == Seq(
+      ("d", "double", 3L, 2L, 1L, "2.500000", "2.500000"),
+      ("id", "bigint", 3L, 3L, 3L, "1", "3"),
+      ("s", "string", 3L, 2L, 2L, "x", "y")))
+  }
+
+  test("timeWeightedAvg: interval weights, last-observation zero, singleton null") {
+    val ev = tsEvents(
+      // u1: 10.0 holds 60s, 20.0 holds 30s, 40.0 terminal (weight 0)
+      (1L, "2024-01-01 00:00:00", 10.0), (1L, "2024-01-01 00:01:00", 20.0),
+      (1L, "2024-01-01 00:01:30", 40.0),
+      (2L, "2024-01-05 00:00:00", 7.0)) // singleton -> null twa
+    val out = Behavior.timeWeightedAvg(ev, "user_id", "ts", "value")
+      .orderBy("u").collect()
+    // (10*60 + 20*30) / 90 = 1200/90 = 13.333333
+    assert(out(0).getLong(0) == 1L &&
+      math.abs(out(0).getDouble(1) - 13.333333) < 1e-9 &&
+      out(0).getLong(2) == 3L)
+    assert(out(1).getLong(0) == 2L && out(1).isNullAt(1) &&
+      out(1).getLong(2) == 1L)
+  }
+
   test("fuzzyPairs: oversize block raises in-plan") {
     import spark.implicits._
     val df = spark.range(50).select(col("id"), lit("hot").as("blk0"),
