@@ -125,7 +125,13 @@ object ScaleBench {
     // one-job table profile, O(k)-state grouped top-k, and the
     // lead-window time-weighted average
     "d_prefix_jaccard", "q_profile_table", "q_group_topk",
-    "q_time_weighted_avg")
+    "q_time_weighted_avg",
+    // round-9 eleventh wave: composed entity resolution (pairs-sized CC
+    // fixpoint over copy-disjoint brand blocks), 2-round label
+    // propagation on the co-purchase graph, dense-grid histogram,
+    // summary-window mode, one-job correlation matrix, Benford audit
+    "q_entity_resolution", "q_label_prop", "q_histogram", "q_group_mode",
+    "q_corr_matrix", "q_benford")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -234,7 +240,13 @@ object ScaleBench {
     "d_prefix_jaccard" -> Set("documents"),
     "q_profile_table" -> Set("lineitem"),
     "q_group_topk" -> Set("orders"),
-    "q_time_weighted_avg" -> Set("events"))
+    "q_time_weighted_avg" -> Set("events"),
+    "q_entity_resolution" -> Set("part"),
+    "q_label_prop" -> Set("lineitem", "part"),
+    "q_histogram" -> Set("documents"),
+    "q_group_mode" -> Set("events"),
+    "q_corr_matrix" -> Set("lineitem"),
+    "q_benford" -> Set("lineitem"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

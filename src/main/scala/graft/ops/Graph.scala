@@ -123,4 +123,65 @@ object Graph {
       .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
       .select("n_nodes", "n_edges", "n_triangles")
   }
+
+  /** Semi-supervised LABEL PROPAGATION (Zhu & Ghahramani 2002 / Raghavan
+    * et al. 2007, synchronized + deterministic): a labeled seed subset
+    * spreads over the graph; each round, every non-seed node takes the
+    * MAJORITY label among its labeled neighbors (ties → lexicographically
+    * smallest label — no RNG, unlike classic async LPA), seeds stay
+    * pinned, and a node with no labeled neighbor keeps its previous
+    * label (labels monotonically spread outward, never vanish). The
+    * category-completion / taxonomy-spread primitive: "label 5% of the
+    * catalog, infer the rest from co-purchase structure".
+    *
+    * Scale shape per round: ONE edge⋈labels equi-join + ONE (node,
+    * label) count aggregation + the argmax over per-node label SUMMARIES
+    * (a window over rows bounded by the node's distinct neighbor-label
+    * count — the [[Behavior.eventTransitions]] summary-window
+    * discipline, never a window over raw edges), then a left join back
+    * onto the node set. Every shuffle keys on a node id. Each round's
+    * labels are materialized ([[Dedup.materializeBase]]) — iteration
+    * lineage never re-executes (the pageRank discipline). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, nodeCol: String, labelCol: String,
+      iterations: Int = 2,
+      materializePath: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val half = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = Dedup.materializeBase(
+      half.unionByName(half.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct(),
+      materializePath.map(_ + "/edges"))
+    val seed = seeds.select(col(nodeCol).as("node"),
+      col(labelCol).as("__seed"))
+    val nodes = Dedup.materializeBase(
+      und.select(col("src").as("node")).distinct()
+        .join(seed, Seq("node"), "left"),
+      materializePath.map(_ + "/nodes"))
+    var labels = nodes.select(col("node"), col("__seed").as("lbl"))
+    for (i <- 1 to iterations) {
+      val nb = und
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .filter(col("lbl").isNotNull)
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("__c"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"))
+        .orderBy(col("__c").desc, col("lbl").asc)
+      val prop = nb.withColumn("__rn", row_number().over(win))
+        .filter(col("__rn") === 1)
+        .select(col("src").as("node"), col("lbl").as("__p"))
+      labels = Dedup.materializeBase(
+        nodes.select(col("node"), col("__seed"))
+          .join(labels.select(col("node"), col("lbl").as("__prev")),
+            Seq("node"))
+          .join(prop, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__seed"), col("__p"), col("__prev")).as("lbl")),
+        materializePath.map(p => s"$p/iter$i"))
+    }
+    labels.select(col("node"),
+      col("lbl").as("label"))
+  }
 }

@@ -73,4 +73,37 @@ object Linkage {
         greatest(col("id_a"), col("id_b")).as("id_b"),
         col("dist"))
   }
+
+  /** COMPOSED entity resolution: [[fuzzyPairs]] match graph → connected-
+    * components transitive closure ([[Cluster.connectedComponents]]) →
+    * every record mapped to its entity (cluster min id), with the
+    * canonical flag and entity size — "these 3 catalog rows are one
+    * product" as one call. Transitivity is the point and the trap: A≈B
+    * and B≈C chain into one entity even when lev(A, C) > maxDist — the
+    * conservative-threshold contract of record linkage, and why the gate
+    * pins a chained oracle (pair-level tests can't see closure bugs).
+    *
+    * Scale shape: pairs-sized CC fixpoint (pointer jumping, O(log d)
+    * rounds), one left join of the record set against the pairs-sized
+    * cluster map, one entity-sized size aggregation joined back.
+    * Records in no pair stay their own singleton entity. */
+  def resolveEntities(df: DataFrame, idCol: String, strCol: String,
+      blockCol: String, maxDist: Int, chunks: Int = 8,
+      maxBlockSize: Int = 10000,
+      materializePath: Option[String] = None): DataFrame = {
+    val pairs = fuzzyPairs(df, idCol, strCol, blockCol, maxDist, chunks,
+      maxBlockSize)
+    val cc = Cluster.connectedComponents(pairs, "id_a", "id_b",
+      materializePath = materializePath.map(_ + "/cc"))
+    val mapped = df.select(col(idCol))
+      .join(cc.select(col("id").as(idCol), col("cluster")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol))
+        .as("entity_id"))
+    val sizes = mapped.groupBy("entity_id")
+      .agg(count(lit(1)).as("entity_size"))
+    mapped.join(sizes, Seq("entity_id"))
+      .select(col(idCol), col("entity_id"),
+        (col(idCol) === col("entity_id")).as("is_canonical"),
+        col("entity_size"))
+  }
 }

@@ -91,4 +91,143 @@ object Stats {
       .join(withN, Seq(groupCol, valueCol))
       .select(col(idCol), col(groupCol), col(valueCol), col("pr"))
   }
+
+  /** Fixed-width per-group histogram over [lo, hi): bin k covers
+    * [lo + k·w, lo + (k+1)·w) with w = (hi − lo)/bins; values at exactly
+    * `hi` close the last bin, values outside [lo, hi] are dropped (the
+    * caller clips first — [[graft.ops.TextAnalysis.winsorize]] — if they
+    * must count). Empty bins emit with n = 0 (a dashboard histogram with
+    * holes is a bug); the dense (group, bin) grid is an in-plan
+    * sequence-explode over the group list, never a driver loop.
+    *
+    * Bin arithmetic: k = floor((v − lo)·bins/(hi − lo)) — one
+    * correctly-rounded multiply + divide on exact inputs, identical in
+    * any IEEE engine; floor (not cast) for the truncate-vs-round
+    * cast divergence. One (group, bin) shuffle, map-combinable. */
+  def histogram(df: DataFrame, valueCol: String, groupCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val v = col(valueCol).cast("double")
+    val bin = when(v === hi, lit(bins - 1)).otherwise(
+      floor((v - lit(lo)) * lit(bins.toDouble) / lit(hi - lo)).cast("int"))
+    val counts = df
+      .filter(v >= lo && v <= hi)
+      .select(col(groupCol).as("g"), bin.as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("n"))
+    val grid = df.select(col(groupCol).as("g")).distinct()
+      .select(col("g"), explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+    grid.join(counts, Seq("g", "bin"), "left")
+      .select(col("g"), col("bin"),
+        round(lit(lo) + col("bin") * (lit(hi - lo) / lit(bins.toDouble)), 6)
+          .as("bin_lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Per-group MODE (most frequent value), ties to the smallest value —
+    * deterministic, partition-invariant. The argmax runs over per-group
+    * value SUMMARIES (one (group, value) count aggregation, then a
+    * window over rows bounded by the group's distinct-value count — the
+    * summary-window discipline), never over raw rows. */
+  def modePerGroup(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n_mode"))
+    val win = Window.partitionBy(col("g"))
+      .orderBy(col("n_mode").desc, col("v").asc)
+    counts.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1)
+      .select(col("g"), col("v").as("mode_value"), col("n_mode"))
+  }
+
+  /** Pairwise Pearson correlation matrix over numeric columns from ONE
+    * aggregation job: inputs quantize to DECIMAL(14,2) (the corpus
+    * metric columns are 2-dp or integer), all moments (n, Σx, Σx², Σxy)
+    * are exact DECIMAL sums, and each r is the textbook fixed-
+    * parenthesization IEEE expression
+    * (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²ₛ) · sqrt(n·Σy² − Σy²ₛ))
+    * rendered at 6 dp — NOT the engine's corr() (whose accumulation
+    * order is engine-private). Zero-variance columns emit null r.
+    * Output: one row per unordered pair (col_a < col_b by name). */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    require(cols.distinct.size == cols.size, "corrMatrix: duplicate columns")
+    val sorted = cols.sorted
+    def q(c: String) = col(c).cast("decimal(14,2)")
+    val aggs = sorted.flatMap { c =>
+      Seq(sum(q(c)).cast("decimal(38,2)").as(s"__s_$c"),
+        sum(q(c) * q(c)).cast("decimal(38,4)").as(s"__ss_$c"))
+    } ++ sorted.combinations(2).map { case Seq(a, b) =>
+      sum(q(a) * q(b)).cast("decimal(38,4)").as(s"__sp_${a}_$b")
+    } :+ count(lit(1)).as("__n")
+    val one = df.na.drop(sorted).agg(aggs.head, aggs.tail: _*)
+    val pairs = sorted.combinations(2).toSeq.map { case Seq(a, b) =>
+      val n = col("__n").cast("double")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val num = n * d(col(s"__sp_${a}_$b")) -
+        d(col(s"__s_$a")) * d(col(s"__s_$b"))
+      def den(c: String) =
+        n * d(col(s"__ss_$c")) - d(col(s"__s_$c")) * d(col(s"__s_$c"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(den(a) > 0.0 && den(b) > 0.0,
+          round(num / (sqrt(den(a)) * sqrt(den(b))), 6)).as("r"))
+    }
+    one.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Benford first-significant-digit audit per group — the fabricated-
+    * numbers / synthetic-data smell test: observed first-digit fractions
+    * vs the Benford expectation log10(1 + 1/d), plus a chi²-style
+    * divergence stat per group. The expected fractions are nine COMPILED
+    * 9-dp constants (never an in-engine log10 — ln/log10 are not
+    * correctly rounded, and constants dodge the whole class of
+    * cross-engine ulp flips); observed fractions round to 9 dp before
+    * the divergence arithmetic, so every downstream IEEE op sees
+    * identical inputs in any engine.
+    *
+    * First digit extraction is STRING-based (first [1-9] in the decimal
+    * render of the DECIMAL(14,2)-quantized value) — no log10/pow floor
+    * arithmetic to diverge; zero/null values are excluded (no first
+    * significant digit). One narrow scan + one (group, digit) shuffle;
+    * the dense 9-digit grid per group explodes in-plan. */
+  def benfordAudit(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val digit = regexp_extract(abs(col(valueCol).cast("decimal(14,2)"))
+      .cast("string"), "[1-9]", 0)
+    val counts = df
+      .select(col(groupCol).as("g"), digit.as("d"))
+      .filter(col("d") =!= "")
+      .groupBy("g", "d").agg(count(lit(1)).as("n_obs"))
+    val grid = counts.select(col("g")).distinct()
+      .select(col("g"), explode(sequence(lit(1), lit(9))).as("dig"))
+      .withColumn("d", col("dig").cast("string")).drop("dig")
+    val expected = Benford.zipWithIndex.foldRight(
+        lit(null).cast("double")) { case ((e, i), acc) =>
+      when(col("d") === (i + 1).toString, lit(e)).otherwise(acc)
+    }
+    val totals = Window.partitionBy(col("g"))
+    val dense = grid.join(counts, Seq("g", "d"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("__tot", sum(col("n_obs")).over(totals))
+      .withColumn("frac_obs",
+        when(col("__tot") > 0, round(col("n_obs").cast("double") /
+          col("__tot"), 9)).otherwise(lit(0.0)))
+      .withColumn("frac_exp", expected)
+      // per-digit divergence term on the ROUNDED fractions, quantized so
+      // the per-group sum is order-invariant (the t_entropy discipline)
+      .withColumn("__t", ((col("frac_obs") - col("frac_exp")) *
+        (col("frac_obs") - col("frac_exp")) / col("frac_exp"))
+        .cast("decimal(28,14)"))
+      .withColumn("chi2_stat",
+        round(sum(col("__t")).over(totals).cast("double"), 6))
+    dense.select(col("g"), col("d").cast("int").as("digit"), col("n_obs"),
+      col("frac_obs"), col("frac_exp"), col("chi2_stat"))
+  }
+
+  /** round(log10(1 + 1/d), 9) for d = 1..9 — compiled constants shared
+    * by the operator and (textually) its oracle. */
+  val Benford: Seq[Double] =
+    (1 to 9).map(d => math.rint(math.log10(1.0 + 1.0 / d) * 1e9) / 1e9)
 }

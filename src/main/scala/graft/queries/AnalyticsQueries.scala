@@ -106,6 +106,63 @@ object AnalyticsQueries {
       graft.ops.Behavior.timeWeightedAvg(Tables.events(s, d), "user_id",
           "ts", "value")
         .orderBy("u")
+    },
+    // composed entity resolution: fuzzy pairs -> CC transitive closure ->
+    // canonical election + entity sizes; the chained oracle is the
+    // composition-bug net (pair-level gates can't see closure bugs)
+    "q_entity_resolution" -> { (s, d) =>
+      graft.ops.Linkage.resolveEntities(Tables.part(s, d), "p_partkey",
+          "p_name", "p_brand", maxDist = 2)
+        .orderBy("p_partkey")
+    },
+    // semi-supervised label propagation over the co-purchase graph:
+    // 25%-seeded p_type labels spread 2 synchronized rounds, majority
+    // vote with ties to the smallest label, seeds pinned
+    "q_label_prop" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("pk"))
+      val e = li.select(col("ok"), col("ln"), col("pk").as("p1"))
+        .join(li.select(col("ok"), (col("ln") - 1).as("ln"),
+          col("pk").as("p2")), Seq("ok", "ln"))
+        .filter(col("p1") =!= col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      val seeds = Tables.part(s, d)
+        .filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey"), col("p_type"))
+      graft.ops.Graph.labelPropagation(e, "src", "dst", seeds,
+          "p_partkey", "p_type", iterations = 2)
+        .orderBy("node")
+    },
+    // fixed-width per-source histogram of document lengths with the
+    // dense (group, bin) grid — empty bins emit 0
+    "q_histogram" -> { (s, d) =>
+      graft.ops.Stats.histogram(Tables.documents(s, d), "n_chars",
+          "source", lo = 0.0, hi = 2000.0, bins = 20)
+        .orderBy("g", "bin")
+    },
+    // per-user modal event type, ties to the smallest label —
+    // summary-windowed argmax, never a window over raw rows
+    "q_group_mode" -> { (s, d) =>
+      graft.ops.Stats.modePerGroup(Tables.events(s, d), "event_type",
+          "user_id")
+        .orderBy("g")
+    },
+    // Pearson correlation matrix over the lineitem metrics from ONE
+    // aggregation job: DECIMAL-exact moments, textbook fixed-
+    // parenthesization r, 6-dp render
+    "q_corr_matrix" -> { (s, d) =>
+      graft.ops.Stats.corrMatrix(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
+    },
+    // Benford first-digit audit of prices per return flag: string-based
+    // digit extraction, compiled 9-dp expected constants, quantized
+    // chi-square terms
+    "q_benford" -> { (s, d) =>
+      graft.ops.Stats.benfordAudit(Tables.lineitem(s, d),
+          "l_extendedprice", "l_returnflag")
+        .orderBy("g", "digit")
     })
 
   private val tokensSql =
@@ -260,5 +317,131 @@ object AnalyticsQueries {
         |    round(CAST(sum(CAST(v * CAST(dur AS DECIMAL(18,0)) AS DECIMAL(38,2))) AS DOUBLE)
         |      / sum(dur), 6) END AS twa,
         |  count(*) AS n_events
-        |FROM d GROUP BY u ORDER BY u""".stripMargin)
+        |FROM d GROUP BY u ORDER BY u""".stripMargin,
+    "q_entity_resolution" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey AS id, p_brand AS blk,
+        |    p_name AS s, len(p_name) AS l FROM part),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |    AND abs(a.l - b.l) <= 2
+        |  WHERE levenshtein(a.s, b.s) <= 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION SELECT id_b, id_a FROM pr),
+        |reach AS (SELECT src AS id, src AS r FROM edges
+        |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |m AS (SELECT p.id AS p_partkey, coalesce(cl.cluster, p.id) AS entity_id
+        |  FROM p LEFT JOIN cl ON p.id = cl.id),
+        |sz AS (SELECT entity_id, count(*) AS entity_size FROM m GROUP BY 1)
+        |SELECT m.p_partkey, m.entity_id,
+        |  m.p_partkey = m.entity_id AS is_canonical, sz.entity_size
+        |FROM m JOIN sz USING (entity_id) ORDER BY m.p_partkey""".stripMargin,
+    "q_label_prop" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS p1, b.pk AS p2 FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.ln = b.ln - 1 WHERE a.pk <> b.pk),
+        |und AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT p1 AS src, p2 AS dst FROM e0
+        |  UNION ALL SELECT p2, p1 FROM e0)),
+        |nodes AS (SELECT DISTINCT src AS node FROM und),
+        |seeds AS (SELECT p_partkey AS node, p_type AS slbl FROM part
+        |  WHERE p_partkey % 4 = 0),
+        |l0 AS (SELECT n.node, s.slbl AS lbl FROM nodes n
+        |  LEFT JOIN seeds s ON n.node = s.node),
+        |nb1 AS (SELECT u.src, l.lbl, count(*) AS c FROM und u
+        |  JOIN l0 l ON l.node = u.dst WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+        |p1 AS (SELECT src AS node, lbl AS plbl FROM (
+        |  SELECT src, lbl, row_number() OVER (PARTITION BY src
+        |    ORDER BY c DESC, lbl ASC) AS rn FROM nb1) WHERE rn = 1),
+        |l1 AS (SELECT n.node, coalesce(s.slbl, p1.plbl, l0.lbl) AS lbl
+        |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+        |  LEFT JOIN p1 ON n.node = p1.node
+        |  LEFT JOIN l0 ON n.node = l0.node),
+        |nb2 AS (SELECT u.src, l.lbl, count(*) AS c FROM und u
+        |  JOIN l1 l ON l.node = u.dst WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+        |p2 AS (SELECT src AS node, lbl AS plbl FROM (
+        |  SELECT src, lbl, row_number() OVER (PARTITION BY src
+        |    ORDER BY c DESC, lbl ASC) AS rn FROM nb2) WHERE rn = 1),
+        |l2 AS (SELECT n.node, coalesce(s.slbl, p2.plbl, l1.lbl) AS lbl
+        |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+        |  LEFT JOIN p2 ON n.node = p2.node
+        |  LEFT JOIN l1 ON n.node = l1.node)
+        |SELECT node, lbl AS label FROM l2 ORDER BY node""".stripMargin,
+    "q_histogram" ->
+      """WITH c AS (SELECT source AS g,
+        |    CASE WHEN n_chars = 2000 THEN 19
+        |      ELSE CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) * 20.0 / 2000.0) AS INT)
+        |    END AS bin
+        |  FROM documents WHERE n_chars >= 0 AND n_chars <= 2000),
+        |cc AS (SELECT g, bin, count(*) AS n FROM c GROUP BY 1, 2),
+        |gb AS (SELECT g, unnest(range(0, 20)) AS bin
+        |  FROM (SELECT DISTINCT source AS g FROM documents))
+        |SELECT gb.g, CAST(gb.bin AS INT) AS bin,
+        |  round(0.0 + gb.bin * (2000.0 / 20.0), 6) AS bin_lo,
+        |  coalesce(cc.n, 0) AS n
+        |FROM gb LEFT JOIN cc ON gb.g = cc.g AND gb.bin = cc.bin
+        |ORDER BY gb.g, gb.bin""".stripMargin,
+    "q_group_mode" ->
+      """SELECT g, v AS mode_value, n_mode FROM (
+        |  SELECT user_id AS g, event_type AS v, count(*) AS n_mode,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type ASC) AS rn
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+        |WHERE rn = 1 ORDER BY g""".stripMargin,
+    "q_corr_matrix" -> {
+      // sorted: the operator emits pairs in name order (col_a < col_b)
+      val cols =
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").sorted
+      def q(c: String) = s"CAST($c AS DECIMAL(14,2))"
+      val moments = (cols.map(c =>
+        s"CAST(sum(${q(c)}) AS DECIMAL(38,2)) AS s_$c," +
+          s" CAST(sum(${q(c)} * ${q(c)}) AS DECIMAL(38,4)) AS ss_$c") ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          s"CAST(sum(${q(a)} * ${q(b)}) AS DECIMAL(38,4)) AS sp_${a}_$b"
+        }).mkString(", ")
+      val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val rows = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        val num = s"(CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)" +
+          s" - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+        def den(c: String) = s"(CAST(n AS DOUBLE) * CAST(ss_$c AS DOUBLE)" +
+          s" - CAST(s_$c AS DOUBLE) * CAST(s_$c AS DOUBLE))"
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+          |  CASE WHEN ${den(a)} > 0 AND ${den(b)} > 0 THEN
+          |    round($num / (sqrt(${den(a)}) * sqrt(${den(b)})), 6)
+          |  END AS r FROM m""".stripMargin
+      }
+      s"""WITH m AS (SELECT count(*) AS n, $moments
+        |  FROM lineitem WHERE $notNull)
+        |${rows.mkString("\nUNION ALL\n")}
+        |ORDER BY col_a, col_b""".stripMargin
+    },
+    "q_benford" -> {
+      val exp = graft.ops.Stats.Benford.zipWithIndex
+        .map { case (e, i) => s"WHEN '${i + 1}' THEN $e" }
+        .mkString(" ")
+      s"""WITH c AS (SELECT l_returnflag AS g,
+        |    regexp_extract(CAST(abs(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR),
+        |      '[1-9]', 0) AS d
+        |  FROM lineitem),
+        |cnt AS (SELECT g, d, count(*) AS n_obs FROM c
+        |  WHERE d <> '' GROUP BY 1, 2),
+        |grid AS (SELECT g, CAST(unnest(range(1, 10)) AS VARCHAR) AS d
+        |  FROM (SELECT DISTINCT g FROM cnt)),
+        |dense AS (SELECT grid.g, grid.d, coalesce(cnt.n_obs, 0) AS n_obs
+        |  FROM grid LEFT JOIN cnt ON grid.g = cnt.g AND grid.d = cnt.d),
+        |tot AS (SELECT g, sum(n_obs) AS t FROM dense GROUP BY 1),
+        |fr AS (SELECT dense.g, dense.d, dense.n_obs,
+        |    CASE WHEN t > 0 THEN round(CAST(n_obs AS DOUBLE) / t, 9)
+        |      ELSE 0.0 END AS frac_obs,
+        |    CASE dense.d $exp END AS frac_exp
+        |  FROM dense JOIN tot ON dense.g = tot.g),
+        |qt AS (SELECT g, d, n_obs, frac_obs, frac_exp,
+        |    CAST((frac_obs - frac_exp) * (frac_obs - frac_exp) / frac_exp
+        |      AS DECIMAL(28,14)) AS tq
+        |  FROM fr)
+        |SELECT g, CAST(d AS INT) AS digit, n_obs, frac_obs, frac_exp,
+        |  round(CAST(sum(tq) OVER (PARTITION BY g) AS DOUBLE), 6) AS chi2_stat
+        |FROM qt ORDER BY g, digit""".stripMargin
+    })
 }

@@ -308,6 +308,102 @@ class AnalyticsSpec extends SparkSpec {
       out(1).getLong(2) == 1L)
   }
 
+  test("resolveEntities: transitive closure chains A~B~C, singletons survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b1", "red widget"), (2L, "b1", "red widgets"), // 1~2 (dist 1)
+      (3L, "b1", "red widgetsxx"),                         // 2~3 (dist 2), 1!~3 (dist 3)
+      (4L, "b1", "blue bolt"), (5L, "b2", "red widget"))
+      .toDF("id", "blk0", "s")
+    val out = Linkage.resolveEntities(df, "id", "s", "blk0", maxDist = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      .toSeq
+    // 1,2,3 chain into entity 1 even though lev(1,3)=3 > maxDist
+    assert(out == Seq((1L, 1L, true, 3L), (2L, 1L, false, 3L),
+      (3L, 1L, false, 3L), (4L, 4L, true, 1L), (5L, 5L, true, 1L)))
+  }
+
+  test("labelPropagation: majority vote, smallest-label ties, seeds pinned, retention") {
+    import spark.implicits._
+    // path graph: 1-2-3, 4-3 ; seeds: 1->"a", 4->"b", 3->"z" (pinned)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq((1L, "a"), (4L, "b"), (3L, "z")).toDF("node", "lbl")
+    val out = Graph.labelPropagation(edges, "src", "dst", seeds, "node",
+        "lbl", iterations = 2)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // node 2: neighbors {1:"a", 3:"z"} -> tie count 1,1 -> smallest "a"
+    // node 3 seeded "z" stays; nodes 1,4 pinned
+    assert(out == Map(1L -> Some("a"), 2L -> Some("a"), 3L -> Some("z"),
+      4L -> Some("b")))
+    // retention: an unreached node keeps null, a reached one keeps its
+    // label when its only labeled neighbor is itself unlabeled later —
+    // round 2 must not erase round 1 labels on the path 10-11-12, seed 10
+    val e2 = Seq((10L, 11L), (11L, 12L)).toDF("src", "dst")
+    val s2 = Seq((10L, "x")).toDF("node", "lbl")
+    val o1 = Graph.labelPropagation(e2, "src", "dst", s2, "node", "lbl",
+        iterations = 3).orderBy("node").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(o1 == Map(10L -> Some("x"), 11L -> Some("x"), 12L -> Some("x")))
+  }
+
+  test("histogram: edge values, dense grid, out-of-range dropped") {
+    import spark.implicits._
+    val df = Seq(("g1", 0.0), ("g1", 9.99), ("g1", 10.0), ("g1", 25.0),
+      ("g1", 100.0), ("g1", 101.0), ("g2", 50.0))
+      .toDF("g0", "v")
+    val out = Stats.histogram(df, "v", "g0", lo = 0.0, hi = 100.0, bins = 4)
+      .orderBy("g", "bin").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      ("g1", 0, 0.0, 3L),   // 0.0, 9.99, 10.0 < 25
+      ("g1", 1, 25.0, 1L),  // 25.0
+      ("g1", 2, 50.0, 0L),  // dense zero bin
+      ("g1", 3, 75.0, 1L),  // 100.0 closes the last bin; 101 dropped
+      ("g2", 0, 0.0, 0L), ("g2", 1, 25.0, 0L),
+      ("g2", 2, 50.0, 1L), ("g2", 3, 75.0, 0L)))
+  }
+
+  test("modePerGroup: ties to smallest value, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(("u1", Some("b")), ("u1", Some("b")), ("u1", Some("a")),
+      ("u1", Some("a")), ("u2", Some("x")), ("u2", None))
+      .toDF("g0", "v")
+    val out = Stats.modePerGroup(df, "v", "g0").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("u1", "a", 2L), ("u2", "x", 1L)))
+  }
+
+  test("corrMatrix: exact +-1 and independence, zero variance null") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0)).toDF("a", "b", "c", "k")
+    val out = Stats.corrMatrix(df, Seq("a", "b", "c", "k"))
+      .orderBy("col_a", "col_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("a", "b")) == Some(1.0))   // b = 2a
+    assert(out(("a", "c")) == Some(-1.0))  // c = -a
+    assert(out(("a", "k")) == None)        // k constant -> null
+    assert(out(("b", "c")) == Some(-1.0))
+  }
+
+  test("benfordAudit: digit extraction from decimal render, dense digits, chi2") {
+    import spark.implicits._
+    // 0.05 -> first significant digit 5; 123.0 -> 1; -20.5 -> 2; 0.0 excluded
+    val df = Seq(("g", 0.05), ("g", 123.0), ("g", -20.5), ("g", 0.0),
+      ("g", 19.0)).toDF("g0", "v")
+    val out = Stats.benfordAudit(df, "v", "g0").orderBy("digit").collect()
+    assert(out.length == 9)
+    val byDigit = out.map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(byDigit == Map(1 -> 2L, 2 -> 1L, 3 -> 0L, 4 -> 0L, 5 -> 1L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 0L))
+    assert(out.head.getDouble(4) == 0.301029996) // compiled Benford constant
+    assert(out.map(_.getDouble(5)).distinct.length == 1) // one chi2 per group
+  }
+
   test("fuzzyPairs: oversize block raises in-plan") {
     import spark.implicits._
     val df = spark.range(50).select(col("id"), lit("hot").as("blk0"),
