@@ -41,7 +41,13 @@ object ExplainAudit {
         "q_event_funnel", "q_cohort_retention", "q_event_transitions",
         "s_filtered_ann", "t_keywords_tfidf", "q_rollup_agg",
         "q_pivot_wide", "q_apply_changes", "q_sliding_window",
-        "q_triangle_count", "t_token_pmi", "v_partitioned_write")
+        "q_triangle_count", "t_token_pmi", "v_partitioned_write",
+        "q_anomaly_zscore", "q_quantile_normalize", "q_scd2_history",
+        "q_gap_fill", "q_decay_score", "t_lexical_diversity",
+        "t_readability", "t_boolean_search", "q_fuzzy_match",
+        "d_prefix_jaccard", "q_profile_table", "q_group_topk",
+        "q_time_weighted_avg", "q_entity_resolution", "q_label_prop",
+        "q_histogram", "q_group_mode", "q_corr_matrix", "q_benford")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

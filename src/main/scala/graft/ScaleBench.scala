@@ -131,7 +131,10 @@ object ScaleBench {
     // propagation on the co-purchase graph, dense-grid histogram,
     // summary-window mode, one-job correlation matrix, Benford audit
     "q_entity_resolution", "q_label_prop", "q_histogram", "q_group_mode",
-    "q_corr_matrix", "q_benford")
+    "q_corr_matrix", "q_benford",
+    // round-9 twelfth wave: mergeable HLL shard sketches, URL domain
+    // report (planted URLs scale with docs), k-anonymity group audit
+    "t_hll_merge", "t_url_extract", "q_k_anonymity")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -246,7 +249,10 @@ object ScaleBench {
     "q_histogram" -> Set("documents"),
     "q_group_mode" -> Set("events"),
     "q_corr_matrix" -> Set("lineitem"),
-    "q_benford" -> Set("lineitem"))
+    "q_benford" -> Set("lineitem"),
+    "t_hll_merge" -> Set("documents"),
+    "t_url_extract" -> Set("documents"),
+    "q_k_anonymity" -> Set("customer"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,
@@ -261,7 +267,8 @@ object ScaleBench {
   }
 
   val AllTables: Set[String] =
-    Set("documents", "embeddings", "orders", "lineitem", "events", "part")
+    Set("documents", "embeddings", "orders", "lineitem", "events", "part",
+      "customer")
 
   /** Replicate `src` tables into `out`.
     *
@@ -346,6 +353,18 @@ object ScaleBench {
             else concat(col("p_brand"), lit(s"#c$k")))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/part.parquet")
+    }
+
+    // customer: shifted keys, quasi-identifier columns unchanged — the
+    // k-anonymity audit sees the same group set with copies× the rows
+    // per group (row-flat output, time is the scaling evidence)
+    if (tables("customer")) {
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      val nCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      (0 until copies).map { k =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(k * nCust))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
     }
 
     // events: read RAW (ts keeps its on-disk physical form — nanos-long or

@@ -146,4 +146,54 @@ object Sketch {
       .select(col("grp"), col("exact_distinct"),
         round(estCol, 6).as("hll_est"), zeroRegs.as("zero_registers"))
   }
+
+  /** The property that makes HLL the 100 TB distinct-count: MERGEABILITY.
+    * Each shard (`partCol` value) builds its own m=64 register sketch;
+    * the global sketch is the REGISTER-WISE MAX of the shard sketches —
+    * an associative, commutative re-aggregation, so shard sketches can
+    * be persisted once and merged across any grouping later without
+    * touching raw data (the pre-aggregated-rollup contract exact
+    * distinct cannot offer: exact shard distincts do NOT sum). Returns
+    * one row: (n_shards, exact_distinct, hll_est, zero_registers), with
+    * the exact global distinct alongside as the honesty column; the
+    * merged estimate is bit-identical to sketching the union directly
+    * (max is associative — pinned by a test).
+    *
+    * Same register/rho derivation as [[hllDistinct]]: md5-based 60-bit
+    * hash, 6-bit register index, rho from the bin() string length —
+    * pure integer work an SQL oracle replays exactly. */
+  def hllMerge(corpus: DataFrame, partCol: String, textCol: String)
+      : DataFrame = {
+    val m = 64
+    val alpha = 0.709
+    val toks = corpus.select(col(partCol).as("grp"),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val h = md5Long60(col("w"), "hll")
+    val suffix = shiftright(h, 6)
+    val rho = when(suffix === 0, lit(55))
+      .otherwise(lit(55) - length(bin(suffix)))
+    // shard sketches: one row per (shard, register)
+    val shardRegs = toks
+      .select(col("grp"), (h % m).as("reg"), rho.as("rho"))
+      .groupBy("grp", "reg").agg(max(col("rho")).as("mrho"))
+    // merge = register-wise max across shards
+    val merged = shardRegs.groupBy("reg").agg(max(col("mrho")).as("mrho"))
+    val p55 = 1L << 55
+    val agg0 = merged.agg(
+      count(lit(1)).as("present"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mrho AS INT))"))
+        .as("s_present"))
+    val zeroRegs = (lit(m) - col("present")).cast("long")
+    val s = col("s_present") + zeroRegs * p55
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
+      lit(p55.toDouble) / s.cast("double")
+    val estCol = when(zeroRegs > 0 && raw <= lit(2.5 * m),
+        lit(m.toDouble) * log(lit(m.toDouble) / zeroRegs.cast("double")))
+      .otherwise(raw)
+    agg0
+      .crossJoin(corpus.agg(count_distinct(col(partCol)).as("n_shards")))
+      .crossJoin(toks.agg(count_distinct(col("w")).as("exact_distinct")))
+      .select(col("n_shards"), col("exact_distinct"),
+        round(estCol, 6).as("hll_est"), zeroRegs.as("zero_registers"))
+  }
 }

@@ -230,4 +230,19 @@ object Stats {
     * by the operator and (textually) its oracle. */
   val Benford: Seq[Double] =
     (1 to 9).map(d => math.rint(math.log10(1.0 + 1.0 / d) * 1e9) / 1e9)
+
+  /** k-anonymity audit over quasi-identifier columns — the governance
+    * gate before a dataset leaves its enclave: every quasi-identifier
+    * combination's group size, flagged when under `k` (those rows are
+    * re-identifiable by joining the quasi columns against any public
+    * table). One map-combinable groupBy on the quasi tuple; output is
+    * combination-count-sized. Null quasi values group as values (null
+    * is itself identifying). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: need at least one quasi column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("violates_k", col("n") < k)
+  }
 }

@@ -1164,6 +1164,31 @@ object TextAnalysis {
     * narrow map — zero shuffles, streaming-safe. The regexes are in the
     * Java∩RE2 common subset, so the SQL oracle's engine sees the same
     * matches. */
+  /** URL domain report — the domain-level curation signal web-corpus
+    * pipelines filter on (domain blocklists, per-domain caps, domain
+    * mixing stats; SURVEY.md §2.11 L113): extract every `http(s)://`
+    * URL, reduce to the lowercased host, and aggregate per domain with
+    * a blocklist flag. One narrow extract scan (regexp_extract_all in
+    * the Java∩RE2 common subset) + one domain-keyed shuffle; output is
+    * domain-count-sized. */
+  def urlDomains(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String] = Seq.empty): DataFrame = {
+    val urls = regexp_extract_all(col(textCol),
+      lit("https?://[^\\s/]+"), lit(0))
+    val dom = lower(regexp_replace(col("__u"), "^https?://", ""))
+    val perDoc = df
+      .select(col(idCol).as("id"), explode(urls).as("__u"))
+      .select(col("id"), dom.as("domain"))
+    val blocked =
+      if (blocklist.isEmpty) lit(false)
+      else col("domain").isin(blocklist.map(_.toLowerCase(
+        java.util.Locale.ROOT)): _*)
+    perDoc.groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("id")).as("n_docs"))
+      .withColumn("blocked", blocked)
+  }
+
   def readability(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val words = tokenCount(col(textCol))

@@ -163,6 +163,27 @@ object AnalyticsQueries {
       graft.ops.Stats.benfordAudit(Tables.lineitem(s, d),
           "l_extendedprice", "l_returnflag")
         .orderBy("g", "digit")
+    },
+    // URL domain report over planted URLs (the corpus has none — the
+    // gate appends deterministic ones): extract scan + domain shuffle,
+    // blocklist flags
+    "t_url_extract" -> { (s, d) =>
+      val planted = Tables.documents(s, d).withColumn("text",
+        concat(col("text"), lit(" see http://site"),
+          (col("doc_id") % 37).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" and https://Mirror"), (col("doc_id") % 11).cast("string"),
+          lit(".example.org/x")))
+      graft.ops.TextAnalysis.urlDomains(planted, "doc_id", "text",
+          Seq("site3.example.com", "mirror5.example.org"))
+        .orderBy("domain")
+    },
+    // k-anonymity audit over customer quasi-identifiers: group sizes
+    // per (nation, market segment), under-k combinations flagged
+    "q_k_anonymity" -> { (s, d) =>
+      graft.ops.Stats.kAnonymity(Tables.customer(s, d),
+          Seq("c_nationkey", "c_mktsegment"), k = 5)
+        .orderBy("c_nationkey", "c_mktsegment")
     })
 
   private val tokensSql =
@@ -443,5 +464,24 @@ object AnalyticsQueries {
         |SELECT g, CAST(d AS INT) AS digit, n_obs, frac_obs, frac_exp,
         |  round(CAST(sum(tq) OVER (PARTITION BY g) AS DOUBLE), 6) AS chi2_stat
         |FROM qt ORDER BY g, digit""".stripMargin
-    })
+    },
+    "t_url_extract" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' see http://site' || CAST(doc_id % 37 AS VARCHAR)
+        |      || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || ' and https://Mirror' || CAST(doc_id % 11 AS VARCHAR)
+        |      || '.example.org/x' AS text2
+        |  FROM documents),
+        |u AS (SELECT doc_id, lower(regexp_replace(
+        |    unnest(regexp_extract_all(text2, 'https?://[^\s/]+')),
+        |    '^https?://', '')) AS domain FROM t)
+        |SELECT domain, count(*) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  domain IN ('site3.example.com', 'mirror5.example.org') AS blocked
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(*) < 5 AS violates_k
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
 }

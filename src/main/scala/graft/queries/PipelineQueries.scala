@@ -905,6 +905,13 @@ object PipelineQueries {
         .withColumnRenamed("grp", "source")
         .orderBy("source")
     },
+    // HLL MERGEABILITY: per-source shard sketches re-aggregated by
+    // register-wise max into ONE corpus-level estimate — the
+    // persist-shard-sketches-merge-later contract exact distinct can't
+    // offer (shard exact distincts do not sum)
+    "t_hll_merge" -> { (s, d) =>
+      graft.ops.Sketch.hllMerge(Tables.documents(s, d), "source", "text")
+    },
     // weighted PageRank (3 fixed iterations) over the undirected
     // customer-supplier order graph: per-edge contributions quantized to
     // DECIMAL(28,14) so every iteration's ranks are order-invariant,
@@ -3356,6 +3363,29 @@ object PipelineQueries {
         |  CAST(64 - a.present AS BIGINT) AS zero_registers
         |FROM ag a JOIN ex ON a.source = ex.source
         |ORDER BY a.source""".stripMargin,
+    "t_hll_merge" ->
+      s"""WITH ti AS (SELECT source, unnest($tokensSql) AS w FROM documents),
+        |tw AS (SELECT DISTINCT source, w FROM ti),
+        |h AS (SELECT source, w, ${md5HornerSql("'hll:' || w")} AS hv FROM tw),
+        |regs1 AS (SELECT source, hv % 64 AS reg,
+        |    max(CASE WHEN hv // 64 = 0 THEN 55
+        |      ELSE 55 - len(bin(hv // 64)) END) AS mrho
+        |  FROM h GROUP BY source, hv % 64),
+        |regs AS (SELECT reg, max(mrho) AS mrho FROM regs1 GROUP BY reg),
+        |ag AS (SELECT count(*) AS present,
+        |    sum((CAST(1 AS BIGINT) << CAST(55 - mrho AS INT))) AS sp
+        |  FROM regs),
+        |ex AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct FROM ti),
+        |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_shards FROM documents)
+        |SELECT ns.n_shards, ex.exact_distinct,
+        |  ROUND(CASE WHEN (64 - a.present) > 0
+        |      AND 0.709e0 * 64e0 * 64e0 * 36028797018963968e0 /
+        |        CAST(a.sp + (64 - a.present) * 36028797018963968 AS DOUBLE) <= 160e0
+        |    THEN 64e0 * ln(64e0 / CAST(64 - a.present AS DOUBLE))
+        |    ELSE 0.709e0 * 64e0 * 64e0 * 36028797018963968e0 /
+        |      CAST(a.sp + (64 - a.present) * 36028797018963968 AS DOUBLE) END, 6) AS hll_est,
+        |  CAST(64 - a.present AS BIGINT) AS zero_registers
+        |FROM ag a, ex, ns""".stripMargin,
     // PageRank unrolled: identical edge/out-weight derivation, the same
     // ((r * 0.85) * w) / W parenthesization quantized to DECIMAL(28,14)
     // per edge (exact order-free sums), (1.0 - 0.85) written as the

@@ -404,6 +404,71 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getDouble(5)).distinct.length == 1) // one chi2 per group
   }
 
+  test("hllMerge: register-wise max merge == sketching the union directly") {
+    import spark.implicits._
+    val docs = Seq(("s1", "aa bb cc dd"), ("s1", "cc dd ee"),
+      ("s2", "aa ff gg hh ii"), ("s3", "jj kk"))
+      .toDF("source", "text")
+    val merged = Sketch.hllMerge(docs, "source", "text").collect()(0)
+    // one shard = sketching the union directly (same register pipeline)
+    val direct = Sketch.hllMerge(docs.withColumn("source", lit("one")),
+      "source", "text").collect()(0)
+    assert(merged.getDouble(2) == direct.getDouble(2)) // hll_est identical
+    assert(merged.getLong(0) == 3L && merged.getLong(1) == 11L)
+    assert(direct.getLong(0) == 1L && direct.getLong(1) == 11L)
+  }
+
+  test("urlDomains: extraction, host lowering, blocklist, per-doc distinct") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "see http://A.example.com/x and http://a.example.com/y plus https://b.org/z"),
+      (2L, "again http://a.example.com no-url-here"),
+      (3L, "none at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.urlDomains(df, "doc_id", "text",
+        Seq("B.org")).orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(out == Seq(("a.example.com", 3L, 2L, false),
+      ("b.org", 1L, 1L, true)))
+  }
+
+  test("kAnonymity: group sizes and violation flags, nulls group") {
+    import spark.implicits._
+    val df = Seq((1, Some("a")), (2, Some("a")), (3, Some("a")),
+      (4, Some("b")), (5, None)).toDF("qa", "qb")
+    val out = Stats.kAnonymity(df.withColumn("qa", lit(9)), Seq("qa", "qb"),
+        k = 2).orderBy("qb").collect()
+      .map(r => (Option(r.getString(1)), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(out.contains((Some("a"), 3L, false)))
+    assert(out.contains((Some("b"), 1L, true)))
+    assert(out.contains((None, 1L, true))) // null quasi value is a group
+  }
+
+  test("stream-static enrichment join is streaming-safe: batch == stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val rows = Seq((1L, 10.0), (2L, 5.0), (3L, 1.0), (1L, 2.0))
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(dim), Seq("user_id"), "left")
+        .select(col("user_id"), col("value"),
+          coalesce(col("tier"), lit("unknown")).as("tier"))
+    val mem = MemoryStream[(Long, Double)]
+    val q = enrich(mem.toDF().toDF("user_id", "value"))
+      .writeStream.format("memory").queryName("enrich_stream_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*); q.processAllAvailable()
+    mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getString(2))
+    val streamed = spark.table("enrich_stream_test").collect().map(key).sorted
+    val batch = enrich(rows.toDF("user_id", "value")).collect().map(key).sorted
+    assert(streamed.toSeq == batch.toSeq && batch.length == 4)
+  }
+
   test("fuzzyPairs: oversize block raises in-plan") {
     import spark.implicits._
     val df = spark.range(50).select(col("id"), lit("hot").as("blk0"),
