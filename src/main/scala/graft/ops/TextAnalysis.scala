@@ -1164,6 +1164,30 @@ object TextAnalysis {
     * narrow map — zero shuffles, streaming-safe. The regexes are in the
     * Java∩RE2 common subset, so the SQL oracle's engine sees the same
     * matches. */
+  /** Compression-ratio quality signal: DEFLATE(text)/bytes(text) — the
+    * codec-level redundancy detector (template spam and boilerplate
+    * compress far below prose; OCR noise barely compresses at all), the
+    * cheap sibling of [[repetitionStats]] that catches long-period
+    * repetition n-gram folds structurally miss. One kernel projection
+    * ([[graft.functions.CompressExprs]] — static-call codegen, no UDF),
+    * zero shuffles, streaming-safe. `keep` bounds the ratio two-sided:
+    * below `minRatio` = degenerate repetition, above `maxRatio` =
+    * incompressible noise. Empty docs emit null ratio and keep=false.
+    * Kernel signal — evidence is spec pins, not a DuckDB gate (no zlib
+    * on the oracle side). */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+      minRatio: Double = 0.25, maxRatio: Double = 1.1): DataFrame = {
+    val spark = df.sparkSession
+    val nBytes = octet_length(col(textCol))
+    val cBytes = graft.functions.CompressExprs.deflateSizeCol(spark,
+      col(textCol))
+    df.select(col(idCol), nBytes.as("n_bytes"), cBytes.as("c_bytes"))
+      .withColumn("ratio", when(col("n_bytes") > 0,
+        round(col("c_bytes").cast("double") / col("n_bytes"), 6)))
+      .withColumn("keep", coalesce(
+        col("ratio") >= minRatio && col("ratio") <= maxRatio, lit(false)))
+  }
+
   /** URL domain report — the domain-level curation signal web-corpus
     * pipelines filter on (domain blocklists, per-domain caps, domain
     * mixing stats; SURVEY.md §2.11 L113): extract every `http(s)://`

@@ -469,6 +469,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq && batch.length == 4)
   }
 
+  test("compressionRatio: repetition compresses, noise doesn't, deterministic") {
+    import spark.implicits._
+    val rep = ("spam " * 200).trim
+    val noise = (1 to 200).map(i =>
+      java.lang.Long.toString(i * 2654435761L % 99991, 36)).mkString(" ")
+    val df = Seq((1L, rep), (2L, noise), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(df, "doc_id", "text",
+        minRatio = 0.25, maxRatio = 1.1)
+      .orderBy("doc_id").collect()
+    val (rRep, rNoise) = (out(0).getDouble(3), out(1).getDouble(3))
+    assert(rRep < 0.1 && !out(0).getBoolean(4))  // degenerate repetition
+    assert(rNoise > 0.25 && rNoise > rRep * 5 && out(1).getBoolean(4))
+    assert(out(2).isNullAt(3) && !out(2).getBoolean(4)) // empty doc
+    // deterministic + partition-invariant
+    val again = TextAnalysis.compressionRatio(df.repartition(5), "doc_id",
+      "text").orderBy("doc_id").collect()
+    assert(again.map(r => Option(r.get(3))).toSeq ==
+      out.map(r => Option(r.get(3))).toSeq)
+  }
+
   test("fuzzyPairs: oversize block raises in-plan") {
     import spark.implicits._
     val df = spark.range(50).select(col("id"), lit("hot").as("blk0"),
