@@ -134,7 +134,11 @@ object ScaleBench {
     "q_corr_matrix", "q_benford",
     // round-9 twelfth wave: mergeable HLL shard sketches, URL domain
     // report (planted URLs scale with docs), k-anonymity group audit
-    "t_hll_merge", "t_url_extract", "q_k_anonymity")
+    "t_hll_merge", "t_url_extract", "q_k_anonymity",
+    // round-9 thirteenth wave: RRF hybrid fusion (rank-bounded windows),
+    // golden-record survivorship (one entity groupBy), churn labels
+    // (week-summary lead window)
+    "q_rrf_fusion", "q_golden_record", "q_churn_labels")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -252,7 +256,10 @@ object ScaleBench {
     "q_benford" -> Set("lineitem"),
     "t_hll_merge" -> Set("documents"),
     "t_url_extract" -> Set("documents"),
-    "q_k_anonymity" -> Set("customer"))
+    "q_k_anonymity" -> Set("customer"),
+    "q_rrf_fusion" -> Set("documents"),
+    "q_golden_record" -> Set("part"),
+    "q_churn_labels" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

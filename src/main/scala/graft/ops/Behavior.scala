@@ -300,6 +300,41 @@ object Behavior {
         count(lit(1)).as("n_events"))
   }
 
+  /** Weekly CHURN labels per user — the supervised-learning target every
+    * retention model trains on: for each (user, active week), did the
+    * user go quiet for more than `horizonWeeks` weeks afterwards?
+    * Weeks are integer epoch-day floor-divisions (engine-exact, the
+    * cohortRetention arithmetic); a (user, week) whose horizon extends
+    * past the corpus's last observed week is CENSORED (label null — the
+    * data cannot answer yet, and training on it as "churned" is the
+    * classic leakage bug this column exists to prevent).
+    *
+    * Scale shape: distinct (user, week) first (one shuffle, activity
+    * collapses to ≤ weeks-per-user rows per user), ONE lead window over
+    * those per-user week summaries, the global max week via a broadcast
+    * single-row cross join. Pure integer comparisons. */
+  def churnLabels(events: DataFrame, userCol: String, tsCol: String,
+      horizonWeeks: Int = 2): DataFrame = {
+    require(horizonWeeks >= 1, s"horizonWeeks must be >= 1, got $horizonWeeks")
+    val week = floor(unix_timestamp(col(tsCol)).cast("double") /
+      lit(604800.0)).cast("long")
+    val weekly = events.select(col(userCol).as("u"), week.as("week"))
+      .distinct()
+    val maxWeek = weekly.agg(max(col("week")).as("__maxw"))
+    val w = Window.partitionBy(col("u")).orderBy(col("week"))
+    weekly
+      .withColumn("__next", lead(col("week"), 1).over(w))
+      .crossJoin(broadcast(maxWeek))
+      .select(col("u"), col("week"),
+        // a return WITHIN the horizon decides "not churned" even when the
+        // horizon extends past the data; only the undecidable tail is null
+        when(col("__next").isNotNull &&
+            col("__next") <= col("week") + horizonWeeks, lit(false))
+          .when(col("week") + horizonWeeks > col("__maxw"),
+            lit(null).cast("boolean"))
+          .otherwise(lit(true)).as("churned"))
+  }
+
   /** Time-weighted average per key over IRREGULAR samples — the honest
     * mean for unevenly-spaced measurements (a value that held for an
     * hour must outweigh one that held a second; the row-mean is wrong

@@ -106,4 +106,32 @@ object Linkage {
         (col(idCol) === col("entity_id")).as("is_canonical"),
         col("entity_size"))
   }
+
+  /** Field-level SURVIVORSHIP ("golden record"): one merged row per
+    * entity where EACH field independently takes the value from the
+    * first row that HAS it, visited in (priorityCols…, id) order — the
+    * MDM merge rule ([[resolveEntities]] decides which rows are one
+    * entity; this decides what the merged entity looks like, and a
+    * lower-priority row's field survives whenever every higher-priority
+    * row left it null).
+    *
+    * Implementation: per field, `min(when(notNull, struct(priority…,
+    * id, field)))` — a map-combinable lexicographic arg-min whose null
+    * inputs drop out of the aggregation, so the whole record merges in
+    * ONE groupBy on the entity key, O(#fields) aggregation state,
+    * partition-invariant. Exact struct comparisons — no floats. */
+  def goldenRecord(df: DataFrame, entityCol: String,
+      priorityCols: Seq[String], idCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord: need at least one field")
+    val ord = priorityCols.map(col) :+ col(idCol)
+    val aggs = fields.map { f =>
+      min(when(col(f).isNotNull,
+        struct(ord :+ col(f).as("__v"): _*))).as(s"__m_$f")
+    } :+ count(lit(1)).as("n_members")
+    df.groupBy(col(entityCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(entityCol) +: col("n_members") +:
+        fields.map(f => col(s"__m_$f.__v").as(f)): _*)
+  }
 }

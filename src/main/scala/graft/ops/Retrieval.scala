@@ -287,4 +287,38 @@ object Retrieval {
         size(filter(t, x =>
           terms.map(q => x === q).reduce(_ || _))).as("hits"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR 2009) — the standard
+    * hybrid-search combiner: two per-query rankings (lexical BM25 +
+    * semantic ANN is the canonical pair — [[bm25TopK]] and
+    * `Similarity`'s top-k emit exactly this (q_id, doc_id, rank) shape)
+    * merge by score(d) = Σ_sides 1/(k + rank_side(d)), absent side
+    * contributes 0, re-ranked per query. Rank-based, so the two sides'
+    * incomparable score scales never matter — why RRF beats score
+    * interpolation without per-collection tuning.
+    *
+    * Engine-exact: each contribution is ONE IEEE division of exact
+    * integers, the fused score a fixed-order two-term sum, 9-dp render;
+    * ties re-rank to the smaller doc id. One (q_id, doc_id) full-outer
+    * equi-shuffle + a per-query window over candidate summaries (≤ the
+    * two input ks per query — bounded, never corpus-sized). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def side(df: DataFrame, out: String) =
+      df.select(col("q_id"), col("doc_id"),
+        (lit(1.0) / (lit(k.toDouble) + col("rank").cast("double"))).as(out))
+    val fused = side(a, "__ca")
+      .join(side(b, "__cb"), Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(col("__ca"), lit(0.0)) + coalesce(col("__cb"), lit(0.0)))
+          .as("__s"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("__s").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), round(col("__s"), 9).as("rrf_score"))
+  }
 }

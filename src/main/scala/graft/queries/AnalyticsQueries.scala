@@ -184,6 +184,52 @@ object AnalyticsQueries {
       graft.ops.Stats.kAnonymity(Tables.customer(s, d),
           Seq("c_nationkey", "c_mktsegment"), k = 5)
         .orderBy("c_nationkey", "c_mktsegment")
+    },
+    // reciprocal-rank fusion of a lexical (term-hit) and a prior
+    // (length) ranking per query — the hybrid-search combiner; rank-
+    // based, so the sides' incomparable score scales never matter
+    "q_rrf_fusion" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val qs = Seq(1L -> Seq("query", "table"), 2L -> Seq("spark", "fast"),
+        3L -> Seq("merge", "batch"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text"))
+          .as("t"), col("n_chars"))
+      val scored = qs.map { case (qid, terms) =>
+        base.select(lit(qid).as("q_id"), col("doc_id"),
+          size(filter(col("t"), x =>
+            terms.map(q => x === q).reduce(_ || _))).as("hits"),
+          col("n_chars"))
+      }.reduce(_ unionByName _).filter(col("hits") > 0)
+      def rankBy(ord: Seq[org.apache.spark.sql.Column]) = {
+        val w = Window.partitionBy(col("q_id")).orderBy(ord: _*)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10).select("q_id", "doc_id", "rank")
+      }
+      val lexical = rankBy(Seq(col("hits").desc, col("doc_id").asc))
+      val prior = rankBy(Seq(col("n_chars").desc, col("doc_id").asc))
+      graft.ops.Retrieval.rrfFuse(lexical, prior, k = 60, topK = 10)
+        .orderBy("q_id", "rank")
+    },
+    // field-level survivorship (golden record): per exact-name entity,
+    // each field takes the first non-null value in (p_size, key) order —
+    // the gate plants nulls so lower-priority rows must win fields
+    "q_golden_record" -> { (s, d) =>
+      val planted = Tables.part(s, d)
+        .withColumn("p_type", when(col("p_partkey") % 3 === 0,
+          lit(null)).otherwise(col("p_type")))
+        .withColumn("p_brand", when(col("p_partkey") % 5 === 0,
+          lit(null)).otherwise(col("p_brand")))
+      graft.ops.Linkage.goldenRecord(planted, "p_name", Seq("p_size"),
+          "p_partkey", Seq("p_type", "p_brand"))
+        .orderBy("p_name")
+    },
+    // weekly churn labels with censoring: distinct (user, week), one
+    // lead window over week summaries, undecidable tail labeled null
+    "q_churn_labels" -> { (s, d) =>
+      graft.ops.Behavior.churnLabels(Tables.events(s, d), "user_id",
+          "ts", horizonWeeks = 1)
+        .orderBy("u", "week")
     })
 
   private val tokensSql =
@@ -483,5 +529,65 @@ object AnalyticsQueries {
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,
         |  count(*) < 5 AS violates_k
         |FROM customer GROUP BY 1, 2
-        |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q_rrf_fusion" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS t, n_chars FROM documents),
+        |q(q_id, terms) AS (VALUES (1, ['query', 'table']),
+        |  (2, ['spark', 'fast']), (3, ['merge', 'batch'])),
+        |scored AS (SELECT q_id, doc_id,
+        |    len(list_filter(t.t, x -> list_contains(q.terms, x))) AS hits,
+        |    n_chars
+        |  FROM t CROSS JOIN q),
+        |s2 AS (SELECT * FROM scored WHERE hits > 0),
+        |ra AS (SELECT q_id, doc_id, rank FROM (
+        |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY hits DESC, doc_id ASC) AS rank FROM s2)
+        |  WHERE rank <= 10),
+        |rb AS (SELECT q_id, doc_id, rank FROM (
+        |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rank FROM s2)
+        |  WHERE rank <= 10),
+        |fused AS (SELECT coalesce(ra.q_id, rb.q_id) AS q_id,
+        |    coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |    coalesce(1.0 / (60.0 + CAST(ra.rank AS DOUBLE)), 0.0)
+        |      + coalesce(1.0 / (60.0 + CAST(rb.rank AS DOUBLE)), 0.0) AS s
+        |  FROM ra FULL OUTER JOIN rb
+        |    ON ra.q_id = rb.q_id AND ra.doc_id = rb.doc_id)
+        |SELECT q_id, rank, doc_id, rrf_score FROM (
+        |  SELECT CAST(q_id AS BIGINT) AS q_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+        |    doc_id, round(s, 9) AS rrf_score
+        |  FROM fused)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_golden_record" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_size,
+        |    CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_type END AS p_type,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_brand END AS p_brand
+        |  FROM part),
+        |ft AS (SELECT p_name, p_type FROM (
+        |  SELECT p_name, p_type, row_number() OVER (PARTITION BY p_name
+        |    ORDER BY p_size, p_partkey) AS rn
+        |  FROM p WHERE p_type IS NOT NULL) WHERE rn = 1),
+        |fb AS (SELECT p_name, p_brand FROM (
+        |  SELECT p_name, p_brand, row_number() OVER (PARTITION BY p_name
+        |    ORDER BY p_size, p_partkey) AS rn
+        |  FROM p WHERE p_brand IS NOT NULL) WHERE rn = 1),
+        |n AS (SELECT p_name, count(*) AS n_members FROM p GROUP BY 1)
+        |SELECT n.p_name, n.n_members, ft.p_type, fb.p_brand
+        |FROM n LEFT JOIN ft ON n.p_name = ft.p_name
+        |LEFT JOIN fb ON n.p_name = fb.p_name
+        |ORDER BY n.p_name""".stripMargin,
+    "q_churn_labels" ->
+      """WITH wk AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor(floor(epoch(ts)) / 604800.0) AS BIGINT) AS week
+        |  FROM events),
+        |mx AS (SELECT max(week) AS maxw FROM wk),
+        |led AS (SELECT u, week,
+        |    lead(week) OVER (PARTITION BY u ORDER BY week) AS nxt FROM wk)
+        |SELECT u, week,
+        |  CASE WHEN nxt IS NOT NULL AND nxt <= week + 1 THEN false
+        |    WHEN week + 1 > (SELECT maxw FROM mx) THEN NULL
+        |    ELSE true END AS churned
+        |FROM led ORDER BY u, week""".stripMargin)
 }

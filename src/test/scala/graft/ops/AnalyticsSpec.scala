@@ -489,6 +489,71 @@ class AnalyticsSpec extends SparkSpec {
       out.map(r => Option(r.get(3))).toSeq)
   }
 
+  test("rrfFuse: one-sided candidates, tie-break, fuses real bm25+cosine shapes") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("q_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(a, b, k = 60, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // doc 11: 1/62 + 1/61 = .032787...; doc 10: 1/61; doc 12: 1/62
+    assert(out.map(_._2) == Seq(11L, 10L, 12L))
+    assert(math.abs(out(0)._3 - (1.0 / 62 + 1.0 / 61)) < 1e-9)
+    assert(out(1)._3 == math.rint(1.0 / 61 * 1e9) / 1e9)
+    // integration: fuse an actual bm25TopK ranking with a length prior
+    val docs = Seq((1L, "spark merge fast"), (2L, "slow table scan"),
+      (3L, "spark table")).toDF("doc_id", "text")
+    val qs = Seq((7L, "spark table")).toDF("q_id", "q_text")
+    val bm = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "q_id",
+      "q_text", k = 3).select("q_id", "doc_id", "rank")
+    val prior = Seq((7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 3L))
+      .toDF("q_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(bm, prior, topK = 3).collect()
+    assert(fused.length == 3 && fused.map(_.getLong(0)).forall(_ == 7L))
+  }
+
+  test("goldenRecord: per-field survivorship, lower priority wins on nulls") {
+    import spark.implicits._
+    val df = Seq(
+      // entity e1: best-priority row (size 1) has null type -> type comes
+      // from size 2; brand comes from size 1
+      (1L, "e1", 1, None, Some("B1")),
+      (2L, "e1", 2, Some("T2"), Some("B2")),
+      (3L, "e1", 3, Some("T3"), None),
+      // entity e2: all fields null everywhere -> null golden fields
+      (4L, "e2", 1, None, None),
+      // priority tie -> smaller id wins
+      (5L, "e3", 1, Some("Tb"), None), (6L, "e3", 1, Some("Ta"), None))
+      .toDF("id", "e", "prio", "t", "b")
+    val out = Linkage.goldenRecord(df, "e", Seq("prio"), "id",
+        Seq("t", "b")).orderBy("e").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)),
+        Option(r.getString(3)))).toSeq
+    assert(out == Seq(("e1", 3L, Some("T2"), Some("B1")),
+      ("e2", 1L, None, None), ("e3", 2L, Some("Tb"), None)))
+  }
+
+  test("churnLabels: horizon decision, return-within-horizon, censoring") {
+    // weeks are epoch//604800; craft 4 consecutive weeks
+    val ev = tsEvents(
+      (1L, "2024-01-01 00:00:00", 1.0),  // w0
+      (1L, "2024-01-08 00:00:00", 1.0),  // w1: next week -> not churned
+      (1L, "2024-01-22 00:00:00", 1.0),  // w3: gap of 2 > horizon 1 -> w1 churned
+      (2L, "2024-01-01 00:00:00", 1.0),  // w0 only; next null, w0+1 <= maxw -> churned
+      (3L, "2024-01-22 00:00:00", 1.0))  // w3 = maxw: censored (null)
+    val out = Behavior.churnLabels(ev, "user_id", "ts", horizonWeeks = 1)
+      .orderBy("u", "week").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toSeq
+    val w0 = out.head._2
+    assert(out == Seq(
+      (1L, w0, Some(false)),      // active next week
+      (1L, w0 + 1, Some(true)),   // silent until w3 > w1+1
+      (1L, w0 + 3, None),         // at maxw: censored
+      (2L, w0, Some(true)),       // never returns, decidable
+      (3L, w0 + 3, None)))        // censored
+  }
+
   test("fuzzyPairs: oversize block raises in-plan") {
     import spark.implicits._
     val df = spark.range(50).select(col("id"), lit("hot").as("blk0"),
