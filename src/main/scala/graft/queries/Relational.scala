@@ -93,6 +93,16 @@ object Relational {
         .select("user_id", "event_id", "running_value")
         .orderBy("user_id", "event_id")
     },
+    // Set operations with SQL DISTINCT semantics: INTERSECT/EXCEPT
+    // compile to hash-aggregated semi/anti joins (no full sort) —
+    // customers with both open and fulfilled orders but none pending
+    "q8_set_ops" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      def custs(st: String) =
+        o.filter(col("o_orderstatus") === st).select("o_custkey")
+      custs("O").intersect(custs("F")).except(custs("P"))
+        .orderBy("o_custkey")
+    },
     // OLAP grouping sets: ROLLUP subtotals + grand total in ONE shuffle
     // (Spark expands the grouping sets map-side — no per-level rescan),
     // grouping_id disambiguates data NULLs from rolled-up levels. Within
@@ -159,6 +169,12 @@ object Relational {
       """SELECT user_id, event_id,
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    // INTERSECT binds tighter than EXCEPT in both engines: (O ∩ F) ∖ P
+    "q8_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
     "q_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
