@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# End-of-round artifact regeneration: interleaved A/B, 1x/10x/skew scale
+# runs over ALL heavies, 100x flagships, assembled into BENCH_r9_sf1.json
+# / BENCH_r9_sf10.json. Run on a QUIET box (no concurrent Spark/DuckDB) —
+# contended timings corrupt the linearity ratios.
+#
+# Usage: tools/final_artifacts.sh <round-tag e.g. r09>
+set -euo pipefail
+cd "$(dirname "$0")/.."
+TAG="${1:?round tag, e.g. r09}"
+SF=/root/testdata/sf0.1
+
+# 1x baseline over every heavy (fresh workdir: copies=1)
+sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_c1 1" 2>&1 \
+  | grep -o '{"metric".*}' | tail -1 > /tmp/sc_c1.json
+# 10x uniform
+sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_sf1 10" 2>&1 \
+  | grep -o '{"metric".*}' | tail -1 > /tmp/sc_c10.json
+# 10x skewed universe (hot shard / heavy-hitter keys)
+sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_skew 10 --skew" 2>&1 \
+  | grep -o '{"metric".*}' | tail -1 > /tmp/sc_skew.json
+
+python3 tools/assemble_scale.py sf1 /tmp/sc_c1.json /tmp/sc_c10.json \
+  /tmp/sc_skew.json "BENCH_${TAG}_sf1.json" \
+  "graft.ScaleBench - sf0.1 replicated 10x (disjoint affine-cipher text shards / sign-flip embedding isometries / per-copy-suffixed linkage blocks); every ScaleBench heavy" \
+  "skewed replication: one content shard copies-x hot, ~half of events on one event_type and one user"
+
+# 100x flagships: the eight prior flagships + the lossless prefix-filter
+# join and the composed entity resolution
+FLAGS="d_lsh_jaccard_verify s_ivf_topk t_winnow_overlap s_ivfpq_topk \
+q_training_mix q_quality_pipeline q_apply_changes s_knn_graph \
+d_prefix_jaccard q_entity_resolution"
+sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_f1 1 $FLAGS" 2>&1 \
+  | grep -o '{"metric".*}' | tail -1 > /tmp/sc_f1.json
+sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_sf10 100 $FLAGS" 2>&1 \
+  | grep -o '{"metric".*}' | tail -1 > /tmp/sc_f100.json
+
+python3 tools/assemble_scale.py sf10 /tmp/sc_f1.json /tmp/sc_f100.json \
+  "BENCH_${TAG}_sf10.json" \
+  "graft.ScaleBench - sf0.1 replicated 100x, ten flagships: the eight prior flagships plus the lossless prefix-filter set-similarity join and the composed fuzzy entity resolution"
+
+echo "== artifacts written: BENCH_${TAG}_sf1.json BENCH_${TAG}_sf10.json"
