@@ -138,7 +138,10 @@ object ScaleBench {
     // round-9 thirteenth wave: RRF hybrid fusion (rank-bounded windows),
     // golden-record survivorship (one entity groupBy), churn labels
     // (week-summary lead window)
-    "q_rrf_fusion", "q_golden_record", "q_churn_labels")
+    "q_rrf_fusion", "q_golden_record", "q_churn_labels",
+    // adoption curve (first-seen collapse) + concentration/Gini (count-
+    // value summary windows)
+    "q_cumulative_distinct", "q_concentration")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -259,7 +262,9 @@ object ScaleBench {
     "q_k_anonymity" -> Set("customer"),
     "q_rrf_fusion" -> Set("documents"),
     "q_golden_record" -> Set("part"),
-    "q_churn_labels" -> Set("events"))
+    "q_churn_labels" -> Set("events"),
+    "q_cumulative_distinct" -> Set("events"),
+    "q_concentration" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -300,6 +300,35 @@ object Behavior {
         count(lit(1)).as("n_events"))
   }
 
+  /** Cumulative-distinct ADOPTION curve: for each (user, active week),
+    * how many distinct event types the user has touched so far and how
+    * many are NEW that week — the breadth-of-engagement feature (and,
+    * on a corpus, the "new domains/sources seen over time" audit).
+    *
+    * NEVER builds a per-row distinct-so-far set: each (user, type)
+    * collapses to its FIRST week (one map-combinable min), new-type
+    * counts aggregate per (user, week), and one running sum over the
+    * user's WEEK SUMMARIES (rows ≤ weeks-per-user) cumulates — the
+    * summary-window discipline; exact integers throughout. Output rows
+    * = the user's ACTIVE weeks (weeks with ≥1 event), with `new_types`
+    * possibly 0 (active but nothing new). */
+  def cumulativeDistinct(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val week = floor(unix_timestamp(col(tsCol)).cast("double") /
+      lit(604800.0)).cast("long")
+    val base = events.select(col(userCol).as("u"), week.as("week"),
+      col(typeCol).as("__t"))
+    val activeWeeks = base.select("u", "week").distinct()
+    val firstSeen = base.groupBy("u", "__t").agg(min(col("week")).as("week"))
+    val newPerWeek = firstSeen.groupBy("u", "week")
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.partitionBy(col("u")).orderBy(col("week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    activeWeeks.join(newPerWeek, Seq("u", "week"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+  }
+
   /** Weekly CHURN labels per user — the supervised-learning target every
     * retention model trains on: for each (user, active week), did the
     * user go quiet for more than `horizonWeeks` weeks afterwards?

@@ -231,6 +231,79 @@ object Stats {
   val Benford: Seq[Double] =
     (1 to 9).map(d => math.rint(math.log10(1.0 + 1.0 / d) * 1e9) / 1e9)
 
+  /** Contribution-CONCENTRATION report ("the top 1% of users generate
+    * X% of events"; on a corpus, "3 domains own half the tokens" — the
+    * inequality audit behind per-source caps and dedup priorities):
+    * for each requested top-fraction cut, the exact share of total
+    * activity owned by the ⌈p·N⌉ most active keys, plus the exact Gini
+    * coefficient of the activity distribution.
+    *
+    * Scale shape: per-key counts (one shuffle), then EVERYTHING runs on
+    * the count-VALUE distribution — one row per distinct activity
+    * level, bounded by the value range, orders of magnitude below the
+    * key count — with running sums over those summaries (the
+    * summary-window discipline; the naive global sort of per-key counts
+    * plus a one-partition running sum is exactly what this avoids).
+    * All sums are DECIMAL(38,0)-exact (key counts × activity values
+    * overflow longs at 100 TB); each share/gini is one IEEE division,
+    * 9-dp render. Boundary keys inside a tied activity level contribute
+    * fractionally by key count (partial-group arithmetic, exact).
+    *
+    * Gini via the rank formula on tied groups, ascending activity:
+    * a group of k keys at level c occupying ranks r0+1..r0+k adds
+    * c·(2·r0·k + k·(k+1) − (N+1)·k) — division-free integer form, so
+    * every intermediate stays an exact DECIMAL integer; G = Σ / (N·T). */
+  def concentrationReport(df: DataFrame, keyCol: String,
+      cuts: Seq[Double] = Seq(0.01, 0.1, 0.5)): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(p => p > 0.0 && p <= 1.0),
+      s"cuts must be in (0, 1], got $cuts")
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    val dist = counts.groupBy("c")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("nk"))
+      .withColumn("ev", (col("c").cast("decimal(38,0)") * col("nk"))
+        .cast("decimal(38,0)"))
+    val desc = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val asc = Window.orderBy(col("c").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one row per distinct activity level: tiny frame, the single-
+    // partition windows below are over it, never over keys
+    val cum = dist
+      .withColumn("cum_k", sum(col("nk")).over(desc).cast("decimal(38,0)"))
+      .withColumn("cum_ev", sum(col("ev")).over(desc).cast("decimal(38,0)"))
+      .withColumn("cum_k_asc", sum(col("nk")).over(asc).cast("decimal(38,0)"))
+    val totals = dist.agg(sum(col("nk")).cast("decimal(38,0)").as("n_keys"),
+      sum(col("ev")).cast("decimal(38,0)").as("t_events"))
+    // exact Gini from the tied-group rank formula (ascending levels)
+    val giniRow = cum.crossJoin(broadcast(totals))
+      .withColumn("__r0", (col("cum_k_asc") - col("nk")).cast("decimal(38,0)"))
+      .withColumn("__term", (col("c").cast("decimal(38,0)") *
+        (lit(2).cast("decimal(38,0)") * col("__r0") * col("nk") +
+          col("nk") * (col("nk") + 1) -
+          (col("n_keys") + 1) * col("nk"))).cast("decimal(38,0)"))
+      .agg((sum(col("__term")).cast("double") /
+        (first(col("n_keys")).cast("double") *
+          first(col("t_events")).cast("double"))).as("__g"))
+      .select(round(col("__g"), 9).as("gini"))
+    val cutRows = cuts.sorted.map { p =>
+      val kp = ceil(lit(p) * col("n_keys").cast("double"))
+        .cast("decimal(38,0)")
+      val hit = cum.crossJoin(broadcast(totals))
+        .withColumn("__kp", kp)
+        .filter(col("cum_k") >= col("__kp"))
+        // first level (desc order) reaching the cut = min cum_k
+        .agg(min(struct(col("cum_k"), col("c"), col("cum_ev"),
+          col("__kp"), col("t_events"))).as("m"))
+        .select(lit(p).as("top_fraction"),
+          col("m.__kp").cast("long").as("top_keys"),
+          round(((col("m.cum_ev") -
+            (col("m.cum_k") - col("m.__kp")) * col("m.c")).cast("double")) /
+            col("m.t_events").cast("double"), 9).as("events_share"))
+      hit
+    }
+    cutRows.reduce(_ unionByName _).crossJoin(broadcast(giniRow))
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the governance
     * gate before a dataset leaves its enclave: every quasi-identifier
     * combination's group size, flagged when under `k` (those rows are

@@ -230,6 +230,21 @@ object AnalyticsQueries {
       graft.ops.Behavior.churnLabels(Tables.events(s, d), "user_id",
           "ts", horizonWeeks = 1)
         .orderBy("u", "week")
+    },
+    // cumulative-distinct adoption curve: first-seen collapse + running
+    // sum over week summaries — never a per-row distinct-so-far set
+    "q_cumulative_distinct" -> { (s, d) =>
+      graft.ops.Behavior.cumulativeDistinct(Tables.events(s, d),
+          "user_id", "ts", "event_type")
+        .orderBy("u", "week")
+    },
+    // contribution concentration + exact Gini over per-user activity:
+    // everything runs on the count-VALUE distribution (summary windows),
+    // boundary keys inside tied levels contribute fractionally, exact
+    "q_concentration" -> { (s, d) =>
+      graft.ops.Stats.concentrationReport(Tables.events(s, d), "user_id",
+          Seq(0.01, 0.1, 0.5))
+        .orderBy("top_fraction")
     })
 
   private val tokensSql =
@@ -589,5 +604,53 @@ object AnalyticsQueries {
         |  CASE WHEN nxt IS NOT NULL AND nxt <= week + 1 THEN false
         |    WHEN week + 1 > (SELECT maxw FROM mx) THEN NULL
         |    ELSE true END AS churned
-        |FROM led ORDER BY u, week""".stripMargin)
+        |FROM led ORDER BY u, week""".stripMargin,
+    "q_cumulative_distinct" ->
+      """WITH b AS (SELECT user_id AS u,
+        |    CAST(floor(floor(epoch(ts)) / 604800.0) AS BIGINT) AS week,
+        |    event_type AS t FROM events),
+        |aw AS (SELECT DISTINCT u, week FROM b),
+        |fs AS (SELECT u, t, min(week) AS week FROM b GROUP BY 1, 2),
+        |np AS (SELECT u, week, count(*) AS new_types FROM fs GROUP BY 1, 2)
+        |SELECT aw.u, aw.week, coalesce(np.new_types, 0) AS new_types,
+        |  CAST(sum(coalesce(np.new_types, 0)) OVER (PARTITION BY aw.u
+        |    ORDER BY aw.week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_types
+        |FROM aw LEFT JOIN np ON aw.u = np.u AND aw.week = np.week
+        |ORDER BY aw.u, aw.week""".stripMargin,
+    "q_concentration" ->
+      """WITH counts AS (SELECT user_id AS k, count(*) AS c FROM events
+        |  GROUP BY 1),
+        |dist AS (SELECT c, CAST(count(*) AS HUGEINT) AS nk,
+        |    CAST(c AS HUGEINT) * CAST(count(*) AS HUGEINT) AS ev
+        |  FROM counts GROUP BY c),
+        |cum AS (SELECT c, nk, ev,
+        |    sum(nk) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_k,
+        |    sum(ev) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_ev,
+        |    sum(nk) OVER (ORDER BY c ASC ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_k_asc
+        |  FROM dist),
+        |tot AS (SELECT sum(nk) AS n_keys, sum(ev) AS t_events FROM dist),
+        |gini AS (SELECT round(CAST(sum(CAST(c AS HUGEINT) *
+        |      (2 * (cum_k_asc - nk) * nk + nk * (nk + 1)
+        |        - (n_keys + 1) * nk)) AS DOUBLE)
+        |    / (CAST(max(n_keys) AS DOUBLE) * CAST(max(t_events) AS DOUBLE)),
+        |    9) AS gini
+        |  FROM cum, tot),
+        |cuts(p) AS (VALUES (CAST(0.01 AS DOUBLE)), (CAST(0.1 AS DOUBLE)),
+        |  (CAST(0.5 AS DOUBLE))),
+        |kp AS (SELECT p, CAST(ceil(p * CAST(n_keys AS DOUBLE)) AS HUGEINT)
+        |    AS kp, t_events FROM cuts, tot),
+        |hit AS (SELECT p, kp.kp AS kp, kp.t_events AS t_events,
+        |    min(cum_k) AS cum_k, arg_min(c, cum_k) AS c,
+        |    arg_min(cum_ev, cum_k) AS cum_ev
+        |  FROM kp JOIN cum ON cum.cum_k >= kp.kp
+        |  GROUP BY p, kp.kp, kp.t_events)
+        |SELECT p AS top_fraction, CAST(kp AS BIGINT) AS top_keys,
+        |  round(CAST(cum_ev - (cum_k - kp) * c AS DOUBLE)
+        |    / CAST(t_events AS DOUBLE), 9) AS events_share,
+        |  (SELECT gini FROM gini) AS gini
+        |FROM hit ORDER BY top_fraction""".stripMargin)
 }

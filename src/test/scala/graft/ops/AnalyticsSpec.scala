@@ -554,6 +554,40 @@ class AnalyticsSpec extends SparkSpec {
       (3L, w0 + 3, None)))        // censored
   }
 
+  test("cumulativeDistinct: first-seen collapse, zero-new active weeks") {
+    val ev = tsEvents(
+      (1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-02 00:00:00", 2.0),
+      (1L, "2024-01-08 00:00:00", 3.0), (1L, "2024-01-15 00:00:00", 4.0))
+      .withColumn("event_type",
+        when(col("value") === 1.0, "a").when(col("value") === 2.0, "b")
+          .when(col("value") === 3.0, "a").otherwise("c"))
+    val out = Behavior.cumulativeDistinct(ev, "user_id", "ts", "event_type")
+      .orderBy("u", "week").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val w0 = out.head._1
+    // w0: a,b new (2, cum 2); w1: only 'a' again (0 new, cum 2); w2: c (1, cum 3)
+    assert(out == Seq((w0, 2L, 2L), (w0 + 1, 0L, 2L), (w0 + 2, 1L, 3L)))
+  }
+
+  test("concentrationReport: exact shares with tied boundary, exact Gini") {
+    import spark.implicits._
+    // 4 keys: activities 6, 2, 2, 2 (12 events). top 25% = 1 key -> 6/12;
+    // top 50% = 2 keys -> (6+2)/12; ties split fractionally at 75% = 3 keys
+    val df = (Seq.fill(6)(10L) ++ Seq.fill(2)(20L) ++ Seq.fill(2)(30L) ++
+      Seq.fill(2)(40L)).toDF("k0")
+    val out = Stats.concentrationReport(df, "k0", Seq(0.25, 0.5, 0.75))
+      .orderBy("top_fraction").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9 // shares render at 9 dp
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq(
+      (0.25, 1L, 0.5), (0.5, 2L, r9(8.0 / 12)), (0.75, 3L, r9(10.0 / 12))))
+    // Gini by hand: sorted asc 2,2,2,6; sum((2r-N-1)*x_r) = (-3*2)+(-1*2)
+    //  +(1*2)+(3*6) = 12; G = 12/(4*12) = 0.25
+    assert(math.abs(out.head._4 - 0.25) < 1e-9)
+    assert(out.map(_._4).distinct.length == 1)
+  }
+
   test("fuzzyPairs: oversize block raises in-plan") {
     import spark.implicits._
     val df = spark.range(50).select(col("id"), lit("hot").as("blk0"),
