@@ -309,8 +309,11 @@ object Retrieval {
     def side(df: DataFrame, out: String) =
       df.select(col("q_id"), col("doc_id"),
         (lit(1.0) / (lit(k.toDouble) + col("rank").cast("double"))).as(out))
+    // SHUFFLE_HASH: rank-bounded sides need no sort phase (full-outer
+    // shuffled-hash join is supported since Spark 3.1)
     val fused = side(a, "__ca")
-      .join(side(b, "__cb"), Seq("q_id", "doc_id"), "full_outer")
+      .join(side(b, "__cb").hint("SHUFFLE_HASH"),
+        Seq("q_id", "doc_id"), "full_outer")
       .select(col("q_id"), col("doc_id"),
         (coalesce(col("__ca"), lit(0.0)) + coalesce(col("__cb"), lit(0.0)))
           .as("__s"))
