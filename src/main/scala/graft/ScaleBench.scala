@@ -141,7 +141,9 @@ object ScaleBench {
     "q_rrf_fusion", "q_golden_record", "q_churn_labels",
     // adoption curve (first-seen collapse) + concentration/Gini (count-
     // value summary windows)
-    "q_cumulative_distinct", "q_concentration")
+    "q_cumulative_distinct", "q_concentration",
+    // composed feature mart: one materialized base + five summary passes
+    "q_user_feature_mart")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -264,7 +266,8 @@ object ScaleBench {
     "q_golden_record" -> Set("part"),
     "q_churn_labels" -> Set("events"),
     "q_cumulative_distinct" -> Set("events"),
-    "q_concentration" -> Set("events"))
+    "q_concentration" -> Set("events"),
+    "q_user_feature_mart" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

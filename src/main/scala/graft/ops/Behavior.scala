@@ -300,6 +300,53 @@ object Behavior {
         count(lit(1)).as("n_events"))
   }
 
+  /** COMPOSED per-user FEATURE MART — the feature-store materialization
+    * every activation/churn model reads: one row per user carrying the
+    * half-life decay score ([[decayScore]]), time-weighted average value
+    * ([[timeWeightedAvg]]), modal event type ([[Stats.modePerGroup]]),
+    * distinct-type breadth, and the user's latest decidable churn label
+    * ([[churnLabels]]). Composition is the point AND the gate: each
+    * stage is individually oracled, but only a chained oracle catches a
+    * composition bug (a stage reading pre-filter rows, a join dropping
+    * null-feature users).
+    *
+    * Materialization discipline: the narrow (user, ts, value, type)
+    * projection is materialized ONCE ([[Dedup.materializeBase]]; pass
+    * `materializePath` for the cluster-durable form) and every stage
+    * reads the materialized base — five stages cost one corpus scan
+    * plus five summary-sized passes, never five corpus scans (the
+    * q_training_mix lesson). Every stage keys on the user, so the final
+    * assembly joins co-partition in one exchange family. */
+  def userFeatureMart(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, typeCol: String, asOfEpoch: Long,
+      halfLifeDays: Long, horizonWeeks: Int = 1,
+      materializePath: Option[String] = None): DataFrame = {
+    val base = Dedup.materializeBase(
+      events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(valueCol).as("value"), col(typeCol).as("etype")),
+      materializePath.map(_ + "/base"))
+    val decay = decayScore(base, "user_id", "ts", "value", asOfEpoch,
+      halfLifeDays)
+    val twa = timeWeightedAvg(base, "user_id", "ts", "value")
+      .select(col("u"), col("twa"))
+    val mode = Stats.modePerGroup(base, "etype", "user_id")
+      .select(col("g").as("u"), col("mode_value").as("mode_type"),
+        col("n_mode"))
+    val breadth = base.groupBy(col("user_id").as("u"))
+      .agg(count_distinct(col("etype")).as("n_types"))
+    // latest decidable churn label (max week among non-null labels)
+    val churn = churnLabels(base, "user_id", "ts", horizonWeeks)
+      .filter(col("churned").isNotNull)
+      .groupBy("u")
+      .agg(max(struct(col("week"), col("churned"))).as("__m"))
+      .select(col("u"), col("__m.week").as("last_labeled_week"),
+        col("__m.churned").as("churned_last"))
+    decay.join(twa, Seq("u"))
+      .join(mode, Seq("u"))
+      .join(breadth, Seq("u"))
+      .join(churn, Seq("u"), "left")
+  }
+
   /** Cumulative-distinct ADOPTION curve: for each (user, active week),
     * how many distinct event types the user has touched so far and how
     * many are NEW that week — the breadth-of-engagement feature (and,

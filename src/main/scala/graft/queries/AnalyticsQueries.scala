@@ -245,6 +245,15 @@ object AnalyticsQueries {
       graft.ops.Stats.concentrationReport(Tables.events(s, d), "user_id",
           Seq(0.01, 0.1, 0.5))
         .orderBy("top_fraction")
+    },
+    // COMPOSED user feature mart: decay + TWA + mode + breadth + latest
+    // churn label off ONE materialized base — the chained oracle is the
+    // composition-bug net
+    "q_user_feature_mart" -> { (s, d) =>
+      graft.ops.Behavior.userFeatureMart(Tables.events(s, d), "user_id",
+          "ts", "value", "event_type", asOfEpoch = 1706745600L,
+          halfLifeDays = 7L, horizonWeeks = 1)
+        .orderBy("u")
     })
 
   private val tokensSql =
@@ -652,5 +661,53 @@ object AnalyticsQueries {
         |  round(CAST(cum_ev - (cum_k - kp) * c AS DOUBLE)
         |    / CAST(t_events AS DOUBLE), 9) AS events_share,
         |  (SELECT gini FROM gini) AS gini
-        |FROM hit ORDER BY top_fraction""".stripMargin)
+        |FROM hit ORDER BY top_fraction""".stripMargin,
+    "q_user_feature_mart" ->
+      """WITH dterm AS (SELECT user_id AS u, value,
+        |    CAST(floor((1706745600 - floor(epoch(ts))) / (86400.0 * 7))
+        |      AS BIGINT) AS p FROM events),
+        |decay AS (SELECT u,
+        |    CAST(sum(CAST(round(CASE WHEN p < 0 OR p > 62 THEN 0.0
+        |      ELSE value * power(0.5, CAST(p AS DOUBLE)) END, 6)
+        |      AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS decay_score,
+        |    count(*) AS n_events
+        |  FROM dterm GROUP BY u),
+        |tt AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |    CAST(value AS DECIMAL(14,2)) AS v FROM events),
+        |td AS (SELECT u, v, coalesce(lead(us) OVER (PARTITION BY u
+        |    ORDER BY us, v) - us, 0) AS dur FROM tt),
+        |twa AS (SELECT u, CASE WHEN sum(dur) > 0 THEN
+        |    round(CAST(sum(CAST(v * CAST(dur AS DECIMAL(18,0))
+        |      AS DECIMAL(38,2))) AS DOUBLE) / sum(dur), 6) END AS twa
+        |  FROM td GROUP BY u),
+        |md AS (SELECT g AS u, v AS mode_type, n_mode FROM (
+        |  SELECT user_id AS g, event_type AS v, count(*) AS n_mode,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type ASC) AS rn
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+        |  WHERE rn = 1),
+        |br AS (SELECT user_id AS u,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM events GROUP BY 1),
+        |wk AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor(floor(epoch(ts)) / 604800.0) AS BIGINT) AS week
+        |  FROM events),
+        |mx AS (SELECT max(week) AS maxw FROM wk),
+        |led AS (SELECT u, week,
+        |    lead(week) OVER (PARTITION BY u ORDER BY week) AS nxt FROM wk),
+        |chl AS (SELECT u, week,
+        |    CASE WHEN nxt IS NOT NULL AND nxt <= week + 1 THEN false
+        |      WHEN week + 1 > (SELECT maxw FROM mx) THEN NULL
+        |      ELSE true END AS churned FROM led),
+        |ch AS (SELECT u, max(week) AS last_labeled_week,
+        |    arg_max(churned, week) AS churned_last
+        |  FROM chl WHERE churned IS NOT NULL GROUP BY u)
+        |SELECT decay.u, decay.decay_score, decay.n_events, twa.twa,
+        |  md.mode_type, md.n_mode, br.n_types,
+        |  ch.last_labeled_week, ch.churned_last
+        |FROM decay JOIN twa ON decay.u = twa.u
+        |JOIN md ON decay.u = md.u
+        |JOIN br ON decay.u = br.u
+        |LEFT JOIN ch ON decay.u = ch.u
+        |ORDER BY decay.u""".stripMargin)
 }

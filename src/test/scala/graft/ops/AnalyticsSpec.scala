@@ -588,6 +588,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_._4).distinct.length == 1)
   }
 
+  test("userFeatureMart: composition equals independent stages, left-join keeps unlabeled") {
+    val ev = tsEvents(
+      (1L, "2024-01-25 00:00:00", 8.0), (1L, "2024-01-25 01:00:00", 4.0),
+      (1L, "2024-01-31 00:00:00", 2.0),
+      (2L, "2024-01-31 12:00:00", 5.0)) // single event: twa null, churn censored
+      .withColumn("event_type",
+        when(col("value") === 4.0, "b").otherwise("a"))
+    def mart(df: org.apache.spark.sql.DataFrame) =
+      Behavior.userFeatureMart(df, "user_id", "ts", "value", "event_type",
+        asOfEpoch = 1706745600L, halfLifeDays = 7L, horizonWeeks = 1)
+    val out = mart(ev).orderBy("u").collect()
+    val r1 = out(0)
+    // decay: 8*0.5 (age exactly 7d -> period 1) + 4*1 (age 6d23h ->
+    // period 0) + 2*1 (age 1d) = 10.0
+    assert(r1.getDecimal(1).doubleValue == 10.0 && r1.getLong(2) == 3L)
+    // twa: 8 for 3600s, then 4 for 5d23h (514800s); terminal 2 weight 0
+    val expTwa = (8.0 * 3600 + 4.0 * 514800) / (3600 + 514800)
+    assert(math.abs(r1.getDouble(3) - math.rint(expTwa * 1e6) / 1e6) < 1e-9)
+    assert(r1.getString(4) == "a" && r1.getLong(5) == 2L) // mode a x2
+    assert(r1.getLong(6) == 2L) // types a,b
+    val r2 = out(1)
+    assert(r2.isNullAt(3)) // single observation -> twa null
+    assert(r2.isNullAt(7) && r2.isNullAt(8)) // all weeks censored -> left join nulls
+    // partition invariance
+    val again = mart(ev.repartition(7)).orderBy("u").collect()
+    assert(again.map(_.toString).toSeq == out.map(_.toString).toSeq)
+  }
+
+  test("invariance pins: scd2/gapFill/decay/labelProp identical under repartition") {
+    import spark.implicits._
+    val ev = tsEvents((1L, "2024-01-01 05:00:00", 1.5),
+      (1L, "2024-01-03 01:00:00", 4.0), (2L, "2024-01-05 00:00:00", 7.0))
+      .withColumn("event_type", lit("x"))
+      .withColumn("event_id", col("value").cast("long"))
+    def str(df: org.apache.spark.sql.DataFrame, s: Seq[String]) =
+      df.orderBy(s.map(col): _*).collect().map(_.toString).toSeq
+    val evR = ev.repartition(5)
+    assert(str(Cdc.scd2History(ev, "user_id", "event_id", Seq("event_type")),
+        Seq("user_id", "valid_from")) ==
+      str(Cdc.scd2History(evR, "user_id", "event_id", Seq("event_type")),
+        Seq("user_id", "valid_from")))
+    assert(str(Behavior.gapFill(ev, "user_id", "ts", "value", 86400L),
+        Seq("u", "b")) ==
+      str(Behavior.gapFill(evR, "user_id", "ts", "value", 86400L),
+        Seq("u", "b")))
+    assert(str(Behavior.decayScore(ev, "user_id", "ts", "value",
+        1706745600L, 7L), Seq("u")) ==
+      str(Behavior.decayScore(evR, "user_id", "ts", "value",
+        1706745600L, 7L), Seq("u")))
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq((1L, "a"), (4L, "b")).toDF("node", "lbl")
+    assert(str(Graph.labelPropagation(edges, "src", "dst", seeds, "node",
+        "lbl", 2), Seq("node")) ==
+      str(Graph.labelPropagation(edges.repartition(4), "src", "dst",
+        seeds, "node", "lbl", 2), Seq("node")))
+  }
+
   test("fuzzyPairs: oversize block raises in-plan") {
     import spark.implicits._
     val df = spark.range(50).select(col("id"), lit("hot").as("blk0"),
