@@ -645,6 +645,72 @@ class AnalyticsSpec extends SparkSpec {
         seeds, "node", "lbl", 2), Seq("node")))
   }
 
+  test("percentRankNormalize differential: equals the naive percent_rank window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(2000).select(col("id"),
+      pmod(col("id") * 7919, lit(5)).cast("string").as("g"),
+      pmod(col("id") * 104729, lit(37)).as("v"))
+    val fast = Stats.percentRankNormalize(df, "id", "v", "g")
+    val naive = df.withColumn("pr_naive", round(percent_rank().over(
+      Window.partitionBy("g").orderBy("v")), 9))
+    val joined = fast.join(naive.select(col("id"), col("pr_naive")), "id")
+      .filter(col("pr") =!= col("pr_naive"))
+    assert(joined.count() == 0)
+  }
+
+  test("fuzzyPairs differential: equals brute-force levenshtein on random strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcde"
+    val rows = (1L to 120L).map { i =>
+      val len = 4 + rnd.nextInt(4)
+      (i, s"b${i % 3}",
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val df = rows.toDF("id", "blk0", "s")
+    val got = Linkage.fuzzyPairs(df, "id", "s", "blk0", maxDist = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ia, ba, sa) <- rows; (ib, bb, sb) <- rows
+      if ia < ib && ba == bb
+      dd = lev(sa, sb) if dd <= 2
+    } yield (ia, ib, dd)).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
+  test("concentrationReport differential: equals the naive sorted model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val keys = (1 to 3000).map(_ => (rnd.nextInt(200)).toLong)
+    val df = keys.toDF("k0")
+    val cuts = Seq(0.05, 0.2, 0.9)
+    val got = Stats.concentrationReport(df, "k0", cuts)
+      .orderBy("top_fraction").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSeq
+    // naive model: sort per-key counts desc, take ceil(p*N) keys' events
+    val counts = keys.groupBy(identity).map(_._2.size).toSeq
+      .sorted(Ordering[Int].reverse)
+    val n = counts.size
+    val t = counts.sum.toDouble
+    val want = cuts.sorted.map { p =>
+      val kp = math.ceil(p * n).toLong
+      val share = counts.take(kp.toInt).sum / t
+      (p, kp, math.rint(share * 1e9) / 1e9)
+    }
+    // the operator's fractional tied-boundary share equals the naive
+    // take-kp sum only when the boundary level's keys are interchangeable
+    // — which they are: counts within a level are identical
+    assert(got == want)
+  }
+
   test("fuzzyPairs: oversize block raises in-plan") {
     import spark.implicits._
     val df = spark.range(50).select(col("id"), lit("hot").as("blk0"),
