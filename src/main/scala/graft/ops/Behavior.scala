@@ -259,6 +259,10 @@ object Behavior {
     val w = Window.partitionBy(col("u")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(observed, Seq("u", "b"), "left")
+      // DOUBLE output (exact decimal sums upstream): a decimal column
+      // would stringify "120.40" vs the oracle's float "120.4" under
+      // the driver's hash compare
+      .withColumn("v_obs", col("v_obs").cast("double"))
       .withColumn("v_filled", last(col("v_obs"), ignoreNulls = true).over(w))
       .withColumn("is_observed", col("v_obs").isNotNull)
   }
@@ -296,7 +300,12 @@ object Behavior {
       .select(col(userCol).as("u"),
         round(term, 6).cast("decimal(18,6)").as("__t"))
       .groupBy("u")
-      .agg(sum(col("__t")).cast("decimal(28,6)").as("decay_score"),
+      // the SUM stays DECIMAL (order-invariant); the OUTPUT is DOUBLE —
+      // a decimal column stringifies as "685.313750" vs the oracle's
+      // float "685.31375" under the driver's hash compare, and
+      // decimal→double conversion is correctly rounded in both engines
+      .agg(sum(col("__t")).cast("decimal(28,6)").cast("double")
+          .as("decay_score"),
         count(lit(1)).as("n_events"))
   }
 

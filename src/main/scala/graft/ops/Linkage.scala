@@ -119,12 +119,19 @@ object Linkage {
     * id, field)))` — a map-combinable lexicographic arg-min whose null
     * inputs drop out of the aggregation, so the whole record merges in
     * ONE groupBy on the entity key, O(#fields) aggregation state,
-    * partition-invariant. Exact struct comparisons — no floats. */
+    * partition-invariant. Exact struct comparisons — no floats.
+    *
+    * Null PRIORITY values rank LAST, explicitly: each priority column
+    * orders as (isNull, value), so a row with unknown priority never
+    * beats a known-priority row. Relying on the engine default would
+    * diverge silently — Spark's min(struct) sorts null fields first
+    * while a SQL ORDER BY defaults to nulls last in DuckDB. */
   def goldenRecord(df: DataFrame, entityCol: String,
       priorityCols: Seq[String], idCol: String,
       fields: Seq[String]): DataFrame = {
     require(fields.nonEmpty, "goldenRecord: need at least one field")
-    val ord = priorityCols.map(col) :+ col(idCol)
+    val ord = priorityCols.flatMap(p =>
+      Seq(col(p).isNull.as(s"__null_$p"), col(p))) :+ col(idCol)
     val aggs = fields.map { f =>
       min(when(col(f).isNotNull,
         struct(ord :+ col(f).as("__v"): _*))).as(s"__m_$f")

@@ -54,6 +54,9 @@ object Stats {
         col("__std"), 6))
       .withColumn("is_anomaly",
         coalesce(abs(col("z")) > zThresh, lit(false)))
+      // v renders as DOUBLE: a decimal column stringifies "157.00" vs
+      // the oracle's float "157.0" under the driver's hash compare
+      .withColumn("v", col("v").cast("double"))
       .select(idCol, groupCol, "v", "mean", "z", "is_anomaly")
   }
 
@@ -87,8 +90,20 @@ object Stats {
           round((col("__rank") - 1L).cast("double") / (col("__n") - 1L), 9))
           .otherwise(lit(0.0)).as("pr"))
       .drop("__rank")
+    // <=> (null-safe), not a USING join: null values and null groups are
+    // real rows — a null-unsafe equijoin would silently drop them. The
+    // null-rank convention is Spark's window convention (ascending order
+    // ranks nulls FIRST — the summary row for the null value sorts first
+    // in `w`, so percent_rank(null) = 0 when present), keeping the
+    // "identical output to percent_rank() OVER (...)" claim true for
+    // null-bearing inputs too. (DuckDB defaults to NULLS LAST; the gate's
+    // columns are non-null so the oracle never sees the difference.)
+    val keyed = withN
+      .withColumnRenamed(groupCol, "__jg")
+      .withColumnRenamed(valueCol, "__jv")
     df.select(col(idCol), col(groupCol), col(valueCol))
-      .join(withN, Seq(groupCol, valueCol))
+      .join(keyed, col(groupCol) <=> col("__jg") &&
+        col(valueCol) <=> col("__jv"))
       .select(col(idCol), col(groupCol), col(valueCol), col("pr"))
   }
 
@@ -109,8 +124,14 @@ object Stats {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi]")
     val v = col(valueCol).cast("double")
-    val bin = when(v === hi, lit(bins - 1)).otherwise(
-      floor((v - lit(lo)) * lit(bins.toDouble) / lit(hi - lo)).cast("int"))
+    // least(): for v just below hi, (v−lo)·bins/(hi−lo) can round UP to
+    // exactly `bins` under IEEE rounding (e.g. lo=0, hi=3·2⁻⁵³·3…), and
+    // an unclamped bin==bins would fall off the dense grid and silently
+    // vanish from the left join — violating the "values in [lo, hi] are
+    // counted" contract. The clamp is mirrored in the q_histogram oracle.
+    val bin = when(v === hi, lit(bins - 1)).otherwise(least(
+      floor((v - lit(lo)) * lit(bins.toDouble) / lit(hi - lo)).cast("int"),
+      lit(bins - 1)))
     val counts = df
       .filter(v >= lo && v <= hi)
       .select(col(groupCol).as("g"), bin.as("bin"))

@@ -1151,19 +1151,6 @@ object TextAnalysis {
           col("__s.types"), 6)).as("hapax_ratio"))
   }
 
-  /** Flesch-reading-ease-style readability score per document with a
-    * deterministic regex syllable proxy (SURVEY.md §2.11 L97): syllables
-    * ≈ vowel-group runs `[aeiouy]+` over the lowercased text (counted
-    * corpus-wide in ONE regexp_extract_all — word boundaries never split
-    * a vowel run, so the per-word sum equals the whole-text count);
-    * sentences ≈ terminator runs `[.!?]+`, floored at 1 so
-    * terminator-free fragments score rather than divide by zero.
-    *
-    * score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
-    * fixed parenthesization, 6-dp render; empty docs → null. A stateless
-    * narrow map — zero shuffles, streaming-safe. The regexes are in the
-    * Java∩RE2 common subset, so the SQL oracle's engine sees the same
-    * matches. */
   /** Compression-ratio quality signal: DEFLATE(text)/bytes(text) — the
     * codec-level redundancy detector (template spam and boilerplate
     * compress far below prose; OCR noise barely compresses at all), the
@@ -1197,12 +1184,22 @@ object TextAnalysis {
     * domain-count-sized. */
   def urlDomains(df: DataFrame, idCol: String, textCol: String,
       blocklist: Seq[String] = Seq.empty): DataFrame = {
+    // (?i): HTTP:// and hTtPs:// count too — a case-sensitive scheme
+    // match lets a blocklisted domain evade by shouting its scheme
     val urls = regexp_extract_all(col(textCol),
-      lit("https?://[^\\s/]+"), lit(0))
-    val dom = lower(regexp_replace(col("__u"), "^https?://", ""))
+      lit("(?i)https?://[^\\s/]+"), lit(0))
+    // authority → host: lowercase, strip scheme, strip userinfo (up to
+    // the first '@'), strip trailing punctuation ('evil.com,' / a
+    // trailing dot), THEN strip an explicit port — in that order, so
+    // 'evil.com:8080,' normalizes to 'evil.com' and cannot evade an
+    // exact-match blocklist
+    val dom = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lower(col("__u")), "^https?://", ""),
+      "^[^@]*@", ""), "[^a-z0-9]+$", ""), ":[0-9]+$", "")
     val perDoc = df
       .select(col(idCol).as("id"), explode(urls).as("__u"))
       .select(col("id"), dom.as("domain"))
+      .filter(col("domain") =!= "")
     val blocked =
       if (blocklist.isEmpty) lit(false)
       else col("domain").isin(blocklist.map(_.toLowerCase(
@@ -1213,6 +1210,19 @@ object TextAnalysis {
       .withColumn("blocked", blocked)
   }
 
+  /** Flesch-reading-ease-style readability score per document with a
+    * deterministic regex syllable proxy (SURVEY.md §2.11 L97): syllables
+    * ≈ vowel-group runs `[aeiouy]+` over the lowercased text (counted
+    * corpus-wide in ONE regexp_extract_all — word boundaries never split
+    * a vowel run, so the per-word sum equals the whole-text count);
+    * sentences ≈ terminator runs `[.!?]+`, floored at 1 so
+    * terminator-free fragments score rather than divide by zero.
+    *
+    * score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * fixed parenthesization, 6-dp render; empty docs → null. A stateless
+    * narrow map — zero shuffles, streaming-safe. The regexes are in the
+    * Java∩RE2 common subset, so the SQL oracle's engine sees the same
+    * matches. */
   def readability(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val words = tokenCount(col(textCol))

@@ -268,7 +268,7 @@ object AnalyticsQueries {
         |st AS (SELECT source, n, CAST(s AS DOUBLE) / n AS mean,
         |    CASE WHEN n >= 2 THEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) END AS var
         |  FROM m)
-        |SELECT doc_id, d.source, CAST(n_chars AS DECIMAL(14,2)) AS v,
+        |SELECT doc_id, d.source, CAST(n_chars AS DOUBLE) AS v,
         |  round(mean, 6) AS mean,
         |  CASE WHEN var > 0 THEN round((CAST(n_chars AS DOUBLE) - mean) / sqrt(var), 6) END AS z,
         |  coalesce(abs(CASE WHEN var > 0 THEN round((CAST(n_chars AS DOUBLE) - mean) / sqrt(var), 6) END) > 2.0, false) AS is_anomaly
@@ -296,9 +296,9 @@ object AnalyticsQueries {
         |  FROM events GROUP BY 1, 2),
         |span AS (SELECT u, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
         |grid AS (SELECT u, unnest(generate_series(lo, hi, 86400)) AS b FROM span)
-        |SELECT g.u, g.b, o.v_obs,
-        |  last_value(o.v_obs IGNORE NULLS) OVER (PARTITION BY g.u ORDER BY g.b
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |SELECT g.u, g.b, CAST(o.v_obs AS DOUBLE) AS v_obs,
+        |  CAST(last_value(o.v_obs IGNORE NULLS) OVER (PARTITION BY g.u ORDER BY g.b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_filled,
         |  o.v_obs IS NOT NULL AS is_observed
         |FROM grid g LEFT JOIN obs o ON g.u = o.u AND g.b = o.b
         |ORDER BY g.u, g.b""".stripMargin,
@@ -307,8 +307,8 @@ object AnalyticsQueries {
         |    CAST(floor((1706745600 - floor(epoch(ts))) / (86400.0 * 7)) AS BIGINT) AS p
         |  FROM events)
         |SELECT u,
-        |  CAST(sum(CAST(round(CASE WHEN p < 0 OR p > 62 THEN 0.0
-        |    ELSE value * power(0.5, CAST(p AS DOUBLE)) END, 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS decay_score,
+        |  CAST(CAST(sum(CAST(round(CASE WHEN p < 0 OR p > 62 THEN 0.0
+        |    ELSE value * power(0.5, CAST(p AS DOUBLE)) END, 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS decay_score,
         |  count(*) AS n_events
         |FROM t GROUP BY u ORDER BY u""".stripMargin,
     "t_lexical_diversity" ->
@@ -462,7 +462,7 @@ object AnalyticsQueries {
     "q_histogram" ->
       """WITH c AS (SELECT source AS g,
         |    CASE WHEN n_chars = 2000 THEN 19
-        |      ELSE CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) * 20.0 / 2000.0) AS INT)
+        |      ELSE least(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) * 20.0 / 2000.0) AS INT), 19)
         |    END AS bin
         |  FROM documents WHERE n_chars >= 0 AND n_chars <= 2000),
         |cc AS (SELECT g, bin, count(*) AS n FROM c GROUP BY 1, 2),
@@ -542,9 +542,15 @@ object AnalyticsQueries {
         |      || ' and https://Mirror' || CAST(doc_id % 11 AS VARCHAR)
         |      || '.example.org/x' AS text2
         |  FROM documents),
-        |u AS (SELECT doc_id, lower(regexp_replace(
-        |    unnest(regexp_extract_all(text2, 'https?://[^\s/]+')),
-        |    '^https?://', '')) AS domain FROM t)
+        |u0 AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text2, '(?i)https?://[^\s/]+')) AS a
+        |  FROM t),
+        |u AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(lower(a), '^https?://', ''),
+        |    '^[^@]*@', ''), '[^a-z0-9]+$', ''), ':[0-9]+$', '') AS domain
+        |  FROM u0 WHERE regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(lower(a), '^https?://', ''),
+        |    '^[^@]*@', ''), '[^a-z0-9]+$', ''), ':[0-9]+$', '') <> '')
         |SELECT domain, count(*) AS n_urls,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  domain IN ('site3.example.com', 'mirror5.example.org') AS blocked
@@ -667,9 +673,9 @@ object AnalyticsQueries {
         |    CAST(floor((1706745600 - floor(epoch(ts))) / (86400.0 * 7))
         |      AS BIGINT) AS p FROM events),
         |decay AS (SELECT u,
-        |    CAST(sum(CAST(round(CASE WHEN p < 0 OR p > 62 THEN 0.0
+        |    CAST(CAST(sum(CAST(round(CASE WHEN p < 0 OR p > 62 THEN 0.0
         |      ELSE value * power(0.5, CAST(p AS DOUBLE)) END, 6)
-        |      AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS decay_score,
+        |      AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS decay_score,
         |    count(*) AS n_events
         |  FROM dterm GROUP BY u),
         |tt AS (SELECT user_id AS u, epoch_us(ts) AS us,

@@ -3330,7 +3330,7 @@ object PipelineQueries {
         |est AS (SELECT h.w, h.cnt, min(c.cell) AS est
         |  FROM hashes h JOIN cells c ON h.r = c.r AND h.bucket = c.bucket
         |  GROUP BY h.w, h.cnt)
-        |SELECT w AS token, est AS est_count, cnt AS exact_count
+        |SELECT w AS token, CAST(est AS BIGINT) AS est_count, cnt AS exact_count
         |FROM est CROSS JOIN total
         |WHERE est * 50 >= n * 1
         |ORDER BY est_count DESC, token LIMIT 50""".stripMargin,
@@ -4096,7 +4096,7 @@ object PipelineQueries {
         |    CAST(${md5HornerSql("'feat:' || tfq.term")} % 64 AS INTEGER) AS dim,
         |    tf * idfq AS w
         |  FROM tfq JOIN keep ON tfq.term = keep.term)
-        |SELECT doc_id, dim, sum(w) AS weight FROM w
+        |SELECT doc_id, dim, CAST(sum(w) AS BIGINT) AS weight FROM w
         |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
     "q_ab_ttest" ->
       """WITH pu AS (SELECT user_id AS u,

@@ -54,8 +54,8 @@ class AnalyticsSpec extends SparkSpec {
     val out = Behavior.gapFill(ev, "user_id", "ts", "value", 86400L)
       .orderBy("u", "b").collect()
       .map(r => (r.getLong(0), r.getLong(1),
-        Option(r.getDecimal(2)).map(_.doubleValue),
-        r.getDecimal(3).doubleValue, r.getBoolean(4))).toSeq
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getDouble(3), r.getBoolean(4))).toSeq
     val d1 = 1704067200L // 2024-01-01 epoch
     assert(out == Seq(
       (1L, d1, Some(3.5), 3.5, true),
@@ -86,7 +86,7 @@ class AnalyticsSpec extends SparkSpec {
     val out = Behavior.decayScore(ev, "user_id", "ts", "value",
         asOfEpoch = 1706745600L, halfLifeDays = 7L)
       .orderBy("u").collect()
-      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
       .toSeq
     assert(out == Seq((1L, 8.0 + 8.0 + 4.0 + 1.0, 4L), (2L, 0.0, 1L)))
   }
@@ -432,6 +432,24 @@ class AnalyticsSpec extends SparkSpec {
       ("b.org", 1L, 1L, true)))
   }
 
+  test("urlDomains: scheme case, ports, userinfo, trailing punctuation " +
+      "cannot evade the blocklist") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "HTTP://EVIL.com/x then https://evil.com:8080/y"),
+      (2L, "bare evil.com, linked http://evil.com, and http://u:p@evil.com/z"),
+      (3L, "trailing dot http://evil.com. port-comma http://evil.com:8080,"),
+      (4L, "degenerate http://@ and fine https://ok.org/a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.urlDomains(df, "doc_id", "text", Seq("evil.com"))
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    // 6 evil.com URLs across docs 1-3 (the bare 'evil.com' has no scheme
+    // and does not count); the empty-host degenerate is dropped
+    assert(out == Seq(("evil.com", 6L, 3L, true), ("ok.org", 1L, 1L, false)))
+  }
+
   test("kAnonymity: group sizes and violation flags, nulls group") {
     import spark.implicits._
     val df = Seq((1, Some("a")), (2, Some("a")), (3, Some("a")),
@@ -533,6 +551,25 @@ class AnalyticsSpec extends SparkSpec {
       ("e2", 1L, None, None), ("e3", 2L, Some("Tb"), None)))
   }
 
+  test("goldenRecord: null priority ranks LAST (explicit, engine-neutral)") {
+    import spark.implicits._
+    val df = Seq(
+      // e1: the null-priority row must NOT win the field despite Spark's
+      // native min(struct) sorting null fields first
+      (1L, "e1", None, Some("Tnull")),
+      (2L, "e1", Some(5), Some("T5")),
+      // e2: only null-priority rows have the field -> it still survives,
+      // tie between them broken by id
+      (3L, "e2", Some(1), None),
+      (4L, "e2", None, Some("Tb")), (5L, "e2", None, Some("Ta")))
+      .toDF("id", "e", "prio", "t")
+    val out = Linkage.goldenRecord(df, "e", Seq("prio"), "id", Seq("t"))
+      .orderBy("e").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+      .toSeq
+    assert(out == Seq(("e1", 2L, Some("T5")), ("e2", 3L, Some("Tb"))))
+  }
+
   test("churnLabels: horizon decision, return-within-horizon, censoring") {
     // weeks are epoch//604800; craft 4 consecutive weeks
     val ev = tsEvents(
@@ -602,7 +639,7 @@ class AnalyticsSpec extends SparkSpec {
     val r1 = out(0)
     // decay: 8*0.5 (age exactly 7d -> period 1) + 4*1 (age 6d23h ->
     // period 0) + 2*1 (age 1d) = 10.0
-    assert(r1.getDecimal(1).doubleValue == 10.0 && r1.getLong(2) == 3L)
+    assert(r1.getDouble(1) == 10.0 && r1.getLong(2) == 3L)
     // twa: 8 for 3600s, then 4 for 5d23h (514800s); terminal 2 weight 0
     val expTwa = (8.0 * 3600 + 4.0 * 514800) / (3600 + 514800)
     assert(math.abs(r1.getDouble(3) - math.rint(expTwa * 1e6) / 1e6) < 1e-9)
@@ -647,14 +684,20 @@ class AnalyticsSpec extends SparkSpec {
 
   test("percentRankNormalize differential: equals the naive percent_rank window") {
     import org.apache.spark.sql.expressions.Window
+    // null values (id%11==0) and one null group (g): the null-safe
+    // join-back must keep them, ranked exactly as the naive window ranks
+    // them (Spark ascending order: nulls first)
     val df = spark.range(2000).select(col("id"),
-      pmod(col("id") * 7919, lit(5)).cast("string").as("g"),
-      pmod(col("id") * 104729, lit(37)).as("v"))
+      when(pmod(col("id"), lit(13)) === 0, lit(null))
+        .otherwise(pmod(col("id") * 7919, lit(5)).cast("string")).as("g"),
+      when(pmod(col("id"), lit(11)) === 0, lit(null))
+        .otherwise(pmod(col("id") * 104729, lit(37))).as("v"))
     val fast = Stats.percentRankNormalize(df, "id", "v", "g")
+    assert(fast.count() == 2000) // no row vanishes on null keys
     val naive = df.withColumn("pr_naive", round(percent_rank().over(
       Window.partitionBy("g").orderBy("v")), 9))
     val joined = fast.join(naive.select(col("id"), col("pr_naive")), "id")
-      .filter(col("pr") =!= col("pr_naive"))
+      .filter(!(col("pr") <=> col("pr_naive")))
     assert(joined.count() == 0)
   }
 

@@ -43,6 +43,27 @@ def cells_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
+def stringify_mismatch(g: pd.DataFrame, w: pd.DataFrame):
+    """The driver hashes STRINGIFIED cells, so a Spark DECIMAL column
+    ("157.00") vs a DuckDB float ("157.0"), or a DuckDB HUGEINT sum that
+    pandas renders as float ("840.0") vs Spark's long ("840"), hash-
+    mismatches even when every value is numerically equal (round-9
+    postmortem: 6 such gates). Replicate that strictness here: any cell
+    whose str() differs is a failure even if cells_equal passes."""
+    for c in g.columns:
+        sg = g[c].map(lambda x: "<null>" if x is None or (
+            isinstance(x, float) and math.isnan(x)) else str(x))
+        sw = w[c].map(lambda x: "<null>" if x is None or (
+            isinstance(x, float) and math.isnan(x)) else str(x))
+        bad = sg[sg != sw]
+        if len(bad):
+            i = bad.index[0]
+            return (f"col {c}: {len(bad)} STRINGIFY mismatches (driver "
+                    f"hash would differ), first at row {i}: "
+                    f"{sg.iloc[i]!r} vs {sw.iloc[i]!r}")
+    return None
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -80,6 +101,10 @@ def main(sf_dir: str, out_dir: str) -> int:
                     detail = (f"col {c}: {len(bad)} mismatches, first at row {i}: "
                               f"{g[c].iloc[i]!r} vs {w[c].iloc[i]!r}")
                     break
+            if status == "PASS":
+                sdetail = stringify_mismatch(g, w)
+                if sdetail is not None:
+                    status, detail = "FAIL", sdetail
         print(f"[{status}] {name} {detail}")
         if status == "PASS":
             n_pass += 1
