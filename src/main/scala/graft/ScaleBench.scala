@@ -143,7 +143,11 @@ object ScaleBench {
     // value summary windows)
     "q_cumulative_distinct", "q_concentration",
     // composed feature mart: one materialized base + five summary passes
-    "q_user_feature_mart")
+    "q_user_feature_mart",
+    // round-10 wave: robust median/MAD outliers (two summary-window
+    // medians + broadcast joins), per-key CUSUM drift (dense-grid window
+    // family), and the O(k)-state mergeable bottom-k quantile sketch
+    "q_mad_outliers", "q_cusum_drift", "t_quantile_sketch")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -267,7 +271,10 @@ object ScaleBench {
     "q_churn_labels" -> Set("events"),
     "q_cumulative_distinct" -> Set("events"),
     "q_concentration" -> Set("events"),
-    "q_user_feature_mart" -> Set("events"))
+    "q_user_feature_mart" -> Set("events"),
+    "q_mad_outliers" -> Set("documents"),
+    "q_cusum_drift" -> Set("events"),
+    "t_quantile_sketch" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -455,4 +455,67 @@ object Behavior {
           round(col("__ws").cast("double") / col("__tot"), 6)).as("twa"),
         col("n_events"))
   }
+
+  /** Per-key CUSUM drift detection over regular-interval bucket sums —
+    * the sequential change-point monitor (Page 1954) behind "this
+    * user/source/feed shifted its level" alerts that a fixed threshold
+    * on raw values misses (a small persistent shift accumulates; a
+    * one-bucket spike does not).
+    *
+    * S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − allowance) flags upward drift when it
+    * clears `threshold`; S⁻ mirrors downward. The recursion is NOT
+    * computed recursively: with Pₜ = Σᵢ≤ₜ (xᵢ − allowance),
+    * S⁺ₜ = Pₜ − min(0, min_{j≤t} Pⱼ) and
+    * S⁻ₜ = max(0, max_{j≤t} Pⱼ) − Pₜ — a prefix sum plus a running
+    * min/max, three frames of ONE per-key window over the key's dense
+    * bucket grid (empty buckets count as x = 0: silence after traffic
+    * IS downward drift). Same grid machinery as [[gapFill]]
+    * (`maxBucketsPerKey` raise guard, rows ∝ output).
+    *
+    * Exactness: bucket sums quantize to DECIMAL(24,2), the allowance to
+    * DECIMAL(18,6), so P and both running extrema are exact decimals any
+    * engine replays bit-for-bit; the outputs cast to DOUBLE at the edge
+    * (correctly rounded identically in both engines — the GateSchemaSpec
+    * rule), and the flag compares happen on those exact quantities. */
+  def cusumDrift(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long, allowance: Double,
+      threshold: Double, maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    val bucket = floor(unix_timestamp(col(tsCol)).cast("double") /
+      lit(stepSeconds.toDouble)).cast("long") * stepSeconds
+    val observed = events
+      .select(col(keyCol).as("u"), bucket.as("b"),
+        col(valueCol).cast("decimal(14,2)").as("__v"))
+      .groupBy("u", "b")
+      .agg(sum(col("__v")).cast("decimal(24,2)").as("__x"))
+    val spans = observed.groupBy("u")
+      .agg(min(col("b")).as("__lo"), max(col("b")).as("__hi"))
+      .withColumn("__nb", (col("__hi") - col("__lo")) / lit(stepSeconds) + 1L)
+      .withColumn("__lo", when(col("__nb") <= maxBucketsPerKey, col("__lo"))
+        .otherwise(raise_error(concat(lit("cusumDrift: key "),
+          col("u").cast("string"), lit(" spans "), col("__nb").cast("string"),
+          lit(" buckets > maxBucketsPerKey")))))
+    val grid = spans.select(col("u"),
+      explode(sequence(col("__lo"), col("__hi"), lit(stepSeconds))).as("b"))
+    val w = Window.partitionBy(col("u")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // DECIMAL(30,6), not 38: P − runMin needs one more integer digit
+    // than P itself, and a precision-39 requirement makes DuckDB (and
+    // ANSI engines generally) silently promote the subtraction to
+    // DOUBLE — 30 leaves headroom on BOTH sides of the arithmetic
+    val zero = lit(0).cast("decimal(30,6)")
+    grid.join(observed, Seq("u", "b"), "left")
+      .withColumn("__x", coalesce(col("__x"), lit(0).cast("decimal(24,2)")))
+      .withColumn("__p", sum(col("__x") -
+        lit(allowance).cast("decimal(18,6)")).over(w).cast("decimal(30,6)"))
+      .withColumn("__rmin", min(col("__p")).over(w))
+      .withColumn("__rmax", max(col("__p")).over(w))
+      .select(col("u"), col("b"), col("__x").cast("double").as("x"),
+        (col("__p") - least(col("__rmin"), zero)).cast("double").as("s_pos"),
+        (greatest(col("__rmax"), zero) - col("__p")).cast("double")
+          .as("s_neg"))
+      .withColumn("drift_up", col("s_pos") > threshold)
+      .withColumn("drift_down", col("s_neg") > threshold)
+  }
 }

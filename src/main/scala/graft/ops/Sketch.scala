@@ -196,4 +196,108 @@ object Sketch {
       .select(col("n_shards"), col("exact_distinct"),
         round(estCol, 6).as("hll_est"), zeroRegs.as("zero_registers"))
   }
+
+  /** MERGEABLE deterministic quantile sketch, per group: the k rows with
+    * the smallest salted md5 hash of their UNIQUE id are a uniform
+    * sample of the group (KMV / bottom-k sampling, Bar-Yossef 2002 —
+    * rand()-free, so re-runs, retries and the SQL oracle all see the
+    * SAME sample), and bottom-k of a union equals bottom-k over the
+    * shards' bottom-k's, so shard sketches persist once and re-merge
+    * across any later grouping without the raw data — the quantile
+    * sibling of [[hllMerge]]'s register-max contract. Values ride in
+    * the sketch, so quantiles are answerable FROM the sketch alone.
+    *
+    * Shape: ONE map-combinable groupBy whose state is the O(k)
+    * [[graft.functions.BottomKStructAgg]] buffer — per-task memory is k
+    * triples per group, one shuffle, never a per-group sort of raw rows.
+    * Output: (group, sketch: array&lt;struct&lt;h, id, v&gt;&gt;, n_total). */
+  def bottomKSketch(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val h = Pipeline.md5Long60(col(idCol), "bkq")
+    df.select(col(groupCol).as("grp"),
+        struct(h.as("h"), col(idCol).cast("long").as("id"),
+          col(valueCol).cast("double").as("v")).as("__item"))
+      .groupBy("grp")
+      .agg(graft.functions.BottomKStructAgg
+          .bottomK(spark, col("__item"), k).as("sketch"),
+        count(lit(1)).as("n_total"))
+  }
+
+  /** Re-merge persisted shard sketches (rows of (grp, sketch, n_total)
+    * from [[bottomKSketch]], possibly keyed by a FINER grouping) into
+    * one sketch per `grp` — explode + the same O(k) bottom-k agg;
+    * n_total sums. Merged ≡ sketching the union directly (pinned). */
+  def mergeBottomKSketches(sketches: DataFrame, k: Int): DataFrame = {
+    val spark = sketches.sparkSession
+    val merged = sketches
+      .select(col("grp"), explode(col("sketch")).as("__item"))
+      .groupBy("grp")
+      .agg(graft.functions.BottomKStructAgg
+        .bottomK(spark, col("__item"), k).as("sketch"))
+    val totals = sketches.groupBy("grp")
+      .agg(sum(col("n_total")).cast("long").as("n_total"))
+    merged.join(totals, Seq("grp"))
+  }
+
+  /** Quantile ESTIMATES from a sketch frame ((grp, sketch, n_total) rows
+    * of [[bottomKSketch]] / [[mergeBottomKSketches]]): for each q, the
+    * sample value at rank max(1, ⌈q·m⌉) in (v, id) order, m = sample
+    * size. Deterministic pick-an-existing-value semantics (no
+    * interpolation — engines' interpolated quantiles diverge); the only
+    * window runs over the ≤k-row exploded sample per group (bounded by
+    * the sketch size, never the data). */
+  def quantilesFromSketch(sketches: DataFrame,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("__v"), col("__id"))
+    val sample = sketches
+      .select(col("grp"), col("n_total"), explode(col("sketch")).as("__s"))
+      .select(col("grp"), col("n_total"), col("__s.v").as("__v"),
+        col("__s.id").as("__id"))
+      .withColumn("__vr", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
+    val qFrame = sketches.sparkSession
+      .createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    sample.join(broadcast(qFrame),
+        col("__vr") === greatest(lit(1L),
+          ceil(col("q") * col("__m")).cast("long")))
+      .select(col("grp"), col("q"), col("__v").as("est_v"),
+        col("__m").as("n_sample"), col("n_total"))
+  }
+
+  /** One-call form: sketch + quantile estimates + the EXACT lower
+    * quantile alongside as the honesty column (value at rank ⌈q·n⌉ over
+    * the FULL group in value order — computed from per-(group, value)
+    * count summaries and a cumulative window over the value domain,
+    * never a per-group sort of raw rows). */
+  def bottomKQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int = 256,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val est = quantilesFromSketch(
+      bottomKSketch(df, groupCol, idCol, valueCol, k), qs)
+    // exact: cum counts over the value domain (summary-window discipline)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("__v"))
+    val cum = df
+      .select(col(groupCol).as("grp"), col(valueCol).cast("double").as("__v"))
+      .groupBy("grp", "__v").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", max(col("__cum")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
+    val qFrame = df.sparkSession
+      .createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val exact = cum.join(broadcast(qFrame),
+        col("__cum") >= greatest(lit(1L),
+          ceil(col("q") * col("__n")).cast("long")))
+      .groupBy(col("grp"), col("q"))
+      .agg(min(col("__v")).as("exact_v"))
+    est.join(exact, Seq("grp", "q"))
+      .select(col("grp"), col("q"), col("est_v"), col("exact_v"),
+        col("n_sample"), col("n_total"))
+  }
 }

@@ -339,4 +339,67 @@ object Stats {
       .agg(count(lit(1)).as("n"))
       .withColumn("violates_k", col("n") < k)
   }
+
+  /** Exact per-group LOWER MEDIAN — the smallest value whose cumulative
+    * count reaches ⌈n/2⌉ (an EXISTING value, never an interpolated
+    * midpoint: engines' interpolated medians diverge in the last ulp;
+    * picking an element is engine-exact). Computed from per-(group,
+    * value) count SUMMARIES and one cumulative window over the value
+    * domain (bounded by distinct values, never row count — the
+    * percentRankNormalize discipline). Input frame must expose exactly
+    * (`gName`, `vName`); null values are the caller's business. */
+  private def lowerMedian(df: DataFrame, gName: String,
+      vName: String): DataFrame = {
+    val w = Window.partitionBy(col(gName)).orderBy(col(vName))
+    df.groupBy(col(gName), col(vName)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", max(col("__cum")).over(
+        Window.partitionBy(col(gName))))
+      // cum >= ceil(n/2)  ⇔  2·cum >= n (exact integer arithmetic)
+      .filter(col("__cum") * 2 >= col("__n"))
+      .groupBy(col(gName)).agg(min(col(vName)).as("__med"))
+  }
+
+  /** ROBUST per-group outlier flags via median/MAD — the resistant
+    * sibling of [[zscoreFlags]]: mean/std move with the outliers they
+    * are meant to catch (one 10^9-char document inflates its source's
+    * std enough to mask every other anomaly), while median and MAD
+    * (median absolute deviation) have a 50% breakdown point.
+    *
+    * robust z = (v − median) / (1.4826 · MAD), the standard consistency
+    * constant making MAD estimate σ under normality; |rz| > `zThresh`
+    * flags (3.5 is the Iglewicz–Hoaglin convention). Engine-exactness:
+    * both medians PICK existing values (lower-median, see
+    * [[lowerMedian]]); with integer-valued inputs every quantity up to
+    * the final one-division-one-multiply rz is exact, and the DECISION
+    * uses the 6-dp-rounded rz (the house boundary discipline).
+    * MAD = 0 (a majority-constant group) emits null rz, false flag.
+    * Null values are dropped from the input (a null is not an outlier).
+    *
+    * Shape: two summary-window median passes (each bounded by the value
+    * domain) + two broadcast joins of group-sized frames onto a narrow
+    * scoring scan — no shuffle ever carries the raw rows beyond the
+    * initial (group, value) count. */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, zThresh: Double = 3.5): DataFrame = {
+    require(zThresh > 0.0, s"zThresh must be > 0, got $zThresh")
+    val base = df
+      .select(col(idCol), col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val med = lowerMedian(base.select(col("__g"), col("v")), "__g", "v")
+    val withMed = base.join(broadcast(med), Seq("__g"))
+    val mad = lowerMedian(
+      withMed.select(col("__g"), abs(col("v") - col("__med")).as("v")),
+      "__g", "v").withColumnRenamed("__med", "__mad")
+    withMed.join(broadcast(mad), Seq("__g"))
+      .withColumn("rz", when(col("__mad") > 0.0,
+        round((col("v") - col("__med")) /
+          (lit(1.4826) * col("__mad")), 6)))
+      .withColumn("is_outlier", coalesce(abs(col("rz")) > zThresh,
+        lit(false)))
+      .select(col(idCol), col("__g").as(groupCol), col("v"),
+        col("__med").as("med"), col("__mad").as("mad"), col("rz"),
+        col("is_outlier"))
+  }
 }

@@ -254,6 +254,24 @@ object AnalyticsQueries {
           "ts", "value", "event_type", asOfEpoch = 1706745600L,
           halfLifeDays = 7L, horizonWeeks = 1)
         .orderBy("u")
+    },
+    // ROBUST per-source outliers via median/MAD (50% breakdown point —
+    // the anomaly flags zscoreFlags' moments can't give once the
+    // outliers inflate the std): two summary-window median passes,
+    // broadcast joins, 6-dp-rounded robust z decides
+    "q_mad_outliers" -> { (s, d) =>
+      graft.ops.Stats.madOutliers(Tables.documents(s, d), "doc_id",
+          "n_chars", "source", zThresh = 2.0)
+        .orderBy("doc_id")
+    },
+    // per-user CUSUM level-shift monitor over daily value sums (dense
+    // grid, silence counts as zero): the recursion as prefix-sum minus
+    // running-min — three frames of one per-key window, DECIMAL-exact
+    "q_cusum_drift" -> { (s, d) =>
+      graft.ops.Behavior.cusumDrift(Tables.events(s, d), "user_id", "ts",
+          "value", stepSeconds = 86400L, allowance = 150.0,
+          threshold = 400.0)
+        .orderBy("u", "b")
     })
 
   private val tokensSql =
@@ -715,5 +733,46 @@ object AnalyticsQueries {
         |JOIN md ON decay.u = md.u
         |JOIN br ON decay.u = br.u
         |LEFT JOIN ch ON decay.u = ch.u
-        |ORDER BY decay.u""".stripMargin)
+        |ORDER BY decay.u""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH b AS (SELECT doc_id, source AS g, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |c AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |cc AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM c),
+        |med AS (SELECT g, min(v) AS med FROM cc WHERE cum * 2 >= n GROUP BY g),
+        |d2 AS (SELECT b.g, abs(b.v - med.med) AS v FROM b JOIN med USING (g)),
+        |c2 AS (SELECT g, v, count(*) AS c FROM d2 GROUP BY 1, 2),
+        |cc2 AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM c2),
+        |mad AS (SELECT g, min(v) AS mad FROM cc2 WHERE cum * 2 >= n GROUP BY g)
+        |SELECT doc_id, b.g AS source, b.v AS v, med.med AS med, mad.mad AS mad,
+        |  CASE WHEN mad.mad > 0 THEN round((b.v - med.med) / (1.4826 * mad.mad), 6) END AS rz,
+        |  coalesce(abs(CASE WHEN mad.mad > 0 THEN round((b.v - med.med) / (1.4826 * mad.mad), 6) END) > 2.0, false) AS is_outlier
+        |FROM b JOIN med USING (g) JOIN mad USING (g)
+        |ORDER BY doc_id""".stripMargin,
+    "q_cusum_drift" ->
+      """WITH obs AS (SELECT user_id AS u,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400 AS b,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(24,2)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT u, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT u, unnest(generate_series(lo, hi, 86400)) AS b FROM span),
+        |g2 AS (SELECT g.u, g.b, coalesce(o.x, CAST(0 AS DECIMAL(24,2))) AS x
+        |  FROM grid g LEFT JOIN obs o ON g.u = o.u AND g.b = o.b),
+        |p AS (SELECT u, b, x,
+        |    CAST(sum(x - CAST(150.0 AS DECIMAL(18,6))) OVER (PARTITION BY u ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(30,6)) AS p
+        |  FROM g2),
+        |r AS (SELECT u, b, x, p,
+        |    min(p) OVER (PARTITION BY u ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin,
+        |    max(p) OVER (PARTITION BY u ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+        |  FROM p)
+        |SELECT u, b, CAST(x AS DOUBLE) AS x,
+        |  CAST(p - (CASE WHEN rmin < 0 THEN rmin ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS s_pos,
+        |  CAST((CASE WHEN rmax > 0 THEN rmax ELSE CAST(0 AS DECIMAL(30,6)) END) - p AS DOUBLE) AS s_neg,
+        |  CAST(p - (CASE WHEN rmin < 0 THEN rmin ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) > 400.0 AS drift_up,
+        |  CAST((CASE WHEN rmax > 0 THEN rmax ELSE CAST(0 AS DECIMAL(30,6)) END) - p AS DOUBLE) > 400.0 AS drift_down
+        |FROM r ORDER BY u, b""".stripMargin)
 }

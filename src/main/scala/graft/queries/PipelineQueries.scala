@@ -912,6 +912,14 @@ object PipelineQueries {
     "t_hll_merge" -> { (s, d) =>
       graft.ops.Sketch.hllMerge(Tables.documents(s, d), "source", "text")
     },
+    // mergeable bottom-k (KMV) quantile sketch per event type: O(k)-state
+    // deterministic md5-hash sample, quantiles pick EXISTING sample
+    // values, exact lower-quantiles ride alongside as the honesty column
+    "t_quantile_sketch" -> { (s, d) =>
+      graft.ops.Sketch.bottomKQuantiles(Tables.events(s, d), "event_type",
+          "event_id", "value", k = 128, qs = Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy("grp", "q")
+    },
     // weighted PageRank (3 fixed iterations) over the undirected
     // customer-supplier order graph: per-edge contributions quantized to
     // DECIMAL(28,14) so every iteration's ranks are order-invariant,
@@ -3386,6 +3394,33 @@ object PipelineQueries {
         |      CAST(a.sp + (64 - a.present) * 36028797018963968 AS DOUBLE) END, 6) AS hll_est,
         |  CAST(64 - a.present AS BIGINT) AS zero_registers
         |FROM ag a, ex, ns""".stripMargin,
+    // bottom-k quantile sketch re-derived: the SAME salted md5 Horner
+    // hash ranks rows, the k smallest are the sample, estimates pick the
+    // sample value at rank ceil(q*m) in (v, id) order; exact lower
+    // quantiles from cum counts over the value domain ride alongside
+    "t_quantile_sketch" ->
+      s"""WITH b AS (SELECT event_type AS grp, event_id AS id, value AS v FROM events),
+        |h AS (SELECT grp, id, v, ${md5HornerSql("'bkq:' || CAST(id AS VARCHAR)")} AS hv FROM b),
+        |rk AS (SELECT grp, id, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY hv, id) AS r FROM h),
+        |sv AS (SELECT grp, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v, id) AS vr,
+        |    count(*) OVER (PARTITION BY grp) AS m
+        |  FROM rk WHERE r <= 128),
+        |qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9)),
+        |est AS (SELECT grp, q, v AS est_v, CAST(m AS BIGINT) AS n_sample
+        |  FROM sv CROSS JOIN qs
+        |  WHERE vr = greatest(1, CAST(ceil(q * m) AS BIGINT))),
+        |tot AS (SELECT grp, count(*) AS n_total FROM b GROUP BY 1),
+        |c AS (SELECT grp, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |cc AS (SELECT grp, v, sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n FROM c),
+        |ex AS (SELECT grp, q, min(v) AS exact_v FROM cc CROSS JOIN qs
+        |  WHERE cum >= greatest(1, CAST(ceil(q * n) AS BIGINT)) GROUP BY 1, 2)
+        |SELECT est.grp, est.q, est.est_v, ex.exact_v, est.n_sample, tot.n_total
+        |FROM est JOIN ex ON est.grp = ex.grp AND est.q = ex.q
+        |JOIN tot ON est.grp = tot.grp
+        |ORDER BY est.grp, est.q""".stripMargin,
     // PageRank unrolled: identical edge/out-weight derivation, the same
     // ((r * 0.85) * w) / W parenthesization quantized to DECIMAL(28,14)
     // per edge (exact order-free sums), (1.0 - 0.85) written as the

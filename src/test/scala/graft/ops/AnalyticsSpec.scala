@@ -765,4 +765,119 @@ class AnalyticsSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxBlockSize") ||
       Option(ex.getCause).exists(_.getMessage.contains("maxBlockSize")))
   }
+
+  test("madOutliers: lower-median convention, MAD=0 group, flags, nulls dropped") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: values 1,2,3,4,100 -> med=3 (rank ceil(5/2)=3), devs
+      // 2,1,0,1,97 -> MAD=1; rz(100) = 97/1.4826 = 65.425604 -> outlier
+      (1L, "g1", Some(1.0)), (2L, "g1", Some(2.0)), (3L, "g1", Some(3.0)),
+      (4L, "g1", Some(4.0)), (5L, "g1", Some(100.0)),
+      // g2: even n -> LOWER median: 10,20,30,40 -> med=20 (cum 2 >= 2)
+      (6L, "g2", Some(10.0)), (7L, "g2", Some(20.0)),
+      (8L, "g2", Some(30.0)), (9L, "g2", Some(40.0)),
+      // g3: majority-constant -> MAD=0 -> null rz, false flag
+      (10L, "g3", Some(7.0)), (11L, "g3", Some(7.0)), (12L, "g3", Some(9.0)),
+      // null value: dropped entirely
+      (13L, "g1", None)).toDF("id", "g", "v")
+    val out = Stats.madOutliers(df, "id", "v", "g", zThresh = 3.5)
+      .orderBy("id").collect()
+    assert(out.length == 12) // the null row is gone
+    val r5 = out(4)
+    assert(r5.getDouble(3) == 3.0 && r5.getDouble(4) == 1.0)
+    assert(math.abs(r5.getDouble(5) - 65.425604) < 1e-9 && r5.getBoolean(6))
+    assert(!out.take(4).exists(_.getBoolean(6))) // 1..4 not outliers
+    assert(out(5).getDouble(3) == 20.0) // g2 lower median
+    assert(out(9).isNullAt(5) && !out(9).getBoolean(6)) // g3 MAD=0
+  }
+
+  test("madOutliers: partition invariance") {
+    import spark.implicits._
+    val df = spark.range(500).select(col("id"),
+      pmod(col("id"), lit(3)).cast("string").as("g"),
+      pmod(col("id") * 7919, lit(101)).cast("double").as("v"))
+    def str(d: DataFrame) =
+      d.orderBy("id").collect().map(_.toString).mkString("\n")
+    assert(str(Stats.madOutliers(df, "id", "v", "g")) ==
+      str(Stats.madOutliers(df.repartition(7), "id", "v", "g")))
+  }
+
+  test("cusumDrift: equals the literal max(0, prev + x - k) recursion") {
+    // user 1: days 0,1,3,4 observed (day 2 empty -> x=0 in the grid)
+    val ev = tsEvents(
+      (1L, "2024-01-01 01:00:00", 10.0), (1L, "2024-01-01 02:00:00", 5.0),
+      (1L, "2024-01-02 01:00:00", 1.0),
+      (1L, "2024-01-04 01:00:00", 20.0), (1L, "2024-01-05 01:00:00", 2.0),
+      (2L, "2024-01-01 00:00:00", 100.0))
+    val out = Behavior.cusumDrift(ev, "user_id", "ts", "value",
+        stepSeconds = 86400L, allowance = 4.0, threshold = 10.0)
+      .orderBy("u", "b").collect()
+    // literal recursion, k=4: user 1 daily x = 15, 1, 0, 20, 2
+    val xs = Seq(15.0, 1.0, 0.0, 20.0, 2.0)
+    val sPos = xs.scanLeft(0.0)((s, x) => math.max(0.0, s + x - 4.0)).tail
+    val sNeg = xs.scanLeft(0.0)((s, x) => math.max(0.0, s - x + 4.0)).tail
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.length == 5) // dense grid includes the empty day
+    u1.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(2) == xs(i), s"x day $i")
+      assert(r.getDouble(3) == sPos(i), s"s_pos day $i")
+      assert(r.getDouble(4) == sNeg(i), s"s_neg day $i")
+      assert(r.getBoolean(5) == (sPos(i) > 10.0), s"up day $i")
+      assert(r.getBoolean(6) == (sNeg(i) > 10.0), s"down day $i")
+    }
+    // user 2: single day, x=100, s_pos=96 -> drift_up
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2(0).getDouble(3) == 96.0 &&
+      u2(0).getBoolean(5))
+  }
+
+  test("cusumDrift: oversize span raises in-plan") {
+    val ev = tsEvents((1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-03-01 00:00:00", 2.0))
+    val ex = intercept[Exception] {
+      Behavior.cusumDrift(ev, "user_id", "ts", "value", 60L,
+        allowance = 0.0, threshold = 1.0, maxBucketsPerKey = 100L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("maxBucketsPerKey") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxBucketsPerKey")))
+  }
+
+  test("bottomKSketch: shard sketches merged == sketching the union directly") {
+    import spark.implicits._
+    val df = spark.range(2000).select(
+      pmod(col("id"), lit(3)).cast("string").as("grp"),
+      col("id"), pmod(col("id") * 104729, lit(997)).cast("double").as("v"))
+      .withColumn("shard", pmod(col("id"), lit(7)))
+    def str(d: DataFrame) = d.orderBy("grp").collect()
+      .map(r => (r.getString(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toString).mkString("|"),
+        r.getLong(2))).mkString("\n")
+    val direct = Sketch.bottomKSketch(df, "grp", "id", "v", k = 32)
+    // shard sketches: sketch each (grp, shard) slice, then re-merge by grp
+    val shards = (0 until 7).map(s =>
+        Sketch.bottomKSketch(df.filter(col("shard") === s), "grp", "id",
+          "v", k = 32))
+      .reduce(_.unionByName(_))
+    val merged = Sketch.mergeBottomKSketches(shards, k = 32)
+    assert(str(direct) == str(merged))
+    // and partition invariance of the direct sketch
+    assert(str(direct) ==
+      str(Sketch.bottomKSketch(df.repartition(11), "grp", "id", "v", 32)))
+  }
+
+  test("quantilesFromSketch: rank-pick semantics; small groups sample everything") {
+    import spark.implicits._
+    // one group of 4 known values with k >= n: the sample IS the data,
+    // so estimates equal exact lower quantiles at rank ceil(q*4)
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "a", 40.0)).toDF("id", "g", "v")
+    val out = Sketch.bottomKQuantiles(df, "g", "id", "v", k = 16,
+        qs = Seq(0.25, 0.5, 0.75, 1.0))
+      .orderBy("q").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // ceil(q*4): 1, 2, 3, 4 -> values 10, 20, 30, 40; est == exact
+    assert(out == Seq((0.25, 10.0, 10.0), (0.5, 20.0, 20.0),
+      (0.75, 30.0, 30.0), (1.0, 40.0, 40.0)))
+  }
 }
