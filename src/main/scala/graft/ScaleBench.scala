@@ -147,7 +147,10 @@ object ScaleBench {
     // round-10 wave: robust median/MAD outliers (two summary-window
     // medians + broadcast joins), per-key CUSUM drift (dense-grid window
     // family), and the O(k)-state mergeable bottom-k quantile sketch
-    "q_mad_outliers", "q_cusum_drift", "t_quantile_sketch")
+    "q_mad_outliers", "q_cusum_drift", "t_quantile_sketch",
+    // per-key cap (O(cap)-state agg + winners join) and Heaps vocabulary
+    // growth (token-keyed first-seen + distributed prefix sums)
+    "q_domain_cap", "t_vocab_growth")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -274,7 +277,9 @@ object ScaleBench {
     "q_user_feature_mart" -> Set("events"),
     "q_mad_outliers" -> Set("documents"),
     "q_cusum_drift" -> Set("events"),
-    "t_quantile_sketch" -> Set("events"))
+    "t_quantile_sketch" -> Set("events"),
+    "q_domain_cap" -> Set("documents"),
+    "t_vocab_growth" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

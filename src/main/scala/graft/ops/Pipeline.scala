@@ -141,6 +141,32 @@ object Pipeline {
     df.withColumn("split_bucket", bucket).withColumn("split", assign)
   }
 
+  /** Per-key row CAP in deterministic md5-shuffled order — the
+    * per-domain / per-source cap web-corpus curation applies so no
+    * single crawl host dominates the mix (the DOWN-capping complement of
+    * [[sampleByStratum]]'s rate sampling): each key keeps its `cap`
+    * smallest-hash rows, a rand()-free uniform choice that re-runs,
+    * retries, and the SQL oracle reproduce bit-for-bit.
+    *
+    * Shape: the [[graft.functions.TopKStructAgg]] O(cap)-state
+    * aggregation (map-side partial merge, one key shuffle, never a
+    * per-key sort of raw rows — a hot domain costs a wider buffer, not a
+    * one-task sort), then one equi-join of the winners (≤ keys·cap rows)
+    * back onto the corpus. The hash masks to 52 bits so its double form
+    * in the agg struct is EXACT (2⁵³ is where doubles lose integers).
+    * Output adds `cap_rank` (1-based position in (hash, id) order). */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val h = pmod(md5Long60(col(idCol), "cap"), lit(1L << 52))
+      .cast("double")
+    val winners = Similarity.topKPerGroup(
+        df.select(col(keyCol), col(idCol)).withColumn("__s", -h),
+        keyCol, idCol, "__s", cap)
+      .select(col(keyCol), col(idCol), col("rank").as("cap_rank"))
+    df.join(winners, Seq(keyCol, idCol))
+  }
+
   /** The full composed corpus-preparation run — the chain a pretraining
     * data pipeline actually executes, as ONE plan:
     *

@@ -1238,4 +1238,53 @@ object TextAnalysis {
           lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
           6)))
   }
+
+  /** Heaps-law VOCABULARY GROWTH curve: per document (visited in id
+    * order) the running total of tokens seen and of DISTINCT token types
+    * seen so far — the diminishing-returns diagnostic behind "is more of
+    * this source still adding vocabulary?" scaling decisions (Heaps
+    * 1978: V(n) ≈ K·nᵝ; a source whose curve has flattened mostly
+    * repeats itself).
+    *
+    * Shape: "distinct so far" is NEVER a running set — each type
+    * collapses to its FIRST document (one token-keyed min aggregation,
+    * the cumulativeDistinct discipline), giving per-doc new-type counts,
+    * and both cumulative columns come from the DISTRIBUTED prefix-sum
+    * primitive ([[Pipeline.runningSum]]: literal-boundary buckets +
+    * bounded offset windows — never a global one-partition window). The
+    * doc-count-sized summary frame is materialized once (`corpusPrep`
+    * discipline) so the prefix-sum's bucket-cut probe re-reads a cached
+    * frame, not the token shuffle. */
+  def vocabularyGrowth(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 32,
+      materializePath: Option[String] = None): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("__w"))
+    val newTypes = toks.groupBy("__w").agg(min(col("__id")).as("__id"))
+      .groupBy("__id").agg(count(lit(1)).as("n_new_types"))
+    val perDoc = Dedup.materializeBase(
+      df.select(col(idCol).as("__id"), tokenCount(col(textCol))
+          .cast("long").as("n_tokens"))
+        .join(newTypes, Seq("__id"), "left")
+        .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L))),
+      materializePath)
+    // one bucket-cut probe serves BOTH prefix sums (numeric ids; non-
+    // numeric ids fall back to runningSum's own sampling per call)
+    val cuts: Option[Array[Any]] =
+      perDoc.schema("__id").dataType match {
+        case _: org.apache.spark.sql.types.NumericType if buckets > 1 =>
+          Some(perDoc.filter(col("__id").isNotNull).stat
+            .approxQuantile("__id",
+              (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+            .distinct.sorted.map(v => v: Any))
+        case _ if buckets == 1 => Some(Array.empty[Any])
+        case _ => None
+      }
+    val cumTok = Pipeline.runningSum(perDoc, "__id", col("n_tokens"),
+      "cum_tokens", buckets, cuts = cuts)
+    Pipeline.runningSum(cumTok, "__id", col("n_new_types"),
+        "cum_types", buckets, cuts = cuts)
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_new_types"),
+        col("cum_tokens"), col("cum_types"))
+  }
 }

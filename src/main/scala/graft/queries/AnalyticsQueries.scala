@@ -272,6 +272,22 @@ object AnalyticsQueries {
           "value", stepSeconds = 86400L, allowance = 150.0,
           threshold = 400.0)
         .orderBy("u", "b")
+    },
+    // per-source document cap in deterministic md5-shuffled order:
+    // O(cap)-state top-k agg + one winners join — no per-key sort
+    "q_domain_cap" -> { (s, d) =>
+      graft.ops.Pipeline.capPerKey(Tables.documents(s, d), "source",
+          "doc_id", cap = 40)
+        .select("doc_id", "source", "cap_rank")
+        .orderBy("doc_id")
+    },
+    // Heaps-law vocabulary growth in doc-id order: first-seen type
+    // collapse + the distributed prefix-sum primitive (never a global
+    // one-partition window)
+    "t_vocab_growth" -> { (s, d) =>
+      graft.ops.TextAnalysis.vocabularyGrowth(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy("doc_id")
     })
 
   private val tokensSql =
@@ -774,5 +790,36 @@ object AnalyticsQueries {
         |  CAST((CASE WHEN rmax > 0 THEN rmax ELSE CAST(0 AS DECIMAL(30,6)) END) - p AS DOUBLE) AS s_neg,
         |  CAST(p - (CASE WHEN rmin < 0 THEN rmin ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) > 400.0 AS drift_up,
         |  CAST((CASE WHEN rmax > 0 THEN rmax ELSE CAST(0 AS DECIMAL(30,6)) END) - p AS DOUBLE) > 400.0 AS drift_down
-        |FROM r ORDER BY u, b""".stripMargin)
+        |FROM r ORDER BY u, b""".stripMargin,
+    // capPerKey re-derived: the same 'cap:'-salted md5 Horner hash,
+    // masked to 52 bits, ranks rows per source; row_number <= cap
+    "q_domain_cap" ->
+      s"""WITH h AS (SELECT doc_id, source,
+        |    ${md5HornerSql("'cap:' || CAST(doc_id AS VARCHAR)")} % 4503599627370496 AS hv
+        |  FROM documents),
+        |rk AS (SELECT doc_id, source, row_number() OVER
+        |    (PARTITION BY source ORDER BY hv, doc_id) AS cap_rank FROM h)
+        |SELECT doc_id, source, CAST(cap_rank AS BIGINT) AS cap_rank
+        |FROM rk WHERE cap_rank <= 40 ORDER BY doc_id""".stripMargin,
+    "t_vocab_growth" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+        |fs AS (SELECT w, min(doc_id) AS doc_id FROM t GROUP BY w),
+        |nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY 1),
+        |pd AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT pd.doc_id, pd.n_tokens,
+        |  coalesce(nn.n_new, 0) AS n_new_types,
+        |  CAST(sum(pd.n_tokens) OVER (ORDER BY pd.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY pd.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+        |FROM pd LEFT JOIN nn ON pd.doc_id = nn.doc_id
+        |ORDER BY pd.doc_id""".stripMargin)
+
+  /** The md5 Horner fold (60-bit salted hash) — DuckDB form of
+    * `conv(substring(md5(x), 1, 15), 16, 10)`; shared textually with
+    * [[PipelineQueries]]' private copy. */
+  private def md5HornerSql(sExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(15), hk -> CAST(strpos('0123456789abcdef', substr(md5($sExpr), hk+1, 1)) - 1 AS BIGINT))),
+       |      (acc, hd) -> acc * 16 + hd)""".stripMargin
 }

@@ -866,6 +866,63 @@ class AnalyticsSpec extends SparkSpec {
       str(Sketch.bottomKSketch(df.repartition(11), "grp", "id", "v", 32)))
   }
 
+  test("capPerKey: exactly min(cap, n) survivors, deterministic, ranked by hash") {
+    import spark.implicits._
+    val df = spark.range(300).select(col("id"),
+      pmod(col("id"), lit(3)).cast("string").as("k"),
+      concat(lit("p"), col("id")).as("payload"))
+    val out = Pipeline.capPerKey(df, "k", "id", cap = 20)
+    val sizes = out.groupBy("k").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sizes == Map("0" -> 20L, "1" -> 20L, "2" -> 20L))
+    // payload columns survive the join back
+    assert(out.columns.contains("payload") && out.columns.contains("cap_rank"))
+    // a small key keeps everything, ranked 1..n
+    val small = df.filter(col("id") < 5)
+    val so = Pipeline.capPerKey(small, "k", "id", cap = 20)
+    assert(so.count() == 5)
+    assert(so.select("cap_rank").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 1L, 1L, 2L, 2L)) // keys 0,1,2 of sizes 2,2,1
+    // partition invariance
+    def str(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect().map(_.toString).mkString("\n")
+    assert(str(Pipeline.capPerKey(df, "k", "id", 20)) ==
+      str(Pipeline.capPerKey(df.repartition(13), "k", "id", 20)))
+  }
+
+  test("vocabularyGrowth: first-seen types, running sums, differential vs naive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a"),     // 3 tokens, 2 new types (a, b)
+      (2L, "b c"),       // 2 tokens, 1 new type (c)
+      (3L, ""),          // 0 tokens, 0 new
+      (4L, "c a d"))     // 3 tokens, 1 new type (d)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabularyGrowth(df, "doc_id", "text", buckets = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, 3L, 2L), (2L, 2L, 1L, 5L, 3L),
+      (3L, 0L, 0L, 5L, 3L), (4L, 3L, 1L, 8L, 4L)))
+    // differential vs the naive driver-side cumulative-distinct model
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(i =>
+        conv(pmod(col("id") * (i + 3) + i, lit(43)), 10, 26)): _*).as("text"))
+    val got = TextAnalysis.vocabularyGrowth(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val rows = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    var seen = Set.empty[String]; var ct = 0L; var cty = 0L
+    rows.zip(got).foreach { case ((id, ws), r) =>
+      ct += ws.length
+      val fresh = ws.distinct.filterNot(seen)
+      cty += fresh.length; seen ++= fresh
+      assert(r.getLong(0) == id && r.getLong(3) == ct && r.getLong(4) == cty,
+        s"doc $id")
+    }
+  }
+
   test("quantilesFromSketch: rank-pick semantics; small groups sample everything") {
     import spark.implicits._
     // one group of 4 known values with k >= n: the sample IS the data,
