@@ -150,7 +150,10 @@ object ScaleBench {
     "q_mad_outliers", "q_cusum_drift", "t_quantile_sketch",
     // per-key cap (O(cap)-state agg + winners join) and Heaps vocabulary
     // growth (token-keyed first-seen + distributed prefix sums)
-    "q_domain_cap", "t_vocab_growth")
+    "q_domain_cap", "t_vocab_growth",
+    // PSI distribution drift (one (group,bin) shuffle + bins-sized
+    // windows) and rank-biased overlap (two O(k) rankings + depth grid)
+    "q_psi_drift", "q_rank_overlap")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -279,7 +282,9 @@ object ScaleBench {
     "q_cusum_drift" -> Set("events"),
     "t_quantile_sketch" -> Set("events"),
     "q_domain_cap" -> Set("documents"),
-    "t_vocab_growth" -> Set("documents"))
+    "t_vocab_growth" -> Set("documents"),
+    "q_psi_drift" -> Set("events"),
+    "q_rank_overlap" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -324,4 +324,59 @@ object Retrieval {
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), round(col("__s"), 9).as("rrf_score"))
   }
+
+  /** Rank-Biased Overlap (Webber 2010) between two top-k rankings per
+    * query — the top-weighted ranking-similarity metric search eval runs
+    * when comparing two retrieval systems ([[rrfFuse]] fuses them; this
+    * MEASURES how much they agree, weighting depth-1 agreement far above
+    * depth-k): RBO@k = (1−p) · Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d| / d.
+    *
+    * A doc in both lists enters every prefix intersection at depth
+    * max(rank_a, rank_b), so |A_d ∩ B_d| is ONE cumulative count over a
+    * per-query depth grid (bounded by k — the windows never touch the
+    * rankings' source data). The p^(d−1) weights are COMPILED 9-dp
+    * constants shared textually with the oracle (the Benford-constants
+    * discipline — engine pow() ulp differences never enter); each term
+    * rounds to 10 dp and quantizes to DECIMAL(28,14) so the per-query
+    * sum is order-invariant; RBO renders at 6 dp.
+    *
+    * Output per query: `overlap_at_k` (|A_k ∩ B_k|) and `rbo`. Queries
+    * present in either ranking emit (disjoint lists give 0.0). */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    val wts = rboWeights(p, k)
+    val af = a.select(col(queryCol).as("q"), col(idCol).as("__i"),
+      col(rankCol).cast("long").as("__ra")).filter(col("__ra") <= k)
+    val bf = b.select(col(queryCol).as("q"), col(idCol).as("__i"),
+      col(rankCol).cast("long").as("__rb")).filter(col("__rb") <= k)
+    val entries = af.join(bf, Seq("q", "__i"))
+      .select(col("q"), greatest(col("__ra"), col("__rb")).as("d"))
+      .groupBy("q", "d").agg(count(lit(1)).as("__c"))
+    val grid = af.select(col("q")).unionByName(bf.select(col("q")))
+      .distinct()
+      .select(col("q"), explode(sequence(lit(1L), lit(k.toLong))).as("d"))
+    val weight = wts.zipWithIndex.foldRight(lit(0.0)) {
+      case ((w, i), acc) => when(col("d") === (i + 1), lit(w)).otherwise(acc)
+    }
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    grid.join(entries, Seq("q", "d"), "left")
+      .withColumn("__x", sum(coalesce(col("__c"), lit(0L))).over(wq))
+      .withColumn("__t", round(weight * col("__x").cast("double") /
+        col("d"), 10).cast("decimal(28,14)"))
+      .groupBy("q")
+      .agg(max(col("__x")).as("overlap_at_k"),
+        round(sum(col("__t")).cast("double") * lit(1.0 - p), 6).as("rbo"))
+  }
+
+  /** round(p^(d−1), 9) for d = 1..k — compiled constants shared by the
+    * operator and (textually) its oracle. */
+  def rboWeights(p: Double, k: Int): Seq[Double] =
+    (1 to k).map(d => math.rint(math.pow(p, d - 1) * 1e9) / 1e9)
 }

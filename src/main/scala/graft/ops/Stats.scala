@@ -340,6 +340,69 @@ object Stats {
       .withColumn("violates_k", col("n") < k)
   }
 
+  /** Population-Stability-Index DRIFT between two snapshots of a value
+    * distribution, per group — the model-monitoring standard ("did this
+    * feature's distribution move since training?"; PSI < 0.1 stable,
+    * 0.1–0.25 moderate, > 0.25 action): fixed-width bins over [lo, hi]
+    * (the [[histogram]] bin arithmetic, clamped edge bin included),
+    * PSI = Σ_bins (p_cur − p_base)·ln(p_cur / p_base) with both shares
+    * floored at `minShare` (the standard ε guard — an empty bin is
+    * strong evidence, not a division by zero). The DISTRIBUTIONAL
+    * complement of [[graft.ops.Behavior.cusumDrift]]'s temporal monitor.
+    *
+    * Engine-exactness: shares round to 9 dp before the ln (so both
+    * engines feed ln the same double), each bin term rounds to 10 dp
+    * and quantizes to DECIMAL(28,14) so the per-group sum is
+    * order-invariant (the benfordAudit discipline); PSI renders at 6 dp.
+    *
+    * Shape: one map-combinable (group, bin) count with conditional
+    * snapshot sums, a dense grid explode, and windows over the
+    * bins-sized summary frame — the raw rows shuffle once. */
+  def psiDrift(df: DataFrame, valueCol: String, groupCol: String,
+      snapshotCol: String, baseLabel: String, currentLabel: String,
+      lo: Double, hi: Double, bins: Int,
+      minShare: Double = 1e-4): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    require(minShare > 0.0 && minShare < 1.0,
+      s"minShare must be in (0, 1), got $minShare")
+    val v = col(valueCol).cast("double")
+    val bin = when(v === hi, lit(bins - 1)).otherwise(least(
+      floor((v - lit(lo)) * lit(bins.toDouble) / lit(hi - lo)).cast("int"),
+      lit(bins - 1)))
+    val counts = df
+      .filter(col(snapshotCol).isin(baseLabel, currentLabel) &&
+        v >= lo && v <= hi)
+      .select(col(groupCol).as("g"), col(snapshotCol).as("s"),
+        bin.as("bin"))
+      .groupBy("g", "bin")
+      .agg(sum(when(col("s") === baseLabel, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("s") === currentLabel, 1L).otherwise(0L)).as("n_cur"))
+    val grid = counts.select(col("g")).distinct()
+      .select(col("g"), explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+    val totals = Window.partitionBy(col("g"))
+    def share(n: Column, tot: Column): Column =
+      greatest(when(tot > 0, round(n.cast("double") / tot, 9))
+        .otherwise(lit(0.0)), lit(minShare))
+    grid.join(counts, Seq("g", "bin"), "left")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+      .withColumn("__tb", sum(col("n_base")).over(totals))
+      .withColumn("__tc", sum(col("n_cur")).over(totals))
+      .withColumn("share_base", share(col("n_base"), col("__tb")))
+      .withColumn("share_cur", share(col("n_cur"), col("__tc")))
+      .withColumn("__t", round((col("share_cur") - col("share_base")) *
+        log(col("share_cur") / col("share_base")), 10)
+        .cast("decimal(28,14)"))
+      .withColumn("psi", round(sum(col("__t")).over(totals)
+        .cast("double"), 6))
+      .select(col("g"), col("bin"),
+        round(lit(lo) + col("bin") * (lit(hi - lo) / lit(bins.toDouble)), 6)
+          .as("bin_lo"),
+        col("n_base"), col("n_cur"), col("share_base"), col("share_cur"),
+        col("psi"))
+  }
+
   /** Exact per-group LOWER MEDIAN — the smallest value whose cumulative
     * count reaches ⌈n/2⌉ (an EXISTING value, never an interpolated
     * midpoint: engines' interpolated medians diverge in the last ulp;

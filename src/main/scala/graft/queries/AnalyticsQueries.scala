@@ -288,6 +288,31 @@ object AnalyticsQueries {
       graft.ops.TextAnalysis.vocabularyGrowth(Tables.documents(s, d),
           "doc_id", "text")
         .orderBy("doc_id")
+    },
+    // PSI distribution drift per event type between the month's first
+    // and second half: dense bins, ε-floored shares, quantized terms
+    "q_psi_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("snap",
+        when(unix_timestamp(col("ts")) < 1705363200L, lit("base"))
+          .otherwise(lit("cur")))
+      graft.ops.Stats.psiDrift(ev, "value", "event_type", "snap",
+          "base", "cur", lo = 0.0, hi = 200.0, bins = 20)
+        .orderBy("g", "bin")
+    },
+    // rank-biased overlap between length-ranked and token-ranked top-10
+    // per source: compiled p^(d-1) constants, depth-grid cumulative
+    // intersections — the windows never touch the corpus
+    "q_rank_overlap" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val a = graft.ops.Similarity.topKPerGroup(docs, "source", "doc_id",
+        "n_chars", k = 10)
+      val b = graft.ops.Similarity.topKPerGroup(
+        docs.withColumn("__ntok",
+          graft.ops.TextAnalysis.tokenCount(col("text"))),
+        "source", "doc_id", "__ntok", k = 10)
+      graft.ops.Retrieval.rankBiasedOverlap(a, b, "source", "doc_id",
+          "rank", k = 10, p = 0.9)
+        .orderBy("q")
     })
 
   private val tokensSql =
@@ -813,7 +838,69 @@ object AnalyticsQueries {
         |  CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY pd.doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
         |FROM pd LEFT JOIN nn ON pd.doc_id = nn.doc_id
-        |ORDER BY pd.doc_id""".stripMargin)
+        |ORDER BY pd.doc_id""".stripMargin,
+    // PSI re-derived: identical bin arithmetic (clamped edge), 9-dp
+    // shares before the ln, 10-dp quantized terms, 6-dp render
+    "q_psi_drift" ->
+      """WITH e AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+        |    CASE WHEN floor(epoch(ts)) < 1705363200 THEN 'base' ELSE 'cur' END AS s
+        |  FROM events),
+        |c AS (SELECT g,
+        |    CASE WHEN v = 200.0 THEN 19
+        |      ELSE least(CAST(floor((v - 0.0) * 20.0 / 200.0) AS INT), 19) END AS bin,
+        |    CAST(sum(CASE WHEN s = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |    CAST(sum(CASE WHEN s = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM e WHERE v >= 0.0 AND v <= 200.0 GROUP BY 1, 2),
+        |gb AS (SELECT g, unnest(range(0, 20)) AS bin
+        |  FROM (SELECT DISTINCT g FROM c)),
+        |d0 AS (SELECT gb.g, CAST(gb.bin AS INT) AS bin,
+        |    coalesce(c.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
+        |  FROM gb LEFT JOIN c ON gb.g = c.g AND gb.bin = c.bin),
+        |t AS (SELECT g, bin, n_base, n_cur,
+        |    sum(n_base) OVER (PARTITION BY g) AS tb,
+        |    sum(n_cur) OVER (PARTITION BY g) AS tc
+        |  FROM d0),
+        |sh AS (SELECT g, bin, n_base, n_cur,
+        |    greatest(CASE WHEN tb > 0 THEN round(CAST(n_base AS DOUBLE) / tb, 9) ELSE 0.0 END, 0.0001) AS share_base,
+        |    greatest(CASE WHEN tc > 0 THEN round(CAST(n_cur AS DOUBLE) / tc, 9) ELSE 0.0 END, 0.0001) AS share_cur
+        |  FROM t),
+        |tm AS (SELECT g, bin, n_base, n_cur, share_base, share_cur,
+        |    CAST(round((share_cur - share_base) * ln(share_cur / share_base), 10) AS DECIMAL(28,14)) AS tt
+        |  FROM sh)
+        |SELECT g, bin, round(0.0 + bin * (200.0 / 20.0), 6) AS bin_lo,
+        |  n_base, n_cur, share_base, share_cur,
+        |  round(CAST(sum(tt) OVER (PARTITION BY g) AS DOUBLE), 6) AS psi
+        |FROM tm ORDER BY g, bin""".stripMargin,
+    // RBO re-derived: the same (score desc, id asc) rankings, entry
+    // depth = max rank, depth-grid cumulative intersections, and the
+    // SAME compiled p^(d-1) constants; (1.0 - 0.9) stays a subtraction
+    // so both engines fold it to the identical double
+    "q_rank_overlap" -> {
+      val wtCase = graft.ops.Retrieval.rboWeights(0.9, 10).zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+      s"""WITH ra AS (SELECT source AS q, doc_id AS i,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS r
+        |  FROM documents),
+        |rb AS (SELECT source AS q, doc_id AS i,
+        |    row_number() OVER (PARTITION BY source ORDER BY len($tokensSql) DESC, doc_id ASC) AS r
+        |  FROM documents),
+        |af AS (SELECT q, i, r FROM ra WHERE r <= 10),
+        |bf AS (SELECT q, i, r FROM rb WHERE r <= 10),
+        |en AS (SELECT af.q, greatest(af.r, bf.r) AS d, count(*) AS c
+        |  FROM af JOIN bf ON af.q = bf.q AND af.i = bf.i GROUP BY 1, 2),
+        |qs AS (SELECT DISTINCT q FROM (SELECT q FROM af UNION ALL SELECT q FROM bf)),
+        |grid AS (SELECT q, unnest(range(1, 11)) AS d FROM qs),
+        |x AS (SELECT grid.q, grid.d,
+        |    sum(coalesce(en.c, 0)) OVER (PARTITION BY grid.q ORDER BY grid.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+        |  FROM grid LEFT JOIN en ON grid.q = en.q AND grid.d = en.d),
+        |t AS (SELECT q, d, x,
+        |    CAST(round((CASE d $wtCase END) * CAST(x AS DOUBLE) / d, 10) AS DECIMAL(28,14)) AS tt
+        |  FROM x)
+        |SELECT q, CAST(max(x) AS BIGINT) AS overlap_at_k,
+        |  round(CAST(sum(tt) AS DOUBLE) * (1.0 - 0.9), 6) AS rbo
+        |FROM t GROUP BY q ORDER BY q""".stripMargin
+    })
 
   /** The md5 Horner fold (60-bit salted hash) — DuckDB form of
     * `conv(substring(md5(x), 1, 15), 16, 10)`; shared textually with

@@ -923,6 +923,60 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("psiDrift: known shares, empty-bin floor, out-of-range dropped, edge bin") {
+    import spark.implicits._
+    // group g, bins=2 over [0,10): base has 8 lows + 2 highs, cur has
+    // 2 lows + 8 highs -> share moves .8/.2 -> .2/.8 in both bins
+    val rows =
+      Seq.fill(8)(("g", "base", 1.0)) ++ Seq.fill(2)(("g", "base", 9.0)) ++
+      Seq.fill(2)(("g", "cur", 1.0)) ++ Seq.fill(8)(("g", "cur", 9.0)) ++
+      Seq(("g", "base", 99.0), ("g", "cur", -1.0), // out of range: dropped
+        ("h", "base", 10.0), ("h", "cur", 10.0))   // v == hi -> last bin
+    val df = rows.toDF("g", "snap", "v")
+    val out = Stats.psiDrift(df, "v", "g", "snap", "base", "cur",
+        lo = 0.0, hi = 10.0, bins = 2)
+      .orderBy("g", "bin").collect()
+    assert(out.length == 4)
+    val b0 = out(0)
+    assert(b0.getLong(3) == 8L && b0.getLong(4) == 2L) // n_base, n_cur
+    assert(b0.getDouble(5) == 0.8 && b0.getDouble(6) == 0.2)
+    // psi = (0.2-0.8)ln(0.2/0.8) + (0.8-0.2)ln(0.8/0.2), terms rounded
+    val term = math.rint((0.2 - 0.8) * math.log(0.2 / 0.8) * 1e10) / 1e10
+    val exp = math.rint(2 * term * 1e6) / 1e6
+    assert(b0.getDouble(7) == exp)
+    // group h: all mass at v == hi -> bin 1 on both sides; bin 0 empty
+    // on both sides -> both shares floored at minShare, term 0
+    val h0 = out(2)
+    assert(h0.getLong(3) == 0L && h0.getDouble(5) == 1e-4 &&
+      h0.getDouble(6) == 1e-4)
+    assert(out(3).getDouble(7) == 0.0) // identical dists -> psi 0
+  }
+
+  test("rankBiasedOverlap: identical, disjoint, and hand-computed partial lists") {
+    import spark.implicits._
+    def ranking(rows: (String, Long, Long)*) =
+      rows.toSeq.toDF("q", "doc", "rank")
+    val a = ranking(("q1", 10L, 1L), ("q1", 11L, 2L), ("q1", 12L, 3L),
+      ("q2", 20L, 1L), ("q2", 21L, 2L), ("q2", 22L, 3L),
+      ("q3", 30L, 1L), ("q3", 31L, 2L), ("q3", 32L, 3L))
+    // q1: identical; q2: disjoint; q3: doc 30 at rank 1 both, others swap
+    val b = ranking(("q1", 10L, 1L), ("q1", 11L, 2L), ("q1", 12L, 3L),
+      ("q2", 90L, 1L), ("q2", 91L, 2L), ("q2", 92L, 3L),
+      ("q3", 30L, 1L), ("q3", 32L, 2L), ("q3", 31L, 3L))
+    val wts = Retrieval.rboWeights(0.9, 3)
+    def rbo(terms: Seq[Double]) = math.rint(
+      terms.map(t => math.rint(t * 1e10) / 1e10).sum * (1.0 - 0.9) * 1e6
+    ) / 1e6
+    val out = Retrieval.rankBiasedOverlap(a, b, "q", "doc", "rank",
+        k = 3, p = 0.9)
+      .orderBy("q").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // q1: X_d = d -> terms w_d; q3: X = 1, 1, 3
+    val q1 = rbo(Seq(wts(0) * 1, wts(1) * 2 / 2.0, wts(2) * 3 / 3.0))
+    val q3 = rbo(Seq(wts(0) * 1, wts(1) * 1 / 2.0, wts(2) * 3 / 3.0))
+    assert(out == Seq(("q1", 3L, q1), ("q2", 0L, 0.0), ("q3", 3L, q3)))
+  }
+
   test("quantilesFromSketch: rank-pick semantics; small groups sample everything") {
     import spark.implicits._
     // one group of 4 known values with k >= n: the sample IS the data,
