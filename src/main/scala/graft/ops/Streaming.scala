@@ -333,4 +333,57 @@ object Streaming {
         (unix_timestamp(col("left_ts")) - unix_timestamp(col("right_ts")))
           .as("lag_s"))
   }
+
+  final case class BkTri(h: Long, id: Long, v: Double)
+  final case class BkSketchState(n: Long, items: Seq[BkTri])
+  final case class BkSketchRow(grp: String, sketch: Seq[BkTri],
+    n_total: Long)
+
+  /** STREAMING form of the mergeable bottom-k quantile sketch
+    * ([[Sketch.bottomKSketch]]): per group, `flatMapGroupsWithState`
+    * maintains the k smallest-hash (h, id, v) triples across
+    * micro-batches — O(k) state per group by construction (the same
+    * [[graft.functions.BottomKBuf]] insertion window the batch aggregate
+    * uses), so the streaming ingest path keeps live per-source quantile
+    * sketches without ever buffering raw rows. Bottom-k insertion is
+    * order-independent, so after any micro-batch partitioning the state
+    * equals the batch sketch over the rows seen so far — pinned
+    * batch==stream (OpsSpec). Update mode emits the refreshed sketch row
+    * per group per batch; the hash salt matches the batch form, so
+    * persisted batch shard sketches and live stream sketches MERGE
+    * ([[Sketch.mergeBottomKSketches]]). */
+  def sketchStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, groupCol: String,
+      idCol: String, valueCol: String, k: Int,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = spark.readStream.schema(schema).parquet(sourceDir)
+      .select(col(groupCol).cast("string").as("g"),
+        Pipeline.md5Long60(col(idCol), "bkq").as("h"),
+        col(idCol).cast("long").as("i"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, Long, Long, Double)]
+
+    def update(g: String, batch: Iterator[(String, Long, Long, Double)],
+        state: GroupState[BkSketchState]): Iterator[BkSketchRow] = {
+      val prev = state.getOption.getOrElse(BkSketchState(0L, Nil))
+      val buf = new graft.functions.BottomKBuf(k)
+      prev.items.foreach(t => buf.insert(t.h, t.id, t.v))
+      var n = prev.n
+      batch.foreach { case (_, h, i, v) => n += 1; buf.insert(h, i, v) }
+      val items = (0 until buf.filled)
+        .map(j => BkTri(buf.hs(j), buf.ids(j), buf.vs(j)))
+      state.update(BkSketchState(n, items))
+      Iterator.single(BkSketchRow(g, items, n))
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(update)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

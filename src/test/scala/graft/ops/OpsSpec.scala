@@ -407,6 +407,38 @@ class OpsSpec extends SparkSpec {
     assert(streamFps == batchFps)
   }
 
+  test("sketchStream: streaming bottom-k sketch == batch sketch (batch == stream)") {
+    val src = java.nio.file.Files.createTempDirectory("graftsketch").toString
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "event_id", "value")
+    // two micro-batches: the state must carry the first batch's sample
+    // into the second (order-independent insertion == batch over union)
+    events.filter(col("event_id") % 2 === 0).write
+      .mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    events.filter(col("event_id") % 2 === 1).write
+      .mode("append").parquet(src)
+    val q = Streaming.sketchStream(spark, src, schema, "event_type",
+      "event_id", "value", k = 16, queryName = "sketch_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    // update mode: the row with the max n_total per group is the final
+    // sketch state
+    val streamed = spark.sql(
+      """SELECT grp, max_by(sketch, n_total) AS sketch,
+        |  max(n_total) AS n_total
+        |FROM sketch_stream_test GROUP BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toString).mkString("|"),
+        r.getLong(2))).sortBy(_._1).toSeq
+    val batch = graft.ops.Sketch.bottomKSketch(events, "event_type",
+        "event_id", "value", k = 16)
+      .collect().map(r => (r.getString(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toString).mkString("|"),
+        r.getLong(2))).sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState running totals match a batch aggregation") {
     val src = java.nio.file.Files.createTempDirectory("graftstate").toString
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
