@@ -47,7 +47,8 @@ object ExplainAudit {
         "t_readability", "t_boolean_search", "q_fuzzy_match",
         "d_prefix_jaccard", "q_profile_table", "q_group_topk",
         "q_time_weighted_avg", "q_entity_resolution", "q_label_prop",
-        "q_histogram", "q_group_mode", "q_corr_matrix", "q_benford")
+        "q_histogram", "q_group_mode", "q_corr_matrix", "q_benford",
+        "q_jw_linkage", "q_interval_union", "q_wilson_ci", "q_assoc_rules")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

@@ -153,7 +153,14 @@ object ScaleBench {
     "q_domain_cap", "t_vocab_growth",
     // PSI distribution drift (one (group,bin) shuffle + bins-sized
     // windows) and rank-biased overlap (two O(k) rankings + depth grid)
-    "q_psi_drift", "q_rank_overlap")
+    "q_psi_drift", "q_rank_overlap",
+    // Jaro-Winkler blocked linkage (quadratic-in-block triangle, codegen
+    // kernel + lossless length prune), per-key interval union (one key
+    // shuffle + bounded window), Wilson CI (count-only group shuffle)
+    "q_jw_linkage", "q_interval_union", "q_wilson_ci",
+    // basket-keyed association rules (per-basket quadratic bounded by
+    // order width; two count shuffles + item joins)
+    "q_assoc_rules")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -284,7 +291,11 @@ object ScaleBench {
     "q_domain_cap" -> Set("documents"),
     "t_vocab_growth" -> Set("documents"),
     "q_psi_drift" -> Set("events"),
-    "q_rank_overlap" -> Set("documents"))
+    "q_rank_overlap" -> Set("documents"),
+    "q_jw_linkage" -> Set("part"),
+    "q_interval_union" -> Set("events"),
+    "q_wilson_ci" -> Set("events"),
+    "q_assoc_rules" -> Set("lineitem"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

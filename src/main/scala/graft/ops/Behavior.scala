@@ -518,4 +518,102 @@ object Behavior {
       .withColumn("drift_up", col("s_pos") > threshold)
       .withColumn("drift_down", col("s_neg") > threshold)
   }
+
+  /** Per-key UNION of overlapping time intervals ("how much wall-clock
+    * was this user actually active?"): each event opens a span
+    * [ts, ts + value·minutes); overlapping or touching spans merge into
+    * islands (the gaps-and-islands reduction), and the output is one row
+    * per key with the island count, total covered microseconds, longest
+    * island, and member-interval count — coverage WITHOUT double-counting
+    * overlap, which a plain sum(duration) gets wrong.
+    *
+    * Exactness: starts are integer `unix_micros`; durations quantize the
+    * double minutes through DECIMAL(14,2)·60e6 — an integral-valued exact
+    * product — then to BIGINT, so island bounds are exact integers in
+    * both engines. Island id = running count of `start > max(previous
+    * ends)` over a (start, end)-ordered per-key window; duplicate
+    * (start, end) rows are order-ambiguous between engines but
+    * contribute the same running max, so the island assignment is
+    * deterministic. Negative durations clamp to a point interval.
+    *
+    * Scale: ONE shuffle on the key; per-key state is the window sort —
+    * bounded by a key's own event count, never the table. */
+  def intervalUnion(events: DataFrame, keyCol: String, tsCol: String,
+      minutesCol: String): DataFrame = {
+    val s = unix_micros(col(tsCol))
+    val dur = (col(minutesCol).cast("decimal(14,2)") * lit(60000000L))
+      .cast("long")
+    val spans = events.select(col(keyCol).as("u"), s.as("s"),
+      (s + greatest(dur, lit(0L))).as("e"))
+    val w = Window.partitionBy(col("u")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(
+      when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans.withColumn("island", island)
+      .groupBy(col("u"), col("island"))
+      .agg(min(col("s")).as("__is"), max(col("e")).as("__ie"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered_us"),
+        max(col("__ie") - col("__is")).as("longest_us"),
+        sum(col("__n")).as("n_intervals"))
+  }
+
+  /** Pairwise ASSOCIATION RULES over item baskets (market-basket
+    * affinity — "orders containing A also contain B"): for every
+    * directed item pair co-occurring in ≥ `minPairBaskets` baskets,
+    * support = P(A∧B), confidence = P(B|A), lift = confidence / P(B).
+    * Lift > 1 is genuine affinity; confidence alone just restates B's
+    * popularity — which is why the rule readout carries all three.
+    *
+    * Scale shape: baskets dedupe to distinct (basket, item) once; the
+    * pair generator is a self-equi-join ON THE BASKET KEY, so per-basket
+    * work is quadratic in basket SIZE (bounded small by domain — order
+    * lines, not corpus rows) and total work stays linear in baskets.
+    * Item frequencies join back on the item key (two map-combinable
+    * count shuffles); the basket total rides a broadcast 1-row frame —
+    * no driver action. Ratios are single IEEE divisions of exact counts
+    * with fixed parenthesization, 6-dp renders. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairBaskets: Long = 2L): DataFrame = {
+    require(minPairBaskets >= 1L,
+      s"minPairBaskets must be >= 1, got $minPairBaskets")
+    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .filter(col("i").isNotNull).distinct()
+    val nBaskets = items.agg(
+      count_distinct(col("b")).as("__nb"))
+    val itemN = items.groupBy(col("i")).agg(count(lit(1)).as("__in"))
+    val pairs = items.as("a")
+      .join(items.as("c"), col("a.b") === col("c.b") &&
+        col("a.i") < col("c.i"))
+      .groupBy(col("a.i").as("x"), col("c.i").as("y"))
+      .agg(count(lit(1)).as("__pn"))
+      .filter(col("__pn") >= minPairBaskets)
+    // both rule directions from one undirected pair row
+    val directed = pairs.select(explode(array(
+        struct(col("x").as("antecedent"), col("y").as("consequent"),
+          col("__pn")),
+        struct(col("y").as("antecedent"), col("x").as("consequent"),
+          col("__pn")))).as("r"))
+      .select(col("r.antecedent"), col("r.consequent"), col("r.__pn"))
+    val pn = col("__pn").cast("double")
+    val an = col("__an").cast("double")
+    val cn = col("__cn").cast("double")
+    val nb = col("__nb").cast("double")
+    directed
+      .join(itemN.select(col("i").as("antecedent"), col("__in").as("__an")),
+        Seq("antecedent"))
+      .join(itemN.select(col("i").as("consequent"), col("__in").as("__cn")),
+        Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"),
+        col("__pn").as("pair_baskets"), col("__an").as("ante_baskets"),
+        col("__cn").as("cons_baskets"),
+        round(pn / nb, 6).as("support"),
+        round(pn / an, 6).as("confidence"),
+        round((pn / an) / (cn / nb), 6).as("lift"))
+  }
 }

@@ -74,6 +74,63 @@ object Linkage {
         col("dist"))
   }
 
+  /** All within-block pairs with Jaro–Winkler similarity ≥ `threshold`
+    * (id_a < id_b) — the prefix-weighted cousin of [[fuzzyPairs]] for the
+    * name/typo regime where a shared stem matters more than raw edit
+    * count. Same scale architecture: balanced triangle over deterministic
+    * id-hash chunks, in-plan oversize-block guard, and a LOSSLESS length
+    * prune before the O(len·window) kernel runs — m ≤ min(|a|,|b|) bounds
+    * jaro ≤ (2 + lmin/lmax)/3 and the Winkler boost is monotone in jaro,
+    * so ub_jw = ub + 0.4·(1−ub) < threshold can never cut a true match.
+    * The similarity itself is the codegen
+    * [[graft.functions.JaroWinklerExpr]] (Spark has no built-in JW). */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+      blockCol: String, threshold: Double, chunks: Int = 8,
+      maxBlockSize: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+      .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
+    val counts = base.groupBy(col("blk")).agg(count(lit(1)).as("__bn"))
+    val guarded = base.join(broadcast(counts), Seq("blk"))
+      .filter(when(col("__bn") > maxBlockSize,
+        raise_error(concat(
+          lit("jaroWinklerPairs: block '"), col("blk").cast("string"),
+          lit("' holds "), col("__bn").cast("string"),
+          lit(s" rows > maxBlockSize=$maxBlockSize; in-block pair work is" +
+            " quadratic — refine the blocking key or raise maxBlockSize")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__bn")
+    val lo = guarded.select(col("blk"),
+      explode(sequence(col("ck"), lit(chunks - 1))).as("hi"),
+      col("ck").as("lo"), col("id").as("id_a"), col("s").as("s_a"),
+      col("len").as("len_a"))
+    val hi = base.select(col("blk"),
+      explode(sequence(lit(0), col("ck"))).as("lo"), col("ck").as("hi"),
+      col("id").as("id_b"), col("s").as("s_b"), col("len").as("len_b"))
+    val lmin = least(col("len_a"), col("len_b")).cast("double")
+    val lmax = greatest(col("len_a"), col("len_b")).cast("double")
+    val jaroUb = (lit(2.0) + lmin / lmax) / lit(3.0)
+    val jwUb = jaroUb + lit(0.4) * (lit(1.0) - jaroUb)
+    val jw = graft.functions.JaroWinklerExpr.jaroWinkler(df.sparkSession,
+      col("s_a"), col("s_b"))
+    lo.join(hi.hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
+      .filter(col("lo") =!= col("hi") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(jwUb >= threshold)
+      .withColumn("jw", jw)
+      .filter(col("jw") >= threshold)
+      .select(col("blk"),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("jw"), 6).as("jw_sim"))
+  }
+
   /** COMPOSED entity resolution: [[fuzzyPairs]] match graph → connected-
     * components transitive closure ([[Cluster.connectedComponents]]) →
     * every record mapped to its entity (cluster min id), with the

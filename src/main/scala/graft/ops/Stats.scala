@@ -465,4 +465,36 @@ object Stats {
         col("__med").as("med"), col("__mad").as("mad"), col("rz"),
         col("is_outlier"))
   }
+
+  /** Wilson score interval for a per-group binomial proportion — the
+    * conversion-rate / pass-rate readout with honest uncertainty at
+    * small n (the naive ±z√(p(1−p)/n) interval collapses to a point at
+    * p∈{0,1} and escapes [0,1]; Wilson does neither):
+    *
+    *   center = (p + z²/2n) / (1 + z²/n)
+    *   margin = z·√(p(1−p)/n + z²/4n²) / (1 + z²/n)
+    *
+    * `flagCol` is the success predicate. One count-only group shuffle
+    * (map-combinable); the interval arithmetic runs on the group-sized
+    * result. The formula is evaluated with FIXED parenthesization in
+    * doubles — the SQL oracle mirrors the same operation order, so both
+    * engines produce identical IEEE results, rendered at 6 dp. */
+  def wilsonIntervals(df: DataFrame, groupCols: Seq[String],
+      flag: org.apache.spark.sql.Column, z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"z must be > 0, got $z")
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count(when(flag, lit(1))).as("successes"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val margin = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))) / denom
+    counts.select(groupCols.map(col) ++ Seq(col("n"), col("successes"),
+      round(p, 6).as("p_hat"),
+      round(center - margin, 6).as("ci_lo"),
+      round(center + margin, 6).as("ci_hi")): _*)
+  }
 }

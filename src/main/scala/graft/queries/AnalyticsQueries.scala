@@ -313,6 +313,38 @@ object AnalyticsQueries {
       graft.ops.Retrieval.rankBiasedOverlap(a, b, "source", "doc_id",
           "rank", k = 10, p = 0.9)
         .orderBy("q")
+    },
+    // Jaro–Winkler blocked linkage: within-brand part-name pairs at
+    // jw >= 0.92 via the native codegen expression (Spark has no
+    // built-in JW) — triangle chunks + lossless length upper-bound prune
+    "q_jw_linkage" -> { (s, d) =>
+      graft.ops.Linkage.jaroWinklerPairs(Tables.part(s, d), "p_partkey",
+          "p_name", "p_brand", threshold = 0.92)
+        .orderBy("blk", "id_a", "id_b")
+    },
+    // per-user union of overlapping activity intervals (ts + value
+    // minutes): gaps-and-islands merge, exact integer microseconds
+    "q_interval_union" -> { (s, d) =>
+      graft.ops.Behavior.intervalUnion(Tables.events(s, d), "user_id",
+          "ts", "value")
+        .orderBy("u")
+    },
+    // Wilson 95% interval for the daily per-type share of high-value
+    // events — fixed-parenthesization doubles, mirrored in the oracle
+    "q_wilson_ci" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("day",
+        floor(unix_timestamp(col("ts")).cast("double") / 86400d))
+      graft.ops.Stats.wilsonIntervals(ev, Seq("event_type", "day"),
+          col("value") > 100.0, z = 1.96)
+        .orderBy("event_type", "day")
+    },
+    // market-basket association rules over order line items: support /
+    // confidence / lift for part pairs co-ordered >= 2 times — basket-
+    // keyed self-join (per-basket quadratic, bounded by order width)
+    "q_assoc_rules" -> { (s, d) =>
+      graft.ops.Behavior.associationRules(Tables.lineitem(s, d),
+          "l_orderkey", "l_partkey", minPairBaskets = 2L)
+        .orderBy("antecedent", "consequent")
     })
 
   private val tokensSql =
@@ -900,7 +932,83 @@ object AnalyticsQueries {
         |SELECT q, CAST(max(x) AS BIGINT) AS overlap_at_k,
         |  round(CAST(sum(tt) AS DOUBLE) * (1.0 - 0.9), 6) AS rbo
         |FROM t GROUP BY q ORDER BY q""".stripMargin
-    })
+    },
+    // DuckDB ships jaro_winkler_similarity natively (boost threshold
+    // 0.7, prefix cap 4, scale 0.1, empties -> 0 — the same published
+    // definition the codegen kernel implements)
+    "q_jw_linkage" ->
+      """WITH p AS (SELECT p_partkey AS id, p_brand AS blk, p_name AS s
+        |  FROM part)
+        |SELECT a.blk, a.id AS id_a, b.id AS id_b,
+        |  round(jaro_winkler_similarity(a.s, b.s), 6) AS jw_sim
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.92
+        |ORDER BY a.blk, id_a, id_b""".stripMargin,
+    "q_interval_union" ->
+      """WITH t AS (SELECT user_id AS u, epoch_us(ts) AS s,
+        |    epoch_us(ts) + greatest(
+        |      CAST(CAST(value AS DECIMAL(14,2)) * 60000000 AS BIGINT), 0) AS e
+        |  FROM events),
+        |w AS (SELECT u, s, e,
+        |    max(e) OVER (PARTITION BY u ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM t),
+        |g AS (SELECT u, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY u ORDER BY s, e
+        |        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM w),
+        |i AS (SELECT u, island, min(s) AS i_s, max(e) AS i_e,
+        |    count(*) AS n
+        |  FROM g GROUP BY 1, 2)
+        |SELECT u, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+        |  CAST(max(i_e - i_s) AS BIGINT) AS longest_us,
+        |  CAST(sum(n) AS BIGINT) AS n_intervals
+        |FROM i GROUP BY u ORDER BY u""".stripMargin,
+    // arithmetic parenthesization mirrors Stats.wilsonIntervals exactly
+    // (identical IEEE operation order -> identical doubles)
+    "q_wilson_ci" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN value > 100.0 THEN 1 END) AS BIGINT)
+        |      AS successes
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, day, n, successes,
+        |    CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    1.96 * 1.96 AS z2, CAST(n AS DOUBLE) AS nd
+        |  FROM c)
+        |SELECT event_type, day, n, successes, round(p, 6) AS p_hat,
+        |  round((p + z2 / (2.0 * nd)) / (1.0 + z2 / nd)
+        |    - (1.96 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)))
+        |      / (1.0 + z2 / nd), 6) AS ci_lo,
+        |  round((p + z2 / (2.0 * nd)) / (1.0 + z2 / nd)
+        |    + (1.96 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)))
+        |      / (1.0 + z2 / nd), 6) AS ci_hi
+        |FROM x ORDER BY event_type, day""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items),
+        |it AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM items
+        |  GROUP BY 1),
+        |pr AS (SELECT a.i AS x, c.i AS y, CAST(count(*) AS BIGINT) AS pn
+        |  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT x AS antecedent, y AS consequent, pn FROM pr
+        |  UNION ALL SELECT y, x, pn FROM pr)
+        |SELECT d.antecedent, d.consequent, pn AS pair_baskets,
+        |  ia.cnt AS ante_baskets, ic.cnt AS cons_baskets,
+        |  round(CAST(pn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+        |  round(CAST(pn AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6)
+        |    AS confidence,
+        |  round((CAST(pn AS DOUBLE) / CAST(ia.cnt AS DOUBLE))
+        |    / (CAST(ic.cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS lift
+        |FROM d JOIN it ia ON d.antecedent = ia.i
+        |  JOIN it ic ON d.consequent = ic.i
+        |CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin)
 
   /** The md5 Horner fold (60-bit salted hash) — DuckDB form of
     * `conv(substring(md5(x), 1, 15), 16, 10)`; shared textually with

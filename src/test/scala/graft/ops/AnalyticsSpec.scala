@@ -991,4 +991,112 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq((0.25, 10.0, 10.0), (0.5, 20.0, 20.0),
       (0.75, 30.0, 30.0), (1.0, 40.0, 40.0)))
   }
+
+  test("jaroWinkler kernel: published examples + DuckDB conventions") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double = graft.functions.JaroWinklerExpr
+      .sim(UTF8String.fromString(a), UTF8String.fromString(b))
+    def r(x: Double) = math.rint(x * 1e9) / 1e9
+    // Winkler's canonical example: jaro 17/18, one transposition
+    assert(r(jw("martha", "marhta")) == r(0.9611111111111111))
+    // boost threshold: prefix exists but jaro <= 0.7 -> no boost
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") == 0.6)
+    // prefix cap at 4: jaro 0.80952..., + 4*0.1*(1-jaro)
+    assert(r(jw("abcdef", "abcdefgggggggg")) == r(0.8857142857142858))
+    // empties -> 0 (incl. both), the DuckDB/rapidfuzz convention
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0)
+    // window 0 at len 2: 'ab' vs 'ba' finds no matches
+    assert(jw("ab", "ba") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    // case-sensitive: DuckDB gives 0.84 for DwAyNE/DuANE
+    assert(r(jw("DwAyNE", "DuANE")) == r(0.8400000000000001))
+  }
+
+  test("jaroWinklerPairs: threshold, symmetry reorder, length-prune losslessness") {
+    import spark.implicits._
+    val df = Seq((1L, "martha", "b1"), (2L, "marhta", "b1"),
+      (3L, "zzzzzz", "b1"), (4L, "martha", "b2"),
+      // same block, wildly different lengths: the ub prune must not
+      // cut the true pair (identical strings after the block split)
+      (5L, "ab", "b2"), (6L, "martha", "b2"))
+      .toDF("id", "name", "blk")
+    val out = Linkage.jaroWinklerPairs(df, "id", "name", "blk",
+        threshold = 0.9)
+      .orderBy("blk", "id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(("b1", 1L, 2L, 0.961111),
+      ("b2", 4L, 6L, 1.0)))
+  }
+
+  test("intervalUnion: overlap merge, touching merge, gaps, negative clamp") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val df = Seq(
+      // u1: [0,10) + [5,15) overlap -> island [0,15); [15,20) touches
+      // -> merges; [30,40) gap -> second island
+      (1L, ts(0), 10.0), (1L, ts(5), 10.0), (1L, ts(15), 5.0),
+      (1L, ts(30), 10.0),
+      // u2: negative duration clamps to a point; alone -> zero-width
+      (2L, ts(0), -5.0))
+      .toDF("user_id", "ts", "value")
+    val out = Behavior.intervalUnion(df, "user_id", "ts", "value")
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val m = 60000000L // µs per minute
+    assert(out == Seq(
+      (1L, 2L, 20 * m + 10 * m, 20 * m, 4L),
+      (2L, 1L, 0L, 0L, 1L)))
+  }
+
+  test("wilsonIntervals: hand-checked bounds, p=0 and p=1 stay inside [0,1]") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("a", i <= 7)) ++
+      (1 to 5).map(_ => ("b", false)) ++ (1 to 5).map(_ => ("c", true))
+    val out = Stats.wilsonIntervals(df.toDF("g", "ok"), Seq("g"),
+        col("ok"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    def wilson(s: Int, n: Int) = {
+      val nd = n.toDouble; val p = s.toDouble / nd
+      val z = 1.96; val z2 = z * z
+      val denom = 1.0 + z2 / nd
+      val c = (p + z2 / (2.0 * nd)) / denom
+      val mrg = (z * math.sqrt(p * (1.0 - p) / nd +
+        z2 / (4.0 * nd * nd))) / denom
+      (math.rint((c - mrg) * 1e6) / 1e6, math.rint((c + mrg) * 1e6) / 1e6)
+    }
+    val (alo, ahi) = wilson(7, 10)
+    assert(out(0) == ("a", 10L, 7L, 0.7, alo, ahi))
+    // p = 0: lower bound exactly 0, upper strictly inside (0, 1)
+    val (blo, bhi) = wilson(0, 5)
+    assert(out(1) == ("b", 5L, 0L, 0.0, blo, bhi))
+    assert(blo == 0.0 && bhi > 0.0 && bhi < 1.0)
+    // p = 1: mirror
+    val (clo, chi) = wilson(5, 5)
+    assert(out(2) == ("c", 5L, 5L, 1.0, clo, chi))
+    assert(clo > 0.0 && clo < 1.0 && chi == 1.0)
+  }
+
+  test("associationRules: hand-computed support/confidence/lift, dedup, threshold") {
+    import spark.implicits._
+    // 4 baskets; item 1 in b1..b3, item 2 in b1..b2 (twice in b1 — must
+    // dedupe), item 3 only in b4 (never paired >= 2)
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (40L, 3L)).toDF("b", "i")
+    val out = Behavior.associationRules(df, "b", "i", minPairBaskets = 2L)
+      .orderBy("antecedent", "consequent").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toSeq
+    // pair (1,2): 2 baskets of 4 -> support .5; 1->2 conf 2/3,
+    // lift (2/3)/(2/4) = 4/3; 2->1 conf 1, lift 1/(3/4) = 4/3
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out == Seq(
+      (1L, 2L, 2L, 3L, 2L, 0.5, r6(2.0 / 3.0), r6((2.0 / 3.0) / 0.5)),
+      (2L, 1L, 2L, 2L, 3L, 0.5, 1.0, r6(1.0 / 0.75))))
+  }
 }
