@@ -160,7 +160,10 @@ object ScaleBench {
     "q_jw_linkage", "q_interval_union", "q_wilson_ci",
     // basket-keyed association rules (per-basket quadratic bounded by
     // order width; two count shuffles + item joins)
-    "q_assoc_rules")
+    "q_assoc_rules",
+    // two-sample KS drift: one (group,value) count shuffle + summary
+    // windows over the value domain
+    "q_ks_test")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -295,7 +298,8 @@ object ScaleBench {
     "q_jw_linkage" -> Set("part"),
     "q_interval_union" -> Set("events"),
     "q_wilson_ci" -> Set("events"),
-    "q_assoc_rules" -> Set("lineitem"))
+    "q_assoc_rules" -> Set("lineitem"),
+    "q_ks_test" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

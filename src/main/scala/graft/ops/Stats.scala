@@ -466,6 +466,60 @@ object Stats {
         col("is_outlier"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test per group — the
+    * distribution-free companion of [[psiDrift]] (PSI needs a binning
+    * choice; KS compares the FULL empirical CDFs and is sensitive
+    * anywhere they separate): D = max over observed values of
+    * |F̂_base(v) − F̂_cur(v)|, flagged against the large-sample critical
+    * value c(α)·√((n₁+n₂)/(n₁·n₂)) (c = 1.358 at α = 0.05).
+    *
+    * Exactness: the ECDF steps are single IEEE divisions of exact
+    * integer cumulative counts (identical operation order in the
+    * oracle), D is a max over that identical double set, and the drift
+    * decision compares the 6-dp renders of D and the critical value —
+    * engine-stable. A group missing either sample emits null D (no
+    * drift verdict), not a division error.
+    *
+    * Shape: raw rows shuffle ONCE into per-(group, value) counts; the
+    * cumulative window runs over the value-domain-sized summary frame
+    * (the [[psiDrift]]/[[madOutliers]] discipline — never a window over
+    * raw rows). */
+  def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+      snapshotCol: String, baseLabel: String, currentLabel: String,
+      critical: Double = 1.358): DataFrame = {
+    require(critical > 0.0, s"critical must be > 0, got $critical")
+    val counts = df
+      .filter(col(snapshotCol).isin(baseLabel, currentLabel) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(snapshotCol).as("s"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("g", "v")
+      .agg(sum(when(col("s") === baseLabel, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("s") === currentLabel, 1L).otherwise(0L)).as("__nc"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("g"))
+    val tb = col("__tb").cast("double")
+    val tc = col("__tc").cast("double")
+    val d = abs(col("__cb").cast("double") / tb -
+      col("__cc").cast("double") / tc)
+    counts
+      .withColumn("__cb", sum(col("__nb")).over(cum))
+      .withColumn("__cc", sum(col("__nc")).over(cum))
+      .withColumn("__tb", sum(col("__nb")).over(tot))
+      .withColumn("__tc", sum(col("__nc")).over(tot))
+      .withColumn("__d", when(col("__tb") > 0L && col("__tc") > 0L, d))
+      .groupBy(col("g"))
+      .agg(max(col("__tb")).as("n_base"), max(col("__tc")).as("n_cur"),
+        round(max(col("__d")), 6).as("ks_d"))
+      .withColumn("ks_crit", when(col("n_base") > 0L && col("n_cur") > 0L,
+        round(lit(critical) * sqrt(
+          (col("n_base").cast("double") + col("n_cur").cast("double")) /
+            (col("n_base").cast("double") * col("n_cur").cast("double"))),
+          6)))
+      .withColumn("drifted", col("ks_d") > col("ks_crit"))
+  }
+
   /** Wilson score interval for a per-group binomial proportion — the
     * conversion-rate / pass-rate readout with honest uncertainty at
     * small n (the naive ±z√(p(1−p)/n) interval collapses to a point at

@@ -345,6 +345,16 @@ object AnalyticsQueries {
       graft.ops.Behavior.associationRules(Tables.lineitem(s, d),
           "l_orderkey", "l_partkey", minPairBaskets = 2L)
         .orderBy("antecedent", "consequent")
+    },
+    // two-sample KS drift per event type between the month's halves —
+    // full-ECDF max gap, engine-identical double steps, 6-dp decision
+    "q_ks_test" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("snap",
+        when(unix_timestamp(col("ts")) < 1705363200L, lit("base"))
+          .otherwise(lit("cur")))
+      graft.ops.Stats.ksTwoSample(ev, "value", "event_type", "snap",
+          "base", "cur")
+        .orderBy("g")
     })
 
   private val tokensSql =
@@ -1008,7 +1018,44 @@ object AnalyticsQueries {
         |FROM d JOIN it ia ON d.antecedent = ia.i
         |  JOIN it ic ON d.consequent = ic.i
         |CROSS JOIN nb
-        |ORDER BY antecedent, consequent""".stripMargin)
+        |ORDER BY antecedent, consequent""".stripMargin,
+    // ECDF steps mirror ksTwoSample's operation order exactly
+    "q_ks_test" ->
+      """WITH f AS (SELECT event_type AS g,
+        |    CASE WHEN floor(epoch(ts)) < 1705363200 THEN 'base' ELSE 'cur'
+        |      END AS s, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT g, v,
+        |    CAST(sum(CASE WHEN s = 'base' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN s = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc
+        |  FROM f GROUP BY 1, 2),
+        |w AS (SELECT g, v,
+        |    sum(nb) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cb,
+        |    sum(nc) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cc,
+        |    sum(nb) OVER (PARTITION BY g) AS tb,
+        |    sum(nc) OVER (PARTITION BY g) AS tc
+        |  FROM c),
+        |m AS (SELECT g, CAST(max(tb) AS BIGINT) AS n_base,
+        |    CAST(max(tc) AS BIGINT) AS n_cur,
+        |    round(max(CASE WHEN tb > 0 AND tc > 0 THEN
+        |      abs(CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)
+        |        - CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE)) END), 6)
+        |      AS ks_d
+        |  FROM w GROUP BY g)
+        |SELECT g, n_base, n_cur, ks_d,
+        |  CASE WHEN n_base > 0 AND n_cur > 0 THEN
+        |    round(1.358 * sqrt((CAST(n_base AS DOUBLE)
+        |      + CAST(n_cur AS DOUBLE)) / (CAST(n_base AS DOUBLE)
+        |      * CAST(n_cur AS DOUBLE))), 6) END AS ks_crit,
+        |  ks_d > (CASE WHEN n_base > 0 AND n_cur > 0 THEN
+        |    round(1.358 * sqrt((CAST(n_base AS DOUBLE)
+        |      + CAST(n_cur AS DOUBLE)) / (CAST(n_base AS DOUBLE)
+        |      * CAST(n_cur AS DOUBLE))), 6) END) AS drifted
+        |FROM m ORDER BY g""".stripMargin)
 
   /** The md5 Horner fold (60-bit salted hash) — DuckDB form of
     * `conv(substring(md5(x), 1, 15), 16, 10)`; shared textually with

@@ -1099,4 +1099,28 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 2L, 2L, 3L, 2L, 0.5, r6(2.0 / 3.0), r6((2.0 / 3.0) / 0.5)),
       (2L, 1L, 2L, 2L, 3L, 0.5, 1.0, r6(1.0 / 0.75))))
   }
+
+  test("ksTwoSample: hand ECDFs, identical dists, one-sided group -> null") {
+    import spark.implicits._
+    val rows =
+      // g1: base {1,2,3,4}, cur {3,4,5,6} -> D = 1/2 at v in {2, 4-}
+      Seq(("g1", "base", 1.0), ("g1", "base", 2.0), ("g1", "base", 3.0),
+        ("g1", "base", 4.0), ("g1", "cur", 3.0), ("g1", "cur", 4.0),
+        ("g1", "cur", 5.0), ("g1", "cur", 6.0)) ++
+      // g2: identical -> D = 0, not drifted
+      Seq(("g2", "base", 1.0), ("g2", "cur", 1.0)) ++
+      // g3: cur side empty -> null D, null verdict
+      Seq(("g3", "base", 1.0))
+    val out = Stats.ksTwoSample(rows.toDF("g", "snap", "v"), "v", "g",
+        "snap", "base", "cur")
+      .orderBy("g").collect()
+    assert(out(0).getString(0) == "g1" && out(0).getLong(1) == 4L &&
+      out(0).getDouble(3) == 0.5)
+    val crit = math.rint(1.358 * math.sqrt((4.0 + 4.0) / (4.0 * 4.0)) *
+      1e6) / 1e6
+    assert(out(0).getDouble(4) == crit)
+    assert(!out(0).getBoolean(5)) // 0.5 < 0.960251: no drift at n=4
+    assert(out(1).getDouble(3) == 0.0 && !out(1).getBoolean(5))
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4) && out(2).isNullAt(5))
+  }
 }
