@@ -48,7 +48,9 @@ object ExplainAudit {
         "d_prefix_jaccard", "q_profile_table", "q_group_topk",
         "q_time_weighted_avg", "q_entity_resolution", "q_label_prop",
         "q_histogram", "q_group_mode", "q_corr_matrix", "q_benford",
-        "q_jw_linkage", "q_interval_union", "q_wilson_ci", "q_assoc_rules", "q_ks_test")
+        "q_jw_linkage", "q_interval_union", "q_wilson_ci", "q_assoc_rules", "q_ks_test",
+        "q_emd_drift", "q_cohen_kappa", "q_reliability_bins", "q_calibration",
+        "q_search_eval")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

@@ -163,7 +163,12 @@ object ScaleBench {
     "q_assoc_rules",
     // two-sample KS drift: one (group,value) count shuffle + summary
     // windows over the value domain
-    "q_ks_test")
+    "q_ks_test",
+    // round-10 eval wave: Wasserstein drift (same ECDF machinery + a
+    // lead window), kappa (one cell shuffle + label-domain joins),
+    // calibration (one bin shuffle), TREC scorecard (judgment-bounded
+    // windows + k-bounded per-system shuffles)
+    "q_emd_drift", "q_cohen_kappa", "q_calibration", "q_search_eval")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -299,7 +304,11 @@ object ScaleBench {
     "q_interval_union" -> Set("events"),
     "q_wilson_ci" -> Set("events"),
     "q_assoc_rules" -> Set("lineitem"),
-    "q_ks_test" -> Set("events"))
+    "q_ks_test" -> Set("events"),
+    "q_emd_drift" -> Set("events"),
+    "q_cohen_kappa" -> Set("documents"),
+    "q_calibration" -> Set("documents"),
+    "q_search_eval" -> Set("lineitem"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

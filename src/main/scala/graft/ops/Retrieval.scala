@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ranked text retrieval over the corpus — BM25 (Robertson/Lucene
@@ -379,4 +379,117 @@ object Retrieval {
     * operator and (textually) its oracle. */
   def rboWeights(p: Double, k: Int): Seq[Double] =
     (1 to k).map(d => math.rint(math.pow(p, d - 1) * 1e9) / 1e9)
+
+  /** round(1/log₂(r+1), 9) for r = 1..k — the DCG rank discounts as
+    * compiled constants shared by [[searchEval]] and (textually) its
+    * oracle, so neither engine's log() ulps enter the metric. */
+  def dcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(r =>
+      math.rint(1e9 / (math.log(r + 1.0) / math.log(2.0))) / 1e9)
+
+  /** Offline retrieval-quality evaluation — per system: mean nDCG@k,
+    * MRR@k and recall@k against graded judgments (the TREC-style
+    * scorecard that decides which ranker ships; [[rrfFuse]] COMBINES
+    * systems and [[rankBiasedOverlap]] measures their agreement — this
+    * measures each against ground truth):
+    *
+    *   DCG@k  = Σ_{rank r ≤ k} (2^rel − 1) · w_r,  w_r = 1/log₂(r+1)
+    *   nDCG@k = DCG@k / IDCG@k (IDCG from the judgments sorted rel
+    *            desc, doc asc — deterministic ties)
+    *   MRR@k  = 1/first-relevant-rank (0 when no relevant doc in top-k)
+    *   recall@k = relevant-retrieved@k / total-relevant
+    *
+    * `runs` carries (system, query, doc, rank); `qrels` carries
+    * (query, doc, graded rel ≥ 0). Only queries with ≥1 positive
+    * judgment are evaluated (metrics are undefined otherwise — the
+    * trec_eval convention); a system with NO rows for such a query
+    * scores 0 on it rather than dropping it (a ranker is not excused
+    * from a query by ignoring it).
+    *
+    * Exactness: the w_r discounts are compiled 9-dp constants (the
+    * [[rboWeights]] discipline), gains 2^rel − 1 are exact integer
+    * shifts, per-doc terms quantize to DECIMAL(28,14) before every
+    * order-invariant sum, and nDCG/MRR/recall are single IEEE
+    * divisions; means render at 6 dp.
+    *
+    * Shape: one (query, doc) equi-join of rank-bounded runs onto the
+    * judgments, one (system, query) shuffle of k-bounded rows, one
+    * system-sized final aggregate. The ideal-DCG window partitions on
+    * the query over the JUDGMENTS frame only — the corpus never sorts.
+    * The distinct-systems frame is broadcast onto the per-query stats
+    * (every side k- or judgment-bounded; nothing scales with the
+    * corpus). */
+  def searchEval(runs: DataFrame, qrels: DataFrame, systemCol: String,
+      queryCol: String, docCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val disc = dcgDiscounts(k)
+    def discAt(r: Column): Column =
+      disc.zipWithIndex.foldRight(lit(0.0)) { case ((w, i), acc) =>
+        when(r === (i + 1).toLong, lit(w)).otherwise(acc)
+      }
+    // 2^rel − 1 as compiled exact long constants (rel 0..30 — graded
+    // judgments are single digits; the in-plan guard keeps a corrupt
+    // rel column from silently wrapping)
+    def gain(rel: Column): Column =
+      (0 to 30).foldRight(raise_error(concat(
+        lit("searchEval: rel grade out of [0, 30]: "), rel))
+          .cast("double")) { case (g, acc) =>
+        when(rel === g.toLong, lit(((1L << g) - 1L).toDouble))
+          .otherwise(acc)
+      }
+    val qr = qrels
+      .select(col(queryCol).as("q"), col(docCol).as("__i"),
+        col(relCol).cast("long").as("__rel"))
+      .filter(col("__rel").isNotNull && col("__rel") >= 0L)
+    val wIdeal = Window.partitionBy(col("q"))
+      .orderBy(col("__rel").desc, col("__i"))
+    val qstats = qr
+      .withColumn("__r", row_number().over(wIdeal).cast("long"))
+      .withColumn("__ig", when(col("__r") <= k.toLong && col("__rel") > 0L,
+        (gain(col("__rel")) * discAt(col("__r")))
+          .cast("decimal(28,14)")))
+      .groupBy("q")
+      .agg(sum(when(col("__rel") > 0L, 1L).otherwise(0L)).as("__nrel"),
+        sum(col("__ig")).as("__idcg"))
+      .filter(col("__nrel") > 0L)
+    val rn = runs
+      .select(col(systemCol).as("system"), col(queryCol).as("q"),
+        col(docCol).as("__i"), col(rankCol).cast("long").as("__r"))
+      .filter(col("__r").isNotNull && col("__r") >= 1L &&
+        col("__r") <= k.toLong)
+    val perQ = rn
+      .join(qr, Seq("q", "__i"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+      .groupBy("system", "q")
+      .agg(
+        sum(when(col("__rel") > 0L,
+          (gain(col("__rel")) * discAt(col("__r")))
+            .cast("decimal(28,14)"))).as("__dcg"),
+        min(when(col("__rel") > 0L, col("__r"))).as("__fr"),
+        sum(when(col("__rel") > 0L, 1L).otherwise(0L)).as("__hits"))
+    val systems = rn.select(col("system")).distinct()
+    val base = broadcast(systems).crossJoin(qstats)
+      .join(perQ, Seq("system", "q"), "left")
+    val ndcg = coalesce(col("__dcg").cast("double"), lit(0.0)) /
+      col("__idcg").cast("double")
+    val rr = when(col("__fr").isNotNull,
+      lit(1.0) / col("__fr").cast("double")).otherwise(lit(0.0))
+    val rec = coalesce(col("__hits"), lit(0L)).cast("double") /
+      col("__nrel").cast("double")
+    base
+      .select(col("system"),
+        ndcg.cast("decimal(28,14)").as("__qn"),
+        rr.cast("decimal(28,14)").as("__qm"),
+        rec.cast("decimal(28,14)").as("__qr"))
+      .groupBy("system")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("__qn")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("ndcg"),
+        round(sum(col("__qm")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mrr"),
+        round(sum(col("__qr")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("recall"))
+  }
 }

@@ -551,4 +551,206 @@ object Stats {
       round(center - margin, 6).as("ci_lo"),
       round(center + margin, 6).as("ci_hi")): _*)
   }
+
+  /** 1-D Wasserstein-1 (earth-mover's) distance between two snapshots
+    * of a value distribution per group — the MAGNITUDE companion of
+    * [[ksTwoSample]] (KS reports the worst single separation of the
+    * ECDFs; W₁ = ∫|F̂_base − F̂_cur| dv integrates separation over the
+    * value axis, so a long small shift and a short large one are told
+    * apart — the "how far did the feature move, in its own units"
+    * readout model monitoring wants next to a drifted/not verdict):
+    *
+    *   W₁ = Σ over consecutive observed values |F̂b(vᵢ) − F̂c(vᵢ)|·(vᵢ₊₁ − vᵢ)
+    *
+    * Exactness: each ECDF step is a single IEEE division of exact
+    * cumulative integer counts, the |·|·Δv product is one
+    * fixed-parenthesization double multiply, and each term quantizes to
+    * DECIMAL(28,14) before the order-invariant exact sum (the
+    * [[psiDrift]] term discipline); double cast + 6-dp render at the
+    * edge only. A group missing either sample emits null (no distance),
+    * not a division error.
+    *
+    * Shape: raw rows shuffle ONCE into per-(group, value) counts; the
+    * cumulative + lead windows run over the value-domain-sized summary
+    * frame, never raw rows. */
+  def emdDrift(df: DataFrame, valueCol: String, groupCol: String,
+      snapshotCol: String, baseLabel: String,
+      currentLabel: String): DataFrame = {
+    val counts = df
+      .filter(col(snapshotCol).isin(baseLabel, currentLabel) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(snapshotCol).as("s"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("g", "v")
+      .agg(sum(when(col("s") === baseLabel, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("s") === currentLabel, 1L).otherwise(0L)).as("__nc"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nxt = Window.partitionBy(col("g")).orderBy(col("v"))
+    val tot = Window.partitionBy(col("g"))
+    val gap = abs(col("__cb").cast("double") / col("__tb").cast("double") -
+      col("__cc").cast("double") / col("__tc").cast("double"))
+    counts
+      .withColumn("__cb", sum(col("__nb")).over(cum))
+      .withColumn("__cc", sum(col("__nc")).over(cum))
+      .withColumn("__tb", sum(col("__nb")).over(tot))
+      .withColumn("__tc", sum(col("__nc")).over(tot))
+      .withColumn("__nv", lead(col("v"), 1).over(nxt))
+      .withColumn("__term", when(
+        col("__tb") > 0L && col("__tc") > 0L && col("__nv").isNotNull,
+        (gap * (col("__nv") - col("v"))).cast("decimal(28,14)")))
+      .groupBy(col("g"))
+      .agg(max(col("__tb")).as("n_base"), max(col("__tc")).as("n_cur"),
+        when(max(col("__tb")) > 0L && max(col("__tc")) > 0L,
+          round(coalesce(sum(col("__term")).cast("double"), lit(0.0)), 6))
+          .as("emd"))
+  }
+
+  /** Cohen's kappa agreement per group between two label columns — the
+    * chance-corrected "do my two raters/filters actually agree?" audit
+    * (raw percent agreement flatters any pair of raters on a skewed
+    * label distribution; kappa subtracts the agreement their marginals
+    * would produce by chance). The pipeline use: two quality filters or
+    * an annotator pair disagreeing near κ≈0 means the cheaper one is NOT
+    * a substitute, whatever the raw overlap says.
+    *
+    *   κ = (p_o − p_e)/(1 − p_e),  p_e = Σ_k (nAₖ/n)·(nBₖ/n)
+    *
+    * Rows where either label is null are excluded (an unlabeled item is
+    * not a disagreement). Groups with p_e = 1 (both raters constant)
+    * emit null κ. Exactness: each p_e term is two single IEEE divisions
+    * and one multiply in fixed order, quantized to DECIMAL(28,14)
+    * before the exact sum; κ is computed on unrounded doubles and
+    * rendered at 6 dp alongside 6-dp p_o/p_e.
+    *
+    * Shape: ONE shuffle into per-(group, labelA, labelB) cell counts
+    * (map-combinable); marginals and the p_e join all run on the
+    * label-domain-sized summary frame. */
+  def cohenKappa(df: DataFrame, groupCol: String, raterACol: String,
+      raterBCol: String): DataFrame = {
+    val cells = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        col(raterACol).cast("string").as("la"),
+        col(raterBCol).cast("string").as("lb"))
+      .groupBy("g", "la", "lb").agg(count(lit(1)).as("c"))
+    val perG = cells.groupBy("g")
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("la") === col("lb"), col("c")).otherwise(0L))
+          .as("__agree"))
+    val margA = cells.groupBy(col("g"), col("la").as("k"))
+      .agg(sum(col("c")).as("__na"))
+    val margB = cells.groupBy(col("g"), col("lb").as("k"))
+      .agg(sum(col("c")).as("__nb"))
+    val pe = margA.join(margB, Seq("g", "k"))
+      .join(perG.select(col("g"), col("n")), Seq("g"))
+      .withColumn("__term",
+        ((col("__na").cast("double") / col("n").cast("double")) *
+          (col("__nb").cast("double") / col("n").cast("double")))
+          .cast("decimal(28,14)"))
+      .groupBy("g").agg(sum(col("__term")).cast("double").as("__pe"))
+    val po = col("__agree").cast("double") / col("n").cast("double")
+    // left join + 0-coalesce: two raters with DISJOINT label vocabularies
+    // produce no shared marginal key (p_e = 0), not a dropped group
+    perG.join(pe, Seq("g"), "left")
+      .withColumn("__pe", coalesce(col("__pe"), lit(0.0)))
+      .select(col("g"), col("n"), round(po, 6).as("p_o"),
+        round(col("__pe"), 6).as("p_e"),
+        when(col("__pe") < 1.0,
+          round((po - col("__pe")) / (lit(1.0) - col("__pe")), 6))
+          .as("kappa"))
+  }
+
+  /** Reliability diagram for a probabilistic [0, 1] score against a
+    * boolean outcome — per fixed-width score bin: count, mean score
+    * (confidence), empirical positive rate (accuracy), and the
+    * |acc − conf| gap. A well-calibrated quality/relevance classifier
+    * tracks the diagonal; the diagram says WHERE its thresholds lie to
+    * the keep/drop decisions downstream. Bin arithmetic is the clamped
+    * [[histogram]] form over [0, 1] (a score of exactly 1 closes the
+    * last bin); out-of-range and null scores/labels are dropped. Empty
+    * bins emit n = 0 with null rates.
+    *
+    * Exactness: scores quantize to DECIMAL(28,14) per row before the
+    * order-invariant sum (a double sum's value depends on partial-agg
+    * order); conf/acc are single divisions of the exact sums rendered
+    * at 6 dp; the gap subtracts the UNROUNDED doubles, fixed
+    * parenthesization, 6 dp.
+    *
+    * Shape: one map-combinable bin shuffle; the dense bin grid is an
+    * in-plan sequence explode. */
+  def calibrationBins(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val p = col(scoreCol).cast("double")
+    val bin = when(p === 1.0, lit(bins - 1)).otherwise(least(
+      floor(p * lit(bins.toDouble)).cast("int"), lit(bins - 1)))
+    val counts = df
+      .filter(p >= 0.0 && p <= 1.0 && col(labelCol).isNotNull)
+      .select(bin.as("bin"), p.cast("decimal(28,14)").as("__p"),
+        col(labelCol).cast("boolean").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("__sp"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+    val grid = df.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val conf = col("__sp").cast("double") / col("n").cast("double")
+    val acc = col("__pos").cast("double") / col("n").cast("double")
+    grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        round(col("bin") * (lit(1.0) / lit(bins.toDouble)), 6)
+          .as("bin_lo"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(conf, 6).as("conf"), round(acc, 6).as("acc"),
+        round(abs(acc - conf), 6).as("gap"))
+  }
+
+  /** One-row calibration summary: expected calibration error and Brier
+    * score for a [0, 1] score against a boolean outcome — the two
+    * numbers a score-producing filter reports on its data card (ECE =
+    * Σ_b (n_b/N)·|acc_b − conf_b| over the [[calibrationBins]] grid;
+    * Brier = mean (p − y)², decomposable but reported whole).
+    *
+    * Exactness: Brier runs on per-row (p − y)² quantized to
+    * DECIMAL(28,14) before the exact sum, one division at the edge; ECE
+    * terms quantize the same way over the bin-sized frame. 6-dp
+    * renders. One bin shuffle total (the Brier moments ride the same
+    * aggregation). */
+  def calibrationSummary(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val p = col(scoreCol).cast("double")
+    val bin = when(p === 1.0, lit(bins - 1)).otherwise(least(
+      floor(p * lit(bins.toDouble)).cast("int"), lit(bins - 1)))
+    val y = col("__y").cast("double")
+    val perBin = df
+      .filter(p >= 0.0 && p <= 1.0 && col(labelCol).isNotNull)
+      .select(bin.as("bin"), p.as("__p"),
+        col(labelCol).cast("boolean").as("__y"))
+      .select(col("bin"), col("__p").cast("decimal(28,14)").as("__pq"),
+        when(col("__y"), 1L).otherwise(0L).as("__yi"),
+        ((col("__p") - y) * (col("__p") - y)).cast("decimal(28,14)")
+          .as("__sq"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__pq")).as("__sp"),
+        sum(col("__yi")).as("__pos"), sum(col("__sq")).as("__ssq"))
+    val conf = col("__sp").cast("double") / col("n").cast("double")
+    val acc = col("__pos").cast("double") / col("n").cast("double")
+    // grand total via a broadcast 1-row frame (the q_assoc_rules
+    // pattern), not an unpartitioned window — same value, no
+    // single-partition window stage in the plan
+    val totalN = perBin.groupBy().agg(sum(col("n")).as("__N"))
+    perBin
+      .crossJoin(broadcast(totalN))
+      .withColumn("__term",
+        ((col("n").cast("double") / col("__N").cast("double")) *
+          abs(acc - conf)).cast("decimal(28,14)"))
+      .groupBy()
+      .agg(max(col("__N")).as("n"),
+        round(sum(col("__pos")).cast("double") /
+          max(col("__N")).cast("double"), 6).as("base_rate"),
+        round(sum(col("__ssq")).cast("double") /
+          max(col("__N")).cast("double"), 6).as("brier"),
+        round(sum(col("__term")).cast("double"), 6).as("ece"))
+  }
 }

@@ -355,6 +355,81 @@ object AnalyticsQueries {
       graft.ops.Stats.ksTwoSample(ev, "value", "event_type", "snap",
           "base", "cur")
         .orderBy("g")
+    },
+    // 1-D Wasserstein drift per event type between the month's halves —
+    // the magnitude companion of q_ks_test off the same ECDF machinery
+    "q_emd_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("snap",
+        when(unix_timestamp(col("ts")) < 1705363200L, lit("base"))
+          .otherwise(lit("cur")))
+      graft.ops.Stats.emdDrift(ev, "value", "event_type", "snap",
+          "base", "cur")
+        .orderBy("g")
+    },
+    // chance-corrected agreement per source between two cheap quality
+    // raters (char-length buckets vs token-count buckets) — would the
+    // char heuristic substitute for the token one?
+    "q_cohen_kappa" -> { (s, d) =>
+      val ntok = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val rated = Tables.documents(s, d)
+        .withColumn("rater_len",
+          when(col("n_chars") < 200L, lit("short"))
+            .when(col("n_chars") < 1000L, lit("mid"))
+            .otherwise(lit("long")))
+        .withColumn("rater_tok",
+          when(ntok < 40, lit("short"))
+            .when(ntok < 200, lit("mid"))
+            .otherwise(lit("long")))
+      graft.ops.Stats.cohenKappa(rated, "source", "rater_len",
+          "rater_tok")
+        .orderBy("g")
+    },
+    // reliability diagram: is the cheap char-length proxy score
+    // calibrated against the real token-threshold keep decision?
+    "q_reliability_bins" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(
+        least(lit(1.0), col("n_chars").cast("double") / lit(2000.0))
+          .as("p"),
+        (graft.ops.TextAnalysis.tokenCount(col("text")) > 250).as("y"))
+      graft.ops.Stats.calibrationBins(scored, "p", "y", bins = 10)
+        .orderBy("bin")
+    },
+    // one-row ECE + Brier data-card summary for the same proxy score
+    "q_calibration" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(
+        least(lit(1.0), col("n_chars").cast("double") / lit(2000.0))
+          .as("p"),
+        (graft.ops.TextAnalysis.tokenCount(col("text")) > 250).as("y"))
+      graft.ops.Stats.calibrationSummary(scored, "p", "y", bins = 10)
+    },
+    // TREC-style scorecard: two md5-ranked systems over order-part
+    // judgments — nDCG@10 / MRR@10 / recall@10 per system, compiled
+    // log2 discounts, exact shift gains
+    "q_search_eval" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, d)
+        .groupBy((col("l_orderkey") % 50L).as("q"),
+          col("l_partkey").as("doc"))
+        .agg((min(col("l_quantity")).cast("long") % 4L).as("rel"))
+      def run(sys: String): DataFrame = {
+        val w = Window.partitionBy(col("q"))
+          .orderBy(col("__h"), col("doc"))
+        base.select(col("q"), col("doc"),
+            conv(substring(md5(concat(lit(sys), lit(":"),
+              col("q").cast("string"), lit(":"),
+              col("doc").cast("string"))), 1, 15), 16, 10)
+              .cast("long").as("__h"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(lit(sys).as("system"), col("q"), col("doc"),
+            col("rank"))
+      }
+      val runs = run("lex").unionByName(run("sem"))
+      graft.ops.Retrieval.searchEval(runs, base, "system", "q", "doc",
+          "rank", "rel", k = 10)
+        .orderBy("system")
     })
 
   private val tokensSql =
@@ -1055,7 +1130,198 @@ object AnalyticsQueries {
         |    round(1.358 * sqrt((CAST(n_base AS DOUBLE)
         |      + CAST(n_cur AS DOUBLE)) / (CAST(n_base AS DOUBLE)
         |      * CAST(n_cur AS DOUBLE))), 6) END) AS drifted
-        |FROM m ORDER BY g""".stripMargin)
+        |FROM m ORDER BY g""".stripMargin,
+    // W1 re-derived off the q_ks_test ECDF machinery + a lead window;
+    // |gap|·Δv products in fixed order, DECIMAL(28,14) terms
+    "q_emd_drift" ->
+      """WITH f AS (SELECT event_type AS g,
+        |    CASE WHEN floor(epoch(ts)) < 1705363200 THEN 'base' ELSE 'cur'
+        |      END AS s, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT g, v,
+        |    CAST(sum(CASE WHEN s = 'base' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN s = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc
+        |  FROM f GROUP BY 1, 2),
+        |w AS (SELECT g, v,
+        |    sum(nb) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cb,
+        |    sum(nc) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cc,
+        |    sum(nb) OVER (PARTITION BY g) AS tb,
+        |    sum(nc) OVER (PARTITION BY g) AS tc,
+        |    lead(v) OVER (PARTITION BY g ORDER BY v) AS nv
+        |  FROM c),
+        |t AS (SELECT g, tb, tc,
+        |    CASE WHEN tb > 0 AND tc > 0 AND nv IS NOT NULL THEN
+        |      CAST(abs(CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)
+        |        - CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE)) * (nv - v)
+        |        AS DECIMAL(28,14)) END AS term
+        |  FROM w)
+        |SELECT g, CAST(max(tb) AS BIGINT) AS n_base,
+        |  CAST(max(tc) AS BIGINT) AS n_cur,
+        |  CASE WHEN max(tb) > 0 AND max(tc) > 0 THEN
+        |    round(coalesce(CAST(sum(term) AS DOUBLE), 0.0), 6) END AS emd
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
+    // kappa re-derived: same cell counts, marginal join for p_e with
+    // quantized (na/n)·(nb/n) terms, decisions off unrounded doubles
+    "q_cohen_kappa" ->
+      s"""WITH r AS (SELECT source AS g,
+        |    CASE WHEN n_chars < 200 THEN 'short'
+        |      WHEN n_chars < 1000 THEN 'mid' ELSE 'long' END AS la,
+        |    CASE WHEN len($tokensSql) < 40 THEN 'short'
+        |      WHEN len($tokensSql) < 200 THEN 'mid' ELSE 'long' END AS lb
+        |  FROM documents),
+        |cells AS (SELECT g, la, lb, CAST(count(*) AS BIGINT) AS c
+        |  FROM r WHERE la IS NOT NULL AND lb IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |perg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM cells GROUP BY g),
+        |ma AS (SELECT g, la AS k, CAST(sum(c) AS BIGINT) AS na
+        |  FROM cells GROUP BY 1, 2),
+        |mb AS (SELECT g, lb AS k, CAST(sum(c) AS BIGINT) AS nb
+        |  FROM cells GROUP BY 1, 2),
+        |pe AS (SELECT ma.g,
+        |    CAST(sum(CAST((CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(28,14))) AS DOUBLE) AS pe
+        |  FROM ma JOIN mb ON ma.g = mb.g AND ma.k = mb.k
+        |    JOIN perg ON perg.g = ma.g
+        |  GROUP BY ma.g)
+        |SELECT p.g, p.n,
+        |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_o,
+        |  round(coalesce(pe.pe, 0.0), 6) AS p_e,
+        |  CASE WHEN coalesce(pe.pe, 0.0) < 1.0 THEN
+        |    round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - coalesce(pe.pe, 0.0)) / (1.0 - coalesce(pe.pe, 0.0)), 6)
+        |  END AS kappa
+        |FROM perg p LEFT JOIN pe ON pe.g = p.g ORDER BY p.g""".stripMargin,
+    // reliability bins re-derived: clamped [0,1] bin arithmetic,
+    // DECIMAL-quantized score sums, single-division conf/acc
+    "q_reliability_bins" ->
+      s"""WITH s0 AS (SELECT
+        |    least(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS p,
+        |    (len($tokensSql) > 250) AS y FROM documents),
+        |f AS (SELECT p, y FROM s0
+        |  WHERE p >= 0.0 AND p <= 1.0 AND y IS NOT NULL),
+        |b AS (SELECT CASE WHEN p = 1.0 THEN 9 ELSE
+        |      least(CAST(floor(p * 10.0) AS INTEGER), 9) END AS bin,
+        |    CAST(p AS DECIMAL(28,14)) AS pq,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS yi FROM f),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(pq) AS sp,
+        |    CAST(sum(yi) AS BIGINT) AS pos
+        |  FROM b GROUP BY bin),
+        |grid AS (SELECT unnest(range(10)) AS bin)
+        |SELECT g.bin, round(g.bin * (1.0 / 10.0), 6) AS bin_lo,
+        |  coalesce(c.n, CAST(0 AS BIGINT)) AS n,
+        |  round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS conf,
+        |  round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc,
+        |  round(abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
+        |FROM grid g LEFT JOIN c ON g.bin = c.bin ORDER BY g.bin""".stripMargin,
+    // ECE/Brier summary: per-row (p−y)² quantized before the exact sum,
+    // (n_b/N)·|acc−conf| terms quantized over the bin frame
+    "q_calibration" ->
+      s"""WITH s0 AS (SELECT
+        |    least(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS p,
+        |    (len($tokensSql) > 250) AS y FROM documents),
+        |f AS (SELECT p, y FROM s0
+        |  WHERE p >= 0.0 AND p <= 1.0 AND y IS NOT NULL),
+        |b AS (SELECT CASE WHEN p = 1.0 THEN 9 ELSE
+        |      least(CAST(floor(p * 10.0) AS INTEGER), 9) END AS bin,
+        |    CAST(p AS DECIMAL(28,14)) AS pq,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS yi,
+        |    CAST((p - (CASE WHEN y THEN 1.0 ELSE 0.0 END))
+        |      * (p - (CASE WHEN y THEN 1.0 ELSE 0.0 END))
+        |      AS DECIMAL(28,14)) AS sq FROM f),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(pq) AS sp,
+        |    CAST(sum(yi) AS BIGINT) AS pos, sum(sq) AS ssq
+        |  FROM b GROUP BY bin),
+        |w AS (SELECT *, sum(n) OVER () AS nn FROM c),
+        |t AS (SELECT *,
+        |    CAST((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(28,14)) AS term FROM w)
+        |SELECT CAST(max(nn) AS BIGINT) AS n,
+        |  round(CAST(sum(pos) AS DOUBLE) / CAST(max(nn) AS DOUBLE), 6)
+        |    AS base_rate,
+        |  round(CAST(sum(ssq) AS DOUBLE) / CAST(max(nn) AS DOUBLE), 6)
+        |    AS brier,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS ece
+        |FROM t""".stripMargin,
+    // nDCG/MRR/recall re-derived: same md5-Horner rankings, the SAME
+    // compiled 1/log2(r+1) discounts and 2^rel−1 gain constants,
+    // quantized per-query metrics, single-division means
+    "q_search_eval" -> {
+      val discCase = graft.ops.Retrieval.dcgDiscounts(10).zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+      val gainCase = (1 to 30)
+        .map(g => s"WHEN $g THEN ${((1L << g) - 1L).toDouble}")
+        .mkString(" ")
+      s"""WITH base AS (SELECT l_orderkey % 50 AS q, l_partkey AS doc,
+        |    CAST(min(l_quantity) AS BIGINT) % 4 AS rel
+        |  FROM lineitem GROUP BY 1, 2),
+        |ideal AS (SELECT q, rel, row_number() OVER (PARTITION BY q
+        |    ORDER BY rel DESC, doc ASC) AS r FROM base),
+        |qs AS (SELECT q,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nrel,
+        |    sum(CASE WHEN r <= 10 AND rel > 0 THEN
+        |      CAST((CASE rel $gainCase ELSE 0.0 END)
+        |        * (CASE r $discCase END) AS DECIMAL(28,14)) END) AS idcg
+        |  FROM ideal GROUP BY q
+        |  HAVING sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) > 0),
+        |runs AS (
+        |  SELECT 'lex' AS system, q, doc, row_number() OVER (
+        |      PARTITION BY q ORDER BY h, doc) AS r
+        |    FROM (SELECT q, doc, ${md5HornerSql(
+             "'lex:' || CAST(q AS VARCHAR) || ':' || CAST(doc AS VARCHAR)")} AS h
+        |      FROM base)
+        |  UNION ALL
+        |  SELECT 'sem' AS system, q, doc, row_number() OVER (
+        |      PARTITION BY q ORDER BY h, doc) AS r
+        |    FROM (SELECT q, doc, ${md5HornerSql(
+             "'sem:' || CAST(q AS VARCHAR) || ':' || CAST(doc AS VARCHAR)")} AS h
+        |      FROM base)),
+        |perq AS (SELECT system, q,
+        |    sum(CASE WHEN rel > 0 THEN
+        |      CAST((CASE rel $gainCase ELSE 0.0 END)
+        |        * (CASE r $discCase END) AS DECIMAL(28,14)) END) AS dcg,
+        |    min(CASE WHEN rel > 0 THEN r END) AS fr,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hits
+        |  FROM (SELECT rn.system, rn.q, rn.r, coalesce(b.rel, 0) AS rel
+        |      FROM runs rn LEFT JOIN base b
+        |        ON rn.q = b.q AND rn.doc = b.doc
+        |      WHERE rn.r <= 10)
+        |  GROUP BY 1, 2),
+        |sys AS (SELECT DISTINCT system FROM runs),
+        |ev AS (SELECT s.system, qs.q, qs.nrel, qs.idcg,
+        |    p.dcg, p.fr, p.hits
+        |  FROM sys s CROSS JOIN qs
+        |    LEFT JOIN perq p ON p.system = s.system AND p.q = qs.q),
+        |m AS (SELECT system,
+        |    CAST(coalesce(CAST(dcg AS DOUBLE), 0.0)
+        |      / CAST(idcg AS DOUBLE) AS DECIMAL(28,14)) AS qn,
+        |    CAST(CASE WHEN fr IS NOT NULL THEN
+        |        1.0 / CAST(fr AS DOUBLE) ELSE 0.0 END
+        |      AS DECIMAL(28,14)) AS qm,
+        |    CAST(CAST(coalesce(hits, 0) AS DOUBLE)
+        |      / CAST(nrel AS DOUBLE) AS DECIMAL(28,14)) AS qr
+        |  FROM ev)
+        |SELECT system, CAST(count(*) AS BIGINT) AS n_queries,
+        |  round(CAST(sum(qn) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS ndcg,
+        |  round(CAST(sum(qm) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mrr,
+        |  round(CAST(sum(qr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS recall
+        |FROM m GROUP BY system ORDER BY system""".stripMargin
+    })
 
   /** The md5 Horner fold (60-bit salted hash) — DuckDB form of
     * `conv(substring(md5(x), 1, 15), 16, 10)`; shared textually with

@@ -1123,4 +1123,95 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1).getDouble(3) == 0.0 && !out(1).getBoolean(5))
     assert(out(2).isNullAt(3) && out(2).isNullAt(4) && out(2).isNullAt(5))
   }
+
+  test("emdDrift: unit shift = 1.0, identical single value = 0, one-sided -> null") {
+    import spark.implicits._
+    val rows =
+      // g1: base {0,1}, cur {1,2} — everything shifted by +1 -> W1 = 1
+      Seq(("g1", "base", 0.0), ("g1", "base", 1.0),
+        ("g1", "cur", 1.0), ("g1", "cur", 2.0)) ++
+      // g2: identical one-point dists -> single grid value, W1 = 0
+      Seq(("g2", "base", 5.0), ("g2", "cur", 5.0)) ++
+      // g3: cur side empty -> null distance
+      Seq(("g3", "base", 1.0))
+    val out = Stats.emdDrift(rows.toDF("g", "snap", "v"), "v", "g",
+        "snap", "base", "cur")
+      .orderBy("g").collect()
+    assert(out(0).getString(0) == "g1" && out(0).getLong(1) == 2L &&
+      out(0).getLong(2) == 2L && out(0).getDouble(3) == 1.0)
+    assert(out(1).getDouble(3) == 0.0)
+    assert(out(2).isNullAt(3))
+  }
+
+  test("cohenKappa: hand 2x2, constant raters -> null, disjoint vocab -> po kappa, null exclusion") {
+    import spark.implicits._
+    val rows =
+      // g1: agree 4/6, symmetric 3/3 marginals -> pe = 0.5, kappa = 1/3
+      Seq(("g1", Some("a"), Some("a")), ("g1", Some("a"), Some("a")),
+        ("g1", Some("b"), Some("b")), ("g1", Some("a"), Some("b")),
+        ("g1", Some("b"), Some("a")), ("g1", Some("b"), Some("b"))) ++
+      // g2: both constant and equal -> po = pe = 1 -> kappa null
+      Seq(("g2", Some("x"), Some("x")), ("g2", Some("x"), Some("x"))) ++
+      // g3: disjoint label vocabularies -> pe = 0, kappa = po = 0
+      Seq(("g3", Some("a"), Some("b")), ("g3", Some("a"), Some("b"))) ++
+      // null rater rows are excluded, not disagreements
+      Seq(("g1", None, Some("a")), ("g1", Some("a"), None))
+    val out = Stats.cohenKappa(rows.toDF("g", "ra", "rb"), "g", "ra",
+        "rb")
+      .orderBy("g").collect()
+    assert(out(0).getLong(1) == 6L && out(0).getDouble(2) == 0.666667 &&
+      out(0).getDouble(3) == 0.5 && out(0).getDouble(4) == 0.333333)
+    assert(out(1).getDouble(2) == 1.0 && out(1).getDouble(3) == 1.0 &&
+      out(1).isNullAt(4))
+    assert(out(2).getDouble(2) == 0.0 && out(2).getDouble(3) == 0.0 &&
+      out(2).getDouble(4) == 0.0)
+  }
+
+  test("calibrationBins + calibrationSummary: hand bins, clamped 1.0, drops out-of-range/null") {
+    import spark.implicits._
+    val rows = Seq((0.05, Some(false)), (0.15, Some(true)),
+      (0.15, Some(false)), (1.0, Some(true)),
+      (1.5, Some(true)),   // out of [0,1]: dropped
+      (0.5, None))         // null label: dropped
+    val df = rows.toDF("p", "y")
+    val bins = Stats.calibrationBins(df, "p", "y", bins = 10)
+      .orderBy("bin").collect()
+    assert(bins.length == 10)
+    assert(bins(0).getLong(2) == 1L && bins(0).getDouble(3) == 0.05 &&
+      bins(0).getDouble(4) == 0.0 && bins(0).getDouble(5) == 0.05)
+    assert(bins(1).getLong(2) == 2L && bins(1).getDouble(3) == 0.15 &&
+      bins(1).getDouble(4) == 0.5 && bins(1).getDouble(5) == 0.35)
+    assert(bins(2).getLong(2) == 0L && bins(2).isNullAt(3))
+    assert(bins(9).getLong(2) == 1L && bins(9).getDouble(3) == 1.0 &&
+      bins(9).getDouble(4) == 1.0 && bins(9).getDouble(5) == 0.0)
+    val s = Stats.calibrationSummary(df, "p", "y", bins = 10).collect()(0)
+    assert(s.getLong(0) == 4L && s.getDouble(1) == 0.5)
+    assert(s.getDouble(2) == 0.186875) // (0.0025+0.7225+0.0225+0)/4
+    assert(s.getDouble(3) == 0.1875)   // 0.25*0.05 + 0.5*0.35 + 0.25*0
+  }
+
+  test("searchEval: hand nDCG/MRR/recall, judged-but-unserved query scores 0, no-positive query excluded") {
+    import spark.implicits._
+    val qrels = Seq(("q1", "d1", 2L), ("q1", "d2", 1L), ("q1", "d3", 0L),
+      ("q2", "d9", 0L),  // no positives: excluded from evaluation
+      ("q3", "d7", 1L))  // judged, but neither system serves it
+      .toDF("q", "doc", "rel")
+    val runs = Seq(("A", "q1", "d1", 1L), ("A", "q1", "d2", 2L),
+      ("B", "q1", "d3", 1L), ("B", "q1", "d2", 2L))
+      .toDF("system", "q", "doc", "rank")
+    val out = Retrieval.searchEval(runs, qrels, "system", "q", "doc",
+        "rank", "rel", k = 10)
+      .orderBy("system").collect()
+    // A: q1 perfect (ndcg 1, rr 1, recall 1), q3 all-zero -> means 0.5
+    assert(out(0).getString(0) == "A" && out(0).getLong(1) == 2L &&
+      out(0).getDouble(2) == 0.5 && out(0).getDouble(3) == 0.5 &&
+      out(0).getDouble(4) == 0.5)
+    // B: q1 dcg = w2·1, idcg = 3 + w2·1, rr = 1/2, recall = 1/2
+    val w2 = math.rint(1e9 / (math.log(3.0) / math.log(2.0))) / 1e9
+    val qn = BigDecimal(w2 / (3.0 + w2))
+      .setScale(14, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1).getString(0) == "B" && out(1).getLong(1) == 2L)
+    assert(out(1).getDouble(2) == math.rint(qn / 2.0 * 1e6) / 1e6)
+    assert(out(1).getDouble(3) == 0.25 && out(1).getDouble(4) == 0.25)
+  }
 }
