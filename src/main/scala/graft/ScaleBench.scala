@@ -168,7 +168,13 @@ object ScaleBench {
     // lead window), kappa (one cell shuffle + label-domain joins),
     // calibration (one bin shuffle), TREC scorecard (judgment-bounded
     // windows + k-bounded per-system shuffles)
-    "q_emd_drift", "q_cohen_kappa", "q_calibration", "q_search_eval")
+    "q_emd_drift", "q_cohen_kappa", "q_calibration", "q_search_eval",
+    // round-10 survival/association wave: Kaplan-Meier (one (group,time)
+    // count shuffle + time-domain windows), Spearman (two rank-summary
+    // joins + one exact-moment agg), JSD categorical drift (one
+    // (group,category) shuffle), Cramér's V (one cell shuffle +
+    // label-domain marginal grid)
+    "q_kaplan_meier", "q_spearman", "q_jsd_drift", "q_cramers_v")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps

@@ -753,4 +753,235 @@ object Stats {
           max(col("__N")).cast("double"), 6).as("brier"),
         round(sum(col("__term")).cast("double"), 6).as("ece"))
   }
+
+  /** Kaplan–Meier product-limit survival curve per group — the
+    * retention/lifetime readout that handles CENSORING honestly (a
+    * subject still alive at observation end is partial information, not
+    * a death; dropping or counting censored rows as events both bias
+    * the curve). Per event time t (rows emitted at event times only,
+    * the standard KM step points):
+    *
+    *   n_risk(t) = subjects with duration ≥ t
+    *   S(t)      = Π_{tᵢ ≤ t} (1 − dᵢ/n_risk(tᵢ))
+    *
+    * `eventCol` true = event observed at `durationCol`, false =
+    * censored there (leaves the risk set, no survival step).
+    *
+    * Engine-exactness: each factor 1 − d/n is a single IEEE division of
+    * exact integer counts rounded to 9 dp before the ln (both engines
+    * feed ln the same double — the [[psiDrift]] discipline), ln terms
+    * round to 10 dp and quantize to DECIMAL(28,14), the cumulative sum
+    * rides a window over the time-domain summary frame, and exp sees
+    * the 10-dp-rounded double sum; 6-dp render. A time where the whole
+    * risk set dies (d = n) zeroes the curve from there on (ln(0) never
+    * evaluates — an explicit flag carries the zero forward).
+    *
+    * Shape: raw rows shuffle ONCE into per-(group, t) event/censor
+    * counts; every window (risk-set depletion, log-survival cumsum,
+    * zero-flag) runs over the time-domain summary frame, never raw
+    * rows. */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String): DataFrame = {
+    val counts = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        col(durationCol).cast("double").as("t"),
+        col(eventCol).cast("boolean").as("e"))
+      .groupBy("g", "t")
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("t"))
+    val prevRows = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val inclRows = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val tot = Window.partitionBy(col("g"))
+    val factor = lit(1.0) - round(col("d").cast("double") /
+      col("n_risk").cast("double"), 9)
+    counts
+      .withColumn("n_risk", sum(col("d") + col("c")).over(tot) -
+        coalesce(sum(col("d") + col("c")).over(prevRows), lit(0L)))
+      .withColumn("__lf", when(col("d") > 0L && col("d") < col("n_risk"),
+        round(log(factor), 10).cast("decimal(28,14)"))
+        .otherwise(lit(0).cast("decimal(28,14)")))
+      .withColumn("__dead", max(when(col("d") === col("n_risk"), 1)
+        .otherwise(0)).over(inclRows))
+      .withColumn("survival", when(col("__dead") === 1, lit(0.0))
+        .otherwise(round(exp(round(sum(col("__lf")).over(inclRows)
+          .cast("double"), 10)), 6)))
+      .filter(col("d") > 0L)
+      .select(col("g"), col("t"), col("n_risk"), col("d"), col("c"),
+        col("survival"))
+  }
+
+  /** Spearman rank correlation per group between two value columns —
+    * the monotone-association readout Pearson can't give (Pearson sees
+    * linearity; Spearman sees any monotone trend, outlier-robust, the
+    * "is this feature drifting WITH time/size/score" question). Average
+    * ranks for ties (the standard tie convention), Pearson on the
+    * ranks.
+    *
+    * Exactness trick: DOUBLED average ranks are exact integers
+    * (2·avgrank = 2·rank_min + cnt − 1), so every moment (Σa, Σa²,
+    * Σab) is an exact DECIMAL(38,0) integer sum — no floating ranks
+    * anywhere, and Pearson is affine-invariant so the ×2 cancels. The
+    * final ρ is fixed-parenthesization double arithmetic on the exact
+    * moments ([[corrMatrix]] discipline), 6-dp render; constant
+    * columns (zero rank variance) emit null.
+    *
+    * Shape: NO window over raw rows — rank_min = cumulative count over
+    * the per-(group, value) summary frame (the [[percentRankNormalize]]
+    * ECDF machinery), joined back on (group, value). Two count
+    * shuffles + two summary joins + one moment aggregate. */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String,
+      groupCol: String): DataFrame = {
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("g"), col(xCol).cast("double").as("a"),
+        col(yCol).cast("double").as("b"))
+    // renamed join keys: ra/rb share base's lineage, and dataframe-
+    // qualified g/v references on a self-derived join are ambiguous
+    def ranks2(vc: String, gk: String, vk: String,
+        rName: String): DataFrame = {
+      val cum = Window.partitionBy(col(gk)).orderBy(col(vk))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col("g").as(gk), col(vc).as(vk))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__cum", sum(col("cnt")).over(cum))
+        // 2·avgrank = 2·(cum − cnt + 1) + (cnt − 1) = 2·cum − cnt + 1
+        .select(col(gk), col(vk),
+          (lit(2L) * col("__cum") - col("cnt") + lit(1L)).as(rName))
+    }
+    val ra = ranks2("a", "__ga", "__va", "__sa")
+    val rb = ranks2("b", "__gb", "__vb", "__sb")
+    def qd(c: Column) = c.cast("decimal(19,0)")
+    val joined = base
+      .join(ra, col("g") === col("__ga") && col("a") === col("__va"))
+      .join(rb, col("g") === col("__gb") && col("b") === col("__vb"))
+    val moments = joined.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(qd(col("__sa"))).cast("decimal(38,0)").as("__ta"),
+        sum(qd(col("__sb"))).cast("decimal(38,0)").as("__tb"),
+        sum(qd(col("__sa")) * qd(col("__sa"))).cast("decimal(38,0)")
+          .as("__taa"),
+        sum(qd(col("__sb")) * qd(col("__sb"))).cast("decimal(38,0)")
+          .as("__tbb"),
+        sum(qd(col("__sa")) * qd(col("__sb"))).cast("decimal(38,0)")
+          .as("__tab"))
+    val n = col("n").cast("double")
+    def d(c: Column) = c.cast("double")
+    val num = n * d(col("__tab")) - d(col("__ta")) * d(col("__tb"))
+    val denA = n * d(col("__taa")) - d(col("__ta")) * d(col("__ta"))
+    val denB = n * d(col("__tbb")) - d(col("__tb")) * d(col("__tb"))
+    moments.select(col("g"), col("n"),
+      when(denA > 0.0 && denB > 0.0,
+        round(num / (sqrt(denA) * sqrt(denB)), 6)).as("rho"))
+  }
+
+  /** ln 2 as a compiled full-precision constant, shared by
+    * [[jsDivergence]] and (textually) its oracle — the nats→bits
+    * division never calls an engine log. */
+  val Ln2: Double = 0.6931471805599453
+
+  /** Jensen–Shannon divergence (base 2, in [0, 1]) between two
+    * snapshots of a CATEGORICAL distribution per group — the
+    * vocabulary/label-drift companion of [[psiDrift]] (PSI needs
+    * numeric bins and explodes on empty ones; JSD is the symmetric,
+    * always-finite KL blend that handles categories present in only
+    * one snapshot natively):
+    *
+    *   JSD = ½·KL(p ‖ m) + ½·KL(q ‖ m),  m = (p + q)/2
+    *
+    * Engine-exactness: shares round to 9 dp before any ln (the
+    * [[psiDrift]] discipline), m rounds to 9 dp off the rounded
+    * shares, each p·ln(p/m) term rounds to 10 dp and quantizes to
+    * DECIMAL(28,14) for the order-invariant sum; the two KL halves sum
+    * SEPARATELY and combine with fixed parenthesization; ÷[[Ln2]] is a
+    * compiled constant; 6-dp render. Zero-share terms contribute
+    * exactly 0 (0·ln 0 = 0, in-plan guard, never an ln(0) call).
+    * A group missing either snapshot emits null.
+    *
+    * Shape: raw rows shuffle ONCE into per-(group, category) counts;
+    * totals and both KL sums ride the category-domain summary frame. */
+  def jsDivergence(df: DataFrame, categoryCol: String,
+      snapshotCol: String, baseLabel: String, currentLabel: String,
+      groupCol: String): DataFrame = {
+    val counts = df
+      .filter(col(snapshotCol).isin(baseLabel, currentLabel) &&
+        col(categoryCol).isNotNull)
+      .select(col(groupCol).as("g"), col(snapshotCol).as("s"),
+        col(categoryCol).as("cat"))
+      .groupBy("g", "cat")
+      .agg(sum(when(col("s") === baseLabel, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("s") === currentLabel, 1L).otherwise(0L)).as("__nc"))
+    val tot = Window.partitionBy(col("g"))
+    def share(nc: Column, tc: Column): Column =
+      when(tc > 0L, round(nc.cast("double") / tc.cast("double"), 9))
+        .otherwise(lit(0.0))
+    def klTerm(p: Column, m: Column): Column =
+      when(p > 0.0, round(p * log(p / m), 10).cast("decimal(28,14)"))
+        .otherwise(lit(0).cast("decimal(28,14)"))
+    counts
+      .withColumn("__tb", sum(col("__nb")).over(tot))
+      .withColumn("__tc", sum(col("__nc")).over(tot))
+      .withColumn("__p", share(col("__nb"), col("__tb")))
+      .withColumn("__q", share(col("__nc"), col("__tc")))
+      .withColumn("__m", round((col("__p") + col("__q")) * 0.5, 9))
+      .groupBy(col("g"))
+      .agg(max(col("__tb")).as("n_base"), max(col("__tc")).as("n_cur"),
+        count(lit(1)).as("n_categories"),
+        when(max(col("__tb")) > 0L && max(col("__tc")) > 0L,
+          round((sum(klTerm(col("__p"), col("__m"))).cast("double") +
+            sum(klTerm(col("__q"), col("__m"))).cast("double")) * 0.5 /
+            lit(Ln2), 6)).as("jsd"))
+  }
+
+  /** Cramér's V association between two categorical columns per group —
+    * the "are these two labels entangled?" audit ([[cohenKappa]] needs
+    * the SAME label space on both sides; V works on any r×c pair —
+    * lang × source, template × split — and normalizes χ² to [0, 1]
+    * so strength is comparable across tables):
+    *
+    *   V = √( χ² / (n · (min(r, c) − 1)) ),
+    *   χ² = Σ_cells (o − e)²/e,  e = rowTotal·colTotal/n
+    *
+    * Engine-exactness: e is fixed-parenthesization double arithmetic
+    * on exact integer totals ((row·col)/n), each χ² cell term rounds
+    * to 10 dp and quantizes to DECIMAL(28,14) before the
+    * order-invariant sum; √ is correctly rounded IEEE in any engine; V
+    * computes off the UNROUNDED χ² double, both render at 6 dp.
+    * Degenerate groups (r < 2 or c < 2) emit null V (χ² still
+    * reported — it is 0 by construction there).
+    *
+    * Shape: ONE map-combinable (group, a, b) cell shuffle; marginals,
+    * the dense r×c grid (zero-observed cells still owe their e term)
+    * and the χ² sum all ride label-domain-sized summary frames. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String,
+      groupCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(groupCol).as("g"), col(aCol).cast("string").as("la"),
+        col(bCol).cast("string").as("lb"))
+      .groupBy("g", "la", "lb").agg(count(lit(1)).as("o"))
+    val margA = cells.groupBy("g", "la").agg(sum(col("o")).as("__ra"))
+    val margB = cells.groupBy("g", "lb").agg(sum(col("o")).as("__cb"))
+    val perG = cells.groupBy("g").agg(sum(col("o")).as("n"))
+    val grid = margA.join(margB, Seq("g")).join(perG, Seq("g"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("n").cast("double")
+    val o = coalesce(col("o"), lit(0L)).cast("double")
+    val chi2 = sum(round((o - e) * (o - e) / e, 10)
+      .cast("decimal(28,14)")).cast("double")
+    val stats = grid
+      .join(cells, Seq("g", "la", "lb"), "left")
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("la")).as("n_rows"),
+        countDistinct(col("lb")).as("n_cols"), chi2.as("__chi2"))
+    val minDim = least(col("n_rows"), col("n_cols")) - lit(1L)
+    stats.select(col("g"), col("n"), col("n_rows"), col("n_cols"),
+      round(col("__chi2"), 6).as("chi2"),
+      when(minDim > 0L && col("n") > 0L,
+        round(sqrt(col("__chi2") / (col("n").cast("double") *
+          minDim.cast("double"))), 6)).as("v"))
+  }
 }

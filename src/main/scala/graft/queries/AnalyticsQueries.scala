@@ -11,6 +11,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AnalyticsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Kaplan–Meier survival per event type: duration = value, event
+    // observed iff user_id % 3 != 0 (the rest censored) — risk-set
+    // depletion and the log-survival cumsum ride the time-domain
+    // summary frame, never raw rows
+    "q_kaplan_meier" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("observed", col("user_id") % 3L =!= 0L)
+      graft.ops.Stats.kaplanMeier(ev, "value", "observed", "event_type")
+        .orderBy("g", "t")
+    },
+    // Spearman rank correlation per return flag between quantity and
+    // extended price — doubled average ranks are exact integers, so
+    // every moment is an exact DECIMAL sum; no window touches raw rows
+    "q_spearman" -> { (s, d) =>
+      graft.ops.Stats.spearmanCorr(Tables.lineitem(s, d), "l_quantity",
+          "l_extendedprice", "l_returnflag")
+        .orderBy("g")
+    },
+    // Jensen–Shannon divergence of the event-type mix per user cohort
+    // between the month's halves — the categorical companion of
+    // q_psi_drift (handles one-sided categories natively)
+    "q_jsd_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("cohort", col("user_id") % 4L)
+        .withColumn("snap",
+          when(unix_timestamp(col("ts")) < 1705363200L, lit("base"))
+            .otherwise(lit("cur")))
+      graft.ops.Stats.jsDivergence(ev, "event_type", "snap", "base",
+          "cur", "cohort")
+        .orderBy("g")
+    },
+    // Cramér's V association between part type and part size per brand
+    // — one cell shuffle, dense-grid χ² over marginal frames
+    "q_cramers_v" -> { (s, d) =>
+      graft.ops.Stats.cramersV(Tables.part(s, d), "p_type", "p_size",
+          "p_brand")
+        .orderBy("g")
+    },
     // per-source z-scores over document lengths, |z| > 2 anomaly flags:
     // DECIMAL-exact moments (one group shuffle), broadcast back onto a
     // zero-shuffle scoring scan; decisions on the 6-dp-rounded z
@@ -436,6 +474,164 @@ object AnalyticsQueries {
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
   def oracles: Map[String, String] = Map(
+    // KM re-derived: same per-(group, time) event/censor counts, risk
+    // set by total-minus-consumed, round-9 factor before the ln,
+    // DECIMAL-quantized log terms, exp on the round-10 cumsum
+    "q_kaplan_meier" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS t,
+        |    (user_id % 3 <> 0) AS e
+        |  FROM events WHERE value IS NOT NULL),
+        |cnt AS (SELECT g, t,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |  FROM f GROUP BY 1, 2),
+        |w AS (SELECT g, t, d, cc,
+        |    CAST(sum(d + cc) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(d + cc) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n_risk
+        |  FROM cnt),
+        |l AS (SELECT *,
+        |    CASE WHEN d > 0 AND d < n_risk THEN
+        |      CAST(round(ln(1.0 - round(CAST(d AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE), 9)), 10) AS DECIMAL(28,14))
+        |      ELSE CAST(0 AS DECIMAL(28,14)) END AS lf,
+        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS dead
+        |  FROM w),
+        |srv AS (SELECT g, t, n_risk, d, cc,
+        |    CASE WHEN dead = 1 THEN 0.0 ELSE
+        |      round(exp(round(CAST(sum(lf) OVER (PARTITION BY g
+        |        ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE), 10)), 6)
+        |      END AS survival
+        |  FROM l)
+        |SELECT g, t, n_risk, d, cc AS c, survival
+        |FROM srv WHERE d > 0 ORDER BY g, t""".stripMargin,
+    // Spearman re-derived: doubled average ranks off the per-(group,
+    // value) cumulative counts, exact DECIMAL(38,0) moments, the same
+    // fixed-parenthesization Pearson on the moment doubles
+    "q_spearman" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DOUBLE) AS a,
+        |    CAST(l_extendedprice AS DOUBLE) AS b
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |ca AS (SELECT g, a, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM base GROUP BY 1, 2),
+        |ra AS (SELECT g, a,
+        |    2 * CAST(sum(cnt) OVER (PARTITION BY g ORDER BY a
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt + 1 AS sa
+        |  FROM ca),
+        |cb AS (SELECT g, b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM base GROUP BY 1, 2),
+        |rb AS (SELECT g, b,
+        |    2 * CAST(sum(cnt) OVER (PARTITION BY g ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt + 1 AS sb
+        |  FROM cb),
+        |j AS (SELECT base.g AS g, sa, sb FROM base
+        |  JOIN ra ON base.g = ra.g AND base.a = ra.a
+        |  JOIN rb ON base.g = rb.g AND base.b = rb.b),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(sa AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ta,
+        |    CAST(sum(CAST(sb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS tb,
+        |    CAST(sum(CAST(sa AS DECIMAL(19,0)) * CAST(sa AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS taa,
+        |    CAST(sum(CAST(sb AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS tbb,
+        |    CAST(sum(CAST(sa AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS tab
+        |  FROM j GROUP BY g)
+        |SELECT g, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(taa AS DOUBLE)
+        |        - CAST(ta AS DOUBLE) * CAST(ta AS DOUBLE)) > 0.0
+        |      AND (CAST(n AS DOUBLE) * CAST(tbb AS DOUBLE)
+        |        - CAST(tb AS DOUBLE) * CAST(tb AS DOUBLE)) > 0.0 THEN
+        |    round((CAST(n AS DOUBLE) * CAST(tab AS DOUBLE)
+        |        - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(taa AS DOUBLE)
+        |          - CAST(ta AS DOUBLE) * CAST(ta AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(tbb AS DOUBLE)
+        |          - CAST(tb AS DOUBLE) * CAST(tb AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM m ORDER BY g""".stripMargin,
+    // JSD re-derived: round-9 shares and midpoint, round-10 quantized
+    // p·ln(p/m) terms, the two KL halves summed separately, the same
+    // compiled ln 2 constant
+    "q_jsd_drift" ->
+      """WITH f AS (SELECT user_id % 4 AS g, event_type AS cat,
+        |    CASE WHEN floor(epoch(ts)) < 1705363200 THEN 'base' ELSE 'cur'
+        |      END AS s
+        |  FROM events WHERE event_type IS NOT NULL),
+        |c AS (SELECT g, cat,
+        |    CAST(sum(CASE WHEN s = 'base' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN s = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc
+        |  FROM f GROUP BY 1, 2),
+        |w AS (SELECT g, cat, nb, nc,
+        |    CAST(sum(nb) OVER (PARTITION BY g) AS BIGINT) AS tb,
+        |    CAST(sum(nc) OVER (PARTITION BY g) AS BIGINT) AS tc
+        |  FROM c),
+        |sh AS (SELECT g, tb, tc,
+        |    CASE WHEN tb > 0 THEN
+        |      round(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE), 9)
+        |      ELSE 0.0 END AS p,
+        |    CASE WHEN tc > 0 THEN
+        |      round(CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE), 9)
+        |      ELSE 0.0 END AS q
+        |  FROM w),
+        |t AS (SELECT g, tb, tc, p, q, round((p + q) * 0.5, 9) AS m
+        |  FROM sh)
+        |SELECT g, CAST(max(tb) AS BIGINT) AS n_base,
+        |  CAST(max(tc) AS BIGINT) AS n_cur,
+        |  CAST(count(*) AS BIGINT) AS n_categories,
+        |  CASE WHEN max(tb) > 0 AND max(tc) > 0 THEN
+        |    round((CAST(sum(CASE WHEN p > 0.0 THEN
+        |        CAST(round(p * ln(p / m), 10) AS DECIMAL(28,14))
+        |        ELSE CAST(0 AS DECIMAL(28,14)) END) AS DOUBLE)
+        |      + CAST(sum(CASE WHEN q > 0.0 THEN
+        |        CAST(round(q * ln(q / m), 10) AS DECIMAL(28,14))
+        |        ELSE CAST(0 AS DECIMAL(28,14)) END) AS DOUBLE))
+        |      * 0.5 / 0.6931471805599453, 6) END AS jsd
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
+    // Cramér's V re-derived: same cell counts, dense marginal grid
+    // (zero-observed cells owe their e term), round-10 quantized χ²
+    // cell terms, V off the unrounded χ² double
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT p_brand AS g,
+        |    CAST(p_type AS VARCHAR) AS la,
+        |    CAST(p_size AS VARCHAR) AS lb,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM part
+        |  WHERE p_type IS NOT NULL AND p_size IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |ma AS (SELECT g, la, CAST(sum(o) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1, 2),
+        |mb AS (SELECT g, lb, CAST(sum(o) AS BIGINT) AS cb
+        |  FROM cells GROUP BY 1, 2),
+        |pg AS (SELECT g, CAST(sum(o) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |grid AS (SELECT ma.g AS g, la, lb, ra, cb, n
+        |  FROM ma JOIN mb ON ma.g = mb.g JOIN pg ON pg.g = ma.g),
+        |t AS (SELECT grid.g AS g, grid.la AS la, grid.lb AS lb, n,
+        |    CAST(round((coalesce(CAST(o AS DOUBLE), 0.0)
+        |        - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+        |          / CAST(n AS DOUBLE))
+        |      * (coalesce(CAST(o AS DOUBLE), 0.0)
+        |        - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+        |          / CAST(n AS DOUBLE))
+        |      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+        |          / CAST(n AS DOUBLE)), 10) AS DECIMAL(28,14)) AS term
+        |  FROM grid LEFT JOIN cells ON grid.g = cells.g
+        |    AND grid.la = cells.la AND grid.lb = cells.lb),
+        |st AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT la) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT lb) AS BIGINT) AS n_cols,
+        |    CAST(sum(term) AS DOUBLE) AS chi2u
+        |  FROM t GROUP BY g)
+        |SELECT g, n, n_rows, n_cols, round(chi2u, 6) AS chi2,
+        |  CASE WHEN least(n_rows, n_cols) - 1 > 0 AND n > 0 THEN
+        |    round(sqrt(chi2u / (CAST(n AS DOUBLE)
+        |      * CAST(least(n_rows, n_cols) - 1 AS DOUBLE))), 6) END AS v
+        |FROM st ORDER BY g""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH m AS (SELECT source, count(*) AS n,
         |    CAST(sum(CAST(n_chars AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS s,

@@ -1214,4 +1214,87 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1).getDouble(2) == math.rint(qn / 2.0 * 1e6) / 1e6)
     assert(out(1).getDouble(3) == 0.25 && out(1).getDouble(4) == 0.25)
   }
+
+  test("kaplanMeier: risk-set depletion by censoring, event-time-only rows, whole-risk-set death zeroes") {
+    import spark.implicits._
+    val df = Seq(
+      // group g: event@1, censor@2, event@3, event+censor@4, censor@5
+      ("g", 1.0, true), ("g", 2.0, false), ("g", 3.0, true),
+      ("g", 4.0, true), ("g", 4.0, false), ("g", 5.0, false),
+      // group z: the whole risk set dies at t=1 -> survival exactly 0
+      ("z", 1.0, true), ("z", 1.0, true))
+      .toDF("grp", "dur", "obs")
+    val out = Stats.kaplanMeier(df, "dur", "obs", "grp")
+      .orderBy("g", "t").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // censor-only times (2, 5) emit no row but deplete the risk set:
+    // n_risk walks 6 -> 4 -> 3; survival 5/6 -> 5/8 -> 5/12
+    assert(out == Seq(
+      ("g", 1.0, 6L, 1L, 0L, 0.833333),
+      ("g", 3.0, 4L, 1L, 0L, 0.625),
+      ("g", 4.0, 3L, 1L, 1L, 0.416667),
+      ("z", 1.0, 2L, 2L, 0L, 0.0)))
+  }
+
+  test("spearmanCorr: monotone=±1, tie-averaged ranks, constant column -> null") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 1.0, 10.0), ("up", 2.0, 20.0), ("up", 3.0, 30.0),
+      ("dn", 1.0, 30.0), ("dn", 2.0, 20.0), ("dn", 3.0, 10.0),
+      // ties in a: doubled ranks (3,3,6) vs b ranks (2,6,4) -> rho 0
+      ("tie", 1.0, 3.0), ("tie", 1.0, 5.0), ("tie", 2.0, 4.0),
+      // constant a: zero rank variance -> null rho
+      ("flat", 7.0, 1.0), ("flat", 7.0, 2.0))
+      .toDF("grp", "x", "y")
+    val out = Stats.spearmanCorr(df, "x", "y", "grp")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(out == Seq(("dn", 3L, Some(-1.0)), ("flat", 2L, None),
+      ("tie", 3L, Some(0.0)), ("up", 3L, Some(1.0))))
+  }
+
+  test("jsDivergence: identical=0, disjoint=1, half-overlap hand value, one-sided group -> null") {
+    import spark.implicits._
+    val df = Seq(
+      ("same", "x", "base"), ("same", "x", "cur"),
+      ("same", "y", "base"), ("same", "y", "cur"),
+      ("disj", "x", "base"), ("disj", "y", "cur"),
+      ("half", "x", "base"), ("half", "y", "base"), ("half", "x", "cur"),
+      ("one", "x", "base")) // no cur snapshot -> jsd null
+      .toDF("grp", "cat", "snap")
+    val out = Stats.jsDivergence(df, "cat", "snap", "base", "cur", "grp")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    // half: p=(.5,.5), q=(1,0), m=(.75,.25) -> 0.311278 (hand, the
+    // round-9/round-10 quantization reproduced)
+    assert(out == Seq(
+      ("disj", 1L, 1L, 2L, Some(1.0)),
+      ("half", 2L, 1L, 2L, Some(0.311278)),
+      ("one", 1L, 0L, 1L, None),
+      ("same", 2L, 2L, 2L, Some(0.0))))
+  }
+
+  test("cramersV: perfect association=1, independence=0, degenerate single column -> null V") {
+    import spark.implicits._
+    val rows =
+      // perfect: A<->x, B<->y, 2 each; chi2 = 4, V = sqrt(4/(4*1)) = 1
+      Seq.fill(2)(("perf", "A", "x")) ++ Seq.fill(2)(("perf", "B", "y")) ++
+      // independent: uniform 2x2 grid
+      Seq(("ind", "A", "x"), ("ind", "A", "y"), ("ind", "B", "x"),
+        ("ind", "B", "y")) ++
+      // degenerate: one b label only -> V null, chi2 0
+      Seq(("deg", "A", "x"), ("deg", "B", "x"))
+    val out = Stats.cramersV(rows.toDF("grp", "a", "b"), "a", "b", "grp")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSeq
+    assert(out == Seq(
+      ("deg", 2L, 2L, 1L, 0.0, None),
+      ("ind", 4L, 2L, 2L, 0.0, Some(0.0)),
+      ("perf", 4L, 2L, 2L, 4.0, Some(1.0))))
+  }
 }
