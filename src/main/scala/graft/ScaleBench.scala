@@ -174,7 +174,15 @@ object ScaleBench {
     // joins + one exact-moment agg), JSD categorical drift (one
     // (group,category) shuffle), Cramér's V (one cell shuffle +
     // label-domain marginal grid)
-    "q_kaplan_meier", "q_spearman", "q_jsd_drift", "q_cramers_v")
+    "q_kaplan_meier", "q_spearman", "q_jsd_drift", "q_cramers_v",
+    // round-10 model-eval/feature wave: AUC + Mann-Whitney (one
+    // (group,score) count shuffle each, score-domain windows), mutual
+    // information (one cell shuffle + label-domain joins), equal-freq
+    // bins (count shuffle + value-domain window + join-back), LOO
+    // target encoding (category sums broadcast onto a scoring scan),
+    // lift table (count shuffle + score-domain and bucket windows)
+    "q_auc_roc", "q_mann_whitney", "q_mutual_info", "q_equal_freq_bins",
+    "q_target_encode", "q_lift_table")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps

@@ -984,4 +984,324 @@ object Stats {
         round(sqrt(col("__chi2") / (col("n").cast("double") *
           minDim.cast("double"))), 6)).as("v"))
   }
+
+  /** Shared doubled-average-rank machinery over a two-class count frame:
+    * per (group, value) class counts → cumulative count window over the
+    * VALUE-DOMAIN summary frame (never raw rows) → 2·avgrank = 2·cum −
+    * cnt + 1, an exact integer under any tie pattern (the
+    * [[spearmanCorr]] trick). Returns the count frame with `__cnt`,
+    * `__r2` attached. */
+  private def rankedTwoClass(df: DataFrame, valueCol: String,
+      inA: Column, groupCol: String): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
+        inA.as("__ina"))
+      .groupBy("g", "v")
+      .agg(sum(when(col("__ina"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__ina"), 1L).otherwise(0L)).as("__nb"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__cnt", col("__na") + col("__nb"))
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__r2", lit(2L) * col("__cum") - col("__cnt") + lit(1L))
+  }
+
+  /** Grouped ROC-AUC — the threshold-free ranking quality of a score
+    * against a boolean label (the companion of [[calibrationBins]]:
+    * calibration asks "are the probabilities honest?", AUC asks "does
+    * the score ORDER positives above negatives at all?"). Computed
+    * EXACTLY by the rank-sum identity with average-rank ties:
+    *
+    *   AUC = (R⁺ − n₊(n₊+1)/2) / (n₊·n₋),  R⁺ = Σ avgrank(positives)
+    *
+    * Exactness: doubled average ranks are exact integers off the
+    * per-(group, score) count frame ([[spearmanCorr]]), so the doubled
+    * rank-sum S₂ = Σ n₊(v)·r₂(v) is an exact DECIMAL(38,0) sum and
+    * AUC = (S₂ − n₊(n₊+1)) / (2·n₊·n₋) is ONE fixed-parenthesization
+    * double expression both engines fold identically; 6-dp render.
+    * Single-class groups emit null.
+    *
+    * Shape: one (group, score) count shuffle; the only window rides the
+    * score-domain summary frame. Equivalent to integrating the ROC
+    * curve exactly — no threshold grid, no approximation. */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCol: String): DataFrame = {
+    val ranked = rankedTwoClass(
+      df.filter(col(labelCol).isNotNull), scoreCol,
+      col(labelCol).cast("boolean"), groupCol)
+    def qd(c: Column) = c.cast("decimal(19,0)")
+    ranked.groupBy("g")
+      .agg(sum(col("__na")).as("n_pos"), sum(col("__nb")).as("n_neg"),
+        sum(qd(col("__na")) * qd(col("__r2"))).cast("decimal(38,0)")
+          .as("__s2"))
+      .select(col("g"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round((col("__s2").cast("double") -
+            col("n_pos").cast("double") *
+              (col("n_pos") + lit(1L)).cast("double")) /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double")), 6)).as("auc"))
+  }
+
+  /** Grouped two-sample Mann–Whitney U test — the nonparametric
+    * location-shift companion of the Welch t readout (no normality
+    * assumption; a monotone transform of the metric changes nothing)
+    * and of [[ksTwoSample]] (KS asks "different distribution anywhere?",
+    * U asks "does one sample stochastically dominate?"):
+    *
+    *   U = R_A − n_a(n_a+1)/2,
+    *   z = (U − n_a·n_b/2) / σ,
+    *   σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))   (tie-corrected)
+    *
+    * U itself is exact (a half-integer at worst — doubled rank-sums are
+    * exact integers, [[aucRoc]]); Σ(t³−t) is an exact DECIMAL sum over
+    * the tie-group sizes; z is fixed-parenthesization doubles off the
+    * exact moments, 6-dp, and the `significant` flag tests the ROUNDED
+    * z against 1.96 (the house boundary-row discipline). One-sided or
+    * empty groups emit null z/flag. No continuity correction (both
+    * engines would apply it identically, but SciPy's default differs by
+    * mode — the oracle pins the uncorrected form).
+    *
+    * Shape: one (group, value) count shuffle; windows on the
+    * value-domain frame only. */
+  def mannWhitney(df: DataFrame, valueCol: String, sampleCol: String,
+      aLabel: String, bLabel: String, groupCol: String): DataFrame = {
+    val ranked = rankedTwoClass(
+      df.filter(col(sampleCol).isin(aLabel, bLabel)), valueCol,
+      col(sampleCol) === aLabel, groupCol)
+    def qd(c: Column) = c.cast("decimal(19,0)")
+    val agg = ranked.groupBy("g")
+      .agg(sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"),
+        sum(qd(col("__na")) * qd(col("__r2"))).cast("decimal(38,0)")
+          .as("__s2a"),
+        sum((qd(col("__cnt")) * qd(col("__cnt")) * qd(col("__cnt")) -
+          qd(col("__cnt"))).cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("__ties"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val u = (col("__s2a").cast("double") -
+      na * (col("n_a") + lit(1L)).cast("double")) / lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val variance = na * nb / lit(12.0) *
+      ((n + lit(1.0)) - col("__ties").cast("double") /
+        (n * (n - lit(1.0))))
+    agg
+      .withColumn("u", when(col("n_a") > 0L && col("n_b") > 0L,
+        round(u, 6)))
+      .withColumn("__var", when(col("n_a") > 0L && col("n_b") > 0L,
+        variance))
+      .withColumn("z", when(col("__var") > 0.0,
+        round((u - mu) / sqrt(col("__var")), 6)))
+      .withColumn("significant", when(col("z").isNotNull,
+        abs(col("z")) > 1.96))
+      .select("g", "n_a", "n_b", "u", "z", "significant")
+  }
+
+  /** Mutual information (base 2) between two categorical columns per
+    * group, with marginal entropies and the normalized score
+    * NMI = MI/√(H(a)·H(b)) — the information-theoretic companion of
+    * [[cramersV]] (V measures χ²-style deviation from independence; MI
+    * measures how many BITS one label tells you about the other, the
+    * clustering-vs-labels agreement standard):
+    *
+    *   MI = Σ_{a,b} p(a,b)·ln( p(a,b) / (p(a)·p(b)) ) / ln 2
+    *
+    * Engine-exactness: all shares round to 9 dp before any ln (the
+    * [[psiDrift]] discipline), the p(a)·p(b) product stays inside the
+    * ln argument as one fixed-parenthesization double, each term rounds
+    * to 10 dp and quantizes to DECIMAL(28,14) for order-invariant sums;
+    * entropies get the same treatment on the marginal frames; ÷[[Ln2]]
+    * is the compiled constant; 6-dp renders. Degenerate groups (either
+    * side single-valued ⇒ H = 0) emit null NMI; MI is 0 there by
+    * construction. Only OBSERVED cells contribute (0·ln 0 = 0 —
+    * zero-observed grid cells contribute exactly nothing, so the dense
+    * grid of [[cramersV]] is unnecessary).
+    *
+    * Shape: ONE map-combinable (group, a, b) cell shuffle; marginals
+    * and totals join back on label-domain-sized frames. */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String,
+      groupCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(groupCol).as("g"), col(aCol).cast("string").as("la"),
+        col(bCol).cast("string").as("lb"))
+      .groupBy("g", "la", "lb").agg(count(lit(1)).as("o"))
+    val margA = cells.groupBy("g", "la").agg(sum(col("o")).as("__ra"))
+    val margB = cells.groupBy("g", "lb").agg(sum(col("o")).as("__cb"))
+    val perG = cells.groupBy("g").agg(sum(col("o")).as("n"))
+    def share(c: Column): Column =
+      round(c.cast("double") / col("n").cast("double"), 9)
+    def qterm(c: Column): Column =
+      round(c, 10).cast("decimal(28,14)")
+    val mi = cells
+      .join(margA, Seq("g", "la")).join(margB, Seq("g", "lb"))
+      .join(perG, Seq("g"))
+      .withColumn("__pab", share(col("o")))
+      .withColumn("__pa", share(col("__ra")))
+      .withColumn("__pb", share(col("__cb")))
+      .groupBy("g")
+      // the 9-dp share of a one-in-billions cell quantizes to exactly 0;
+      // an unguarded 0·ln(0/x) is NaN, not the 0 the MI sum needs
+      .agg(max(col("n")).as("n"),
+        sum(qterm(when(col("__pab") > 0.0,
+          col("__pab") * log(col("__pab") /
+            (col("__pa") * col("__pb")))).otherwise(lit(0.0))))
+          .cast("double").as("__mi"))
+    def entropy(marg: DataFrame, cnt: String, out: String): DataFrame =
+      marg.join(perG, Seq("g"))
+        .withColumn("__p", share(col(cnt)))
+        .groupBy("g")
+        .agg(sum(qterm(when(col("__p") > 0.0,
+          -col("__p") * log(col("__p"))).otherwise(lit(0.0))))
+          .cast("double").as(out))
+    val ha = entropy(margA, "__ra", "__ha")
+    val hb = entropy(margB, "__cb", "__hb")
+    mi.join(ha, Seq("g")).join(hb, Seq("g"))
+      .select(col("g"), col("n"),
+        round(col("__mi") / lit(Ln2), 6).as("mi"),
+        round(col("__ha") / lit(Ln2), 6).as("h_a"),
+        round(col("__hb") / lit(Ln2), 6).as("h_b"),
+        when(col("__ha") > 0.0 && col("__hb") > 0.0,
+          round(col("__mi") / (sqrt(col("__ha")) * sqrt(col("__hb"))), 6))
+          .as("nmi"))
+  }
+
+  /** Equal-frequency (quantile) discretization per group — the feature-
+    * engineering staple that makes skewed numerics model-ready and
+    * histogram bins population-balanced (the equal-WIDTH complement is
+    * [[histogram]]). Each row's bin is a PURE INTEGER function of its
+    * group's ECDF:
+    *
+    *   bin(v) = ⌊ countBelow(v) · k / n ⌋      ∈ [0, k−1]
+    *
+    * — ties share a bin by construction, the result is independent of
+    * partitioning and engine (no floating percentile, no interpolation
+    * convention, no IEEE step anywhere), and countBelow < n bounds the
+    * bin at k−1 with no clamp. Matches ntile() when values are
+    * distinct; under ties it is the deterministic value-keyed variant
+    * (ntile splits tied rows arbitrarily — unacceptable for a
+    * reproducible feature).
+    *
+    * Shape: the [[percentRankNormalize]] machinery — one (group, value)
+    * count shuffle, a cumulative window over the value-domain summary
+    * frame, join back on (group, value). Null values are excluded
+    * (documented; a null is not a quantile). */
+  def equalFreqBins(df: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col("__bg")).orderBy(col("__bv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("__bg"))
+    val bins = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__bg"),
+        col(valueCol).cast("double").as("__bv"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", max(col("__cum")).over(tot))
+      .withColumn("bin",
+        expr(s"((__cum - __c) * ${k}L) div __n"))
+      .select(col("__bg"), col("__bv"), col("bin"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        col(valueCol).cast("double").as("v"))
+      .join(bins, col(groupCol) <=> col("__bg") &&
+        col("v") === col("__bv"))
+      .select(col(idCol), col(groupCol), col("v"), col("bin"))
+  }
+
+  /** Leave-one-out target encoding — the high-cardinality categorical →
+    * numeric encoding that avoids the self-leakage of a plain
+    * per-category mean (a category's own row must not see its own
+    * target; with it, the encoding memorizes the label and the model
+    * overfits on sight):
+    *
+    *   enc(i) = (Σ_cat y − yᵢ) / (n_cat − 1)
+    *   singletons (n_cat = 1) → the global LOO prior (Σ y − yᵢ)/(N − 1)
+    *
+    * Exactness: targets quantize to DECIMAL(14,2) on entry, category
+    * and global sums are exact DECIMAL(28,2) (map-combinable, one
+    * shuffle), each encoding is ONE IEEE division of exact numerators,
+    * 6-dp render. N = 1 degenerates to null.
+    *
+    * Shape: one category-count shuffle broadcast back onto a
+    * zero-shuffle scoring scan (the [[zscoreFlags]] shape); the global
+    * total rides a broadcast 1-row frame — no driver action. */
+  def targetEncodeLoo(df: DataFrame, idCol: String, categoryCol: String,
+      targetCol: String): DataFrame = {
+    val yq = col(targetCol).cast("decimal(14,2)")
+    val base = df
+      .filter(col(categoryCol).isNotNull && col(targetCol).isNotNull)
+      .select(col(idCol), col(categoryCol).as("cat"), yq.as("__y"))
+    val catSums = base.groupBy(col("cat").as("__ec"))
+      .agg(count(lit(1)).as("__cn"),
+        sum(col("__y")).cast("decimal(28,2)").as("__cs"))
+    val global = base.agg(count(lit(1)).as("__gn"),
+      sum(col("__y")).cast("decimal(28,2)").as("__gs"))
+    base
+      .join(broadcast(catSums), col("cat") === col("__ec"))
+      .crossJoin(broadcast(global))
+      .withColumn("enc",
+        when(col("__cn") > 1L,
+          round((col("__cs").cast("double") - col("__y").cast("double")) /
+            (col("__cn") - lit(1L)).cast("double"), 6))
+        .when(col("__gn") > 1L,
+          round((col("__gs").cast("double") - col("__y").cast("double")) /
+            (col("__gn") - lit(1L)).cast("double"), 6)))
+      .select(col(idCol), col("cat"),
+        col("__y").cast("double").as("y"), col("enc"))
+  }
+
+  /** Decile (k-cile) lift/gain table per group — the campaign-targeting
+    * readout every scored-population report opens with: bucket the
+    * population by score DESCENDING into k equal-frequency bins
+    * ([[equalFreqBins]]'s integer arithmetic on the reversed ECDF),
+    * then per bucket the response rate, the cumulative capture of all
+    * positives (the gain curve), and lift = bucket rate / base rate.
+    * AUC ([[aucRoc]]) summarizes the same ranking in one number; the
+    * lift table is its operational form ("mail the top 2 deciles").
+    *
+    * Exactness: buckets are pure integer ECDF arithmetic (ties share a
+    * bucket — deterministic, partition-invariant); rates and lift are
+    * single IEEE divisions of exact counts with fixed parenthesization,
+    * 6-dp. Groups with zero positives emit null capture/lift.
+    *
+    * Shape: one (group, score) count shuffle; the cumulative windows
+    * ride first the score-domain frame, then the k-row bucket frame. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wDesc = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("g"))
+    val wBuckets = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(groupCol).as("g"), col(scoreCol).cast("double").as("v"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy("g", "v")
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("__p"))
+      .withColumn("__cum", sum(col("__c")).over(wDesc))
+      .withColumn("__n", max(col("__cum")).over(tot))
+      .withColumn("bucket", expr(s"((__cum - __c) * ${k}L) div __n"))
+      .groupBy("g", "bucket")
+      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"))
+      .withColumn("__tn", sum(col("n")).over(tot))
+      .withColumn("__tp", sum(col("n_pos")).over(tot))
+      .withColumn("__cp", sum(col("n_pos")).over(wBuckets))
+      .select(col("g"), col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        when(col("__tp") > 0L,
+          round(col("__cp").cast("double") / col("__tp").cast("double"), 6))
+          .as("cum_capture"),
+        when(col("__tp") > 0L,
+          round((col("n_pos").cast("double") / col("n").cast("double")) /
+            (col("__tp").cast("double") / col("__tn").cast("double")), 6))
+          .as("lift"))
+  }
 }

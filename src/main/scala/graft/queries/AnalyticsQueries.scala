@@ -49,6 +49,56 @@ object AnalyticsQueries {
           "p_brand")
         .orderBy("g")
     },
+    // grouped ROC-AUC: does the char-length proxy ORDER token-rich docs
+    // above token-poor ones per source? Exact rank-sum identity on
+    // doubled integer ranks — no threshold grid
+    "q_auc_roc" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("y",
+        graft.ops.TextAnalysis.tokenCount(col("text")) > 250)
+      graft.ops.Stats.aucRoc(docs, "n_chars", "y", "source")
+        .orderBy("g")
+    },
+    // Mann–Whitney U between the month's halves per event type — the
+    // nonparametric location companion of q_ks_test/q_ab_ttest; exact
+    // half-integer U, tie-corrected z
+    "q_mann_whitney" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("snap",
+        when(unix_timestamp(col("ts")) < 1705363200L, lit("base"))
+          .otherwise(lit("cur")))
+      graft.ops.Stats.mannWhitney(ev, "value", "snap", "base", "cur",
+          "event_type")
+        .orderBy("g")
+    },
+    // mutual information between part type and size per brand — the
+    // bits-measured companion of q_cramers_v on the same label pair
+    "q_mutual_info" -> { (s, d) =>
+      graft.ops.Stats.mutualInfo(Tables.part(s, d), "p_type", "p_size",
+          "p_brand")
+        .orderBy("g")
+    },
+    // equal-frequency binning of document lengths per source (k=8):
+    // pure integer ECDF arithmetic — deterministic under ties where
+    // ntile() is not
+    "q_equal_freq_bins" -> { (s, d) =>
+      graft.ops.Stats.equalFreqBins(Tables.documents(s, d), "doc_id",
+          "n_chars", "source", k = 8)
+        .orderBy("doc_id")
+    },
+    // leave-one-out target encoding of order priority against total
+    // price — exact DECIMAL numerators, one division per row
+    "q_target_encode" -> { (s, d) =>
+      graft.ops.Stats.targetEncodeLoo(Tables.orders(s, d), "o_orderkey",
+          "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    // decile lift/gain table per language for the char-length proxy —
+    // the operational form of q_auc_roc's ranking summary
+    "q_lift_table" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("y",
+        graft.ops.TextAnalysis.tokenCount(col("text")) > 250)
+      graft.ops.Stats.liftTable(docs, "n_chars", "y", "lang", k = 10)
+        .orderBy("g", "bucket")
+    },
     // per-source z-scores over document lengths, |z| > 2 anomaly flags:
     // DECIMAL-exact moments (one group shuffle), broadcast back onto a
     // zero-shuffle scoring scan; decisions on the 6-dp-rounded z
@@ -474,6 +524,196 @@ object AnalyticsQueries {
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
   def oracles: Map[String, String] = Map(
+    // AUC re-derived: doubled average ranks off the cumulative count
+    // frame, exact DECIMAL(38,0) rank-sum, one fixed-parenthesization
+    // division
+    "q_auc_roc" ->
+      s"""WITH base AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
+        |    (len($tokensSql) > 250) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT g, v,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM base GROUP BY 1, 2),
+        |r AS (SELECT g, v, na, nb, na + nb AS cnt,
+        |    CAST(sum(na + nb) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c),
+        |a AS (SELECT g, CAST(sum(na) AS BIGINT) AS n_pos,
+        |    CAST(sum(nb) AS BIGINT) AS n_neg,
+        |    CAST(sum(CAST(na AS DECIMAL(19,0))
+        |      * CAST(2 * cum - cnt + 1 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS s2
+        |  FROM r GROUP BY g)
+        |SELECT g, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round((CAST(s2 AS DOUBLE)
+        |        - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
+        |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+        |  END AS auc
+        |FROM a ORDER BY g""".stripMargin,
+    // U re-derived: same doubled rank-sums, exact tie-cube sum, the
+    // identical fixed-parenthesization z; decisions on the rounded z
+    "q_mann_whitney" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+        |    (floor(epoch(ts)) < 1705363200) AS ina
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT g, v,
+        |    CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN ina THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM f GROUP BY 1, 2),
+        |r AS (SELECT g, v, na, nb, na + nb AS cnt,
+        |    CAST(sum(na + nb) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c),
+        |a AS (SELECT g, CAST(sum(na) AS BIGINT) AS n_a,
+        |    CAST(sum(nb) AS BIGINT) AS n_b,
+        |    CAST(sum(CAST(na AS DECIMAL(19,0))
+        |      * CAST(2 * cum - cnt + 1 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS s2a,
+        |    CAST(sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))
+        |      - CAST(cnt AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ties
+        |  FROM r GROUP BY g),
+        |m AS (SELECT g, n_a, n_b,
+        |    (CAST(s2a AS DOUBLE)
+        |      - CAST(n_a AS DOUBLE) * CAST(n_a + 1 AS DOUBLE)) / 2.0 AS u,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |        - CAST(ties AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE)
+        |          * (CAST(n_a + n_b AS DOUBLE) - 1.0))) AS var
+        |  FROM a)
+        |SELECT g, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(u, 6) END AS u,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND var > 0.0 THEN
+        |    round((u - mu) / sqrt(var), 6) END AS z,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND var > 0.0 THEN
+        |    abs(round((u - mu) / sqrt(var), 6)) > 1.96 END AS significant
+        |FROM m ORDER BY g""".stripMargin,
+    // MI re-derived: round-9 shares, the p(a)p(b) product inside the ln
+    // as one double expression, round-10 quantized terms, entropies off
+    // the marginal frames, the compiled ln 2
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT p_brand AS g,
+        |    CAST(p_type AS VARCHAR) AS la, CAST(p_size AS VARCHAR) AS lb,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM part WHERE p_type IS NOT NULL AND p_size IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |ma AS (SELECT g, la, CAST(sum(o) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1, 2),
+        |mb AS (SELECT g, lb, CAST(sum(o) AS BIGINT) AS cb
+        |  FROM cells GROUP BY 1, 2),
+        |pg AS (SELECT g, CAST(sum(o) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |j AS (SELECT cells.g AS g,
+        |    round(CAST(o AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pab,
+        |    round(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pa,
+        |    round(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pb, n
+        |  FROM cells
+        |    JOIN ma ON cells.g = ma.g AND cells.la = ma.la
+        |    JOIN mb ON cells.g = mb.g AND cells.lb = mb.lb
+        |    JOIN pg ON cells.g = pg.g),
+        |mi AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(CASE WHEN pab > 0.0 THEN
+        |      pab * ln(pab / (pa * pb)) ELSE 0.0 END, 10)
+        |      AS DECIMAL(28,14))) AS DOUBLE) AS miu
+        |  FROM j GROUP BY g),
+        |ha AS (SELECT g,
+        |    CAST(sum(CAST(round(CASE WHEN p > 0.0 THEN -p * ln(p)
+        |      ELSE 0.0 END, 10) AS DECIMAL(28,14))) AS DOUBLE) AS hau
+        |  FROM (SELECT ma.g AS g,
+        |      round(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p
+        |    FROM ma JOIN pg ON ma.g = pg.g)
+        |  GROUP BY g),
+        |hb AS (SELECT g,
+        |    CAST(sum(CAST(round(CASE WHEN p > 0.0 THEN -p * ln(p)
+        |      ELSE 0.0 END, 10) AS DECIMAL(28,14))) AS DOUBLE) AS hbu
+        |  FROM (SELECT mb.g AS g,
+        |      round(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p
+        |    FROM mb JOIN pg ON mb.g = pg.g)
+        |  GROUP BY g)
+        |SELECT mi.g AS g, n,
+        |  round(miu / 0.6931471805599453, 6) AS mi,
+        |  round(hau / 0.6931471805599453, 6) AS h_a,
+        |  round(hbu / 0.6931471805599453, 6) AS h_b,
+        |  CASE WHEN hau > 0.0 AND hbu > 0.0 THEN
+        |    round(miu / (sqrt(hau) * sqrt(hbu)), 6) END AS nmi
+        |FROM mi JOIN ha ON mi.g = ha.g JOIN hb ON mi.g = hb.g
+        |ORDER BY g""".stripMargin,
+    // bins re-derived: the identical integer ECDF arithmetic
+    // (countBelow·k div n), joined back on (group, value)
+    "q_equal_freq_bins" ->
+      """WITH c AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT g, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM c),
+        |b AS (SELECT g, v, ((cum - cnt) * 8) // n AS bin FROM r)
+        |SELECT doc_id, d.source AS source, CAST(d.n_chars AS DOUBLE) AS v,
+        |  bin
+        |FROM documents d JOIN b ON d.source = b.g
+        |  AND CAST(d.n_chars AS DOUBLE) = b.v
+        |WHERE d.n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // LOO encoding re-derived: exact DECIMAL sums, one division of
+    // exact numerators, singleton fallback to the global LOO prior
+    "q_target_encode" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority AS cat,
+        |    CAST(o_totalprice AS DECIMAL(14,2)) AS y
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |cs AS (SELECT cat, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(y) AS DECIMAL(28,2)) AS s FROM base GROUP BY cat),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+        |    CAST(sum(y) AS DECIMAL(28,2)) AS gs FROM base)
+        |SELECT o_orderkey, base.cat AS cat, CAST(y AS DOUBLE) AS y,
+        |  CASE WHEN cn > 1 THEN
+        |      round((CAST(s AS DOUBLE) - CAST(y AS DOUBLE))
+        |        / CAST(cn - 1 AS DOUBLE), 6)
+        |    WHEN gn > 1 THEN
+        |      round((CAST(gs AS DOUBLE) - CAST(y AS DOUBLE))
+        |        / CAST(gn - 1 AS DOUBLE), 6)
+        |  END AS enc
+        |FROM base JOIN cs ON base.cat = cs.cat CROSS JOIN g
+        |ORDER BY o_orderkey""".stripMargin,
+    // lift table re-derived: descending integer ECDF buckets, exact
+    // count divisions with the same parenthesization
+    "q_lift_table" ->
+      s"""WITH base AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v,
+        |    (len($tokensSql) > 250) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM base GROUP BY 1, 2),
+        |r AS (SELECT g, v, cnt, p,
+        |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM c),
+        |bk AS (SELECT g, ((cum - cnt) * 10) // n AS bucket, cnt, p
+        |  FROM r),
+        |agg AS (SELECT g, bucket, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS n_pos
+        |  FROM bk GROUP BY 1, 2),
+        |w AS (SELECT g, bucket, n, n_pos,
+        |    CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS tn,
+        |    CAST(sum(n_pos) OVER (PARTITION BY g) AS BIGINT) AS tp,
+        |    CAST(sum(n_pos) OVER (PARTITION BY g ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+        |  FROM agg)
+        |SELECT g, bucket, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  CASE WHEN tp > 0 THEN
+        |    round(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+        |  END AS cum_capture,
+        |  CASE WHEN tp > 0 THEN
+        |    round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+        |  END AS lift
+        |FROM w ORDER BY g, bucket""".stripMargin,
     // KM re-derived: same per-(group, time) event/censor counts, risk
     // set by total-minus-consumed, round-9 factor before the ln,
     // DECIMAL-quantized log terms, exp on the round-10 cumsum

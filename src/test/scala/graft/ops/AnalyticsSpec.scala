@@ -1297,4 +1297,115 @@ class AnalyticsSpec extends SparkSpec {
       ("ind", 4L, 2L, 2L, 0.0, Some(0.0)),
       ("perf", 4L, 2L, 2L, 4.0, Some(1.0))))
   }
+
+  test("aucRoc: perfect=1, inverted=0, all-tied=0.5, hand 3/4 case, single-class null") {
+    import spark.implicits._
+    val df = Seq(
+      ("perf", 1.0, false), ("perf", 2.0, false), ("perf", 3.0, true),
+      ("perf", 4.0, true),
+      ("inv", 1.0, true), ("inv", 2.0, true), ("inv", 3.0, false),
+      ("tied", 2.0, true), ("tied", 2.0, false),
+      // pos@2 beats neg@1, loses to neg@3; pos@4 beats both -> 3/4
+      ("hand", 1.0, false), ("hand", 2.0, true), ("hand", 3.0, false),
+      ("hand", 4.0, true),
+      ("mono", 1.0, true), ("mono", 2.0, true)) // no negatives
+      .toDF("grp", "score", "y")
+    val out = Stats.aucRoc(df, "score", "y", "grp")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out == Seq(
+      ("hand", 2L, 2L, Some(0.75)),
+      ("inv", 2L, 1L, Some(0.0)),
+      ("mono", 2L, 0L, None),
+      ("perf", 2L, 2L, Some(1.0)),
+      ("tied", 1L, 1L, Some(0.5))))
+  }
+
+  test("mannWhitney: separated samples, tie-corrected variance, one-sided null") {
+    import spark.implicits._
+    val df = Seq(
+      // fully separated: U=0, z=-1.963961 -> |z|>1.96 significant
+      ("sep", 1.0, "a"), ("sep", 2.0, "a"), ("sep", 3.0, "a"),
+      ("sep", 4.0, "b"), ("sep", 5.0, "b"), ("sep", 6.0, "b"),
+      // ties across samples: U=1 (half-rank exact), ties-term 24,
+      // var 2.4, z=-1.290994 -> not significant
+      ("tie", 1.0, "a"), ("tie", 2.0, "a"), ("tie", 2.0, "a"),
+      ("tie", 2.0, "b"), ("tie", 3.0, "b"),
+      ("one", 1.0, "a"), ("one", 2.0, "a")) // no b sample
+      .toDF("grp", "v", "s")
+    val out = Stats.mannWhitney(df, "v", "s", "a", "b", "grp")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getBoolean(5)))).toSeq
+    assert(out == Seq(
+      ("one", 2L, 0L, None, None, None),
+      ("sep", 3L, 3L, Some(0.0), Some(-1.963961), Some(true)),
+      ("tie", 3L, 2L, Some(1.0), Some(-1.290994), Some(false))))
+  }
+
+  test("mutualInfo: perfect 2x2 = 1 bit with NMI 1, independence = 0, degenerate null NMI") {
+    import spark.implicits._
+    val df = Seq(
+      ("perf", "A", "x"), ("perf", "B", "y"),
+      ("ind", "A", "x"), ("ind", "A", "y"), ("ind", "B", "x"),
+      ("ind", "B", "y"),
+      ("deg", "A", "x"), ("deg", "B", "x")) // single b label: H(b)=0
+      .toDF("grp", "a", "b")
+    val out = Stats.mutualInfo(df, "a", "b", "grp")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSeq
+    assert(out == Seq(
+      ("deg", 2L, 0.0, 1.0, 0.0, None),
+      ("ind", 4L, 0.0, 1.0, 1.0, Some(0.0)),
+      ("perf", 2L, 1.0, 1.0, 1.0, Some(1.0))))
+  }
+
+  test("equalFreqBins: balanced bins on distinct values, ties share a bin, integer arithmetic") {
+    import spark.implicits._
+    val df = (1 to 8).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("id", "grp", "v")
+      .unionByName(Seq((11L, "t", 1.0), (12L, "t", 1.0), (13L, "t", 1.0),
+        (14L, "t", 2.0)).toDF("id", "grp", "v"))
+    val out = Stats.equalFreqBins(df, "id", "v", "grp", k = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // 1..8 into 4 bins of 2; the tied trio all lands in bin 0
+    // ((countBelow=0)*4 div 4), the lone 2.0 in bin (3*4) div 4 = 3
+    assert(out == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L),
+      (6L, 2L), (7L, 3L), (8L, 3L), (11L, 0L), (12L, 0L), (13L, 0L),
+      (14L, 3L)))
+  }
+
+  test("targetEncodeLoo: own row excluded, singleton falls back to global LOO prior") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0),
+      (4L, "B", 10.0))
+      .toDF("id", "cat", "y")
+    val out = Stats.targetEncodeLoo(df, "id", "cat", "y")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    // A sums to 6: (6-1)/2, (6-2)/2, (6-3)/2; B is a singleton ->
+    // global (16-10)/3 = 2.0
+    assert(out == Seq((1L, 2.5), (2L, 2.0), (3L, 1.5), (4L, 2.0)))
+  }
+
+  test("liftTable: top bucket captures all positives, lift = 1/baseRate, zero tail") {
+    import spark.implicits._
+    val df = Seq(("g", 4.0, true), ("g", 3.0, true), ("g", 2.0, false),
+      ("g", 1.0, false))
+      .toDF("grp", "score", "y")
+    val out = Stats.liftTable(df, "score", "y", "grp", k = 2)
+      .orderBy("g", "bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // bucket 0 (scores 4,3): both positive -> rate 1, capture 1,
+    // lift 1/(2/4) = 2; bucket 1: zero rate, capture stays 1
+    assert(out == Seq((0L, 2L, 2L, 1.0, 1.0, 2.0),
+      (1L, 2L, 0L, 0.0, 1.0, 0.0)))
+  }
 }
