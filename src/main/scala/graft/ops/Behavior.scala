@@ -616,4 +616,181 @@ object Behavior {
         round(pn / an, 6).as("confidence"),
         round((pn / an) / (cn / nb), 6).as("lift"))
   }
+
+  /** Item–item cosine similarity from basket co-occurrence — the
+    * collaborative-filtering standard beside [[associationRules]]' lift
+    * (lift is a probability ratio and explodes for rare pairs; cosine
+    * c_ij/√(c_i·c_j) is the bounded [0,1] geometry the "customers also
+    * bought" ranker actually uses). One row per UNORDERED pair
+    * (item_a < item_b).
+    *
+    * Exactness: counts are exact longs, cosine is one
+    * fixed-parenthesization double expression (pn / (√an·√cn)), 6-dp.
+    *
+    * Shape: identical to [[associationRules]] — distinct (basket, item)
+    * once, pair counts via the basket-keyed self-join (per-basket
+    * quadratic bounded by basket width, linear in baskets), item counts
+    * broadcast back onto the pair frame. */
+  def itemCosine(df: DataFrame, basketCol: String, itemCol: String,
+      minPairBaskets: Long = 2L): DataFrame = {
+    require(minPairBaskets >= 1L,
+      s"minPairBaskets must be >= 1, got $minPairBaskets")
+    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .filter(col("i").isNotNull).distinct()
+    val itemN = items.groupBy(col("i")).agg(count(lit(1)).as("__in"))
+    items.as("a")
+      .join(items.as("c"), col("a.b") === col("c.b") &&
+        col("a.i") < col("c.i"))
+      .groupBy(col("a.i").as("item_a"), col("c.i").as("item_b"))
+      .agg(count(lit(1)).as("pair_baskets"))
+      .filter(col("pair_baskets") >= minPairBaskets)
+      .join(itemN.select(col("i").as("item_a"), col("__in").as("__an")),
+        Seq("item_a"))
+      .join(itemN.select(col("i").as("item_b"), col("__in").as("__cn")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("pair_baskets"),
+        col("__an").as("a_baskets"), col("__cn").as("b_baskets"),
+        round(col("pair_baskets").cast("double") /
+          (sqrt(col("__an").cast("double")) *
+            sqrt(col("__cn").cast("double"))), 6).as("cosine"))
+  }
+
+  /** Dense zero-filled per-key bucket series: exact DECIMAL(18,2)
+    * per-bucket sums on the key's min..max grid (missing buckets are
+    * REAL zeros — silence is data for autocorrelation and seasonality,
+    * unlike [[gapFill]]'s carry-forward view). Shares gapFill's bucket
+    * arithmetic and the maxBucketsPerKey raise guard. */
+  private def denseSeries(events: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, stepSeconds: Long,
+      maxBucketsPerKey: Long): DataFrame = {
+    val bucket = floor(unix_timestamp(col(tsCol)).cast("double") /
+      lit(stepSeconds.toDouble)).cast("long") * stepSeconds
+    val observed = events
+      .select(col(keyCol).as("g"), bucket.as("b"),
+        col(valueCol).cast("decimal(14,2)").as("__v"))
+      .groupBy("g", "b")
+      .agg(sum(col("__v")).cast("decimal(18,2)").as("__vo"))
+    val spans = observed.groupBy("g")
+      .agg(min(col("b")).as("__lo"), max(col("b")).as("__hi"))
+      .withColumn("__nb",
+        (col("__hi") - col("__lo")) / lit(stepSeconds) + 1L)
+      .withColumn("__lo", when(col("__nb") <= maxBucketsPerKey,
+        col("__lo"))
+        .otherwise(raise_error(concat(lit("denseSeries: key "),
+          col("g").cast("string"), lit(" spans "),
+          col("__nb").cast("string"),
+          lit(" buckets > maxBucketsPerKey")))))
+    spans.select(col("g"),
+        explode(sequence(col("__lo"), col("__hi"),
+          lit(stepSeconds))).as("b"))
+      .join(observed, Seq("g", "b"), "left")
+      .withColumn("x",
+        coalesce(col("__vo"), lit(0).cast("decimal(18,2)")))
+      .select("g", "b", "x")
+  }
+
+  /** Lag-k autocorrelation (sample ACF) of the per-key bucket series —
+    * the periodicity/persistence diagnostic of an event stream ("does
+    * yesterday predict today? is there a weekly cycle?" — the ACF at
+    * lag 7 spiking IS the weekly seasonality [[seasonalProfile]]
+    * quantifies). Convention pinned: Pearson over the overlapping
+    * (x_t, x_{t+k}) pairs of the DENSE zero-filled series, per-lag
+    * means (the "correlogram of pairs" form — not the
+    * constant-global-mean estimator; both are standard, one is pinned).
+    *
+    * Exactness: series values are exact DECIMAL(18,2) bucket sums, all
+    * five moments are exact DECIMAL(38,4) sums over the pair frame, r
+    * is the [[graft.ops.Stats.corrMatrix]] fixed-parenthesization IEEE
+    * expression, 6-dp; degenerate lags (fewer than 2 pairs or zero
+    * variance on either side) emit null.
+    *
+    * Shape: raw rows shuffle ONCE into (key, bucket) sums; the lag
+    * expansion explodes a LITERAL lag list over the bucket-domain
+    * summary frame and self-joins it on (key, bucket+lag·step) — one
+    * summary-frame join, one (key, lag) aggregate; nothing rescans raw
+    * rows. */
+  def autocorr(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long, lags: Seq[Int],
+      maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags must be >= 1, got $lags")
+    require(lags.distinct.size == lags.size, s"duplicate lags: $lags")
+    val series = denseSeries(events, keyCol, tsCol, valueCol,
+      stepSeconds, maxBucketsPerKey)
+    val target = series.select(col("g").as("__tg"), col("b").as("__tb"),
+      col("x").as("y"))
+    val pairs = series
+      .withColumn("lag", explode(array(lags.map(l => lit(l)): _*)))
+      .join(target, col("g") === col("__tg") &&
+        col("__tb") === col("b") + col("lag").cast("long") * stepSeconds)
+    val moments = pairs.groupBy("g", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).cast("decimal(38,2)").as("__sx"),
+        sum(col("y")).cast("decimal(38,2)").as("__sy"),
+        sum(col("x") * col("x")).cast("decimal(38,4)").as("__sxx"),
+        sum(col("y") * col("y")).cast("decimal(38,4)").as("__syy"),
+        sum(col("x") * col("y")).cast("decimal(38,4)").as("__sxy"))
+    val n = col("n_pairs").cast("double")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val num = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    val denX = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val denY = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    moments.select(col("g"), col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= 2L && denX > 0.0 && denY > 0.0,
+        round(num / (sqrt(denX) * sqrt(denY)), 6)).as("acf"))
+  }
+
+  /** Periodic (e.g. day-of-week) seasonal profile of the per-key bucket
+    * series, with the STL-style SEASONAL STRENGTH summary
+    * 1 − SSE_resid/SSE_total (how much of the series' variance the
+    * periodic means explain; 0 = no cycle, →1 = the cycle is the
+    * signal). Per (key, phase): bucket count, exact mean; the strength
+    * repeats on each of the key's rows (the n_base convention).
+    *
+    *   SSE_total = Σx² − S²/N,   SSE_resid = Σx² − Σ_p S_p²/n_p
+    *
+    * Exactness: series values exact DECIMAL(18,2) ([[denseSeries]] —
+    * zero-filled: an empty Monday is evidence of the cycle, not missing
+    * data), Σx/Σx² exact DECIMAL sums; each S_p²/n_p is one
+    * fixed-parenthesization double, rounded to 6 dp and quantized to
+    * DECIMAL(30,6) so the per-key sum over the phase frame is
+    * order-invariant; strength clamps at 0 (sampling noise can push the
+    * raw ratio past 1), 6-dp renders; single-bucket keys emit null
+    * strength.
+    *
+    * Shape: one raw-row shuffle into (key, bucket) sums; phase
+    * reduction and both SSE terms ride the phase-domain summary frame
+    * (≤ period rows per key). */
+  def seasonalProfile(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long, period: Int,
+      maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val series = denseSeries(events, keyCol, tsCol, valueCol,
+      stepSeconds, maxBucketsPerKey)
+    val phases = series
+      // integer bucket index then modulo — Spark's `/` on longs is a
+      // DOUBLE division; `div` keeps the phase an exact long
+      .withColumn("phase", expr(s"(b div ${stepSeconds}L) % ${period}L"))
+      .groupBy("g", "phase")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("x")).cast("decimal(28,2)").as("__sp"),
+        sum(col("x") * col("x")).cast("decimal(38,4)").as("__ssp"))
+    val tot = Window.partitionBy(col("g"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val phaseTerm = round(d(col("__sp")) * d(col("__sp")) /
+      d(col("n_buckets")), 6).cast("decimal(30,6)")
+    val withTotals = phases
+      .withColumn("__N", sum(col("n_buckets")).over(tot))
+      .withColumn("__S", sum(col("__sp")).over(tot).cast("decimal(38,2)"))
+      .withColumn("__SS", sum(col("__ssp")).over(tot).cast("decimal(38,4)"))
+      .withColumn("__fit", sum(phaseTerm).over(tot))
+    val sseTot = d(col("__SS")) - d(col("__S")) * d(col("__S")) / d(col("__N"))
+    val sseRes = d(col("__SS")) - d(col("__fit"))
+    withTotals.select(col("g"), col("phase"), col("n_buckets"),
+      round(d(col("__sp")) / d(col("n_buckets")), 6).as("mean_v"),
+      when(sseTot > 0.0,
+        round(greatest(lit(1.0) - sseRes / sseTot, lit(0.0)), 6))
+        .as("seasonal_strength"))
+  }
 }

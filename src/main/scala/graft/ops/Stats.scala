@@ -340,6 +340,47 @@ object Stats {
       .withColumn("violates_k", col("n") < k)
   }
 
+  /** l-diversity audit — the companion of [[kAnonymity]] that k alone
+    * cannot provide: a quasi-identifier group can be huge yet leak the
+    * sensitive attribute completely if every row shares one sensitive
+    * value (the homogeneity attack). Per quasi group: row count,
+    * DISTINCT sensitive values l, the ENTROPY (bits) of the sensitive
+    * distribution (distinct-l says "2 values exist"; entropy says "but
+    * 99% is one of them" — entropy l-diversity is the stronger form),
+    * and the l < `l` violation flag.
+    *
+    * Engine-exactness: shares round to 9 dp before the ln, −p·ln p
+    * terms round to 10 dp and quantize to DECIMAL(28,14)
+    * (order-invariant sums), ÷[[Ln2]] compiled, 6-dp render.
+    *
+    * Shape: ONE map-combinable (quasi…, sensitive) cell shuffle;
+    * counts, l, and the entropy sum all reduce the cell frame — raw
+    * rows are never windowed. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity: need at least one quasi column")
+    require(l >= 1, s"l must be >= 1, got $l")
+    val cells = df
+      .filter(col(sensitiveCol).isNotNull)
+      .groupBy((quasiCols.map(col) :+
+        col(sensitiveCol).cast("string").as("__sv")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val tot = Window.partitionBy(quasiCols.map(col): _*)
+    cells
+      .withColumn("__n", sum(col("__c")).over(tot))
+      .withColumn("__p",
+        round(col("__c").cast("double") / col("__n").cast("double"), 9))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        sum(round(when(col("__p") > 0.0, -col("__p") * log(col("__p")))
+          .otherwise(lit(0.0)), 10).cast("decimal(28,14)"))
+          .cast("double").as("__h"))
+      .withColumn("entropy_bits", round(col("__h") / lit(Ln2), 6))
+      .withColumn("violates_l", col("l_distinct") < l)
+      .drop("__h")
+  }
+
   /** Population-Stability-Index DRIFT between two snapshots of a value
     * distribution, per group — the model-monitoring standard ("did this
     * feature's distribution move since training?"; PSI < 0.1 stable,

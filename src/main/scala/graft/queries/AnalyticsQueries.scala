@@ -49,6 +49,38 @@ object AnalyticsQueries {
           "p_brand")
         .orderBy("g")
     },
+    // lag-k autocorrelation of the daily value series per event type —
+    // Pearson over dense zero-filled pairs; the lag-7 spike IS the
+    // weekly cycle q_seasonal_profile quantifies
+    "q_autocorr" -> { (s, d) =>
+      graft.ops.Behavior.autocorr(Tables.events(s, d), "event_type",
+          "ts", "value", stepSeconds = 86400L, lags = Seq(1, 2, 3, 7))
+        .orderBy("g", "lag")
+    },
+    // day-of-week seasonal profile + STL-style seasonal strength per
+    // event type over the same dense series
+    "q_seasonal_profile" -> { (s, d) =>
+      graft.ops.Behavior.seasonalProfile(Tables.events(s, d),
+          "event_type", "ts", "value", stepSeconds = 86400L, period = 7)
+        .orderBy("g", "phase")
+    },
+    // item-item cosine from order co-occurrence — the bounded-geometry
+    // CF ranking beside q_assoc_rules' lift
+    "q_item_cosine" -> { (s, d) =>
+      graft.ops.Behavior.itemCosine(Tables.lineitem(s, d), "l_orderkey",
+          "l_partkey", minPairBaskets = 2L)
+        .orderBy("item_a", "item_b")
+    },
+    // l-diversity of users within each (event_type, day) cell — the
+    // homogeneity-attack audit k-anonymity alone cannot provide
+    "q_l_diversity" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("day",
+        floor(unix_timestamp(col("ts")).cast("double") / 86400d)
+          .cast("long"))
+      graft.ops.Stats.lDiversity(ev, Seq("event_type", "day"),
+          "user_id", l = 5L)
+        .orderBy("event_type", "day")
+    },
     // grouped ROC-AUC: does the char-length proxy ORDER token-rich docs
     // above token-poor ones per source? Exact rank-sum identity on
     // doubled integer ranks — no threshold grid
