@@ -182,7 +182,11 @@ object ScaleBench {
     // target encoding (category sums broadcast onto a scoring scan),
     // lift table (count shuffle + score-domain and bucket windows)
     "q_auc_roc", "q_mann_whitney", "q_mutual_info", "q_equal_freq_bins",
-    "q_target_encode", "q_lift_table")
+    "q_target_encode", "q_lift_table",
+    // round-11 tail: lag-k ACF + seasonal profile (one (key,bucket)
+    // shuffle each, bucket-grid summary joins), item-item cosine (the
+    // guarded basket self-join), l-diversity (one cell shuffle)
+    "q_autocorr", "q_seasonal_profile", "q_item_cosine", "q_l_diversity")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps

@@ -562,6 +562,33 @@ object Behavior {
         sum(col("__n")).as("n_intervals"))
   }
 
+  /** Distinct (basket, item) frame with the in-plan HOT-BASKET guard:
+    * [[associationRules]] and [[itemCosine]] self-join on the basket
+    * key, so one basket with W items costs W²/2 pairs — bounded by
+    * domain on order lines, silently quadratic on a web-scale
+    * "items per session" feed with one hot session. Any basket wider
+    * than `maxBasketWidth` raises in-plan naming the
+    * [[graft.ops.Pipeline.capPerKey]] fallback (the
+    * prefixFilterJaccardPairs guard pattern — never a driver-side
+    * check). One map-combinable width count + one basket-keyed join. */
+  private def guardedBasketItems(df: DataFrame, basketCol: String,
+      itemCol: String, maxBasketWidth: Long, op: String): DataFrame = {
+    require(maxBasketWidth >= 1L,
+      s"maxBasketWidth must be >= 1, got $maxBasketWidth")
+    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .filter(col("i").isNotNull).distinct()
+    val widths = items.groupBy("b").agg(count(lit(1)).as("__w"))
+    items.join(widths.hint("SHUFFLE_HASH"), Seq("b"))
+      .withColumn("i", when(col("__w") <= maxBasketWidth, col("i"))
+        .otherwise(raise_error(concat(lit(s"$op: basket "),
+          col("b").cast("string"), lit(" holds "),
+          col("__w").cast("string"),
+          lit(s" distinct items > maxBasketWidth=$maxBasketWidth — the" +
+            " basket self-join is quadratic per basket; cap hot baskets" +
+            " with Pipeline.capPerKey first, or raise maxBasketWidth")))))
+      .select("b", "i")
+  }
+
   /** Pairwise ASSOCIATION RULES over item baskets (market-basket
     * affinity — "orders containing A also contain B"): for every
     * directed item pair co-occurring in ≥ `minPairBaskets` baskets,
@@ -576,17 +603,21 @@ object Behavior {
     * Item frequencies join back on the item key (two map-combinable
     * count shuffles); the basket total rides a broadcast 1-row frame —
     * no driver action. Ratios are single IEEE divisions of exact counts
-    * with fixed parenthesization, 6-dp renders. */
+    * with fixed parenthesization, 6-dp renders. Baskets wider than
+    * `maxBasketWidth` raise in-plan ([[guardedBasketItems]]). */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
-      minPairBaskets: Long = 2L): DataFrame = {
+      minPairBaskets: Long = 2L,
+      maxBasketWidth: Long = 10000L): DataFrame = {
     require(minPairBaskets >= 1L,
       s"minPairBaskets must be >= 1, got $minPairBaskets")
     val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .filter(col("i").isNotNull).distinct()
+    val guarded = guardedBasketItems(df, basketCol, itemCol,
+      maxBasketWidth, "associationRules")
     val nBaskets = items.agg(
       count_distinct(col("b")).as("__nb"))
     val itemN = items.groupBy(col("i")).agg(count(lit(1)).as("__in"))
-    val pairs = items.as("a")
+    val pairs = guarded.as("a")
       .join(items.as("c"), col("a.b") === col("c.b") &&
         col("a.i") < col("c.i"))
       .groupBy(col("a.i").as("x"), col("c.i").as("y"))
@@ -630,15 +661,19 @@ object Behavior {
     * Shape: identical to [[associationRules]] — distinct (basket, item)
     * once, pair counts via the basket-keyed self-join (per-basket
     * quadratic bounded by basket width, linear in baskets), item counts
-    * broadcast back onto the pair frame. */
+    * broadcast back onto the pair frame. Baskets wider than
+    * `maxBasketWidth` raise in-plan ([[guardedBasketItems]]). */
   def itemCosine(df: DataFrame, basketCol: String, itemCol: String,
-      minPairBaskets: Long = 2L): DataFrame = {
+      minPairBaskets: Long = 2L,
+      maxBasketWidth: Long = 10000L): DataFrame = {
     require(minPairBaskets >= 1L,
       s"minPairBaskets must be >= 1, got $minPairBaskets")
     val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .filter(col("i").isNotNull).distinct()
+    val guarded = guardedBasketItems(df, basketCol, itemCol,
+      maxBasketWidth, "itemCosine")
     val itemN = items.groupBy(col("i")).agg(count(lit(1)).as("__in"))
-    items.as("a")
+    guarded.as("a")
       .join(items.as("c"), col("a.b") === col("c.b") &&
         col("a.i") < col("c.i"))
       .groupBy(col("a.i").as("item_a"), col("c.i").as("item_b"))
@@ -701,8 +736,10 @@ object Behavior {
     * Exactness: series values are exact DECIMAL(18,2) bucket sums, all
     * five moments are exact DECIMAL(38,4) sums over the pair frame, r
     * is the [[graft.ops.Stats.corrMatrix]] fixed-parenthesization IEEE
-    * expression, 6-dp; degenerate lags (fewer than 2 pairs or zero
-    * variance on either side) emit null.
+    * expression, 6-dp; EVERY requested lag emits a row per key (the
+    * pair moments left-join a dense (key, lag) grid): lags with no
+    * overlapping pairs carry n_pairs = 0, and degenerate lags (fewer
+    * than 2 pairs or zero variance on either side) null the acf.
     *
     * Shape: raw rows shuffle ONCE into (key, bucket) sums; the lag
     * expansion explodes a LITERAL lag list over the bucket-domain
@@ -720,6 +757,11 @@ object Behavior {
       stepSeconds, maxBucketsPerKey)
     val target = series.select(col("g").as("__tg"), col("b").as("__tb"),
       col("x").as("y"))
+    // dense (key, lag) grid: a lag whose shift empties the overlap
+    // still owes a row (n_pairs = 0, null acf) — consumers iterate the
+    // requested lag list, not the surviving one
+    val grid = series.select(col("g")).distinct()
+      .withColumn("lag", explode(array(lags.map(l => lit(l)): _*)))
     val pairs = series
       .withColumn("lag", explode(array(lags.map(l => lit(l)): _*)))
       .join(target, col("g") === col("__tg") &&
@@ -736,9 +778,11 @@ object Behavior {
     val num = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
     val denX = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
     val denY = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
-    moments.select(col("g"), col("lag"), col("n_pairs"),
-      when(col("n_pairs") >= 2L && denX > 0.0 && denY > 0.0,
-        round(num / (sqrt(denX) * sqrt(denY)), 6)).as("acf"))
+    grid.join(moments, Seq("g", "lag"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .select(col("g"), col("lag"), col("n_pairs"),
+        when(col("n_pairs") >= 2L && denX > 0.0 && denY > 0.0,
+          round(num / (sqrt(denX) * sqrt(denY)), 6)).as("acf"))
   }
 
   /** Periodic (e.g. day-of-week) seasonal profile of the per-key bucket

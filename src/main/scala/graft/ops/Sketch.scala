@@ -280,11 +280,16 @@ object Sketch {
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
     val est = quantilesFromSketch(
       bottomKSketch(df, groupCol, idCol, valueCol, k), qs)
-    // exact: cum counts over the value domain (summary-window discipline)
+    // exact: cum counts over the value domain (summary-window
+    // discipline); null values are dropped so both branches rank the
+    // SAME population — BottomKStructAgg.update skips null-field rows,
+    // and without this filter nulls sort first in the value order and
+    // shift every exact rank
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("__v"))
     val cum = df
       .select(col(groupCol).as("grp"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
       .groupBy("grp", "__v").agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(w))
       .withColumn("__n", max(col("__cum")).over(

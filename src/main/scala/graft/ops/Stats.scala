@@ -343,40 +343,47 @@ object Stats {
   /** l-diversity audit — the companion of [[kAnonymity]] that k alone
     * cannot provide: a quasi-identifier group can be huge yet leak the
     * sensitive attribute completely if every row shares one sensitive
-    * value (the homogeneity attack). Per quasi group: row count,
-    * DISTINCT sensitive values l, the ENTROPY (bits) of the sensitive
+    * value (the homogeneity attack). Per quasi group: row count n
+    * (ALL rows, including null-sensitive ones — a privacy audit that
+    * silently drops groups understates exposure), DISTINCT NON-NULL
+    * sensitive values l, the ENTROPY (bits) of the non-null sensitive
     * distribution (distinct-l says "2 values exist"; entropy says "but
     * 99% is one of them" — entropy l-diversity is the stronger form),
-    * and the l < `l` violation flag.
+    * and the l < `l` violation flag. A group whose sensitive column is
+    * entirely null still surfaces: l_distinct = 0, null entropy,
+    * violates_l = true.
     *
     * Engine-exactness: shares round to 9 dp before the ln, −p·ln p
     * terms round to 10 dp and quantize to DECIMAL(28,14)
     * (order-invariant sums), ÷[[Ln2]] compiled, 6-dp render.
     *
-    * Shape: ONE map-combinable (quasi…, sensitive) cell shuffle;
-    * counts, l, and the entropy sum all reduce the cell frame — raw
-    * rows are never windowed. */
+    * Shape: ONE map-combinable (quasi…, sensitive) cell shuffle — null
+    * sensitive values ride as their own cell so the all-rows total
+    * needs no second scan; counts, l, and the entropy sum all reduce
+    * the cell frame — raw rows are never windowed. */
   def lDiversity(df: DataFrame, quasiCols: Seq[String],
       sensitiveCol: String, l: Long): DataFrame = {
     require(quasiCols.nonEmpty, "lDiversity: need at least one quasi column")
     require(l >= 1, s"l must be >= 1, got $l")
     val cells = df
-      .filter(col(sensitiveCol).isNotNull)
       .groupBy((quasiCols.map(col) :+
         col(sensitiveCol).cast("string").as("__sv")): _*)
       .agg(count(lit(1)).as("__c"))
     val tot = Window.partitionBy(quasiCols.map(col): _*)
     cells
       .withColumn("__n", sum(col("__c")).over(tot))
-      .withColumn("__p",
-        round(col("__c").cast("double") / col("__n").cast("double"), 9))
+      .withColumn("__nn", sum(when(col("__sv").isNotNull, col("__c"))
+        .otherwise(lit(0L))).over(tot))
+      .withColumn("__p", when(col("__sv").isNotNull,
+        round(col("__c").cast("double") / col("__nn").cast("double"), 9)))
       .groupBy(quasiCols.map(col): _*)
       .agg(max(col("__n")).as("n"),
-        count(lit(1)).as("l_distinct"),
+        count(col("__sv")).as("l_distinct"),
         sum(round(when(col("__p") > 0.0, -col("__p") * log(col("__p")))
           .otherwise(lit(0.0)), 10).cast("decimal(28,14)"))
           .cast("double").as("__h"))
-      .withColumn("entropy_bits", round(col("__h") / lit(Ln2), 6))
+      .withColumn("entropy_bits",
+        when(col("l_distinct") > 0L, round(col("__h") / lit(Ln2), 6)))
       .withColumn("violates_l", col("l_distinct") < l)
       .drop("__h")
   }
@@ -388,8 +395,13 @@ object Stats {
     * (the [[histogram]] bin arithmetic, clamped edge bin included),
     * PSI = Σ_bins (p_cur − p_base)·ln(p_cur / p_base) with both shares
     * floored at `minShare` (the standard ε guard — an empty bin is
-    * strong evidence, not a division by zero). The DISTRIBUTIONAL
-    * complement of [[graft.ops.Behavior.cusumDrift]]'s temporal monitor.
+    * strong evidence, not a division by zero; the floor is for empty
+    * bins WITHIN two real samples). A group present in only one
+    * snapshot emits null psi — "no verdict", the convention every
+    * sibling drift op (ksTwoSample, emdDrift, jsDivergence) follows —
+    * never a large finite PSI manufactured from an all-floored side.
+    * The DISTRIBUTIONAL complement of
+    * [[graft.ops.Behavior.cusumDrift]]'s temporal monitor.
     *
     * Engine-exactness: shares round to 9 dp before the ln (so both
     * engines feed ln the same double), each bin term rounds to 10 dp
@@ -435,8 +447,8 @@ object Stats {
       .withColumn("__t", round((col("share_cur") - col("share_base")) *
         log(col("share_cur") / col("share_base")), 10)
         .cast("decimal(28,14)"))
-      .withColumn("psi", round(sum(col("__t")).over(totals)
-        .cast("double"), 6))
+      .withColumn("psi", when(col("__tb") > 0L && col("__tc") > 0L,
+        round(sum(col("__t")).over(totals).cast("double"), 6)))
       .select(col("g"), col("bin"),
         round(lit(lo) + col("bin") * (lit(hi - lo) / lit(bins.toDouble)), 6)
           .as("bin_lo"),

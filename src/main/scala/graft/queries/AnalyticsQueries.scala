@@ -864,6 +864,135 @@ object AnalyticsQueries {
         |        ELSE CAST(0 AS DECIMAL(28,14)) END) AS DOUBLE))
         |      * 0.5 / 0.6931471805599453, 6) END AS jsd
         |FROM t GROUP BY g ORDER BY g""".stripMargin,
+    // ACF re-derived: the same dense zero-filled DECIMAL(18,2) bucket
+    // series (gap-fill grid CTE), exact DECIMAL pair moments, the
+    // corrMatrix fixed-parenthesization Pearson, and the dense
+    // (key, lag) grid so zero-pair lags still emit n_pairs = 0 rows
+    "q_autocorr" ->
+      """WITH obs AS (SELECT event_type AS g,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400 AS b,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS vo
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT g, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT g, unnest(generate_series(lo, hi, 86400)) AS b
+        |  FROM span),
+        |ser AS (SELECT grid.g AS g, grid.b AS b,
+        |    coalesce(vo, CAST(0 AS DECIMAL(18,2))) AS x
+        |  FROM grid LEFT JOIN obs ON grid.g = obs.g AND grid.b = obs.b),
+        |lags(lag) AS (VALUES (1), (2), (3), (7)),
+        |pr AS (SELECT s.g AS g, l.lag AS lag, s.x AS x, t.x AS y
+        |  FROM ser s CROSS JOIN lags l
+        |  JOIN ser t ON t.g = s.g
+        |    AND t.b = s.b + CAST(l.lag AS BIGINT) * 86400),
+        |mom AS (SELECT g, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM pr GROUP BY 1, 2),
+        |lg AS (SELECT o.g AS g, l.lag AS lag
+        |  FROM (SELECT DISTINCT g FROM obs) o CROSS JOIN lags l)
+        |SELECT lg.g AS g, CAST(lg.lag AS INT) AS lag,
+        |  CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CASE WHEN m.n_pairs >= 2
+        |      AND CAST(m.n_pairs AS DOUBLE) * sxx - sx * sx > 0.0
+        |      AND CAST(m.n_pairs AS DOUBLE) * syy - sy * sy > 0.0 THEN
+        |    round((CAST(m.n_pairs AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(m.n_pairs AS DOUBLE) * sxx - sx * sx)
+        |        * sqrt(CAST(m.n_pairs AS DOUBLE) * syy - sy * sy)), 6)
+        |  END AS acf
+        |FROM lg LEFT JOIN mom m ON lg.g = m.g AND lg.lag = m.lag
+        |ORDER BY g, lag""".stripMargin,
+    // seasonal profile re-derived: same dense series, integer phase
+    // (b // step) % period, quantized per-phase S_p²/n_p fit terms over
+    // the phase frame, strength off unrounded SSE doubles
+    "q_seasonal_profile" ->
+      """WITH obs AS (SELECT event_type AS g,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400 AS b,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS vo
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT g, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT g, unnest(generate_series(lo, hi, 86400)) AS b
+        |  FROM span),
+        |ser AS (SELECT grid.g AS g, grid.b AS b,
+        |    coalesce(vo, CAST(0 AS DECIMAL(18,2))) AS x
+        |  FROM grid LEFT JOIN obs ON grid.g = obs.g AND grid.b = obs.b),
+        |ph AS (SELECT g, (b // 86400) % 7 AS phase,
+        |    CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(x) AS DECIMAL(28,2)) AS sp,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ssp
+        |  FROM ser GROUP BY 1, 2),
+        |w AS (SELECT g, phase, n_buckets, sp,
+        |    CAST(sum(n_buckets) OVER (PARTITION BY g) AS BIGINT) AS nn,
+        |    CAST(sum(sp) OVER (PARTITION BY g) AS DECIMAL(38,2)) AS s,
+        |    CAST(sum(ssp) OVER (PARTITION BY g) AS DECIMAL(38,4)) AS ss,
+        |    sum(CAST(round(CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+        |        / CAST(n_buckets AS DOUBLE), 6) AS DECIMAL(30,6)))
+        |      OVER (PARTITION BY g) AS fit
+        |  FROM ph)
+        |SELECT g, phase, n_buckets,
+        |  round(CAST(sp AS DOUBLE) / CAST(n_buckets AS DOUBLE), 6)
+        |    AS mean_v,
+        |  CASE WHEN CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(nn AS DOUBLE) > 0.0 THEN
+        |    round(greatest(1.0
+        |      - (CAST(ss AS DOUBLE) - CAST(fit AS DOUBLE))
+        |        / (CAST(ss AS DOUBLE)
+        |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |            / CAST(nn AS DOUBLE)), 0.0), 6)
+        |  END AS seasonal_strength
+        |FROM w ORDER BY g, phase""".stripMargin,
+    // item-item cosine re-derived: the q_assoc_rules basket self-join
+    // with the bounded-geometry cosine term pn / (√a·√b)
+    "q_item_cosine" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |it AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM items
+        |  GROUP BY 1),
+        |pr AS (SELECT a.i AS x, c.i AS y, CAST(count(*) AS BIGINT) AS pn
+        |  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT x AS item_a, y AS item_b, pn AS pair_baskets,
+        |  ia.cnt AS a_baskets, ic.cnt AS b_baskets,
+        |  round(CAST(pn AS DOUBLE)
+        |    / (sqrt(CAST(ia.cnt AS DOUBLE))
+        |      * sqrt(CAST(ic.cnt AS DOUBLE))), 6) AS cosine
+        |FROM pr JOIN it ia ON pr.x = ia.i JOIN it ic ON pr.y = ic.i
+        |ORDER BY item_a, item_b""".stripMargin,
+    // l-diversity re-derived: the kAnonymity group counts (ALL rows)
+    // plus distinct-sensitive cells and the q_jsd_drift entropy-term
+    // discipline over non-null shares
+    "q_l_diversity" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+        |    user_id
+        |  FROM events),
+        |tot AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |cells AS (SELECT event_type, day, user_id,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM e WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+        |w AS (SELECT event_type, day, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type, day) AS BIGINT)
+        |      AS nn
+        |  FROM cells),
+        |g AS (SELECT event_type, day,
+        |    CAST(count(*) AS BIGINT) AS l_distinct,
+        |    CAST(sum(CAST(round(CASE
+        |      WHEN round(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE), 9) > 0.0
+        |      THEN -round(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE), 9)
+        |        * ln(round(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE), 9))
+        |      ELSE 0.0 END, 10) AS DECIMAL(28,14))) AS DOUBLE) AS h
+        |  FROM w GROUP BY 1, 2)
+        |SELECT t.event_type, t.day, t.n,
+        |  CAST(coalesce(g.l_distinct, 0) AS BIGINT) AS l_distinct,
+        |  CASE WHEN g.l_distinct > 0 THEN
+        |    round(h / 0.6931471805599453, 6) END AS entropy_bits,
+        |  coalesce(g.l_distinct, 0) < 5 AS violates_l
+        |FROM tot t LEFT JOIN g
+        |  ON t.event_type = g.event_type AND t.day = g.day
+        |ORDER BY t.event_type, t.day""".stripMargin,
     // Cramér's V re-derived: same cell counts, dense marginal grid
     // (zero-observed cells owe their e term), round-10 quantized χ²
     // cell terms, V off the unrounded χ² double
@@ -1445,16 +1574,18 @@ object AnalyticsQueries {
         |    sum(n_base) OVER (PARTITION BY g) AS tb,
         |    sum(n_cur) OVER (PARTITION BY g) AS tc
         |  FROM d0),
-        |sh AS (SELECT g, bin, n_base, n_cur,
+        |sh AS (SELECT g, bin, n_base, n_cur, tb, tc,
         |    greatest(CASE WHEN tb > 0 THEN round(CAST(n_base AS DOUBLE) / tb, 9) ELSE 0.0 END, 0.0001) AS share_base,
         |    greatest(CASE WHEN tc > 0 THEN round(CAST(n_cur AS DOUBLE) / tc, 9) ELSE 0.0 END, 0.0001) AS share_cur
         |  FROM t),
-        |tm AS (SELECT g, bin, n_base, n_cur, share_base, share_cur,
+        |tm AS (SELECT g, bin, n_base, n_cur, tb, tc, share_base, share_cur,
         |    CAST(round((share_cur - share_base) * ln(share_cur / share_base), 10) AS DECIMAL(28,14)) AS tt
         |  FROM sh)
         |SELECT g, bin, round(0.0 + bin * (200.0 / 20.0), 6) AS bin_lo,
         |  n_base, n_cur, share_base, share_cur,
-        |  round(CAST(sum(tt) OVER (PARTITION BY g) AS DOUBLE), 6) AS psi
+        |  CASE WHEN tb > 0 AND tc > 0 THEN
+        |    round(CAST(sum(tt) OVER (PARTITION BY g) AS DOUBLE), 6)
+        |  END AS psi
         |FROM tm ORDER BY g, bin""".stripMargin,
     // RBO re-derived: the same (score desc, id asc) rankings, entry
     // depth = max rank, depth-grid cumulative intersections, and the

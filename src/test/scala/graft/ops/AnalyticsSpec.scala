@@ -1408,4 +1408,153 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq((0L, 2L, 2L, 1.0, 1.0, 2.0),
       (1L, 2L, 0L, 0.0, 1.0, 0.0)))
   }
+
+  test("autocorr: linear series acf=1, dense lag grid, zero-variance and " +
+      "single-bucket keys null") {
+    // key 1: x = 1..5 on consecutive days -> acf exactly 1.0 at lags
+    // 1 and 2; lag 10 has no overlap -> n_pairs = 0 row, null acf
+    // key 2: constant 5 on 3 days -> zero variance -> null acf
+    //        (lag 2 also has only 1 pair: below the n >= 2 floor)
+    // key 3: single bucket -> every lag emits (0, null)
+    val ev = tsEvents(
+      (1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-02 10:00:00", 2.0),
+      (1L, "2024-01-03 10:00:00", 3.0), (1L, "2024-01-04 10:00:00", 4.0),
+      (1L, "2024-01-05 10:00:00", 5.0),
+      (2L, "2024-01-01 00:00:00", 5.0), (2L, "2024-01-02 00:00:00", 5.0),
+      (2L, "2024-01-03 00:00:00", 5.0),
+      (3L, "2024-01-01 00:00:00", 7.0))
+    val out = Behavior.autocorr(ev, "user_id", "ts", "value", 86400L,
+        lags = Seq(1, 2, 10))
+      .orderBy("g", "lag").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out == Seq(
+      (1L, 1, 4L, Some(1.0)), (1L, 2, 3L, Some(1.0)), (1L, 10, 0L, None),
+      (2L, 1, 2L, None), (2L, 2, 1L, None), (2L, 10, 0L, None),
+      (3L, 1, 0L, None), (3L, 2, 0L, None), (3L, 10, 0L, None)))
+  }
+
+  test("seasonalProfile: perfect cycle strength 1, partial 0.2, constant " +
+      "and single-bucket keys null") {
+    // 2024-01-01 is day 19723 (odd) -> phase 1; period 2 alternates.
+    // key 1: [1,3,1,3] -> phase means (3,1), SSE_res = 0 -> strength 1
+    // key 2: [1,2,3,4] -> SSE_tot 5, fit 26, SSE_res 4 -> 1 - 4/5 = 0.2
+    // key 3: constant [2,2,2,2] -> SSE_tot = 0 -> null strength
+    // key 4: single bucket -> SSE_tot = 0 -> null strength
+    val ev = tsEvents(
+      (1L, "2024-01-01 09:00:00", 1.0), (1L, "2024-01-02 09:00:00", 3.0),
+      (1L, "2024-01-03 09:00:00", 1.0), (1L, "2024-01-04 09:00:00", 3.0),
+      (2L, "2024-01-01 00:00:00", 1.0), (2L, "2024-01-02 00:00:00", 2.0),
+      (2L, "2024-01-03 00:00:00", 3.0), (2L, "2024-01-04 00:00:00", 4.0),
+      (3L, "2024-01-01 00:00:00", 2.0), (3L, "2024-01-02 00:00:00", 2.0),
+      (3L, "2024-01-03 00:00:00", 2.0), (3L, "2024-01-04 00:00:00", 2.0),
+      (4L, "2024-01-01 00:00:00", 9.0))
+    val out = Behavior.seasonalProfile(ev, "user_id", "ts", "value",
+        86400L, period = 2)
+      .orderBy("g", "phase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 2L, 3.0, Some(1.0)), (1L, 1L, 2L, 1.0, Some(1.0)),
+      (2L, 0L, 2L, 3.0, Some(0.2)), (2L, 1L, 2L, 2.0, Some(0.2)),
+      (3L, 0L, 2L, 2.0, None), (3L, 1L, 2L, 2.0, None),
+      (4L, 1L, 1L, 9.0, None)))
+  }
+
+  test("itemCosine: hand-computed cosine, input dedup, minPairBaskets " +
+      "boundary") {
+    import spark.implicits._
+    // A,B co-occur in b1,b2 (b1 duplicated in input -> distinct);
+    // A,C co-occur once -> filtered at minPairBaskets = 2
+    val df = Seq((1L, "A"), (1L, "B"), (1L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B"))
+      .toDF("basket", "item")
+    val out = Behavior.itemCosine(df, "basket", "item",
+        minPairBaskets = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // cosine = 2 / (sqrt(3) * sqrt(3)) = 2/3
+    assert(out == Seq(("A", "B", 2L, 3L, 3L, 0.666667)))
+    // boundary: minPairBaskets = 1 admits (A, C) with cosine 1/sqrt(6)
+    val loose = Behavior.itemCosine(df, "basket", "item",
+        minPairBaskets = 1L)
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(loose == Seq(("A", "B", 2L), ("A", "C", 1L)))
+  }
+
+  test("itemCosine + associationRules: hot basket raises in-plan") {
+    import spark.implicits._
+    val hot = (1 to 5).map(i => (1L, s"i$i")) :+ (2L -> "i1")
+    val df = hot.toDF("basket", "item")
+    val ex1 = intercept[Exception] {
+      Behavior.itemCosine(df, "basket", "item", minPairBaskets = 1L,
+        maxBasketWidth = 4L).collect()
+    }
+    assert(ex1.getMessage.contains("maxBasketWidth") ||
+      Option(ex1.getCause).exists(_.getMessage.contains("maxBasketWidth")))
+    val ex2 = intercept[Exception] {
+      Behavior.associationRules(df, "basket", "item", minPairBaskets = 1L,
+        maxBasketWidth = 4L).collect()
+    }
+    assert(ex2.getMessage.contains("maxBasketWidth") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("maxBasketWidth")))
+    // at-the-boundary width passes
+    assert(Behavior.itemCosine(df, "basket", "item", minPairBaskets = 1L,
+      maxBasketWidth = 5L).count() == 10L)
+  }
+
+  test("lDiversity: entropy values, constant-sensitive, all-null group " +
+      "surfaces, n counts all rows") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", Some("a")), ("g1", Some("a")), ("g1", Some("b")),
+      ("g1", None), // null-sensitive row: counted in n, not in shares
+      ("g2", Some("x")), ("g2", Some("x")),
+      ("g3", None), ("g3", None), ("g3", None),
+      ("g4", Some("a")), ("g4", Some("b")), ("g4", Some("c")),
+      ("g4", Some("d")))
+      .toDF("q", "sv")
+    val out = Stats.lDiversity(df, Seq("q"), "sv", l = 2L)
+      .orderBy("q").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      ("g1", 4L, 2L, Some(0.918296), false), // H(2/3,1/3) bits
+      ("g2", 2L, 1L, Some(0.0), true),       // homogeneity attack
+      ("g3", 3L, 0L, None, true),            // all-null still surfaces
+      ("g4", 4L, 4L, Some(2.0), false)))     // uniform over 4 -> 2 bits
+  }
+
+  test("psiDrift: group present in only one snapshot emits null psi") {
+    import spark.implicits._
+    val rows = Seq(("only_base", "base", 1.0), ("only_base", "base", 9.0),
+      ("both", "base", 1.0), ("both", "cur", 9.0))
+    val df = rows.toDF("g", "snap", "v")
+    val out = Stats.psiDrift(df, "v", "g", "snap", "base", "cur",
+        lo = 0.0, hi = 10.0, bins = 2)
+      .orderBy("g", "bin").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toSeq
+    assert(out.filter(_._1 == "only_base").forall(_._2.isEmpty))
+    assert(out.filter(_._1 == "both").forall(_._2.nonEmpty))
+  }
+
+  test("bottomKQuantiles: est and exact rank the same null-free " +
+      "population") {
+    import spark.implicits._
+    val df = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
+      (4L, Some(4.0)), (5L, None), (6L, None))
+      .toDF("id", "v").withColumn("grp", lit("g"))
+    val out = Sketch.bottomKQuantiles(df, "grp", "id", "v", k = 16,
+        qs = Seq(0.5, 1.0))
+      .orderBy("q").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    // k covers the whole group, so the sketch is exact: est == exact,
+    // and both sides exclude the null rows (ranks over n = 4, not 6)
+    assert(out == Seq((0.5, 2.0, 2.0, 4L), (1.0, 4.0, 4.0, 4L)))
+  }
 }
