@@ -326,7 +326,21 @@ object ScaleBench {
     "q_emd_drift" -> Set("events"),
     "q_cohen_kappa" -> Set("documents"),
     "q_calibration" -> Set("documents"),
-    "q_search_eval" -> Set("lineitem"))
+    "q_search_eval" -> Set("lineitem"),
+    "q_kaplan_meier" -> Set("events"),
+    "q_spearman" -> Set("lineitem"),
+    "q_jsd_drift" -> Set("events"),
+    "q_cramers_v" -> Set("part"),
+    "q_auc_roc" -> Set("documents"),
+    "q_mann_whitney" -> Set("events"),
+    "q_mutual_info" -> Set("part"),
+    "q_equal_freq_bins" -> Set("documents"),
+    "q_target_encode" -> Set("orders"),
+    "q_lift_table" -> Set("documents"),
+    "q_autocorr" -> Set("events"),
+    "q_seasonal_profile" -> Set("events"),
+    "q_item_cosine" -> Set("lineitem"),
+    "q_l_diversity" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,
@@ -492,6 +506,12 @@ object ScaleBench {
         "UTF-8") == s"""{"src":"$src","copies":$copies,"skew":$skew}"""
 
   def main(args: Array[String]): Unit = {
+    // tools/final_artifacts.sh asserts heavies ⊆ artifact keys with this
+    // (the round-8/round-10 staleness bug: artifacts generated before the
+    // last operator wave silently missed the newest heavies)
+    if (args.contains("--list-heavies")) {
+      Queries.foreach(println); return
+    }
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val work = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
@@ -555,17 +575,42 @@ object ScaleBench {
     // max/median ratio under skew means no single task carries the hot key
     val taskTimes =
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    // stageId → callsite name, so the straggler readout can NAME the
+    // stage that serializes instead of leaving a bare ratio to chase
+    // (the round-10 q_quality_pipeline 110× question)
+    val stageNames =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (t.taskInfo != null && t.taskInfo.successful)
             taskTimes.add((t.stageId, t.taskInfo.duration))
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler
+              .SparkListenerStageCompleted): Unit = {
+          val info = s.stageInfo
+          // AQE submits stages from pool threads whose callsite reads
+          // "withThreadLocalCaptured at CompletableFuture"; the RDD
+          // operation scopes (Scan/Exchange/WholeStageCodegen…) name
+          // what the stage actually runs, and a graft frame in the
+          // long-form details names the operator when present
+          val site = info.details.linesIterator
+            .find(l => l.contains("graft.") &&
+              !l.contains("graft.ScaleBench"))
+            .map(_.trim).getOrElse("")
+          val scopes = info.rddInfos.flatMap(_.scope).map(_.name)
+            .distinct.take(5).mkString(" | ")
+          val label = Seq(info.name, scopes, site)
+            .filter(_.nonEmpty).mkString(" @ ")
+          stageNames.put(info.stageId, label)
+        }
       })
 
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       taskTimes.clear()
+      stageNames.clear()
       val t0 = System.nanoTime()
       // Force FULL evaluation with a noop-sink write: a count() action lets
       // Catalyst prune every computed column and eliminate row-preserving
@@ -599,18 +644,28 @@ object ScaleBench {
       // dragging the median down made healthy runs read as 30-50×). Only
       // stages whose slowest task is ≥ 200 ms matter: a 3-task metadata
       // stage with a 1 ms median proves nothing about scale.
-      val byStage = all.groupBy(_._1).values.map(_.map(_._2).sorted)
-      val significant = byStage.filter(d => d.last >= 200L)
-      val ratio =
-        if (significant.isEmpty) 1.0
-        else significant.map(d =>
-          d.last.toDouble / math.max(1L, d(d.length / 2))).max
+      val byStage = all.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted).toMap
+      val significant = byStage.filter { case (_, d) => d.last >= 200L }
+      val (ratio, worstStage) =
+        if (significant.isEmpty) (1.0, "")
+        else {
+          val (sid, d) = significant.maxBy { case (_, ds) =>
+            ds.last.toDouble / math.max(1L, ds(ds.length / 2)) }
+          val med = math.max(1L, d(d.length / 2))
+          (d.last.toDouble / med,
+            s"${stageNames.getOrDefault(sid, "?")} [stage $sid: " +
+              s"${d.length} tasks, max ${d.last} ms, median $med ms]")
+        }
       val maxTaskSec =
         if (all.isEmpty) 0.0 else all.map(_._2).max / 1e3
-      (name, sec, rows, ratio, maxTaskSec)
+      (name, sec, rows, ratio, maxTaskSec, worstStage)
     }
-    def j[A](f: ((String, Double, Long, Double, Double)) => A): String =
+    type R = (String, Double, Long, Double, Double, String)
+    def j[A](f: R => A): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    def jq(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val total = results.map(_._2).sum
     def r2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -619,7 +674,7 @@ object ScaleBench {
     // a query-global max/median with empty = 0.0 — the two are NOT
     // comparable, and cross-round tooling must check this field before
     // comparing task_max_over_median values)
-    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"skew":$skew,"straggler_metric_version":2,"queries":${j(_._2)},"rows":${j(_._3)},"task_max_over_median":${j(r => r2(r._4))},"task_max_sec":${j(r => r2(r._5))},"src":"$src"}""")
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"skew":$skew,"straggler_metric_version":2,"queries":${j(_._2)},"rows":${j(_._3)},"task_max_over_median":${j(r => r2(r._4))},"task_max_sec":${j(r => r2(r._5))},"worst_stage":${j(r => jq(r._6))},"src":"$src"}""")
     spark.stop()
   }
 }

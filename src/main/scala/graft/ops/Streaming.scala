@@ -386,4 +386,87 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  // ---- streaming PSI drift monitor ------------------------------------
+
+  final case class PsiState(base: Seq[Long], cur: Seq[Long])
+  final case class PsiBinRow(g: String, bin: Int, bin_lo: Double,
+      n_base: Long, n_cur: Long, share_base: Double, share_cur: Double,
+      psi: Option[Double])
+
+  /** STREAMING twin of [[Stats.psiDrift]] — the live model-monitoring
+    * path ("did this feature drift since training?" as a standing
+    * query): per group, `flatMapGroupsWithState` keeps two `bins`-long
+    * count vectors (base/current snapshot) — O(bins) state, never raw
+    * rows — and re-emits the full per-bin PSI readout after each
+    * micro-batch. Count accumulation is order-independent, so after any
+    * micro-batch partitioning the emitted rows equal the batch
+    * [[Stats.psiDrift]] over the rows seen so far — pinned
+    * batch==stream (OpsSpec). Exactness parity with the batch form:
+    * scala BigDecimal HALF_UP mirrors Spark's round() (both quantize
+    * the double's shortest decimal form), shares round at 9 dp before
+    * the ln, terms at 10 dp, and the term sum runs over exact
+    * BigDecimals like the batch DECIMAL(28,14) sum; one-sided groups
+    * emit null psi, same as batch. */
+  def psiDriftStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, valueCol: String,
+      groupCol: String, snapshotCol: String, baseLabel: String,
+      currentLabel: String, lo: Double, hi: Double, bins: Int,
+      minShare: Double, queryName: String): StreamingQuery = {
+    import spark.implicits._
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    require(minShare > 0.0 && minShare < 1.0,
+      s"minShare must be in (0, 1), got $minShare")
+    def r(x: Double, d: Int): Double =
+      BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val width = (hi - lo) / bins.toDouble
+    val rows = spark.readStream.schema(schema).parquet(sourceDir)
+      .filter(col(snapshotCol).isin(baseLabel, currentLabel) &&
+        col(valueCol).cast("double") >= lo &&
+        col(valueCol).cast("double") <= hi)
+      .select(col(groupCol).cast("string").as("g"),
+        col(snapshotCol).cast("string").as("s"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, String, Double)]
+
+    def update(g: String, batch: Iterator[(String, String, Double)],
+        state: GroupState[PsiState]): Iterator[PsiBinRow] = {
+      val prev = state.getOption.getOrElse(
+        PsiState(Seq.fill(bins)(0L), Seq.fill(bins)(0L)))
+      val base = prev.base.toArray
+      val cur = prev.cur.toArray
+      batch.foreach { case (_, s, v) =>
+        val bin = if (v == hi) bins - 1
+          else math.min(
+            math.floor((v - lo) * bins.toDouble / (hi - lo)).toInt, bins - 1)
+        if (s == baseLabel) base(bin) += 1L else cur(bin) += 1L
+      }
+      state.update(PsiState(base.toSeq, cur.toSeq))
+      val tb = base.sum
+      val tc = cur.sum
+      def share(n: Long, tot: Long): Double =
+        math.max(if (tot > 0L) r(n.toDouble / tot.toDouble, 9) else 0.0,
+          minShare)
+      val terms = (0 until bins).map { b =>
+        val sb = share(base(b), tb)
+        val sc = share(cur(b), tc)
+        BigDecimal(r((sc - sb) * math.log(sc / sb), 10))
+      }
+      val psi =
+        if (tb > 0L && tc > 0L) Some(r(terms.sum.toDouble, 6)) else None
+      (0 until bins).iterator.map { b =>
+        PsiBinRow(g, b, r(lo + b * width, 6), base(b), cur(b),
+          share(base(b), tb), share(cur(b), tc), psi)
+      }
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(update)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

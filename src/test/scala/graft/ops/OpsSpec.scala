@@ -439,6 +439,37 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("psiDriftStream: streaming per-bin PSI == batch psiDrift (batch == stream)") {
+    val src = java.nio.file.Files.createTempDirectory("graftpsi").toString
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("snap",
+        when(unix_timestamp(col("ts")) < 1705363200L, lit("base"))
+          .otherwise(lit("cur")))
+      .select("event_type", "snap", "value", "event_id")
+    events.filter(col("event_id") % 2 === 0).write
+      .mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    events.filter(col("event_id") % 2 === 1).write
+      .mode("append").parquet(src)
+    val q = Streaming.psiDriftStream(spark, src, schema, "value",
+      "event_type", "snap", "base", "cur", lo = 0.0, hi = 200.0,
+      bins = 20, minShare = 1e-4, queryName = "psi_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits the full readout per batch; the row with the
+    // max cumulative count per (g, bin) is the final state
+    val streamed = spark.sql(
+      """SELECT g, bin, bin_lo, n_base, n_cur, share_base, share_cur, psi
+        |FROM (SELECT *, row_number() OVER (PARTITION BY g, bin
+        |    ORDER BY n_base + n_cur DESC) AS rn FROM psi_stream_test)
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Stats.psiDrift(events, "value", "event_type", "snap",
+        "base", "cur", lo = 0.0, hi = 200.0, bins = 20)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("flatMapGroupsWithState running totals match a batch aggregation") {
     val src = java.nio.file.Files.createTempDirectory("graftstate").toString
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")

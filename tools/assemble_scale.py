@@ -52,6 +52,8 @@ def per_query(c1, big, copies):
         }
         if "task_max_sec" in big:
             out[q]["task_max_sec_big"] = float(big["task_max_sec"][q])
+        if "worst_stage" in big and big["worst_stage"].get(q):
+            out[q]["worst_stage_big"] = big["worst_stage"][q]
     return out
 
 
@@ -76,6 +78,8 @@ def main():
             }
             if "task_max_sec" in skew:
                 entry["task_max_sec"] = float(skew["task_max_sec"][q])
+            if "worst_stage" in skew and skew["worst_stage"].get(q):
+                entry["worst_stage"] = skew["worst_stage"][q]
             if q in queries:
                 # skewed docs volume is ~1.9x the uniform 10x run
                 lin = queries[q]["sec_1x"] * copies * 1.9

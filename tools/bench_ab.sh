@@ -36,13 +36,25 @@ git worktree remove --force "$WT" 2>/dev/null || true
 trap 'git worktree remove --force "$WT" 2>/dev/null || true' EXIT
 git worktree add --detach "$WT" "$PREV" >/dev/null
 
+# Prefer the bench_full line (full per-query map; emitted since round
+# 11 — the driver-facing last line is compact and carries only the 20
+# slowest); fall back to the last metric line for pre-round-11 commits.
+pick_line() {
+  local all
+  all=$(grep -o '{"metric".*}')
+  if echo "$all" | grep -q '"metric":"bench_full"'; then
+    echo "$all" | grep '"metric":"bench_full"' | tail -1
+  else
+    echo "$all" | tail -1
+  fi
+}
 run_prev() {
   (cd "$WT" && SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
-    sbt -batch 'runMain graft.Bench' 2>&1 | grep -o '{"metric".*}' | tail -1)
+    sbt -batch 'runMain graft.Bench' 2>&1 | pick_line)
 }
 run_cur() {
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
-    sbt -batch 'runMain graft.Bench' 2>&1 | grep -o '{"metric".*}' | tail -1
+    sbt -batch 'runMain graft.Bench' 2>&1 | pick_line
 }
 
 echo "== interleaved A/B vs $(git rev-parse --short "$PREV"): prev, cur, prev, cur"

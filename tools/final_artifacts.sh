@@ -25,11 +25,31 @@ python3 tools/assemble_scale.py sf1 /tmp/sc_c1.json /tmp/sc_c10.json \
   "graft.ScaleBench - sf0.1 replicated 10x (disjoint affine-cipher text shards / sign-flip embedding isometries / per-copy-suffixed linkage blocks); every ScaleBench heavy" \
   "skewed replication: one content shard copies-x hot, ~half of events on one event_type and one user"
 
+# staleness guard (the round-8 AND round-10 mistake): every ScaleBench
+# heavy must have an entry in the artifact just written — a missing key
+# means the artifact was generated from a stale build or the compile
+# above didn't pick up the newest wave. Fail loudly instead of shipping
+# partial scale evidence.
+sbt -batch "runMain graft.ScaleBench --list-heavies" 2>/dev/null \
+  | sed -n 's/^\[info\] \([a-z0-9_][a-z0-9_]*\)$/\1/p' \
+  | grep -v '^running$' | sort > /tmp/heavies.txt
+python3 - "BENCH_${TAG}_sf1.json" /tmp/heavies.txt <<'PYEOF'
+import json, sys
+art = set(json.load(open(sys.argv[1]))["queries"])
+heavies = set(open(sys.argv[2]).read().split())
+missing = sorted(heavies - art)
+if missing:
+    sys.exit(f"STALE ARTIFACT: heavies missing from {sys.argv[1]}: {missing}")
+print(f"staleness guard OK: all {len(heavies)} heavies present")
+PYEOF
+
 # 100x flagships: the eight prior flagships + the lossless prefix-filter
-# join and the composed entity resolution
+# join, the composed entity resolution, and (round 11) the two priciest
+# summary-window stats — Kaplan-Meier and Spearman, whose value-domain
+# frames can approach row counts on continuous values
 FLAGS="d_lsh_jaccard_verify s_ivf_topk t_winnow_overlap s_ivfpq_topk \
 q_training_mix q_quality_pipeline q_apply_changes s_knn_graph \
-d_prefix_jaccard q_entity_resolution"
+d_prefix_jaccard q_entity_resolution q_kaplan_meier q_spearman"
 sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_f1 1 $FLAGS" 2>&1 \
   | grep -o '{"metric".*}' | tail -1 > /tmp/sc_f1.json
 sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_sf10 100 $FLAGS" 2>&1 \
@@ -37,6 +57,6 @@ sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_sf10 100 $FLAGS" 2>&1 \
 
 python3 tools/assemble_scale.py sf10 /tmp/sc_f1.json /tmp/sc_f100.json \
   "BENCH_${TAG}_sf10.json" \
-  "graft.ScaleBench - sf0.1 replicated 100x, ten flagships: the eight prior flagships plus the lossless prefix-filter set-similarity join and the composed fuzzy entity resolution"
+  "graft.ScaleBench - sf0.1 replicated 100x, twelve flagships: the ten prior flagships plus the Kaplan-Meier and Spearman summary-window stats"
 
 echo "== artifacts written: BENCH_${TAG}_sf1.json BENCH_${TAG}_sf10.json"
