@@ -186,7 +186,17 @@ object ScaleBench {
     // round-11 tail: lag-k ACF + seasonal profile (one (key,bucket)
     // shuffle each, bucket-grid summary joins), item-item cosine (the
     // guarded basket self-join), l-diversity (one cell shuffle)
-    "q_autocorr", "q_seasonal_profile", "q_item_cosine", "q_l_diversity")
+    "q_autocorr", "q_seasonal_profile", "q_item_cosine", "q_l_diversity",
+    // round-11 second wave: PII scrub (pure scan), active users
+    // (window-constant × cells explode + multi-distinct), seasonal
+    // outliers (dense series + residual-domain medians), robust scaling
+    // (value-domain quantile picks + broadcast-back scan)
+    "t_pii_scrub", "q_active_users", "q_seasonal_outliers",
+    "q_robust_scale",
+    // round-11 third wave: weighted sampling (O(k)-state agg), 2-D
+    // histogram (one cell shuffle), c-TF-IDF (class-term shuffle +
+    // summary-frame rank window)
+    "q_weighted_sample", "q_histogram_2d", "t_ctfidf_terms")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -340,7 +350,14 @@ object ScaleBench {
     "q_autocorr" -> Set("events"),
     "q_seasonal_profile" -> Set("events"),
     "q_item_cosine" -> Set("lineitem"),
-    "q_l_diversity" -> Set("events"))
+    "q_l_diversity" -> Set("events"),
+    "t_pii_scrub" -> Set("documents"),
+    "q_active_users" -> Set("events"),
+    "q_seasonal_outliers" -> Set("events"),
+    "q_robust_scale" -> Set("documents"),
+    "q_weighted_sample" -> Set("orders"),
+    "q_histogram_2d" -> Set("lineitem"),
+    "t_ctfidf_terms" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -94,9 +94,16 @@ object MappingParser {
   }
 
   /** Wide-table body + shared defs from mapping rows
-    * (make_toml.py:118-160). */
+    * (make_toml.py:118-160). With `combineDuplicates = false` (default)
+    * this matches the reference exactly, INCLUDING its
+    * NotImplementedError on duplicate target_field rows
+    * (make_toml.py:146). `combineDuplicates = true` goes beyond the
+    * reference: multi-source mappings emit a
+    * `combinedType = "firstNonNull"` block whose fields keep mapping-row
+    * order (first row wins), each with its OWN value map — directly
+    * executable by the engine's C2 row-combine. */
   def wideTable(rows: List[MappingRow], schema: Raw,
-      numRefs: Int = 3): (Raw, Raw) = {
+      numRefs: Int = 3, combineDuplicates: Boolean = false): (Raw, Raw) = {
     val fieldTypes: Map[String, List[String]] = schema
       .getOrElse("properties", Map.empty[String, Any]).asInstanceOf[Raw]
       .map { case (f, p) =>
@@ -113,25 +120,48 @@ object MappingParser {
 
     // the reference's make_toml_table groups by target_field and raises on
     // any multi-row group (make_toml.py:146) instead of last-winning
-    rows.groupBy(_.targetField).foreach { case (_, g) =>
-      if (g.size > 1) throw new NotImplementedError("CombinedType not supported")
+    if (!combineDuplicates)
+      rows.groupBy(_.targetField).foreach { case (_, g) =>
+        if (g.size > 1) throw new NotImplementedError("CombinedType not supported")
+      }
+    def ruleFor(r: MappingRow, src: String): Raw = {
+      var rule: Raw = Map("field" -> src) ++
+        r.sourceDescription.map("description" -> _).toMap
+      // combined mode: each source row keeps its OWN value map (the
+      // per-target map would silently apply the last row's mapping to
+      // every source); single mode keeps the reference's lookup
+      val choices =
+        if (combineDuplicates) r.valueMapping.map(parseMappedValues)
+        else parsedChoices.get(r.targetField)
+      choices.filter(_.nonEmpty).foreach { ch =>
+        references.get(canon(ch)) match {
+          case Some(ref) => rule += ("ref" -> ref)
+          case None =>
+            rule += ("values" -> ch)
+            rule += ("caseInsensitive" -> true)
+        }
+        if (fieldTypes.getOrElse(r.targetField, Nil).contains("array"))
+          rule += ("type" -> "enum_list")
+      }
+      rule
     }
     var out = Map.empty[String, Any]
     rows.foreach { r =>
       r.sourceField.filter(_.nonEmpty).foreach { src =>
-        var rule: Raw = Map("field" -> src) ++
-          r.sourceDescription.map("description" -> _).toMap
-        parsedChoices.get(r.targetField).filter(_.nonEmpty).foreach { choices =>
-          references.get(canon(choices)) match {
-            case Some(ref) => rule += ("ref" -> ref)
-            case None =>
-              rule += ("values" -> choices)
-              rule += ("caseInsensitive" -> true)
-          }
-          if (fieldTypes.getOrElse(r.targetField, Nil).contains("array"))
-            rule += ("type" -> "enum_list")
+        val rule = ruleFor(r, src)
+        out.get(r.targetField) match {
+          case Some(prev) if combineDuplicates =>
+            val prevFields = prev match {
+              case m: Raw @unchecked if m.contains("combinedType") =>
+                m("fields").asInstanceOf[List[Raw]]
+              case m: Raw @unchecked => List(m)
+              case _ => Nil
+            }
+            out += (r.targetField -> Map(
+              "combinedType" -> "firstNonNull",
+              "fields" -> (prevFields :+ rule)))
+          case _ => out += (r.targetField -> rule)
         }
-        out += (r.targetField -> rule)
       }
     }
     schema.getOrElse("required", Nil).asInstanceOf[List[_]].map(_.toString)

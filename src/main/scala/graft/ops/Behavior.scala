@@ -837,4 +837,101 @@ object Behavior {
         round(greatest(lit(1.0) - sseRes / sseTot, lit(0.0)), 6))
         .as("seasonal_strength"))
   }
+
+  /** SEASONALITY-AWARE outlier flags per (key, bucket) — the composition
+    * of [[seasonalProfile]] and [[graft.ops.Stats.madOutliers]]: a raw
+    * z-score calls every Friday peak an anomaly on a weekly-cyclic
+    * series; subtracting the per-phase mean FIRST and flagging on the
+    * robust (MAD) z of the RESIDUAL catches "this Friday is unusual for
+    * a Friday". Per row: observed x, expected (6-dp phase mean),
+    * residual, robust z, flag.
+    *
+    * Exactness: the dense series is exact DECIMAL(18,2) ([[denseSeries]]);
+    * expected rounds at 6 dp; the residual rounds at 6 dp; medians are
+    * PICKED existing values (the madOutliers discipline — never
+    * interpolated), rz rounds at 6 dp and the flag compares rounded
+    * values.
+    *
+    * Shape: one raw-row shuffle into (key, bucket) sums; phase means on
+    * the ≤period-row phase frame; the MAD medians ride value-domain
+    * cumulative windows (bounded by distinct residuals); everything
+    * joins back on (key, bucket). */
+  def seasonalOutliers(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long, period: Int,
+      zThresh: Double = 3.5,
+      maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val series = denseSeries(events, keyCol, tsCol, valueCol,
+      stepSeconds, maxBucketsPerKey)
+    val phases = series
+      .withColumn("phase", expr(s"(b div ${stepSeconds}L) % ${period}L"))
+      .groupBy("g", "phase")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("x")).cast("decimal(28,2)").as("__sp"))
+      .withColumn("expected",
+        round(col("__sp").cast("double") / col("__n").cast("double"), 6))
+      .select("g", "phase", "expected")
+    val resid = series
+      .withColumn("phase", expr(s"(b div ${stepSeconds}L) % ${period}L"))
+      .join(phases, Seq("g", "phase"))
+      .withColumn("x", col("x").cast("double"))
+      .withColumn("resid", round(col("x") - col("expected"), 6))
+    val flags = graft.ops.Stats.madOutliers(
+      resid.select(col("g").as("__sk"), col("b"), col("resid")),
+      "b", "resid", "__sk", zThresh)
+      .select(col("__sk").as("g"), col("b"), col("med"), col("mad"),
+        col("rz"), col("is_outlier"))
+    resid.select("g", "b", "x", "expected", "resid")
+      .join(flags, Seq("g", "b"))
+      .select("g", "b", "x", "expected", "resid", "med", "mad", "rz",
+        "is_outlier")
+  }
+
+  /** Rolling ACTIVE-USER counts over the dense day grid — DAU / WAU /
+    * MAU and the DAU/MAU stickiness ratio, the product-health readout
+    * every event pipeline reports: for each day in the observed
+    * [min, max] grid, the count of distinct users active that day /
+    * in the trailing `shortWindow` days / in the trailing `longWindow`
+    * days. Gap days emit zeros (and whatever is still active in their
+    * trailing windows) — silence is data.
+    *
+    * Scale shape: raw events collapse ONCE to distinct (user, day)
+    * cells; each cell then explodes into the ≤ `longWindow` target days
+    * it serves (work = longWindow × cells — linear, bounded by the
+    * window constant, never quadratic), and ONE aggregation takes the
+    * three conditional distinct counts (Spark plans multi-distinct via
+    * Expand: ×3 the contribution rows, still linear). The day grid
+    * rides a broadcast 1-row bounds frame. Counts are exact longs;
+    * stickiness is one 6-dp division. */
+  def activeUsers(events: DataFrame, userCol: String, tsCol: String,
+      stepSeconds: Long = 86400L, shortWindow: Int = 7,
+      longWindow: Int = 28): DataFrame = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
+    require(shortWindow >= 1 && shortWindow <= longWindow,
+      s"need 1 <= shortWindow <= longWindow, got $shortWindow/$longWindow")
+    require(longWindow <= 366,
+      s"longWindow must be <= 366 (work is longWindow x cells), got $longWindow")
+    val day = floor(unix_timestamp(col(tsCol)).cast("double") /
+      lit(stepSeconds.toDouble)).cast("long")
+    val cells = events.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"), day.as("d")).distinct()
+    val bounds = cells.agg(min(col("d")).as("__lo"), max(col("d")).as("__hi"))
+    val contrib = cells
+      .withColumn("k", explode(sequence(lit(0), lit(longWindow - 1))))
+      .withColumn("td", col("d") + col("k"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("td") <= col("__hi"))
+    val counts = contrib.groupBy(col("td").as("d"))
+      .agg(count_distinct(when(col("k") === 0, col("u"))).as("dau"),
+        count_distinct(when(col("k") < shortWindow, col("u"))).as("wau"),
+        count_distinct(col("u")).as("mau"))
+    bounds.select(explode(sequence(col("__lo"), col("__hi"))).as("d"))
+      .join(counts, Seq("d"), "left")
+      .select(col("d"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .withColumn("stickiness", when(col("mau") > 0L,
+        round(col("dau").cast("double") / col("mau").cast("double"), 6)))
+  }
 }

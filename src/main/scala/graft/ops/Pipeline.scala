@@ -167,6 +167,52 @@ object Pipeline {
     df.join(winners, Seq(keyCol, idCol))
   }
 
+  /** WEIGHTED sampling without replacement, k per stratum — the
+    * Efraimidis–Spirakis exponential-key scheme ("keep the k smallest
+    * −ln(uᵢ)/wᵢ"), which yields EXACTLY the distribution of sequential
+    * weighted draws without replacement, as one bounded top-k. Where
+    * [[sampleByStratum]] keeps a fixed RATE and [[sampleToTokenBudget]]
+    * fills a budget in hash order, this over/under-samples rows
+    * PROPORTIONALLY to a per-row weight (quality score, token count,
+    * dedup cluster size) — the corpus-mixing knob between them.
+    *
+    * Determinism: uᵢ = (md5Long60(id) + 1)/2⁶⁰ — never rand(); stable
+    * under re-runs, retries, partitioning, and replicable by the DuckDB
+    * oracle (the md5-Horner discipline). Keys quantize to 12 dp with an
+    * id tiebreak so a last-ulp ln() divergence across engines cannot
+    * reorder the cut. Rows with null/non-positive weights are excluded
+    * (a zero-weight row can never be drawn). Ids MUST be unique per
+    * stratum (the [[capPerKey]] contract): duplicate ids share one
+    * uniform draw, which skews their joint inclusion odds — dedupe or
+    * synthesize a row id first.
+    *
+    * Shape: one [[graft.functions.TopKStructAgg]] O(k)-state
+    * aggregation per stratum (map-side merge, one key shuffle — never a
+    * per-stratum sort of raw rows), winners join weights back. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, k: Int, salt: String = "ws"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val w = col(weightCol).cast("double")
+    val base = df
+      .select(col(strataCol).as("g"), col(idCol).cast("long").as("id"),
+        w.as("__w"))
+      .filter(col("id").isNotNull && col("__w") > 0.0)
+    val u = (md5Long60(col("id"), salt) + 1L).cast("double") /
+      lit(math.pow(2.0, 60))
+    val key = round(-log(u) / col("__w"), 12)
+    val item = struct(key.as("negScore"), col("id"))
+    base
+      .groupBy("g")
+      .agg(graft.functions.TopKStructAgg.topK(spark, item, k).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1L).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.negScore").as("key"))
+      .join(base.select(col("g"), col("id"), col("__w").as("weight")),
+        Seq("g", "id"))
+      .select("g", "rank", "id", "weight", "key")
+  }
+
   /** The full composed corpus-preparation run — the chain a pretraining
     * data pipeline actually executes, as ONE plan:
     *

@@ -170,6 +170,48 @@ object Retrieval {
       .select(col("id"), col("rank"), col("term"), col("w"))
   }
 
+  /** Class-based TF-IDF (c-TF-IDF, the BERTopic topic-labeling
+    * standard) — "which terms CHARACTERIZE this class/cluster/source?":
+    * all documents of a class collapse into one pseudo-document, and
+    * term t in class c scores tf_{t,c} · ln(1 + A/f_t), where f_t is
+    * the corpus-wide term count and A the average per-class token mass
+    * — the class-level analogue of [[tfidfKeywords]]' per-doc ranking
+    * (per-doc IDF washes out when every doc in a cluster shares the
+    * cluster's vocabulary). Top-`k` terms per class, ties to the
+    * lexicographically smaller term.
+    *
+    * Exactness: tf/f are exact BIGINTs, A/f_t and the ln ride one
+    * fixed-parenthesization double chain, scores render at 6 dp (the
+    * tokenPmi libm discipline) and the RANK orders by the ROUNDED
+    * score — a last-ulp ln divergence cannot reorder the cut (ties
+    * break on the term).
+    *
+    * Shape: one (class, term) count shuffle; corpus frequencies and
+    * the two scalar totals reduce the class-term frame (broadcast
+    * 1-row totals); the rank window runs over the class-term summary
+    * frame — raw tokens are never windowed. */
+  def ctfidfTerms(df: DataFrame, classCol: String,
+      terms: org.apache.spark.sql.Column, k: Int = 10): DataFrame = {
+    require(k >= 1, s"ctfidfTerms: k must be >= 1, got $k")
+    val tfc = df.select(col(classCol).as("cls"), explode(terms).as("term"))
+      .groupBy("cls", "term").agg(count(lit(1)).as("tf"))
+    val ft = tfc.groupBy("term").agg(sum(col("tf")).cast("long").as("f"))
+    val totals = tfc.agg(sum(col("tf")).cast("long").as("__T"),
+      count_distinct(col("cls")).as("__C"))
+    val score = round(col("tf").cast("double") *
+      log(lit(1.0) + (col("__T").cast("double") / col("__C").cast("double")) /
+        col("f").cast("double")), 6)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("cls").orderBy(col("score").desc, col("term").asc)
+    tfc.join(ft.hint("SHUFFLE_HASH"), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("cls"), col("rank"), col("term"), col("tf"), col("f"),
+        col("score"))
+  }
+
   /** Document-level token co-occurrence with pointwise mutual
     * information — collocation mining ("new york"), taxonomy seeds,
     * embedding-free relatedness: for term pair (a, b),

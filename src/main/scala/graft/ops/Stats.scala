@@ -145,6 +145,50 @@ object Stats {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** 2-D HISTOGRAM per group — the joint-distribution readout behind
+    * every density heatmap and the drift check a 1-D histogram can't
+    * see (two marginals can both hold still while the joint rotates):
+    * fixed-width bins on both axes (the [[histogram]] clamped-edge
+    * arithmetic on each), one row per OBSERVED (group, bx, by) cell
+    * with count and 6-dp share of the group's in-range mass. Sparse by
+    * design — a dense xBins×yBins grid per group is quadratic in the
+    * bin constants and all-zero cells say nothing a consumer can't
+    * infer; the observed-cell frame is what scales.
+    *
+    * ONE map-combinable (group, bx, by) shuffle; the share divides by a
+    * group-total window over the cell frame. */
+  def histogram2d(df: DataFrame, xCol: String, yCol: String,
+      groupCol: String, xLo: Double, xHi: Double, xBins: Int,
+      yLo: Double, yHi: Double, yBins: Int): DataFrame = {
+    require(xBins >= 1 && yBins >= 1,
+      s"bins must be >= 1, got $xBins x $yBins")
+    require(xLo < xHi && yLo < yHi,
+      s"need lo < hi on both axes, got [$xLo,$xHi] x [$yLo,$yHi]")
+    def binOf(c: Column, lo: Double, hi: Double, bins: Int): Column =
+      when(c === hi, lit(bins - 1)).otherwise(least(
+        floor((c - lit(lo)) * lit(bins.toDouble) / lit(hi - lo)).cast("int"),
+        lit(bins - 1)))
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val cells = df
+      .filter(x >= xLo && x <= xHi && y >= yLo && y <= yHi)
+      .select(col(groupCol).as("g"),
+        binOf(x, xLo, xHi, xBins).as("bx"),
+        binOf(y, yLo, yHi, yBins).as("by"))
+      .groupBy("g", "bx", "by").agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("g"))
+    cells
+      .withColumn("__t", sum(col("n")).over(tot))
+      .select(col("g"), col("bx"), col("by"),
+        round(lit(xLo) + col("bx") * (lit(xHi - xLo) / lit(xBins.toDouble)), 6)
+          .as("x_lo"),
+        round(lit(yLo) + col("by") * (lit(yHi - yLo) / lit(yBins.toDouble)), 6)
+          .as("y_lo"),
+        col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Per-group MODE (most frequent value), ties to the smallest value —
     * deterministic, partition-invariant. The argmax runs over per-group
     * value SUMMARIES (one (group, value) count aggregation, then a
@@ -517,6 +561,46 @@ object Stats {
       .select(col(idCol), col("__g").as(groupCol), col("v"),
         col("__med").as("med"), col("__mad").as("mad"), col("rz"),
         col("is_outlier"))
+  }
+
+  /** ROBUST per-group scaling (median/IQR) — the feature-engineering
+    * normalizer that survives heavy tails where [[zscoreFlags]]' mean/σ
+    * is dragged by the outliers it's meant to expose:
+    * scaled = (v − median) / (q3 − q1). Groups with IQR 0 (over half
+    * the mass on one value) emit null scaled — no verdict, not ±∞.
+    *
+    * Exactness: median and quartiles are PICKED existing values at
+    * ranks ⌈q·n⌉ of the group ECDF (never interpolated — engines'
+    * interpolation conventions diverge in the last ulp; picking an
+    * element is engine-exact), the division is one fixed-
+    * parenthesization IEEE op, 6-dp render.
+    *
+    * Shape: one (group, value) count shuffle; the cumulative window
+    * runs over the value-domain summary frame (the [[madOutliers]]
+    * discipline); the three 1-row-per-group quantile frames broadcast
+    * back onto a zero-shuffle scoring scan. */
+  def robustScale(df: DataFrame, idCol: String, valueCol: String,
+      groupCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol), col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val w = Window.partitionBy(col("__g")).orderBy(col("v"))
+    val cum = base.groupBy("__g", "v").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n",
+        max(col("__cum")).over(Window.partitionBy(col("__g"))))
+    def pick(q: Double, name: String): DataFrame = cum
+      .filter(col("__cum") >= ceil(lit(q) * col("__n")))
+      .groupBy("__g").agg(min(col("v")).as(name))
+    base
+      .join(broadcast(pick(0.5, "med")), Seq("__g"))
+      .join(broadcast(pick(0.25, "q1")), Seq("__g"))
+      .join(broadcast(pick(0.75, "q3")), Seq("__g"))
+      .withColumn("scaled", when(col("q3") > col("q1"),
+        round((col("v") - col("med")) / (col("q3") - col("q1")), 6)))
+      .select(col(idCol), col("__g").as(groupCol), col("v"), col("med"),
+        col("q1"), col("q3"), col("scaled"))
   }
 
   /** Two-sample Kolmogorov–Smirnov drift test per group — the

@@ -1210,6 +1210,42 @@ object TextAnalysis {
       .withColumn("blocked", blocked)
   }
 
+  /** Email pattern for [[piiScrub]] — deliberately dialect-portable
+    * (character classes + bounded repetition only: identical leftmost
+    * matches under Java regex and RE2/DuckDB). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 pattern for [[piiScrub]] (word-bounded; no octet
+    * range check — a scrubber over-redacts rather than leaks). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** NNN-NNN-NNNN phone pattern for [[piiScrub]] ('-', '.' or ' '
+    * separators). */
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII detection + redaction — the scrub stage a training corpus runs
+    * before release: per document, match counts for EMAIL / IPv4 /
+    * phone patterns (each counted on the ORIGINAL text, independently)
+    * and the redacted text with matches replaced by their [TAG], applied
+    * in a FIXED order (email → ip → phone) so nested matches (digits
+    * inside an already-redacted email) resolve identically everywhere.
+    *
+    * ZERO shuffles: a narrow projection over codegen'd regex kernels —
+    * streaming-safe, scales as a pure scan. The patterns are the
+    * portable subset (no lookaround, no backrefs), so the DuckDB oracle
+    * runs the SAME patterns and the redacted text hash-matches. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+    df.select(col(idCol).as("id"),
+      cnt(EmailRe).as("n_emails"),
+      cnt(Ipv4Re).as("n_ipv4"),
+      cnt(PhoneRe).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), lit(EmailRe), lit("[EMAIL]")),
+          lit(Ipv4Re), lit("[IP]")),
+        lit(PhoneRe), lit("[PHONE]")).as("clean_text"))
+  }
+
   /** Flesch-reading-ease-style readability score per document with a
     * deterministic regex syllable proxy (SURVEY.md §2.11 L97): syllables
     * ≈ vowel-group runs `[aeiouy]+` over the lowercased text (counted

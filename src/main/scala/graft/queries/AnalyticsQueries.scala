@@ -81,6 +81,64 @@ object AnalyticsQueries {
           "user_id", l = 5L)
         .orderBy("event_type", "day")
     },
+    // PII scrub over documents with injected synthetic PII (the corpus
+    // itself is clean — the injection exercises counts AND redaction)
+    "t_pii_scrub" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("text",
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com or 10.0."),
+          (col("doc_id") % 256L).cast("string"),
+          lit(".7 call 555-123-4242 ok")))
+      graft.ops.TextAnalysis.piiScrub(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    // DAU/WAU/MAU + stickiness over the dense day grid
+    "q_active_users" -> { (s, d) =>
+      graft.ops.Behavior.activeUsers(Tables.events(s, d), "user_id",
+          "ts", stepSeconds = 86400L, shortWindow = 7, longWindow = 28)
+        .orderBy("d")
+    },
+    // seasonality-aware outliers: phase-mean residual + robust MAD z —
+    // "unusual for a Friday", not "Friday is unusual"
+    "q_seasonal_outliers" -> { (s, d) =>
+      graft.ops.Behavior.seasonalOutliers(Tables.events(s, d),
+          "event_type", "ts", "value", stepSeconds = 86400L, period = 7,
+          zThresh = 2.0)
+        .orderBy("g", "b")
+    },
+    // robust median/IQR scaling of document lengths per source — the
+    // heavy-tail-proof companion of q_anomaly_zscore's mean/sigma
+    "q_robust_scale" -> { (s, d) =>
+      graft.ops.Stats.robustScale(Tables.documents(s, d), "doc_id",
+          "n_chars", "source")
+        .orderBy("doc_id")
+    },
+    // Efraimidis-Spirakis weighted sampling: 50 orders per priority,
+    // drawn proportionally to total price, md5-deterministic (orders:
+    // the synthetic lineitem carries duplicate (orderkey, linenumber)
+    // rows, and E-S needs one uniform draw per unique id)
+    "q_weighted_sample" -> { (s, d) =>
+      graft.ops.Pipeline.weightedSample(Tables.orders(s, d), "o_orderkey",
+          "o_totalprice", "o_orderpriority", k = 50)
+        .orderBy("g", "rank")
+    },
+    // joint quantity x price distribution per return flag — the heatmap
+    // a pair of marginal histograms can't reconstruct
+    "q_histogram_2d" -> { (s, d) =>
+      graft.ops.Stats.histogram2d(Tables.lineitem(s, d), "l_quantity",
+          "l_extendedprice", "l_returnflag", xLo = 0.0, xHi = 50.0,
+          xBins = 10, yLo = 0.0, yHi = 120000.0, yBins = 12)
+        .orderBy("g", "bx", "by")
+    },
+    // c-TF-IDF class-characteristic terms per source — the BERTopic
+    // topic-labeling readout over the corpus's own classes
+    "t_ctfidf_terms" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.Retrieval.ctfidfTerms(docs, "source",
+          graft.ops.TextAnalysis.tokens(col("text")), k = 15)
+        .orderBy("cls", "rank")
+    },
     // grouped ROC-AUC: does the char-length proxy ORDER token-rich docs
     // above token-poor ones per source? Exact rank-sum identity on
     // doubled integer ranks — no threshold grid
@@ -993,6 +1051,186 @@ object AnalyticsQueries {
         |FROM tot t LEFT JOIN g
         |  ON t.event_type = g.event_type AND t.day = g.day
         |ORDER BY t.event_type, t.day""".stripMargin,
+    // PII scrub re-derived: the SAME portable patterns (shared textually
+    // via the TextAnalysis constants), same injection, same fixed
+    // redaction order — the clean_text hash is the real assertion
+    "t_pii_scrub" -> {
+      val em = graft.ops.TextAnalysis.EmailRe
+      val ip = graft.ops.TextAnalysis.Ipv4Re
+      val ph = graft.ops.TextAnalysis.PhoneRe
+      s"""WITH d2 AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.7 call 555-123-4242 ok' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$em')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER)
+        |    AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '$ph')) AS INTEGER)
+        |    AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$em', '[EMAIL]', 'g'),
+        |    '$ip', '[IP]', 'g'),
+        |    '$ph', '[PHONE]', 'g') AS clean_text
+        |FROM d2 ORDER BY doc_id""".stripMargin
+    },
+    // DAU/WAU/MAU re-derived: distinct (user, day) cells, the 28-way
+    // contribution explode, conditional distinct counts, dense grid
+    "q_active_users" ->
+      """WITH cells AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |bnd AS (SELECT min(d) AS lo, max(d) AS hi FROM cells),
+        |con AS (SELECT u, d + k AS td, k
+        |  FROM cells CROSS JOIN (SELECT unnest(range(0, 28)) AS k)),
+        |cnt AS (SELECT td AS d,
+        |    CAST(count(DISTINCT CASE WHEN k = 0 THEN u END) AS BIGINT)
+        |      AS dau,
+        |    CAST(count(DISTINCT CASE WHEN k < 7 THEN u END) AS BIGINT)
+        |      AS wau,
+        |    CAST(count(DISTINCT u) AS BIGINT) AS mau
+        |  FROM con, bnd WHERE td <= hi GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series(lo, hi)) AS d FROM bnd)
+        |SELECT grid.d,
+        |  CAST(coalesce(dau, 0) AS BIGINT) AS dau,
+        |  CAST(coalesce(wau, 0) AS BIGINT) AS wau,
+        |  CAST(coalesce(mau, 0) AS BIGINT) AS mau,
+        |  CASE WHEN coalesce(mau, 0) > 0 THEN
+        |    round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6)
+        |  END AS stickiness
+        |FROM grid LEFT JOIN cnt ON grid.d = cnt.d
+        |ORDER BY grid.d""".stripMargin,
+    // seasonal outliers re-derived: dense series + phase means, 6-dp
+    // residuals, the q_mad_outliers lower-median CTE pair on residuals
+    "q_seasonal_outliers" ->
+      """WITH obs AS (SELECT event_type AS g,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400 AS b,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS vo
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT g, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT g, unnest(generate_series(lo, hi, 86400)) AS b
+        |  FROM span),
+        |ser AS (SELECT grid.g AS g, grid.b AS b,
+        |    coalesce(vo, CAST(0 AS DECIMAL(18,2))) AS x
+        |  FROM grid LEFT JOIN obs ON grid.g = obs.g AND grid.b = obs.b),
+        |ph AS (SELECT g, (b // 86400) % 7 AS phase,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DECIMAL(28,2)) AS sp
+        |  FROM ser GROUP BY 1, 2),
+        |ex AS (SELECT g, phase,
+        |    round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS expected
+        |  FROM ph),
+        |r AS (SELECT ser.g AS g, b, CAST(x AS DOUBLE) AS x, expected,
+        |    round(CAST(x AS DOUBLE) - expected, 6) AS resid
+        |  FROM ser JOIN ex ON ser.g = ex.g
+        |    AND (ser.b // 86400) % 7 = ex.phase),
+        |c AS (SELECT g, resid AS v, count(*) AS c FROM r GROUP BY 1, 2),
+        |cc AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM c),
+        |med AS (SELECT g, min(v) AS med FROM cc WHERE cum * 2 >= n
+        |  GROUP BY g),
+        |d2 AS (SELECT r.g, abs(r.resid - med.med) AS v
+        |  FROM r JOIN med USING (g)),
+        |c2 AS (SELECT g, v, count(*) AS c FROM d2 GROUP BY 1, 2),
+        |cc2 AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM c2),
+        |mad AS (SELECT g, min(v) AS mad FROM cc2 WHERE cum * 2 >= n
+        |  GROUP BY g)
+        |SELECT r.g AS g, b, x, expected, resid, med.med AS med,
+        |  mad.mad AS mad,
+        |  CASE WHEN mad.mad > 0 THEN
+        |    round((r.resid - med.med) / (1.4826 * mad.mad), 6) END AS rz,
+        |  coalesce(abs(CASE WHEN mad.mad > 0 THEN
+        |    round((r.resid - med.med) / (1.4826 * mad.mad), 6) END) > 2.0,
+        |    false) AS is_outlier
+        |FROM r JOIN med USING (g) JOIN mad USING (g)
+        |ORDER BY g, b""".stripMargin,
+    // robust scaling re-derived: pick-an-existing-value quantiles at
+    // ceil(q*n) off the group ECDF, one fixed-parenthesization division
+    "q_robust_scale" ->
+      """WITH b AS (SELECT doc_id, source AS g, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents),
+        |c AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |cc AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM c),
+        |m AS (SELECT g, min(v) AS med FROM cc WHERE cum >= ceil(0.5 * n)
+        |  GROUP BY g),
+        |qa AS (SELECT g, min(v) AS q1 FROM cc WHERE cum >= ceil(0.25 * n)
+        |  GROUP BY g),
+        |qc AS (SELECT g, min(v) AS q3 FROM cc WHERE cum >= ceil(0.75 * n)
+        |  GROUP BY g)
+        |SELECT doc_id, b.g AS source, v, med, q1, q3,
+        |  CASE WHEN q3 > q1 THEN round((v - med) / (q3 - q1), 6) END
+        |    AS scaled
+        |FROM b JOIN m USING (g) JOIN qa USING (g) JOIN qc USING (g)
+        |ORDER BY doc_id""".stripMargin,
+    // weighted sample re-derived: the SAME md5-Horner 60-bit hash, the
+    // same (hv+1)/2^60 uniform, 12-dp exponential keys, (key, id) order
+    "q_weighted_sample" -> {
+      s"""WITH b AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+        |    CAST(o_totalprice AS DOUBLE) AS w FROM orders),
+        |b2 AS (SELECT * FROM b WHERE w > 0.0),
+        |h AS (SELECT g, id, w,
+        |    ${md5HornerSql("'ws:' || CAST(id AS VARCHAR)")} AS hv
+        |  FROM b2),
+        |kk AS (SELECT g, id, w,
+        |    round(-ln(CAST(hv + 1 AS DOUBLE)
+        |        / CAST(1152921504606846976 AS DOUBLE)) / w, 12) AS key
+        |  FROM h),
+        |r AS (SELECT g, id, w, key, row_number() OVER (
+        |    PARTITION BY g ORDER BY key, id) AS rank FROM kk)
+        |SELECT g, CAST(rank AS BIGINT) AS rank, id, w AS weight, key
+        |FROM r WHERE rank <= 50 ORDER BY g, rank""".stripMargin
+    },
+    // 2-D histogram re-derived: the q_histogram clamped-edge bin
+    // arithmetic on each axis, observed cells only, 6-dp shares
+    "q_histogram_2d" ->
+      """WITH f AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem),
+        |cells AS (SELECT g,
+        |    CASE WHEN x = 50.0 THEN 9
+        |      ELSE least(CAST(floor((x - 0.0) * 10.0 / 50.0) AS INT), 9)
+        |    END AS bx,
+        |    CASE WHEN y = 120000.0 THEN 11
+        |      ELSE least(CAST(floor((y - 0.0) * 12.0 / 120000.0) AS INT), 11)
+        |    END AS by,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM f
+        |  WHERE x >= 0.0 AND x <= 50.0 AND y >= 0.0 AND y <= 120000.0
+        |  GROUP BY 1, 2, 3)
+        |SELECT g, bx, by,
+        |  round(0.0 + bx * (50.0 / 10.0), 6) AS x_lo,
+        |  round(0.0 + by * (120000.0 / 12.0), 6) AS y_lo,
+        |  n,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY g) AS DOUBLE), 6) AS share
+        |FROM cells ORDER BY g, bx, by""".stripMargin,
+    // c-TF-IDF re-derived: class-term counts, corpus frequencies, the
+    // same tf * ln(1 + (T/C)/f) double chain, rank on the ROUNDED score
+    "t_ctfidf_terms" ->
+      s"""WITH toks AS (SELECT source AS cls, unnest($tokensSql) AS term
+        |  FROM documents),
+        |tfc AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tfc
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t,
+        |    CAST(count(DISTINCT cls) AS BIGINT) AS c FROM tfc),
+        |sc AS (SELECT cls, tfc.term AS term, tf, f,
+        |    round(CAST(tf AS DOUBLE) * ln(1.0
+        |      + (CAST(t AS DOUBLE) / CAST(c AS DOUBLE))
+        |        / CAST(f AS DOUBLE)), 6) AS score
+        |  FROM tfc JOIN ft ON tfc.term = ft.term CROSS JOIN tot),
+        |r AS (SELECT cls, term, tf, f, score, row_number() OVER (
+        |    PARTITION BY cls ORDER BY score DESC, term ASC) AS rank
+        |  FROM sc)
+        |SELECT cls, CAST(rank AS INTEGER) AS rank, term, tf, f, score
+        |FROM r WHERE rank <= 15 ORDER BY cls, rank""".stripMargin,
     // Cramér's V re-derived: same cell counts, dense marginal grid
     // (zero-observed cells owe their e term), round-10 quantized χ²
     // cell terms, V off the unrounded χ² double

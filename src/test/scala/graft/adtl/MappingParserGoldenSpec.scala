@@ -157,4 +157,34 @@ class MappingParserGoldenSpec extends SparkSpec {
     val e = intercept[NotImplementedError](MappingParser.wideTable(dup, schema))
     assert(e.getMessage == "CombinedType not supported")
   }
+
+  test("combineDuplicates: multi-source rows emit a firstNonNull block " +
+      "that TOML round-trips (beyond reference parity)") {
+    val schema = SpecLoader.parseJson(SpecLoader.readUtf8(s"$golden/animals.schema.json"))
+    val dup = List(
+      MappingParser.MappingRow("name", Some("primary"), Some("s1"), None),
+      // each source keeps its OWN value map
+      MappingParser.MappingRow("name", Some("fallback"), Some("s2"),
+        Some("oui=x | non=y")),
+      MappingParser.MappingRow("age_years", None, Some("AgeAns"), None))
+    val (body, _) = MappingParser.wideTable(dup, schema,
+      combineDuplicates = true)
+    val rule = body("name").asInstanceOf[Spec.Raw]
+    assert(rule("combinedType") == "firstNonNull")
+    val fields = rule("fields").asInstanceOf[List[Spec.Raw]]
+    // mapping-row order = firstNonNull priority
+    assert(fields.map(_("field")) == List("s1", "s2"))
+    assert(fields(0).get("values").isEmpty)
+    assert(fields(1)("values") == Map("oui" -> "x", "non" -> "y"))
+    // single-source fields are untouched
+    assert(body("age_years").asInstanceOf[Spec.Raw]("field") == "AgeAns")
+    // the emitted TOML parses back with the block intact — i.e. the
+    // generated spec is executable by the engine's C2 row-combine
+    val toml = graft.adtl.autoparser.SpecGenerator.toToml(Map("t" -> body))
+    val back = TomlParser.parse(toml)("t").asInstanceOf[Spec.Raw]
+    val parsed = back("name").asInstanceOf[Spec.Raw]
+    assert(parsed("combinedType") == "firstNonNull")
+    assert(parsed("fields").asInstanceOf[List[Spec.Raw]]
+      .map(_("field")) == List("s1", "s2"))
+  }
 }

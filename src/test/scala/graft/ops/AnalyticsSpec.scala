@@ -1557,4 +1557,159 @@ class AnalyticsSpec extends SparkSpec {
     // and both sides exclude the null rows (ranks over n = 4, not 6)
     assert(out == Seq((0.5, 2.0, 2.0, 4L), (1.0, 4.0, 4.0, 4L)))
   }
+
+  test("piiScrub: counts per pattern, fixed-order redaction, no-match " +
+      "rows untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b@x.io and 1.2.3.4 ring 555-123-4567 end"),
+      (2L, "nothing to hide here"),
+      (3L, "u2@ex.co u3@ex.co dots 555.123.4567"),
+      (4L, "run 1.2.3.4.5 on"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toSeq
+    assert(out == Seq(
+      (1L, 1, 1, 1, "mail [EMAIL] and [IP] ring [PHONE] end"),
+      (2L, 0, 0, 0, "nothing to hide here"),
+      (3L, 2, 0, 1, "[EMAIL] [EMAIL] dots [PHONE]"),
+      // leftmost IPv4 match takes the first four octets; '.5' remains
+      (4L, 0, 1, 0, "run [IP].5 on")))
+  }
+
+  test("activeUsers: trailing distinct windows, gap days, null " +
+      "stickiness on an empty long window") {
+    val ev = tsEvents(
+      (1L, "2024-01-01 08:00:00", 1.0), (1L, "2024-01-02 08:00:00", 1.0),
+      (2L, "2024-01-01 20:00:00", 1.0), (2L, "2024-01-01 21:00:00", 1.0),
+      (3L, "2024-01-10 03:00:00", 1.0))
+    val out = Behavior.activeUsers(ev, "user_id", "ts",
+        stepSeconds = 86400L, shortWindow = 2, longWindow = 3)
+      .orderBy("d").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(out == Seq(
+      (2L, 2L, 2L, Some(1.0)),  // d0: u1,u2
+      (1L, 2L, 2L, Some(0.5)),  // d1: u1 active; u2 still in windows
+      (0L, 1L, 2L, Some(0.0)),  // d2: u1 in short, both in long
+      (0L, 0L, 1L, Some(0.0)),  // d3: only u1(d1) in long
+      (0L, 0L, 0L, None),       // d4..d8: dead air -> null stickiness
+      (0L, 0L, 0L, None), (0L, 0L, 0L, None), (0L, 0L, 0L, None),
+      (0L, 0L, 0L, None),
+      (1L, 1L, 1L, Some(1.0)))) // d9: u3
+  }
+
+  test("seasonalOutliers: phase-mean residuals, MAD flags the " +
+      "out-of-cycle spike") {
+    // 2024-01-01 is an odd day number -> phase 1. period 2:
+    // phase 1 days (d0,d2,d4) = 1,1,4 -> expected 2.0
+    // phase 0 days (d1,d3,d5) = 5,5,50 -> expected 20.0
+    // residuals: -1,-1,2,-15,-15,30 -> med -1, mad 3
+    val ev = tsEvents(
+      (1L, "2024-01-01 06:00:00", 1.0), (1L, "2024-01-02 06:00:00", 5.0),
+      (1L, "2024-01-03 06:00:00", 1.0), (1L, "2024-01-04 06:00:00", 5.0),
+      (1L, "2024-01-05 06:00:00", 4.0), (1L, "2024-01-06 06:00:00", 50.0))
+    val out = Behavior.seasonalOutliers(ev, "user_id", "ts", "value",
+        stepSeconds = 86400L, period = 2, zThresh = 2.0)
+      .orderBy("b").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getBoolean(8))).toSeq
+    def rz(resid: Double): Double =
+      math.rint((resid - (-1.0)) / (1.4826 * 3.0) * 1e6) / 1e6
+    assert(out == Seq(
+      (1.0, 2.0, -1.0, -1.0, 3.0, rz(-1.0), false),
+      (5.0, 20.0, -15.0, -1.0, 3.0, rz(-15.0), true),
+      (1.0, 2.0, -1.0, -1.0, 3.0, rz(-1.0), false),
+      (5.0, 20.0, -15.0, -1.0, 3.0, rz(-15.0), true),
+      (4.0, 2.0, 2.0, -1.0, 3.0, rz(2.0), false),
+      (50.0, 20.0, 30.0, -1.0, 3.0, rz(30.0), true)))
+  }
+
+  test("robustScale: picked quantiles, IQR scaling, zero-IQR group " +
+      "nulls, null values dropped") {
+    import spark.implicits._
+    val df = ((1 to 8).map(i => (i.toLong, "a", Some(i.toDouble))) ++
+      Seq((11L, "b", Some(5.0)), (12L, "b", Some(5.0)),
+        (13L, "b", Some(5.0)), (14L, "a", None)))
+      .toDF("id", "grp", "v")
+    val out = Stats.robustScale(df, "id", "v", "grp")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    // group a: n=8 -> med=4 (rank 4), q1=2 (rank 2), q3=6 (rank 6)
+    assert(out.take(8) == (1 to 8).map(i =>
+      (i.toLong, i.toDouble, 4.0, 2.0, 6.0,
+        Some(math.rint((i - 4.0) / 4.0 * 1e6) / 1e6))).toSeq)
+    // group b: constant -> q1 == q3 -> null scaled; null row dropped
+    assert(out.drop(8) == Seq(
+      (11L, 5.0, 5.0, 5.0, 5.0, None), (12L, 5.0, 5.0, 5.0, 5.0, None),
+      (13L, 5.0, 5.0, 5.0, 5.0, None)))
+    assert(out.length == 11)
+  }
+
+  test("weightedSample: exhaustive small group, weight filter, " +
+      "dominant weight wins, partition invariance") {
+    import spark.implicits._
+    val df = ((1 to 6).map(i => (i.toLong, "a", 1.0)) ++ Seq(
+      (7L, "a", 0.0), (8L, "a", -2.0), // never drawn
+      (9L, "b", 1e9.toDouble), (10L, "b", 1e-3), (11L, "b", 1e-3)))
+      .toDF("id", "grp", "w")
+    // k >= group size: every positive-weight row sampled, ranks dense
+    val all = Pipeline.weightedSample(df, "id", "w", "grp", k = 100)
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(all.count(_._1 == "a") == 6) // 0/negative weights excluded
+    assert(all.filter(_._1 == "a").map(_._2) == (1L to 6L))
+    // a 12-orders-of-magnitude weight gap is deterministic rank 1
+    val b1 = Pipeline.weightedSample(df, "id", "w", "grp", k = 1)
+      .filter(col("g") === "b").collect()
+    assert(b1.length == 1 && b1(0).getLong(2) == 9L)
+    // partition invariance: the draw is a pure function of (id, w)
+    val p1 = Pipeline.weightedSample(df, "id", "w", "grp", k = 2)
+      .orderBy("g", "rank").collect().map(_.toString).toSeq
+    val p2 = Pipeline.weightedSample(df.repartition(7), "id", "w", "grp",
+        k = 2)
+      .orderBy("g", "rank").collect().map(_.toString).toSeq
+    assert(p1 == p2 && p1.nonEmpty)
+  }
+
+  test("histogram2d: hand-binned cells, edge values in last bin, " +
+      "out-of-range dropped, shares sum to 1") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1.0, 1.0), ("g", 1.0, 1.0), ("g", 9.0, 1.0),
+      ("g", 10.0, 10.0),           // both at hi -> last bin (1,1)
+      ("g", 11.0, 1.0), ("g", 1.0, -0.1)) // out of range: dropped
+      .toDF("grp", "x", "y")
+    val out = Stats.histogram2d(df, "x", "y", "grp", 0.0, 10.0, 2,
+        0.0, 10.0, 2)
+      .orderBy("bx", "by").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4),
+        r.getLong(5), r.getDouble(6))).toSeq
+    assert(out == Seq(
+      (0, 0, 0.0, 0.0, 2L, 0.5),
+      (1, 0, 5.0, 0.0, 1L, 0.25),
+      (1, 1, 5.0, 5.0, 1L, 0.25)))
+  }
+
+  test("ctfidfTerms: hand-computed class scores, k cut, term-asc ties") {
+    import spark.implicits._
+    val df = Seq(("A", "apple apple banana"), ("B", "carrot"))
+      .toDF("cls", "text")
+    val out = Retrieval.ctfidfTerms(df, "cls",
+        TextAnalysis.tokens(col("text")), k = 2)
+      .orderBy("cls", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // T=4 tokens, C=2 classes -> A_mass = 2
+    // score(A,apple) = 2*ln(1+2/2) = 1.386294; banana/carrot = ln(3)
+    assert(out == Seq(
+      ("A", 1, "apple", 2L, 2L, 1.386294),
+      ("A", 2, "banana", 1L, 1L, 1.098612),
+      ("B", 1, "carrot", 1L, 1L, 1.098612)))
+  }
 }
