@@ -196,7 +196,10 @@ object ScaleBench {
     // round-11 third wave: weighted sampling (O(k)-state agg), 2-D
     // histogram (one cell shuffle), c-TF-IDF (class-term shuffle +
     // summary-frame rank window)
-    "q_weighted_sample", "q_histogram_2d", "t_ctfidf_terms")
+    "q_weighted_sample", "q_histogram_2d", "t_ctfidf_terms",
+    // round-11 fourth wave: skew profile (key count shuffle + count-
+    // domain ECDF), DP counts (one count shuffle + noise projection)
+    "q_skew_profile", "q_dp_counts")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -357,7 +360,9 @@ object ScaleBench {
     "q_robust_scale" -> Set("documents"),
     "q_weighted_sample" -> Set("orders"),
     "q_histogram_2d" -> Set("lineitem"),
-    "t_ctfidf_terms" -> Set("documents"))
+    "t_ctfidf_terms" -> Set("documents"),
+    "q_skew_profile" -> Set("lineitem"),
+    "q_dp_counts" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

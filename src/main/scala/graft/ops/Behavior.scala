@@ -913,8 +913,13 @@ object Behavior {
       s"longWindow must be <= 366 (work is longWindow x cells), got $longWindow")
     val day = floor(unix_timestamp(col(tsCol)).cast("double") /
       lit(stepSeconds.toDouble)).cast("long")
-    val cells = events.filter(col(userCol).isNotNull)
-      .select(col(userCol).as("u"), day.as("d")).distinct()
+    // materialize the distinct cell frame once: bounds, the window
+    // explode, and the grid all consume it, and without the lineage cut
+    // the raw events scan runs once per consumer
+    val cells = Dedup.materializeBase(
+      events.filter(col(userCol).isNotNull)
+        .select(col(userCol).as("u"), day.as("d")).distinct(),
+      None)
     val bounds = cells.agg(min(col("d")).as("__lo"), max(col("d")).as("__hi"))
     val contrib = cells
       .withColumn("k", explode(sequence(lit(0), lit(longWindow - 1))))

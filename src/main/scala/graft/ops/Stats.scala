@@ -189,6 +189,93 @@ object Stats {
           .as("share"))
   }
 
+  /** JOIN-KEY SKEW PROFILE — the diagnostic a 100 TB pipeline runs
+    * BEFORE picking a join strategy (broadcast? salt? AQE skew hints?):
+    * one row per profiled key column with row/key counts, the heaviest
+    * key and its share, the max/avg skew ratio, picked-value p50/p99
+    * per-key counts, and how many keys exceed `hotShare` of the rows.
+    * A skew ratio near 1 shuffles clean; a 10⁴ ratio means one task
+    * eats the hot key unless it's salted.
+    *
+    * Exactness: counts exact longs, quantile counts PICKED at ⌈q·n⌉ of
+    * the count ECDF (the [[robustScale]] discipline), shares/ratios
+    * single 6-dp divisions; the top key reports the lexicographically
+    * smallest argmax (deterministic under ties).
+    *
+    * Shape: one map-combinable key count shuffle; everything else
+    * reduces the per-key count frame (aggregates + one cumulative
+    * window over the count DOMAIN — bounded by distinct count values,
+    * never key count). */
+  def skewProfile(df: DataFrame, keyCol: String,
+      hotShare: Double = 0.01): DataFrame = {
+    require(hotShare > 0.0 && hotShare <= 1.0,
+      s"hotShare must be in (0, 1], got $hotShare")
+    val counts = df.select(col(keyCol).cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).cast("long").as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("c")).as("max_count"))
+    // second reduction over the key frame with the 1-row totals
+    // broadcast in — never a global window over all keys
+    val extras = counts.crossJoin(broadcast(totals)).agg(
+      min(when(col("c") === col("max_count"), col("k"))).as("top_key"),
+      sum(when(col("c").cast("double") >
+          lit(hotShare) * col("n_rows").cast("double"), 1L)
+        .otherwise(0L)).as("n_hot_keys"))
+    // count-DOMAIN ECDF: the global window runs over distinct count
+    // VALUES (bounded far below key count), not keys
+    val w = Window.orderBy(col("c"))
+    val ecdf = counts.groupBy("c").agg(count(lit(1)).as("m"))
+      .withColumn("__cum", sum(col("m")).over(w))
+      .withColumn("__n", max(col("__cum")).over(Window.partitionBy()))
+    def pick(q: Double, name: String): DataFrame = ecdf
+      .filter(col("__cum") >= ceil(lit(q) * col("__n")))
+      .agg(min(col("c")).as(name))
+    totals
+      .crossJoin(broadcast(extras))
+      .crossJoin(broadcast(pick(0.5, "p50_count")))
+      .crossJoin(broadcast(pick(0.99, "p99_count")))
+      .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+        col("max_count"), col("top_key"),
+        round(col("max_count").cast("double") /
+          col("n_rows").cast("double"), 6).as("max_share"),
+        round(col("max_count").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")),
+          6).as("skew_ratio"),
+        col("p50_count"), col("p99_count"), col("n_hot_keys"))
+  }
+
+  /** DIFFERENTIALLY-PRIVATE group counts (ε-DP Laplace mechanism) —
+    * the privacy-preserving release beside [[kAnonymity]]/[[lDiversity]]'s
+    * audits: released = n + Laplace(sensitivity/ε), one draw per group.
+    * The noise is DETERMINISTIC given (salt, group): the uniform is
+    * (md5Long60(group)+0.5)/2⁶⁰ ∈ (0,1) — never rand(), so re-runs,
+    * retries, and the oracle agree. NOTE this determinism is a
+    * REPRODUCIBILITY seam, not a privacy weakening — one release per
+    * (salt, group) is exactly the ε-DP contract; re-releasing under
+    * fresh salts composes ε like any repeated query. The true count
+    * column is emitted for the engine gate; a production release drops
+    * it (and `violates` k-style columns) before publication.
+    *
+    * Engine-exactness: the inverse-CDF chain
+    * −b·sgn(u−½)·ln(1−2|u−½|) runs on identical doubles in both
+    * engines; released renders at 6 dp (the ln-libm discipline).
+    *
+    * ONE map-combinable count shuffle; the noise is a projection. */
+  def dpCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      sensitivity: Double = 1.0, salt: String = "dp"): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be > 0, got $epsilon")
+    require(sensitivity > 0.0, s"sensitivity must be > 0, got $sensitivity")
+    val b = sensitivity / epsilon
+    val counts = df.select(col(groupCol).cast("string").as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    val u = (Pipeline.md5Long60(col("g"), salt).cast("double") + 0.5) /
+      lit(math.pow(2.0, 60))
+    val t = u - lit(0.5)
+    val noise = lit(-b) * signum(t) * log(lit(1.0) - lit(2.0) * abs(t))
+    counts.select(col("g"), col("n"), lit(epsilon).as("epsilon"),
+      round(col("n").cast("double") + noise, 6).as("released"))
+  }
+
   /** Per-group MODE (most frequent value), ties to the smallest value —
     * deterministic, partition-invariant. The argmax runs over per-group
     * value SUMMARIES (one (group, value) count aggregation, then a

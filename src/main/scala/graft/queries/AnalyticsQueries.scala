@@ -131,6 +131,18 @@ object AnalyticsQueries {
           xBins = 10, yLo = 0.0, yHi = 120000.0, yBins = 12)
         .orderBy("g", "bx", "by")
     },
+    // join-key skew profile of lineitem's part key — the pre-join
+    // broadcast/salt/AQE-hint decision input
+    "q_skew_profile" -> { (s, d) =>
+      graft.ops.Stats.skewProfile(Tables.lineitem(s, d), "l_partkey")
+        .orderBy("key_col")
+    },
+    // epsilon-DP Laplace counts per event type, md5-deterministic noise
+    "q_dp_counts" -> { (s, d) =>
+      graft.ops.Stats.dpCounts(Tables.events(s, d), "event_type",
+          epsilon = 0.5)
+        .orderBy("g")
+    },
     // c-TF-IDF class-characteristic terms per source — the BERTopic
     // topic-labeling readout over the corpus's own classes
     "t_ctfidf_terms" -> { (s, d) =>
@@ -1231,6 +1243,49 @@ object AnalyticsQueries {
         |  FROM sc)
         |SELECT cls, CAST(rank AS INTEGER) AS rank, term, tf, f, score
         |FROM r WHERE rank <= 15 ORDER BY cls, rank""".stripMargin,
+    // skew profile re-derived: key counts, broadcast totals, picked
+    // ECDF quantiles over the count domain, smallest-argmax top key
+    "q_skew_profile" ->
+      """WITH counts AS (SELECT CAST(l_partkey AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(c) AS BIGINT) AS max_count FROM counts),
+        |ext AS (SELECT min(CASE WHEN c = max_count THEN k END) AS top_key,
+        |    CAST(sum(CASE WHEN CAST(c AS DOUBLE) >
+        |        0.01 * CAST(n_rows AS DOUBLE) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_hot_keys
+        |  FROM counts, tot),
+        |e AS (SELECT c, count(*) AS m FROM counts GROUP BY 1),
+        |cc AS (SELECT c, sum(m) OVER (ORDER BY c) AS cum,
+        |    sum(m) OVER () AS n FROM e),
+        |p50 AS (SELECT CAST(min(c) AS BIGINT) AS p50_count FROM cc
+        |  WHERE cum >= ceil(0.5 * n)),
+        |p99 AS (SELECT CAST(min(c) AS BIGINT) AS p99_count FROM cc
+        |  WHERE cum >= ceil(0.99 * n))
+        |SELECT 'l_partkey' AS key_col, n_rows, n_keys, max_count,
+        |  top_key,
+        |  round(CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS max_share,
+        |  round(CAST(max_count AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
+        |    AS skew_ratio,
+        |  p50_count, p99_count, n_hot_keys
+        |FROM tot, ext, p50, p99""".stripMargin,
+    // DP counts re-derived: the same md5-Horner uniform
+    // (hv + 0.5)/2^60 and the same Laplace inverse-CDF double chain
+    "q_dp_counts" -> {
+      s"""WITH c AS (SELECT CAST(event_type AS VARCHAR) AS g,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |h AS (SELECT g, n, ${md5HornerSql("'dp:' || g")} AS hv FROM c),
+        |u AS (SELECT g, n, (CAST(hv AS DOUBLE) + 0.5)
+        |    / CAST(1152921504606846976 AS DOUBLE) AS uu FROM h)
+        |SELECT g, n, CAST(0.5 AS DOUBLE) AS epsilon,
+        |  round(CAST(n AS DOUBLE)
+        |    + (-2.0) * CAST(sign(uu - 0.5) AS DOUBLE)
+        |      * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS released
+        |FROM u ORDER BY g""".stripMargin
+    },
     // Cramér's V re-derived: same cell counts, dense marginal grid
     // (zero-observed cells owe their e term), round-10 quantized χ²
     // cell terms, V off the unrounded χ² double

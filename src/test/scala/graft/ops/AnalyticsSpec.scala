@@ -1696,6 +1696,54 @@ class AnalyticsSpec extends SparkSpec {
       (1, 1, 5.0, 5.0, 1L, 0.25)))
   }
 
+  test("skewProfile: hand counts, smallest argmax under ties, picked " +
+      "ECDF quantiles, hot-key threshold") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d") ++
+      Seq.fill(6)("e")).map(Tuple1(_)).toDF("k")
+    val out = Stats.skewProfile(df, "k", hotShare = 0.25).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "k" && r.getLong(1) == 16L &&
+      r.getLong(2) == 5L && r.getLong(3) == 6L)
+    assert(r.getString(4) == "a") // ties (a, e at 6) -> smallest key
+    assert(r.getDouble(5) == 0.375) // 6/16
+    assert(r.getDouble(6) == 1.875) // 6 / (16/5)
+    // count ECDF {1:2, 2:1, 6:2}: p50 at rank ceil(2.5)=3 -> 2;
+    // p99 at rank 5 -> 6
+    assert(r.getLong(7) == 2L && r.getLong(8) == 6L)
+    assert(r.getLong(9) == 2L) // only a, e exceed 25% of 16 rows
+  }
+
+  test("dpCounts: noise matches an independent md5 Laplace inverse-CDF, " +
+      "deterministic under repartition") {
+    import spark.implicits._
+    val df = Seq.fill(5)("x").map(Tuple1(_)).toDF("g")
+      .union(Seq.fill(3)("y").map(Tuple1(_)).toDF("g"))
+    val out = Stats.dpCounts(df, "g", epsilon = 0.5).orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // independent replica of the mechanism: md5("dp:g") 60-bit prefix,
+    // u = (h+0.5)/2^60, released = n - b*sgn(u-.5)*ln(1-2|u-.5|)
+    def expected(g: String, n: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dp:$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val u = (h.toDouble + 0.5) / math.pow(2.0, 60)
+      val noise = -2.0 * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      BigDecimal(n.toDouble + noise)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out == Seq(("x", 5L, 0.5, expected("x", 5L)),
+      ("y", 3L, 0.5, expected("y", 3L))))
+    assert(out.forall(r => r._4 != r._2.toDouble)) // noise actually lands
+    val again = Stats.dpCounts(df.repartition(5), "g", epsilon = 0.5)
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(again == out.map(t => s"[${t._1},${t._2},${t._3},${t._4}]"))
+  }
+
   test("ctfidfTerms: hand-computed class scores, k cut, term-asc ties") {
     import spark.implicits._
     val df = Seq(("A", "apple apple banana"), ("B", "carrot"))
