@@ -50,7 +50,12 @@ object ExplainAudit {
         "q_histogram", "q_group_mode", "q_corr_matrix", "q_benford",
         "q_jw_linkage", "q_interval_union", "q_wilson_ci", "q_assoc_rules", "q_ks_test",
         "q_emd_drift", "q_cohen_kappa", "q_reliability_bins", "q_calibration",
-        "q_search_eval")
+        "q_search_eval",
+        "q_autocorr", "q_seasonal_profile", "q_item_cosine",
+        "q_l_diversity", "t_pii_scrub", "q_active_users",
+        "q_seasonal_outliers", "q_robust_scale", "q_weighted_sample",
+        "q_histogram_2d", "t_ctfidf_terms", "q_skew_profile",
+        "q_dp_counts")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")
