@@ -55,7 +55,8 @@ object ExplainAudit {
         "q_l_diversity", "t_pii_scrub", "q_active_users",
         "q_seasonal_outliers", "q_robust_scale", "q_weighted_sample",
         "q_histogram_2d", "t_ctfidf_terms", "q_skew_profile",
-        "q_dp_counts")
+        "q_dp_counts", "q_group_regression", "q_theil_sen",
+        "q_trimmed_mean", "t_invisible_chars")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

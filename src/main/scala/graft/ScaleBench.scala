@@ -199,7 +199,12 @@ object ScaleBench {
     "q_weighted_sample", "q_histogram_2d", "t_ctfidf_terms",
     // round-11 fourth wave: skew profile (key count shuffle + count-
     // domain ECDF), DP counts (one count shuffle + noise projection)
-    "q_skew_profile", "q_dp_counts")
+    "q_skew_profile", "q_dp_counts",
+    // round-11 fifth wave: OLS fit (one moment shuffle), Theil-Sen
+    // (bounded pairwise self-join of the bucket frame), trimmed mean
+    // (value-domain cuts), invisible-char audit (pure scan)
+    "q_group_regression", "q_theil_sen", "q_trimmed_mean",
+    "t_invisible_chars")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -362,7 +367,11 @@ object ScaleBench {
     "q_histogram_2d" -> Set("lineitem"),
     "t_ctfidf_terms" -> Set("documents"),
     "q_skew_profile" -> Set("lineitem"),
-    "q_dp_counts" -> Set("events"))
+    "q_dp_counts" -> Set("events"),
+    "q_group_regression" -> Set("events"),
+    "q_theil_sen" -> Set("events"),
+    "q_trimmed_mean" -> Set("documents"),
+    "t_invisible_chars" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -887,6 +887,54 @@ object Behavior {
         "is_outlier")
   }
 
+  /** THEIL–SEN robust trend per key — the median of all pairwise bucket
+    * slopes over the dense zero-filled series: one wild day drags an
+    * OLS line ([[graft.ops.Stats.linearFit]]); the pairwise-slope
+    * median shrugs off up to ~29% corrupted points (its breakdown
+    * point), which is what an alerting threshold should sit on.
+    * Slope is per BUCKET STEP (multiply by steps/day yourself).
+    *
+    * Exactness: pairwise slopes are single IEEE divisions of exact
+    * DECIMAL(18,2) value differences by exact integer step gaps —
+    * identical doubles in both engines — and the median PICKS an
+    * existing slope (lower median, the [[graft.ops.Stats.madOutliers]]
+    * discipline), 6-dp render.
+    *
+    * Shape: one raw-row shuffle into the dense series; the pair
+    * generator self-joins the BUCKET-DOMAIN summary frame (quadratic
+    * in buckets per key — that is the estimator; `maxBucketsPerKey`
+    * bounds it in-plan via [[denseSeries]]'s raise, default 1000 →
+    * ≤ ~500k pairs per key), then the median rides a slope-domain
+    * cumulative window. */
+  def theilSen(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long,
+      maxBucketsPerKey: Long = 1000L): DataFrame = {
+    val series = denseSeries(events, keyCol, tsCol, valueCol,
+      stepSeconds, maxBucketsPerKey)
+      .withColumn("i", expr(s"b div ${stepSeconds}L"))
+    val pairs = series.select(col("g"), col("i").as("__i1"),
+        col("x").as("__x1"))
+      .join(series.select(col("g"), col("i").as("__i2"),
+        col("x").as("__x2")), Seq("g"))
+      .filter(col("__i2") > col("__i1"))
+      .select(col("g"),
+        ((col("__x2") - col("__x1")).cast("double") /
+          (col("__i2") - col("__i1")).cast("double")).as("s"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s"))
+    val med = pairs.groupBy("g", "s").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n",
+        max(col("__cum")).over(Window.partitionBy(col("g"))))
+      .filter(col("__cum") * 2 >= col("__n"))
+      .groupBy("g").agg(min(col("s")).as("__med"),
+        max(col("__n")).as("n_pairs"))
+    val nb = series.groupBy("g").agg(count(lit(1)).as("n_buckets"))
+    nb.join(med, Seq("g"), "left")
+      .select(col("g"), col("n_buckets"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        round(col("__med"), 6).as("ts_slope"))
+  }
+
   /** Rolling ACTIVE-USER counts over the dense day grid — DAU / WAU /
     * MAU and the DAU/MAU stickiness ratio, the product-health readout
     * every event pipeline reports: for each day in the observed

@@ -276,6 +276,94 @@ object Stats {
       round(col("n").cast("double") + noise, 6).as("released"))
   }
 
+  /** Per-group ORDINARY-LEAST-SQUARES line fit (slope, intercept, R²) —
+    * "is this metric trending, and how fast?": the parametric trend
+    * readout beside [[graft.ops.Behavior.cusumDrift]]'s change detector
+    * and [[spearmanCorr]]'s direction-only monotone test.
+    *
+    * Exactness: x and y quantize to DECIMAL(14,2) (the [[corrMatrix]]
+    * discipline), all five moments are exact DECIMAL(38,4) sums, and
+    * slope/intercept/R² are fixed-parenthesization double chains off
+    * the exact moments (the intercept consumes the UNROUNDED slope),
+    * 6-dp renders. Zero x-variance groups null everything; R² also
+    * needs y-variance.
+    *
+    * ONE map-combinable moment shuffle; nothing is windowed. */
+  def linearFit(df: DataFrame, xCol: String, yCol: String,
+      groupCol: String): DataFrame = {
+    val base = df
+      .select(col(groupCol).as("g"),
+        col(xCol).cast("decimal(14,2)").as("x"),
+        col(yCol).cast("decimal(14,2)").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val m = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("decimal(38,2)").as("__sx"),
+      sum(col("y")).cast("decimal(38,2)").as("__sy"),
+      sum(col("x") * col("x")).cast("decimal(38,4)").as("__sxx"),
+      sum(col("y") * col("y")).cast("decimal(38,4)").as("__syy"),
+      sum(col("x") * col("y")).cast("decimal(38,4)").as("__sxy"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n"))
+    val num = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    val denX = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val denY = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    val slope = num / denX
+    m.select(col("g"), col("n"),
+      when(col("n") >= 2L && denX > 0.0, round(slope, 6)).as("slope"),
+      when(col("n") >= 2L && denX > 0.0,
+        round((d(col("__sy")) - slope * d(col("__sx"))) / n, 6))
+        .as("intercept"),
+      when(col("n") >= 2L && denX > 0.0 && denY > 0.0,
+        round(num * num / (denX * denY), 6)).as("r2"))
+  }
+
+  /** TRIMMED mean per group — the outlier-resistant location estimate
+    * beside [[graft.ops.TextAnalysis.winsorize]]'s clamping (winsorize
+    * KEEPS extreme rows at the cut value; trimming DROPS them — the
+    * convention difference that moves reported means): values outside
+    * the PICKED [q_lo, q_hi] cut values (⌈q·n⌉ ECDF picks, the
+    * [[robustScale]] discipline — never interpolated) are excluded,
+    * kept values quantize to DECIMAL(18,6) for an order-invariant sum,
+    * one final division, 6-dp.
+    *
+    * One (group, value) count shuffle + a value-domain window; the cut
+    * frame broadcasts back onto a second scan of the SUMMARY frame
+    * (counts ride along — raw rows are touched once). */
+  def trimmedMean(df: DataFrame, valueCol: String, groupCol: String,
+      loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0.0 && hiQ <= 1.0 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1, got $loQ/$hiQ")
+    val counts = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n",
+        max(col("__cum")).over(Window.partitionBy(col("g"))))
+    def pick(q: Double, name: String): DataFrame = cum
+      .filter(col("__cum") >= greatest(lit(1L),
+        ceil(lit(q) * col("__n")).cast("long")))
+      .groupBy("g").agg(min(col("v")).as(name))
+    cum
+      .join(broadcast(pick(loQ, "lo_v")), Seq("g"))
+      .join(broadcast(pick(hiQ, "hi_v")), Seq("g"))
+      .groupBy("g")
+      .agg(max(col("__n")).as("n"),
+        sum(when(col("v") >= col("lo_v") && col("v") <= col("hi_v"),
+          col("__c")).otherwise(lit(0L))).as("n_kept"),
+        max(col("lo_v")).as("lo_v"), max(col("hi_v")).as("hi_v"),
+        sum(when(col("v") >= col("lo_v") && col("v") <= col("hi_v"),
+          round(col("v"), 6).cast("decimal(18,6)") * col("__c"))
+          .otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("decimal(38,6)").as("__s"))
+      .withColumn("trimmed_mean", when(col("n_kept") > 0L,
+        round(col("__s").cast("double") / col("n_kept").cast("double"), 6)))
+      .drop("__s")
+  }
+
   /** Per-group MODE (most frequent value), ties to the smallest value —
     * deterministic, partition-invariant. The argmax runs over per-group
     * value SUMMARIES (one (group, value) count aggregation, then a

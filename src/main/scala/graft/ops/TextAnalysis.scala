@@ -1221,6 +1221,40 @@ object TextAnalysis {
     * separators). */
   val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 
+  /** Zero-width characters for [[invisibleChars]]: ZWSP/ZWNJ/ZWJ +
+    * BOM/ZWNBSP — the spam/obfuscation/watermark bytes that survive
+    * copy-paste, split tokens invisibly, and poison dedup
+    * fingerprints. */
+  val ZeroWidthRe = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+  /** C0 control characters except tab/newline/CR, for
+    * [[invisibleChars]]. */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  /** INVISIBLE-CHARACTER audit + strip — the unicode-hygiene stage
+    * beside [[unicodeClean]]'s normalization: per document, counts of
+    * zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and non-whitespace C0
+    * controls, a dirty flag, and the text with both classes stripped.
+    * Invisible codepoints make visually identical strings hash apart —
+    * they defeat exact dedup, inflate token counts, and are the
+    * standard text-watermark/obfuscation channel, so a training corpus
+    * strips them BEFORE fingerprinting.
+    *
+    * ZERO shuffles — a codegen'd scan, streaming-safe; the class
+    * patterns are dialect-portable (`\x{…}` ranges — identical in Java
+    * regex and RE2), so the DuckDB oracle hash-matches clean_text. */
+  def invisibleChars(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      size(regexp_extract_all(col(textCol), lit(ZeroWidthRe), lit(0)))
+        .as("n_zero_width"),
+      size(regexp_extract_all(col(textCol), lit(ControlRe), lit(0)))
+        .as("n_control"),
+      (size(regexp_extract_all(col(textCol), lit(ZeroWidthRe), lit(0))) +
+        size(regexp_extract_all(col(textCol), lit(ControlRe), lit(0))) > 0)
+        .as("is_dirty"),
+      regexp_replace(regexp_replace(col(textCol), lit(ZeroWidthRe),
+        lit("")), lit(ControlRe), lit("")).as("clean_text"))
+
   /** PII detection + redaction — the scrub stage a training corpus runs
     * before release: per document, match counts for EMAIL / IPv4 /
     * phone patterns (each counted on the ORIGINAL text, independently)

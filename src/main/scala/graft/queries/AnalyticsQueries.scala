@@ -131,6 +131,40 @@ object AnalyticsQueries {
           xBins = 10, yLo = 0.0, yHi = 120000.0, yBins = 12)
         .orderBy("g", "bx", "by")
     },
+    // per-event-type OLS trend of daily value on the day index —
+    // slope/intercept/R² off exact DECIMAL moments
+    "q_group_regression" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("day",
+        floor(unix_timestamp(col("ts")).cast("double") / 86400d)
+          .cast("long") % 100000L)
+      graft.ops.Stats.linearFit(ev, "day", "value", "event_type")
+        .orderBy("g")
+    },
+    // Theil-Sen robust slope over the same dense daily series — the
+    // breakdown-resistant trend beside the OLS line
+    "q_theil_sen" -> { (s, d) =>
+      graft.ops.Behavior.theilSen(Tables.events(s, d), "event_type",
+          "ts", "value", stepSeconds = 86400L)
+        .orderBy("g")
+    },
+    // 5-95% trimmed mean of document lengths per source — drops the
+    // tails winsorize would clamp
+    "q_trimmed_mean" -> { (s, d) =>
+      graft.ops.Stats.trimmedMean(Tables.documents(s, d), "n_chars",
+          "source")
+        .orderBy("g")
+    },
+    // invisible-character audit over documents with injected zero-width
+    // and control bytes — counts, flag, and the stripped text
+    "t_invisible_chars" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 3L === 0L,
+          concat(col("text"), lit("\u200b x\ufeff"), lit("\u0007")))
+          .otherwise(col("text")))
+      graft.ops.TextAnalysis.invisibleChars(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     // join-key skew profile of lineitem's part key — the pre-join
     // broadcast/salt/AQE-hint decision input
     "q_skew_profile" -> { (s, d) =>
@@ -1243,6 +1277,111 @@ object AnalyticsQueries {
         |  FROM sc)
         |SELECT cls, CAST(rank AS INTEGER) AS rank, term, tf, f, score
         |FROM r WHERE rank <= 15 ORDER BY cls, rank""".stripMargin,
+    // OLS re-derived: DECIMAL(14,2) inputs, exact DECIMAL(38,4)
+    // moments, the same fixed-parenthesization slope/intercept/R²
+    // chains (the intercept consumes the unrounded num/denx)
+    "q_group_regression" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) % 100000
+        |      AS DECIMAL(14,2)) AS x,
+        |    CAST(value AS DECIMAL(14,2)) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT g, n, sx, sy,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS denx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny
+        |  FROM m)
+        |SELECT g, n,
+        |  CASE WHEN n >= 2 AND denx > 0.0 THEN round(num / denx, 6) END
+        |    AS slope,
+        |  CASE WHEN n >= 2 AND denx > 0.0 THEN
+        |    round((sy - (num / denx) * sx) / CAST(n AS DOUBLE), 6) END
+        |    AS intercept,
+        |  CASE WHEN n >= 2 AND denx > 0.0 AND deny > 0.0 THEN
+        |    round(num * num / (denx * deny), 6) END AS r2
+        |FROM t ORDER BY g""".stripMargin,
+    // Theil-Sen re-derived: same dense series, pairwise slope divisions
+    // of exact DECIMAL diffs by integer gaps, lower-median pick
+    "q_theil_sen" ->
+      """WITH obs AS (SELECT event_type AS g,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400 AS b,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS vo
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT g, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT g, unnest(generate_series(lo, hi, 86400)) AS b
+        |  FROM span),
+        |ser AS (SELECT grid.g AS g, grid.b // 86400 AS i,
+        |    coalesce(vo, CAST(0 AS DECIMAL(18,2))) AS x
+        |  FROM grid LEFT JOIN obs ON grid.g = obs.g AND grid.b = obs.b),
+        |pr AS (SELECT a.g AS g,
+        |    CAST(c.x - a.x AS DOUBLE) / CAST(c.i - a.i AS DOUBLE) AS s
+        |  FROM ser a JOIN ser c ON a.g = c.g AND c.i > a.i),
+        |cnt AS (SELECT g, s, count(*) AS c FROM pr GROUP BY 1, 2),
+        |cc AS (SELECT g, s, sum(c) OVER (PARTITION BY g ORDER BY s) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM cnt),
+        |med AS (SELECT g, min(s) AS med, CAST(max(n) AS BIGINT) AS n_pairs
+        |  FROM cc WHERE cum * 2 >= n GROUP BY g),
+        |nb AS (SELECT g, CAST(count(*) AS BIGINT) AS n_buckets FROM ser
+        |  GROUP BY 1)
+        |SELECT nb.g AS g, n_buckets,
+        |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  round(med, 6) AS ts_slope
+        |FROM nb LEFT JOIN med ON nb.g = med.g ORDER BY g""".stripMargin,
+    // trimmed mean re-derived: picked ECDF cuts, DECIMAL(18,6)-quantized
+    // kept mass, one division
+    "q_trimmed_mean" ->
+      """WITH b AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b
+        |  GROUP BY 1, 2),
+        |cc AS (SELECT g, v, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM c),
+        |lo AS (SELECT g, min(v) AS lo_v FROM cc
+        |  WHERE cum >= greatest(1, ceil(0.05 * n)) GROUP BY g),
+        |hi AS (SELECT g, min(v) AS hi_v FROM cc
+        |  WHERE cum >= greatest(1, ceil(0.95 * n)) GROUP BY g)
+        |SELECT cc.g AS g, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN v >= lo_v AND v <= hi_v THEN c ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  max(lo_v) AS lo_v, max(hi_v) AS hi_v,
+        |  CASE WHEN sum(CASE WHEN v >= lo_v AND v <= hi_v THEN c
+        |      ELSE 0 END) > 0 THEN
+        |    round(CAST(sum(CASE WHEN v >= lo_v AND v <= hi_v THEN
+        |        CAST(round(v, 6) AS DECIMAL(18,6)) * c
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN v >= lo_v AND v <= hi_v THEN c
+        |        ELSE 0 END) AS DOUBLE), 6) END AS trimmed_mean
+        |FROM cc JOIN lo ON cc.g = lo.g JOIN hi ON cc.g = hi.g
+        |GROUP BY cc.g ORDER BY g""".stripMargin,
+    // invisible chars re-derived: the SAME portable \x{...} class
+    // patterns (shared via the TextAnalysis constants), same injection,
+    // same strip order — clean_text is the real assertion
+    "t_invisible_chars" -> {
+      val zw = graft.ops.TextAnalysis.ZeroWidthRe
+      val ct = graft.ops.TextAnalysis.ControlRe
+      s"""WITH d2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN text || chr(8203) || ' x' || chr(65279) || chr(7)
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$zw')) AS INTEGER)
+        |    AS n_zero_width,
+        |  CAST(len(regexp_extract_all(text, '$ct')) AS INTEGER)
+        |    AS n_control,
+        |  (CAST(len(regexp_extract_all(text, '$zw')) AS INTEGER)
+        |    + CAST(len(regexp_extract_all(text, '$ct')) AS INTEGER)) > 0
+        |    AS is_dirty,
+        |  regexp_replace(regexp_replace(text, '$zw', '', 'g'),
+        |    '$ct', '', 'g') AS clean_text
+        |FROM d2 ORDER BY doc_id""".stripMargin
+    },
     // skew profile re-derived: key counts, broadcast totals, picked
     // ECDF quantiles over the count domain, smallest-argmax top key
     "q_skew_profile" ->

@@ -1744,6 +1744,68 @@ class AnalyticsSpec extends SparkSpec {
     assert(again == out.map(t => s"[${t._1},${t._2},${t._3},${t._4}]"))
   }
 
+  test("linearFit: exact line recovered, constant-x nulls, constant-y " +
+      "keeps slope but nulls r2") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0), // y = 2x + 1
+      ("b", 4.0, 1.0), ("b", 4.0, 9.0),                  // zero x-var
+      ("c", 1.0, 5.0), ("c", 2.0, 5.0), ("c", 3.0, 5.0)) // flat y
+      .toDF("g0", "x", "y")
+    val out = Stats.linearFit(df, "x", "y", "g0")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(out == Seq(
+      ("a", 3L, Some(2.0), Some(1.0), Some(1.0)),
+      ("b", 2L, None, None, None),
+      ("c", 3L, Some(0.0), Some(5.0), None)))
+  }
+
+  test("theilSen: outlier day cannot drag the median slope; " +
+      "single-bucket key emits 0 pairs") {
+    val ev = tsEvents(
+      (1L, "2024-01-01 01:00:00", 1.0), (1L, "2024-01-02 01:00:00", 2.0),
+      (1L, "2024-01-03 01:00:00", 3.0), (1L, "2024-01-04 01:00:00", 100.0),
+      (1L, "2024-01-05 01:00:00", 5.0),
+      (2L, "2024-01-01 01:00:00", 9.0))
+    val out = Behavior.theilSen(ev, "user_id", "ts", "value", 86400L)
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    // pairwise slopes sorted: [-95, 1x6, 33, 49, 97] -> lower median 1
+    assert(out == Seq((1L, 5L, 10L, Some(1.0)), (2L, 1L, 0L, None)))
+  }
+
+  test("trimmedMean: picked cuts drop the tails, constant group intact") {
+    import spark.implicits._
+    val df = ((1 to 20).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 5.0), ("b", 5.0))).toDF("grp", "v")
+    val out = Stats.trimmedMean(df, "v", "grp")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // a: cuts at ranks ceil(1)=1 -> 1.0 and ceil(19)=19 -> 19.0;
+    // kept 1..19, mean 10.0 (only the top tail actually falls)
+    assert(out == Seq(("a", 20L, 19L, 1.0, 19.0, 10.0),
+      ("b", 2L, 2L, 5.0, 5.0, 5.0)))
+  }
+
+  test("invisibleChars: counts, strip, tab/newline survive") {
+    import spark.implicits._
+    val df = Seq((1L, "a\u200bb\u0007c\ufeff"), (2L, "x\ty\nz"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invisibleChars(df, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3),
+        r.getString(4))).toSeq
+    assert(out == Seq(
+      (1L, 2, 1, true, "abc"),
+      (2L, 0, 0, false, "x\ty\nz")))
+  }
+
   test("ctfidfTerms: hand-computed class scores, k cut, term-asc ties") {
     import spark.implicits._
     val df = Seq(("A", "apple apple banana"), ("B", "carrot"))
