@@ -204,7 +204,12 @@ object ScaleBench {
     // (bounded pairwise self-join of the bucket frame), trimmed mean
     // (value-domain cuts), invisible-char audit (pure scan)
     "q_group_regression", "q_theil_sen", "q_trimmed_mean",
-    "t_invisible_chars")
+    "t_invisible_chars",
+    // round-11 sixth wave: BH-FDR (one (family,p) count shuffle +
+    // p-domain windows over the MWU test family), SPRT (distributed
+    // prefix sums + two struct-argmin reductions), randomization test
+    // (b-replicate explode map-combined to (group,rep) cells)
+    "q_bh_fdr", "q_sprt", "q_perm_test")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -371,7 +376,10 @@ object ScaleBench {
     "q_group_regression" -> Set("events"),
     "q_theil_sen" -> Set("events"),
     "q_trimmed_mean" -> Set("documents"),
-    "t_invisible_chars" -> Set("documents"))
+    "t_invisible_chars" -> Set("documents"),
+    "q_bh_fdr" -> Set("events"),
+    "q_sprt" -> Set("events"),
+    "q_perm_test" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

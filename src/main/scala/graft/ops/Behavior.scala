@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -986,5 +986,89 @@ object Behavior {
         coalesce(col("mau"), lit(0L)).as("mau"))
       .withColumn("stickiness", when(col("mau") > 0L,
         round(col("dau").cast("double") / col("mau").cast("double"), 6)))
+  }
+
+  /** The four compiled constants of a Bernoulli SPRT, rounded to 12 dp
+    * so the operator and the oracle share them TEXTUALLY (the
+    * dcgDiscounts discipline): per-success and per-failure log-likelihood
+    * increments, and the accept-H1 / accept-H0 thresholds. */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double,
+      beta: Double): (Double, Double, Double, Double) = {
+    require(p0 > 0.0 && p1 < 1.0 && p0 < p1,
+      s"need 0 < p0 < p1 < 1, got $p0/$p1")
+    require(alpha > 0.0 && alpha < 1.0 && beta > 0.0 && beta < 1.0,
+      s"need alpha, beta in (0,1), got $alpha/$beta")
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (r12(math.log(p1 / p0)),
+      r12(math.log((1.0 - p1) / (1.0 - p0))),
+      r12(math.log((1.0 - beta) / alpha)),
+      r12(math.log(beta / (1.0 - alpha))))
+  }
+
+  /** Wald's SEQUENTIAL probability ratio test per group — the
+    * early-stopping experiment monitor ("stop the rollout the moment the
+    * evidence is in" — a fixed-horizon test both wastes samples on clear
+    * winners and invites invalid peeking): each group's events are
+    * replayed in (ts, id) order accumulating the Bernoulli log-likelihood
+    * ratio LLR_t = k_t·ln(p1/p0) + (t−k_t)·ln((1−p1)/(1−p0)); the test
+    * DECIDES at the first t where LLR ≥ ln((1−β)/α) (accept H1: rate is
+    * p1) or LLR ≤ ln(β/(1−α)) (accept H0: rate is p0), else `continue`.
+    *
+    * Determinism/exactness: the replay order is the TOTAL order
+    * (ts, id) — `idCol` must be unique within (group, ts); LLR is an
+    * exact-integer combination k·c1 + (t−k)·c0 of the two 12-dp compiled
+    * constants ([[sprtConstants]], shared textually with the oracle),
+    * rounded to 9 dp before every threshold comparison so both engines
+    * cross on the same row; 6-dp renders.
+    *
+    * Scale shape: the prefix counts come from [[Pipeline.runningSum]] —
+    * per-(group, bucket) windows plus a broadcast offset scan, NEVER one
+    * task per group (an experiment's whole history on one core is the
+    * straggler shape this house rejects); the crossing argmin and the
+    * final-row readout are two map-combinable struct-min/max
+    * aggregations of the scored frame, which is materialized once for
+    * its two consumers. */
+  def sprt(events: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, success: Column, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05,
+      buckets: Int = 32): DataFrame = {
+    val (c1, c0, thrA, thrB) = sprtConstants(p0, p1, alpha, beta)
+    val base = events
+      .select(col(groupCol).as("g"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"),
+        when(success, 1L).otherwise(0L).as("__s"))
+      .filter(col("__ts").isNotNull && col("__id").isNotNull)
+    val withT = Pipeline.runningSum(base, "__ts", lit(1L), "__t",
+      buckets, partCols = Seq("g"), tieCols = Seq("__id"))
+    val scored = Dedup.materializeBase(
+      Pipeline.runningSum(withT, "__ts", col("__s"), "__k",
+        buckets, partCols = Seq("g"), tieCols = Seq("__id"))
+        .withColumn("__llr", round(
+          col("__k").cast("double") * lit(c1) +
+            (col("__t") - col("__k")).cast("double") * lit(c0), 9))
+        .withColumn("__code",
+          when(col("__llr") >= lit(thrA), 1L)
+            .when(col("__llr") <= lit(thrB), 0L)),
+      None)
+    val finals = scored.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(col("__s")).as("successes"),
+      max(struct(col("__t"), col("__llr"))).getField("__llr")
+        .as("__llr_final"))
+    val crossing = scored.filter(col("__code").isNotNull)
+      .groupBy("g").agg(
+        min(struct(col("__t"), col("__code"), col("__llr"))).as("__f"))
+      .select(col("g"), col("__f.__t").as("n_decision"),
+        col("__f.__code").as("__dcode"),
+        col("__f.__llr").as("__llr_dec"))
+    finals.join(crossing, Seq("g"), "left")
+      .select(col("g"), col("n"), col("successes"),
+        round(col("__llr_final"), 6).as("llr_final"),
+        when(col("__dcode") === 1L, lit("accept_h1"))
+          .when(col("__dcode") === 0L, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"),
+        col("n_decision"),
+        round(col("__llr_dec"), 6).as("llr_decision"))
   }
 }

@@ -1616,4 +1616,151 @@ object Stats {
             (col("__tp").cast("double") / col("__tn").cast("double")), 6))
           .as("lift"))
   }
+
+  /** 1/√(2π) — compiled constant of the normal density, shared textually
+    * with every oracle that re-derives [[normalTwoSidedP]]. */
+  val InvSqrt2Pi: Double = 0.3989422804014327
+
+  /** Two-sided normal tail probability p = 2·P(Z > |z|) via the
+    * Abramowitz & Stegun 26.2.17 polynomial (|abs error| < 7.5e-8 — two
+    * orders below the 9-dp render). Public formula, elementary ops only
+    * (exp, one Horner chain), so both engines fold the identical double
+    * expression; the result rounds to NINE dp at the source — the house
+    * pre-ln/exp discipline — so every consumer ([[bhFdr]] ranks, the
+    * oracle hash) sees the same quantized p. */
+  def normalTwoSidedP(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    round(lit(2.0) * (lit(InvSqrt2Pi) * exp(az * az / lit(-2.0)) * poly),
+      9)
+  }
+
+  /** Benjamini–Hochberg step-up FDR correction over a FAMILY of tests —
+    * the multiple-comparisons stage every metrics platform needs the
+    * moment it runs one test per segment (at α=0.05, fifty segments
+    * yield ~2.5 false "wins" by construction; controlling the FALSE
+    * DISCOVERY RATE instead of the per-test error is the standard fix
+    * that doesn't Bonferroni-kill all power):
+    *
+    *   q(i) = min_{j ≥ i} ( p(j) · m / j ),  reject ⇔ q ≤ α
+    *
+    * Exactness: ranks come from the p-DOMAIN cumulative count (ties
+    * share the block's HIGHEST index — the classical sorted-index
+    * convention, since the running min hands every member of a tied
+    * block the same q); p·m/j is one fixed-parenthesization double per
+    * distinct p; the running min is over the p-domain summary frame,
+    * never raw tests; the discovery flag fires on the UNROUNDED q
+    * (6-dp render). Callers feed p already 9-dp quantized (e.g.
+    * [[normalTwoSidedP]]) so cross-engine ulps cannot reorder ranks.
+    *
+    * Shape: one (family, p) count shuffle; windows ride the p-domain
+    * frame; tests join their q back by (family, p). */
+  def bhFdr(df: DataFrame, idCol: String, pCol: String,
+      familyCol: String, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"need 0 < alpha < 1, got $alpha")
+    val base = df
+      .select(col(familyCol).as("fam"), col(idCol).as("test_id"),
+        col(pCol).cast("double").as("p"))
+      .filter(col("p").isNotNull)
+    val dom = base.groupBy("fam", "p").agg(count(lit(1)).as("__c"))
+    val wAsc = Window.partitionBy(col("fam")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("fam")).orderBy(col("p").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = dom
+      .withColumn("rank", sum(col("__c")).over(wAsc))
+      .withColumn("m",
+        max(col("rank")).over(Window.partitionBy(col("fam"))))
+      .withColumn("__raw", col("p") * col("m").cast("double") /
+        col("rank").cast("double"))
+      .withColumn("__q", least(lit(1.0), min(col("__raw")).over(wDesc)))
+    base
+      .join(ranked.select("fam", "p", "rank", "m", "__q"), Seq("fam", "p"))
+      .select(col("fam"), col("test_id"), col("p"), col("m"), col("rank"),
+        round(col("__q"), 6).as("q_value"),
+        (col("__q") <= lit(alpha)).as("discovery"))
+  }
+
+  /** Monte-Carlo RANDOMIZATION test of a two-arm mean difference per
+    * group — the distribution-free p the Welch t of
+    * [[graft.ops.Behavior.abTestStats]] approximates (exact under
+    * exchangeability, no normality or large-n assumption — the honest
+    * readout for skewed revenue-like metrics): the observed meanA−meanB
+    * is compared against `b` null replicates in which every row's arm is
+    * re-drawn as a deterministic md5 coin (random RELABELING — arm
+    * sizes are binomial per replicate, not fixed-margin permutation;
+    * documented, and immaterial at the group sizes this runs at), and
+    *
+    *   p = (1 + #{ replicates with |diff| ≥ |observed| }) / (b + 1)
+    *
+    * — the add-one form that never reports p = 0.
+    *
+    * Determinism/exactness: the coin is bit 0 of md5Long60(id # rep) —
+    * never rand(), stable under retries and replicable by the oracle's
+    * md5-Horner fold; values quantize to DECIMAL(14,2), per-(group,
+    * rep, side) sums are exact, each diff is one fixed-parenthesization
+    * double rounded to 9 dp BEFORE the ≥ comparison (both sides), p is
+    * one exact-integer division rounded at 6.
+    *
+    * Shape: the replicate explosion is transform-then-explode over a
+    * compiled `sequence(0, b−1)` — b·rows md5 evaluations, map-side
+    * combined into ≤ groups·b·2 cells before the ONE shuffle; the
+    * observed frame is a second map-combinable aggregation. Work is
+    * deliberately linear·b — size `b` to the evidence you need. */
+  def permutationTest(df: DataFrame, idCol: String, valueCol: String,
+      armCol: String, aLabel: String, bLabel: String, groupCol: String,
+      b: Int = 100, salt: String = "perm"): DataFrame = {
+    require(b >= 1, s"b must be >= 1, got $b")
+    val base = df
+      .filter(col(armCol).isin(aLabel, bLabel) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).cast("string").as("id"),
+        col(valueCol).cast("decimal(14,2)").as("v"),
+        (col(armCol) === aLabel).as("__ina"))
+    def meanDiff(s0: Column, n0: Column, s1: Column, n1: Column): Column =
+      round(s0.cast("double") / n0.cast("double") -
+        s1.cast("double") / n1.cast("double"), 9)
+    val obs = base.groupBy("g").agg(
+      sum(when(col("__ina"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__ina"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__ina"), col("v"))).cast("decimal(38,2)").as("__sa"),
+      sum(when(!col("__ina"), col("v"))).cast("decimal(38,2)").as("__sb"))
+      .withColumn("__obs", when(col("n_a") > 0L && col("n_b") > 0L,
+        meanDiff(col("__sa"), col("n_a"), col("__sb"), col("n_b"))))
+    val reps = base
+      .select(col("g"), col("id"), col("v"),
+        explode(sequence(lit(0), lit(b - 1))).as("__r"))
+      .withColumn("__side",
+        pmod(graft.ops.Pipeline.md5Long60(
+          concat(col("id"), lit("#"), col("__r").cast("string")), salt),
+          lit(2L)))
+      .groupBy("g", "__r")
+      .agg(sum(when(col("__side") === 0L, 1L).otherwise(0L)).as("__n0"),
+        sum(when(col("__side") =!= 0L, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__side") === 0L, col("v"))).cast("decimal(38,2)")
+          .as("__s0"),
+        sum(when(col("__side") =!= 0L, col("v"))).cast("decimal(38,2)")
+          .as("__s1"))
+      .withColumn("__d", when(col("__n0") > 0L && col("__n1") > 0L,
+        meanDiff(col("__s0"), col("__n0"), col("__s1"), col("__n1"))))
+    val exceed = reps
+      .join(obs.select(col("g"), col("__obs")), Seq("g"))
+      .groupBy("g")
+      .agg(sum(when(col("__d").isNotNull, 1L).otherwise(0L)).as("b_used"),
+        sum(when(col("__d").isNotNull && col("__obs").isNotNull &&
+          abs(col("__d")) >= abs(col("__obs")), 1L).otherwise(0L))
+          .as("n_ge"))
+    obs
+      .join(exceed, Seq("g"), "left")
+      .select(col("g"), col("n_a"), col("n_b"),
+        round(col("__obs"), 6).as("obs_diff"),
+        coalesce(col("b_used"), lit(0L)).as("b_used"),
+        coalesce(col("n_ge"), lit(0L)).as("n_ge"),
+        when(col("__obs").isNotNull && col("b_used") > 0L,
+          round((lit(1L) + col("n_ge")).cast("double") /
+            (col("b_used") + lit(1L)).cast("double"), 6)).as("p_perm"))
+  }
 }

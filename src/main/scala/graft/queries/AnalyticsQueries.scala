@@ -185,6 +185,42 @@ object AnalyticsQueries {
           graft.ops.TextAnalysis.tokens(col("text")), k = 15)
         .orderBy("cls", "rank")
     },
+    // Benjamini–Hochberg FDR over the per-(event_type, cohort) family
+    // of Mann–Whitney tests between the month's halves — 4 tests per
+    // event-type family, p via the A&S 26.2.17 normal tail at 9 dp
+    "q_bh_fdr" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("gg", concat(col("event_type"), lit("|"),
+          (col("user_id") % 4L).cast("string")))
+        .withColumn("snap",
+          when(unix_timestamp(col("ts")) < 1705363200L, lit("base"))
+            .otherwise(lit("cur")))
+      val tests = graft.ops.Stats.mannWhitney(ev, "value", "snap",
+          "base", "cur", "gg")
+        .select(substring_index(col("g"), "|", 1).as("fam"),
+          substring_index(col("g"), "|", -1).as("tid"),
+          graft.ops.Stats.normalTwoSidedP(col("z")).as("p"))
+      graft.ops.Stats.bhFdr(tests, "tid", "p", "fam", alpha = 0.10)
+        .orderBy("fam", "test_id")
+    },
+    // Wald SPRT per event type: is the value>50 rate p1=0.40 or
+    // p0=0.35? Early-stopping replay in (ts, event_id) order off the
+    // distributed prefix-sum primitive
+    "q_sprt" -> { (s, d) =>
+      graft.ops.Behavior.sprt(Tables.events(s, d), "event_type", "ts",
+          "event_id", col("value") > 50.0, p0 = 0.35, p1 = 0.40)
+        .orderBy("g")
+    },
+    // md5-deterministic randomization test of the even/odd-user value
+    // difference per event type — the distribution-free p beside the
+    // Welch t; 40 relabeled replicates, map-combined to (g, rep) cells
+    "q_perm_test" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("arm",
+        when(col("user_id") % 2L === 0L, lit("a")).otherwise(lit("b")))
+      graft.ops.Stats.permutationTest(ev, "event_id", "value", "arm",
+          "a", "b", "event_type", b = 40)
+        .orderBy("g")
+    },
     // grouped ROC-AUC: does the char-length proxy ORDER token-rich docs
     // above token-poor ones per source? Exact rank-sum identity on
     // doubled integer ranks — no threshold grid
@@ -726,6 +762,154 @@ object AnalyticsQueries {
         |  CASE WHEN n_a > 0 AND n_b > 0 AND var > 0.0 THEN
         |    abs(round((u - mu) / sqrt(var), 6)) > 1.96 END AS significant
         |FROM m ORDER BY g""".stripMargin,
+    // BH-FDR re-derived: the full MWU chain per (event_type, cohort),
+    // the A&S 26.2.17 normal tail at 9 dp, then the step-up q off the
+    // p-domain running min — ranks are cumulative counts, ties share
+    // the block's highest index
+    "q_bh_fdr" ->
+      """WITH f AS (SELECT event_type AS fam,
+        |    CAST(user_id % 4 AS VARCHAR) AS tid,
+        |    CAST(value AS DOUBLE) AS v,
+        |    (floor(epoch(ts)) < 1705363200) AS ina
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT fam, tid, v,
+        |    CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN ina THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM f GROUP BY 1, 2, 3),
+        |r AS (SELECT fam, tid, na, nb, na + nb AS cnt,
+        |    CAST(sum(na + nb) OVER (PARTITION BY fam, tid ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c),
+        |a AS (SELECT fam, tid, CAST(sum(na) AS BIGINT) AS n_a,
+        |    CAST(sum(nb) AS BIGINT) AS n_b,
+        |    CAST(sum(CAST(na AS DECIMAL(19,0))
+        |      * CAST(2 * cum - cnt + 1 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS s2a,
+        |    CAST(sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))
+        |      - CAST(cnt AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ties
+        |  FROM r GROUP BY 1, 2),
+        |m AS (SELECT fam, tid,
+        |    (CAST(s2a AS DOUBLE)
+        |      - CAST(n_a AS DOUBLE) * CAST(n_a + 1 AS DOUBLE)) / 2.0 AS u,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |        - CAST(ties AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE)
+        |          * (CAST(n_a + n_b AS DOUBLE) - 1.0))) AS var,
+        |    n_a, n_b
+        |  FROM a),
+        |z AS (SELECT fam, tid,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND var > 0.0 THEN
+        |      round((u - mu) / sqrt(var), 6) END AS z
+        |  FROM m),
+        |tt AS (SELECT fam, tid, z,
+        |    1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM z),
+        |tests AS (SELECT fam, tid,
+        |    round(2.0 * (0.3989422804014327
+        |      * exp(abs(z) * abs(z) / (-2.0))
+        |      * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+        |        + t * (-1.821255978 + t * 1.330274429)))))), 9) AS p
+        |  FROM tt WHERE z IS NOT NULL),
+        |dom AS (SELECT fam, p, CAST(count(*) AS BIGINT) AS c
+        |  FROM tests GROUP BY 1, 2),
+        |rk AS (SELECT fam, p, c,
+        |    CAST(sum(c) OVER (PARTITION BY fam ORDER BY p
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rank,
+        |    CAST(sum(c) OVER (PARTITION BY fam) AS BIGINT) AS m
+        |  FROM dom),
+        |qv AS (SELECT fam, p, rank, m,
+        |    least(1.0, min(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+        |      OVER (PARTITION BY fam ORDER BY p DESC
+        |        ROWS UNBOUNDED PRECEDING)) AS q
+        |  FROM rk)
+        |SELECT t2.fam AS fam, t2.tid AS test_id, t2.p AS p, qv.m AS m,
+        |  qv.rank AS rank, round(qv.q, 6) AS q_value,
+        |  qv.q <= 0.10 AS discovery
+        |FROM tests t2 JOIN qv ON t2.fam = qv.fam AND t2.p = qv.p
+        |ORDER BY fam, test_id""".stripMargin,
+    // SPRT re-derived: the identical 12-dp compiled constants, the same
+    // (ts, id) total order, crossing argmin + final-row argmax
+    "q_sprt" -> {
+      val (c1, c0, thrA, thrB) =
+        graft.ops.Behavior.sprtConstants(0.35, 0.40, 0.05, 0.05)
+      s"""WITH b AS (SELECT event_type AS g, ts, event_id AS id,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+        |r AS (SELECT g, s,
+        |    row_number() OVER (PARTITION BY g ORDER BY ts, id) AS t,
+        |    sum(s) OVER (PARTITION BY g ORDER BY ts, id
+        |      ROWS UNBOUNDED PRECEDING) AS k
+        |  FROM b),
+        |l AS (SELECT g, t, s, round(CAST(k AS DOUBLE) * ${f"$c1%.12f"}
+        |    + CAST(t - k AS DOUBLE) * (${f"$c0%.12f"}), 9) AS llr
+        |  FROM r),
+        |c AS (SELECT g, t, s, llr,
+        |    CASE WHEN llr >= ${f"$thrA%.12f"} THEN 1
+        |      WHEN llr <= ${f"$thrB%.12f"} THEN 0 END AS code
+        |  FROM l),
+        |fin AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s) AS BIGINT) AS successes,
+        |    arg_max(llr, t) AS llr_final
+        |  FROM c GROUP BY g),
+        |cr AS (SELECT g, CAST(min(t) AS BIGINT) AS n_decision,
+        |    arg_min(code, t) AS dcode, arg_min(llr, t) AS llr_dec
+        |  FROM c WHERE code IS NOT NULL GROUP BY g)
+        |SELECT fin.g AS g, n, successes,
+        |  round(llr_final, 6) AS llr_final,
+        |  CASE WHEN dcode = 1 THEN 'accept_h1' WHEN dcode = 0
+        |    THEN 'accept_h0' ELSE 'continue' END AS decision,
+        |  n_decision, round(llr_dec, 6) AS llr_decision
+        |FROM fin LEFT JOIN cr ON fin.g = cr.g ORDER BY g""".stripMargin
+    },
+    // randomization test re-derived: the same md5-Horner coin per
+    // (id, replicate), exact DECIMAL arm sums, 9-dp diffs before the
+    // comparison, the add-one p
+    "q_perm_test" ->
+      s"""WITH base AS (SELECT event_type AS g,
+        |    CAST(event_id AS VARCHAR) AS id,
+        |    CAST(value AS DECIMAL(14,2)) AS v,
+        |    (user_id % 2 = 0) AS ina
+        |  FROM events WHERE value IS NOT NULL),
+        |obs AS (SELECT g,
+        |    CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN ina THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN ina THEN v END) AS DECIMAL(38,2)) AS sa,
+        |    CAST(sum(CASE WHEN NOT ina THEN v END) AS DECIMAL(38,2)) AS sb
+        |  FROM base GROUP BY g),
+        |ob AS (SELECT g, n_a, n_b,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      round(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE), 9) END AS obs9
+        |  FROM obs),
+        |reps AS (SELECT g, id, v, unnest(range(40)) AS r FROM base),
+        |sided AS (SELECT g, r, v,
+        |    ${md5HornerSql("'perm:' || id || '#' || CAST(r AS VARCHAR)")}
+        |      % 2 AS sd
+        |  FROM reps),
+        |cells AS (SELECT g, r,
+        |    CAST(sum(CASE WHEN sd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN sd <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN sd = 0 THEN v END) AS DECIMAL(38,2)) AS s0,
+        |    CAST(sum(CASE WHEN sd <> 0 THEN v END) AS DECIMAL(38,2)) AS s1
+        |  FROM sided GROUP BY 1, 2),
+        |diffs AS (SELECT g, r,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      round(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 9) END AS d
+        |  FROM cells),
+        |ex AS (SELECT diffs.g AS g,
+        |    CAST(sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_used,
+        |    CAST(sum(CASE WHEN d IS NOT NULL AND obs9 IS NOT NULL
+        |      AND abs(d) >= abs(obs9) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ge
+        |  FROM diffs JOIN ob ON diffs.g = ob.g GROUP BY 1)
+        |SELECT ob.g AS g, n_a, n_b, round(obs9, 6) AS obs_diff,
+        |  coalesce(b_used, 0) AS b_used, coalesce(n_ge, 0) AS n_ge,
+        |  CASE WHEN obs9 IS NOT NULL AND b_used > 0 THEN
+        |    round(CAST(1 + n_ge AS DOUBLE)
+        |      / CAST(b_used + 1 AS DOUBLE), 6) END AS p_perm
+        |FROM ob LEFT JOIN ex ON ob.g = ex.g ORDER BY g""".stripMargin,
     // MI re-derived: round-9 shares, the p(a)p(b) product inside the ln
     // as one double expression, round-10 quantized terms, entropies off
     // the marginal frames, the compiled ln 2

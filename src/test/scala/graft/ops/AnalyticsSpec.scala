@@ -1822,4 +1822,103 @@ class AnalyticsSpec extends SparkSpec {
       ("A", 2, "banana", 1L, 1L, 1.098612),
       ("B", 1, "carrot", 1L, 1L, 1.098612)))
   }
+
+  test("bhFdr: BH-1995 example, tie block shares max rank, families") {
+    import spark.implicits._
+    // the worked example from Benjamini & Hochberg (1995): m=15,
+    // alpha=0.05 => exactly the four smallest p's are discoveries
+    val ps = Seq(0.0001, 0.0004, 0.0019, 0.0095, 0.0201, 0.0278, 0.0298,
+      0.0344, 0.0459, 0.3240, 0.4262, 0.5719, 0.6528, 0.7590, 1.0000)
+    val df = ps.zipWithIndex
+      .map { case (p, i) => ("f1", s"t$i", p) }
+      .toDF("fam", "tid", "p")
+    val out = Stats.bhFdr(df, "tid", "p", "fam", alpha = 0.05)
+      .orderBy("p").collect()
+    // naive in-test model: q_i = min_{j>=i} p_j * m / j, clamped at 1
+    val m = ps.length
+    val raw = ps.zipWithIndex.map { case (p, i) => p * m / (i + 1) }
+    val expQ = raw.indices.map(i => math.min(1.0, raw.drop(i).min))
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(4) == (i + 1).toLong) // rank
+      assert(r.getLong(3) == m.toLong)
+      assert(math.abs(r.getDouble(5) - expQ(i)) < 5e-7, s"q at $i")
+      assert(r.getBoolean(6) == (expQ(i) <= 0.05), s"discovery at $i")
+    }
+    assert(out.count(_.getBoolean(6)) == 4)
+    // tied p's share the block's HIGHEST rank and the same q; a second
+    // family ranks independently
+    val df2 = Seq(("fA", "a", 0.01), ("fA", "b", 0.01), ("fA", "c", 0.5),
+      ("fB", "x", 0.04)).toDF("fam", "tid", "p")
+    val out2 = Stats.bhFdr(df2, "tid", "p", "fam", alpha = 0.05)
+      .orderBy("fam", "test_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4),
+        r.getDouble(5), r.getBoolean(6))).toSeq
+    assert(out2 == Seq(
+      ("fA", "a", 2L, 0.015, true), ("fA", "b", 2L, 0.015, true),
+      ("fA", "c", 3L, 0.5, false), ("fB", "x", 1L, 0.04, true)))
+  }
+
+  test("permutationTest: zero-diff p=1, determinism, one-arm null") {
+    import spark.implicits._
+    // all values equal -> every replicate diff is 0 = |obs| -> p = 1
+    val flat = (1 to 12).map(i =>
+      (1L, i.toLong, 5.0, if (i % 2 == 0) "a" else "b"))
+      .toDF("g", "id", "v", "arm")
+    val r1 = Stats.permutationTest(flat, "id", "v", "arm", "a", "b", "g",
+      b = 16).collect().head
+    assert(r1.getLong(1) == 6L && r1.getLong(2) == 6L)
+    assert(r1.getDouble(3) == 0.0) // obs_diff
+    assert(r1.getLong(4) == 16L)   // b_used
+    assert(r1.getDouble(6) == 1.0) // p_perm
+    // extreme separation: p bounded below by 1/(b+1), above by small
+    val sep = ((1 to 10).map(i => (1L, i.toLong, 100.0, "a")) ++
+      (11 to 20).map(i => (1L, i.toLong, 1.0, "b")))
+      .toDF("g", "id", "v", "arm")
+    val r2a = Stats.permutationTest(sep, "id", "v", "arm", "a", "b", "g",
+      b = 32).collect().head
+    val r2b = Stats.permutationTest(sep, "id", "v", "arm", "a", "b", "g",
+      b = 32).collect().head
+    assert(r2a.getDouble(3) == 99.0)
+    assert(r2a.getDouble(6) == r2b.getDouble(6)) // md5-deterministic
+    assert(r2a.getDouble(6) >= 1.0 / 33.0 - 1e-6)
+    // one-arm group: null obs_diff and p
+    val oneArm = Seq((2L, 1L, 3.0, "a"), (2L, 2L, 4.0, "a"))
+      .toDF("g", "id", "v", "arm")
+    val r3 = Stats.permutationTest(oneArm, "id", "v", "arm", "a", "b",
+      "g", b = 8).collect().head
+    assert(r3.isNullAt(3) && r3.isNullAt(6))
+  }
+
+  test("sprt: crossings, decision sticks at first crossing, continue") {
+    import spark.implicits._
+    // p0=0.2, p1=0.8, alpha=beta=0.05: c1 = ln4, c0 = -ln4,
+    // thresholds +-ln19 = +-2.944438979166 -> three successes cross H1
+    def ev(g: String, ss: Seq[Int]): Seq[(String, String, Long, Int)] =
+      ss.zipWithIndex.map { case (s, i) =>
+        (g, f"2024-01-01 00:00:${i}%02d", i.toLong, s)
+      }
+    val df = (ev("up", Seq(1, 1, 1, 0)) ++
+      ev("down", Seq(0, 0, 0)) ++
+      ev("mix", Seq(1, 0, 1, 0)) ++
+      // crosses H1 at t=3 then decays: decision must stick at t=3
+      ev("stick", Seq(1, 1, 1, 0, 0, 0, 0, 0)))
+      .toDF("g", "tss", "id", "s")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Behavior.sprt(df, "g", "ts", "id", col("s") === 1,
+      p0 = 0.2, p1 = 0.8).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) Double.NaN else r.getDouble(6))).toSeq
+    val ln4 = 1.386294361120 // sprtConstants rounds at 12 dp
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    assert(out(0) == ("down", 3L, 0L, r6(-3 * ln4), "accept_h0", 3L,
+      r6(-3 * ln4)))
+    assert(out(1) == ("mix", 4L, 2L, 0.0, "continue", -1L,
+      out(1)._7) && out(1)._7.isNaN)
+    assert(out(2) == ("stick", 8L, 3L, r6(-2 * ln4), "accept_h1", 3L,
+      r6(3 * ln4)))
+    assert(out(3) == ("up", 4L, 3L, r6(2 * ln4), "accept_h1", 3L,
+      r6(3 * ln4)))
+  }
 }
