@@ -209,7 +209,24 @@ object ScaleBench {
     // p-domain windows over the MWU test family), SPRT (distributed
     // prefix sums + two struct-argmin reductions), randomization test
     // (b-replicate explode map-combined to (group,rep) cells)
-    "q_bh_fdr", "q_sprt", "q_perm_test")
+    "q_bh_fdr", "q_sprt", "q_perm_test",
+    // round-11 seventh wave: script mix (pure scan), Zipf fit (one
+    // (class,term) shuffle + tf-domain prune + bounded head rank),
+    // burstiness (one (term,doc) shuffle + term agg)
+    "t_script_mix", "t_zipf_fit", "t_term_burstiness",
+    // round-11 eighth wave: EWMA (dense series + per-key bounded
+    // aggregate fold), Adamic-Adar (degree-guarded wedge self-join),
+    // FK audit (key-frame anti-join + 1-row reductions)
+    "q_ewma", "q_adamic_adar", "q_fk_audit",
+    // round-11 ninth wave: stump screening (one melt scan +
+    // value-domain candidate windows), CUPED (moment shuffle +
+    // broadcast-back scoring scan), path trigrams (bucketed lead
+    // windows + path-domain rank)
+    "q_best_split", "q_cuped", "q_path_trigrams",
+    // round-11 tenth wave: Holt smoothing (dense series + bounded
+    // two-state fold), HLL overlap (register-frame pairwise merges +
+    // the exact-intersection honesty join)
+    "q_holt", "t_hll_overlap")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -379,7 +396,18 @@ object ScaleBench {
     "t_invisible_chars" -> Set("documents"),
     "q_bh_fdr" -> Set("events"),
     "q_sprt" -> Set("events"),
-    "q_perm_test" -> Set("events"))
+    "q_perm_test" -> Set("events"),
+    "t_script_mix" -> Set("documents"),
+    "t_zipf_fit" -> Set("documents"),
+    "t_term_burstiness" -> Set("documents"),
+    "q_ewma" -> Set("events"),
+    "q_adamic_adar" -> Set("lineitem"),
+    "q_fk_audit" -> Set("lineitem", "orders"),
+    "q_best_split" -> Set("lineitem"),
+    "q_cuped" -> Set("events"),
+    "q_path_trigrams" -> Set("events"),
+    "q_holt" -> Set("events"),
+    "t_hll_overlap" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -988,6 +988,160 @@ object Behavior {
         round(col("dau").cast("double") / col("mau").cast("double"), 6)))
   }
 
+  /** Top-k EVENT-PATH trigrams — the "what do users actually DO"
+    * sequence-mining readout beside [[eventTransitions]]' first-order
+    * matrix (a Markov matrix cannot distinguish view→click→purchase
+    * from view→click→error; the trigram table can, and it is the
+    * standard input to funnel DISCOVERY — which funnels exist — where
+    * [[funnel]] measures one you already know): per (user, bucket)
+    * ordered by (ts, tie), each row and its next two events form a
+    * path; paths count globally and the top `k` rank by (count desc,
+    * path asc).
+    *
+    * Convention pinned: paths are mined WITHIN a time bucket (default
+    * 1 day) — the [[eventTransitions]] bucketed-window discipline, so
+    * no task ever holds a user's full history, at the cost of dropping
+    * the ≤2 trigrams straddling each bucket edge (documented; at
+    * production bucket sizes the loss is noise). Counts are exact; the
+    * final rank window rides the path-domain frame (≤ |event types|³
+    * rows). */
+  def pathTrigrams(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, k: Int = 25,
+      stepSeconds: Long = 86400L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bucket = floor(unix_timestamp(col(tsCol)).cast("double") /
+      lit(stepSeconds.toDouble)).cast("long")
+    val base = events.select(col(userCol).as("__u"),
+      col(tsCol).as("__t"), col(tieCol).as("__tie"),
+      col(typeCol).as("__e"), bucket.as("__b"))
+    val w = Window.partitionBy(col("__u"), col("__b"))
+      .orderBy(col("__t"), col("__tie"))
+    val paths = base
+      .withColumn("__e2", lead(col("__e"), 1).over(w))
+      .withColumn("__e3", lead(col("__e"), 2).over(w))
+      .filter(col("__e").isNotNull && col("__e2").isNotNull &&
+        col("__e3").isNotNull)
+      .select(concat_ws(">", col("__e"), col("__e2"), col("__e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    val wr = Window.orderBy(col("n").desc, col("path"))
+    paths.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("path"), col("n"))
+  }
+
+  /** EWMA smoothing of the per-key bucket series — the lag-free trend
+    * line every operational dashboard wants beside [[cusumDrift]]'s
+    * change flags (a moving average needs a full window in memory and
+    * lags by half of it; the exponentially weighted form carries ONE
+    * number of state and reacts immediately): over the DENSE
+    * zero-filled series (silence is data — the [[gapFill]] grid),
+    *
+    *   e₀ = x₀,   eᵢ = round(α·xᵢ + (1−α)·eᵢ₋₁, 6)
+    *
+    * with α quantized to 3 dp and the recursion run ENTIRELY in exact
+    * DECIMAL arithmetic with a 6-dp HALF_UP round at every step — the
+    * one discipline that makes a sequential recursion bit-replicable by
+    * the oracle's recursive CTE (an unrounded float recursion drifts by
+    * accumulated ulps; per-step decimal rounding pins every state).
+    * Also emits the residual xᵢ − eᵢ (exact decimal subtraction).
+    *
+    * Scale shape: one raw-row shuffle into the dense series, then each
+    * key's series folds in ONE `aggregate` lambda over its collected
+    * bucket array — per-key state is the array, bounded in-plan by
+    * `maxBucketsPerKey` (the [[autocorr]]/[[theilSen]] cap; the
+    * recursion is inherently sequential per key, so the bound IS the
+    * contract), parallel across keys. */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long, alpha: Double = 0.3,
+      maxBucketsPerKey: Long = 10000L): DataFrame = {
+    val a = BigDecimal(alpha).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    require(a > 0 && a < 1, s"alpha must be in (0,1) at 3 dp, got $alpha")
+    val b1 = BigDecimal(1) - a
+    val ser = denseSeries(events, keyCol, tsCol, valueCol, stepSeconds,
+      maxBucketsPerKey)
+    val arr = ser.groupBy("g")
+      .agg(sort_array(collect_list(struct(col("b"), col("x")))).as("__s"))
+    val eExpr =
+      s"""aggregate(
+         |  slice(__s, 2, greatest(size(__s) - 1, 0)),
+         |  array(CAST(element_at(__s, 1).x AS DECIMAL(18,6))),
+         |  (acc, el) -> array_append(acc,
+         |    CAST(round(CAST($a AS DECIMAL(4,3)) * el.x
+         |      + CAST($b1 AS DECIMAL(4,3)) * element_at(acc, -1), 6)
+         |      AS DECIMAL(18,6))))""".stripMargin
+    arr
+      .withColumn("__e", expr(eExpr))
+      .select(col("g"), posexplode(col("__s")), col("__e"))
+      .select(col("g"), col("col.b").as("b"),
+        col("col.x").cast("double").as("x"),
+        element_at(col("__e"), col("pos") + 1).cast("double").as("ewma"),
+        (col("col.x") - element_at(col("__e"), col("pos") + 1))
+          .cast("double").as("residual"))
+  }
+
+  /** HOLT double-exponential smoothing (level + trend) per key — the
+    * short-horizon forecaster beside [[ewma]] (EWMA permanently LAGS a
+    * trending series by (1−α)/α steps; Holt carries an explicit trend
+    * state and doesn't), over the same dense zero-filled series:
+    *
+    *   l₀ = x₀, t₀ = 0   (init pinned — the zero-trend convention)
+    *   lᵢ = round(α·xᵢ + (1−α)·(lᵢ₋₁ + tᵢ₋₁), 6)
+    *   tᵢ = round(β·(lᵢ − lᵢ₋₁) + (1−β)·tᵢ₋₁, 6)
+    *
+    * and the one-step-ahead forecast lᵢ + tᵢ (exact decimal add). Same
+    * cross-engine recursion discipline as [[ewma]]: α/β at 3 dp, every
+    * state step exact DECIMAL with a 6-dp HALF_UP round, replayed by
+    * the oracle's recursive CTE; same bounded per-key `aggregate` fold
+    * (state = the two running arrays), `maxBucketsPerKey` in-plan. */
+  def holtLinear(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long, alpha: Double = 0.3,
+      beta: Double = 0.1, maxBucketsPerKey: Long = 10000L): DataFrame = {
+    val a = BigDecimal(alpha).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val bb = BigDecimal(beta).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    require(a > 0 && a < 1, s"alpha must be in (0,1) at 3 dp, got $alpha")
+    require(bb > 0 && bb < 1, s"beta must be in (0,1) at 3 dp, got $beta")
+    val a1 = BigDecimal(1) - a
+    val b1 = BigDecimal(1) - bb
+    val ser = denseSeries(events, keyCol, tsCol, valueCol, stepSeconds,
+      maxBucketsPerKey)
+    val arr = ser.groupBy("g")
+      .agg(sort_array(collect_list(struct(col("b"), col("x")))).as("__s"))
+    // state: struct of the level and trend arrays, folded in lockstep
+    val stExpr =
+      s"""aggregate(
+         |  slice(__s, 2, greatest(size(__s) - 1, 0)),
+         |  named_struct(
+         |    'l', array(CAST(element_at(__s, 1).x AS DECIMAL(18,6))),
+         |    't', array(CAST(0 AS DECIMAL(18,6)))),
+         |  (acc, el) -> named_struct(
+         |    'l', array_append(acc.l,
+         |      CAST(round(CAST($a AS DECIMAL(4,3)) * el.x
+         |        + CAST($a1 AS DECIMAL(4,3))
+         |          * (element_at(acc.l, -1) + element_at(acc.t, -1)), 6)
+         |        AS DECIMAL(18,6))),
+         |    't', array_append(acc.t,
+         |      CAST(round(CAST($bb AS DECIMAL(4,3))
+         |        * (CAST(round(CAST($a AS DECIMAL(4,3)) * el.x
+         |            + CAST($a1 AS DECIMAL(4,3))
+         |              * (element_at(acc.l, -1) + element_at(acc.t, -1)),
+         |            6) AS DECIMAL(18,6)) - element_at(acc.l, -1))
+         |        + CAST($b1 AS DECIMAL(4,3)) * element_at(acc.t, -1), 6)
+         |        AS DECIMAL(18,6)))))""".stripMargin
+    arr
+      .withColumn("__st", expr(stExpr))
+      .select(col("g"), posexplode(col("__s")), col("__st"))
+      .select(col("g"), col("col.b").as("b"),
+        col("col.x").cast("double").as("x"),
+        element_at(col("__st.l"), col("pos") + 1).cast("double")
+          .as("level"),
+        element_at(col("__st.t"), col("pos") + 1).cast("double")
+          .as("trend"),
+        (element_at(col("__st.l"), col("pos") + 1) +
+          element_at(col("__st.t"), col("pos") + 1)).cast("double")
+          .as("forecast"))
+  }
+
   /** The four compiled constants of a Bernoulli SPRT, rounded to 12 dp
     * so the operator and the oracle share them TEXTUALLY (the
     * dcgDiscounts discipline): per-success and per-failure log-likelihood

@@ -184,4 +184,75 @@ object Graph {
     labels.select(col("node"),
       col("lbl").as("label"))
   }
+
+  /** Common-neighbor LINK-PREDICTION features for every 2-hop pair —
+    * common-neighbor count, Adamic–Adar Σ 1/ln(deg(z)) over shared
+    * neighbors z (Adamic & Adar 2003 — a shared OBSCURE neighbor is
+    * strong evidence, a shared hub is none), neighborhood Jaccard, and
+    * whether the pair is already an edge (candidate generation scores
+    * NON-edges; existing edges ride along as the calibration set).
+    *
+    * Scale shape: wedge generation is the [[triangleCount]] apex
+    * self-join — quadratic in apex degree, so an in-plan `raise_error`
+    * fires when any node's degree exceeds `maxDegree` (the hot-basket
+    * discipline: one hub must not silently quadratic the join — cap or
+    * pre-filter hubs, which for AA is also the STATISTICALLY right move
+    * since a hub's 1/ln(deg) term is noise). Three equi-shuffles: the
+    * degree aggregation, the wedge self-join on the apex, the pair
+    * aggregation; degree joins ride pair-frame-sized equi-joins.
+    *
+    * Exactness: AA terms round to 10 dp and quantize to DECIMAL(28,14)
+    * (order-invariant sums, the [[graft.ops.Stats.mutualInfo]]
+    * discipline); Jaccard = cn/(deg_a + deg_b − cn) is one double
+    * division of exact integers; 6-dp renders. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Long = 10000L, minCommon: Long = 2L): DataFrame = {
+    require(maxDegree >= 2L, s"maxDegree must be >= 2, got $maxDegree")
+    require(minCommon >= 1L, s"minCommon must be >= 1, got $minCommon")
+    val und = Dedup.materializeBase(
+      edges
+        .select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(),
+      None)
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val nb = und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(und.select(col("v").as("node"), col("u").as("nbr")))
+      .join(deg, Seq("node"))
+      .withColumn("nbr", when(col("deg") <= maxDegree, col("nbr"))
+        .otherwise(raise_error(concat(lit("adamicAdar: node "),
+          col("node").cast("string"), lit(" has degree "),
+          col("deg").cast("string"),
+          lit(s" > maxDegree=$maxDegree — the wedge self-join is" +
+            " quadratic per apex; pre-filter hub nodes or raise" +
+            " maxDegree")))))
+    val term = when(col("deg") >= 2L,
+      round(lit(1.0) / log(col("deg").cast("double")), 10)
+        .cast("decimal(28,14)"))
+    val left = nb.select(col("node"), col("nbr").as("na"),
+      term.as("__t"))
+    val right = nb.select(col("node"), col("nbr").as("nb2"))
+    val pairs = left.join(right, Seq("node"))
+      .filter(col("na") < col("nb2"))
+      .groupBy(col("na").as("node_a"), col("nb2").as("node_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("__t")).as("__aa"))
+      .filter(col("common_neighbors") >= minCommon)
+    pairs
+      .join(deg.select(col("node").as("node_a"), col("deg").as("__da")),
+        Seq("node_a"))
+      .join(deg.select(col("node").as("node_b"), col("deg").as("__db")),
+        Seq("node_b"))
+      .join(und.select(col("u").as("node_a"), col("v").as("node_b"),
+        lit(true).as("__e")), Seq("node_a", "node_b"), "left")
+      .select(col("node_a"), col("node_b"), col("common_neighbors"),
+        round(col("__aa").cast("double"), 6).as("aa_score"),
+        round(col("common_neighbors").cast("double") /
+          (col("__da") + col("__db") - col("common_neighbors"))
+            .cast("double"), 6).as("jaccard"),
+        coalesce(col("__e"), lit(false)).as("is_edge"))
+  }
 }

@@ -534,4 +534,111 @@ object Retrieval {
         round(sum(col("__qr")).cast("double") /
           count(lit(1)).cast("double"), 6).as("recall"))
   }
+
+  /** ZIPF rank-frequency fit per class — the one-number corpus-health
+    * readout ("is this source natural language?"): natural text follows
+    * freq ∝ rank^(−s) with s ≈ 1; boilerplate/spam/generated corpora
+    * bend the log-log line (|slope| drifts, R² drops). Fits OLS of
+    * ln(freq) on ln(rank) over the TOP `maxRank` terms (the standard
+    * head fit — the hapax tail bends away from the power law by
+    * construction).
+    *
+    * Scale shape: ranking never sorts a class's whole vocabulary on one
+    * core — a tf-DOMAIN cumulative window (rows = distinct tf values
+    * per class) computes each tf block's exclusive higher-count, only
+    * blocks starting under `maxRank` survive the prune, and the
+    * row_number runs over that ≤ maxRank(+straddling block) slice.
+    * Exactness: ln(rank)/ln(tf) round to 6 dp and quantize to
+    * DECIMAL(18,6) (products are exact DECIMAL(38,12) sums), then the
+    * [[graft.ops.Stats.linearFit]] fixed-parenthesization
+    * slope/intercept/R² chains; 6-dp renders. Classes with a single
+    * distinct rank null the fit. */
+  def zipfFit(df: DataFrame, classCol: String, toks: Column,
+      maxRank: Int = 1000): DataFrame = {
+    require(maxRank >= 2, s"maxRank must be >= 2, got $maxRank")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(classCol).as("cls"), explode(toks).as("term"))
+      .groupBy("cls", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("cls").agg(count(lit(1)).as("n_terms"))
+    val wDom = Window.partitionBy(col("cls")).orderBy(col("tf").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dom = tf.groupBy("cls", "tf").agg(count(lit(1)).as("__m"))
+      .withColumn("__cumHi", sum(col("__m")).over(wDom) - col("__m"))
+      .filter(col("__cumHi") < maxRank)
+    val wRank = Window.partitionBy(col("cls"))
+      .orderBy(col("tf").desc, col("term"))
+    val head = tf
+      .join(dom.select("cls", "tf"), Seq("cls", "tf"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= maxRank)
+    def q6(c: Column) = round(c, 6).cast("decimal(18,6)")
+    val m = head.select(col("cls"),
+      q6(log(col("rank").cast("double"))).as("x"),
+      q6(log(col("tf").cast("double"))).as("y"))
+      .groupBy("cls").agg(
+        count(lit(1)).as("n_fit"),
+        sum(col("x")).cast("decimal(38,6)").as("__sx"),
+        sum(col("y")).cast("decimal(38,6)").as("__sy"),
+        sum((col("x") * col("x")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("__sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("__syy"),
+        sum((col("x") * col("y")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("__sxy"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n_fit"))
+    val num = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    val denX = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val denY = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    val slope = num / denX
+    vocab.join(m, Seq("cls"))
+      .select(col("cls"), col("n_terms"), col("n_fit"),
+        when(col("n_fit") >= 2L && denX > 0.0, round(slope, 6))
+          .as("slope"),
+        when(col("n_fit") >= 2L && denX > 0.0,
+          round((d(col("__sy")) - slope * d(col("__sx"))) / n, 6))
+          .as("intercept"),
+        when(col("n_fit") >= 2L && denX > 0.0 && denY > 0.0,
+          round(num * num / (denX * denY), 6)).as("r2"))
+  }
+
+  /** Term BURSTINESS — the variance-to-mean ratio of a term's per-doc
+    * count over ALL documents (zeros included, which the identity
+    * var/mean = Σc²/cf − cf/N makes free — no dense grid): VMR ≈ 1 is
+    * Poisson scatter (function words — `the` appears everywhere at its
+    * base rate), VMR ≫ 1 is a BURSTY topical term (absent from most
+    * docs, dense where it appears). The standard keyword/topicality
+    * signal beside [[ctfidfTerms]] (which needs classes; burstiness
+    * needs only the corpus), and a stopword detector that needs no
+    * stopword list.
+    *
+    * Exactness: doc_freq/total_freq/Σc² are exact integer sums (c² in
+    * DECIMAL(38,0)); VMR and the per-containing-doc mean are single
+    * fixed-parenthesization double chains, 6 dp. Shape: one
+    * (term, doc) count shuffle → one term aggregation; the corpus size
+    * joins in as a broadcast 1-row frame. */
+  def termBurstiness(df: DataFrame, idCol: String, toks: Column,
+      minDf: Long = 5L): DataFrame = {
+    require(minDf >= 1L, s"minDf must be >= 1, got $minDf")
+    val perDoc = df
+      .select(col(idCol).as("id"), explode(toks).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("__c"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val agg = perDoc.groupBy("term").agg(
+      count(lit(1)).as("doc_freq"),
+      sum(col("__c")).as("total_freq"),
+      sum((col("__c").cast("decimal(19,0)") *
+        col("__c").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__s2"))
+      .filter(col("doc_freq") >= minDf)
+    agg.crossJoin(broadcast(nDocs))
+      .select(col("term"), col("doc_freq"), col("total_freq"),
+        round(col("total_freq").cast("double") /
+          col("doc_freq").cast("double"), 6).as("mean_in_docs"),
+        round(col("__s2").cast("double") /
+          col("total_freq").cast("double") -
+          col("total_freq").cast("double") / col("__n").cast("double"),
+          6).as("vmr"))
+  }
 }

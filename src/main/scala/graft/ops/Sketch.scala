@@ -197,6 +197,82 @@ object Sketch {
         round(estCol, 6).as("hll_est"), zeroRegs.as("zero_registers"))
   }
 
+  /** Pairwise AUDIENCE/VOCABULARY OVERLAP between groups by
+    * inclusion–exclusion over HLL sketches — |A∩B| ≈ est(A) + est(B) −
+    * est(A∪B), where est(A∪B) is the register-wise max merge
+    * ([[hllMerge]]'s contract): the "how much do these two sources /
+    * cohorts / shards share?" readout that exact distinct cannot
+    * pre-aggregate (exact shard sets don't compose; register maxes do).
+    * The exact intersection rides along as the honesty column, and the
+    * estimate may go slightly NEGATIVE for near-disjoint pairs — that
+    * is the known inclusion–exclusion error shape, reported raw rather
+    * than clamped.
+    *
+    * Scale shape: raw tokens reduce ONCE to ≤ m registers per group;
+    * everything pairwise runs on the (groups × 64)-row register frame
+    * (work ∝ G²·m — meant for G = sources/cohorts, not unbounded keys;
+    * the exact-intersection honesty join is the only token-domain
+    * pairwise work). Same md5/register/rho derivation as
+    * [[hllDistinct]] — pure integer work the oracle replays. */
+  def hllOverlap(corpus: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val m = 64
+    val alpha = 0.709
+    val toks = corpus.select(col(groupCol).as("grp"),
+      explode(TextAnalysis.tokens(col(textCol))).as("w")).distinct()
+    val h = md5Long60(col("w"), "hll")
+    val suffix = shiftright(h, 6)
+    val rho = when(suffix === 0, lit(55))
+      .otherwise(lit(55) - length(bin(suffix)))
+    val regs = toks
+      .select(col("grp"), (h % m).as("reg"), rho.as("rho"))
+      .groupBy("grp", "reg").agg(max(col("rho")).as("mrho"))
+    val p55 = 1L << 55
+    def estOf(aggd: DataFrame): DataFrame = {
+      val zeroRegs = (lit(m) - col("present")).cast("long")
+      val s = col("s_present") + zeroRegs * p55
+      val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
+        lit(p55.toDouble) / s.cast("double")
+      aggd.withColumn("est",
+        when(zeroRegs > 0 && raw <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / zeroRegs.cast("double")))
+          .otherwise(raw))
+    }
+    val single = estOf(regs.groupBy("grp").agg(
+      count(lit(1)).as("present"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mrho AS INT))"))
+        .as("s_present")))
+      .select(col("grp"), col("est"))
+    val pairs = single.select(col("grp").as("g_a"))
+      .crossJoin(single.select(col("grp").as("g_b")))
+      .filter(col("g_a") < col("g_b"))
+    val mergedRegs = pairs
+      .join(regs, col("grp") === col("g_a") || col("grp") === col("g_b"))
+      .groupBy("g_a", "g_b", "reg").agg(max(col("mrho")).as("mrho"))
+    val unionEst = estOf(mergedRegs.groupBy("g_a", "g_b").agg(
+      count(lit(1)).as("present"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mrho AS INT))"))
+        .as("s_present")))
+      .select(col("g_a"), col("g_b"), col("est").as("__u"))
+    val exact = toks.select(col("grp").as("g_a"), col("w"))
+      .join(toks.select(col("grp").as("g_b"), col("w")), Seq("w"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b").agg(count(lit(1)).as("exact_overlap"))
+    unionEst
+      .join(single.select(col("grp").as("g_a"), col("est").as("__ea")),
+        Seq("g_a"))
+      .join(single.select(col("grp").as("g_b"), col("est").as("__eb")),
+        Seq("g_b"))
+      .join(exact, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"),
+        round(col("__ea"), 6).as("est_a"),
+        round(col("__eb"), 6).as("est_b"),
+        round(col("__u"), 6).as("est_union"),
+        round(col("__ea") + col("__eb") - col("__u"), 6)
+          .as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+  }
+
   /** MERGEABLE deterministic quantile sketch, per group: the k rows with
     * the smallest salted md5 hash of their UNIQUE id are a uniform
     * sample of the group (KMV / bottom-k sampling, Bar-Yossef 2002 —

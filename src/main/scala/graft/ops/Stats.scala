@@ -1617,6 +1617,185 @@ object Stats {
           .as("lift"))
   }
 
+  /** Decision-STUMP feature screening — for each numeric feature, the
+    * single split threshold minimizing weighted Gini impurity against a
+    * boolean label, with the parent impurity and the gain (the fastest
+    * honest answer to "which of these hundred columns actually separates
+    * the classes?" — a correlation matrix only sees LINEAR signal; a
+    * stump sees any monotone-thresholdable one, and the output ranks
+    * features exactly the way a tree's root split would):
+    *
+    *   gini(p) = 1 − (p² + (1−p)²),
+    *   split(t) = (n_L/n)·gini(p_L) + (n_R/n)·gini(p_R),  L = {x ≤ t}
+    *
+    * Exactness: every candidate threshold is an OBSERVED value off the
+    * feature's (feature, value) count frame — cumulative counts give
+    * n_L/pos_L exactly, each candidate's impurity is one
+    * fixed-parenthesization double chain rounded to 9 dp BEFORE the
+    * argmin (ties → smallest threshold via struct-min), gain off the
+    * 9-dp parent/split pair at 6 dp. Single-valued features emit null.
+    *
+    * Shape: the feature melt is one explode-of-struct-array scan (ONE
+    * pass over the table for all features), one (feature, value) count
+    * shuffle, cumulative windows on the value-domain frame, one
+    * struct-min aggregation per feature. */
+  def bestSplit(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "bestSplit: need at least one feature")
+    val melted = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("__y"),
+        explode(array(featureCols.map(f =>
+          struct(lit(f).as("feature"),
+            col(f).cast("double").as("v"))): _*)).as("__fv"))
+      .select(col("__fv.feature").as("feature"), col("__fv.v").as("v"),
+        col("__y"))
+      .filter(col("v").isNotNull)
+    val cells = melted.groupBy("feature", "v")
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+    val wv = Window.partitionBy(col("feature")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("feature"))
+    val cum = cells
+      .withColumn("__cn", sum(col("__c")).over(wv))
+      .withColumn("__cp", sum(col("__p")).over(wv))
+      .withColumn("__n", sum(col("__c")).over(tot))
+      .withColumn("__np", sum(col("__p")).over(tot))
+    def d(c: Column) = c.cast("double")
+    def gini(p: Column) =
+      lit(1.0) - (p * p + (lit(1.0) - p) * (lit(1.0) - p))
+    val pL = d(col("__cp")) / d(col("__cn"))
+    val pR = d(col("__np") - col("__cp")) / d(col("__n") - col("__cn"))
+    val split = d(col("__cn")) / d(col("__n")) * gini(pL) +
+      d(col("__n") - col("__cn")) / d(col("__n")) * gini(pR)
+    val best = cum.filter(col("__cn") < col("__n"))
+      .withColumn("__g9", round(split, 9))
+      .groupBy("feature")
+      .agg(min(struct(col("__g9"), col("v"))).as("__b"))
+      .select(col("feature"), col("__b.__g9").as("__bg"),
+        col("__b.v").as("best_threshold"))
+    val parents = cells.groupBy("feature")
+      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"))
+      .withColumn("__gp",
+        round(gini(d(col("n_pos")) / d(col("n"))), 9))
+    parents.join(best, Seq("feature"), "left")
+      .select(col("feature"), col("n"), col("n_pos"),
+        col("best_threshold"),
+        round(col("__gp"), 6).as("gini_parent"),
+        round(col("__bg"), 6).as("gini_split"),
+        round(col("__gp") - col("__bg"), 6).as("gain"))
+  }
+
+  /** CUPED variance-reduced metric adjustment (Deng et al. 2013 —
+    * "Improving the Sensitivity of Online Controlled Experiments") —
+    * the standard pre-period covariate trick that cuts an A/B metric's
+    * variance by its pre/post correlation² without biasing the
+    * treatment effect:
+    *
+    *   y_adj = y − θ·(x − x̄),   θ = cov(x,y)/var(x)   (per group)
+    *
+    * Exactness: x/y quantize to DECIMAL(14,2), θ comes from the
+    * [[linearFit]] exact-DECIMAL(38,4) moment chain (one fixed-
+    * parenthesization double), x̄ = sx/n one division; the per-row
+    * adjustment is one double chain at 6 dp. Zero-x-variance groups
+    * null θ and pass y through UNADJUSTED (no signal, no adjustment —
+    * the honest fallback). Also emits rho2 = corr², the fraction of
+    * variance removed.
+    *
+    * Shape: one map-combinable moment shuffle per group, the tiny
+    * (group, θ, x̄) frame broadcast back onto a zero-shuffle scoring
+    * scan. */
+  def cupedAdjust(df: DataFrame, idCol: String, metricCol: String,
+      covariateCol: String, groupCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      col(metricCol).cast("decimal(14,2)").as("y"),
+      col(covariateCol).cast("decimal(14,2)").as("x"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val m = base.groupBy("g").agg(
+      count(lit(1)).as("__n"),
+      sum(col("x")).cast("decimal(38,2)").as("__sx"),
+      sum(col("y")).cast("decimal(38,2)").as("__sy"),
+      sum(col("x") * col("x")).cast("decimal(38,4)").as("__sxx"),
+      sum(col("y") * col("y")).cast("decimal(38,4)").as("__syy"),
+      sum(col("x") * col("y")).cast("decimal(38,4)").as("__sxy"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("__n"))
+    val num = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    val denX = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val denY = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    val params = m.select(col("g"),
+      when(col("__n") >= 2L && denX > 0.0, num / denX).as("__theta"),
+      (d(col("__sx")) / n).as("__xbar"),
+      when(col("__n") >= 2L && denX > 0.0 && denY > 0.0,
+        round(num * num / (denX * denY), 6)).as("rho2"))
+    base.join(broadcast(params), Seq("g"))
+      .select(col("g"), col("id"),
+        d(col("y")).as("y"), d(col("x")).as("x"),
+        round(col("__theta"), 6).as("theta"), col("rho2"),
+        when(col("__theta").isNotNull,
+          round(d(col("y")) - col("__theta") *
+            (d(col("x")) - col("__xbar")), 6))
+          .otherwise(d(col("y"))).as("y_adj"))
+  }
+
+  /** REFERENTIAL-INTEGRITY audit between a child and a parent table —
+    * the join-health check a pipeline runs BEFORE trusting any
+    * child⋈parent join (orphan child rows silently vanish from inner
+    * joins and silently null from left joins; duplicate parent keys
+    * silently FAN OUT every matching child row — both corrupt
+    * downstream aggregates without erroring): one row reporting child
+    * volume, null-key rows, orphan rows/keys + share, the `exemplars`
+    * lexicographically-smallest orphan keys (comma-joined; empty →
+    * null, the cross-engine empty-string discipline), and the parent's
+    * key-uniqueness profile (duplicate keys, max multiplicity).
+    *
+    * Shape: one count shuffle per side, a key-frame anti-join for
+    * orphans, a distributed top-k for the exemplars; all reductions
+    * meet as broadcast 1-row frames. Keys compare as STRINGS (casts
+    * pinned on both engines). */
+  def integrityAudit(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String,
+      exemplars: Int = 5): DataFrame = {
+    require(exemplars >= 1, s"exemplars must be >= 1, got $exemplars")
+    val ck = child.select(col(childKey).cast("string").as("k"))
+    val childAgg = ck.agg(count(lit(1)).as("n_child_rows"),
+      sum(when(col("k").isNull, 1L).otherwise(0L))
+        .as("n_child_null_keys"))
+    val childKeys = ck.filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("__c"))
+    val pkeys = parent
+      .select(col(parentKey).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("__pc"))
+    val orphans = Dedup.materializeBase(
+      childKeys.join(pkeys, Seq("k"), "left_anti"), None)
+    val orphanAgg = orphans.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n_orphan_rows"),
+      count(lit(1)).as("n_orphan_keys"))
+    val ex = orphans.orderBy("k").limit(exemplars)
+      .agg(array_join(sort_array(collect_list(col("k"))), ",")
+        .as("__ex"))
+      .select(when(length(col("__ex")) > 0, col("__ex"))
+        .as("example_orphans"))
+    val parentAgg = pkeys.agg(
+      coalesce(sum(col("__pc")), lit(0L)).as("n_parent_rows"),
+      count(lit(1)).as("n_parent_keys"),
+      sum(when(col("__pc") > 1L, 1L).otherwise(0L))
+        .as("n_dup_parent_keys"),
+      coalesce(max(col("__pc")), lit(0L))
+        .as("max_parent_multiplicity"))
+    childAgg.crossJoin(broadcast(orphanAgg)).crossJoin(broadcast(ex))
+      .crossJoin(broadcast(parentAgg))
+      .withColumn("orphan_share", when(col("n_child_rows") > 0L,
+        round(col("n_orphan_rows").cast("double") /
+          col("n_child_rows").cast("double"), 6)))
+      .select("n_child_rows", "n_child_null_keys", "n_orphan_rows",
+        "n_orphan_keys", "orphan_share", "example_orphans",
+        "n_parent_rows", "n_parent_keys", "n_dup_parent_keys",
+        "max_parent_multiplicity")
+  }
+
   /** 1/√(2π) — compiled constant of the normal density, shared textually
     * with every oracle that re-derives [[normalTwoSidedP]]. */
   val InvSqrt2Pi: Double = 0.3989422804014327

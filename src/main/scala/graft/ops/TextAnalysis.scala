@@ -1255,6 +1255,55 @@ object TextAnalysis {
       regexp_replace(regexp_replace(col(textCol), lit(ZeroWidthRe),
         lit("")), lit(ControlRe), lit("")).as("clean_text"))
 
+  /** Unicode-script character classes for [[scriptMix]] — explicit
+    * `\x{…}` BMP ranges (dialect-portable: identical in Java regex and
+    * RE2, unlike `\p{IsLatin}`-style script names, which the engines
+    * spell differently), declared in the fixed PRIORITY order that
+    * breaks dominant-script ties. */
+  val ScriptRes: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]",
+    "cjk" -> ("[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}" +
+      "\\x{AC00}-\\x{D7AF}]"))
+
+  /** Per-document Unicode SCRIPT composition — the mixed-script audit
+    * beside [[langId]]'s n-gram vote (lang-ID asks "which language?";
+    * this asks "which WRITING SYSTEMS, and is the mix suspicious?" —
+    * script mixing inside one document is the classic spoofing /
+    * boilerplate-contamination / wrong-corpus signal, and a
+    * single-script count is the cheap prefilter that routes documents
+    * to per-script tokenizers): counts per script class
+    * ([[ScriptRes]] — Latin incl. extensions, Cyrillic, Greek, Arabic,
+    * Hebrew, Devanagari, CJK+kana+hangul), the dominant script (ties by
+    * the declaration priority; all-zero → `none`), and its 6-dp share
+    * of total codepoints.
+    *
+    * ZERO shuffles — codepoint-range regex kernels in one codegen'd
+    * scan, streaming-safe; patterns shared textually with the oracle. */
+  def scriptMix(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val counts = ScriptRes.map { case (name, re) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+        .as(s"n_$name")
+    }
+    val withCounts = df.select(
+      (col(idCol).as("id") +: length(col(textCol)).as("n_chars") +:
+        counts): _*)
+    val mx = greatest(ScriptRes.map { case (n, _) => col(s"n_$n") }: _*)
+    val dominant = ScriptRes.foldRight(lit("none")) {
+      case ((name, _), acc) =>
+        when(col(s"n_$name") === mx && mx > 0, lit(name)).otherwise(acc)
+    }
+    withCounts
+      .withColumn("dominant", dominant)
+      .withColumn("dominant_share", when(col("n_chars") > 0,
+        round(mx.cast("double") / col("n_chars").cast("double"), 6)))
+  }
+
   /** PII detection + redaction — the scrub stage a training corpus runs
     * before release: per document, match counts for EMAIL / IPv4 /
     * phone patterns (each counted on the ORIGINAL text, independently)

@@ -221,6 +221,112 @@ object AnalyticsQueries {
           "a", "b", "event_type", b = 40)
         .orderBy("g")
     },
+    // Unicode script composition over documents with injected
+    // Cyrillic/CJK/Greek tails — the mixed-script spoofing audit
+    "t_script_mix" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 7L === 1L,
+          concat(col("text"), lit(" Привет мир")))
+          .when(col("doc_id") % 7L === 2L,
+            concat(col("text"), lit(" 你好世界")))
+          .when(col("doc_id") % 7L === 3L,
+            concat(col("text"), lit(" αβγ")))
+          .otherwise(col("text")))
+      graft.ops.TextAnalysis.scriptMix(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    // Zipf rank-frequency fit per source over the top-500 terms — the
+    // "is this natural language?" power-law readout
+    "t_zipf_fit" -> { (s, d) =>
+      graft.ops.Retrieval.zipfFit(Tables.documents(s, d), "source",
+          graft.ops.TextAnalysis.tokens(col("text")), maxRank = 500)
+        .orderBy("cls")
+    },
+    // term burstiness (zeros-included variance-to-mean) for terms in
+    // >= 20 docs — the listless stopword/topicality separator
+    "t_term_burstiness" -> { (s, d) =>
+      graft.ops.Retrieval.termBurstiness(Tables.documents(s, d),
+          "doc_id", graft.ops.TextAnalysis.tokens(col("text")),
+          minDf = 20L)
+        .orderBy("term")
+    },
+    // EWMA trend line over the daily value series per event type —
+    // the per-step-rounded DECIMAL recursion the oracle replays as a
+    // recursive CTE
+    "q_ewma" -> { (s, d) =>
+      graft.ops.Behavior.ewma(Tables.events(s, d), "event_type", "ts",
+          "value", stepSeconds = 86400L, alpha = 0.3)
+        .orderBy("g", "b")
+    },
+    // Adamic-Adar / Jaccard link-prediction features over the adjacent-
+    // line part graph (the q_triangle_count edge set)
+    "q_adamic_adar" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("pk"))
+      val e = li.select(col("ok"), col("ln"), col("pk").as("p1"))
+        .join(li.select(col("ok"), (col("ln") - 1).as("ln"),
+          col("pk").as("p2")), Seq("ok", "ln"))
+        .filter(col("p1") =!= col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      graft.ops.Graph.adamicAdar(e, "src", "dst", minCommon = 2L)
+        .orderBy("node_a", "node_b")
+    },
+    // referential-integrity audit of lineitem->orders with injected
+    // orphans (every 97th order dropped from the parent side)
+    "q_fk_audit" -> { (s, d) =>
+      val parent = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97L =!= 0L)
+      graft.ops.Stats.integrityAudit(Tables.lineitem(s, d),
+          "l_orderkey", parent, "o_orderkey")
+    },
+    // Holt level+trend smoothing over the daily value series — the
+    // forecast line beside q_ewma's lagging average
+    "q_holt" -> { (s, d) =>
+      graft.ops.Behavior.holtLinear(Tables.events(s, d), "event_type",
+          "ts", "value", stepSeconds = 86400L, alpha = 0.3, beta = 0.1)
+        .orderBy("g", "b")
+    },
+    // pairwise source vocabulary overlap via HLL inclusion-exclusion,
+    // exact intersection as the honesty column
+    "t_hll_overlap" -> { (s, d) =>
+      graft.ops.Sketch.hllOverlap(Tables.documents(s, d), "source",
+          "text")
+        .orderBy("g_a", "g_b")
+    },
+    // decision-stump screening: which lineitem column best separates
+    // returned lines? One melt scan, value-domain candidate windows
+    "q_best_split" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .withColumn("y", col("l_returnflag") === "R")
+      graft.ops.Stats.bestSplit(li,
+          Seq("l_quantity", "l_extendedprice", "l_discount"), "y")
+        .orderBy("feature")
+    },
+    // CUPED variance reduction: per-user first-half value sum as the
+    // pre-period covariate for the second-half metric, per cohort
+    "q_cuped" -> { (s, d) =>
+      val cutoff = 1705363200L
+      val unit = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(unix_timestamp(col("ts")) < cutoff,
+          col("value").cast("decimal(14,2)")))
+          .cast("decimal(18,2)").cast("double").as("x"),
+          sum(when(unix_timestamp(col("ts")) >= cutoff,
+            col("value").cast("decimal(14,2)")))
+            .cast("decimal(18,2)").cast("double").as("y"))
+        .withColumn("g",
+          concat(lit("c"), (col("user_id") % 4L).cast("string")))
+      graft.ops.Stats.cupedAdjust(unit, "user_id", "y", "x", "g")
+        .orderBy("g", "id")
+    },
+    // top-25 event-path trigrams within (user, day) — funnel discovery
+    "q_path_trigrams" -> { (s, d) =>
+      graft.ops.Behavior.pathTrigrams(Tables.events(s, d), "user_id",
+          "ts", "event_type", "event_id", k = 25)
+        .orderBy("rank")
+    },
     // grouped ROC-AUC: does the char-length proxy ORDER token-rich docs
     // above token-poor ones per source? Exact rank-sum identity on
     // doubled integer ranks — no threshold grid
@@ -861,6 +967,398 @@ object AnalyticsQueries {
         |  n_decision, round(llr_dec, 6) AS llr_decision
         |FROM fin LEFT JOIN cr ON fin.g = cr.g ORDER BY g""".stripMargin
     },
+    // Holt re-derived: same dense series, both state recursions with
+    // the identical per-step 6-dp DECIMAL rounds (the new level term
+    // recomputed textually inside the trend update, as the operator's
+    // lambda does — exact decimal arithmetic makes duplication safe)
+    "q_holt" ->
+      """WITH RECURSIVE obs AS (SELECT event_type AS g,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400 AS b,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS vo
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT g, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT g, unnest(generate_series(lo, hi, 86400)) AS b
+        |  FROM span),
+        |ser AS (SELECT grid.g AS g, grid.b AS b, grid.b // 86400 AS i,
+        |    coalesce(vo, CAST(0 AS DECIMAL(18,2))) AS x
+        |  FROM grid LEFT JOIN obs ON grid.g = obs.g AND grid.b = obs.b),
+        |r AS (SELECT s.g AS g, s.b AS b, s.i AS i, s.x AS x,
+        |    CAST(s.x AS DECIMAL(18,6)) AS l,
+        |    CAST(0 AS DECIMAL(18,6)) AS t
+        |  FROM ser s JOIN span ON s.g = span.g AND s.b = span.lo
+        |  UNION ALL
+        |  SELECT s.g, s.b, s.i, s.x,
+        |    CAST(round(CAST(0.300 AS DECIMAL(4,3)) * s.x
+        |      + CAST(0.700 AS DECIMAL(4,3)) * (r.l + r.t), 6)
+        |      AS DECIMAL(18,6)),
+        |    CAST(round(CAST(0.100 AS DECIMAL(4,3))
+        |      * (CAST(round(CAST(0.300 AS DECIMAL(4,3)) * s.x
+        |        + CAST(0.700 AS DECIMAL(4,3)) * (r.l + r.t), 6)
+        |        AS DECIMAL(18,6)) - r.l)
+        |      + CAST(0.900 AS DECIMAL(4,3)) * r.t, 6) AS DECIMAL(18,6))
+        |  FROM ser s JOIN r ON s.g = r.g AND s.i = r.i + 1)
+        |SELECT g, b, CAST(x AS DOUBLE) AS x, CAST(l AS DOUBLE) AS level,
+        |  CAST(t AS DOUBLE) AS trend, CAST(l + t AS DOUBLE) AS forecast
+        |FROM r ORDER BY g, b""".stripMargin,
+    // HLL overlap re-derived: the t_hll_distinct register machinery,
+    // pairwise register-max merges, the same unrounded estimates inside
+    // the inclusion-exclusion before the 6-dp render
+    "t_hll_overlap" ->
+      s"""WITH ti AS (SELECT source, unnest($tokensSql) AS w
+        |  FROM documents),
+        |tw AS (SELECT DISTINCT source, w FROM ti),
+        |h AS (SELECT source, w, ${md5HornerSql("'hll:' || w")} AS hv
+        |  FROM tw),
+        |regs AS (SELECT source, hv % 64 AS reg,
+        |    max(CASE WHEN hv // 64 = 0 THEN 55
+        |      ELSE 55 - len(bin(hv // 64)) END) AS mrho
+        |  FROM h GROUP BY source, hv % 64),
+        |ag AS (SELECT source, count(*) AS present,
+        |    sum((CAST(1 AS BIGINT) << CAST(55 - mrho AS INT))) AS sp
+        |  FROM regs GROUP BY source),
+        |est1 AS (SELECT source,
+        |    CASE WHEN (64 - present) > 0
+        |        AND 0.709e0 * 64e0 * 64e0 * 36028797018963968e0 /
+        |          CAST(sp + (64 - present) * 36028797018963968 AS DOUBLE)
+        |          <= 160e0
+        |      THEN 64e0 * ln(64e0 / CAST(64 - present AS DOUBLE))
+        |      ELSE 0.709e0 * 64e0 * 64e0 * 36028797018963968e0 /
+        |        CAST(sp + (64 - present) * 36028797018963968 AS DOUBLE)
+        |      END AS est
+        |  FROM ag),
+        |prs AS (SELECT a.source AS g_a, b.source AS g_b
+        |  FROM est1 a JOIN est1 b ON a.source < b.source),
+        |mreg AS (SELECT g_a, g_b, reg, max(mrho) AS mrho
+        |  FROM prs JOIN regs ON regs.source = g_a OR regs.source = g_b
+        |  GROUP BY 1, 2, 3),
+        |uag AS (SELECT g_a, g_b, count(*) AS present,
+        |    sum((CAST(1 AS BIGINT) << CAST(55 - mrho AS INT))) AS sp
+        |  FROM mreg GROUP BY 1, 2),
+        |uest AS (SELECT g_a, g_b,
+        |    CASE WHEN (64 - present) > 0
+        |        AND 0.709e0 * 64e0 * 64e0 * 36028797018963968e0 /
+        |          CAST(sp + (64 - present) * 36028797018963968 AS DOUBLE)
+        |          <= 160e0
+        |      THEN 64e0 * ln(64e0 / CAST(64 - present AS DOUBLE))
+        |      ELSE 0.709e0 * 64e0 * 64e0 * 36028797018963968e0 /
+        |        CAST(sp + (64 - present) * 36028797018963968 AS DOUBLE)
+        |      END AS u
+        |  FROM uag),
+        |exact AS (SELECT a.source AS g_a, b.source AS g_b,
+        |    CAST(count(*) AS BIGINT) AS exact_overlap
+        |  FROM tw a JOIN tw b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT uest.g_a AS g_a, uest.g_b AS g_b,
+        |  round(ea.est, 6) AS est_a, round(eb.est, 6) AS est_b,
+        |  round(u, 6) AS est_union,
+        |  round(ea.est + eb.est - u, 6) AS est_overlap,
+        |  coalesce(exact_overlap, 0) AS exact_overlap
+        |FROM uest
+        |JOIN est1 ea ON uest.g_a = ea.source
+        |JOIN est1 eb ON uest.g_b = eb.source
+        |LEFT JOIN exact ON uest.g_a = exact.g_a AND uest.g_b = exact.g_b
+        |ORDER BY g_a, g_b""".stripMargin,
+    // stump screening re-derived: UNION-ALL melt, same cumulative
+    // candidate frame, the identical fixed-parenthesization weighted-
+    // Gini chain 9-dp-rounded before the argmin, min-threshold ties
+    "q_best_split" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v,
+        |    (l_returnflag = 'R') AS y FROM lineitem
+        |    WHERE l_returnflag IS NOT NULL
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE),
+        |    (l_returnflag = 'R') FROM lineitem WHERE l_returnflag IS NOT NULL
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE),
+        |    (l_returnflag = 'R') FROM lineitem WHERE l_returnflag IS NOT NULL),
+        |m2 AS (SELECT * FROM m WHERE v IS NOT NULL),
+        |cells AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM m2 GROUP BY 1, 2),
+        |cum AS (SELECT feature, v, c, p,
+        |    CAST(sum(c) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+        |    CAST(sum(p) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+        |    CAST(sum(c) OVER (PARTITION BY feature) AS BIGINT) AS n,
+        |    CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT) AS np
+        |  FROM cells),
+        |cand AS (SELECT feature, v,
+        |    CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE) AS plv,
+        |    CAST(np - cp AS DOUBLE) / CAST(n - cn AS DOUBLE) AS prv,
+        |    CAST(cn AS DOUBLE) / CAST(n AS DOUBLE) AS wl,
+        |    CAST(n - cn AS DOUBLE) / CAST(n AS DOUBLE) AS wr
+        |  FROM cum WHERE cn < n),
+        |g AS (SELECT feature, v, round(
+        |    wl * (1.0 - (plv * plv + (1.0 - plv) * (1.0 - plv)))
+        |    + wr * (1.0 - (prv * prv + (1.0 - prv) * (1.0 - prv))), 9)
+        |    AS g9 FROM cand),
+        |best AS (SELECT feature, min(g9) AS bg FROM g GROUP BY 1),
+        |bt AS (SELECT g.feature AS feature, min(v) AS best_threshold,
+        |    min(bg) AS bg
+        |  FROM g JOIN best ON g.feature = best.feature AND g.g9 = best.bg
+        |  GROUP BY 1),
+        |par AS (SELECT feature, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS n_pos,
+        |    round(1.0 - (CAST(sum(p) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |      * (CAST(sum(p) AS DOUBLE) / CAST(sum(c) AS DOUBLE))
+        |      + (1.0 - CAST(sum(p) AS DOUBLE) / CAST(sum(c) AS DOUBLE))
+        |      * (1.0 - CAST(sum(p) AS DOUBLE) / CAST(sum(c) AS DOUBLE))),
+        |      9) AS gp FROM cells GROUP BY 1)
+        |SELECT par.feature AS feature, n, n_pos, best_threshold,
+        |  round(gp, 6) AS gini_parent, round(bg, 6) AS gini_split,
+        |  round(gp - bg, 6) AS gain
+        |FROM par LEFT JOIN bt ON par.feature = bt.feature
+        |ORDER BY feature""".stripMargin,
+    // CUPED re-derived: same per-user pre/post DECIMAL sums, the OLS
+    // slope chain for theta, one double adjustment per row
+    "q_cuped" ->
+      """WITH unit AS (SELECT user_id,
+        |    CAST(CAST(sum(CASE WHEN floor(epoch(ts)) < 1705363200 THEN
+        |      CAST(value AS DECIMAL(14,2)) END) AS DECIMAL(18,2))
+        |      AS DOUBLE) AS x0,
+        |    CAST(CAST(sum(CASE WHEN floor(epoch(ts)) >= 1705363200 THEN
+        |      CAST(value AS DECIMAL(14,2)) END) AS DECIMAL(18,2))
+        |      AS DOUBLE) AS y0,
+        |    'c' || CAST(user_id % 4 AS VARCHAR) AS g
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT g, user_id AS id,
+        |    CAST(y0 AS DECIMAL(14,2)) AS y, CAST(x0 AS DECIMAL(14,2)) AS x
+        |  FROM unit WHERE x0 IS NOT NULL AND y0 IS NOT NULL),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT g, n, sx,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS denx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny
+        |  FROM m),
+        |pr AS (SELECT g,
+        |    CASE WHEN n >= 2 AND denx > 0.0 THEN num / denx END AS theta,
+        |    sx / CAST(n AS DOUBLE) AS xbar,
+        |    CASE WHEN n >= 2 AND denx > 0.0 AND deny > 0.0 THEN
+        |      round(num * num / (denx * deny), 6) END AS rho2
+        |  FROM t)
+        |SELECT b.g AS g, id, CAST(y AS DOUBLE) AS y,
+        |  CAST(x AS DOUBLE) AS x, round(theta, 6) AS theta, rho2,
+        |  CASE WHEN theta IS NOT NULL THEN
+        |    round(CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - xbar),
+        |      6) ELSE CAST(y AS DOUBLE) END AS y_adj
+        |FROM b JOIN pr ON b.g = pr.g ORDER BY g, id""".stripMargin,
+    // path trigrams re-derived: same (user, day) bucketed lead windows,
+    // global count, (n desc, path asc) rank
+    "q_path_trigrams" ->
+      """WITH b AS (SELECT user_id AS u, ts, event_id AS tie,
+        |    event_type AS e,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS bk
+        |  FROM events),
+        |p AS (SELECT e, lead(e, 1) OVER w AS e2, lead(e, 2) OVER w AS e3
+        |  FROM b WINDOW w AS (PARTITION BY u, bk ORDER BY ts, tie)),
+        |c AS (SELECT e || '>' || e2 || '>' || e3 AS path,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE e IS NOT NULL AND e2 IS NOT NULL
+        |    AND e3 IS NOT NULL GROUP BY 1),
+        |r AS (SELECT path, n,
+        |    row_number() OVER (ORDER BY n DESC, path) AS rank FROM c)
+        |SELECT CAST(rank AS INTEGER) AS rank, path, n FROM r
+        |WHERE rank <= 25 ORDER BY rank""".stripMargin,
+    // EWMA re-derived: the same dense zero-filled series, the SAME
+    // per-step 6-dp DECIMAL rounding replayed as a recursive CTE —
+    // per-step quantization is what makes a sequential recursion
+    // bit-replicable across engines
+    "q_ewma" ->
+      """WITH RECURSIVE obs AS (SELECT event_type AS g,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400 AS b,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS vo
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT g, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT g, unnest(generate_series(lo, hi, 86400)) AS b
+        |  FROM span),
+        |ser AS (SELECT grid.g AS g, grid.b AS b, grid.b // 86400 AS i,
+        |    coalesce(vo, CAST(0 AS DECIMAL(18,2))) AS x
+        |  FROM grid LEFT JOIN obs ON grid.g = obs.g AND grid.b = obs.b),
+        |r AS (SELECT s.g AS g, s.b AS b, s.i AS i, s.x AS x,
+        |    CAST(s.x AS DECIMAL(18,6)) AS e
+        |  FROM ser s JOIN span ON s.g = span.g AND s.b = span.lo
+        |  UNION ALL
+        |  SELECT s.g, s.b, s.i, s.x,
+        |    CAST(round(CAST(0.300 AS DECIMAL(4,3)) * s.x
+        |      + CAST(0.700 AS DECIMAL(4,3)) * r.e, 6) AS DECIMAL(18,6))
+        |  FROM ser s JOIN r ON s.g = r.g AND s.i = r.i + 1)
+        |SELECT g, b, CAST(x AS DOUBLE) AS x, CAST(e AS DOUBLE) AS ewma,
+        |  CAST(x - e AS DOUBLE) AS residual
+        |FROM r ORDER BY g, b""".stripMargin,
+    // Adamic-Adar re-derived: same adjacent-line edges, same 10-dp
+    // quantized 1/ln(deg) terms, wedge self-join, exact-integer Jaccard
+    "q_adamic_adar" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS p1, b.pk AS p2 FROM li a JOIN li b
+        |  ON a.ok = b.ok AND b.ln = a.ln + 1 WHERE a.pk <> b.pk),
+        |und AS (SELECT DISTINCT least(p1, p2) AS u,
+        |    greatest(p1, p2) AS v FROM e0),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM und
+        |    UNION ALL SELECT v AS node FROM und) GROUP BY 1),
+        |nb AS (SELECT n.node AS node, n.nbr AS nbr, deg.deg AS deg
+        |  FROM (SELECT u AS node, v AS nbr FROM und
+        |    UNION ALL SELECT v AS node, u AS nbr FROM und) n
+        |  JOIN deg ON n.node = deg.node),
+        |tm AS (SELECT node, nbr,
+        |    CASE WHEN deg >= 2 THEN CAST(round(1.0
+        |      / ln(CAST(deg AS DOUBLE)), 10) AS DECIMAL(28,14)) END AS t
+        |  FROM nb),
+        |pairs AS (SELECT l.nbr AS node_a, r.nbr AS node_b,
+        |    CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    sum(l.t) AS aa
+        |  FROM tm l JOIN tm r ON l.node = r.node AND l.nbr < r.nbr
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT node_a, node_b, common_neighbors,
+        |  round(CAST(aa AS DOUBLE), 6) AS aa_score,
+        |  round(CAST(common_neighbors AS DOUBLE)
+        |    / CAST(da.deg + db.deg - common_neighbors AS DOUBLE), 6)
+        |    AS jaccard,
+        |  coalesce(ue.u IS NOT NULL, FALSE) AS is_edge
+        |FROM pairs
+        |JOIN deg da ON pairs.node_a = da.node
+        |JOIN deg db ON pairs.node_b = db.node
+        |LEFT JOIN und ue ON pairs.node_a = ue.u AND pairs.node_b = ue.v
+        |ORDER BY node_a, node_b""".stripMargin,
+    // FK audit re-derived: same string-cast keys, anti-join orphans,
+    // sorted top-5 exemplars (empty -> NULL both engines), parent
+    // key-uniqueness profile
+    "q_fk_audit" ->
+      """WITH ck AS (SELECT CAST(l_orderkey AS VARCHAR) AS k
+        |  FROM lineitem),
+        |ca AS (SELECT CAST(count(*) AS BIGINT) AS n_child_rows,
+        |    CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_child_null_keys FROM ck),
+        |ckeys AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM ck
+        |  WHERE k IS NOT NULL GROUP BY 1),
+        |pkr AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+        |  WHERE o_orderkey % 97 <> 0),
+        |pkeys AS (SELECT k, CAST(count(*) AS BIGINT) AS pc FROM pkr
+        |  WHERE k IS NOT NULL GROUP BY 1),
+        |orph AS (SELECT ckeys.k AS k, c FROM ckeys
+        |  LEFT JOIN pkeys ON ckeys.k = pkeys.k WHERE pkeys.k IS NULL),
+        |oa AS (SELECT coalesce(CAST(sum(c) AS BIGINT), 0)
+        |      AS n_orphan_rows,
+        |    CAST(count(*) AS BIGINT) AS n_orphan_keys FROM orph),
+        |ex AS (SELECT nullif(string_agg(k, ',' ORDER BY k), '')
+        |    AS example_orphans
+        |  FROM (SELECT k FROM orph ORDER BY k LIMIT 5)),
+        |pa AS (SELECT coalesce(CAST(sum(pc) AS BIGINT), 0)
+        |      AS n_parent_rows,
+        |    CAST(count(*) AS BIGINT) AS n_parent_keys,
+        |    CAST(sum(CASE WHEN pc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_parent_keys,
+        |    coalesce(CAST(max(pc) AS BIGINT), 0)
+        |      AS max_parent_multiplicity FROM pkeys)
+        |SELECT n_child_rows, n_child_null_keys, n_orphan_rows,
+        |  n_orphan_keys,
+        |  CASE WHEN n_child_rows > 0 THEN
+        |    round(CAST(n_orphan_rows AS DOUBLE)
+        |      / CAST(n_child_rows AS DOUBLE), 6) END AS orphan_share,
+        |  example_orphans, n_parent_rows, n_parent_keys,
+        |  n_dup_parent_keys, max_parent_multiplicity
+        |FROM ca, oa, ex, pa""".stripMargin,
+    // script mix re-derived: the SAME portable \x{...} range classes
+    // (shared via TextAnalysis.ScriptRes), same injected tails, same
+    // priority-ordered dominant CASE
+    "t_script_mix" -> {
+      val res = graft.ops.TextAnalysis.ScriptRes
+      val cnts = res.map { case (n, re) =>
+        s"CAST(len(regexp_extract_all(text, '$re')) AS INTEGER) AS n_$n"
+      }.mkString(",\n    ")
+      val mx = "greatest(" + res.map { case (n, _) => s"n_$n" }
+        .mkString(", ") + ")"
+      val dom = res.map { case (n, _) =>
+        s"WHEN n_$n = mx AND mx > 0 THEN '$n'"
+      }.mkString(" ")
+      s"""WITH d2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 1 THEN text || ' Привет мир'
+        |      WHEN doc_id % 7 = 2 THEN text || ' 你好世界'
+        |      WHEN doc_id % 7 = 3 THEN text || ' αβγ'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars,
+        |    $cnts
+        |  FROM d2),
+        |m AS (SELECT *, $mx AS mx FROM c)
+        |SELECT doc_id, n_chars, ${res.map(r => "n_" + r._1)
+          .mkString(", ")},
+        |  CASE $dom ELSE 'none' END AS dominant,
+        |  CASE WHEN n_chars > 0 THEN
+        |    round(CAST(mx AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END
+        |    AS dominant_share
+        |FROM m ORDER BY doc_id""".stripMargin
+    },
+    // Zipf fit re-derived: same tf counts, tf-domain prune, (tf desc,
+    // term asc) ranks, 6-dp quantized lns, exact DECIMAL moments, the
+    // q_group_regression slope/intercept/R² chains
+    "t_zipf_fit" ->
+      s"""WITH toks AS (SELECT source AS cls, unnest($tokensSql) AS term
+        |  FROM documents),
+        |tf AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM tf GROUP BY 1),
+        |dom AS (SELECT cls, tf, count(*) AS m FROM tf GROUP BY 1, 2),
+        |keep AS (SELECT cls, tf FROM (SELECT cls, tf,
+        |    sum(m) OVER (PARTITION BY cls ORDER BY tf DESC
+        |      ROWS UNBOUNDED PRECEDING) - m AS cumhi FROM dom)
+        |  WHERE cumhi < 500),
+        |head AS (SELECT t.cls AS cls, t.tf AS tf,
+        |    row_number() OVER (PARTITION BY t.cls
+        |      ORDER BY t.tf DESC, t.term) AS rank
+        |  FROM tf t JOIN keep k ON t.cls = k.cls AND t.tf = k.tf),
+        |pts AS (SELECT cls,
+        |    CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM head WHERE rank <= 500),
+        |mo AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_fit,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |  FROM pts GROUP BY 1),
+        |t2 AS (SELECT cls, n_fit, sx, sy,
+        |    CAST(n_fit AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n_fit AS DOUBLE) * sxx - sx * sx AS denx,
+        |    CAST(n_fit AS DOUBLE) * syy - sy * sy AS deny
+        |  FROM mo)
+        |SELECT vocab.cls AS cls, n_terms, n_fit,
+        |  CASE WHEN n_fit >= 2 AND denx > 0.0 THEN round(num / denx, 6)
+        |    END AS slope,
+        |  CASE WHEN n_fit >= 2 AND denx > 0.0 THEN
+        |    round((sy - (num / denx) * sx) / CAST(n_fit AS DOUBLE), 6)
+        |    END AS intercept,
+        |  CASE WHEN n_fit >= 2 AND denx > 0.0 AND deny > 0.0 THEN
+        |    round(num * num / (denx * deny), 6) END AS r2
+        |FROM vocab JOIN t2 ON vocab.cls = t2.cls
+        |ORDER BY cls""".stripMargin,
+    // burstiness re-derived: same (term, doc) counts, the zeros-free
+    // VMR identity off exact integer sums, same minDf gate
+    "t_term_burstiness" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term
+        |  FROM documents),
+        |pc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ag AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+        |    CAST(sum(c) AS BIGINT) AS total_freq,
+        |    CAST(sum(CAST(CAST(c AS DECIMAL(19,0))
+        |      * CAST(c AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s2
+        |  FROM pc GROUP BY 1 HAVING count(*) >= 20)
+        |SELECT term, doc_freq, total_freq,
+        |  round(CAST(total_freq AS DOUBLE) / CAST(doc_freq AS DOUBLE), 6)
+        |    AS mean_in_docs,
+        |  round(CAST(s2 AS DOUBLE) / CAST(total_freq AS DOUBLE)
+        |    - CAST(total_freq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS vmr
+        |FROM ag, nd ORDER BY term""".stripMargin,
     // randomization test re-derived: the same md5-Horner coin per
     // (id, replicate), exact DECIMAL arm sums, 9-dp diffs before the
     // comparison, the add-one p

@@ -1889,6 +1889,266 @@ class AnalyticsSpec extends SparkSpec {
     assert(r3.isNullAt(3) && r3.isNullAt(6))
   }
 
+  test("scriptMix: counts, priority ties, empty and no-script text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abc"),                 // pure latin
+      (2L, "abАБВ"), // latin 2, cyrillic 3
+      (3L, "abАБ"),       // 2-2 tie -> latin by priority
+      (4L, "你好"),         // cjk
+      (5L, ""),                     // empty
+      (6L, "123 !"))                // no script chars
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(df, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(8), r.getString(9),
+        if (r.isNullAt(10)) Double.NaN else r.getDouble(10)))
+    assert(out(0) == ((1L, 3, 3, 0, 0, "latin", 1.0)))
+    assert(out(1) == ((2L, 5, 2, 3, 0, "cyrillic", 0.6)))
+    assert(out(2) == ((3L, 4, 2, 2, 0, "latin", 0.5)))
+    assert(out(3) == ((4L, 2, 0, 0, 2, "cjk", 1.0)))
+    assert(out(4)._2 == 0 && out(4)._6 == "none" && out(4)._7.isNaN)
+    assert(out(5) == ((6L, 5, 0, 0, 0, "none", 0.0)))
+  }
+
+  test("zipfFit: quantized-ln moment model, maxRank cut, degenerate") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+        Seq("d")).mkString(" ")),
+      ("B", "solo")).toDF("cls", "text")
+    val out = Retrieval.zipfFit(df, "cls",
+        TextAnalysis.tokens(col("text")))
+      .orderBy("cls").collect()
+    // in-test model with the operator's own quantization discipline
+    def q6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val pts = Seq((1, 8), (2, 4), (3, 2), (4, 1))
+      .map { case (r, f) => (q6(math.log(r)), q6(math.log(f))) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val num = n * sxy - sx * sy
+    val denX = n * sxx - sx * sx
+    val a = out(0)
+    assert(a.getLong(1) == 4L && a.getLong(2) == 4L)
+    assert(math.abs(a.getDouble(3) - num / denX) < 1e-5)
+    assert(a.getDouble(3) < -1.0) // steeper than Zipf s=1 by design
+    assert(a.getDouble(5) > 0.95) // near-linear log-log
+    val b = out(1) // single term: rank 1 only -> no x-variance
+    assert(b.getLong(1) == 1L && b.isNullAt(3) && b.isNullAt(5))
+    // maxRank cut with a straddling tie block: three tf=4 terms,
+    // maxRank 2 keeps the term-asc first two
+    val tie = Seq(("T", "a a a a b b b b c c c c")).toDF("cls", "text")
+    val t = Retrieval.zipfFit(tie, "cls",
+        TextAnalysis.tokens(col("text")), maxRank = 2)
+      .collect().head
+    assert(t.getLong(1) == 3L && t.getLong(2) == 2L)
+    assert(t.isNullAt(3) || t.getDouble(3) == 0.0) // flat y: slope 0
+  }
+
+  test("termBurstiness: zeros-included VMR identity, minDf gate") {
+    import spark.implicits._
+    val df = Seq((1L, "x x x"), (2L, "y"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.termBurstiness(df, "doc_id",
+        TextAnalysis.tokens(col("text")), minDf = 2L)
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // x: df=2, cf=4, s2=10 -> vmr = 10/4 - 4/3 = 1.166667
+    // y: df=2, cf=2, s2=2  -> vmr = 1 - 2/3 = 0.333333
+    assert(out == Seq(
+      ("x", 2L, 4L, 2.0, 1.166667),
+      ("y", 2L, 2L, 1.0, 0.333333)))
+    assert(Retrieval.termBurstiness(df, "doc_id",
+      TextAnalysis.tokens(col("text")), minDf = 3L).count() == 0L)
+  }
+
+  test("bestSplit: perfect split, melt over two features, degenerate") {
+    import spark.implicits._
+    val df = Seq((1.0, 9.0, false), (2.0, 9.0, false), (3.0, 9.0, true),
+      (4.0, 9.0, true)).toDF("f1", "f2", "y")
+    val out = Stats.bestSplit(df, Seq("f1", "f2"), "y")
+      .orderBy("feature").collect()
+    val f1 = out(0)
+    assert(f1.getString(0) == "f1")
+    assert(f1.getLong(1) == 4L && f1.getLong(2) == 2L)
+    assert(f1.getDouble(3) == 2.0)   // x <= 2 separates perfectly
+    assert(f1.getDouble(4) == 0.5)   // parent gini at p = 0.5
+    assert(f1.getDouble(5) == 0.0)   // pure children
+    assert(f1.getDouble(6) == 0.5)   // gain
+    val f2 = out(1) // constant feature: no candidate split
+    assert(f2.getString(0) == "f2" && f2.isNullAt(3) && f2.isNullAt(5))
+    assert(f2.getDouble(4) == 0.5)
+    // tie on gini -> smallest threshold wins
+    val tie = Seq((1.0, false), (2.0, true), (3.0, false), (4.0, true))
+      .toDF("f", "y")
+    val t = Stats.bestSplit(tie, Seq("f"), "y").collect().head
+    assert(t.getDouble(3) == 1.0) // t=1 and t=3 tie at 0.333333...; min
+  }
+
+  test("cupedAdjust: perfect covariate, zero-variance passthrough") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0))
+      .toDF("id", "x", "y").withColumn("g", lit("a"))
+    val out = Stats.cupedAdjust(df, "id", "y", "x", "g")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))).toSeq
+    // theta = 2, xbar = 2 -> every adjusted value is 4.0; rho2 = 1
+    assert(out == Seq((1L, 2.0, 1.0, 4.0), (2L, 2.0, 1.0, 4.0),
+      (3L, 2.0, 1.0, 4.0)))
+    // constant covariate: theta null, metric passes through unadjusted
+    val const = Seq((1L, 5.0, 2.0), (2L, 5.0, 4.0))
+      .toDF("id", "x", "y").withColumn("g", lit("a"))
+    val out2 = Stats.cupedAdjust(const, "id", "y", "x", "g")
+      .orderBy("id").collect()
+    assert(out2.forall(_.isNullAt(4)))
+    assert(out2.map(_.getDouble(6)).toSeq == Seq(2.0, 4.0))
+  }
+
+  test("pathTrigrams: counts, rank ties, bucket-edge exclusion") {
+    val ev = Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "a"),
+      (1L, "2024-01-01 02:00:00", 2L, "b"),
+      (1L, "2024-01-01 03:00:00", 3L, "c"),
+      (1L, "2024-01-01 04:00:00", 4L, "d"),
+      (2L, "2024-01-01 01:00:00", 5L, "a"),
+      (2L, "2024-01-01 02:00:00", 6L, "b"),
+      (2L, "2024-01-01 03:00:00", 7L, "c"),
+      // user 3 straddles the day edge: no within-bucket trigram
+      (3L, "2024-01-01 23:00:00", 8L, "x"),
+      (3L, "2024-01-01 23:30:00", 9L, "y"),
+      (3L, "2024-01-02 00:30:00", 10L, "z"))
+    import spark.implicits._
+    val df = ev.toDF("user_id", "tss", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Behavior.pathTrigrams(df, "user_id", "ts", "event_type",
+        "event_id", k = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "a>b>c", 2L), (2, "b>c>d", 1L)))
+  }
+
+  test("ewma: per-step rounded recursion, gap zero-fill, singleton") {
+    val ev = tsEvents(
+      (1L, "2024-01-01 05:00:00", 4.0), (1L, "2024-01-02 06:00:00", 8.0),
+      (1L, "2024-01-03 01:00:00", 2.0),
+      // key 2: observed, gap day (zero-fills), observed
+      (2L, "2024-01-01 00:00:00", 4.0), (2L, "2024-01-03 00:00:00", 8.0),
+      (3L, "2024-01-05 00:00:00", 7.0)) // singleton
+    val out = Behavior.ewma(ev, "user_id", "ts", "value", 86400L,
+        alpha = 0.5)
+      .orderBy("g", "b").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq(
+      (1L, 4.0, 4.0, 0.0), (1L, 8.0, 6.0, 2.0), (1L, 2.0, 4.0, -2.0),
+      (2L, 4.0, 4.0, 0.0), (2L, 0.0, 2.0, -2.0), (2L, 8.0, 5.0, 3.0),
+      (3L, 7.0, 7.0, 0.0)))
+  }
+
+  test("adamicAdar: C4 diagonals, scores, is_edge, hub raise") {
+    import spark.implicits._
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.adamicAdar(c4, "src", "dst", minCommon = 2L)
+      .orderBy("node_a", "node_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    // diagonals share both neighbors (deg 2 each):
+    // aa = 2 * round(1/ln 2, 10) = 2.885390, jaccard = 2/(2+2-2) = 1
+    assert(out == Seq(
+      (1L, 3L, 2L, 2.88539, 1.0, false),
+      (2L, 4L, 2L, 2.88539, 1.0, false)))
+    // triangle + chord: existing edges also score, flagged is_edge
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out2 = Graph.adamicAdar(tri, "src", "dst", minCommon = 1L)
+      .orderBy("node_a", "node_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(5))).toSeq
+    // (2,3) is an edge sharing {1,4}; (1,4) shares {2,3}; (1,2)/(1,3)
+    // share one node; (2,4)/(3,4) edges share one node
+    assert(out2.contains((2L, 3L, 2L, true)))
+    assert(out2.contains((1L, 4L, 2L, false)))
+    // hub guard: star center degree 3 > maxDegree 2 raises in-plan
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val err = intercept[Exception] {
+      Graph.adamicAdar(star, "src", "dst", maxDegree = 2L).collect()
+    }
+    assert(err.getMessage.contains("maxDegree") ||
+      err.getCause != null &&
+        err.getCause.getMessage.contains("maxDegree"))
+  }
+
+  test("integrityAudit: orphans, exemplars, parent dups, clean case") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 2L).toDF("pk")
+    val r = Stats.integrityAudit(child, "fk", parent, "pk").collect()
+      .head
+    assert(r.getLong(0) == 5L)      // n_child_rows
+    assert(r.getLong(1) == 1L)      // n_child_null_keys
+    assert(r.getLong(2) == 1L)      // n_orphan_rows
+    assert(r.getLong(3) == 1L)      // n_orphan_keys
+    assert(r.getDouble(4) == 0.2)   // orphan_share
+    assert(r.getString(5) == "3")   // example_orphans
+    assert(r.getLong(6) == 3L && r.getLong(7) == 2L) // parent rows/keys
+    assert(r.getLong(8) == 1L && r.getLong(9) == 2L) // dups, max mult
+    // clean: no orphans -> null exemplars, zero counts
+    val clean = Stats.integrityAudit(
+      Seq(1L, 2L).toDF("fk"), "fk", Seq(1L, 2L).toDF("pk"), "pk")
+      .collect().head
+    assert(clean.getLong(2) == 0L && clean.isNullAt(5))
+    assert(clean.getDouble(4) == 0.0)
+  }
+
+  test("holtLinear: level+trend recursion tracks a ramp, zero init") {
+    val ev = tsEvents(
+      (1L, "2024-01-01 00:00:00", 10.0),
+      (1L, "2024-01-02 00:00:00", 20.0),
+      (1L, "2024-01-03 00:00:00", 30.0))
+    val out = Behavior.holtLinear(ev, "user_id", "ts", "value", 86400L,
+        alpha = 0.5, beta = 0.5)
+      .orderBy("b").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).toSeq
+    // hand recursion: l0=10, t0=0
+    // l1 = .5*20 + .5*(10+0) = 15;  t1 = .5*(15-10) + .5*0 = 2.5
+    // l2 = .5*30 + .5*(15+2.5) = 23.75; t2 = .5*(23.75-15) + .5*2.5 = 5.625
+    assert(out == Seq(
+      (10.0, 10.0, 0.0, 10.0),
+      (20.0, 15.0, 2.5, 17.5),
+      (30.0, 23.75, 5.625, 29.375)))
+  }
+
+  test("hllOverlap: identical groups overlap fully, disjoint near zero") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "apple banana cherry date elder fig grape"),
+      ("B", "apple banana cherry date elder fig grape"),
+      ("C", "xylo yucca zebra quince umber vortex wick"))
+      .toDF("src", "text")
+    val rows = Sketch.hllOverlap(docs, "src", "text")
+      .orderBy("g_a", "g_b").collect()
+    val m = rows.map(r => ((r.getString(0), r.getString(1)), r)).toMap
+    // A and B share all 7 tokens: identical register sets, so the
+    // union estimate equals each single estimate and the overlap
+    // estimate equals est_a; exact_overlap = 7
+    val ab = m(("A", "B"))
+    assert(ab.getLong(6) == 7L)
+    assert(ab.getDouble(2) == ab.getDouble(4)) // est_a == est_union
+    assert(ab.getDouble(2) == ab.getDouble(5)) // est_a == est_overlap
+    // A and C are disjoint: exact 0; union strictly exceeds est_a
+    val ac = m(("A", "C"))
+    assert(ac.getLong(6) == 0L)
+    assert(ac.getDouble(4) > ac.getDouble(2))
+  }
+
   test("sprt: crossings, decision sticks at first crossing, continue") {
     import spark.implicits._
     // p0=0.2, p1=0.8, alpha=beta=0.05: c1 = ln4, c0 = -ln4,
