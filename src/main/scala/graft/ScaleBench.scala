@@ -226,7 +226,10 @@ object ScaleBench {
     // round-11 tenth wave: Holt smoothing (dense series + bounded
     // two-state fold), HLL overlap (register-frame pairwise merges +
     // the exact-intersection honesty join)
-    "q_holt", "t_hll_overlap")
+    "q_holt", "t_hll_overlap",
+    // round-11 eleventh wave: Poisson bootstrap (linear-in-b explode
+    // map-combined to (group,rep) cells + replicate-mean ECDF)
+    "q_bootstrap_ci")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -407,7 +410,8 @@ object ScaleBench {
     "q_cuped" -> Set("events"),
     "q_path_trigrams" -> Set("events"),
     "q_holt" -> Set("events"),
-    "t_hll_overlap" -> Set("documents"))
+    "t_hll_overlap" -> Set("documents"),
+    "q_bootstrap_ci" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

@@ -1739,6 +1739,102 @@ object Stats {
           .otherwise(d(col("y"))).as("y_adj"))
   }
 
+  /** Cumulative Poisson(1) thresholds P(K ≤ k) for k = 0..5, rounded to
+    * 12 dp — the compiled constants of [[bootstrapCI]]'s weight draw,
+    * shared textually with the oracle (the sprtConstants discipline).
+    * Draws above the last threshold cap at k = 6 (P ≈ 5.9e-5). */
+  val Poisson1Cdf: Seq[Double] = {
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e1 = math.exp(-1.0)
+    (0 to 5).map(k =>
+      r12((0 to k).map(j =>
+        e1 / (1 to j).foldLeft(1.0)(_ * _)).sum))
+  }
+
+  /** POISSON BOOTSTRAP confidence interval for a per-group mean (the
+    * at-scale bootstrap standard — classic resampling needs n draws per
+    * replicate coordinated across the cluster; giving every row an
+    * independent Poisson(1) weight per replicate is one scan, and the
+    * replicate totals converge to the same distribution): per replicate
+    * r, weight(row) = Poisson⁻¹(u) with u the md5 uniform of (id#r) —
+    * never rand(), stable under retries, replayable by the oracle's
+    * md5-Horner fold — then
+    *
+    *   CI = [picked 2.5%, picked 97.5%] of the replicate means,
+    *
+    * PICKED existing values off the replicate-mean ECDF (the
+    * [[robustScale]] cut discipline — no interpolation convention), and
+    * the bootstrap SE as the honesty column beside the parametric
+    * s/√n every dashboard already shows.
+    *
+    * Exactness: values quantize to DECIMAL(14,2), weighted sums are
+    * exact (integer weights × decimal values), replicate means round to
+    * 9 dp before the ECDF and the SE moments (exact DECIMAL(18,9)
+    * squares); 6-dp renders. All-zero-weight replicates drop (counted
+    * in b_used). Shape: the replicate explosion map-combines to
+    * (group, rep) cells before the ONE shuffle — work deliberately
+    * linear·b. */
+  def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, b: Int = 200, salt: String = "boot"): DataFrame = {
+    require(b >= 4, s"b must be >= 4, got $b")
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).cast("string").as("id"),
+        col(valueCol).cast("decimal(14,2)").as("v"))
+    val full = base.groupBy("g").agg(count(lit(1)).as("n"),
+      sum(col("v")).cast("decimal(38,2)").as("__s"))
+      .select(col("g"), col("n"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6)
+          .as("mean"))
+    val u = (graft.ops.Pipeline.md5Long60(
+      concat(col("id"), lit("#"), col("__r").cast("string")), salt)
+      .cast("double") + lit(0.5)) /
+      lit(1152921504606846976.0)
+    val k = Poisson1Cdf.zipWithIndex.foldRight(lit(6L)) {
+      case ((t, i), acc) => when(u < lit(t), lit(i.toLong)).otherwise(acc)
+    }
+    val reps = base
+      .select(col("g"), col("id"), col("v"),
+        explode(sequence(lit(0), lit(b - 1))).as("__r"))
+      .withColumn("__k", k)
+      .groupBy("g", "__r")
+      .agg(sum(col("__k")).as("__sw"),
+        sum(col("__k").cast("decimal(19,0)") * col("v"))
+          .cast("decimal(38,2)").as("__swv"))
+      .withColumn("__m", when(col("__sw") > 0L,
+        round(col("__swv").cast("double") / col("__sw").cast("double"),
+          9)))
+      .filter(col("__m").isNotNull)
+    val wEcdf = Window.partitionBy(col("g")).orderBy(col("__m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = reps.groupBy("g", "__m").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wEcdf))
+      .withColumn("__bu",
+        max(col("__cum")).over(Window.partitionBy(col("g"))))
+    def pick(q: Double, name: String): DataFrame = cum
+      .filter(col("__cum") >= greatest(lit(1L),
+        ceil(lit(q) * col("__bu")).cast("long")))
+      .groupBy("g").agg(min(col("__m")).as(name))
+    val se = reps
+      .select(col("g"), col("__m").cast("decimal(18,9)").as("__mq"))
+      .groupBy("g").agg(count(lit(1)).as("b_used"),
+        sum(col("__mq")).cast("decimal(38,9)").as("__sm"),
+        sum((col("__mq") * col("__mq")).cast("decimal(38,18)"))
+          .cast("decimal(38,18)").as("__sm2"))
+    def d(c: Column) = c.cast("double")
+    val varB = (d(col("__sm2")) - d(col("__sm")) * d(col("__sm")) /
+      d(col("b_used"))) / (d(col("b_used")) - lit(1.0))
+    full
+      .join(se, Seq("g"))
+      .join(broadcast(pick(0.025, "boot_lo")), Seq("g"))
+      .join(broadcast(pick(0.975, "boot_hi")), Seq("g"))
+      .select(col("g"), col("n"), col("mean"), col("b_used"),
+        col("boot_lo"), col("boot_hi"),
+        when(col("b_used") >= 2L && varB >= 0.0,
+          round(sqrt(varB), 6)).as("boot_se"))
+  }
+
   /** REFERENTIAL-INTEGRITY audit between a child and a parent table —
     * the join-health check a pipeline runs BEFORE trusting any
     * child⋈parent join (orphan child rows silently vanish from inner

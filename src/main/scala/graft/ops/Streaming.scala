@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * correctness gate pins; the streaming forms run in tests via the memory
   * sink.
   */
-object Streaming {
+object Streaming extends Serializable {
 
   /** SLIDING (overlapping) window event stats — batch form: each event
     * lands in len/slide windows (Spark's `window(col, len, slide)`
@@ -459,6 +459,100 @@ object Streaming {
         PsiBinRow(g, b, r(lo + b * width, 6), base(b), cur(b),
           share(base(b), tb), share(cur(b), tc), psi)
       }
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(update)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  // ---- streaming EWMA twin ------------------------------------------------
+
+  /** EWMA carry state: last emitted bucket start and the smoothed value
+    * in 6-dp micro-units (exact integer — the decimal recursion state
+    * survives checkpoints without float drift). */
+  final case class EwmaState(lastB: Long, e6: Long)
+  final case class EwmaRow(g: String, b: Long, x: Double, ewma: Double,
+      residual: Double)
+
+  /** The pure per-key fold shared by [[ewmaStream]] and its multi-batch
+    * unit tests: given the carry state and this batch's (bucket → 2-dp
+    * value-cents) observations, zero-fill from the state forward,
+    * apply eᵢ = round(α·xᵢ + (1−α)·eᵢ₋₁, 6) per step (exact BigDecimal,
+    * HALF_UP — bit-identical to [[graft.ops.Behavior.ewma]]'s lambda),
+    * and return the new state plus the emitted rows. Buckets at or
+    * before the carry bucket are DROPPED (the pinned late-data policy —
+    * a monitoring EWMA never rewrites emitted history). */
+  private[ops] def ewmaFold(g: String, alpha: BigDecimal,
+      stepSeconds: Long, state: Option[EwmaState],
+      obs: Map[Long, Long]): (Option[EwmaState], Seq[EwmaRow]) = {
+    val fresh = state match {
+      case Some(s) => obs.keys.filter(_ > s.lastB)
+      case None => obs.keys
+    }
+    if (fresh.isEmpty) (state, Nil)
+    else {
+      val hi = fresh.max
+      val a1 = BigDecimal(1) - alpha
+      var cur = state
+      val out = Seq.newBuilder[EwmaRow]
+      val start = cur match {
+        case Some(s) => s.lastB + stepSeconds
+        case None => fresh.min
+      }
+      var b = start
+      while (b <= hi) {
+        val x = BigDecimal(obs.getOrElse(b, 0L), 2)
+        val e: BigDecimal = cur match {
+          case None => x.setScale(6)
+          case Some(s) =>
+            (alpha * x + a1 * BigDecimal(s.e6, 6))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+        out += EwmaRow(g, b, x.toDouble, e.toDouble, (x - e).toDouble)
+        cur = Some(EwmaState(b, (e * 1000000).toLongExact))
+        b += stepSeconds
+      }
+      (cur, out.result())
+    }
+  }
+
+  /** STREAMING twin of [[graft.ops.Behavior.ewma]] — the live form of
+    * the monitoring smoother (state per key is two longs: last bucket +
+    * the 6-dp-scaled value; batches fold through [[ewmaFold]]'s exact
+    * decimal recursion, so on the same data the stream's output is
+    * BIT-IDENTICAL to the batch operator — pinned by a batch==stream
+    * test, the psiDriftStream discipline). Late buckets (≤ the carry
+    * bucket) drop — a monitoring EWMA never rewrites emitted history;
+    * gaps between batches zero-fill exactly as the batch grid does. */
+  def ewmaStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, keyCol: String,
+      tsCol: String, valueCol: String, stepSeconds: Long, alpha: Double,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val a = BigDecimal(alpha).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    require(a > 0 && a < 1, s"alpha must be in (0,1) at 3 dp, got $alpha")
+    val rows = spark.readStream.schema(schema).parquet(sourceDir)
+      .select(col(keyCol).cast("string").as("g"),
+        (floor(unix_timestamp(col(tsCol)).cast("double") /
+          lit(stepSeconds.toDouble)).cast("long") * stepSeconds).as("b"),
+        // 2-dp cents, matching the batch op's DECIMAL(14,2) quantize
+        col(valueCol).cast("decimal(14,2)").cast("decimal(18,2)")
+          .multiply(lit(100)).cast("long").as("v2"))
+      .as[(String, Long, Long)]
+
+    def update(g: String, batch: Iterator[(String, Long, Long)],
+        state: GroupState[EwmaState]): Iterator[EwmaRow] = {
+      val obs = batch.foldLeft(Map.empty[Long, Long]) {
+        case (m, (_, b, v2)) => m.updated(b, m.getOrElse(b, 0L) + v2)
+      }
+      val (next, out) = ewmaFold(g, a, stepSeconds, state.getOption, obs)
+      next.foreach(state.update)
+      out.iterator
     }
 
     rows.groupByKey(_._1)

@@ -281,6 +281,14 @@ object AnalyticsQueries {
       graft.ops.Stats.integrityAudit(Tables.lineitem(s, d),
           "l_orderkey", parent, "o_orderkey")
     },
+    // Poisson-bootstrap CI for the mean value per event type — the
+    // at-scale bootstrap (independent Poisson(1) weights, one scan per
+    // replicate set), md5-deterministic
+    "q_bootstrap_ci" -> { (s, d) =>
+      graft.ops.Stats.bootstrapCI(Tables.events(s, d), "event_id",
+          "value", "event_type", b = 100)
+        .orderBy("g")
+    },
     // Holt level+trend smoothing over the daily value series — the
     // forecast line beside q_ewma's lagging average
     "q_holt" -> { (s, d) =>
@@ -966,6 +974,64 @@ object AnalyticsQueries {
         |    THEN 'accept_h0' ELSE 'continue' END AS decision,
         |  n_decision, round(llr_dec, 6) AS llr_decision
         |FROM fin LEFT JOIN cr ON fin.g = cr.g ORDER BY g""".stripMargin
+    },
+    // bootstrap re-derived: the same md5-Horner uniform per (id, rep),
+    // the compiled Poisson(1) CDF threshold chain, exact weighted
+    // DECIMAL sums, 9-dp replicate means into ECDF picks + SE moments
+    "q_bootstrap_ci" -> {
+      val t = graft.ops.Stats.Poisson1Cdf.map(x => f"$x%.12f")
+      s"""WITH base AS (SELECT event_type AS g,
+        |    CAST(event_id AS VARCHAR) AS id,
+        |    CAST(value AS DECIMAL(14,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |f AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 6) AS mean
+        |  FROM base GROUP BY 1),
+        |reps AS (SELECT g, id, v, unnest(range(100)) AS r FROM base),
+        |uu AS (SELECT g, r, v,
+        |    (CAST(${md5HornerSql(
+             "'boot:' || id || '#' || CAST(r AS VARCHAR)")} AS DOUBLE)
+        |      + 0.5) / 1152921504606846976.0 AS u
+        |  FROM reps),
+        |kk AS (SELECT g, r, v,
+        |    CASE WHEN u < ${t(0)} THEN 0 WHEN u < ${t(1)} THEN 1
+        |      WHEN u < ${t(2)} THEN 2 WHEN u < ${t(3)} THEN 3
+        |      WHEN u < ${t(4)} THEN 4 WHEN u < ${t(5)} THEN 5
+        |      ELSE 6 END AS k
+        |  FROM uu),
+        |cells AS (SELECT g, r, CAST(sum(k) AS BIGINT) AS sw,
+        |    CAST(sum(CAST(k AS DECIMAL(19,0)) * v) AS DECIMAL(38,2))
+        |      AS swv
+        |  FROM kk GROUP BY 1, 2),
+        |means AS (SELECT g,
+        |    round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS m
+        |  FROM cells WHERE sw > 0),
+        |cnt AS (SELECT g, m, CAST(count(*) AS BIGINT) AS c FROM means
+        |  GROUP BY 1, 2),
+        |cc AS (SELECT g, m, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY m
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS bu FROM cnt),
+        |lo AS (SELECT g, min(m) AS boot_lo FROM cc
+        |  WHERE cum >= greatest(1, ceil(0.025 * bu)) GROUP BY 1),
+        |hi AS (SELECT g, min(m) AS boot_hi FROM cc
+        |  WHERE cum >= greatest(1, ceil(0.975 * bu)) GROUP BY 1),
+        |se AS (SELECT g, CAST(count(*) AS BIGINT) AS b_used,
+        |    CAST(CAST(sum(CAST(m AS DECIMAL(18,9))) AS DECIMAL(38,9))
+        |      AS DOUBLE) AS sm,
+        |    CAST(CAST(sum(CAST(CAST(m AS DECIMAL(18,9))
+        |      * CAST(m AS DECIMAL(18,9)) AS DECIMAL(38,18)))
+        |      AS DECIMAL(38,18)) AS DOUBLE) AS sm2
+        |  FROM means GROUP BY 1)
+        |SELECT f.g AS g, n, mean, b_used, boot_lo, boot_hi,
+        |  CASE WHEN b_used >= 2 AND (sm2 - sm * sm
+        |      / CAST(b_used AS DOUBLE))
+        |      / (CAST(b_used AS DOUBLE) - 1.0) >= 0.0 THEN
+        |    round(sqrt((sm2 - sm * sm / CAST(b_used AS DOUBLE))
+        |      / (CAST(b_used AS DOUBLE) - 1.0)), 6) END AS boot_se
+        |FROM f JOIN se ON f.g = se.g JOIN lo ON f.g = lo.g
+        |JOIN hi ON f.g = hi.g ORDER BY g""".stripMargin
     },
     // Holt re-derived: same dense series, both state recursions with
     // the identical per-step 6-dp DECIMAL rounds (the new level term

@@ -2149,6 +2149,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(ac.getDouble(4) > ac.getDouble(2))
   }
 
+  test("bootstrapCI: constant values collapse the CI, determinism") {
+    import spark.implicits._
+    val flat = (1 to 12).map(i => ("a", i.toLong, 7.5)).toDF("g", "id", "v")
+    val r1 = Stats.bootstrapCI(flat, "id", "v", "g", b = 32).collect()
+      .head
+    assert(r1.getLong(1) == 12L)
+    assert(r1.getDouble(2) == 7.5)          // full-sample mean
+    assert(r1.getDouble(4) == 7.5 && r1.getDouble(5) == 7.5) // lo = hi
+    assert(r1.getDouble(6) == 0.0)          // boot_se
+    // a spread sample: CI brackets the mean, runs are identical
+    val spread = (1 to 100).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("g", "id", "v")
+    val a1 = Stats.bootstrapCI(spread, "id", "v", "g", b = 64).collect()
+      .head
+    val a2 = Stats.bootstrapCI(spread, "id", "v", "g", b = 64).collect()
+      .head
+    assert(a1.getDouble(4) < 50.5 && a1.getDouble(5) > 50.5)
+    assert(a1.toString == a2.toString) // md5-deterministic
+    assert(a1.getDouble(6) > 0.0)
+  }
+
   test("sprt: crossings, decision sticks at first crossing, continue") {
     import spark.implicits._
     // p0=0.2, p1=0.8, alpha=beta=0.05: c1 = ln4, c0 = -ln4,

@@ -470,6 +470,43 @@ class OpsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("ewmaStream: one-batch streaming fold == batch ewma (batch == stream)") {
+    val src = java.nio.file.Files.createTempDirectory("graftewma").toString
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "ts", "value")
+    events.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = Streaming.ewmaStream(spark, src, schema, "event_type", "ts",
+      "value", stepSeconds = 86400L, alpha = 0.3,
+      queryName = "ewma_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT g, b, x, ewma, residual FROM ewma_stream_test")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Behavior.ewma(events, "event_type", "ts", "value",
+        stepSeconds = 86400L, alpha = 0.3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("ewmaFold: multi-batch continuation, gap zero-fill, late drop") {
+    val a = BigDecimal("0.500")
+    // batch 1: bucket 0 observes 4.00
+    val (s1, r1) = Streaming.ewmaFold("g", a, 1L, None, Map(0L -> 400L))
+    assert(s1.contains(Streaming.EwmaState(0L, 4000000L)))
+    assert(r1 == Seq(Streaming.EwmaRow("g", 0L, 4.0, 4.0, 0.0)))
+    // batch 2: bucket 2 observes 8.00 -> bucket 1 zero-fills first
+    val (s2, r2) = Streaming.ewmaFold("g", a, 1L, s1, Map(2L -> 800L))
+    assert(s2.contains(Streaming.EwmaState(2L, 5000000L)))
+    assert(r2 == Seq(
+      Streaming.EwmaRow("g", 1L, 0.0, 2.0, -2.0),
+      Streaming.EwmaRow("g", 2L, 8.0, 5.0, 3.0)))
+    // late bucket at or before the carry: dropped, state unchanged
+    val (s3, r3) = Streaming.ewmaFold("g", a, 1L, s2, Map(1L -> 100L))
+    assert(s3 == s2 && r3.isEmpty)
+  }
+
   test("flatMapGroupsWithState running totals match a batch aggregation") {
     val src = java.nio.file.Files.createTempDirectory("graftstate").toString
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
