@@ -48,7 +48,11 @@ def per_query(c1, big, copies):
             "time_ratio_at_big_data": round(ratio, 2),
             "vs_linear_extrapolation": round(ratio / copies, 3),
             "task_max_over_median_big": float(big["task_max_over_median"][q]),
-            "pass": ratio <= 2 * copies,
+            # rows == -1 is ScaleBench's query-failed sentinel: a query
+            # that errored must NEVER read as a scaling pass (the silent
+            # hole found in round 11 when a transient failure at 100x
+            # produced sec_big=0.05 / rows_big=-1 / pass=true)
+            "pass": ratio <= 2 * copies and rows_big >= 0 and rows_1x >= 0,
         }
         if "task_max_sec" in big:
             out[q]["task_max_sec_big"] = float(big["task_max_sec"][q])
