@@ -975,9 +975,11 @@ object AnalyticsQueries {
         |  n_decision, round(llr_dec, 6) AS llr_decision
         |FROM fin LEFT JOIN cr ON fin.g = cr.g ORDER BY g""".stripMargin
     },
-    // bootstrap re-derived: the same md5-Horner uniform per (id, rep),
-    // the compiled Poisson(1) CDF threshold chain, exact weighted
-    // DECIMAL sums, 9-dp replicate means into ECDF picks + SE moments
+    // bootstrap re-derived: one md5-Horner hash per (id, ceil(rep/6))
+    // sliced into six 10-bit uniforms (the operator's hash-economics
+    // trick, same // and % arithmetic), the compiled Poisson(1) CDF
+    // threshold chain, exact weighted DECIMAL sums, 9-dp replicate
+    // means into ECDF picks + SE moments
     "q_bootstrap_ci" -> {
       val t = graft.ops.Stats.Poisson1Cdf.map(x => f"$x%.12f")
       s"""WITH base AS (SELECT event_type AS g,
@@ -988,12 +990,23 @@ object AnalyticsQueries {
         |    round(CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE)
         |      / CAST(count(*) AS DOUBLE), 6) AS mean
         |  FROM base GROUP BY 1),
-        |reps AS (SELECT g, id, v, unnest(range(100)) AS r FROM base),
+        |hh AS (SELECT g, id, v, unnest(range(17)) AS h FROM base),
+        |hv AS (SELECT g, v, h, ${md5HornerSql(
+             "'boot:' || id || '#' || CAST(h AS VARCHAR)")} AS hval
+        |  FROM hh),
+        |jj AS (SELECT g, v, h, hval, unnest(range(6)) AS j FROM hv),
+        |rr AS (SELECT g, v, h * 6 + j AS r,
+        |    CASE WHEN j = 0 THEN hval % 1024
+        |      WHEN j = 1 THEN (hval // 1024) % 1024
+        |      WHEN j = 2 THEN (hval // 1048576) % 1024
+        |      WHEN j = 3 THEN (hval // 1073741824) % 1024
+        |      WHEN j = 4 THEN (hval // 1099511627776) % 1024
+        |      WHEN j = 5 THEN (hval // 1125899906842624) % 1024
+        |      END AS s
+        |  FROM jj WHERE h * 6 + j < 100),
         |uu AS (SELECT g, r, v,
-        |    (CAST(${md5HornerSql(
-             "'boot:' || id || '#' || CAST(r AS VARCHAR)")} AS DOUBLE)
-        |      + 0.5) / 1152921504606846976.0 AS u
-        |  FROM reps),
+        |    (CAST(s AS DOUBLE) + 0.5) / 1024.0 AS u
+        |  FROM rr),
         |kk AS (SELECT g, r, v,
         |    CASE WHEN u < ${t(0)} THEN 0 WHEN u < ${t(1)} THEN 1
         |      WHEN u < ${t(2)} THEN 2 WHEN u < ${t(3)} THEN 3
