@@ -228,8 +228,9 @@ object ScaleBench {
     // the exact-intersection honesty join)
     "q_holt", "t_hll_overlap",
     // round-11 eleventh wave: Poisson bootstrap (linear-in-b explode
-    // map-combined to (group,rep) cells + replicate-mean ECDF)
-    "q_bootstrap_ci")
+    // map-combined to (group,rep) cells + replicate-mean ECDF), funnel
+    // latency (the reachedFrames gating chain + latency-domain ECDF)
+    "q_bootstrap_ci", "q_funnel_latency")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -411,7 +412,8 @@ object ScaleBench {
     "q_path_trigrams" -> Set("events"),
     "q_holt" -> Set("events"),
     "t_hll_overlap" -> Set("documents"),
-    "q_bootstrap_ci" -> Set("events"))
+    "q_bootstrap_ci" -> Set("events"),
+    "q_funnel_latency" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

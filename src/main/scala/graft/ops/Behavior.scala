@@ -32,14 +32,17 @@ object Behavior {
     * cluster runs), the `corpusPrep` discipline; the funnel is linear in
     * the event volume, never the q_training_mix recompute shape.
     */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String],
-      materializePath: Option[String] = None): DataFrame = {
-    require(steps.nonEmpty, "funnel: need at least one step")
+  /** The shared funnel gating chain: reached(k) = one (`__u`, `__ct`)
+    * row per user whose earliest `steps(k)`-typed event STRICTLY after
+    * their step k−1 completion exists — each frame materialized once
+    * ([[Dedup.materializeBase]]) for its two consumers ([[funnel]]'s
+    * counts / the next gate; [[funnelLatency]]'s step-time join). */
+  private def reachedFrames(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, steps: Seq[String],
+      materializePath: Option[String]): Seq[DataFrame] = {
     val base = events.select(col(userCol).as("__u"), col(tsCol).as("__t"),
       col(typeCol).as("__e"))
-    // reached(k): one row per user who completed step k, with that time
-    val reached = steps.zipWithIndex
+    steps.zipWithIndex
       .scanLeft(Option.empty[DataFrame]) { case (prev, (step, i)) =>
         val mine = base.filter(col("__e") === step)
         val gated = prev match {
@@ -53,6 +56,15 @@ object Behavior {
           materializePath.map(p => s"$p/step_$i")))
       }
       .flatten
+  }
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      materializePath: Option[String] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    // reached(k): one row per user who completed step k, with that time
+    val reached =
+      reachedFrames(events, userCol, tsCol, typeCol, steps, materializePath)
     val counts = reached.zipWithIndex.map { case (f, i) =>
       f.agg(count(lit(1)).as("users"))
         .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
@@ -70,6 +82,57 @@ object Behavior {
         when(col("prev_users").isNotNull,
           round(col("users").cast("double") / col("prev_users"), 9))
           .as("conv_from_prev"))
+  }
+
+  /** Funnel step LATENCY — the time-to-convert readout [[funnel]]'s
+    * counts can't show (two funnels with identical conversion can hide
+    * a 10-second checkout and a 3-day one; latency is what the
+    * follow-up nudge/timeout/abandonment decisions key on): for every
+    * step k ≥ 2, the converting users' seconds between their step-k−1
+    * and step-k completions — exact long epoch diffs — summarized as
+    * exact-count n, a DECIMAL-exact 6-dp mean, and PICKED p50/p90 off
+    * the latency-domain ECDF (the [[graft.ops.Stats.robustScale]] cut
+    * discipline — existing values, no interpolation convention).
+    *
+    * Plan: the [[reachedFrames]] gating chain (linear in event volume,
+    * each frame materialized once), one (step, latency) count shuffle,
+    * cumulative windows on the latency-domain summary frame. */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      materializePath: Option[String] = None): DataFrame = {
+    require(steps.size >= 2, "funnelLatency: need at least two steps")
+    val reached =
+      reachedFrames(events, userCol, tsCol, typeCol, steps, materializePath)
+    val lats = reached.sliding(2).zipWithIndex.map {
+      case (Seq(prev, cur), i) =>
+        cur.join(prev.select(col("__u"), col("__ct").as("__pct")),
+            Seq("__u"))
+          .select(lit(i + 2).as("step"), lit(steps(i + 1)).as("event_type"),
+            (unix_timestamp(col("__ct")) - unix_timestamp(col("__pct")))
+              .as("__lat"))
+    }.reduce(_.unionByName(_))
+    val cells = lats.groupBy("step", "event_type", "__lat")
+      .agg(count(lit(1)).as("__c"))
+    val wLat = Window.partitionBy(col("step")).orderBy(col("__lat"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("__cum", sum(col("__c")).over(wLat))
+      .withColumn("__n",
+        max(col("__cum")).over(Window.partitionBy(col("step"))))
+    def pick(q: Double, name: String): DataFrame = cum
+      .filter(col("__cum") >= greatest(lit(1L),
+        ceil(lit(q) * col("__n")).cast("long")))
+      .groupBy("step").agg(min(col("__lat")).as(name))
+    cells.groupBy("step", "event_type")
+      .agg(sum(col("__c")).as("n"),
+        sum((col("__lat").cast("decimal(19,0)") * col("__c"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("__s"))
+      .withColumn("mean_sec",
+        round(col("__s").cast("double") / col("n").cast("double"), 6))
+      .drop("__s")
+      .join(broadcast(pick(0.5, "p50_sec")), Seq("step"))
+      .join(broadcast(pick(0.9, "p90_sec")), Seq("step"))
+      .select("step", "event_type", "n", "mean_sec", "p50_sec", "p90_sec")
   }
 
   /** Weekly cohort retention: users cohorted by the Monday-truncated week

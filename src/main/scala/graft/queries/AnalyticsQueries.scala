@@ -281,6 +281,14 @@ object AnalyticsQueries {
       graft.ops.Stats.integrityAudit(Tables.lineitem(s, d),
           "l_orderkey", parent, "o_orderkey")
     },
+    // funnel step latency: seconds between step completions for the
+    // view->click->purchase funnel — the time-to-convert readout the
+    // q_event_funnel counts can't show
+    "q_funnel_latency" -> { (s, d) =>
+      graft.ops.Behavior.funnelLatency(Tables.events(s, d), "user_id",
+          "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    },
     // Poisson-bootstrap CI for the mean value per event type — the
     // at-scale bootstrap (independent Poisson(1) weights, one scan per
     // replicate set), md5-deterministic
@@ -975,6 +983,48 @@ object AnalyticsQueries {
         |  n_decision, round(llr_dec, 6) AS llr_decision
         |FROM fin LEFT JOIN cr ON fin.g = cr.g ORDER BY g""".stripMargin
     },
+    // funnel latency re-derived: the q_event_funnel gating CTEs with
+    // carried completion times, exact long epoch diffs, latency-domain
+    // ECDF picks and a DECIMAL-exact mean
+    "q_funnel_latency" ->
+      """WITH base AS (SELECT user_id AS u, ts AS t, event_type AS e
+        |  FROM events),
+        |s1 AS (SELECT u, min(t) AS ct FROM base WHERE e = 'view'
+        |  GROUP BY u),
+        |s2 AS (SELECT b.u AS u, min(b.t) AS ct FROM base b
+        |  JOIN s1 ON b.u = s1.u AND b.t > s1.ct
+        |  WHERE b.e = 'click' GROUP BY b.u),
+        |s3 AS (SELECT b.u AS u, min(b.t) AS ct FROM base b
+        |  JOIN s2 ON b.u = s2.u AND b.t > s2.ct
+        |  WHERE b.e = 'purchase' GROUP BY b.u),
+        |lats AS (
+        |  SELECT 2 AS step, 'click' AS event_type,
+        |    CAST(floor(epoch(s2.ct)) AS BIGINT)
+        |      - CAST(floor(epoch(s1.ct)) AS BIGINT) AS lat
+        |  FROM s2 JOIN s1 ON s2.u = s1.u
+        |  UNION ALL
+        |  SELECT 3, 'purchase',
+        |    CAST(floor(epoch(s3.ct)) AS BIGINT)
+        |      - CAST(floor(epoch(s2.ct)) AS BIGINT)
+        |  FROM s3 JOIN s2 ON s3.u = s2.u),
+        |cells AS (SELECT step, event_type, lat,
+        |    CAST(count(*) AS BIGINT) AS c FROM lats GROUP BY 1, 2, 3),
+        |cc AS (SELECT step, lat, c,
+        |    sum(c) OVER (PARTITION BY step ORDER BY lat
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY step) AS n FROM cells),
+        |p50 AS (SELECT step, min(lat) AS p50_sec FROM cc
+        |  WHERE cum >= greatest(1, ceil(0.5 * n)) GROUP BY 1),
+        |p90 AS (SELECT step, min(lat) AS p90_sec FROM cc
+        |  WHERE cum >= greatest(1, ceil(0.9 * n)) GROUP BY 1),
+        |ag AS (SELECT step, event_type, CAST(sum(c) AS BIGINT) AS n,
+        |    round(CAST(CAST(sum(CAST(CAST(lat AS DECIMAL(19,0)) * c
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE), 6) AS mean_sec
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT ag.step AS step, event_type, n, mean_sec, p50_sec, p90_sec
+        |FROM ag JOIN p50 ON ag.step = p50.step
+        |JOIN p90 ON ag.step = p90.step ORDER BY step""".stripMargin,
     // bootstrap re-derived: one md5-Horner hash per (id, ceil(rep/6))
     // sliced into six 10-bit uniforms (the operator's hash-economics
     // trick, same // and % arithmetic), the compiled Poisson(1) CDF

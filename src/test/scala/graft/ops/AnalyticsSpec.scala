@@ -2170,6 +2170,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(a1.getDouble(6) > 0.0)
   }
 
+  test("funnelLatency: step gating, picked p50/p90, non-converters drop") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:00:10", "click"),
+      (1L, "2024-01-01 00:00:30", "purchase"),
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-01 00:00:20", "click"),
+      // user 3 clicks without a prior view: never enters step 2
+      (3L, "2024-01-01 00:00:05", "click"))
+      .toDF("user_id", "tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Behavior.funnelLatency(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+    // step 2 latencies {10, 20}: mean 15, p50 pick = 10 (ceil(.5*2)=1),
+    // p90 pick = 20; step 3: single latency 20
+    assert(out == Seq(
+      (2, "click", 2L, 15.0, 10L, 20L),
+      (3, "purchase", 1L, 20.0, 20L, 20L)))
+  }
+
   test("sprt: crossings, decision sticks at first crossing, continue") {
     import spark.implicits._
     // p0=0.2, p1=0.8, alpha=beta=0.05: c1 = ln4, c0 = -ln4,
