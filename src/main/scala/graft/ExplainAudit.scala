@@ -56,7 +56,11 @@ object ExplainAudit {
         "q_seasonal_outliers", "q_robust_scale", "q_weighted_sample",
         "q_histogram_2d", "t_ctfidf_terms", "q_skew_profile",
         "q_dp_counts", "q_group_regression", "q_theil_sen",
-        "q_trimmed_mean", "t_invisible_chars")
+        "q_trimmed_mean", "t_invisible_chars",
+        "q_bh_fdr", "q_sprt", "q_perm_test", "t_script_mix",
+        "t_zipf_fit", "t_term_burstiness", "q_ewma", "q_adamic_adar",
+        "q_fk_audit", "q_best_split", "q_cuped", "q_path_trigrams",
+        "q_holt", "t_hll_overlap", "q_bootstrap_ci", "q_funnel_latency")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")
