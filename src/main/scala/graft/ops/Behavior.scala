@@ -93,6 +93,9 @@ object Behavior {
     * exact-count n, a DECIMAL-exact 6-dp mean, and PICKED p50/p90 off
     * the latency-domain ECDF (the [[graft.ops.Stats.robustScale]] cut
     * discipline — existing values, no interpolation convention).
+    * Every step 2..K gets a row even with ZERO converters (n = 0, null
+    * latencies) — lockstep with [[funnel]] reporting the step with 0
+    * users.
     *
     * Plan: the [[reachedFrames]] gating chain (linear in event volume,
     * each frame materialized once), one (step, latency) count shuffle,
@@ -111,6 +114,20 @@ object Behavior {
             (unix_timestamp(col("__ct")) - unix_timestamp(col("__pct")))
               .as("__lat"))
     }.reduce(_.unionByName(_))
+    // Steps dimension (2..K): a step NOBODY converted to must still
+    // surface — n = 0, null latencies — in lockstep with funnel()
+    // reporting the step with 0 users (a vanishing row reads as "step
+    // not measured", not "nobody converted").
+    val spark = events.sparkSession
+    val stepDim = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        steps.zipWithIndex.drop(1).map { case (nm, i) =>
+          org.apache.spark.sql.Row(i + 1, nm) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType, nullable = false))))
     val cells = lats.groupBy("step", "event_type", "__lat")
       .agg(count(lit(1)).as("__c"))
     val wLat = Window.partitionBy(col("step")).orderBy(col("__lat"))
@@ -123,16 +140,20 @@ object Behavior {
       .filter(col("__cum") >= greatest(lit(1L),
         ceil(lit(q) * col("__n")).cast("long")))
       .groupBy("step").agg(min(col("__lat")).as(name))
-    cells.groupBy("step", "event_type")
+    val agg = cells.groupBy("step", "event_type")
       .agg(sum(col("__c")).as("n"),
         sum((col("__lat").cast("decimal(19,0)") * col("__c"))
           .cast("decimal(38,0)")).cast("decimal(38,0)").as("__s"))
       .withColumn("mean_sec",
         round(col("__s").cast("double") / col("n").cast("double"), 6))
       .drop("__s")
-      .join(broadcast(pick(0.5, "p50_sec")), Seq("step"))
-      .join(broadcast(pick(0.9, "p90_sec")), Seq("step"))
-      .select("step", "event_type", "n", "mean_sec", "p50_sec", "p90_sec")
+    stepDim
+      .join(agg, Seq("step", "event_type"), "left")
+      .join(broadcast(pick(0.5, "p50_sec")), Seq("step"), "left")
+      .join(broadcast(pick(0.9, "p90_sec")), Seq("step"), "left")
+      .select(col("step"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("mean_sec"), col("p50_sec"), col("p90_sec"))
   }
 
   /** Weekly cohort retention: users cohorted by the Monday-truncated week

@@ -1842,11 +1842,15 @@ object Stats {
     def d(c: Column) = c.cast("double")
     val varB = (d(col("__sm2")) - d(col("__sm")) * d(col("__sm")) /
       d(col("b_used"))) / (d(col("b_used")) - lit(1.0))
+    // LEFT joins: a group whose every replicate degenerates (all-zero
+    // weights — plausible for 1–2 row groups) must still surface with
+    // its n/mean and b_used = 0, null CI — not vanish from the output.
     full
-      .join(se, Seq("g"))
-      .join(broadcast(pick(0.025, "boot_lo")), Seq("g"))
-      .join(broadcast(pick(0.975, "boot_hi")), Seq("g"))
-      .select(col("g"), col("n"), col("mean"), col("b_used"),
+      .join(se, Seq("g"), "left")
+      .join(broadcast(pick(0.025, "boot_lo")), Seq("g"), "left")
+      .join(broadcast(pick(0.975, "boot_hi")), Seq("g"), "left")
+      .select(col("g"), col("n"), col("mean"),
+        coalesce(col("b_used"), lit(0L)).as("b_used"),
         col("boot_lo"), col("boot_hi"),
         when(col("b_used") >= 2L && varB >= 0.0,
           round(sqrt(varB), 6)).as("boot_se"))
@@ -1926,8 +1930,13 @@ object Stats {
     val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
       t * (lit(1.781477937) + t * (lit(-1.821255978) +
         t * lit(1.330274429)))))
-    round(lit(2.0) * (lit(InvSqrt2Pi) * exp(az * az / lit(-2.0)) * poly),
-      9)
+    // Clamp to 1.0: near z=0 the polynomial's |error| ≤ 7.5e-8 can land
+    // marginally ABOVE 1 (doubled by the two-sided factor) — a contract
+    // wart for consumers expecting p ∈ [0,1]. Clamp AFTER the 9-dp
+    // round, mirrored textually in every oracle that re-derives this.
+    least(lit(1.0),
+      round(lit(2.0) * (lit(InvSqrt2Pi) * exp(az * az / lit(-2.0)) * poly),
+        9))
   }
 
   /** Benjamini–Hochberg step-up FDR correction over a FAMILY of tests —
@@ -1982,16 +1991,25 @@ object Stats {
     * exchangeability, no normality or large-n assumption — the honest
     * readout for skewed revenue-like metrics): the observed meanA−meanB
     * is compared against `b` null replicates in which every row's arm is
-    * re-drawn as a deterministic md5 coin (random RELABELING — arm
-    * sizes are binomial per replicate, not fixed-margin permutation;
-    * documented, and immaterial at the group sizes this runs at), and
+    * re-drawn as a deterministic md5 coin MATCHED TO THE OBSERVED
+    * ALLOCATION — side A iff the 60-bit md5 uniform of (id#rep) falls
+    * below n_a/n, compared as the exact integer cross-product
+    * md5·n < n_a·2⁶⁰ (DECIMAL both engines; no division, no doubles) —
+    * so arm sizes are Binomial(n, n_a/n) per replicate (random
+    * RELABELING, not fixed-margin permutation; documented). A fair
+    * P=1/2 coin would be anti-conservative for unequal allocations (a
+    * 90/10 experiment's null diffs would carry var ≈ 4σ²/n instead of
+    * the true σ²(1/n_a+1/n_b) — ~2.5× understated spread, an error
+    * that does NOT shrink with n); matching the coin to n_a/n restores
+    * the random-relabeling null at every allocation, and
     *
     *   p = (1 + #{ replicates with |diff| ≥ |observed| }) / (b + 1)
     *
     * — the add-one form that never reports p = 0.
     *
-    * Determinism/exactness: the coin is bit 0 of md5Long60(id # rep) —
-    * never rand(), stable under retries and replicable by the oracle's
+    * Determinism/exactness: the coin compares md5Long60(id # rep)
+    * against the allocation threshold — never rand(), stable under
+    * retries and replicable by the oracle's
     * md5-Horner fold; values quantize to DECIMAL(14,2), per-(group,
     * rep, side) sums are exact, each diff is one fixed-parenthesization
     * double rounded to 9 dp BEFORE the ≥ comparison (both sides), p is
@@ -2022,13 +2040,24 @@ object Stats {
       sum(when(!col("__ina"), col("v"))).cast("decimal(38,2)").as("__sb"))
       .withColumn("__obs", when(col("n_a") > 0L && col("n_b") > 0L,
         meanDiff(col("__sa"), col("n_a"), col("__sb"), col("n_b"))))
+    // allocation-matched coin: side A iff md5 < n_a/n, as the exact
+    // integer cross-product md5·n < n_a·2⁶⁰ (DECIMAL(19,0) products —
+    // exact to n ~ 1e12 rows per group; the oracle replays the same
+    // HUGEINT arithmetic). The per-group (n_a, n) frame is tiny
+    // (one row per group) — broadcast.
+    val alloc = obs.select(col("g"), col("n_a").as("__qa"),
+      (col("n_a") + col("n_b")).as("__qn"))
     val reps = base
-      .select(col("g"), col("id"), col("v"),
+      .join(broadcast(alloc), Seq("g"))
+      .select(col("g"), col("id"), col("v"), col("__qa"), col("__qn"),
         explode(sequence(lit(0), lit(b - 1))).as("__r"))
       .withColumn("__side",
-        pmod(graft.ops.Pipeline.md5Long60(
-          concat(col("id"), lit("#"), col("__r").cast("string")), salt),
-          lit(2L)))
+        when(graft.ops.Pipeline.md5Long60(
+            concat(col("id"), lit("#"), col("__r").cast("string")), salt)
+            .cast("decimal(19,0)") * col("__qn").cast("decimal(19,0)") <
+          col("__qa").cast("decimal(19,0)") *
+            lit(1152921504606846976L).cast("decimal(19,0)"), 0L)
+          .otherwise(1L))
       .groupBy("g", "__r")
       .agg(sum(when(col("__side") === 0L, 1L).otherwise(0L)).as("__n0"),
         sum(when(col("__side") =!= 0L, 1L).otherwise(0L)).as("__n1"),

@@ -470,65 +470,243 @@ object Streaming extends Serializable {
       .start()
   }
 
+  // ---- streaming KS / JSD drift monitors --------------------------------
+
+  /** Two-snapshot count state shared by [[ksTwoSampleStream]] (keys are
+    * the stringified distinct VALUES) and [[jsDivergenceStream]] (keys
+    * are the categories): two count maps, never raw rows. For KS over a
+    * continuous feature the map is value-domain-sized — quantize the
+    * feature upstream for a long-lived monitor (the batch operator's
+    * shuffle holds the same domain, so the twin's state bound equals
+    * the batch cost model). */
+  final case class TwoSampleState(base: Map[String, Long],
+      cur: Map[String, Long])
+  final case class KsRow(g: String, n_base: Long, n_cur: Long,
+      ks_d: Option[Double], ks_crit: Option[Double],
+      drifted: Option[Boolean])
+  final case class JsdRow(g: String, n_base: Long, n_cur: Long,
+      n_categories: Long, jsd: Option[Double])
+
+  /** STREAMING twin of [[Stats.ksTwoSample]] — the live drift monitor
+    * beside [[psiDriftStream]] (round-11 verdict asked for the same
+    * machinery on the remaining monitors; KS is the binless two-sample
+    * test, so the state is the per-group (value → base/cur count) map).
+    * After each micro-batch the full ECDF gap replays from state —
+    * cumulative exact integer counts, one IEEE division per side per
+    * distinct value, max, 6-dp HALF_UP round — so the emitted row is
+    * BIT-IDENTICAL to the batch operator over the rows seen so far
+    * (pinned batch==stream in OpsSpec). One-sided groups emit null
+    * ks_d/ks_crit/drifted, same as batch. */
+  def ksTwoSampleStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, valueCol: String,
+      groupCol: String, snapshotCol: String, baseLabel: String,
+      currentLabel: String, critical: Double,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    require(critical > 0.0, s"critical must be > 0, got $critical")
+    def r(x: Double, d: Int): Double =
+      BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = spark.readStream.schema(schema).parquet(sourceDir)
+      .filter(col(snapshotCol).isin(baseLabel, currentLabel) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(snapshotCol).cast("string").as("s"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, String, Double)]
+
+    def update(g: String, batch: Iterator[(String, String, Double)],
+        state: GroupState[TwoSampleState]): Iterator[KsRow] = {
+      val prev = state.getOption.getOrElse(
+        TwoSampleState(Map.empty, Map.empty))
+      var base = prev.base
+      var cur = prev.cur
+      batch.foreach { case (_, s, v) =>
+        val k = v.toString
+        if (s == baseLabel) base = base.updated(k, base.getOrElse(k, 0L) + 1L)
+        else cur = cur.updated(k, cur.getOrElse(k, 0L) + 1L)
+      }
+      state.update(TwoSampleState(base, cur))
+      val tb = base.values.sum
+      val tc = cur.values.sum
+      val both = tb > 0L && tc > 0L
+      var ksD = Option.empty[Double]
+      if (both) {
+        val vals = (base.keySet ++ cur.keySet).toSeq.map(_.toDouble).sorted
+        var cb = 0L
+        var cc = 0L
+        var maxD = Double.NegativeInfinity
+        vals.foreach { v =>
+          val k = v.toString
+          cb += base.getOrElse(k, 0L)
+          cc += cur.getOrElse(k, 0L)
+          val d = math.abs(cb.toDouble / tb.toDouble -
+            cc.toDouble / tc.toDouble)
+          if (d > maxD) maxD = d
+        }
+        if (vals.nonEmpty) ksD = Some(r(maxD, 6))
+      }
+      val crit = if (both)
+        Some(r(critical * math.sqrt((tb.toDouble + tc.toDouble) /
+          (tb.toDouble * tc.toDouble)), 6))
+      else None
+      val drifted = for (d <- ksD; c <- crit) yield d > c
+      Iterator.single(KsRow(g, tb, tc, ksD, crit, drifted))
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(update)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** STREAMING twin of [[Stats.jsDivergence]] — the bounded-[0,1]
+    * categorical drift monitor as a standing query: per-group state is
+    * the (category → base/cur count) pair of maps; after each
+    * micro-batch the JSD replays from state with the batch operator's
+    * exact quantization ladder (9-dp shares, 9-dp midpoint, 10-dp KL
+    * terms summed as exact BigDecimals like the batch DECIMAL(28,14)
+    * column, ÷ln2 and 6-dp render at the edge) — pinned batch==stream
+    * in OpsSpec. One-sided groups emit null jsd, same as batch. */
+  def jsDivergenceStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, categoryCol: String,
+      groupCol: String, snapshotCol: String, baseLabel: String,
+      currentLabel: String, queryName: String): StreamingQuery = {
+    import spark.implicits._
+    def r(x: Double, d: Int): Double =
+      BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = spark.readStream.schema(schema).parquet(sourceDir)
+      .filter(col(snapshotCol).isin(baseLabel, currentLabel) &&
+        col(categoryCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(snapshotCol).cast("string").as("s"),
+        col(categoryCol).cast("string").as("cat"))
+      .as[(String, String, String)]
+
+    def update(g: String, batch: Iterator[(String, String, String)],
+        state: GroupState[TwoSampleState]): Iterator[JsdRow] = {
+      val prev = state.getOption.getOrElse(
+        TwoSampleState(Map.empty, Map.empty))
+      var base = prev.base
+      var cur = prev.cur
+      batch.foreach { case (_, s, c) =>
+        if (s == baseLabel) base = base.updated(c, base.getOrElse(c, 0L) + 1L)
+        else cur = cur.updated(c, cur.getOrElse(c, 0L) + 1L)
+      }
+      state.update(TwoSampleState(base, cur))
+      val tb = base.values.sum
+      val tc = cur.values.sum
+      val cats = base.keySet ++ cur.keySet
+      def share(n: Long, tot: Long): Double =
+        if (tot > 0L) r(n.toDouble / tot.toDouble, 9) else 0.0
+      def klTerm(p: Double, m: Double): BigDecimal =
+        if (p > 0.0) BigDecimal(r(p * math.log(p / m), 10))
+        else BigDecimal(0)
+      var sumP = BigDecimal(0)
+      var sumQ = BigDecimal(0)
+      cats.foreach { c =>
+        val p = share(base.getOrElse(c, 0L), tb)
+        val q = share(cur.getOrElse(c, 0L), tc)
+        val m = r((p + q) * 0.5, 9)
+        sumP += klTerm(p, m)
+        sumQ += klTerm(q, m)
+      }
+      val jsd = if (tb > 0L && tc > 0L)
+        Some(r((sumP.toDouble + sumQ.toDouble) * 0.5 / Stats.Ln2, 6))
+      else None
+      Iterator.single(JsdRow(g, tb, tc, cats.size.toLong, jsd))
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(update)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- streaming EWMA twin ------------------------------------------------
 
-  /** EWMA carry state: last emitted bucket start and the smoothed value
-    * in 6-dp micro-units (exact integer — the decimal recursion state
-    * survives checkpoints without float drift). */
-  final case class EwmaState(lastB: Long, e6: Long)
+  /** EWMA carry state: whether anything has been emitted, the last
+    * emitted bucket start and smoothed value in 6-dp micro-units (exact
+    * integers — the decimal recursion state survives checkpoints
+    * without float drift), plus the still-OPEN maximal bucket's partial
+    * 2-dp cent sum. Holding the open bucket in state is what makes the
+    * twin correct under ARBITRARY trigger boundaries: a bucket that
+    * straddles two micro-batches accumulates exactly instead of the
+    * first batch's emission silently discarding the tail as late. */
+  final case class EwmaState(hasEmitted: Boolean, lastB: Long, e6: Long,
+      openB: Long, openV2: Long)
   final case class EwmaRow(g: String, b: Long, x: Double, ewma: Double,
       residual: Double)
 
   /** The pure per-key fold shared by [[ewmaStream]] and its multi-batch
-    * unit tests: given the carry state and this batch's (bucket → 2-dp
-    * value-cents) observations, zero-fill from the state forward,
-    * apply eᵢ = round(α·xᵢ + (1−α)·eᵢ₋₁, 6) per step (exact BigDecimal,
-    * HALF_UP — bit-identical to [[graft.ops.Behavior.ewma]]'s lambda),
-    * and return the new state plus the emitted rows. Buckets at or
-    * before the carry bucket are DROPPED (the pinned late-data policy —
-    * a monitoring EWMA never rewrites emitted history). */
+    * unit tests: merge the carried OPEN bucket's partial cent sum into
+    * this batch's (bucket → 2-dp value-cents) observations, drop truly
+    * LATE buckets (≤ the last emitted — the pinned policy: a monitoring
+    * EWMA never rewrites emitted history), then zero-fill and apply
+    * eᵢ = round(α·xᵢ + (1−α)·eᵢ₋₁, 6) per step (exact BigDecimal,
+    * HALF_UP — bit-identical to [[graft.ops.Behavior.ewma]]'s lambda)
+    * for every bucket STRICTLY BELOW the maximal observed bucket. The
+    * maximal bucket stays open in the returned state: with incremental
+    * triggers the current bucket almost always straddles a batch
+    * boundary, and emitting it early would silently lose its tail. A
+    * bucket closes (emits) when any strictly-later bucket arrives. */
   private[ops] def ewmaFold(g: String, alpha: BigDecimal,
       stepSeconds: Long, state: Option[EwmaState],
       obs: Map[Long, Long]): (Option[EwmaState], Seq[EwmaRow]) = {
-    val fresh = state match {
-      case Some(s) => obs.keys.filter(_ > s.lastB)
-      case None => obs.keys
+    val merged = state match {
+      case Some(s) =>
+        obs.updated(s.openB, obs.getOrElse(s.openB, 0L) + s.openV2)
+      case None => obs
     }
-    if (fresh.isEmpty) (state, Nil)
+    val live = state match {
+      case Some(s) if s.hasEmitted =>
+        merged.filter { case (b, _) => b > s.lastB }
+      case _ => merged
+    }
+    if (live.isEmpty) (state, Nil)
     else {
-      val hi = fresh.max
+      val hi = live.keys.max // the still-open bucket — held, not emitted
       val a1 = BigDecimal(1) - alpha
-      var cur = state
       val out = Seq.newBuilder[EwmaRow]
-      val start = cur match {
-        case Some(s) => s.lastB + stepSeconds
-        case None => fresh.min
+      var (emitted, lastB, e6) = state match {
+        case Some(s) => (s.hasEmitted, s.lastB, s.e6)
+        case None => (false, 0L, 0L)
       }
-      var b = start
-      while (b <= hi) {
-        val x = BigDecimal(obs.getOrElse(b, 0L), 2)
-        val e: BigDecimal = cur match {
-          case None => x.setScale(6)
-          case Some(s) =>
-            (alpha * x + a1 * BigDecimal(s.e6, 6))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        }
+      var b = if (emitted) lastB + stepSeconds else live.keys.min
+      while (b < hi) {
+        val x = BigDecimal(live.getOrElse(b, 0L), 2)
+        val e: BigDecimal =
+          if (!emitted) x.setScale(6)
+          else (alpha * x + a1 * BigDecimal(e6, 6))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
         out += EwmaRow(g, b, x.toDouble, e.toDouble, (x - e).toDouble)
-        cur = Some(EwmaState(b, (e * 1000000).toLongExact))
+        emitted = true
+        lastB = b
+        e6 = (e * 1000000).toLongExact
         b += stepSeconds
       }
-      (cur, out.result())
+      (Some(EwmaState(emitted, lastB, e6, hi, live(hi))), out.result())
     }
   }
 
   /** STREAMING twin of [[graft.ops.Behavior.ewma]] — the live form of
-    * the monitoring smoother (state per key is two longs: last bucket +
-    * the 6-dp-scaled value; batches fold through [[ewmaFold]]'s exact
-    * decimal recursion, so on the same data the stream's output is
-    * BIT-IDENTICAL to the batch operator — pinned by a batch==stream
-    * test, the psiDriftStream discipline). Late buckets (≤ the carry
-    * bucket) drop — a monitoring EWMA never rewrites emitted history;
-    * gaps between batches zero-fill exactly as the batch grid does. */
+    * the monitoring smoother (batches fold through [[ewmaFold]]'s exact
+    * decimal recursion; the per-key state carries the last emitted
+    * bucket/value plus the OPEN maximal bucket's partial sum). A bucket
+    * only emits once a strictly LATER bucket arrives — so every emitted
+    * row is BIT-IDENTICAL to the batch operator's row for that bucket
+    * under ARBITRARY trigger boundaries (pinned batch==stream over the
+    * closed buckets; the sole difference from batch output is each
+    * key's final bucket, which stays open until later data closes it —
+    * on a live monitor the current wall-clock bucket is always open).
+    * Late buckets (≤ the last emitted) drop — a monitoring EWMA never
+    * rewrites emitted history; gaps zero-fill exactly as the batch
+    * grid does. */
   def ewmaStream(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType, keyCol: String,
       tsCol: String, valueCol: String, stepSeconds: Long, alpha: Double,

@@ -211,12 +211,14 @@ object AnalyticsQueries {
           "event_id", col("value") > 50.0, p0 = 0.35, p1 = 0.40)
         .orderBy("g")
     },
-    // md5-deterministic randomization test of the even/odd-user value
+    // md5-deterministic randomization test of an 80/20-allocated value
     // difference per event type — the distribution-free p beside the
-    // Welch t; 40 relabeled replicates, map-combined to (g, rep) cells
+    // Welch t; 40 relabeled replicates, map-combined to (g, rep) cells.
+    // The DELIBERATELY unequal arms exercise the allocation-matched
+    // coin (a fair P=1/2 relabel would be anti-conservative here)
     "q_perm_test" -> { (s, d) =>
       val ev = Tables.events(s, d).withColumn("arm",
-        when(col("user_id") % 2L === 0L, lit("a")).otherwise(lit("b")))
+        when(col("user_id") % 10L < 8L, lit("a")).otherwise(lit("b")))
       graft.ops.Stats.permutationTest(ev, "event_id", "value", "arm",
           "a", "b", "event_type", b = 40)
         .orderBy("g")
@@ -287,6 +289,14 @@ object AnalyticsQueries {
     "q_funnel_latency" -> { (s, d) =>
       graft.ops.Behavior.funnelLatency(Tables.events(s, d), "user_id",
           "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    },
+    // zero-converter tail step: no 'refund' events exist, so step 3 has
+    // NO converters — it must still surface (n = 0, null latencies)
+    // instead of vanishing from the report
+    "q_funnel_latency_sparse" -> { (s, d) =>
+      graft.ops.Behavior.funnelLatency(Tables.events(s, d), "user_id",
+          "ts", "event_type", Seq("view", "purchase", "refund"))
         .orderBy("step")
     },
     // Poisson-bootstrap CI for the mean value per event type — the
@@ -927,10 +937,10 @@ object AnalyticsQueries {
         |tt AS (SELECT fam, tid, z,
         |    1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM z),
         |tests AS (SELECT fam, tid,
-        |    round(2.0 * (0.3989422804014327
+        |    least(1.0, round(2.0 * (0.3989422804014327
         |      * exp(abs(z) * abs(z) / (-2.0))
         |      * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
-        |        + t * (-1.821255978 + t * 1.330274429)))))), 9) AS p
+        |        + t * (-1.821255978 + t * 1.330274429)))))), 9)) AS p
         |  FROM tt WHERE z IS NOT NULL),
         |dom AS (SELECT fam, p, CAST(count(*) AS BIGINT) AS c
         |  FROM tests GROUP BY 1, 2),
@@ -1021,10 +1031,62 @@ object AnalyticsQueries {
         |    round(CAST(CAST(sum(CAST(CAST(lat AS DECIMAL(19,0)) * c
         |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE)
         |      / CAST(sum(c) AS DOUBLE), 6) AS mean_sec
-        |  FROM cells GROUP BY 1, 2)
-        |SELECT ag.step AS step, event_type, n, mean_sec, p50_sec, p90_sec
-        |FROM ag JOIN p50 ON ag.step = p50.step
-        |JOIN p90 ON ag.step = p90.step ORDER BY step""".stripMargin,
+        |  FROM cells GROUP BY 1, 2),
+        |sd AS (SELECT * FROM (VALUES (2, 'click'), (3, 'purchase'))
+        |  AS t(step, event_type))
+        |SELECT sd.step AS step, sd.event_type AS event_type,
+        |  coalesce(n, 0) AS n, mean_sec, p50_sec, p90_sec
+        |FROM sd LEFT JOIN ag ON sd.step = ag.step
+        |  AND sd.event_type = ag.event_type
+        |LEFT JOIN p50 ON sd.step = p50.step
+        |LEFT JOIN p90 ON sd.step = p90.step ORDER BY step""".stripMargin,
+    // sparse funnel re-derived: same gating CTEs for view->purchase,
+    // an empty refund stage, the steps dimension LEFT-joined so step 3
+    // reports n = 0 with null latencies
+    "q_funnel_latency_sparse" ->
+      """WITH base AS (SELECT user_id AS u, ts AS t, event_type AS e
+        |  FROM events),
+        |s1 AS (SELECT u, min(t) AS ct FROM base WHERE e = 'view'
+        |  GROUP BY u),
+        |s2 AS (SELECT b.u AS u, min(b.t) AS ct FROM base b
+        |  JOIN s1 ON b.u = s1.u AND b.t > s1.ct
+        |  WHERE b.e = 'purchase' GROUP BY b.u),
+        |s3 AS (SELECT b.u AS u, min(b.t) AS ct FROM base b
+        |  JOIN s2 ON b.u = s2.u AND b.t > s2.ct
+        |  WHERE b.e = 'refund' GROUP BY b.u),
+        |lats AS (
+        |  SELECT 2 AS step, 'purchase' AS event_type,
+        |    CAST(floor(epoch(s2.ct)) AS BIGINT)
+        |      - CAST(floor(epoch(s1.ct)) AS BIGINT) AS lat
+        |  FROM s2 JOIN s1 ON s2.u = s1.u
+        |  UNION ALL
+        |  SELECT 3, 'refund',
+        |    CAST(floor(epoch(s3.ct)) AS BIGINT)
+        |      - CAST(floor(epoch(s2.ct)) AS BIGINT)
+        |  FROM s3 JOIN s2 ON s3.u = s2.u),
+        |cells AS (SELECT step, event_type, lat,
+        |    CAST(count(*) AS BIGINT) AS c FROM lats GROUP BY 1, 2, 3),
+        |cc AS (SELECT step, lat, c,
+        |    sum(c) OVER (PARTITION BY step ORDER BY lat
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY step) AS n FROM cells),
+        |p50 AS (SELECT step, min(lat) AS p50_sec FROM cc
+        |  WHERE cum >= greatest(1, ceil(0.5 * n)) GROUP BY 1),
+        |p90 AS (SELECT step, min(lat) AS p90_sec FROM cc
+        |  WHERE cum >= greatest(1, ceil(0.9 * n)) GROUP BY 1),
+        |ag AS (SELECT step, event_type, CAST(sum(c) AS BIGINT) AS n,
+        |    round(CAST(CAST(sum(CAST(CAST(lat AS DECIMAL(19,0)) * c
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE), 6) AS mean_sec
+        |  FROM cells GROUP BY 1, 2),
+        |sd AS (SELECT * FROM (VALUES (2, 'purchase'), (3, 'refund'))
+        |  AS t(step, event_type))
+        |SELECT sd.step AS step, sd.event_type AS event_type,
+        |  coalesce(n, 0) AS n, mean_sec, p50_sec, p90_sec
+        |FROM sd LEFT JOIN ag ON sd.step = ag.step
+        |  AND sd.event_type = ag.event_type
+        |LEFT JOIN p50 ON sd.step = p50.step
+        |LEFT JOIN p90 ON sd.step = p90.step ORDER BY step""".stripMargin,
     // bootstrap re-derived: one md5-Horner hash per (id, ceil(rep/6))
     // sliced into six 10-bit uniforms (the operator's hash-economics
     // trick, same // and % arithmetic), the compiled Poisson(1) CDF
@@ -1087,14 +1149,15 @@ object AnalyticsQueries {
         |      * CAST(m AS DECIMAL(18,9)) AS DECIMAL(38,18)))
         |      AS DECIMAL(38,18)) AS DOUBLE) AS sm2
         |  FROM means GROUP BY 1)
-        |SELECT f.g AS g, n, mean, b_used, boot_lo, boot_hi,
+        |SELECT f.g AS g, n, mean, coalesce(b_used, 0) AS b_used,
+        |  boot_lo, boot_hi,
         |  CASE WHEN b_used >= 2 AND (sm2 - sm * sm
         |      / CAST(b_used AS DOUBLE))
         |      / (CAST(b_used AS DOUBLE) - 1.0) >= 0.0 THEN
         |    round(sqrt((sm2 - sm * sm / CAST(b_used AS DOUBLE))
         |      / (CAST(b_used AS DOUBLE) - 1.0)), 6) END AS boot_se
-        |FROM f JOIN se ON f.g = se.g JOIN lo ON f.g = lo.g
-        |JOIN hi ON f.g = hi.g ORDER BY g""".stripMargin
+        |FROM f LEFT JOIN se ON f.g = se.g LEFT JOIN lo ON f.g = lo.g
+        |LEFT JOIN hi ON f.g = hi.g ORDER BY g""".stripMargin
     },
     // Holt re-derived: same dense series, both state recursions with
     // the identical per-step 6-dp DECIMAL rounds (the new level term
@@ -1488,14 +1551,15 @@ object AnalyticsQueries {
         |  round(CAST(s2 AS DOUBLE) / CAST(total_freq AS DOUBLE)
         |    - CAST(total_freq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS vmr
         |FROM ag, nd ORDER BY term""".stripMargin,
-    // randomization test re-derived: the same md5-Horner coin per
-    // (id, replicate), exact DECIMAL arm sums, 9-dp diffs before the
-    // comparison, the add-one p
+    // randomization test re-derived: the same md5-Horner
+    // allocation-matched coin per (id, replicate) — side A iff
+    // md5·n < n_a·2^60 in exact HUGEINT arithmetic — exact DECIMAL arm
+    // sums, 9-dp diffs before the comparison, the add-one p
     "q_perm_test" ->
       s"""WITH base AS (SELECT event_type AS g,
         |    CAST(event_id AS VARCHAR) AS id,
         |    CAST(value AS DECIMAL(14,2)) AS v,
-        |    (user_id % 2 = 0) AS ina
+        |    (user_id % 10 < 8) AS ina
         |  FROM events WHERE value IS NOT NULL),
         |obs AS (SELECT g,
         |    CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -1509,10 +1573,14 @@ object AnalyticsQueries {
         |        - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE), 9) END AS obs9
         |  FROM obs),
         |reps AS (SELECT g, id, v, unnest(range(40)) AS r FROM base),
-        |sided AS (SELECT g, r, v,
-        |    ${md5HornerSql("'perm:' || id || '#' || CAST(r AS VARCHAR)")}
-        |      % 2 AS sd
-        |  FROM reps),
+        |sided AS (SELECT reps.g AS g, r, v,
+        |    CASE WHEN CAST(${md5HornerSql(
+             "'perm:' || id || '#' || CAST(r AS VARCHAR)")} AS HUGEINT)
+        |        * CAST(n_a + n_b AS HUGEINT)
+        |      < CAST(n_a AS HUGEINT)
+        |        * CAST(1152921504606846976 AS HUGEINT)
+        |      THEN 0 ELSE 1 END AS sd
+        |  FROM reps JOIN obs ON reps.g = obs.g),
         |cells AS (SELECT g, r,
         |    CAST(sum(CASE WHEN sd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
         |    CAST(sum(CASE WHEN sd <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,

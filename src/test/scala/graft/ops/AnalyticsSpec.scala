@@ -2194,6 +2194,45 @@ class AnalyticsSpec extends SparkSpec {
       (3, "purchase", 1L, 20.0, 20L, 20L)))
   }
 
+  test("funnelLatency: zero-converter step surfaces with n=0") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:00:10", "click"),
+      (2L, "2024-01-01 00:00:00", "view"))
+      .toDF("user_id", "tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss")))
+    // nobody purchases: step 3 must still appear (n = 0, null
+    // latencies) — lockstep with funnel() reporting 0 users there
+    val out = Behavior.funnelLatency(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+    assert(out.length == 2)
+    assert(out(0).getInt(0) == 2 && out(0).getLong(2) == 1L)
+    val s3 = out(1)
+    assert(s3.getInt(0) == 3 && s3.getString(1) == "purchase")
+    assert(s3.getLong(2) == 0L)
+    assert(s3.isNullAt(3) && s3.isNullAt(4) && s3.isNullAt(5))
+  }
+
+  test("bootstrapCI: all-degenerate groups surface with b_used=0") {
+    import spark.implicits._
+    // 5000 single-row groups at b=6 (one md5, six slices): a group
+    // degenerates when all six Poisson draws are zero (P ~ 0.368^6 =
+    // 0.25%, so ~12 of 5000 — md5-deterministic). Degenerate groups
+    // must report n/mean with b_used = 0 and null CI, not vanish.
+    val df = (1 to 5000).map(i => (i.toLong, i.toLong, 10.0))
+      .toDF("g", "id", "v")
+    val out = Stats.bootstrapCI(df, "id", "v", "g", b = 6).collect()
+    assert(out.length == 5000, s"groups vanished: ${out.length}")
+    val degen = out.filter(_.getLong(3) == 0L)
+    assert(degen.nonEmpty, "expected at least one all-degenerate group")
+    degen.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getDouble(2) == 10.0)
+      assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    }
+  }
+
   test("sprt: crossings, decision sticks at first crossing, continue") {
     import spark.implicits._
     // p0=0.2, p1=0.8, alpha=beta=0.05: c1 = ln4, c0 = -ln4,

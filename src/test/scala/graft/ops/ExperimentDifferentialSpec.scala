@@ -165,4 +165,32 @@ class ExperimentDifferentialSpec extends SparkSpec {
       b = 24).collect().head.toString
     assert(p1 == p2)
   }
+
+  test("permutationTest null calibration holds under 90/10 allocation") {
+    import spark.implicits._
+    // 40 independent null groups, each 36 'a' + 4 'b' rows with an
+    // arm-independent value pattern. With the allocation-matched coin
+    // the p-values are ~Uniform(0,1): #\{p <= 0.25\} ~ Binomial(40, .25)
+    // (mean 10, sd 2.7). A fair P=1/2 relabel coin would understate the
+    // null spread by sqrt((4/n)/(1/n_a+1/n_b)) = 0.6 here, inflating
+    // that count to ~20 (anti-conservative). The md5 coin makes the
+    // whole readout deterministic, so the bound is a hard pin, not a
+    // flaky statistical assertion.
+    val rows = for (g <- 1 to 40; i <- 1 to 40) yield
+      (g.toLong, (g * 1000 + i).toLong, ((g * 31 + i * 7) % 13).toDouble,
+        if (i <= 36) "a" else "b")
+    val df = rows.toDF("g", "id", "v", "arm")
+    val out = Stats.permutationTest(df, "id", "v", "arm", "a", "b", "g",
+      b = 60).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      assert(r.getLong(1) == 36L && r.getLong(2) == 4L)
+      // a replicate degenerates when all 40 coins land on one side
+      // (P ~ 0.9^40 = 1.5% per replicate) — most of the 60 survive
+      assert(r.getLong(4) >= 50L, s"b_used ${r.getLong(4)}")
+    }
+    val small = out.count(r => !r.isNullAt(6) && r.getDouble(6) <= 0.25)
+    assert(small >= 3 && small <= 17,
+      s"calibration: $small of 40 null groups at p <= 0.25")
+  }
 }

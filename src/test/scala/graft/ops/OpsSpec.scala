@@ -470,6 +470,85 @@ class OpsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("ksTwoSampleStream: streaming ECDF gap == batch ksTwoSample (batch == stream)") {
+    val src = java.nio.file.Files.createTempDirectory("graftks").toString
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("snap",
+        when(unix_timestamp(col("ts")) < 1705363200L, lit("base"))
+          .otherwise(lit("cur")))
+      .select("event_type", "snap", "value", "event_id")
+    events.filter(col("event_id") % 2 === 0).write
+      .mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    events.filter(col("event_id") % 2 === 1).write
+      .mode("append").parquet(src)
+    val q = Streaming.ksTwoSampleStream(spark, src, schema, "value",
+      "event_type", "snap", "base", "cur", critical = 1.358,
+      queryName = "ks_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      """SELECT g, n_base, n_cur, ks_d, ks_crit, drifted
+        |FROM (SELECT *, row_number() OVER (PARTITION BY g
+        |    ORDER BY n_base + n_cur DESC) AS rn FROM ks_stream_test)
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Stats.ksTwoSample(events, "value", "event_type", "snap",
+        "base", "cur", critical = 1.358)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("jsDivergenceStream: streaming JSD == batch jsDivergence (batch == stream)") {
+    val src = java.nio.file.Files.createTempDirectory("graftjsd").toString
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("snap",
+        when(unix_timestamp(col("ts")) < 1705363200L, lit("base"))
+          .otherwise(lit("cur")))
+      .withColumn("cat", concat(lit("c"), (col("user_id") % 5).cast("string")))
+      .select("event_type", "snap", "cat", "event_id")
+    events.filter(col("event_id") % 2 === 0).write
+      .mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    events.filter(col("event_id") % 2 === 1).write
+      .mode("append").parquet(src)
+    val q = Streaming.jsDivergenceStream(spark, src, schema, "cat",
+      "event_type", "snap", "base", "cur", queryName = "jsd_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      """SELECT g, n_base, n_cur, n_categories, jsd
+        |FROM (SELECT *, row_number() OVER (PARTITION BY g
+        |    ORDER BY n_base + n_cur DESC) AS rn FROM jsd_stream_test)
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Stats.jsDivergence(events, "cat", "snap", "base", "cur",
+        "event_type")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("ksTwoSampleStream and jsDivergenceStream: one-sided groups emit nulls") {
+    import spark.implicits._
+    val srcK = java.nio.file.Files.createTempDirectory("graftks1").toString
+    // group "only" has base rows exclusively -> null ks_d/crit/drifted
+    val df = Seq(("only", "base", 1.0, 1L), ("only", "base", 2.0, 2L),
+      ("two", "base", 1.0, 3L), ("two", "cur", 5.0, 4L))
+      .toDF("event_type", "snap", "value", "event_id")
+    df.write.mode("overwrite").parquet(srcK)
+    val schema = spark.read.parquet(srcK).schema
+    val q = Streaming.ksTwoSampleStream(spark, srcK, schema, "value",
+      "event_type", "snap", "base", "cur", critical = 1.358,
+      queryName = "ks_stream_null_test")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT * FROM ks_stream_null_test WHERE g = 'only'").collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 2L &&
+      rows.head.isNullAt(3) && rows.head.isNullAt(4) &&
+      rows.head.isNullAt(5))
+  }
+
   test("ewmaStream: one-batch streaming fold == batch ewma (batch == stream)") {
     val src = java.nio.file.Files.createTempDirectory("graftewma").toString
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
@@ -484,27 +563,48 @@ class OpsSpec extends SparkSpec {
     val streamed = spark.sql(
       "SELECT g, b, x, ewma, residual FROM ewma_stream_test")
       .collect().map(_.toString).sorted.toSeq
-    val batch = Behavior.ewma(events, "event_type", "ts", "value",
-        stepSeconds = 86400L, alpha = 0.3)
-      .collect().map(_.toString).sorted.toSeq
+    // the stream holds each key's maximal bucket OPEN (it only closes
+    // when later data arrives) — emitted rows must equal the batch op
+    // over every CLOSED bucket
+    val batchAll = Behavior.ewma(events, "event_type", "ts", "value",
+        stepSeconds = 86400L, alpha = 0.3).collect()
+    val maxB = batchAll.groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).max }
+    val batch = batchAll
+      .filter(r => r.getLong(1) < maxB(r.getString(0)))
+      .map(_.toString).sorted.toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
 
-  test("ewmaFold: multi-batch continuation, gap zero-fill, late drop") {
+  test("ewmaFold: open-bucket straddle, gap zero-fill, late drop") {
     val a = BigDecimal("0.500")
-    // batch 1: bucket 0 observes 4.00
+    // batch 1: bucket 0 observes 4.00 — the maximal bucket stays OPEN
+    // (nothing emits until a later bucket closes it)
     val (s1, r1) = Streaming.ewmaFold("g", a, 1L, None, Map(0L -> 400L))
-    assert(s1.contains(Streaming.EwmaState(0L, 4000000L)))
-    assert(r1 == Seq(Streaming.EwmaRow("g", 0L, 4.0, 4.0, 0.0)))
-    // batch 2: bucket 2 observes 8.00 -> bucket 1 zero-fills first
+    assert(s1.contains(Streaming.EwmaState(false, 0L, 0L, 0L, 400L)))
+    assert(r1.isEmpty)
+    // batch 2: bucket 2 observes 8.00 -> closes 0 (4.0), zero-fills 1,
+    // holds 2 open
     val (s2, r2) = Streaming.ewmaFold("g", a, 1L, s1, Map(2L -> 800L))
-    assert(s2.contains(Streaming.EwmaState(2L, 5000000L)))
+    assert(s2.contains(Streaming.EwmaState(true, 1L, 2000000L, 2L, 800L)))
     assert(r2 == Seq(
-      Streaming.EwmaRow("g", 1L, 0.0, 2.0, -2.0),
-      Streaming.EwmaRow("g", 2L, 8.0, 5.0, 3.0)))
-    // late bucket at or before the carry: dropped, state unchanged
+      Streaming.EwmaRow("g", 0L, 4.0, 4.0, 0.0),
+      Streaming.EwmaRow("g", 1L, 0.0, 2.0, -2.0)))
+    // late bucket at or before the last EMITTED: dropped; open bucket
+    // unchanged
     val (s3, r3) = Streaming.ewmaFold("g", a, 1L, s2, Map(1L -> 100L))
     assert(s3 == s2 && r3.isEmpty)
+    // the straddle that motivated the open-bucket state: bucket 2's
+    // tail arrives in a LATER batch and must accumulate (800 + 100
+    // cents), then bucket 3 closes it with the full 9.00
+    val (s4, r4) = Streaming.ewmaFold("g", a, 1L, s3,
+      Map(2L -> 100L, 3L -> 50L))
+    assert(s4.contains(Streaming.EwmaState(true, 2L, 5500000L, 3L, 50L)))
+    assert(r4 == Seq(Streaming.EwmaRow("g", 2L, 9.0, 5.5, 3.5)))
+    // a batch touching only the open bucket emits nothing, accumulates
+    val (s5, r5) = Streaming.ewmaFold("g", a, 1L, s4, Map(3L -> 25L))
+    assert(s5.contains(Streaming.EwmaState(true, 2L, 5500000L, 3L, 75L)))
+    assert(r5.isEmpty)
   }
 
   test("flatMapGroupsWithState running totals match a batch aggregation") {
