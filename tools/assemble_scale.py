@@ -58,6 +58,10 @@ def per_query(c1, big, copies):
             out[q]["task_max_sec_big"] = float(big["task_max_sec"][q])
         if "worst_stage" in big and big["worst_stage"].get(q):
             out[q]["worst_stage_big"] = big["worst_stage"][q]
+        # names the stage OWNING the longest task (round 12+): the
+        # ratio-based worst_stage can be a different, micro-task stage
+        if "max_task_stage" in big and big["max_task_stage"].get(q):
+            out[q]["max_task_stage_big"] = big["max_task_stage"][q]
     return out
 
 
@@ -84,6 +88,8 @@ def main():
                 entry["task_max_sec"] = float(skew["task_max_sec"][q])
             if "worst_stage" in skew and skew["worst_stage"].get(q):
                 entry["worst_stage"] = skew["worst_stage"][q]
+            if "max_task_stage" in skew and skew["max_task_stage"].get(q):
+                entry["max_task_stage"] = skew["max_task_stage"][q]
             if q in queries:
                 # skewed docs volume is ~1.9x the uniform 10x run
                 lin = queries[q]["sec_1x"] * copies * 1.9
