@@ -234,8 +234,9 @@ object ScaleBench {
     // round-12: the composed CC near-dedup (pairs -> connected
     // components -> anti-join survivors) — a flagship user path whose
     // machinery d_dup_clusters covers but whose COMPOSITION was
-    // unmeasured at 10x (round-11 verdict item 4)
-    "q_drop_near_dups")
+    // unmeasured at 10x (round-11 verdict item 4); and the any-length
+    // repeated-span removal (gram shuffle + in-plan interval-merge fold)
+    "q_drop_near_dups", "d_repeat_spans_any")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -419,7 +420,8 @@ object ScaleBench {
     "t_hll_overlap" -> Set("documents"),
     "q_bootstrap_ci" -> Set("events"),
     "q_funnel_latency" -> Set("events"),
-    "q_drop_near_dups" -> Set("documents"))
+    "q_drop_near_dups" -> Set("documents"),
+    "d_repeat_spans_any" -> Set("documents"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

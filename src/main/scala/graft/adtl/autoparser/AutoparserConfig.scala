@@ -35,7 +35,13 @@ final case class AutoparserConfig(
     /** per long table, the constant values of common_fields (field → value) */
     longTableCommonValues: Map[String, Map[String, String]],
     llmProvider: Option[String],
-    llmModel: Option[String]) {
+    llmModel: Option[String],
+    /** beyond-reference switch: duplicate target_field mapping rows emit a
+      * `combinedType = "firstNonNull"` block (mapping-row order = priority,
+      * each source keeping its OWN value map) instead of the reference's
+      * NotImplementedError (make_toml.py:146). Default false = exact
+      * reference parity. */
+    combineDuplicates: Boolean = false) {
 
   /** Dictionary entries from a user file under this config's column
     * mappings and choice delimiters (DictReader G3). */
@@ -143,6 +149,11 @@ object AutoparserConfig {
       longTables = longTables,
       longTableCommonValues = longValues,
       llmProvider = str("llm_provider"),
-      llmModel = str("llm_model"))
+      llmModel = str("llm_model"),
+      combineDuplicates = data.get("combine_duplicates") match {
+        case Some(b: Boolean) => b
+        case Some(other) => other.toString.toBoolean
+        case None => false
+      })
   }
 }

@@ -44,7 +44,8 @@ object ParserGenerator {
         .columns.contains("target_field")
       if (isWide) {
         val rows = MappingParser.rowsFromCsv(spark, path)
-        val (body, tableDefs) = MappingParser.wideTable(rows, schema, cfg.numRefs)
+        val (body, tableDefs) = MappingParser.wideTable(rows, schema,
+          cfg.numRefs, cfg.combineDuplicates)
         defs ++= tableDefs
         tableBodies += t -> body
         tableKinds += t -> "oneToOne"

@@ -1095,6 +1095,96 @@ object Dedup {
         nullif(array_join(col("__kept"), " "), lit("")).as("text_dedup"))
   }
 
+  /** ANY-LENGTH repeated-span removal — closes [[removeRepeatedSpans]]'s
+    * one semantic gap vs the cited ExactSubstr paper (Lee et al.,
+    * arXiv:2107.06499): that op cuts fixed-n windows; the paper removes
+    * ARBITRARY-LENGTH repeats ≥ a threshold. This computes the paper's
+    * removal set exactly (token-level) via the window-union identity:
+    *
+    *   a position lies inside SOME corpus-repeat of length ≥ L
+    *   ⟺ some duplicated L-window covers it
+    *
+    * (⇐ a duplicated L-window is itself a repeat of length L;
+    * ⇒ every L-window inside a string occurring m+ times occurs m+
+    * times). So the union of duplicated-L-window extents IS the union
+    * of all maximal repeats ≥ L — no suffix array, no iterated
+    * doubling, one extra in-plan fold over the fixed-n machinery. Each
+    * gram's globally-first (doc, pos) occurrence is exempt (the corpus
+    * keeps one copy of every repeated content — the [[removeRepeatedSpans]]
+    * keeper contract). Covered positions merge into MAXIMAL per-doc
+    * intervals, reported as `spans` ("start-endIncl", comma-joined,
+    * token indices) beside the reassembled text — the span set is the
+    * gate-pinned artifact (nested/overlapping/adjacent repeats merge:
+    * windows [0,L) and [L,2L) are ONE maximal span).
+    *
+    * Scale shape = [[removeRepeatedSpans]]: one gram-key shuffle
+    * (map-combinable count/min), doc-key collection, and the interval
+    * merge is ONE in-plan `aggregate` fold over each doc's sorted
+    * removed-start array — O(spans) state, no extra shuffle. */
+  def removeRepeatedSpansAnyLength(df: DataFrame, idCol: String,
+      textCol: String, minLen: Int, minOccurrences: Int = 2): DataFrame = {
+    require(minLen >= 2, s"minimum span length must be >= 2, got $minLen")
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2, got $minOccurrences")
+    val n = minLen
+    val base = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    val wins = base
+      .filter(size(col("__t")) >= n)
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(0), size(col("__t")) - n), i =>
+          array_join(slice(col("__t"), i + 1, lit(n)), " "))))
+      .toDF("__id", "__pos", "__g")
+    val occ = wins.groupBy("__g").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col("__id").as("kid"), col("__pos").as("kpos"))).as("__keep"))
+      .filter(col("__cnt") >= minOccurrences)
+    val removed = wins.join(occ, "__g")
+      .filter(col("__id") =!= col("__keep.kid") ||
+        col("__pos") =!= col("__keep.kpos"))
+      .groupBy("__id")
+      .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    // maximal intervals: fold the sorted starts; window [s, s+n) merges
+    // into the open interval whenever s ≤ ce (s == ce is ADJACENCY —
+    // contiguous coverage, one maximal repeat). Spans render inclusive.
+    def spanStr(cs: Column, ce: Column): Column =
+      concat(cs.cast("string"), lit("-"), (ce - 1).cast("string"))
+    val zero = struct(lit(-1).as("cs"), lit(-1).as("ce"),
+      array().cast("array<string>").as("acc"))
+    val mergedSpans = aggregate(
+      col("__starts"), zero,
+      (st, s) => {
+        val cs = st.getField("cs")
+        val ce = st.getField("ce")
+        val acc = st.getField("acc")
+        when(cs < 0, struct(s.as("cs"), (s + n).as("ce"), acc.as("acc")))
+          .when(s <= ce, struct(cs.as("cs"),
+            greatest(ce, s + n).as("ce"), acc.as("acc")))
+          .otherwise(struct(s.as("cs"), (s + n).as("ce"),
+            concat(acc, array(spanStr(cs, ce))).as("acc")))
+      },
+      st => when(st.getField("cs") < 0, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"),
+          array(spanStr(st.getField("cs"), st.getField("ce"))))))
+    base.join(removed, Seq("__id"), "left")
+      .withColumn("__sp",
+        when(col("__starts").isNull, array().cast("array<string>"))
+          .otherwise(mergedSpans))
+      .withColumn("__kept", when(col("__starts").isNull, col("__t"))
+        .otherwise(transform(
+          filter(transform(col("__t"),
+            (t, i) => struct(t.as("t"), i.as("i"))),
+            s => !exists(col("__starts"), st =>
+              s.getField("i") >= st && s.getField("i") < st + n)),
+          s => s.getField("t"))))
+      .select(col("__id").as(idCol),
+        size(col("__t")).as("n_tokens"),
+        size(col("__kept")).as("n_tokens_kept"),
+        size(col("__sp")).as("n_spans"),
+        nullif(array_join(col("__sp"), ","), lit("")).as("spans"),
+        nullif(array_join(col("__kept"), " "), lit("")).as("text_dedup"))
+  }
+
   /** C4/Dolma-style PARAGRAPH-level exact dedup, generalized to a
     * delimiter-free segmentation: the corpus is cut into DISJOINT
     * `segTokens`-token blocks (the unit newline-delimited corpora get from

@@ -291,6 +291,28 @@ object PipelineQueries {
         n = 8)
         .orderBy("doc_id")
     },
+    // ANY-LENGTH repeated-span removal (the Lee et al. semantics the
+    // fixed-n op approximates): duplicated 6-token windows union into
+    // MAXIMAL per-doc spans. The corpus gets NESTED/OVERLAPPING planted
+    // repeats — a shared 8-token tail, the same tail extended by 3
+    // tokens, the tail doubled within one doc (self-repeat, adjacency
+    // merge), and a 4-token SUB-span alone (below minLen — must NOT be
+    // cut) — exactly the shapes a span-set oracle can catch
+    "d_repeat_spans_any" -> { (s, d) =>
+      val tail = " alpha beta gamma delta epsilon zeta eta theta"
+      val docs = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 11L === 1L, concat(col("text"), lit(tail)))
+          .when(col("doc_id") % 11L === 2L,
+            concat(col("text"), lit(tail), lit(" iota kappa lambda")))
+          .when(col("doc_id") % 11L === 3L,
+            concat(col("text"), lit(tail), lit(tail)))
+          .when(col("doc_id") % 11L === 4L,
+            concat(lit("alpha beta gamma delta "), col("text")))
+          .otherwise(col("text")))
+      Dedup.removeRepeatedSpansAnyLength(docs, "doc_id", "text",
+        minLen = 6)
+        .orderBy("doc_id")
+    },
     // multi-probe widening of the same pipeline: each vector joins its TOP-2
     // cells (NearestCellsTopKExpr — one codegen kernel over the
     // task-broadcast centroid matrix, ranked by descending dot / ascending
@@ -2149,6 +2171,71 @@ object PipelineQueries {
          |      i -> t[CAST(i + 1 AS INT)]), ' ')
          |    END AS text_dedup
          |FROM toks LEFT JOIN rem USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // any-length spans re-derived: same planted-repeat corpus, 6-token
+    // windows with per-gram count + (doc,pos) row_number (rn=1 = the
+    // keeper), removed starts per doc; the SPAN SET replays as
+    // gaps-and-islands over the covered-position union (pos - rank
+    // grouping), string_agg'd in span order — pins the maximal-interval
+    // merge (nested tails, the doubled tail's adjacency, the 4-token
+    // sub-span staying intact) exactly
+    "d_repeat_spans_any" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 1 THEN text ||
+         |        ' alpha beta gamma delta epsilon zeta eta theta'
+         |      WHEN doc_id % 11 = 2 THEN text ||
+         |        ' alpha beta gamma delta epsilon zeta eta theta' ||
+         |        ' iota kappa lambda'
+         |      WHEN doc_id % 11 = 3 THEN text ||
+         |        ' alpha beta gamma delta epsilon zeta eta theta' ||
+         |        ' alpha beta gamma delta epsilon zeta eta theta'
+         |      WHEN doc_id % 11 = 4 THEN 'alpha beta gamma delta ' || text
+         |      ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, $tokensSql AS t FROM docs),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(range(len(t) - 6 + 1)) AS pos,
+         |    unnest(list_transform(range(len(t) - 6 + 1), i ->
+         |      array_to_string(t[i+1:i+6], ' '))) AS g
+         |  FROM toks WHERE len(t) >= 6),
+         |r AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY g) AS cnt,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         |  FROM w),
+         |rem AS (
+         |  SELECT doc_id, list(pos) AS starts FROM r
+         |  WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id),
+         |cov AS (
+         |  SELECT doc_id, unnest(list_sort(list_distinct(flatten(
+         |    list_transform(starts, s -> range(s, s + 6)))))) AS p
+         |  FROM rem),
+         |isl AS (
+         |  SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM cov),
+         |sp AS (SELECT doc_id, min(p) AS s, max(p) AS e
+         |  FROM isl GROUP BY doc_id, grp),
+         |spa AS (SELECT doc_id,
+         |    CAST(count(*) AS INT) AS n_spans,
+         |    string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR),
+         |      ',' ORDER BY s) AS spans
+         |  FROM sp GROUP BY doc_id)
+         |SELECT toks.doc_id,
+         |  CAST(len(t) AS INT) AS n_tokens,
+         |  CAST(CASE WHEN starts IS NULL THEN len(t)
+         |    ELSE len(list_filter(range(len(t)), i ->
+         |      len(list_filter(starts, s -> i >= s AND i < s + 6)) = 0))
+         |    END AS INT) AS n_tokens_kept,
+         |  coalesce(n_spans, 0) AS n_spans, spans,
+         |  CASE WHEN starts IS NULL THEN nullif(array_to_string(t, ' '), '')
+         |    ELSE nullif(array_to_string(list_transform(
+         |      list_filter(range(len(t)), i ->
+         |        len(list_filter(starts, s -> i >= s AND i < s + 6)) = 0),
+         |      i -> t[CAST(i + 1 AS INT)]), ' '), '')
+         |    END AS text_dedup
+         |FROM toks LEFT JOIN rem USING (doc_id) LEFT JOIN spa USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     // multi-probe variant: assignment keeps rn <= 2 (each vector in its two
     // best cells — the NearestCellsTopKExpr ranking: descending dot,

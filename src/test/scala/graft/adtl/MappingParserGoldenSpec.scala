@@ -187,4 +187,52 @@ class MappingParserGoldenSpec extends SparkSpec {
     assert(parsed("fields").asInstanceOf[List[Spec.Raw]]
       .map(_("field")) == List("s1", "s2"))
   }
+
+  test("combine_duplicates config: the FULL generated parser file carries " +
+      "the firstNonNull block and executes end-to-end") {
+    import graft.adtl.autoparser.{AutoparserConfig, ParserGenerator}
+    val dir = java.nio.file.Files.createTempDirectory("graftcombine")
+    def write(name: String, text: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, text)
+      p.toString
+    }
+    val schemaPath = write("t.schema.json",
+      """{"properties": {"name": {"type": ["string", "null"]},
+        |  "age_years": {"type": ["number", "null"]}},
+        | "required": ["name"]}""".stripMargin)
+    val mappingPath = write("map.csv",
+      "target_field,source_description,source_field,value_mapping\n" +
+        "name,Primary,NomPrincipal,\n" +
+        "name,Fallback,NomSecondaire,\n" +
+        "age_years,Age,AgeAns,\n")
+    // the config switch parses (reference-parity default is false)
+    assert(!AutoparserConfig.fromRaw(Map("language" -> "fr",
+      "schemas" -> Map("t" -> schemaPath))).combineDuplicates)
+    val cfg = AutoparserConfig.fromRaw(Map(
+      "name" -> "dup", "language" -> "fr",
+      "schemas" -> Map("t" -> schemaPath),
+      "combine_duplicates" -> true))
+    assert(cfg.combineDuplicates)
+    val outPath = ParserGenerator.createParser(spark, cfg,
+      Map("t" -> mappingPath), "dup",
+      output = Some(dir.resolve("dup.toml").toString))
+    val toml = SpecLoader.readUtf8(outPath)
+    // golden: the duplicate-target block in the serialized file
+    assert(toml.contains("combinedType = \"firstNonNull\""),
+      s"generated TOML lacks the block:\n$toml")
+    assert(toml.contains("field = \"NomPrincipal\"") &&
+      toml.contains("field = \"NomSecondaire\""))
+    // and the generated FILE executes: firstNonNull takes the fallback
+    // source exactly when the primary is empty (P6 ""→null)
+    val parser = AdtlParser.fromFile(outPath)
+    import spark.implicits._
+    val data = Seq(
+      ("Rex", "Backup", "3"),
+      ("", "Backup2", "4"))
+      .toDF("NomPrincipal", "NomSecondaire", "AgeAns")
+    val out = parser.parseDataFrame(spark, data)("t")
+      .orderBy("age_years").collect()
+    assert(out.map(_.getAs[String]("name")).toSeq == Seq("Rex", "Backup2"))
+  }
 }

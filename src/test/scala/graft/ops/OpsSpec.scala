@@ -78,6 +78,35 @@ class OpsSpec extends SparkSpec {
     assert(run(df.repartition(5)) == out)
   }
 
+  test("any-length span removal: maximal merge, nesting, adjacency, keeper") {
+    val df = docs(
+      1L -> "a b c d e f g h",           // keeper of every repeated gram
+      2L -> "x y a b c d e f g h z w",   // the 8-token repeat nested at 2..9
+      3L -> "a b c d q r s t a b c d",   // self-repeat -> two disjoint spans
+      4L -> "c d e f",                   // a 4-token sub-repeat, fully eaten
+      5L -> "a b c d a b c d")           // doubled -> ADJACENT windows merge
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.removeRepeatedSpansAnyLength(d, "doc_id", "text", minLen = 4)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4), r.getString(5))))
+        .toMap
+    val out = run(df)
+    // doc 1 holds every gram's globally-first occurrence — untouched
+    assert(out(1L) == ((8, 8, 0, null, "a b c d e f g h")))
+    // doc 2: duplicated windows start at 2..6, coverage 2..9 = ONE
+    // maximal span (the length-8 repeat, not five length-4 cuts)
+    assert(out(2L) == ((12, 4, 1, "2-9", "x y z w")))
+    // doc 3: "a b c d" repeats at 0 and 8 — two disjoint maximal spans
+    assert(out(3L) == ((12, 4, 2, "0-3,8-11", "q r s t")))
+    // doc 4: one 4-token repeat covers everything -> null text
+    assert(out(4L) == ((4, 0, 1, "0-3", null)))
+    // doc 5: windows at 0 and 4 are ADJACENT ([0,4)∪[4,8)) -> one span
+    assert(out(5L) == ((8, 0, 1, "0-7", null)))
+    // partition invariance (keeper = global (doc, pos) min)
+    assert(run(df.repartition(5)) == out)
+  }
+
   test("bruteForceTopK: k rows per query, self excluded, rank 1 is the max") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.bruteForceTopK(e, "vec_id", "embedding",
