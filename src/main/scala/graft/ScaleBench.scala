@@ -236,7 +236,12 @@ object ScaleBench {
     // machinery d_dup_clusters covers but whose COMPOSITION was
     // unmeasured at 10x (round-11 verdict item 4); and the any-length
     // repeated-span removal (gram shuffle + in-plan interval-merge fold)
-    "q_drop_near_dups", "d_repeat_spans_any")
+    "q_drop_near_dups", "d_repeat_spans_any",
+    // round-12 second wave: G2 keyness (one term-count shuffle +
+    // broadcast totals), change point (dense series + bucket-domain
+    // windows + struct argmax), multi-touch attribution (user-keyed
+    // path join + (user,conversion) window family)
+    "t_keyness_g2", "q_change_point", "q_attribution")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -421,7 +426,10 @@ object ScaleBench {
     "q_bootstrap_ci" -> Set("events"),
     "q_funnel_latency" -> Set("events"),
     "q_drop_near_dups" -> Set("documents"),
-    "d_repeat_spans_any" -> Set("documents"))
+    "d_repeat_spans_any" -> Set("documents"),
+    "t_keyness_g2" -> Set("documents"),
+    "q_change_point" -> Set("events"),
+    "q_attribution" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

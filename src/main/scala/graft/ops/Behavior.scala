@@ -1309,4 +1309,134 @@ object Behavior {
         col("n_decision"),
         round(col("__llr_dec"), 6).as("llr_decision"))
   }
+
+  /** Single CHANGE-POINT detection per key (binary segmentation, one
+    * split — the Scott–Knott/CUSUM-companion readout): over the dense
+    * zero-filled bucket series, the split k maximizing the
+    * between-segment sum of squares
+    *
+    *   gain(k) = S_k²/k + (S_n−S_k)²/(n−k) − S_n²/n
+    *
+    * (= the SSE reduction of a mean-shift model at k), with
+    * `mean_before`/`mean_after`, the raw gain, and `score` = gain/SST —
+    * the R²-like share of variance one break explains. [[cusumDrift]]
+    * flags WHEN a drift alarm fires sequentially; this answers the
+    * retrospective "where did the level shift, and how big was it?".
+    * Both segments must hold ≥ `minSegment` buckets; keys with fewer
+    * than 2·minSegment buckets report null split columns.
+    *
+    * Determinism/exactness: prefix sums are exact DECIMAL(38,2) over
+    * the 2-dp-quantized series, every gain is ONE fixed-parenthesization
+    * double chain ROUNDED AT 9 dp BEFORE the argmax (cross-engine
+    * ranking compares only quantized values), ties break to the
+    * SMALLEST k via lexicographic struct max on (gain₉, −k); 6-dp
+    * renders. Shape: one raw-row shuffle into the dense series, windows
+    * and the argmax reduction ride the bucket-domain summary frame
+    * (≤ maxBucketsPerKey rows per key, in-plan guarded). */
+  def changePoint(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long, minSegment: Int = 2,
+      maxBucketsPerKey: Long = 10000L): DataFrame = {
+    require(minSegment >= 1, s"minSegment must be >= 1, got $minSegment")
+    val ser = denseSeries(events, keyCol, tsCol, valueCol, stepSeconds,
+      maxBucketsPerKey)
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("b"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val idx = ser
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__sk", sum(col("x")).over(wCum).cast("decimal(38,2)"))
+    val tot = idx.groupBy("g").agg(
+      max(col("__i")).as("n_buckets"),
+      sum(col("x")).cast("decimal(38,2)").as("__tot"),
+      sum((col("x") * col("x")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)").as("__ss"))
+    def d(c: Column) = c.cast("double")
+    val k = d(col("__i"))
+    val n = d(col("n_buckets"))
+    val sk = d(col("__sk"))
+    val sn = d(col("__tot"))
+    val gain9 = round(sk * sk / k + (sn - sk) * (sn - sk) / (n - k)
+      - sn * sn / n, 9)
+    val best = idx.join(tot, Seq("g"))
+      .filter(col("__i") >= minSegment.toLong &&
+        col("__i") <= col("n_buckets") - minSegment.toLong)
+      .withColumn("__g9", gain9)
+      .groupBy("g").agg(max(struct(col("__g9"), (-col("__i")).as("__nk"),
+        struct(col("__i").as("k"), col("__sk").as("sk"),
+          col("b").as("bl")).as("p"))).as("__best"))
+    val bk = d(col("__best.p.k"))
+    val bsk = d(col("__best.p.sk"))
+    val sst = d(col("__ss")) - d(col("__tot")) * d(col("__tot")) / n
+    tot.join(best, Seq("g"), "left")
+      .select(col("g"), col("n_buckets"),
+        (col("__best.p.bl") + lit(stepSeconds)).as("split_b"),
+        round(bsk / bk, 6).as("mean_before"),
+        round((d(col("__tot")) - bsk) / (n - bk), 6).as("mean_after"),
+        round(col("__best.__g9"), 6).as("gain"),
+        when(col("__best").isNotNull && sst > 0.0,
+          round(col("__best.__g9") / sst, 6)).as("score"))
+  }
+
+  /** MULTI-TOUCH ATTRIBUTION credit per channel — the marketing-science
+    * readout beside [[funnel]]/[[eventAttribution]] ("which channels
+    * drove conversions, under which credit model?"): for every
+    * conversion event, its PATH is the user's touch events (types in
+    * `touchTypes`) inside the lookback window [conv − W, conv), ranked
+    * by (ts, id); the four standard models score each touch —
+    * first-touch (rank 1 gets 1), last-touch (rank k gets 1), linear
+    * (1/k each), and position-based 40/20/40 (0.4 to each end, 0.2
+    * split over the k−2 middles; k = 1 → 1, k = 2 → 0.5/0.5) — and
+    * credits sum per channel. Convention pinned: every
+    * (conversion, in-window touch) pair participates in that
+    * conversion's path — a touch may earn credit toward several
+    * conversions (the standard overlapping-window model; dedup to the
+    * nearest conversion is a different, also-defensible convention —
+    * one is pinned).
+    *
+    * Exactness: ranks and k are exact integers off one (user,
+    * conversion) window family; each credit is one IEEE division
+    * rounded at 9 dp and quantized to DECIMAL(18,9) before the
+    * per-channel exact sum (order-invariant); 6-dp renders. Shape: one
+    * user-keyed join (touches × conversions bounded by per-user
+    * activity in the window), one window family on (user, conversion),
+    * one channel aggregation. */
+  def attributionCredit(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, touchTypes: Seq[String],
+      convType: String, windowSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "attributionCredit: need touch types")
+    require(windowSeconds > 0L,
+      s"windowSeconds must be > 0, got $windowSeconds")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"),
+        unix_timestamp(col(tsCol)).as("__cts"), col(idCol).as("__cid"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("channel"),
+        unix_timestamp(col(tsCol)).as("__tts"), col(idCol).as("__tid"))
+    val paths = touch.join(conv, Seq("__u"))
+      .filter(col("__tts") < col("__cts") &&
+        col("__tts") >= col("__cts") - lit(windowSeconds))
+    val wPath = Window.partitionBy(col("__u"), col("__cid"))
+      .orderBy(col("__tts"), col("__tid"))
+    val wK = Window.partitionBy(col("__u"), col("__cid"))
+    val ranked = paths
+      .withColumn("__r", row_number().over(wPath).cast("long"))
+      .withColumn("__k", count(lit(1)).over(wK))
+    def q9(c: Column) = round(c, 9).cast("decimal(18,9)")
+    val kD = col("__k").cast("double")
+    val credFirst = when(col("__r") === 1L, lit(1.0)).otherwise(lit(0.0))
+    val credLast = when(col("__r") === col("__k"), lit(1.0))
+      .otherwise(lit(0.0))
+    val credLinear = lit(1.0) / kD
+    val credPos = when(col("__k") === 1L, lit(1.0))
+      .when(col("__k") === 2L, lit(0.5))
+      .when(col("__r") === 1L || col("__r") === col("__k"), lit(0.4))
+      .otherwise(lit(0.2) / (kD - lit(2.0)))
+    ranked.groupBy(col("channel")).agg(
+      count(lit(1)).as("n_touches"),
+      countDistinct(col("__u"), col("__cid")).as("n_conversions"),
+      round(sum(q9(credFirst)).cast("double"), 6).as("credit_first"),
+      round(sum(q9(credLast)).cast("double"), 6).as("credit_last"),
+      round(sum(q9(credLinear)).cast("double"), 6).as("credit_linear"),
+      round(sum(q9(credPos)).cast("double"), 6).as("credit_position"))
+  }
 }

@@ -641,4 +641,62 @@ object Retrieval {
           col("total_freq").cast("double") / col("__n").cast("double"),
           6).as("vmr"))
   }
+
+  /** G² log-likelihood KEYNESS (Dunning 1993) of every term between a
+    * TARGET corpus slice and the rest — the corpus-linguistics standard
+    * for "what words characterize this source/class?" beside
+    * [[ctfidfTerms]] (c-TF-IDF ranks within-class salience; G² carries
+    * a SIGNIFICANCE magnitude comparable across terms, robust at low
+    * counts where PMI-style ratios explode):
+    *
+    *   G² = 2·( a·ln(a/E₁) + b·ln(b/E₂) ),
+    *   E₁ = c·(a+b)/(c+d),  E₂ = d·(a+b)/(c+d)
+    *
+    * with a/b the term's target/rest counts and c/d the corpora's total
+    * token counts. `overused` (target-leaning) decides by the EXACT
+    * integer cross-product a·d > b·c — never the float ratios;
+    * `log_ratio` (ln of the relative risk, the effect-size companion)
+    * is null when either side is absent. Zero-count terms contribute a
+    * zero G² term (the 0·ln0 = 0 limit), so single-sided terms still
+    * score.
+    *
+    * Exactness: counts are exact integer sums; E₁/E₂ and each a·ln(a/E)
+    * are fixed-parenthesization double chains, the two addends rounded
+    * at 10 dp before the one addition (no aggregation over terms — G²
+    * is per-row, so no order-invariance machinery needed); 6-dp
+    * renders. Shape: ONE map-combinable (term) count shuffle; the
+    * corpus totals join back as a broadcast 1-row frame. */
+  def keynessG2(df: DataFrame, classCol: String, toks: Column,
+      targetClass: String, minCount: Long = 10L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val counts = df
+      .select((col(classCol) === targetClass).as("__tgt"),
+        explode(toks).as("term"))
+      .groupBy("term").agg(
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_target"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("n_rest"))
+    val totals = counts.agg(
+      sum(col("n_target")).as("__c"), sum(col("n_rest")).as("__d"))
+    def d(c: Column) = c.cast("double")
+    val a = d(col("n_target"))
+    val b = d(col("n_rest"))
+    val cT = d(col("__c"))
+    val dT = d(col("__d"))
+    val e1 = cT * (a + b) / (cT + dT)
+    val e2 = dT * (a + b) / (cT + dT)
+    val t1 = when(col("n_target") > 0L, round(a * log(a / e1), 10))
+      .otherwise(lit(0.0))
+    val t2 = when(col("n_rest") > 0L, round(b * log(b / e2), 10))
+      .otherwise(lit(0.0))
+    counts.crossJoin(broadcast(totals))
+      .filter(col("n_target") + col("n_rest") >= minCount)
+      .select(col("term"), col("n_target"), col("n_rest"),
+        round(lit(2.0) * (t1 + t2), 6).as("g2"),
+        (col("n_target").cast("decimal(19,0)") *
+          col("__d").cast("decimal(19,0)") >
+          col("n_rest").cast("decimal(19,0)") *
+            col("__c").cast("decimal(19,0)")).as("overused"),
+        when(col("n_target") > 0L && col("n_rest") > 0L,
+          round(log((a / cT) / (b / dT)), 6)).as("log_ratio"))
+  }
 }

@@ -223,6 +223,32 @@ object AnalyticsQueries {
           "a", "b", "event_type", b = 40)
         .orderBy("g")
     },
+    // G2 log-likelihood keyness of every term: src0 vs the rest of the
+    // corpus — the corpus-linguistics "what characterizes this source"
+    // readout; zero-count sides score via the 0·ln0 = 0 limit
+    "t_keyness_g2" -> { (s, d) =>
+      graft.ops.Retrieval.keynessG2(Tables.documents(s, d), "source",
+          graft.ops.TextAnalysis.tokens(col("text")), "src0",
+          minCount = 20L)
+        .orderBy("term")
+    },
+    // single change-point per event type over the daily value series:
+    // binary segmentation's one-split argmax on 9-dp-quantized gains,
+    // ties to the smallest split
+    "q_change_point" -> { (s, d) =>
+      graft.ops.Behavior.changePoint(Tables.events(s, d), "event_type",
+          "ts", "value", stepSeconds = 86400L, minSegment = 2)
+        .orderBy("g")
+    },
+    // multi-touch attribution: view/click/signup touches inside 3 days
+    // before each purchase, credited under the four standard models
+    "q_attribution" -> { (s, d) =>
+      graft.ops.Behavior.attributionCredit(Tables.events(s, d),
+          "user_id", "ts", "event_type", "event_id",
+          Seq("view", "click", "signup"), "purchase",
+          windowSeconds = 3L * 86400L)
+        .orderBy("channel")
+    },
     // Unicode script composition over documents with injected
     // Cyrillic/CJK/Greek tails — the mixed-script spoofing audit
     "t_script_mix" -> { (s, d) =>
@@ -1605,6 +1631,125 @@ object AnalyticsQueries {
         |    round(CAST(1 + n_ge AS DOUBLE)
         |      / CAST(b_used + 1 AS DOUBLE), 6) END AS p_perm
         |FROM ob LEFT JOIN ex ON ob.g = ex.g ORDER BY g""".stripMargin,
+    // G2 keyness re-derived: same exact term counts, the expected-count
+    // and a·ln(a/E) chains spelled with the operator's parenthesization,
+    // 10-dp addends before the one addition, HUGEINT cross-product for
+    // the overuse direction
+    "t_keyness_g2" ->
+      s"""WITH toks AS (SELECT (source = 'src0') AS tgt,
+        |    unnest($tokensSql) AS term FROM documents),
+        |c AS (SELECT term,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_target,
+        |    CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rest
+        |  FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_target) AS BIGINT) AS ct,
+        |    CAST(sum(n_rest) AS BIGINT) AS dt FROM c)
+        |SELECT term, n_target, n_rest,
+        |  round(2.0 * (
+        |    (CASE WHEN n_target > 0 THEN round(CAST(n_target AS DOUBLE)
+        |      * ln(CAST(n_target AS DOUBLE) / (CAST(ct AS DOUBLE)
+        |        * (CAST(n_target AS DOUBLE) + CAST(n_rest AS DOUBLE))
+        |        / (CAST(ct AS DOUBLE) + CAST(dt AS DOUBLE)))), 10)
+        |      ELSE 0.0 END)
+        |    + (CASE WHEN n_rest > 0 THEN round(CAST(n_rest AS DOUBLE)
+        |      * ln(CAST(n_rest AS DOUBLE) / (CAST(dt AS DOUBLE)
+        |        * (CAST(n_target AS DOUBLE) + CAST(n_rest AS DOUBLE))
+        |        / (CAST(ct AS DOUBLE) + CAST(dt AS DOUBLE)))), 10)
+        |      ELSE 0.0 END)), 6) AS g2,
+        |  CAST(n_target AS HUGEINT) * CAST(dt AS HUGEINT)
+        |    > CAST(n_rest AS HUGEINT) * CAST(ct AS HUGEINT) AS overused,
+        |  CASE WHEN n_target > 0 AND n_rest > 0 THEN
+        |    round(ln((CAST(n_target AS DOUBLE) / CAST(ct AS DOUBLE))
+        |      / (CAST(n_rest AS DOUBLE) / CAST(dt AS DOUBLE))), 6)
+        |    END AS log_ratio
+        |FROM c, t WHERE n_target + n_rest >= 20
+        |ORDER BY term""".stripMargin,
+    // change point re-derived: the q_holt dense grid, exact DECIMAL
+    // prefix sums, the operator's gain chain rounded at 9 dp before the
+    // (gain desc, i asc) pick, 6-dp renders
+    "q_change_point" ->
+      """WITH obs AS (SELECT event_type AS g,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400 AS b,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS vo
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT g, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT g, unnest(generate_series(lo, hi, 86400)) AS b
+        |  FROM span),
+        |ser AS (SELECT grid.g AS g, grid.b AS b,
+        |    coalesce(vo, CAST(0 AS DECIMAL(18,2))) AS x
+        |  FROM grid LEFT JOIN obs ON grid.g = obs.g AND grid.b = obs.b),
+        |idx AS (SELECT g, b, x,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY b) AS BIGINT)
+        |      AS i,
+        |    CAST(sum(x) OVER (PARTITION BY g ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS sk
+        |  FROM ser),
+        |tot AS (SELECT g, CAST(max(i) AS BIGINT) AS n_buckets,
+        |    CAST(sum(x) AS DECIMAL(38,2)) AS stot,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ss
+        |  FROM idx GROUP BY 1),
+        |cand AS (SELECT idx.g AS g, i, b, sk, n_buckets, stot,
+        |    round(CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)
+        |        / CAST(i AS DOUBLE)
+        |      + (CAST(stot AS DOUBLE) - CAST(sk AS DOUBLE))
+        |        * (CAST(stot AS DOUBLE) - CAST(sk AS DOUBLE))
+        |        / (CAST(n_buckets AS DOUBLE) - CAST(i AS DOUBLE))
+        |      - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+        |        / CAST(n_buckets AS DOUBLE), 9) AS g9
+        |  FROM idx JOIN tot ON idx.g = tot.g
+        |  WHERE i >= 2 AND i <= n_buckets - 2),
+        |best AS (SELECT * FROM (SELECT g, i, b, sk, g9,
+        |    row_number() OVER (PARTITION BY g ORDER BY g9 DESC, i ASC)
+        |      AS rn FROM cand) WHERE rn = 1)
+        |SELECT tot.g AS g, n_buckets,
+        |  best.b + 86400 AS split_b,
+        |  round(CAST(sk AS DOUBLE) / CAST(i AS DOUBLE), 6) AS mean_before,
+        |  round((CAST(stot AS DOUBLE) - CAST(sk AS DOUBLE))
+        |    / (CAST(n_buckets AS DOUBLE) - CAST(i AS DOUBLE)), 6)
+        |    AS mean_after,
+        |  round(g9, 6) AS gain,
+        |  CASE WHEN best.g IS NOT NULL AND CAST(ss AS DOUBLE)
+        |      - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+        |        / CAST(n_buckets AS DOUBLE) > 0.0 THEN
+        |    round(g9 / (CAST(ss AS DOUBLE)
+        |      - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+        |        / CAST(n_buckets AS DOUBLE)), 6) END AS score
+        |FROM tot LEFT JOIN best ON tot.g = best.g
+        |ORDER BY g""".stripMargin,
+    // attribution re-derived: same user-keyed path join and
+    // (user, conversion) window family, credits rounded at 9 dp and
+    // summed as exact DECIMAL(18,9) per channel
+    "q_attribution" ->
+      """WITH conv AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS cts, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id AS u, event_type AS channel,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tts, event_id AS tid
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |p AS (SELECT tch.u AS u, channel, tts, tid, cid
+        |  FROM tch JOIN conv ON tch.u = conv.u
+        |  WHERE tts < cts AND tts >= cts - 259200),
+        |r AS (SELECT u, channel, cid,
+        |    CAST(row_number() OVER (PARTITION BY u, cid
+        |      ORDER BY tts, tid) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY u, cid) AS BIGINT) AS k
+        |  FROM p)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(count(DISTINCT (u, cid)) AS BIGINT) AS n_conversions,
+        |  round(CAST(sum(CAST(round(CASE WHEN rk = 1 THEN 1.0 ELSE 0.0
+        |    END, 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS credit_first,
+        |  round(CAST(sum(CAST(round(CASE WHEN rk = k THEN 1.0 ELSE 0.0
+        |    END, 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS credit_last,
+        |  round(CAST(sum(CAST(round(1.0 / CAST(k AS DOUBLE), 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE), 6) AS credit_linear,
+        |  round(CAST(sum(CAST(round(CASE WHEN k = 1 THEN 1.0
+        |    WHEN k = 2 THEN 0.5
+        |    WHEN rk = 1 OR rk = k THEN 0.4
+        |    ELSE 0.2 / (CAST(k AS DOUBLE) - 2.0) END, 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE), 6) AS credit_position
+        |FROM r GROUP BY 1 ORDER BY channel""".stripMargin,
     // MI re-derived: round-9 shares, the p(a)p(b) product inside the ln
     // as one double expression, round-10 quantized terms, entropies off
     // the marginal frames, the compiled ln 2

@@ -1889,6 +1889,89 @@ class AnalyticsSpec extends SparkSpec {
     assert(r3.isNullAt(3) && r3.isNullAt(6))
   }
 
+  test("keynessG2: Dunning G2 against the in-test model, zero-side limit") {
+    import spark.implicits._
+    val df = Seq(("t", "a a b z z"), ("r", "a b b b"))
+      .toDF("cls", "text")
+    val out = Retrieval.keynessG2(df, "cls",
+        TextAnalysis.tokens(col("text")), "t", minCount = 1L)
+      .orderBy("term").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))).toMap
+    // in-test model with the operator's exact parenthesization
+    val (c, d) = (5.0, 4.0) // target tokens: a a b z z; rest: a b b b
+    def r10(x: Double) = math.rint(x * 1e10) / 1e10
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def g2(a: Long, b: Long): Double = {
+      val e1 = c * (a.toDouble + b.toDouble) / (c + d)
+      val e2 = d * (a.toDouble + b.toDouble) / (c + d)
+      val t1 = if (a > 0) r10(a.toDouble * math.log(a.toDouble / e1)) else 0.0
+      val t2 = if (b > 0) r10(b.toDouble * math.log(b.toDouble / e2)) else 0.0
+      r6(2.0 * (t1 + t2))
+    }
+    def lr(a: Long, b: Long) = r6(math.log((a / c) / (b / d)))
+    assert(out("a") == ((2L, 1L, g2(2, 1), true, lr(2, 1))))
+    assert(out("b") == ((1L, 3L, g2(1, 3), false, lr(1, 3))))
+    // target-only term: the 0·ln0=0 limit scores it, log_ratio null
+    val z = out("z")
+    assert(z._1 == 2L && z._2 == 0L && z._3 == g2(2, 0) && z._4)
+    assert(z._5.isNaN)
+  }
+
+  test("changePoint: clean level shift, score 1, short keys null") {
+    import spark.implicits._
+    val day = 86400L
+    val rows =
+      (0 until 6).map(i =>
+        ("shift", 1704067200L + i * day, if (i < 3) 1.0 else 5.0)) ++
+      Seq(("short", 1704067200L, 2.0), ("short", 1704067200L + day, 3.0))
+    val df = rows.toDF("g", "epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val out = Behavior.changePoint(df, "g", "ts", "value",
+        stepSeconds = day, minSegment = 2)
+      .orderBy("g").collect()
+    val shift = out.find(_.getString(0) == "shift").get
+    // [1,1,1,5,5,5]: split after k=3 — gain 9/3+225/3-324/6 = 24,
+    // sst = 78-54 = 24 -> score exactly 1
+    assert(shift.getLong(1) == 6L)
+    assert(shift.getLong(2) == 1704067200L + 3 * day) // right-seg start
+    assert(shift.getDouble(3) == 1.0 && shift.getDouble(4) == 5.0)
+    assert(shift.getDouble(5) == 24.0 && shift.getDouble(6) == 1.0)
+    val short = out.find(_.getString(0) == "short").get
+    // 2 buckets < 2*minSegment: no candidate -> null split columns
+    assert(short.getLong(1) == 2L)
+    assert(short.isNullAt(2) && short.isNullAt(5) && short.isNullAt(6))
+  }
+
+  test("attributionCredit: four models on hand paths, window exclusion") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view(100) click(200) view(300) -> purchase(400), k=3
+      (1L, 100L, "view", 11L), (1L, 200L, "click", 12L),
+      (1L, 300L, "view", 13L), (1L, 400L, "purchase", 14L),
+      // user 2: click(100) -> purchase(200), k=1
+      (2L, 100L, "click", 21L), (2L, 200L, "purchase", 22L),
+      // user 3: touch far outside the 1000s window
+      (3L, 100L, "view", 31L), (3L, 5000L, "purchase", 32L))
+      .toDF("user_id", "epoch", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val out = Behavior.attributionCredit(ev, "user_id", "ts",
+        "event_type", "event_id", Seq("view", "click"), "purchase",
+        windowSeconds = 1000L)
+      .orderBy("channel").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))).toMap
+    // view: touches 2 (both user 1), 1 conversion; first+last are the
+    // two view ends; linear 2/3; position 0.4+0.4
+    assert(out("view") == ((2L, 1L, 1.0, 1.0, 0.666667, 0.8)))
+    // click: user1 middle (0.2, 1/3) + user2 solo (1 everywhere)
+    assert(out("click") == ((2L, 2L, 1.0, 1.0, 1.333333, 1.2)))
+    assert(!out.contains("purchase"))
+    assert(out.size == 2) // user 3's out-of-window view earns nothing
+  }
+
   test("scriptMix: counts, priority ties, empty and no-script text") {
     import spark.implicits._
     val df = Seq(
