@@ -60,7 +60,10 @@ object ExplainAudit {
         "q_bh_fdr", "q_sprt", "q_perm_test", "t_script_mix",
         "t_zipf_fit", "t_term_burstiness", "q_ewma", "q_adamic_adar",
         "q_fk_audit", "q_best_split", "q_cuped", "q_path_trigrams",
-        "q_holt", "t_hll_overlap", "q_bootstrap_ci", "q_funnel_latency")
+        "q_holt", "t_hll_overlap", "q_bootstrap_ci", "q_funnel_latency",
+        // round-12 waves
+        "d_repeat_spans_any", "t_keyness_g2", "q_change_point",
+        "q_attribution", "q_chi2_test", "q_ess")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

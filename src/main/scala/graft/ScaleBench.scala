@@ -241,7 +241,10 @@ object ScaleBench {
     // broadcast totals), change point (dense series + bucket-domain
     // windows + struct argmax), multi-touch attribution (user-keyed
     // path join + (user,conversion) window family)
-    "t_keyness_g2", "q_change_point", "q_attribution")
+    "t_keyness_g2", "q_change_point", "q_attribution",
+    // round-12 third wave: chi2 independence (cell shuffle + marginal
+    // grid), Kish ESS (one map-combinable group aggregation)
+    "q_chi2_test", "q_ess")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -429,7 +432,9 @@ object ScaleBench {
     "d_repeat_spans_any" -> Set("documents"),
     "t_keyness_g2" -> Set("documents"),
     "q_change_point" -> Set("events"),
-    "q_attribution" -> Set("events"))
+    "q_attribution" -> Set("events"),
+    "q_chi2_test" -> Set("part"),
+    "q_ess" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

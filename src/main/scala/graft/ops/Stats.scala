@@ -1297,6 +1297,101 @@ object Stats {
           minDim.cast("double"))), 6)).as("v"))
   }
 
+  /** χ² INDEPENDENCE TEST per group with a Wilson–Hilferty p-value —
+    * the significance companion of [[cramersV]] (V reports association
+    * STRENGTH normalized to [0,1]; this reports whether the observed
+    * table is surprising under independence at all — V ≈ 0.1 can be
+    * decisive at n = 10⁶ and noise at n = 40): the same exact
+    * cell/marginal machinery yields χ² and df = (r−1)(c−1); the p comes
+    * from the Wilson–Hilferty cube-root normal approximation
+    *
+    *   z = ( (χ²/df)^⅓ − (1 − 2/(9df)) ) / √(2/(9df)),
+    *   p = P(χ²_df > χ²) ≈ P(Z > z)
+    *
+    * — elementary ops only (cbrt, sqrt — correctly-rounded IEEE in both
+    * engines), no incomplete gamma, |error| < 1e-3 for df ≥ 1 (the
+    * standard approximation; documented). The one-sided tail is the
+    * [[normalTwoSidedP]] A&S polynomial halved on the z ≥ 0 branch and
+    * complemented below: p = p₂/2 if z ≥ 0 else 1 − p₂/2, computed on
+    * the 9-dp-quantized p₂ so both engines quantize identically before
+    * the branch; 6-dp render. Degenerate tables (df = 0) emit null
+    * z/p. Shape: identical to [[cramersV]] — one cell shuffle,
+    * label-domain marginal grid, group-sized output. */
+  def chiSquareTest(df: DataFrame, aCol: String, bCol: String,
+      groupCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(groupCol).as("g"), col(aCol).cast("string").as("la"),
+        col(bCol).cast("string").as("lb"))
+      .groupBy("g", "la", "lb").agg(count(lit(1)).as("o"))
+    val margA = cells.groupBy("g", "la").agg(sum(col("o")).as("__ra"))
+    val margB = cells.groupBy("g", "lb").agg(sum(col("o")).as("__cb"))
+    val perG = cells.groupBy("g").agg(sum(col("o")).as("n"))
+    val grid = margA.join(margB, Seq("g")).join(perG, Seq("g"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("n").cast("double")
+    val o = coalesce(col("o"), lit(0L)).cast("double")
+    val chi2 = sum(round((o - e) * (o - e) / e, 10)
+      .cast("decimal(28,14)")).cast("double")
+    val stats = grid
+      .join(cells, Seq("g", "la", "lb"), "left")
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("la")).as("n_rows"),
+        countDistinct(col("lb")).as("n_cols"), chi2.as("__chi2"))
+      .withColumn("df",
+        (col("n_rows") - 1L) * (col("n_cols") - 1L))
+    val dfD = col("df").cast("double")
+    val z = (cbrt(col("__chi2") / dfD) -
+      (lit(1.0) - lit(2.0) / (lit(9.0) * dfD))) /
+      sqrt(lit(2.0) / (lit(9.0) * dfD))
+    val z9 = round(z, 9)
+    val p2 = normalTwoSidedP(col("__z9"))
+    stats
+      .withColumn("__z9", when(col("df") > 0L && col("n") > 0L, z9))
+      .select(col("g"), col("n"), col("n_rows"), col("n_cols"),
+        col("df"), round(col("__chi2"), 6).as("chi2"),
+        round(col("__z9"), 6).as("z_wh"),
+        when(col("__z9").isNotNull,
+          round(when(col("__z9") >= 0.0, p2 / lit(2.0))
+            .otherwise(lit(1.0) - p2 / lit(2.0)), 6)).as("p_value"))
+  }
+
+  /** EFFECTIVE SAMPLE SIZE and design effect of a WEIGHTED sample per
+    * group (Kish 1965) — the honesty metric every weighted pipeline
+    * (importance resampling L33, temperature mixing L37, survey-style
+    * reweighting) owes its consumers: n rows carrying unequal weights
+    * hold the statistical information of only
+    *
+    *   ESS = (Σw)² / Σw²   rows,   deff = n / ESS ≥ 1
+    *
+    * (equal weights ⇒ ESS = n, deff = 1; one dominant weight ⇒ ESS → 1).
+    * Exactness: weights quantize to DECIMAL(14,4); Σw and Σw² are exact
+    * DECIMAL sums (squares in DECIMAL(38,8)); ESS/deff are single
+    * fixed-parenthesization double chains, 6-dp renders. Null/negative
+    * weights drop (counted in `n_dropped`). ONE map-combinable group
+    * aggregation — no joins, no windows. */
+  def effectiveSampleSize(df: DataFrame, weightCol: String,
+      groupCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      col(weightCol).cast("decimal(14,4)").as("__w"))
+    val agg = base.groupBy("g").agg(
+      sum(when(col("__w").isNull || col("__w") <= 0, 1L).otherwise(0L))
+        .as("n_dropped"),
+      count(when(col("__w") > 0, lit(1))).as("n"),
+      sum(when(col("__w") > 0, col("__w"))).cast("decimal(38,4)")
+        .as("__sw"),
+      sum(when(col("__w") > 0,
+        (col("__w") * col("__w")).cast("decimal(38,8)")))
+        .cast("decimal(38,8)").as("__sw2"))
+    def d(c: Column) = c.cast("double")
+    val ess = d(col("__sw")) * d(col("__sw")) / d(col("__sw2"))
+    agg.select(col("g"), col("n"), col("n_dropped"),
+      round(d(col("__sw")), 6).as("sum_w"),
+      when(col("n") > 0L, round(ess, 6)).as("ess"),
+      when(col("n") > 0L, round(d(col("n")) / ess, 6)).as("deff"))
+  }
+
   /** Shared doubled-average-rank machinery over a two-class count frame:
     * per (group, value) class counts → cumulative count window over the
     * VALUE-DOMAIN summary frame (never raw rows) → 2·avgrank = 2·cum −

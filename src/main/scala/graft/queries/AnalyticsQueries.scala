@@ -49,6 +49,21 @@ object AnalyticsQueries {
           "p_brand")
         .orderBy("g")
     },
+    // chi-square independence test on the same label pair as
+    // q_cramers_v — strength (V) beside significance (Wilson-Hilferty
+    // cube-root normal p off the A&S tail)
+    "q_chi2_test" -> { (s, d) =>
+      graft.ops.Stats.chiSquareTest(Tables.part(s, d), "p_type",
+          "p_size", "p_brand")
+        .orderBy("g")
+    },
+    // Kish effective sample size of the value-weighted events per type
+    // — the honesty metric of every weighted pipeline
+    "q_ess" -> { (s, d) =>
+      graft.ops.Stats.effectiveSampleSize(Tables.events(s, d), "value",
+          "event_type")
+        .orderBy("g")
+    },
     // lag-k autocorrelation of the daily value series per event type —
     // Pearson over dense zero-filled pairs; the lag-7 spike IS the
     // weekly cycle q_seasonal_profile quantifies
@@ -2489,6 +2504,89 @@ object AnalyticsQueries {
         |    round(sqrt(chi2u / (CAST(n AS DOUBLE)
         |      * CAST(least(n_rows, n_cols) - 1 AS DOUBLE))), 6) END AS v
         |FROM st ORDER BY g""".stripMargin,
+    // chi2 test re-derived: the q_cramers_v cell machinery + the
+    // Wilson-Hilferty cube-root z (9-dp before the A&S tail), one-sided
+    // p off the halved two-sided polynomial
+    "q_chi2_test" ->
+      """WITH cells AS (SELECT p_brand AS g,
+        |    CAST(p_type AS VARCHAR) AS la,
+        |    CAST(p_size AS VARCHAR) AS lb,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM part
+        |  WHERE p_type IS NOT NULL AND p_size IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |ma AS (SELECT g, la, CAST(sum(o) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1, 2),
+        |mb AS (SELECT g, lb, CAST(sum(o) AS BIGINT) AS cb
+        |  FROM cells GROUP BY 1, 2),
+        |pg AS (SELECT g, CAST(sum(o) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |grid AS (SELECT ma.g AS g, la, lb, ra, cb, n
+        |  FROM ma JOIN mb ON ma.g = mb.g JOIN pg ON pg.g = ma.g),
+        |t AS (SELECT grid.g AS g, grid.la AS la, grid.lb AS lb, n,
+        |    CAST(round((coalesce(CAST(o AS DOUBLE), 0.0)
+        |        - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+        |          / CAST(n AS DOUBLE))
+        |      * (coalesce(CAST(o AS DOUBLE), 0.0)
+        |        - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+        |          / CAST(n AS DOUBLE))
+        |      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+        |          / CAST(n AS DOUBLE)), 10) AS DECIMAL(28,14)) AS term
+        |  FROM grid LEFT JOIN cells ON grid.g = cells.g
+        |    AND grid.la = cells.la AND grid.lb = cells.lb),
+        |st AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT la) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT lb) AS BIGINT) AS n_cols,
+        |    CAST(sum(term) AS DOUBLE) AS chi2u
+        |  FROM t GROUP BY g),
+        |zf AS (SELECT g, n, n_rows, n_cols,
+        |    (n_rows - 1) * (n_cols - 1) AS df, chi2u,
+        |    CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 AND n > 0 THEN
+        |      round((cbrt(chi2u / CAST((n_rows - 1) * (n_cols - 1)
+        |          AS DOUBLE))
+        |        - (1.0 - 2.0 / (9.0 * CAST((n_rows - 1) * (n_cols - 1)
+        |          AS DOUBLE))))
+        |        / sqrt(2.0 / (9.0 * CAST((n_rows - 1) * (n_cols - 1)
+        |          AS DOUBLE))), 9) END AS z9
+        |  FROM st),
+        |pf AS (SELECT g, n, n_rows, n_cols, df, chi2u, z9,
+        |    1.0 / (1.0 + 0.2316419 * abs(z9)) AS tt FROM zf)
+        |SELECT g, n, n_rows, n_cols, df, round(chi2u, 6) AS chi2,
+        |  round(z9, 6) AS z_wh,
+        |  CASE WHEN z9 IS NOT NULL THEN round(
+        |    CASE WHEN z9 >= 0.0 THEN
+        |      least(1.0, round(2.0 * (0.3989422804014327
+        |        * exp(abs(z9) * abs(z9) / (-2.0))
+        |        * (tt * (0.319381530 + tt * (-0.356563782
+        |          + tt * (1.781477937 + tt * (-1.821255978
+        |          + tt * 1.330274429)))))), 9)) / 2.0
+        |    ELSE 1.0 - least(1.0, round(2.0 * (0.3989422804014327
+        |        * exp(abs(z9) * abs(z9) / (-2.0))
+        |        * (tt * (0.319381530 + tt * (-0.356563782
+        |          + tt * (1.781477937 + tt * (-1.821255978
+        |          + tt * 1.330274429)))))), 9)) / 2.0
+        |    END, 6) END AS p_value
+        |FROM pf ORDER BY g""".stripMargin,
+    // ESS re-derived: exact DECIMAL weight sums (squares at (38,8)),
+    // the Kish chains as single double expressions
+    "q_ess" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(value AS DECIMAL(14,4)) AS w FROM events),
+        |a AS (SELECT g,
+        |    CAST(sum(CASE WHEN w IS NULL OR w <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dropped,
+        |    CAST(count(CASE WHEN w > 0 THEN 1 END) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN w > 0 THEN w END) AS DECIMAL(38,4)) AS sw,
+        |    CAST(sum(CASE WHEN w > 0 THEN CAST(w * w AS DECIMAL(38,8))
+        |      END) AS DECIMAL(38,8)) AS sw2
+        |  FROM b GROUP BY 1)
+        |SELECT g, n, n_dropped, round(CAST(sw AS DOUBLE), 6) AS sum_w,
+        |  CASE WHEN n > 0 THEN round(CAST(sw AS DOUBLE)
+        |    * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 6) END AS ess,
+        |  CASE WHEN n > 0 THEN round(CAST(n AS DOUBLE)
+        |    / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |      / CAST(sw2 AS DOUBLE)), 6) END AS deff
+        |FROM a ORDER BY g""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH m AS (SELECT source, count(*) AS n,
         |    CAST(sum(CAST(n_chars AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS s,

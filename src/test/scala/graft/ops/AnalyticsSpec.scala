@@ -1889,6 +1889,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(r3.isNullAt(3) && r3.isNullAt(6))
   }
 
+  test("chiSquareTest: independence vs perfect association, df=0 nulls") {
+    import spark.implicits._
+    val rows =
+      // g=ind: perfectly independent 2x2 (10 per cell) -> chi2 = 0
+      (1 to 10).flatMap(_ => Seq(("ind", "x", "u"), ("ind", "x", "v"),
+        ("ind", "y", "u"), ("ind", "y", "v"))) ++
+      // g=dep: perfect diagonal association -> chi2 = n = 40
+      (1 to 20).flatMap(_ => Seq(("dep", "x", "u"), ("dep", "y", "v"))) ++
+      // g=flat: single column level -> df = 0 -> null z/p
+      (1 to 5).map(_ => ("flat", "x", "u"))
+    val out = Stats.chiSquareTest(rows.toDF("g", "a", "b"), "a", "b", "g")
+      .orderBy("g").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val dep = out("dep")
+    assert(dep.getLong(4) == 1L && dep.getDouble(5) == 40.0)
+    assert(dep.getDouble(7) < 0.001) // decisive
+    val ind = out("ind")
+    assert(ind.getLong(4) == 1L && ind.getDouble(5) == 0.0)
+    // WH at the chi2=0 boundary: z = (0 - 7/9)/sqrt(2/9) -> p ~ 0.95
+    // (the documented approximation edge; true value 1)
+    assert(ind.getDouble(7) > 0.9)
+    val flat = out("flat")
+    assert(flat.getLong(4) == 0L && flat.isNullAt(6) && flat.isNullAt(7))
+  }
+
+  test("effectiveSampleSize: Kish identity, dropped weights") {
+    import spark.implicits._
+    val df = Seq(
+      ("eq", Some(1.0)), ("eq", Some(1.0)), ("eq", Some(1.0)),
+      ("eq", Some(1.0)),
+      ("sk", Some(3.0)), ("sk", Some(1.0)),
+      ("dr", Some(2.0)), ("dr", Some(0.0)), ("dr", None),
+      ("dr", Some(-1.0)))
+      .toDF("g", "w")
+    val out = Stats.effectiveSampleSize(df, "w", "g")
+      .orderBy("g").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("eq") == ((4L, 0L, 4.0, 4.0, 1.0)))
+    // (3+1)^2 / (9+1) = 1.6; deff = 2/1.6 = 1.25
+    assert(out("sk") == ((2L, 0L, 4.0, 1.6, 1.25)))
+    assert(out("dr") == ((1L, 3L, 2.0, 1.0, 1.0)))
+  }
+
   test("keynessG2: Dunning G2 against the in-test model, zero-side limit") {
     import spark.implicits._
     val df = Seq(("t", "a a b z z"), ("r", "a b b b"))
