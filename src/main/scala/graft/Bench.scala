@@ -98,7 +98,16 @@ object Bench {
       }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // Force FULL evaluation with a noop-sink write (the ScaleBench
+      // discipline): a count() action lets Catalyst eliminate
+      // row-preserving LEFT joins and prune computed columns, so an
+      // operator whose last step left-joins summary frames back onto a
+      // row-preserving spine (bootstrap CI, funnel latency since round
+      // 12) would time as a near-empty plan — round 12 measured
+      // q_bootstrap_ci at a phantom 0.5 s under count() vs 4.8 s real.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
