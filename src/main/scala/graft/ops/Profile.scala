@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
   * the multiple exact count-distincts via Expand — data replicated
   * #distinct-columns× through a single shuffle, the standard one-pass
   * profile); the per-column pivot happens on the single result row via
-  * an in-plan explode, no second scan. Exact distincts are the audit
-  * contract at profile time; a recurring 100 TB profile would swap
-  * count_distinct for the mergeable HLL sketch (L48) column by column.
+  * an in-plan explode, no second scan. The input is round-robin
+  * REBALANCED first: Expand amplifies every row ~#columns×, so an
+  * uneven file layout (one fat parquet split) turns into an
+  * #columns×-amplified straggler in the partial aggregation — round 12
+  * measured a 36 s max task at median 1.2 s on a 10× replicated
+  * layout; the rebalance (one extra narrow shuffle on a one-shot audit
+  * job) bounds every partial-agg task at volume/partitions. Exact
+  * distincts are the audit contract at profile time; a recurring
+  * 100 TB profile would swap count_distinct for the mergeable HLL
+  * sketch (L48) column by column.
   */
 object Profile {
 
@@ -39,7 +46,12 @@ object Profile {
         render(c)(min(col(c))).as(s"__mn_$c"),
         render(c)(max(col(c))).as(s"__mx_$c"))
     } :+ count(lit(1)).as("__n")
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val parts = try {
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    } catch {
+      case _: Throwable => df.sparkSession.sparkContext.defaultParallelism
+    }
+    val one = df.repartition(parts).agg(aggs.head, aggs.tail: _*)
     val stacked = one.select(explode(array(cols.map { c =>
       struct(lit(c).as("column"),
         lit(df.schema(c).dataType.simpleString).as("dtype"),

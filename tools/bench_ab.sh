@@ -35,6 +35,14 @@ git worktree remove --force "$WT" 2>/dev/null || true
 # set -e: a mid-script failure must not leak the worktree
 trap 'git worktree remove --force "$WT" 2>/dev/null || true' EXIT
 git worktree add --detach "$WT" "$PREV" >/dev/null
+# Run BOTH sides on the CURRENT measurement harness: Bench.scala is the
+# stopwatch, not the code under test. Round 12 switched it from count()
+# (which let Catalyst prune projection-only queries to metadata scans
+# and eliminate row-preserving left joins — under-measuring narrow
+# operators since round 1) to a noop-sink write; comparing a count-basis
+# prev against a noop-basis cur manufactures phantom 20-140x
+# "regressions" on exactly the queries count() never really ran.
+cp src/main/scala/graft/Bench.scala "$WT/src/main/scala/graft/Bench.scala"
 
 # Prefer the bench_full line (full per-query map; emitted since round
 # 11 — the driver-facing last line is compact and carries only the 20
