@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's "[success] Total time: ..." epilogue off stdout: the bench
+// driver parses the LAST line of `sbt runMain graft.Bench` output as
+// JSON, and the epilogue landed after the metrics line every round
+// (BENCH_r{1..12}.json all carry "parsed": null because of it).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

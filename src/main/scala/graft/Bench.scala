@@ -127,7 +127,7 @@ object Bench {
     // minima in BENCH_PREV.json — emitting its summary here makes
     // drift-vs-regression decidable from the bench artifact alone
     // (same box, same day, two commits).
-    val (prev, lfl, abCur) = try {
+    val (prev, lfl, abCur, abCommit) = try {
       val p = java.nio.file.Paths.get("BENCH_PREV.json")
       if (java.nio.file.Files.exists(p)) {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -151,27 +151,55 @@ object Bench {
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           case None => Map.empty[String, Double]
         }
-        (pc, block, cur)
-      } else ("", "", Map.empty[String, Double])
-    } catch { case _: Throwable => ("", "", Map.empty[String, Double]) }
-    // The LAST line is what the driver keeps (last 2000 chars of output),
-    // so it stays compact and parsable. Since round 12 the per-query
-    // numbers OF RECORD are the interleaved-A/B cur-side minima from
-    // BENCH_PREV.json whenever that artifact covers this tree's query
-    // set — the raw sequential totals of this (possibly contended) run
-    // ride along as a footnote only. Full maps: bench_full line (raw,
-    // this run) and BENCH_PREV.json (both A/B sides).
+        (pc, block, cur, f("cur_commit").filter(_ => f("cur_dirty")
+          .contains("false")))
+      } else ("", "", Map.empty[String, Double], None)
+    } catch {
+      case _: Throwable => ("", "", Map.empty[String, Double], None)
+    }
+    // BINDING CHECK (round-12 advice): the A/B artifact's cur side is a
+    // measurement of the tree AT cur_commit — adopting it as the numbers
+    // of record is only honest while no perf-affecting file has changed
+    // since. "Perf-affecting" = src/main + build.sbt, committed OR
+    // working-tree OR untracked; artifact-only commits (BENCH_*.json,
+    // VERDICT.md, tests) keep the binding. Any git failure → unbound.
+    def gitLines(cmd: String*): Option[Seq[String]] = try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().toList
+      if (proc.waitFor() == 0) Some(out) else None
+    } catch { case _: Throwable => None }
+    val abBound = abCommit.exists { c =>
+      val committedOrTree = gitLines("git", "diff", "--name-only", c,
+        "--", "src/main", "build.sbt")
+      val untracked = gitLines("git", "ls-files", "--others",
+        "--exclude-standard", "--", "src/main", "build.sbt")
+      committedOrTree.exists(_.isEmpty) && untracked.exists(_.isEmpty)
+    }
+    // The LAST line is the driver's artifact of record (json-parsed whole;
+    // its display tail keeps only the final 2000 chars, so the big
+    // "queries" map comes FIRST and the summary scalars come LAST). Since
+    // round 12 the per-query numbers of record are the interleaved-A/B
+    // cur-side minima from BENCH_PREV.json — adopted only while the
+    // artifact covers this tree's query set AND the binding check above
+    // holds; otherwise this run's raw sequential numbers stand.
     val abCovers = selected.keys.forall(abCur.contains)
     val (basis, ofRecord) =
-      if (abCovers) ("interleaved A/B cur-side min (BENCH_PREV.json)",
-        results.map { case (k, _) => k -> abCur(k) })
+      if (abCovers && abBound)
+        ("interleaved A/B cur-side min (BENCH_PREV.json)",
+          results.map { case (k, _) => k -> abCur(k) })
+      else if (abCovers)
+        ("raw sequential this run (BENCH_PREV.json present but src/main " +
+          "changed since its cur_commit)", results)
       else ("raw sequential this run (BENCH_PREV.json absent or stale)",
         results)
     val recTotal = ofRecord.map(_._2).sum
-    val slowest = ofRecord.sortBy(-_._2).take(20)
+    val recMap = ofRecord.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(recTotal)},"unit":"sec","n_queries":${results.size},"queries_basis":"$basis","queries_inline":"20 slowest only; full maps: bench_full line (raw) / BENCH_PREV.json (A/B)","queries":$slowest,"raw_sequential_total":${r3(total)},"sf":"$sfDir"$prev$lfl}""")
+    println(s"""{"metric":"total","queries":$recMap,"queries_basis":"$basis","n_queries":${results.size},"raw_sequential_total":${r3(total)},"sf":"$sfDir"$prev$lfl,"unit":"sec","value":${r3(recTotal)}}""")
     spark.stop()
   }
 }

@@ -158,7 +158,13 @@ object Linkage {
     * 100× the CC fixpoint iterated over 22M record pairs where 60k node
     * pairs suffice — measured 147 s → single-digit seconds). The
     * cluster label (min reachable node id = min reachable record id) is
-    * bit-identical to the record-level formulation. Then: node-pairs
+    * bit-identical to the record-level formulation — for every input
+    * BOTH formulations admit. Note the collapse also moves what
+    * `maxBlockSize` bounds: since round 12 it caps DISTINCT (block,
+    * string) nodes per block, not records — a block of 50k records
+    * with 900 distinct strings now runs (and is exactly the shape the
+    * collapse exists for), where the record-level formulation failed
+    * loudly. Size the guard to distinct-string cardinality. Then: node-pairs
     * fuzzy kernel, pairs-sized CC (pointer jumping, O(log d) rounds),
     * one (block, string) mapping join back onto records, one
     * entity-sized size aggregation. Records with a null block/string —

@@ -521,7 +521,12 @@ object Streaming extends Serializable {
       var base = prev.base
       var cur = prev.cur
       batch.foreach { case (_, s, v) =>
-        val k = v.toString
+        // normalize -0.0 → 0.0 before keying: Spark's groupBy normalizes
+        // negative zero, so the batch ECDF has ONE step point at 0.0 —
+        // a "-0.0" state key would split it and break the pinned
+        // batch==stream bit-identity (round-12 advice)
+        val vn = if (v == 0.0) 0.0 else v
+        val k = vn.toString
         if (s == baseLabel) base = base.updated(k, base.getOrElse(k, 0L) + 1L)
         else cur = cur.updated(k, cur.getOrElse(k, 0L) + 1L)
       }
@@ -706,7 +711,18 @@ object Streaming extends Serializable {
     * on a live monitor the current wall-clock bucket is always open).
     * Late buckets (≤ the last emitted) drop — a monitoring EWMA never
     * rewrites emitted history; gaps zero-fill exactly as the batch
-    * grid does. */
+    * grid does.
+    *
+    * CHANGE NOTE (round 12 → 13, per round-12 advice): before the
+    * open-bucket state, the maximal bucket emitted immediately (and its
+    * straddled tail was silently lost). Consumers running FINITE
+    * backfills under `Trigger.AvailableNow` now see one fewer row per
+    * key — the terminal run ends with each key's last bucket still
+    * open. For a terminal/backfill run that must flush it, append one
+    * sentinel row per key at `max(ts) + stepSeconds` (its bucket opens,
+    * closing the real last one) and drop the sentinel bucket from the
+    * sink; a live monitor needs nothing — wall-clock data closes every
+    * bucket eventually. */
   def ewmaStream(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType, keyCol: String,
       tsCol: String, valueCol: String, stepSeconds: Long, alpha: Double,

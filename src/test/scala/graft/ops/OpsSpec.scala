@@ -505,6 +505,14 @@ class OpsSpec extends SparkSpec {
       .withColumn("snap",
         when(unix_timestamp(col("ts")) < 1705363200L, lit("base"))
           .otherwise(lit("cur")))
+      // plant -0.0 AND 0.0 in both snapshots: the batch groupBy
+      // normalizes negative zero to one ECDF step point, so the stream's
+      // state keying must too (round-12 advice — "-0.0".toString made a
+      // second key and could shift ks_d)
+      .withColumn("value",
+        when(col("event_id") % 41 === 0, lit(-0.0))
+          .when(col("event_id") % 43 === 0, lit(0.0))
+          .otherwise(col("value")))
       .select("event_type", "snap", "value", "event_id")
     events.filter(col("event_id") % 2 === 0).write
       .mode("overwrite").parquet(src)

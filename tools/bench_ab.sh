@@ -71,8 +71,16 @@ B1=$(run_cur);  echo "B1(cur)  $B1"
 A2=$(run_prev); echo "A2(prev) $A2"
 B2=$(run_cur);  echo "B2(cur)  $B2"
 
+# cur-side provenance: graft.Bench adopts the A/B basis only while HEAD's
+# src/main+build.sbt are unchanged vs cur_commit (round-12 advice — a
+# perf-affecting edit after this run must drop the stale A/B numbers).
+CUR_DIRTY=false
+if [ -n "$(git status --porcelain -- src/main build.sbt)" ]; then
+  CUR_DIRTY=true
+fi
 A1="$A1" A2="$A2" B1="$B1" B2="$B2" \
   PREV_SHA="$(git rev-parse --short "$PREV")" SF_DIR="$SF_DIR" \
+  CUR_SHA="$(git rev-parse HEAD)" CUR_DIRTY="$CUR_DIRTY" \
   python3 <<'EOF'
 import json, os, datetime
 a1, a2 = (json.loads(os.environ[k])["queries"] for k in ("A1", "A2"))
@@ -84,6 +92,8 @@ at = sum(amin[q] for q in shared)
 bt = sum(bmin[q] for q in shared)
 doc = {
     "commit": os.environ["PREV_SHA"],
+    "cur_commit": os.environ["CUR_SHA"],
+    "cur_dirty": os.environ["CUR_DIRTY"] == "true",
     "total": round(sum(amin.values()), 3),
     "sf": os.environ["SF_DIR"],
     "at": datetime.datetime.now(datetime.timezone.utc)
