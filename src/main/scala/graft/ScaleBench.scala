@@ -126,6 +126,9 @@ object ScaleBench {
     // lead-window time-weighted average
     "d_prefix_jaccard", "q_profile_table", "q_group_topk",
     "q_time_weighted_avg",
+    // round-13: the HLL profile twin — the no-Expand recurring-profile
+    // plan whose register shuffle is constant-size at any scale
+    "q_profile_table_approx",
     // round-9 eleventh wave: composed entity resolution (pairs-sized CC
     // fixpoint over copy-disjoint brand blocks), 2-round label
     // propagation on the co-purchase graph, dense-grid histogram,
@@ -352,6 +355,7 @@ object ScaleBench {
     "q_fuzzy_match" -> Set("part"),
     "d_prefix_jaccard" -> Set("documents"),
     "q_profile_table" -> Set("lineitem"),
+    "q_profile_table_approx" -> Set("lineitem"),
     "q_group_topk" -> Set("orders"),
     "q_time_weighted_avg" -> Set("events"),
     "q_entity_resolution" -> Set("part"),

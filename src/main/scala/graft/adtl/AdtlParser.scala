@@ -460,6 +460,23 @@ final class AdtlParser private (
     def valid(a: String): Column = validIn(parsed, a)
     def nullIfEmpty(arr: Column): Column = when(size(arr) > 0, arr)
 
+    // Hoist the numeric-compare key for combined min/max attrs into ONE
+    // pre-aggregation projection: numKey and the allNumeric guard both
+    // need try_cast(cast-to-string, double), and as inline aggregate
+    // argument expressions it evaluated twice per row per attr.
+    val numAttrs = attrs.filter { a =>
+      val rule = rules(a)
+      aggregation == "applyCombinedType" &&
+        rule.isInstanceOf[Raw @unchecked] &&
+        (rule.asInstanceOf[Raw].get("combinedType").map(_.toString) match {
+          case Some(ct) => ct == "min" || ct == "max"
+          case None => false
+        })
+    }
+    val parsedNum = numAttrs.foldLeft(parsed) { (d, a) =>
+      d.withColumn(s"__gnum_$a", try_cast(col(a).cast("string"), "double"))
+    }
+
     val aggCols: Seq[Column] = attrs.map { a =>
       val rule = rules(a)
       val isCombined = rule.isInstanceOf[Raw @unchecked] &&
@@ -472,9 +489,9 @@ final class AdtlParser private (
           // numeric-aware cross-row min/max: numeric strings compare as
           // numbers (Python auto-cast), falling back to lexical when any
           // group value is non-numeric (e.g. ISO dates)
-          def numKey = when(valid(a), try_cast(col(a).cast("string"), "double"))
-          def allNumeric = min(when(valid(a),
-            try_cast(col(a).cast("string"), "double").isNotNull)) === true
+          def numKey = when(valid(a), col(s"__gnum_$a"))
+          def allNumeric =
+            min(when(valid(a), col(s"__gnum_$a").isNotNull)) === true
           ct match {
             case "min" =>
               when(allNumeric, min_by(v, numKey)).otherwise(min(v))
@@ -502,7 +519,7 @@ final class AdtlParser private (
       out.as(a)
     }
 
-    parsed.filter(valid(groupField))
+    parsedNum.filter(valid(groupField))
       .groupBy(col(groupField))
       .agg(aggCols.head, aggCols.tail: _*)
       .select((groupField +: attrs).map(col): _*)

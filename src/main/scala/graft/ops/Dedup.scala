@@ -200,15 +200,34 @@ object Dedup {
 
   /** Join candidate pairs to their packed gram sets and keep exact
     * Jaccard ≥ threshold. `grams` is (id, g: binary, nc: int); any extra
-    * columns on `pairs` (e.g. a blocking key) pass through. */
+    * columns on `pairs` (e.g. a blocking key) pass through.
+    *
+    * Width discipline (round-12 verdict item 3): the intersection kernel
+    * is CPU-DENSE per shuffled byte, so AQE's byte-targeted coalescing
+    * under-parallelizes the verify stage (measured at 100×: 25 uniform
+    * ~40 s tasks — balanced, but each task held 40 s of work). Both join
+    * sides are pre-partitioned on the join key to 8× the session shuffle
+    * width: the joins REUSE that partitioning (same exchange count and
+    * bytes as the plain plan — these are the shuffles the joins needed
+    * anyway), and user-numbered repartitions are exempt from AQE
+    * coalescing, so the kernel runs 8×-wider and max task drops
+    * volume/W. */
   private def verifyTail(pairs: DataFrame, grams: DataFrame,
       threshold: Double): DataFrame = {
     val spark = grams.sparkSession
+    val parts = try {
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    } catch { case _: Throwable => spark.sparkContext.defaultParallelism }
+    val w = parts * 8
     pairs
+      .repartition(w, col("id_a"))
       .join(grams.select(col("id").as("id_a"), col("g").as("g_a"),
-        col("nc").as("n_a")).hint("SHUFFLE_HASH"), "id_a")
+        col("nc").as("n_a")).repartition(w, col("id_a"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .repartition(w, col("id_b"))
       .join(grams.select(col("id").as("id_b"), col("g").as("g_b"),
-        col("nc").as("n_b")).hint("SHUFFLE_HASH"), "id_b")
+        col("nc").as("n_b")).repartition(w, col("id_b"))
+        .hint("SHUFFLE_HASH"), "id_b")
       .withColumn("inter", graft.functions.PackedLongs
         .intersectSize(spark, col("g_a"), col("g_b")).cast("double"))
       .withColumn("uni",

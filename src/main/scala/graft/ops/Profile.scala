@@ -61,4 +61,82 @@ object Profile {
     }: _*)).as("p"))
     stacked.select(col("p.*"))
   }
+
+  /** The RECURRING-profile twin of [[profileTable]] — same row-per-column
+    * data card, but `n_distinct` replaced by an HLL ESTIMATE
+    * (`n_distinct_est`, m = 64 registers, the [[Sketch.hllDistinct]]
+    * register/rho/linear-counting derivation on the md5 60-bit hash, so
+    * a SQL oracle replays the estimate bit-exactly). This is the profile
+    * to SCHEDULE at 100 TB: the exact variant's multi-count_distinct
+    * plans through one Expand — every row replicated ~#columns× through
+    * a single exchange carrying all distinct values — while here
+    *
+    *  - counts + min/max run in ONE plain aggregation (no distinct → no
+    *    Expand; partial aggs collapse map-side to one row per task);
+    *  - the per-column HLL runs over an in-plan (column, value) unpivot
+    *    whose groupBy(column, register) partial aggregation ALSO
+    *    collapses map-side — the shuffle moves at most #columns × 64
+    *    register rows per map task, kilobytes at any data size. The
+    *    unpivot amplifies rows #columns× in the MAP stage only (CPU,
+    *    not network), against the exact plan's amplified exchange.
+    *
+    * Values hash through the same deterministic string render min/max
+    * use (float/double via DECIMAL(28,6) — so two doubles equal at 6 dp
+    * count once; the documented audit tradeoff, beside the HLL's own
+    * ±1.04/√64 ≈ 13 % standard error, bound-pinned in ProfileSpec). An
+    * all-null column reports n_distinct_est = 0.0. */
+  def profileTableApprox(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val m = 64
+    val alpha = 0.709 // alpha_64, Flajolet et al. 2007 Fig. 3
+    val cols = df.columns.toSeq
+    def render(c: String) = df.schema(c).dataType match {
+      case DoubleType | FloatType =>
+        (x: org.apache.spark.sql.Column) => x.cast("decimal(28,6)").cast("string")
+      case _ => (x: org.apache.spark.sql.Column) => x.cast("string")
+    }
+    // pass A: counts + rendered min/max — one aggregation, NO Expand
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        render(c)(min(col(c))).as(s"__mn_$c"),
+        render(c)(max(col(c))).as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val base = one.select(explode(array(cols.map { c =>
+      struct(lit(c).as("column"),
+        lit(df.schema(c).dataType.simpleString).as("dtype"),
+        col("__n").as("n_rows"), col(s"__nn_$c").as("n_nonnull"),
+        col(s"__mn_$c").as("min_s"), col(s"__mx_$c").as("max_s"))
+    }: _*)).as("p")).select(col("p.*"))
+    // pass B: per-column HLL registers over the rendered values
+    val pairs = df
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("c"), render(c)(col(c)).as("v"))
+      }: _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"))
+      .filter(col("v").isNotNull)
+    val h = Pipeline.md5Long60(col("v"), "pf")
+    val suffix = shiftright(h, 6) // h >= 0: arithmetic shift == logical
+    val rho = when(suffix === 0, lit(55))
+      .otherwise(lit(55) - length(bin(suffix)))
+    val regs = pairs
+      .select(col("c"), pmod(h, lit(m.toLong)).as("reg"), rho.as("rho"))
+      .groupBy("c", "reg").agg(max(col("rho")).as("mrho"))
+    val p55 = 1L << 55
+    val agg0 = regs.groupBy("c").agg(
+      count(lit(1)).as("__present"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mrho AS INT))"))
+        .as("__sp"))
+    val present = coalesce(col("__present"), lit(0L))
+    val zeroRegs = (lit(m) - present).cast("long")
+    val s = coalesce(col("__sp"), lit(0L)) + zeroRegs * p55
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
+      lit(p55.toDouble) / s.cast("double")
+    val estCol = when(zeroRegs > 0 && raw <= lit(2.5 * m),
+        lit(m.toDouble) * log(lit(m.toDouble) / zeroRegs.cast("double")))
+      .otherwise(raw)
+    base.join(agg0.withColumnRenamed("c", "column"), Seq("column"), "left")
+      .select(col("column"), col("dtype"), col("n_rows"), col("n_nonnull"),
+        round(estCol, 6).as("n_distinct_est"), col("min_s"), col("max_s"))
+  }
 }

@@ -1869,7 +1869,10 @@ object Stats {
     * squares); 6-dp renders. All-zero-weight replicates drop (counted
     * in b_used). Shape: the replicate explosion map-combines to
     * (group, rep) cells before the ONE shuffle — work deliberately
-    * linear·b.
+    * linear·b — and the unweighted n/mean ride the SAME scan as a
+    * sentinel replicate (weight 1 per row), so the source is read once;
+    * the CI picks, SE moments and n/mean all re-read the one reused
+    * cell exchange.
     *
     * Hash economics: one md5 serves SIX replicates — the 60-bit value
     * slices into six 10-bit uniforms u = (slice + 0.5)/1024 (replicate
@@ -1885,11 +1888,6 @@ object Stats {
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(idCol).cast("string").as("id"),
         col(valueCol).cast("decimal(14,2)").as("v"))
-    val full = base.groupBy("g").agg(count(lit(1)).as("n"),
-      sum(col("v")).cast("decimal(38,2)").as("__s"))
-      .select(col("g"), col("n"),
-        round(col("__s").cast("double") / col("n").cast("double"), 6)
-          .as("mean"))
     val slice = (0 to 5).foldLeft(lit(0L)) { (acc, j) =>
       when(col("__j") === j,
         pmod(shiftright(col("__hv"), 10 * j), lit(1024L))).otherwise(acc)
@@ -1899,21 +1897,33 @@ object Stats {
       case ((t, i), acc) => when(u < lit(t), lit(i.toLong)).otherwise(acc)
     }
     val nHashes = (b + 5) / 6
-    val reps = base
+    // ONE scan for replicates AND the unweighted n/mean: hash index -1 is
+    // the SENTINEL replicate (__r = -6, weight exactly 1 per row, no md5)
+    // whose cell IS the full-sample aggregate — folding what was a second
+    // base scan + groupBy into the same (g, replicate) exchange (the
+    // round-12 A/B regression: the degenerate-group left-join surface
+    // re-derived n/mean from a separate scan of the source).
+    val cells = base
       .select(col("g"), col("id"), col("v"),
-        explode(sequence(lit(0), lit(nHashes - 1))).as("__h"))
-      .withColumn("__hv", graft.ops.Pipeline.md5Long60(
+        explode(sequence(lit(-1), lit(nHashes - 1))).as("__h"))
+      .withColumn("__hv", when(col("__h") >= 0, graft.ops.Pipeline.md5Long60(
         concat(col("id"), lit("#"), col("__h").cast("string")), salt))
+        .otherwise(lit(0L)))
       .select(col("g"), col("v"), col("__h"), col("__hv"),
         explode(sequence(lit(0), lit(5))).as("__j"))
       .withColumn("__r", col("__h") * 6 + col("__j"))
-      .filter(col("__r") < b)
+      .filter(col("__r") === -6 || (col("__r") >= 0 && col("__r") < b))
       .withColumn("__slice", slice)
-      .withColumn("__k", k)
+      .withColumn("__k", when(col("__r") === -6, lit(1L)).otherwise(k))
       .groupBy("g", "__r")
       .agg(sum(col("__k")).as("__sw"),
         sum(col("__k").cast("decimal(19,0)") * col("v"))
           .cast("decimal(38,2)").as("__swv"))
+    val full = cells.filter(col("__r") === -6)
+      .select(col("g"), col("__sw").as("n"),
+        round(col("__swv").cast("double") / col("__sw").cast("double"), 6)
+          .as("mean"))
+    val reps = cells.filter(col("__r") >= 0)
       .withColumn("__m", when(col("__sw") > 0L,
         round(col("__swv").cast("double") / col("__sw").cast("double"),
           9)))
@@ -1940,8 +1950,10 @@ object Stats {
     // LEFT joins: a group whose every replicate degenerates (all-zero
     // weights — plausible for 1–2 row groups) must still surface with
     // its n/mean and b_used = 0, null CI — not vanish from the output.
+    // Every join side derives from the ONE (g, replicate) exchange
+    // (reused), and the summary frames are group-sized → broadcast.
     full
-      .join(se, Seq("g"), "left")
+      .join(broadcast(se), Seq("g"), "left")
       .join(broadcast(pick(0.025, "boot_lo")), Seq("g"), "left")
       .join(broadcast(pick(0.975, "boot_hi")), Seq("g"), "left")
       .select(col("g"), col("n"), col("mean"),

@@ -526,6 +526,13 @@ object AnalyticsQueries {
       graft.ops.Profile.profileTable(Tables.lineitem(s, d))
         .orderBy("column")
     },
+    // the RECURRING-profile twin: n_distinct via the md5 64-register HLL
+    // (oracle replays the estimate bit-exactly) — no Expand, the per-
+    // column register shuffle collapses map-side to ≤ #cols×64 rows
+    "q_profile_table_approx" -> { (s, d) =>
+      graft.ops.Profile.profileTableApprox(Tables.lineitem(s, d))
+        .orderBy("column")
+    },
     // grouped top-k WITHOUT a per-group sort: O(k)-state map-combinable
     // top-k aggregation (TopKStructAgg) — top-3 orders per customer
     "q_group_topk" -> { (s, d) =>
@@ -2715,6 +2722,42 @@ object AnalyticsQueries {
           else s"CAST(max($c) AS VARCHAR)"
         s"""SELECT '$c' AS "column", '$t' AS dtype, count(*) AS n_rows,
           |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+          |  $mn AS min_s, $mx AS max_s FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    // the HLL profile: each column's estimate replayed from the identical
+    // md5-Horner hash / register-max / integer harmonic sum / linear-
+    // counting ladder (the t_hll_distinct discipline, per column)
+    "q_profile_table_approx" -> {
+      val cols = Seq(
+        ("l_orderkey", "bigint", false), ("l_partkey", "bigint", false),
+        ("l_suppkey", "bigint", false), ("l_linenumber", "int", false),
+        ("l_quantity", "double", true), ("l_extendedprice", "double", true),
+        ("l_discount", "double", true), ("l_tax", "double", true),
+        ("l_returnflag", "string", false), ("l_linestatus", "string", false),
+        ("l_shipdate", "timestamp_ntz", false))
+      def est(c: String, dbl: Boolean): String = {
+        val rend = if (dbl) s"CAST(CAST($c AS DECIMAL(28,6)) AS VARCHAR)"
+          else s"CAST($c AS VARCHAR)"
+        s"""(SELECT ROUND(CASE WHEN (64 - count(*)) > 0
+          |      AND 0.709e0 * 64e0 * 64e0 * 36028797018963968e0 /
+          |        CAST(COALESCE(sum((CAST(1 AS BIGINT) << CAST(55 - mrho AS INT))), 0) + (64 - count(*)) * 36028797018963968 AS DOUBLE) <= 160e0
+          |    THEN 64e0 * ln(64e0 / CAST(64 - count(*) AS DOUBLE))
+          |    ELSE 0.709e0 * 64e0 * 64e0 * 36028797018963968e0 /
+          |      CAST(COALESCE(sum((CAST(1 AS BIGINT) << CAST(55 - mrho AS INT))), 0) + (64 - count(*)) * 36028797018963968 AS DOUBLE) END, 6)
+          |  FROM (SELECT hv % 64 AS reg,
+          |      max(CASE WHEN hv // 64 = 0 THEN 55
+          |        ELSE 55 - len(bin(hv // 64)) END) AS mrho
+          |    FROM (SELECT ${md5HornerSql(s"'pf:' || $rend")} AS hv
+          |      FROM lineitem WHERE $c IS NOT NULL) GROUP BY 1))""".stripMargin
+      }
+      cols.map { case (c, t, dbl) =>
+        val mn = if (dbl) s"CAST(CAST(min($c) AS DECIMAL(28,6)) AS VARCHAR)"
+          else s"CAST(min($c) AS VARCHAR)"
+        val mx = if (dbl) s"CAST(CAST(max($c) AS DECIMAL(28,6)) AS VARCHAR)"
+          else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS "column", '$t' AS dtype, count(*) AS n_rows,
+          |  count($c) AS n_nonnull, ${est(c, dbl)} AS n_distinct_est,
           |  $mn AS min_s, $mx AS max_s FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },

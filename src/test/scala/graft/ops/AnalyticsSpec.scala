@@ -292,6 +292,36 @@ class AnalyticsSpec extends SparkSpec {
       ("s", "string", 3L, 2L, 2L, "x", "y")))
   }
 
+  test("profileTableApprox: HLL estimate within bound, exact base columns, all-null = 0") {
+    import spark.implicits._
+    // 5000 ids (distinct), a 7-value categorical, a half-null double with
+    // 50 distinct 6-dp renders, and an all-null string column
+    val df = spark.range(0L, 5000L).select(
+      col("id"),
+      concat(lit("c"), (col("id") % 7).cast("string")).as("cat"),
+      when(col("id") % 2 === 0, (col("id") % 50).cast("double") / 4.0)
+        .as("d"),
+      lit(null).cast("string").as("z"))
+    val approx = Profile.profileTableApprox(df).orderBy("column").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Profile.profileTable(df).orderBy("column").collect()
+      .map(r => r.getString(0) -> r).toMap
+    Seq("cat", "d", "id", "z").foreach { c =>
+      val (a, e) = (approx(c), exact(c))
+      // identical base card: dtype, n_rows, n_nonnull, min_s, max_s
+      assert(a.getString(1) == e.getString(1) &&
+        a.getLong(2) == e.getLong(2) && a.getLong(3) == e.getLong(3) &&
+        a.getString(5) == e.getString(5) && a.getString(6) == e.getString(6),
+        s"base card mismatch for $c")
+      val est = a.getDouble(4)
+      val ex = e.getLong(4).toDouble
+      if (ex == 0.0) assert(est == 0.0, s"all-null $c must estimate 0")
+      // m = 64 registers: ±1.04/√64 ≈ 13% standard error; pin 3σ ≈ 40%
+      else assert(math.abs(est - ex) / ex <= 0.4,
+        s"$c: est $est vs exact $ex beyond 40% bound")
+    }
+  }
+
   test("timeWeightedAvg: interval weights, last-observation zero, singleton null") {
     val ev = tsEvents(
       // u1: 10.0 holds 60s, 20.0 holds 30s, 40.0 terminal (weight 0)
