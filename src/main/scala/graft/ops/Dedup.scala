@@ -212,13 +212,20 @@ object Dedup {
     * anyway), and user-numbered repartitions are exempt from AQE
     * coalescing, so the kernel runs 8×-wider and max task drops
     * volume/W. */
-  private def verifyTail(pairs: DataFrame, grams: DataFrame,
-      threshold: Double): DataFrame = {
-    val spark = grams.sparkSession
+  /** CPU-dense-stage width: 8× the session shuffle width — the explicit
+    * (AQE-exempt) partition count for stages whose cost is compute per
+    * row, not bytes (packed-set intersection, gram-hash pack builds). */
+  private def verifyWidth(spark: org.apache.spark.sql.SparkSession): Int = {
     val parts = try {
       spark.conf.get("spark.sql.shuffle.partitions").toInt
     } catch { case _: Throwable => spark.sparkContext.defaultParallelism }
-    val w = parts * 8
+    parts * 8
+  }
+
+  private def verifyTail(pairs: DataFrame, grams: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = grams.sparkSession
+    val w = verifyWidth(spark)
     pairs
       .repartition(w, col("id_a"))
       .join(grams.select(col("id").as("id_a"), col("g").as("g_a"),
@@ -783,7 +790,12 @@ object Dedup {
       gramHashes: Column, pairs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
-    val grams = df.select(col(idCol).as("id"),
+    // rebalance the doc side BEFORE the gram-hash/pack kernel: the packed
+    // set build is gram-explode CPU bound to the parquet split count
+    // otherwise (100×: 25 uniform ~57 s scan tasks while 256 verify tasks
+    // idled); one narrow doc shuffle bounds it at volume/width
+    val grams = df.repartition(verifyWidth(spark), col(idCol))
+      .select(col(idCol).as("id"),
         graft.functions.PackedLongs.packSortedSet(spark, gramHashes).as("g"))
       .withColumn("nc", (length(col("g")) / 8).cast("int"))
     verifyTail(pairs.select(col("id_a"), col("id_b")), grams, threshold)
@@ -819,12 +831,34 @@ object Dedup {
       maxPrefixDf: Int = 5000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val base = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), n)).as("gs"))
-    val toks = base.select(col("id"), explode(col("gs")).as("g"))
+    // rebalance raw docs BEFORE the shingle transform + explode: the
+    // gram build is CPU bound to the parquet split count otherwise
+    // (100×: two 25-task scan stages at ~55 s/task owned the runtime);
+    // the narrow doc shuffle is kilobytes-per-row against gram CPU
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__txt"))
+      .repartition(verifyWidth(df.sparkSession), col("id"))
+      .select(col("id"), array_distinct(shingles(col("__txt"), n)).as("gs"))
+    // explode_OUTER + post-filter, NOT explode: an inner explode makes
+    // InferFiltersFromGenerate add `size(gs) > 0 AND isnotnull(gs)`,
+    // and predicate pushdown drags that — with the whole shingle
+    // expression inlined — below the rebalance to the scan side,
+    // recomputing every doc's grams in the 25-split stage the rebalance
+    // exists to relieve (measured: 2× ~600 task-seconds at 100×).
+    // Outer explode infers nothing; shingles() never yields an empty
+    // array (the short-text branch emits one joined-tokens gram), so
+    // the null-row filter is the only semantic difference and drops
+    // nothing real.
+    val toks = base.select(col("id"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
     val dfc = toks.groupBy("g").agg(count(lit(1)).as("gdf"))
     val ranked = toks.join(dfc.hint("SHUFFLE_HASH"), Seq("g"))
-    val perDoc = ranked.groupBy("id")
+    // same width discipline for the per-doc prefix sort: the final
+    // collect+sort_array is CPU-dense per byte, so pre-partition by id at
+    // verify width (replaces the aggregation's own exchange, exempt from
+    // AQE byte-coalescing) — measured 15.6 s max task at 32-wide, 100×
+    val perDoc = ranked
+      .repartition(verifyWidth(df.sparkSession), col("id"))
+      .groupBy("id")
       .agg(sort_array(collect_list(struct(col("gdf"), col("g")))).as("st"),
         count(lit(1)).as("nset"))
     val plen = (col("nset") -
@@ -1068,6 +1102,36 @@ object Dedup {
     * where the n-gram STRING shuffle payload dominates, pre-hash the gram
     * (xxhash64) at the standard collision-rate cost; this exact form is
     * the oracle-pinnable default. */
+  /** Shared tail of the span-dedup family: per doc, the sorted window
+    * positions of every occurrence of a gram seen `minOccurrences`+
+    * times corpus-wide, EXCEPT each gram's globally-first (doc, pos)
+    * keeper (min of the (id, pos) struct is lexicographic — "first doc,
+    * then first position").
+    *
+    * COUNT-FIRST shape (round 13): the occurrence count is a plain
+    * map-combinable HASH aggregation. Folding the keeper into that same
+    * aggregate — min(struct) — has an immutable buffer, which forced the
+    * whole partial aggregation sort-based: a map-side SORT of EVERY
+    * exploded gram window (measured at 100×: the training-mix
+    * flagship's costliest stage, ~254 task-seconds, was exactly this
+    * SortAggregate over the scan). Now the keeper is a window-min over
+    * only the DUPLICATED occurrences, evaluated on the count-join
+    * output's existing gram partitioning — no extra exchange, and the
+    * sort shrinks from every window to the duplicated tail. */
+  private def removedOccurrences(wins: DataFrame,
+      minOccurrences: Int): DataFrame = {
+    val occCnt = wins.groupBy("__g").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minOccurrences)
+    val keep = min(struct(col("__id").as("kid"), col("__pos").as("kpos")))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__g")))
+    wins.join(occCnt.hint("SHUFFLE_HASH"), "__g")
+      .withColumn("__keep", keep)
+      .filter(col("__id") =!= col("__keep.kid") ||
+        col("__pos") =!= col("__keep.kpos"))
+      .groupBy("__id")
+      .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+  }
+
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minOccurrences: Int = 2): DataFrame = {
     require(n >= 2, s"span length n must be >= 2, got $n")
@@ -1082,20 +1146,7 @@ object Dedup {
         transform(sequence(lit(0), size(col("__t")) - n), i =>
           array_join(slice(col("__t"), i + 1, lit(n)), " "))))
       .toDF("__id", "__pos", "__g")
-    // per gram: occurrence count + globally-first occurrence. min of an
-    // (id, pos) struct is lexicographic — exactly "first doc, then first
-    // position"; both aggregates combine map-side.
-    val occ = wins.groupBy("__g").agg(
-      count(lit(1)).as("__cnt"),
-      min(struct(col("__id").as("kid"), col("__pos").as("kpos"))).as("__keep"))
-      .filter(col("__cnt") >= minOccurrences)
-    // every duplicated occurrence EXCEPT its keeper → its doc's removed
-    // span starts (one aggregation keyed on doc id)
-    val removed = wins.join(occ, "__g")
-      .filter(col("__id") =!= col("__keep.kid") ||
-        col("__pos") =!= col("__keep.kpos"))
-      .groupBy("__id")
-      .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    val removed = removedOccurrences(wins, minOccurrences)
     // reassembly: token i survives unless some removed span [s, s+n)
     // covers it; one narrow projection, spans stay a per-doc array
     base.join(removed, Seq("__id"), "left")
@@ -1154,15 +1205,7 @@ object Dedup {
         transform(sequence(lit(0), size(col("__t")) - n), i =>
           array_join(slice(col("__t"), i + 1, lit(n)), " "))))
       .toDF("__id", "__pos", "__g")
-    val occ = wins.groupBy("__g").agg(
-      count(lit(1)).as("__cnt"),
-      min(struct(col("__id").as("kid"), col("__pos").as("kpos"))).as("__keep"))
-      .filter(col("__cnt") >= minOccurrences)
-    val removed = wins.join(occ, "__g")
-      .filter(col("__id") =!= col("__keep.kid") ||
-        col("__pos") =!= col("__keep.kpos"))
-      .groupBy("__id")
-      .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    val removed = removedOccurrences(wins, minOccurrences)
     // maximal intervals: fold the sorted starts; window [s, s+n) merges
     // into the open interval whenever s ≤ ce (s == ce is ADJACENCY —
     // contiguous coverage, one maximal repeat). Spans render inclusive.
