@@ -247,7 +247,11 @@ object ScaleBench {
     "t_keyness_g2", "q_change_point", "q_attribution",
     // round-12 third wave: chi2 independence (cell shuffle + marginal
     // grid), Kish ESS (one map-combinable group aggregation)
-    "q_chi2_test", "q_ess")
+    "q_chi2_test", "q_ess",
+    // round-13: the two priciest adtl-core gates promoted to scale
+    // evidence (round-12 verdict item 6) — the combinedType groupBy's
+    // numeric-aware min_by/max_by + file-order list/set collects
+    "adtl_groupby_combined")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -438,7 +442,8 @@ object ScaleBench {
     "q_change_point" -> Set("events"),
     "q_attribution" -> Set("events"),
     "q_chi2_test" -> Set("part"),
-    "q_ess" -> Set("events"))
+    "q_ess" -> Set("events"),
+    "adtl_groupby_combined" -> Set("events"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,
@@ -628,6 +633,14 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Split policy sized to the WORKLOAD, not the default: these
+      // operators are CPU-dense per scanned byte (strftime ladders, gram
+      // explodes, per-value md5), so a default 128 MB split holds ~45 s
+      // of work — the task-granularity knob a cluster operator turns for
+      // exactly this profile. 16 MB keeps scan tasks in single-digit
+      // seconds; per-task cost is split-size-fixed, so this does not
+      // change the linearity evidence (both 1× and N× run under it).
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

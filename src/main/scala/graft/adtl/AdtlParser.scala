@@ -519,7 +519,20 @@ final class AdtlParser private (
       out.as(a)
     }
 
+    // Width pin: the final aggregation's cost is collect+sort/dedupe CPU
+    // per group, not shuffled bytes, so AQE's byte-target coalescing
+    // under-parallelizes it (100×: 32 uniform ~48 s tasks). An explicit
+    // group-key repartition at 8× session width replaces the
+    // aggregation's own exchange (AQE-exempt) — trading the map-side
+    // combine (collect partials carry every element anyway, so the
+    // shuffle volume is ~unchanged) for a width-bounded final stage.
+    val parts = try {
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    } catch {
+      case _: Throwable => df.sparkSession.sparkContext.defaultParallelism
+    }
     parsedNum.filter(valid(groupField))
+      .repartition(parts * 8, col(groupField))
       .groupBy(col(groupField))
       .agg(aggCols.head, aggCols.tail: _*)
       .select((groupField +: attrs).map(col): _*)

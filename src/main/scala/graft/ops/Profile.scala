@@ -51,7 +51,11 @@ object Profile {
     } catch {
       case _: Throwable => df.sparkSession.sparkContext.defaultParallelism
     }
-    val one = df.repartition(parts).agg(aggs.head, aggs.tail: _*)
+    // 16×: Expand amplifies every row ~4·#columns× INSIDE the partial
+    // aggregation, so the per-task CPU budget is width-divided amplified
+    // volume — at session width the 100× audit held a 144 s task; the
+    // extra scheduling on a one-shot audit job is noise
+    val one = df.repartition(parts * 16).agg(aggs.head, aggs.tail: _*)
     val stacked = one.select(explode(array(cols.map { c =>
       struct(lit(c).as("column"),
         lit(df.schema(c).dataType.simpleString).as("dtype"),
@@ -108,8 +112,16 @@ object Profile {
         col("__n").as("n_rows"), col(s"__nn_$c").as("n_nonnull"),
         col(s"__mn_$c").as("min_s"), col(s"__mx_$c").as("max_s"))
     }: _*)).as("p")).select(col("p.*"))
-    // pass B: per-column HLL registers over the rendered values
-    val pairs = df
+    // pass B: per-column HLL registers over the rendered values. Same
+    // rebalance rationale as the exact profile at 8×: the unpivot
+    // amplifies #columns× and every value pays an md5 — CPU per scanned
+    // byte far above the split policy's budget
+    val partsB = try {
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    } catch {
+      case _: Throwable => df.sparkSession.sparkContext.defaultParallelism
+    }
+    val pairs = df.repartition(partsB * 8)
       .select(explode(array(cols.map { c =>
         struct(lit(c).as("c"), render(c)(col(c)).as("v"))
       }: _*)).as("p"))

@@ -44,12 +44,14 @@ print(f"staleness guard OK: all {len(heavies)} heavies present")
 PYEOF
 
 # 100x flagships: the eight prior flagships + the lossless prefix-filter
-# join, the composed entity resolution, and (round 11) the two priciest
-# summary-window stats — Kaplan-Meier and Spearman, whose value-domain
-# frames can approach row counts on continuous values
+# join, the composed entity resolution, (round 11) the two priciest
+# summary-window stats — Kaplan-Meier and Spearman — and (round 13, per
+# the round-12 verdict) the two priciest adtl-core gates plus both table
+# profiles: the exact Expand audit and its no-Expand HLL twin
 FLAGS="d_lsh_jaccard_verify s_ivf_topk t_winnow_overlap s_ivfpq_topk \
 q_training_mix q_quality_pipeline q_apply_changes s_knn_graph \
-d_prefix_jaccard q_entity_resolution q_kaplan_meier q_spearman"
+d_prefix_jaccard q_entity_resolution q_kaplan_meier q_spearman \
+q_profile_table q_profile_table_approx adtl_groupby_combined"
 sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_f1 1 $FLAGS" 2>&1 \
   | grep -o '{"metric".*}' | tail -1 > /tmp/sc_f1.json
 sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_sf10 100 $FLAGS" 2>&1 \
@@ -57,6 +59,6 @@ sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_sf10 100 $FLAGS" 2>&1 \
 
 python3 tools/assemble_scale.py sf10 /tmp/sc_f1.json /tmp/sc_f100.json \
   "BENCH_${TAG}_sf10.json" \
-  "graft.ScaleBench - sf0.1 replicated 100x, twelve flagships: the ten prior flagships plus the Kaplan-Meier and Spearman summary-window stats"
+  "graft.ScaleBench - sf0.1 replicated 100x, fifteen flagships: the twelve prior plus both table profiles (exact Expand audit + HLL twin) and the combinedType groupBy"
 
 echo "== artifacts written: BENCH_${TAG}_sf1.json BENCH_${TAG}_sf10.json"
