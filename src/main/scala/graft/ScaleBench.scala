@@ -251,7 +251,11 @@ object ScaleBench {
     // round-13: the two priciest adtl-core gates promoted to scale
     // evidence (round-12 verdict item 6) — the combinedType groupBy's
     // numeric-aware min_by/max_by + file-order list/set collects
-    "adtl_groupby_combined")
+    "adtl_groupby_combined",
+    // round-13 second wave: gap sessionization (bucket-stitched flags +
+    // per-user prefix sum), Good-Turing/Chao1 coverage (one token-count
+    // shuffle), embedding centroid drift (one cell shuffle)
+    "q_sessionize", "t_vocab_coverage", "s_centroid_drift")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -443,7 +447,10 @@ object ScaleBench {
     "q_attribution" -> Set("events"),
     "q_chi2_test" -> Set("part"),
     "q_ess" -> Set("events"),
-    "adtl_groupby_combined" -> Set("events"))
+    "adtl_groupby_combined" -> Set("events"),
+    "q_sessionize" -> Set("events"),
+    "t_vocab_coverage" -> Set("documents"),
+    "s_centroid_drift" -> Set("embeddings"))
 
   /** Per-copy affine substitution cipher: i → a·i+b (mod 26), a drawn from
     * the 12 units mod 26 by k/26, b = k mod 26. Injective per copy,

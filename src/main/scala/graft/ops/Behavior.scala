@@ -58,6 +58,74 @@ object Behavior {
       .flatten
   }
 
+  /** GAP-BASED SESSIONIZATION — the atomization step every behavioral
+    * metric downstream assumes (funnels per session, session length
+    * distributions, engagement windows): a user's events ordered by
+    * (ts, tie) split into sessions wherever the gap to the previous
+    * event exceeds `gapSeconds`; output is one row per session with
+    * 1-based per-user `session_id`, start/end/duration in exact epoch
+    * MICROSECONDS (integer arithmetic end to end — no timestamp-render
+    * or float parity risk), and the event count.
+    *
+    * Scale shape — the [[eventTransitions]] bucket-stitch discipline: a
+    * hot user must never serialize through one window task, so the
+    * boundary flag uses a within-(user, bucket) lag plus each bucket's
+    * predecessor-last-event summary (one row per non-empty (user,
+    * bucket)), and the session index is the distributed prefix sum of
+    * flags: within-bucket running sum + per-bucket offsets windowed over
+    * the user's BUCKET SUMMARY frame (rows = non-empty buckets, bounded
+    * by retention, never by event volume). Every exchange keys on
+    * (user) or (user, bucket). The final per-session aggregation is
+    * min/max/count — map-combinable.
+    *
+    * Engine-exactness: flags compare exact integer micros against
+    * gapSeconds·10⁶; a one-task SQL window (lag + running sum over the
+    * user's full ordered history) reproduces every cell bit-for-bit —
+    * the gate's oracle IS that one-task form. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long,
+      bucketLen: String = "1 day"): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be > 0, got $gapSeconds")
+    val bucket = window(col(tsCol), bucketLen).getField("start")
+    val base = events
+      .filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__t"),
+        col(tieCol).as("__tie"), bucket.as("__b"))
+    val inBucket = Window.partitionBy(col("__u"), col("__b"))
+      .orderBy(col("__t"), col("__tie"))
+    val overBuckets = Window.partitionBy(col("__u")).orderBy(col("__b"))
+    // each bucket's first event needs the PREVIOUS non-empty bucket's
+    // last event time — one summary row per (user, bucket)
+    val summaries = base.groupBy("__u", "__b")
+      .agg(max(col("__t")).as("__lastT"))
+      .withColumn("__prevLast", lag(col("__lastT"), 1).over(overBuckets))
+      .select("__u", "__b", "__prevLast")
+    val flagged = base
+      .withColumn("__wprev", lag(col("__t"), 1).over(inBucket))
+      .join(summaries, Seq("__u", "__b"))
+      .withColumn("__prev", coalesce(col("__wprev"), col("__prevLast")))
+      .withColumn("__flag", when(col("__prev").isNull ||
+        col("__t") - col("__prev") > gapSeconds * 1000000L, 1L)
+        .otherwise(0L))
+    val offsets = flagged.groupBy("__u", "__b")
+      .agg(sum(col("__flag")).as("__bf"))
+      .withColumn("__off", coalesce(sum(col("__bf")).over(
+        overBuckets.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__u", "__b", "__off")
+    flagged
+      .withColumn("__cf", sum(col("__flag")).over(
+        inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(offsets, Seq("__u", "__b"))
+      .withColumn("__sid", col("__off") + col("__cf"))
+      .groupBy(col("__u"), col("__sid"))
+      .agg(min(col("__t")).as("session_start_us"),
+        max(col("__t")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("__u").as(userCol), col("__sid").as("session_id"),
+        col("session_start_us"), col("session_end_us"), col("n_events"),
+        (col("session_end_us") - col("session_start_us")).as("duration_us"))
+  }
+
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
       materializePath: Option[String] = None): DataFrame = {

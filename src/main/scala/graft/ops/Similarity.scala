@@ -240,6 +240,58 @@ object Similarity {
         when(col("cos_centroid").isNotNull, col("cos_centroid") < minCos))
   }
 
+  /** EMBEDDING CENTROID DRIFT per group between two snapshots — the
+    * representation-drift monitor beside the value-space tests (PSI/KS
+    * watch scalar features; this watches the embedding space itself:
+    * "did src0's vectors move between last month's index build and
+    * today's?"): per (group, snapshot) the exact-mean centroid, then
+    * cosine between the two centroids and the L2 of their difference.
+    *
+    * Exactness ladder ([[centroidOutliers]]' discipline): per-dimension
+    * sums in DECIMAL(28,14) (order/partition-invariant), the mean's one
+    * division rounds to 9 dp — making every downstream product a pure
+    * function of identical doubles in any engine — products re-quantize
+    * to DECIMAL(28,14) so the dimension sums are again order-free, and
+    * cosine/L2 render at 9 dp. One-sided groups emit null drift columns.
+    *
+    * Scale shape: one (group, snapshot, dim) cell shuffle whose partial
+    * aggregation collapses map-side (cells = groups × 2 × dims, never
+    * vector count), one (group, dim) pivot, one group aggregation — no
+    * vector ever crosses the wire twice, no joins, no collects. */
+  def centroidDrift(df: DataFrame, groupCol: String, vecCol: String,
+      snapCol: String, baseLabel: String, currentLabel: String)
+      : DataFrame = {
+    val v = toDouble(col(vecCol))
+    val cells = df
+      .filter(col(snapCol).isin(baseLabel, currentLabel))
+      .select(col(groupCol).as("grp"), col(snapCol).cast("string").as("snap"),
+        posexplode(v).as(Seq("pos", "val")))
+      .groupBy("grp", "snap", "pos")
+      .agg(round(sum(col("val").cast("decimal(28,14)")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("m"),
+        count(lit(1)).as("cnt"))
+    val piv = cells.groupBy("grp", "pos").agg(
+      max(when(col("snap") === baseLabel, col("m"))).as("mb"),
+      max(when(col("snap") === currentLabel, col("m"))).as("mc"),
+      max(when(col("snap") === baseLabel, col("cnt"))).as("nb"),
+      max(when(col("snap") === currentLabel, col("cnt"))).as("nc"))
+    def q14(c: Column) = c.cast("decimal(28,14)")
+    def d(c: Column) = c.cast("double")
+    val agg = piv.groupBy("grp").agg(
+      max(col("nb")).as("n_base"), max(col("nc")).as("n_cur"),
+      sum(q14(col("mb") * col("mc"))).as("__dot"),
+      sum(q14(col("mb") * col("mb"))).as("__b2"),
+      sum(q14(col("mc") * col("mc"))).as("__c2"),
+      sum(q14((col("mb") - col("mc")) * (col("mb") - col("mc"))))
+        .as("__d2"))
+    agg.select(col("grp"), col("n_base"), col("n_cur"),
+      when(d(col("__b2")) > 0 && d(col("__c2")) > 0,
+        round(d(col("__dot")) / (sqrt(d(col("__b2"))) * sqrt(d(col("__c2")))),
+          9)).as("centroid_cos"),
+      when(col("n_base").isNotNull && col("n_cur").isNotNull,
+        round(sqrt(d(col("__d2"))), 9)).as("centroid_l2"))
+  }
+
   def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     val spark = scored.sparkSession

@@ -1406,4 +1406,39 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_tokens"), col("n_new_types"),
         col("cum_tokens"), col("cum_types"))
   }
+
+  /** VOCABULARY COVERAGE per corpus slice — Good–Turing unseen mass +
+    * Chao1 richness (Good 1953; Chao 1984): from each group's token
+    * frequency spectrum, `p_unseen = N₁/N` (the Turing estimate of the
+    * probability the NEXT token is a never-seen type — the "how much of
+    * this domain's vocabulary is my corpus still missing" number a
+    * crawl-more-or-stop decision reads) and the bias-corrected Chao1
+    * total-vocabulary estimate `V + N₁(N₁−1)/(2(N₂+1))`, beside the raw
+    * spectrum head (N, V, singletons N₁, doubletons N₂). The Heaps
+    * companion [[vocabularyGrowth]] shows the trajectory; this gives the
+    * asymptote estimate and the marginal novelty rate.
+    *
+    * Scale shape: ONE (group, token) count shuffle (map-combinable) +
+    * one group aggregation over the type frame — no joins, no windows,
+    * no collects. Exact integer spectrum; the two estimates are single
+    * IEEE divisions at the render edge (9/6 dp). */
+  def vocabularyCoverage(corpus: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val counts = corpus
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("grp", "w").agg(count(lit(1)).as("c"))
+    counts.groupBy("grp").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("grp"), col("n_tokens"), col("vocab"), col("n1"),
+        col("n2"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 9)
+          .as("p_unseen"),
+        round(col("vocab").cast("double") +
+          (col("n1") * (col("n1") - 1L)).cast("double") /
+            (lit(2.0) * (col("n2") + 1L).cast("double")), 6)
+          .as("chao1_vocab"))
+  }
 }

@@ -729,6 +729,21 @@ object AnalyticsQueries {
           "doc_id", "text")
         .orderBy("doc_id")
     },
+    // Good–Turing unseen mass + Chao1 richness per source: exact integer
+    // frequency spectrum, two IEEE divisions at the render edge
+    "t_vocab_coverage" -> { (s, d) =>
+      graft.ops.TextAnalysis.vocabularyCoverage(Tables.documents(s, d),
+          "source", "text")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    },
+    // gap-based sessionization (30-min timeout): bucket-stitched flags +
+    // distributed per-user prefix sum; exact epoch-micros arithmetic
+    "q_sessionize" -> { (s, d) =>
+      graft.ops.Behavior.sessionize(Tables.events(s, d), "user_id", "ts",
+          "event_id", gapSeconds = 1800L)
+        .orderBy("user_id", "session_id")
+    },
     // PSI distribution drift per event type between the month's first
     // and second half: dense bins, ε-floored shares, quantized terms
     "q_psi_drift" -> { (s, d) =>
@@ -3150,6 +3165,41 @@ object AnalyticsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
         |FROM pd LEFT JOIN nn ON pd.doc_id = nn.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
+    // coverage: exact frequency spectrum; p_unseen / chao1 are the same
+    // single divisions rounded at 9/6 dp
+    "t_vocab_coverage" ->
+      s"""WITH t AS (SELECT source, unnest($tokensSql) AS w FROM documents),
+        |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  ROUND(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(c) AS DOUBLE), 9) AS p_unseen,
+        |  ROUND(CAST(count(*) AS DOUBLE) +
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) *
+        |      (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) AS DOUBLE) /
+        |    (2e0 * CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1 AS DOUBLE)),
+        |    6) AS chao1_vocab
+        |FROM cnt GROUP BY source ORDER BY source""".stripMargin,
+    // sessionization replayed as the ONE-TASK window form the distributed
+    // bucket-stitch is proven against: global per-user lag + running sum
+    "q_sessionize" ->
+      """WITH o AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS e
+        |  FROM events),
+        |p AS (SELECT u, t, e,
+        |    lag(t) OVER (PARTITION BY u ORDER BY t, e) AS pt FROM o),
+        |f AS (SELECT u, t, e, CASE WHEN pt IS NULL
+        |    OR t - pt > 1800000000 THEN 1 ELSE 0 END AS fl FROM p),
+        |s AS (SELECT u, t, CAST(sum(fl) OVER (PARTITION BY u ORDER BY t, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS sid FROM f)
+        |SELECT u AS user_id, sid AS session_id,
+        |  min(t) AS session_start_us, max(t) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  max(t) - min(t) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // PSI re-derived: identical bin arithmetic (clamped edge), 9-dp
     // shares before the ln, 10-dp quantized terms, 6-dp render
     "q_psi_drift" ->

@@ -985,6 +985,17 @@ object PipelineQueries {
         .withColumnRenamed("grp", "label")
         .orderBy("vec_id")
     },
+    // embedding centroid drift per label between the vec_id-parity
+    // snapshots: exact decimal per-dim sums, 9-dp means, re-quantized
+    // products — representation drift as one cell shuffle
+    "s_centroid_drift" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).withColumn("snap",
+        when(col("vec_id") % 2 === 0, lit("base")).otherwise(lit("cur")))
+      Similarity.centroidDrift(emb, "label", "embedding", "snap",
+          "base", "cur")
+        .withColumnRenamed("grp", "label")
+        .orderBy("label")
+    },
     // n-gram novelty vs the doc_id%5 reference slice: distinct-bigram
     // membership via the task-broadcast binary-search kernel (weight 1 →
     // lo_sum IS the seen count); exact integer division at the end
@@ -3571,6 +3582,35 @@ object PipelineQueries {
         |  CASE WHEN nx * nc2 > 0 THEN ROUND(dt / (nx * nc2), 9) END AS cos_centroid,
         |  CASE WHEN nx * nc2 > 0 THEN ROUND(dt / (nx * nc2), 9) < 0.1 END AS is_outlier
         |FROM sc ORDER BY vec_id""".stripMargin,
+    // centroid drift re-derived: same decimal per-dim sums, 9-dp means
+    // (identical doubles both engines), re-quantized products, 9-dp edge
+    "s_centroid_drift" ->
+      s"""WITH v AS (SELECT vec_id, label,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'cur' END AS snap,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |cells AS (SELECT label, snap, pos,
+        |    ROUND(CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS m,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT label, snap, unnest(e) AS val, unnest(range(len(e))) AS pos FROM v)
+        |  GROUP BY label, snap, pos),
+        |piv AS (SELECT label, pos,
+        |    max(CASE WHEN snap = 'base' THEN m END) AS mb,
+        |    max(CASE WHEN snap = 'cur' THEN m END) AS mc,
+        |    max(CASE WHEN snap = 'base' THEN cnt END) AS nb,
+        |    max(CASE WHEN snap = 'cur' THEN cnt END) AS nc
+        |  FROM cells GROUP BY label, pos),
+        |ag AS (SELECT label, max(nb) AS n_base, max(nc) AS n_cur,
+        |    CAST(sum(CAST(mb * mc AS DECIMAL(28,14))) AS DOUBLE) AS dt,
+        |    CAST(sum(CAST(mb * mb AS DECIMAL(28,14))) AS DOUBLE) AS b2,
+        |    CAST(sum(CAST(mc * mc AS DECIMAL(28,14))) AS DOUBLE) AS c2,
+        |    CAST(sum(CAST((mb - mc) * (mb - mc) AS DECIMAL(28,14))) AS DOUBLE) AS d2
+        |  FROM piv GROUP BY label)
+        |SELECT label, n_base, n_cur,
+        |  CASE WHEN b2 > 0 AND c2 > 0
+        |    THEN ROUND(dt / (sqrt(b2) * sqrt(c2)), 9) END AS centroid_cos,
+        |  CASE WHEN n_base IS NOT NULL AND n_cur IS NOT NULL
+        |    THEN ROUND(sqrt(d2), 9) END AS centroid_l2
+        |FROM ag ORDER BY label""".stripMargin,
     // novelty re-derived: capped reference gram set (cap mirrored though
     // non-binding), per-doc distinct bigrams, LEFT-JOIN membership count,
     // exact integer division

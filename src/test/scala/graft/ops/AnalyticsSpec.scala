@@ -15,6 +15,75 @@ import org.apache.spark.sql.functions._
   */
 class AnalyticsSpec extends SparkSpec {
 
+  test("sessionize: gap splits, cross-bucket stitching, 1-based ids, exact micros") {
+    import spark.implicits._
+    // u1: events at 00:00, 00:10, 00:40 (gap 30m = NOT >, same session),
+    //     01:20 (gap 40m > 30m -> new session),
+    //     next day 00:05 (new session, crosses the 1-day bucket)
+    // u2: single event -> one singleton session
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 101L), (1L, "2024-01-01 00:10:00", 102L),
+      (1L, "2024-01-01 00:40:00", 103L), (1L, "2024-01-01 01:20:00", 104L),
+      (1L, "2024-01-02 00:05:00", 105L),
+      (2L, "2024-01-05 12:00:00", 201L))
+      .toDF("u", "tss", "eid")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Behavior.sessionize(ev, "u", "ts", "eid", gapSeconds = 1800L)
+      .orderBy("u", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+    assert(out == Seq(
+      (1L, 1L, us("2024-01-01T00:00:00Z"), us("2024-01-01T00:40:00Z"), 3L,
+        2400L * 1000000L),
+      (1L, 2L, us("2024-01-01T01:20:00Z"), us("2024-01-01T01:20:00Z"), 1L, 0L),
+      (1L, 3L, us("2024-01-02T00:05:00Z"), us("2024-01-02T00:05:00Z"), 1L, 0L),
+      (2L, 1L, us("2024-01-05T12:00:00Z"), us("2024-01-05T12:00:00Z"), 1L, 0L)))
+    // cross-bucket JOIN of sessions: an event 10 min into the next day
+    // continues the previous day's session (stitch, not split)
+    val ev2 = Seq((1L, "2024-01-01 23:55:00", 1L), (1L, "2024-01-02 00:05:00", 2L))
+      .toDF("u", "tss", "eid").withColumn("ts", to_timestamp(col("tss")))
+    val out2 = Behavior.sessionize(ev2, "u", "ts", "eid", 1800L).collect()
+    assert(out2.length == 1 && out2(0).getLong(4) == 2L)
+  }
+
+  test("vocabularyCoverage: spectrum, Turing unseen mass, bias-corrected Chao1") {
+    import spark.implicits._
+    // grp a: tokens x x y z -> N=4 V=3 N1=2(y,z) N2=1(x? no x appears twice -> N2=1)
+    // grp b: w w w -> N=3 V=1 N1=0 N2=0
+    val df = Seq(("a", "x x y z"), ("b", "w w w")).toDF("g", "text")
+    val out = TextAnalysis.vocabularyCoverage(df, "g", "text")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(out == Seq(
+      // chao1(a) = 3 + 2*1/(2*(1+1)) = 3.5 ; p_unseen = 2/4
+      ("a", 4L, 3L, 2L, 1L, 0.5, 3.5),
+      // chao1(b) = 1 + 0 ; p_unseen = 0
+      ("b", 3L, 1L, 0L, 0L, 0.0, 1.0)))
+  }
+
+  test("centroidDrift: identical sides cos 1/l2 0, sign flip cos -1, one-sided nulls") {
+    import spark.implicits._
+    val rows = Seq(
+      // g1: base mean (1,0), cur mean (1,0) -> cos 1, l2 0
+      (1, "base", Seq(2.0f, 0.0f)), (1, "base", Seq(0.0f, 0.0f)),
+      (1, "cur", Seq(1.0f, 0.0f)),
+      // g2: cur = -base -> cos -1, l2 = 2*|mean|
+      (2, "base", Seq(3.0f, 4.0f)), (2, "cur", Seq(-3.0f, -4.0f)),
+      // g3: base only -> null drift columns
+      (3, "base", Seq(1.0f, 1.0f)))
+      .toDF("label", "snap", "embedding")
+    val out = Similarity.centroidDrift(rows, "label", "embedding", "snap",
+        "base", "cur")
+      .orderBy("grp").collect()
+    assert(out(0).getDouble(3) == 1.0 && out(0).getDouble(4) == 0.0 &&
+      out(0).getLong(1) == 2L && out(0).getLong(2) == 1L)
+    assert(out(1).getDouble(3) == -1.0 &&
+      math.abs(out(1).getDouble(4) - 10.0) < 1e-9)
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
   test("scd2History: compaction, version chaining, null-safe re-delivery") {
     import spark.implicits._
     val changes = Seq(
