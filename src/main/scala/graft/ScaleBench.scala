@@ -255,7 +255,7 @@ object ScaleBench {
     // round-13 second wave: gap sessionization (bucket-stitched flags +
     // per-user prefix sum), Good-Turing/Chao1 coverage (one token-count
     // shuffle), embedding centroid drift (one cell shuffle)
-    "q_sessionize", "t_vocab_coverage", "s_centroid_drift")
+    "q_session_stats", "t_vocab_coverage", "s_centroid_drift")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -448,7 +448,7 @@ object ScaleBench {
     "q_chi2_test" -> Set("part"),
     "q_ess" -> Set("events"),
     "adtl_groupby_combined" -> Set("events"),
-    "q_sessionize" -> Set("events"),
+    "q_session_stats" -> Set("events"),
     "t_vocab_coverage" -> Set("documents"),
     "s_centroid_drift" -> Set("embeddings"))
 

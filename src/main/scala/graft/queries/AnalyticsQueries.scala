@@ -739,7 +739,7 @@ object AnalyticsQueries {
     },
     // gap-based sessionization (30-min timeout): bucket-stitched flags +
     // distributed per-user prefix sum; exact epoch-micros arithmetic
-    "q_sessionize" -> { (s, d) =>
+    "q_session_stats" -> { (s, d) =>
       graft.ops.Behavior.sessionize(Tables.events(s, d), "user_id", "ts",
           "event_id", gapSeconds = 1800L)
         .orderBy("user_id", "session_id")
@@ -3185,7 +3185,7 @@ object AnalyticsQueries {
         |FROM cnt GROUP BY source ORDER BY source""".stripMargin,
     // sessionization replayed as the ONE-TASK window form the distributed
     // bucket-stitch is proven against: global per-user lag + running sum
-    "q_sessionize" ->
+    "q_session_stats" ->
       """WITH o AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS e
         |  FROM events),
         |p AS (SELECT u, t, e,
