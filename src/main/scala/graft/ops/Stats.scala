@@ -1903,7 +1903,17 @@ object Stats {
     // base scan + groupBy into the same (g, replicate) exchange (the
     // round-12 A/B regression: the degenerate-group left-join surface
     // re-derived n/mean from a separate scan of the source).
+    // REBALANCED first: the explode amplifies every row ~(b+1)× with an
+    // md5 each INSIDE the scan stage, so the split policy (not the data)
+    // sets the parallelism — a 2 MB source file ran the whole replicate
+    // scan in ONE task.
+    val partsW = try {
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    } catch {
+      case _: Throwable => df.sparkSession.sparkContext.defaultParallelism
+    }
     val cells = base
+      .repartition(partsW * 8)
       .select(col("g"), col("id"), col("v"),
         explode(sequence(lit(-1), lit(nHashes - 1))).as("__h"))
       .withColumn("__hv", when(col("__h") >= 0, graft.ops.Pipeline.md5Long60(
@@ -1919,6 +1929,14 @@ object Stats {
       .agg(sum(col("__k")).as("__sw"),
         sum(col("__k").cast("decimal(19,0)") * col("v"))
           .cast("decimal(38,2)").as("__swv"))
+      // MATERIALIZED: the three consumers below filter on the grouping
+      // key __r, and those filters push through the aggregation into the
+      // replicate scan — splitting one reusable cell exchange into
+      // divergent subtrees that each re-run the b-replicate md5 explode
+      // (measured: the split cost more than the second base scan it
+      // replaced). The cell frame is groups×(b+1) rows — checkpointing
+      // it pins exactly ONE heavy scan regardless of optimizer choices.
+      .localCheckpoint()
     val full = cells.filter(col("__r") === -6)
       .select(col("g"), col("__sw").as("n"),
         round(col("__swv").cast("double") / col("__sw").cast("double"), 6)
