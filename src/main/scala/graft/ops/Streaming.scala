@@ -246,6 +246,69 @@ object Streaming extends Serializable {
     }
   }
 
+  final case class SessRowState(sid: Long, startUs: Long, lastUs: Long,
+    n: Long)
+  final case class SessRow(user_id: Long, session_id: Long,
+    session_start_us: Long, session_end_us: Long, n_events: Long,
+    duration_us: Long)
+
+  /** STREAMING twin of [[graft.ops.Behavior.sessionize]] — per-SESSION
+    * rows, not per-user counts (that form is [[sessionizeStream]]): each
+    * user's state holds only the OPEN session (id, start, last, count);
+    * a session emits exactly once, when a strictly-later event past the
+    * gap closes it — so every emitted row is BIT-IDENTICAL to the batch
+    * operator's row for that session under arbitrary trigger boundaries
+    * (pinned batch==stream in OpsSpec over the closed sessions; each
+    * user's final session stays open until later data closes it — the
+    * [[ewmaStream]] open-bucket contract). Append output mode: closed
+    * sessions are immutable facts. State is O(1) per active user.
+    *
+    * Lateness: an event at or before the open session's last timestamp
+    * folds into the open session (count only) — the batch twin has no
+    * lateness concept, so the bit-identity contract assumes per-user
+    * time-ordered arrival across micro-batches (bound it upstream with
+    * a watermark). */
+  def sessionRowsStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, userCol: String,
+      tsCol: String, gapSeconds: Long,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    require(gapSeconds > 0, s"gapSeconds must be > 0, got $gapSeconds")
+    val gapUs = gapSeconds * 1000000L
+    val rows = spark.readStream.schema(schema).parquet(sourceDir)
+      .filter(col(tsCol).isNotNull)
+      .select(col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("t"))
+      .as[(Long, Long)]
+
+    def update(u: Long, batch: Iterator[(Long, Long)],
+        state: GroupState[SessRowState]): Iterator[SessRow] = {
+      val ts = batch.map(_._2).toArray
+      java.util.Arrays.sort(ts)
+      val out = Seq.newBuilder[SessRow]
+      var st = state.getOption.orNull
+      ts.foreach { t =>
+        if (st == null) st = SessRowState(1L, t, t, 1L)
+        else if (t - st.lastUs > gapUs) {
+          out += SessRow(u, st.sid, st.startUs, st.lastUs, st.n,
+            st.lastUs - st.startUs)
+          st = SessRowState(st.sid + 1L, t, t, 1L)
+        } else st = SessRowState(st.sid, st.startUs,
+          math.max(st.lastUs, t), st.n + 1L)
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- exactly-once foreachBatch sink --------------------------------------
 
   /** Write one micro-batch to `outDir/batch_id=<id>` with overwrite — the

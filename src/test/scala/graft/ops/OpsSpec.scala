@@ -565,6 +565,33 @@ class OpsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("sessionRowsStream: closed sessions == batch sessionize rows (batch == stream)") {
+    val src = java.nio.file.Files.createTempDirectory("graftsess").toString
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "ts", "event_id")
+    // split by TIME (per-user ordered arrival — the documented lateness
+    // contract); the cut lands mid-month so it splits open sessions
+    val cutExpr = unix_timestamp(col("ts")) < 1705363200L
+    events.filter(cutExpr).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    events.filter(!cutExpr).write.mode("append").parquet(src)
+    val q = Streaming.sessionRowsStream(spark, src, schema, "user_id", "ts",
+      gapSeconds = 1800L, queryName = "sess_rows_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT * FROM sess_rows_test")
+      .collect().map(_.toString).sorted.toSeq
+    // batch rows MINUS each user's final (still-open) session
+    val batch = graft.ops.Behavior.sessionize(events, "user_id", "ts",
+        "event_id", gapSeconds = 1800L)
+      .withColumn("__mx", max(col("session_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("session_id") < col("__mx")).drop("__mx")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("ksTwoSampleStream and jsDivergenceStream: one-sided groups emit nulls") {
     import spark.implicits._
     val srcK = java.nio.file.Files.createTempDirectory("graftks1").toString
