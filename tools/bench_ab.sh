@@ -22,9 +22,12 @@ cd "$(dirname "$0")/.."
 
 SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
-# default PREV: the newest 'round N' commit EXCLUDING HEAD — right after a
-# round commit, HEAD itself matches the grep and would A/B against itself
-PREV="${1:-$(git log --grep='^round ' --format=%H -n 20 | grep -v "^$(git rev-parse HEAD)$" | head -1)}"
+# default PREV: the newest 'round N:' DRIVER commit excluding HEAD. The
+# regex is anchored to the driver's exact subject shape ('round <digits>:')
+# — a looser '^round ' once matched a body LINE that happened to start
+# with the word "round" in an ordinary commit, silently A/B-ing the tree
+# against its own previous commit.
+PREV="${1:-$(git log --grep='^round [0-9]+:' -E --format=%H -n 20 | grep -v "^$(git rev-parse HEAD)$" | head -1)}"
 if [ -z "$PREV" ]; then
   echo "no previous round commit found; pass one explicitly" >&2
   exit 1
