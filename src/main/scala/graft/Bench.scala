@@ -165,7 +165,10 @@ object Bench {
     // VERDICT.md, tests) keep the binding. Any git failure → unbound.
     def gitLines(cmd: String*): Option[Seq[String]] = try {
       val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectErrorStream(false)
+      // Discard stderr instead of leaving it piped: a chatty git (e.g. a
+      // repository warning) could fill the unread pipe buffer and block
+      // the child, hanging waitFor() and stalling the whole bench run.
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream)
         .getLines().toList

@@ -644,7 +644,7 @@ object ScaleBench {
       // operators are CPU-dense per scanned byte (strftime ladders, gram
       // explodes, per-value md5), so a default 128 MB split holds ~45 s
       // of work — the task-granularity knob a cluster operator turns for
-      // exactly this profile. 16 MB keeps scan tasks in single-digit
+      // exactly this profile. 8 MB keeps scan tasks in single-digit
       // seconds; per-task cost is split-size-fixed, so this does not
       // change the linearity evidence (both 1× and N× run under it).
       .config("spark.sql.files.maxPartitionBytes", "8m")

@@ -81,7 +81,12 @@ object Behavior {
     * Engine-exactness: flags compare exact integer micros against
     * gapSeconds·10⁶; a one-task SQL window (lag + running sum over the
     * user's full ordered history) reproduces every cell bit-for-bit —
-    * the gate's oracle IS that one-task form. */
+    * the gate's oracle IS that one-task form. NULL user keys form ONE
+    * group (the PARTITION BY / GROUP BY convention the oracle uses):
+    * window partitions already treat NULL as a group, and the two
+    * stitch joins use null-safe equality (`<=>`) on the user key so
+    * null-user sessions survive rather than silently dropping at the
+    * inner join. */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, gapSeconds: Long,
       bucketLen: String = "1 day"): DataFrame = {
@@ -96,13 +101,22 @@ object Behavior {
     val overBuckets = Window.partitionBy(col("__u")).orderBy(col("__b"))
     // each bucket's first event needs the PREVIOUS non-empty bucket's
     // last event time — one summary row per (user, bucket)
+    // NULL-SAFE stitch join: equi-join on __u would silently drop every
+    // null-user event, while the window partitions (and the oracle's
+    // PARTITION BY) keep NULL as one group — `<=>` is still a hash-join
+    // key for Spark, so the plan shape is unchanged.
+    def stitch(l: DataFrame, r: DataFrame): DataFrame = {
+      val rr = r.withColumnRenamed("__u", "__ur")
+        .withColumnRenamed("__b", "__br")
+      l.join(rr, col("__u") <=> col("__ur") && col("__b") === col("__br"))
+        .drop("__ur", "__br")
+    }
     val summaries = base.groupBy("__u", "__b")
       .agg(max(col("__t")).as("__lastT"))
       .withColumn("__prevLast", lag(col("__lastT"), 1).over(overBuckets))
       .select("__u", "__b", "__prevLast")
-    val flagged = base
-      .withColumn("__wprev", lag(col("__t"), 1).over(inBucket))
-      .join(summaries, Seq("__u", "__b"))
+    val flagged = stitch(base
+      .withColumn("__wprev", lag(col("__t"), 1).over(inBucket)), summaries)
       .withColumn("__prev", coalesce(col("__wprev"), col("__prevLast")))
       .withColumn("__flag", when(col("__prev").isNull ||
         col("__t") - col("__prev") > gapSeconds * 1000000L, 1L)
@@ -112,10 +126,10 @@ object Behavior {
       .withColumn("__off", coalesce(sum(col("__bf")).over(
         overBuckets.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__u", "__b", "__off")
-    flagged
+    stitch(flagged
       .withColumn("__cf", sum(col("__flag")).over(
-        inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(offsets, Seq("__u", "__b"))
+        inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+      offsets)
       .withColumn("__sid", col("__off") + col("__cf"))
       .groupBy(col("__u"), col("__sid"))
       .agg(min(col("__t")).as("session_start_us"),

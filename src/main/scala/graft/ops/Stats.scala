@@ -1880,7 +1880,19 @@ object Stats {
     * md5 cost 6× (measured 21 s → ~6 s at sf0.1, b=100). The 10-bit
     * granularity moves each Poisson class probability by < 6e-4 —
     * immaterial for a bootstrap, pinned by the oracle replaying the
-    * identical slice arithmetic. */
+    * identical slice arithmetic.
+    *
+    * Lifecycle: the (group, replicate) cell frame is pinned with a LAZY
+    * `localCheckpoint(eager = false)` — constructing the returned
+    * DataFrame runs no Spark job; the heavy replicate scan materializes
+    * once at the caller's first action and is reused by the CI picks,
+    * SE moments and n/mean subtrees. The checkpoint is non-reliable
+    * (executor-local blocks): an executor loss during the consuming job
+    * fails that job and the caller re-runs it — acceptable for a batch
+    * statistic, by design. Blocks are released by the ContextCleaner
+    * once the frame is unreferenced; callers looping over many
+    * bootstrapCI frames should let each result go out of scope between
+    * iterations rather than accumulating live references. */
   def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
       groupCol: String, b: Int = 200, salt: String = "boot"): DataFrame = {
     require(b >= 4, s"b must be >= 4, got $b")
@@ -1936,7 +1948,8 @@ object Stats {
       // (measured: the split cost more than the second base scan it
       // replaced). The cell frame is groups×(b+1) rows — checkpointing
       // it pins exactly ONE heavy scan regardless of optimizer choices.
-      .localCheckpoint()
+      // LAZY so that building the plan runs no job (see scaladoc).
+      .localCheckpoint(eager = false)
     val full = cells.filter(col("__r") === -6)
       .select(col("g"), col("__sw").as("n"),
         round(col("__swv").cast("double") / col("__sw").cast("double"), 6)

@@ -47,6 +47,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out2.length == 1 && out2(0).getLong(4) == 2L)
   }
 
+  test("sessionize: NULL user keys form ONE surviving group (null-safe stitch)") {
+    import spark.implicits._
+    // Two null-user events 10 min apart (one session of 2), one null-user
+    // event 2 h later (second session), plus a real user as a control.
+    // An equi-join stitch would DROP all three null rows silently.
+    val ev = Seq(
+      (None: Option[Long], "2024-01-01 00:00:00", 1L),
+      (None: Option[Long], "2024-01-01 00:10:00", 2L),
+      (None: Option[Long], "2024-01-01 02:10:00", 3L),
+      (Some(7L), "2024-01-01 00:00:00", 4L))
+      .toDF("u", "tss", "eid")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Behavior.sessionize(ev, "u", "ts", "eid", gapSeconds = 1800L)
+      .collect()
+    val nullSessions = out.filter(_.isNullAt(0))
+      .map(r => (r.getLong(1), r.getLong(4))).sorted.toSeq
+    assert(nullSessions == Seq((1L, 2L), (2L, 1L)),
+      s"null-user sessions wrong: ${nullSessions.mkString(",")}")
+    assert(out.count(r => !r.isNullAt(0) && r.getLong(0) == 7L) == 1)
+  }
+
   test("vocabularyCoverage: spectrum, Turing unseen mass, bias-corrected Chao1") {
     import spark.implicits._
     // grp a: tokens x x y z -> N=4 V=3 N1=2(y,z) N2=1(x? no x appears twice -> N2=1)
