@@ -255,7 +255,11 @@ object ScaleBench {
     // round-13 second wave: gap sessionization (bucket-stitched flags +
     // per-user prefix sum), Good-Turing/Chao1 coverage (one token-count
     // shuffle), embedding centroid drift (one cell shuffle)
-    "q_session_stats", "t_vocab_coverage", "s_centroid_drift")
+    "q_session_stats", "t_vocab_coverage", "s_centroid_drift",
+    // round-14: the sessionization STREAMING twin enters the audit in
+    // the round after it shipped (round-13 verdict item 6) — staged
+    // parquet replay, per-user O(1) state, closed-session emission
+    "q_session_rows_stream")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -449,6 +453,7 @@ object ScaleBench {
     "q_ess" -> Set("events"),
     "adtl_groupby_combined" -> Set("events"),
     "q_session_stats" -> Set("events"),
+    "q_session_rows_stream" -> Set("events"),
     "t_vocab_coverage" -> Set("documents"),
     "s_centroid_drift" -> Set("embeddings"))
 

@@ -212,20 +212,18 @@ object Dedup {
     * anyway), and user-numbered repartitions are exempt from AQE
     * coalescing, so the kernel runs 8×-wider and max task drops
     * volume/W. */
-  /** CPU-dense-stage width: 8× the session shuffle width — the explicit
-    * (AQE-exempt) partition count for stages whose cost is compute per
-    * row, not bytes (packed-set intersection, gram-hash pack builds). */
-  private def verifyWidth(spark: org.apache.spark.sql.SparkSession): Int = {
-    val parts = try {
-      spark.conf.get("spark.sql.shuffle.partitions").toInt
-    } catch { case _: Throwable => spark.sparkContext.defaultParallelism }
-    parts * 8
-  }
+  /** CPU-dense-stage width: input-keyed via [[Pipeline.cpuWidth]] — the
+    * explicit (AQE-exempt) partition count for stages whose cost is
+    * compute per row, not bytes (packed-set intersection, gram-hash pack
+    * builds). Scales with the frame's estimated bytes between the
+    * session shuffle width (small inputs — avoids the measured sf0.1
+    * near-empty-task tax) and 8× it (the width the 100× audit needed). */
+  private def verifyWidth(frame: DataFrame): Int = Pipeline.cpuWidth(frame)
 
   private def verifyTail(pairs: DataFrame, grams: DataFrame,
       threshold: Double): DataFrame = {
     val spark = grams.sparkSession
-    val w = verifyWidth(spark)
+    val w = verifyWidth(grams)
     pairs
       .repartition(w, col("id_a"))
       .join(grams.select(col("id").as("id_a"), col("g").as("g_a"),
@@ -429,11 +427,18 @@ object Dedup {
     // array<bigint> columns pay per-element costs at every copy boundary
     // (exchange, generate, join output), a binary column is one memcpy.
     // Not persisted — columnar caching of array/binary columns costs far
-    // more than recomputing this narrow projection per join side.
+    // more than recomputing this narrow projection per join side (the
+    // two sides share the ReusedExchange below and recompute only the
+    // pack kernel). Rebalanced BEFORE the gram kernel: the pack is
+    // CPU-dense per byte, and at audit scale the whole scan otherwise
+    // runs in the input's few parquet splits.
     val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(textCol).as("__txt"))
+      .repartition(verifyWidth(df), col("id"))
+      .select(col("blk"), col("id"),
         graft.functions.PackedLongs.packSortedSet(df.sparkSession,
           graft.functions.TextHashExprs.ngramHashes(df.sparkSession,
-            TextAnalysis.tokens(col(textCol)), n)).as("g"))
+            TextAnalysis.tokens(col("__txt")), n)).as("g"))
       .withColumn("nc", (length(col("g")) / 8).cast("int"))
       .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
     // Oversize guard: chunking spreads the in-block quadratic work but
@@ -459,6 +464,116 @@ object Dedup {
     triangleJaccard(guarded, grams, threshold, chunks)
   }
 
+  /** Shared per-doc IN-BLOCK gram frame for the blocked prefix-filter
+    * family: (blk, id, st: array<struct<gdf,g>> sorted rarest-first by
+    * (in-block df, gram hash), nset = distinct gram count). Rebalances
+    * raw docs to `w` BEFORE the gram kernel (CPU-dense per byte — at
+    * audit scale the scan otherwise runs in the input's few parquet
+    * splits), builds per-(blk, gram) document frequencies with one
+    * map-combinable shuffle, and materializes ONCE (`materializePath` →
+    * parquet, the cluster form; else a local checkpoint) so the prefix
+    * explode, the full-side explode and the packed verify sets all read
+    * it without recomputing the gram scan. explode_outer + post-filter,
+    * not explode — see [[prefixFilterJaccardPairs]] on the
+    * InferFiltersFromGenerate trap. */
+  private def blockedGramFrame(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, n: Int, w: Int,
+      materializePath: Option[String]): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(textCol).as("__txt"))
+      .repartition(w, col("id"))
+      .select(col("blk"), col("id"), array_distinct(
+        graft.functions.TextHashExprs.ngramHashes(spark,
+          TextAnalysis.tokens(col("__txt")), n)).as("gs"))
+    val toks = base.select(col("blk"), col("id"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+    val dfc = toks.groupBy("blk", "g").agg(count(lit(1)).as("gdf"))
+    materializeBase(
+      toks.join(dfc.hint("SHUFFLE_HASH"), Seq("blk", "g"))
+        .repartition(w, col("id"))
+        .groupBy("blk", "id")
+        .agg(sort_array(collect_list(struct(col("gdf"), col("g")))).as("st"),
+          count(lit(1)).as("nset")), materializePath)
+  }
+
+  /** BLOCKED prefix-filtered set-similarity join — the
+    * [[prefixFilterJaccardPairs]] guarantee (ALL pairs with gram-set
+    * Jaccard ≥ `threshold`, recall 1.0, exact verify) restricted to
+    * pairs sharing `blockCol`, with gram document frequencies and the
+    * candidate join both keyed per block. The linear-trajectory
+    * replacement for [[ngramJaccardPairs]] wherever the caller wants
+    * the same blocked result set without the Σ n_blk² triangle: the
+    * candidate join moves Σ_(blk,w) prefix_df(w)² rows over PREFIX
+    * grams only, so work tracks gram volume (linear in corpus bytes at
+    * stable per-block vocabulary df), not block occupancy². A prefix
+    * gram whose in-block df exceeds `maxPrefixDf` fails IN-PLAN with
+    * the remediation named. Output schema matches ngramJaccardPairs:
+    * (blk, id_a, id_b, jaccard), id_a < id_b. */
+  def prefixFilterJaccardPairsBlocked(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, n: Int = 2,
+      threshold: Double = 0.5, maxPrefixDf: Int = 5000,
+      materializePath: Option[String] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = df.sparkSession
+    val w = verifyWidth(df)
+    val perDoc = blockedGramFrame(df, idCol, textCol, blockCol, n, w,
+      materializePath)
+    val plen = (col("nset") -
+      floor(lit(threshold) * col("nset")).cast("long") + 1L).cast("int")
+    // positions ride along (1-based rank in the per-doc (df, g) order)
+    // for the PPJoin POSITIONAL filter below
+    val prefixes = perDoc
+      .select(col("blk"), col("id"), col("nset"),
+        posexplode(slice(col("st"), lit(1), plen)))
+      .select(col("blk"), col("id"), col("nset"),
+        (col("pos") + 1).as("gp"), col("col.g").as("g"),
+        col("col.gdf").as("gdf"))
+    val guarded = prefixes.withColumn("g",
+      when(col("gdf") <= maxPrefixDf, col("g"))
+        .otherwise(raise_error(concat(
+          lit("prefixFilterJaccardPairsBlocked: prefix gram df "),
+          col("gdf").cast("string"),
+          lit(s" > maxPrefixDf=$maxPrefixDf — candidate join traffic is" +
+            " df² per gram; use lshVerifiedPairs* (banded candidates +" +
+            " exact verify) for this corpus shape, or raise maxPrefixDf")))))
+    // candidate join pre-partitioned on its key (AQE-exempt): the
+    // prefix-pair emission is CPU-dense per shuffled byte, and at the
+    // session width the probe held 32 uniform ~20 s tasks at 100×.
+    // POSITIONAL filter (PPJoin, Xiao et al. WWW 2008): J ≥ t needs
+    // overlap I ≥ t/(1+t)·(n_a+n_b); for the pair's MINIMAL shared gram
+    // (both docs sort by the same per-block (df, g) order) every other
+    // shared gram sits after it in both lists, so
+    // I ≤ 1 + min(n_a − p_a, n_b − p_b). Occurrences failing the bound
+    // drop pre-distinct — a qualifying pair always survives via its
+    // minimal shared gram; measured 400k candidates → 564 true pairs
+    // at 1× without it (the verify joins were the 100× audit's cost).
+    val alpha = lit(threshold / (1.0 + threshold))
+    val cands = guarded
+      .select(col("blk"), col("g"), col("id").as("id_a"),
+        col("nset").as("n_a"), col("gp").as("p_a"))
+      .repartition(w, col("blk"), col("g"))
+      .join(prefixes.select(col("blk"), col("g"), col("id").as("id_b"),
+        col("nset").as("n_b"), col("gp").as("p_b"))
+        .repartition(w, col("blk"), col("g"))
+        .hint("SHUFFLE_HASH"), Seq("blk", "g"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        greatest(col("n_a"), col("n_b")).cast("double") * lit(threshold) -
+          lit(1e-9))
+      .filter(lit(1.0) +
+        least(col("n_a") - col("p_a"), col("n_b") - col("p_b"))
+          .cast("double") >=
+        alpha * (col("n_a") + col("n_b")).cast("double") - lit(1e-9))
+      .select("blk", "id_a", "id_b").distinct()
+    val packed = perDoc.select(col("id"),
+      graft.functions.PackedLongs.packSortedSet(spark,
+        transform(col("st"), p => p.getField("g"))).as("g"),
+      col("nset").cast("int").as("nc"))
+    verifyTail(cands, packed, threshold)
+  }
+
   /** ASYMMETRIC containment pairs — the partial-inclusion detector
     * Jaccard structurally misses: a short document swallowed whole by a
     * long one (wire-copy inside a roundup, a quoted post inside a
@@ -467,43 +582,95 @@ object Dedup {
     * Reports both directed containments per candidate pair, keeping
     * pairs where either direction clears `threshold`.
     *
-    * Same blocked-triangle architecture as [[ngramJaccardPairs]] (packed
-    * sorted gram sets, balanced chunk replication, SHUFFLE_HASH, in-plan
-    * oversize guard) with one deliberate difference: the count-ratio
-    * prune is UNSOUND here (min/max set-size says nothing about
-    * inter/min), so no prune — which is exactly why the quadratic
-    * guard matters more, not less. */
+    * Candidate generation is a PREFIX-FILTER join (the
+    * [[prefixFilterJaccardPairs]] discipline), NOT blocked all-pairs —
+    * and the prune is SOUND for containment even though the count-ratio
+    * prune is not: a pair qualifies iff inter ≥ t·min(|A|,|B|), so for
+    * the SMALLER set A at most ⌈t·|A|⌉ − 1 < inter of its grams sit
+    * after the first |A| − ⌈t·|A|⌉ + 1 in ANY fixed per-doc order —
+    * some shared gram lands in A's prefix. Joining every doc's
+    * (rarest-first, in-block df order) prefix grams against every doc's
+    * FULL gram list therefore finds every qualifying pair with recall
+    * 1.0; the packed-set verify removes false candidates exactly.
+    *
+    * Scale shape: the round-13 blocked triangle did Σ_blk n_blk²/2
+    * packed intersections — measured 1.31× of linear at 10× and rising
+    * with block occupancy (the 2×-gate trajectory the round-13 verdict
+    * flagged). Here candidate traffic is Σ_(blk,w) prefix_df(w) ·
+    * full_df(w) over prefix grams only: prefixes hold each doc's RAREST
+    * grams, so hot grams never enter the join side that multiplies, and
+    * work grows with gram volume (linear in corpus bytes at stable
+    * vocabulary df), not block occupancy². A prefix gram whose in-block
+    * df exceeds `maxPrefixDf` fails IN-PLAN naming the fallback. The
+    * per-doc gram frame is materialized once (`materializePath` →
+    * parquet, the cluster form; else a local checkpoint) and feeds the
+    * prefix explode, the full-side explode AND the packed verify sets —
+    * one gram scan total. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 2, threshold: Double = 0.6,
-      chunks: Int = 8, maxBlockSize: Int = 10000): DataFrame = {
+      maxPrefixDf: Int = 5000,
+      materializePath: Option[String] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
     val spark = df.sparkSession
-    val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        graft.functions.PackedLongs.packSortedSet(spark,
-          graft.functions.TextHashExprs.ngramHashes(spark,
-            TextAnalysis.tokens(col(textCol)), n)).as("g"))
-      .withColumn("nc", (length(col("g")) / 8).cast("int"))
-      .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
-    val counts = df.groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("__bn"))
-    val guarded = grams.join(broadcast(counts), Seq("blk"))
-      .filter(when(col("__bn") > maxBlockSize,
-        raise_error(concat(
-          lit("containmentPairs: block '"), col("blk").cast("string"),
-          lit("' holds "), col("__bn").cast("string"),
-          lit(s" docs > maxBlockSize=$maxBlockSize; in-block pair work is" +
-            " quadratic — pre-bucket the corpus or raise maxBlockSize")))
-          .cast("boolean"))
-        .otherwise(lit(true)))
-      .drop("__bn")
-    val lo = guarded.select(col("blk"),
-      explode(sequence(col("ck"), lit(chunks - 1))).as("hi"), col("ck").as("lo"),
-      col("id").as("id_a"), col("g").as("g_a"), col("nc").as("n_a"))
-    val hi = grams.select(col("blk"),
-      explode(sequence(lit(0), col("ck"))).as("lo"), col("ck").as("hi"),
-      col("id").as("id_b"), col("g").as("g_b"), col("nc").as("n_b"))
-    lo.join(hi.hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
-      .filter(col("lo") =!= col("hi") || col("id_a") < col("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
+    val w = verifyWidth(df)
+    val perDoc = blockedGramFrame(df, idCol, textCol, blockCol, n, w,
+      materializePath)
+    val plen = (col("nset") -
+      floor(lit(threshold) * col("nset")).cast("long") + 1L).cast("int")
+    // positions ride along for the positional filter (see the blocked
+    // Jaccard sibling): 1-based rank in the per-doc (df, g) order
+    val prefixes = perDoc
+      .select(col("blk"), col("id"), col("nset"),
+        posexplode(slice(col("st"), lit(1), plen)))
+      .select(col("blk"), col("id"), col("nset"),
+        (col("pos") + 1).as("gp"), col("col.g").as("g"),
+        col("col.gdf").as("gdf"))
+      .withColumn("g", when(col("gdf") <= maxPrefixDf, col("g"))
+        .otherwise(raise_error(concat(
+          lit("containmentPairs: prefix gram df "), col("gdf").cast("string"),
+          lit(s" > maxPrefixDf=$maxPrefixDf — candidate join traffic is" +
+            " prefix_df × full_df per gram; shrink blocks, raise" +
+            " maxPrefixDf, or route this corpus shape through" +
+            " lshVerifiedPairsMd5 (banded candidates lose the containment" +
+            " recall guarantee but bound the traffic)")))))
+    val full = perDoc
+      .select(col("blk"), col("id").as("id_b"), col("nset").as("n_bs"),
+        posexplode(col("st")))
+      .select(col("blk"), col("col.g").as("g"), col("id_b"), col("n_bs"),
+        (col("pos") + 1).as("p_b"))
+    // a = the deterministic MIN-set side ((nset, id) order): the prefix
+    // argument above binds on the smaller set, so only its prefix joins.
+    // POSITIONAL filter: containment ≥ t needs I ≥ t·n_a; the pair's
+    // MINIMAL shared gram bounds I ≤ 1 + min(n_a − p_a, n_b − p_b)
+    // (both docs sort by the same per-block (df, g) order), so
+    // occurrences failing it drop pre-distinct — the pair survives via
+    // its minimal shared gram.
+    val cands = prefixes
+      .select(col("blk"), col("g"), col("id").as("id_a"),
+        col("nset").as("n_as"), col("gp").as("p_a"))
+      .repartition(w, col("blk"), col("g"))
+      .join(full.repartition(w, col("blk"), col("g"))
+        .hint("SHUFFLE_HASH"), Seq("blk", "g"))
+      .filter(col("n_bs") > col("n_as") ||
+        (col("n_bs") === col("n_as") && col("id_b") > col("id_a")))
+      .filter(lit(1.0) +
+        least(col("n_as") - col("p_a"), col("n_bs") - col("p_b"))
+          .cast("double") >=
+        lit(threshold) * col("n_as").cast("double") - lit(1e-9))
+      .select("blk", "id_a", "id_b").distinct()
+    val packed = perDoc.select(col("id"),
+      graft.functions.PackedLongs.packSortedSet(spark,
+        transform(col("st"), p => p.getField("g"))).as("g"),
+      col("nset").cast("int").as("nc"))
+    cands
+      .repartition(w, col("id_a"))
+      .join(packed.select(col("id").as("id_a"), col("g").as("g_a"),
+        col("nc").as("n_a")).repartition(w, col("id_a"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .repartition(w, col("id_b"))
+      .join(packed.select(col("id").as("id_b"), col("g").as("g_b"),
+        col("nc").as("n_b")).repartition(w, col("id_b"))
+        .hint("SHUFFLE_HASH"), "id_b")
       .withColumn("inter", graft.functions.PackedLongs
         .intersectSize(spark, col("g_a"), col("g_b")))
       .withColumn("cont_a_in_b", when(col("n_a") > 0,
@@ -513,8 +680,8 @@ object Dedup {
         col("inter").cast("double") / col("n_b").cast("double"))
         .otherwise(lit(0.0)))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
-      // cross-chunk tasks see one arbitrary orientation — canonicalize to
-      // id_a < id_b, swapping the directed columns along with the ids
+      // the candidate orientation is (min-set side, other) — canonicalize
+      // to id_a < id_b, swapping the directed columns along with the ids
       .withColumn("__swap", col("id_a") > col("id_b"))
       .select(col("blk"),
         least(col("id_a"), col("id_b")).as("id_a"),
@@ -595,8 +762,17 @@ object Dedup {
         explode(sequence(lit(0), col("ck"))).as("lo"), col("ck").as("hi"),
         col("id").as("id_b"), col("g").as("g_b"), col("nc").as("n_b"))
     // SHUFFLE_HASH: a broadcast build of wide rows measured ~2.5× slower
-    // than a shuffled hash join here, and SMJ adds a useless sort
-    lo.join(hi.hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
+    // than a shuffled hash join here, and SMJ adds a useless sort.
+    // Both sides pre-partitioned on the join key at the input-keyed CPU
+    // width: the probe is intersect-CPU-dense per shuffled byte, and
+    // AQE's byte-targeted coalescing otherwise folds the whole triangle
+    // into a handful of tasks (measured 14.4 s single probe task at 10×
+    // while the packed grams totalled a few MB). User-numbered
+    // repartitions are AQE-exempt; the joins reuse these exchanges.
+    val w = verifyWidth(loSrc)
+    lo.repartition(w, col("blk"), col("lo"), col("hi"))
+      .join(hi.repartition(w, col("blk"), col("lo"), col("hi"))
+        .hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
       // same-chunk tasks see both orientations — keep one; cross-chunk
       // tasks see exactly one — keep it and reorient on output
       .filter(col("lo") =!= col("hi") || col("id_a") < col("id_b"))
@@ -794,7 +970,7 @@ object Dedup {
     // set build is gram-explode CPU bound to the parquet split count
     // otherwise (100×: 25 uniform ~57 s scan tasks while 256 verify tasks
     // idled); one narrow doc shuffle bounds it at volume/width
-    val grams = df.repartition(verifyWidth(spark), col(idCol))
+    val grams = df.repartition(verifyWidth(df), col(idCol))
       .select(col(idCol).as("id"),
         graft.functions.PackedLongs.packSortedSet(spark, gramHashes).as("g"))
       .withColumn("nc", (length(col("g")) / 8).cast("int"))
@@ -836,7 +1012,7 @@ object Dedup {
     // (100×: two 25-task scan stages at ~55 s/task owned the runtime);
     // the narrow doc shuffle is kilobytes-per-row against gram CPU
     val base = df.select(col(idCol).as("id"), col(textCol).as("__txt"))
-      .repartition(verifyWidth(df.sparkSession), col("id"))
+      .repartition(verifyWidth(df), col("id"))
       .select(col("id"), array_distinct(shingles(col("__txt"), n)).as("gs"))
     // explode_OUTER + post-filter, NOT explode: an inner explode makes
     // InferFiltersFromGenerate add `size(gs) > 0 AND isnotnull(gs)`,
@@ -857,7 +1033,7 @@ object Dedup {
     // verify width (replaces the aggregation's own exchange, exempt from
     // AQE byte-coalescing) — measured 15.6 s max task at 32-wide, 100×
     val perDoc = ranked
-      .repartition(verifyWidth(df.sparkSession), col("id"))
+      .repartition(verifyWidth(df), col("id"))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("gdf"), col("g")))).as("st"),
         count(lit(1)).as("nset"))

@@ -23,6 +23,41 @@ object Pipeline {
     conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))),
       1, 15), 16, 10).cast("long")
 
+  /** INPUT-KEYED width for CPU-dense stages (packed-set intersections,
+    * gram explodes, per-value md5 unpivots): these stages cost compute
+    * per input byte far above what the byte-targeted defaults budget, so
+    * they need explicit (AQE-coalescing-exempt) repartitions — but a
+    * CONSTANT over-width (the round-13 form, session parts × 8/16) taxes
+    * small inputs with hundreds of near-empty tasks per stage, measured
+    * as correlated 1.3–1.8× A/B regressions across the dedup family at
+    * sf0.1 while only the 100× runs needed the width.
+    *
+    * Width = estimated plan bytes / `bytesPerTask`, clamped to
+    * [session shuffle width, session width × `maxFactor`]. The estimate
+    * is Catalyst's `optimizedPlan.stats.sizeInBytes` — file bytes for
+    * scans, propagated estimates above them; no job runs. The default
+    * 256 KB/task budgets single-digit-second tasks for gram-explode
+    * kernels measured at ~15–20 task-seconds per source MB; the clamp
+    * floor keeps small inputs at the session's natural width (the
+    * pre-round-13 plan, bit-identical results either way) and the
+    * ceiling reproduces the round-13 wide plan exactly where the 100×
+    * audit needed it. An unavailable estimate (≤ 0) falls back to the
+    * conservative wide form. */
+  private[graft] def cpuWidth(frame: DataFrame,
+      bytesPerTask: Long = 256L << 10, maxFactor: Int = 8): Int = {
+    val spark = frame.sparkSession
+    val parts = try {
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    } catch { case _: Throwable => spark.sparkContext.defaultParallelism }
+    val cap = math.max(parts, parts * maxFactor)
+    val est = try {
+      frame.queryExecution.optimizedPlan.stats.sizeInBytes
+    } catch { case _: Throwable => BigInt(0) }
+    if (est <= 0) cap
+    else ((est + bytesPerTask - 1) / bytesPerTask)
+      .min(BigInt(cap)).max(BigInt(parts)).toInt
+  }
+
   /** Distributed running sum — the primitive under [[packSequences]],
     * [[sampleToTokenBudget]] and [[shuffleShards]]. Adds `outCol` =
     * inclusive prefix sum of `value` over rows in ascending
@@ -856,12 +891,19 @@ object Pipeline {
     *
     * Scale shape: one fingerprint groupBy (map-side combined), one
     * distinct over the pairs' endpoints (pairs-sized), two id-keyed
-    * semi-join-shaped marks, one source aggregation. */
+    * semi-join-shaped marks, one source aggregation. The fingerprint
+    * kernel is rebalanced to [[cpuWidth]] first — it hashes every text
+    * byte, and at audit scale the raw scan otherwise runs in the
+    * input's few parquet splits (measured: the 12.5 s max task of the
+    * round-13 10× audit). */
   def dedupReport(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, pairs: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
     val fps = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
-      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+        col(textCol).as("__txt"))
+      .repartition(cpuWidth(docs), col("id"))
+      .select(col("id"), col("source"),
+        TextAnalysis.fingerprint(col("__txt")).as("fp"))
     val dupFps = fps.groupBy("fp").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("fp")
     val nearIds = pairs.select(col(aCol).cast("long").as("id"))

@@ -46,16 +46,15 @@ object Profile {
         render(c)(min(col(c))).as(s"__mn_$c"),
         render(c)(max(col(c))).as(s"__mx_$c"))
     } :+ count(lit(1)).as("__n")
-    val parts = try {
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    } catch {
-      case _: Throwable => df.sparkSession.sparkContext.defaultParallelism
-    }
-    // 16×: Expand amplifies every row ~4·#columns× INSIDE the partial
-    // aggregation, so the per-task CPU budget is width-divided amplified
-    // volume — at session width the 100× audit held a 144 s task; the
-    // extra scheduling on a one-shot audit job is noise
-    val one = df.repartition(parts * 16).agg(aggs.head, aggs.tail: _*)
+    // up to 16× the session width, keyed to input bytes: Expand
+    // amplifies every row ~4·#columns× INSIDE the partial aggregation,
+    // so the per-task CPU budget is width-divided amplified volume — at
+    // session width the 100× audit held a 144 s task, while a CONSTANT
+    // 16× taxed the sf0.1 A/B 1.45× in near-empty tasks. cpuWidth's
+    // clamp floor keeps small inputs at session width and its ceiling
+    // reproduces the wide plan exactly where the audit needed it.
+    val one = df.repartition(Pipeline.cpuWidth(df, maxFactor = 16))
+      .agg(aggs.head, aggs.tail: _*)
     val stacked = one.select(explode(array(cols.map { c =>
       struct(lit(c).as("column"),
         lit(df.schema(c).dataType.simpleString).as("dtype"),
@@ -113,15 +112,10 @@ object Profile {
         col(s"__mn_$c").as("min_s"), col(s"__mx_$c").as("max_s"))
     }: _*)).as("p")).select(col("p.*"))
     // pass B: per-column HLL registers over the rendered values. Same
-    // rebalance rationale as the exact profile at 8×: the unpivot
-    // amplifies #columns× and every value pays an md5 — CPU per scanned
-    // byte far above the split policy's budget
-    val partsB = try {
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    } catch {
-      case _: Throwable => df.sparkSession.sparkContext.defaultParallelism
-    }
-    val pairs = df.repartition(partsB * 8)
+    // rebalance rationale as the exact profile (input-keyed, up to 8×):
+    // the unpivot amplifies #columns× and every value pays an md5 — CPU
+    // per scanned byte far above the split policy's budget
+    val pairs = df.repartition(Pipeline.cpuWidth(df))
       .select(explode(array(cols.map { c =>
         struct(lit(c).as("c"), render(c)(col(c)).as("v"))
       }: _*)).as("p"))

@@ -1919,13 +1919,8 @@ object Stats {
     // md5 each INSIDE the scan stage, so the split policy (not the data)
     // sets the parallelism — a 2 MB source file ran the whole replicate
     // scan in ONE task.
-    val partsW = try {
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    } catch {
-      case _: Throwable => df.sparkSession.sparkContext.defaultParallelism
-    }
     val cells = base
-      .repartition(partsW * 8)
+      .repartition(Pipeline.cpuWidth(base))
       .select(col("g"), col("id"), col("v"),
         explode(sequence(lit(-1), lit(nHashes - 1))).as("__h"))
       .withColumn("__hv", when(col("__h") >= 0, graft.ops.Pipeline.md5Long60(

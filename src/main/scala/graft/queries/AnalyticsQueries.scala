@@ -744,6 +744,27 @@ object AnalyticsQueries {
           "event_id", gapSeconds = 1800L)
         .orderBy("user_id", "session_id")
     },
+    // STREAMING twin of q_session_stats replayed end-to-end: normalized
+    // events staged to parquet, the per-session-row stream run to
+    // completion under Trigger.AvailableNow, closed sessions returned.
+    // The oracle is the batch one-task window form MINUS each user's
+    // final (still-open) session — the documented append-mode contract,
+    // so the stream's emit-on-close rows are hash-pinned against DuckDB,
+    // not just spec-pinned against the batch twin.
+    "q_session_rows_stream" -> { (s, d) =>
+      val src = java.nio.file.Files.createTempDirectory("graft_sessrows")
+        .toString
+      val ev = Tables.events(s, d).select("user_id", "ts", "event_id")
+      ev.write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val qn = "sess_rows_gate_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val q = graft.ops.Streaming.sessionRowsStream(s, src, schema,
+        "user_id", "ts", gapSeconds = 1800L, queryName = qn)
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).orderBy("user_id", "session_id")
+    },
     // PSI distribution drift per event type between the month's first
     // and second half: dense bins, ε-floored shares, quantized terms
     "q_psi_drift" -> { (s, d) =>
@@ -3200,6 +3221,30 @@ object AnalyticsQueries {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  max(t) - min(t) AS duration_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streaming twin's closed sessions re-derived: the same one-task
+    // window form as q_session_stats, minus each user's final session
+    // (append-mode emit-on-close — the open session has not emitted yet)
+    "q_session_rows_stream" ->
+      """WITH o AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS e
+        |  FROM events),
+        |p AS (SELECT u, t, e,
+        |    lag(t) OVER (PARTITION BY u ORDER BY t, e) AS pt FROM o),
+        |f AS (SELECT u, t, e, CASE WHEN pt IS NULL
+        |    OR t - pt > 1800000000 THEN 1 ELSE 0 END AS fl FROM p),
+        |s AS (SELECT u, t, CAST(sum(fl) OVER (PARTITION BY u ORDER BY t, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS sid FROM f),
+        |agg AS (SELECT u AS user_id, sid AS session_id,
+        |    min(t) AS session_start_us, max(t) AS session_end_us,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    max(t) - min(t) AS duration_us
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, session_id, session_start_us, session_end_us,
+        |  n_events, duration_us
+        |FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS mx
+        |  FROM agg)
+        |WHERE session_id < mx
+        |ORDER BY user_id, session_id""".stripMargin,
     // PSI re-derived: identical bin arithmetic (clamped edge), 9-dp
     // shares before the ln, 10-dp quantized terms, 6-dp render
     "q_psi_drift" ->

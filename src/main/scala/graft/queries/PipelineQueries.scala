@@ -1050,14 +1050,23 @@ object PipelineQueries {
     },
     // per-source dedup-rate data card: planted %9 exact copies + the
     // within-source near-dup pair family; counts exact, rates exact-int
-    // divisions
+    // divisions. Pairs come from the BLOCKED prefix filter at a REAL
+    // near-dup threshold (0.4): recall 1.0 + exact verify gives the same
+    // result set as all-pairs ngramJaccardPairs at the same threshold
+    // (oracle replays all-pairs), while the pair stage scales with gram
+    // volume, not block occupancy² — the round-13 10× audit's 12.5 s max
+    // task was the triangle's quadratic growth with replicated block
+    // occupancy. (A noise-level threshold like 0.05 puts ~every gram in
+    // every prefix and degenerates the filter to an inverted-index join;
+    // that shape is the audit-scale ground-truth op d_ngram_jaccard, not
+    // a data card.)
     "q_dedup_report" -> { (s, d) =>
       val base = Tables.documents(s, d).select("doc_id", "source", "text")
       val withDups = base.unionByName(base.filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") + lit(4000000L)).as("doc_id"), col("source"),
           col("text")))
-      val pairs = Dedup.ngramJaccardPairs(withDups, "doc_id", "text",
-        blockCol = "source", n = 2, threshold = 0.05)
+      val pairs = Dedup.prefixFilterJaccardPairsBlocked(withDups, "doc_id",
+        "text", blockCol = "source", n = 2, threshold = 0.4)
       graft.ops.Pipeline.dedupReport(withDups, "doc_id", "text", "source",
         pairs, "id_a", "id_b")
         .orderBy("source")
@@ -3761,7 +3770,7 @@ object PipelineQueries {
         |        THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
         |        ELSE 0.0 END AS jaccard
         |    FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.05),
+        |  WHERE jaccard >= 0.4),
         |near AS (SELECT DISTINCT id FROM (
         |    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
         |marked AS (SELECT f.source,

@@ -2075,6 +2075,31 @@ class OpsSpec extends SparkSpec {
       ob.getAs[Boolean]("ok_symbol_ratio"))
   }
 
+  test("prefixFilterJaccardPairsBlocked == ngramJaccardPairs (recall 1.0 + exact verify)") {
+    import spark.implicits._
+    // two blocks, near-dup families + unrelated docs; low threshold so
+    // many candidate pairs survive the prefix join in both blocks
+    val rows = Seq(
+      (1L, "b1", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "b1", "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "b1", "alpha beta gamma kappa lambda mu nu xi"),
+      (4L, "b1", "wholly different tokens with separate vocabulary here"),
+      (5L, "b2", "alpha beta gamma delta epsilon zeta eta theta"),
+      (6L, "b2", "alpha beta gamma delta omicron pi rho sigma"),
+      (7L, "b2", "tau upsilon phi chi psi omega tau upsilon"))
+      .toDF("doc_id", "blk0", "text")
+    for (t <- Seq(0.1, 0.5)) {
+      val exact = Dedup.ngramJaccardPairs(rows, "doc_id", "text", "blk0",
+        n = 2, threshold = t).orderBy("blk", "id_a", "id_b").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val pf = Dedup.prefixFilterJaccardPairsBlocked(rows, "doc_id", "text",
+        "blk0", n = 2, threshold = t).orderBy("blk", "id_a", "id_b").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(pf.toSeq == exact.toSeq, s"threshold $t: $pf vs $exact")
+      assert(exact.nonEmpty)
+    }
+  }
+
   test("containmentPairs: prefix doc scores containment 1.0, Jaccard threshold would miss it") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

@@ -45,13 +45,16 @@ PYEOF
 
 # 100x flagships: the eight prior flagships + the lossless prefix-filter
 # join, the composed entity resolution, (round 11) the two priciest
-# summary-window stats — Kaplan-Meier and Spearman — and (round 13, per
+# summary-window stats — Kaplan-Meier and Spearman — (round 13, per
 # the round-12 verdict) the two priciest adtl-core gates plus both table
-# profiles: the exact Expand audit and its no-Expand HLL twin
+# profiles: the exact Expand audit and its no-Expand HLL twin — and
+# (round 14, per the round-13 verdict) the two formerly-superlinear
+# heavies, now prefix-filter-routed: containment and the dedup data card
 FLAGS="d_lsh_jaccard_verify s_ivf_topk t_winnow_overlap s_ivfpq_topk \
 q_training_mix q_quality_pipeline q_apply_changes s_knn_graph \
 d_prefix_jaccard q_entity_resolution q_kaplan_meier q_spearman \
-q_profile_table q_profile_table_approx adtl_groupby_combined"
+q_profile_table q_profile_table_approx adtl_groupby_combined \
+d_containment q_dedup_report"
 sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_f1 1 $FLAGS" 2>&1 \
   | grep -o '{"metric".*}' | tail -1 > /tmp/sc_f1.json
 sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_sf10 100 $FLAGS" 2>&1 \
@@ -59,6 +62,6 @@ sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_sf10 100 $FLAGS" 2>&1 \
 
 python3 tools/assemble_scale.py sf10 /tmp/sc_f1.json /tmp/sc_f100.json \
   "BENCH_${TAG}_sf10.json" \
-  "graft.ScaleBench - sf0.1 replicated 100x, fifteen flagships: the twelve prior plus both table profiles (exact Expand audit + HLL twin) and the combinedType groupBy"
+  "graft.ScaleBench - sf0.1 replicated 100x, seventeen flagships: the fifteen prior plus the two formerly-superlinear heavies (prefix-filter containment, dedup data card)"
 
 echo "== artifacts written: BENCH_${TAG}_sf1.json BENCH_${TAG}_sf10.json"
