@@ -464,19 +464,17 @@ object Dedup {
     triangleJaccard(guarded, grams, threshold, chunks)
   }
 
-  /** Shared per-doc IN-BLOCK gram frame for the blocked prefix-filter
-    * family: (blk, id, st: array<struct<gdf,g>> sorted rarest-first by
-    * (in-block df, gram hash), nset = distinct gram count). Rebalances
+  /** Shared exploded gram frame for the blocked exact-similarity family:
+    * one row per (blk, id, nset, g) distinct gram occurrence. Rebalances
     * raw docs to `w` BEFORE the gram kernel (CPU-dense per byte — at
     * audit scale the scan otherwise runs in the input's few parquet
-    * splits), builds per-(blk, gram) document frequencies with one
-    * map-combinable shuffle, and materializes ONCE (`materializePath` →
-    * parquet, the cluster form; else a local checkpoint) so the prefix
-    * explode, the full-side explode and the packed verify sets all read
-    * it without recomputing the gram scan. explode_outer + post-filter,
-    * not explode — see [[prefixFilterJaccardPairs]] on the
-    * InferFiltersFromGenerate trap. */
-  private def blockedGramFrame(df: DataFrame, idCol: String,
+    * splits) and materializes ONCE (`materializePath` → parquet, the
+    * cluster form; else a local checkpoint) so both sides of the
+    * inverted-index self-join read it without recomputing the gram
+    * scan. explode_outer + post-filter, not explode — see
+    * [[prefixFilterJaccardPairs]] on the InferFiltersFromGenerate
+    * trap. */
+  private def blockedTokFrame(df: DataFrame, idCol: String,
       textCol: String, blockCol: String, n: Int, w: Int,
       materializePath: Option[String]): DataFrame = {
     val spark = df.sparkSession
@@ -486,92 +484,94 @@ object Dedup {
       .select(col("blk"), col("id"), array_distinct(
         graft.functions.TextHashExprs.ngramHashes(spark,
           TextAnalysis.tokens(col("__txt")), n)).as("gs"))
-    val toks = base.select(col("blk"), col("id"), explode_outer(col("gs")).as("g"))
-      .filter(col("g").isNotNull)
-    val dfc = toks.groupBy("blk", "g").agg(count(lit(1)).as("gdf"))
     materializeBase(
-      toks.join(dfc.hint("SHUFFLE_HASH"), Seq("blk", "g"))
-        .repartition(w, col("id"))
-        .groupBy("blk", "id")
-        .agg(sort_array(collect_list(struct(col("gdf"), col("g")))).as("st"),
-          count(lit(1)).as("nset")), materializePath)
+      base.select(col("blk"), col("id"),
+          size(col("gs")).cast("long").as("nset"),
+          explode_outer(col("gs")).as("g"))
+        .filter(col("g").isNotNull), materializePath)
   }
 
-  /** BLOCKED prefix-filtered set-similarity join — the
-    * [[prefixFilterJaccardPairs]] guarantee (ALL pairs with gram-set
-    * Jaccard ≥ `threshold`, recall 1.0, exact verify) restricted to
-    * pairs sharing `blockCol`, with gram document frequencies and the
-    * candidate join both keyed per block. The linear-trajectory
-    * replacement for [[ngramJaccardPairs]] wherever the caller wants
-    * the same blocked result set without the Σ n_blk² triangle: the
-    * candidate join moves Σ_(blk,w) prefix_df(w)² rows over PREFIX
-    * grams only, so work tracks gram volume (linear in corpus bytes at
-    * stable per-block vocabulary df), not block occupancy². A prefix
-    * gram whose in-block df exceeds `maxPrefixDf` fails IN-PLAN with
-    * the remediation named. Output schema matches ngramJaccardPairs:
+  /** Core of the blocked exact pair measures: the INVERTED-INDEX COUNT
+    * join (S. Sarawagi & A. Kirpal's per-token join / the "group-count"
+    * exact set-similarity plan): explode every doc's distinct gram set,
+    * self-join per (block, gram), and COUNT rows per pair — the count
+    * IS the exact intersection size, so no packed sets, no candidate
+    * distinct, and no verify join-backs ever materialize; the only
+    * per-pair state that moves is (blk, id_a, id_b, n_a, n_b, 1).
+    *
+    * Why this plan for this family: the round-14 100× audit measured
+    * the prefix-filter + packed-verify form spending its runtime
+    * shuffling ~400-byte packed blobs attached to a 560:1
+    * false-candidate stream (42 M candidates for 75 k true pairs —
+    * short gram sets make every prefix bound loose). The count join
+    * moves 24-byte rows instead and its aggregation is the filter. The
+    * regime tradeoff is explicit: join traffic is Σ_(blk,g) df², so a
+    * gram whose in-block df exceeds `maxGramDf` fails IN-PLAN naming
+    * the banded fallback — for corpora with huge per-doc sets and hot
+    * grams, [[prefixFilterJaccardPairs]] (prefixes exclude hot grams)
+    * or [[lshVerifiedPairsMd5]] are the right shapes instead. The df
+    * guard rides a window over the join's own (blk, g) exchange — no
+    * extra shuffle. `keepPair` orders the pair (containment keeps the
+    * MIN-set side as a, Jaccard keeps id order); output is
+    * (blk, id_a, id_b, inter: int, n_a: long, n_b: long). */
+  private def blockedPairCounts(toks: DataFrame, w: Int, maxGramDf: Int,
+      opName: String, keepPair: (Column, Column, Column, Column) => Column)
+      : DataFrame = {
+    val aSide = toks.select(col("blk"), col("g"), col("id").as("id_a"),
+        col("nset").as("n_a"))
+      .repartition(w, col("blk"), col("g"))
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk"), col("g"))))
+      .withColumn("g", when(col("__df") <= maxGramDf, col("g"))
+        .otherwise(raise_error(concat(
+          lit(s"$opName: gram df "), col("__df").cast("string"),
+          lit(s" > maxGramDf=$maxGramDf — inverted-index join traffic is" +
+            " df² per gram; use lshVerifiedPairs* (banded candidates +" +
+            " exact verify) for this corpus shape, or raise maxGramDf")))))
+      .drop("__df")
+    val bSide = toks.select(col("blk"), col("g"), col("id").as("id_b"),
+        col("nset").as("n_b"))
+      .repartition(w, col("blk"), col("g"))
+    aSide.join(bSide.hint("SHUFFLE_HASH"), Seq("blk", "g"))
+      .filter(keepPair(col("id_a"), col("n_a"), col("id_b"), col("n_b")))
+      // pair-key exchange pre-partitioned at w (AQE-exempt): the pair
+      // count aggregates tens of millions of DISTINCT keys (partial
+      // combine only folds same-pair rows, ~1.7×), and at the session
+      // width the final agg held 32 tasks at ~12 s median in the 100×
+      // audit; the complete agg reuses this exchange
+      .repartition(w, col("blk"), col("id_a"), col("id_b"))
+      .groupBy("blk", "id_a", "id_b")
+      .agg(count(lit(1)).cast("int").as("inter"),
+        min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
+  }
+
+  /** BLOCKED exact set-similarity join: ALL pairs sharing `blockCol`
+    * whose distinct word-n-gram sets have Jaccard ≥ `threshold` — the
+    * same result set as [[ngramJaccardPairs]] at the same threshold
+    * (recall 1.0, exact arithmetic), built as an inverted-index COUNT
+    * join ([[blockedPairCounts]]) instead of the Σ n_blk² triangle, so
+    * work tracks gram-occurrence volume (linear in corpus bytes at
+    * stable per-block gram df), not block occupancy². jaccard =
+    * inter / (n_a + n_b − inter), exact integers into one correctly
+    * rounded division. Output schema matches ngramJaccardPairs:
     * (blk, id_a, id_b, jaccard), id_a < id_b. */
-  def prefixFilterJaccardPairsBlocked(df: DataFrame, idCol: String,
+  def blockedJaccardPairs(df: DataFrame, idCol: String,
       textCol: String, blockCol: String, n: Int = 2,
-      threshold: Double = 0.5, maxPrefixDf: Int = 5000,
+      threshold: Double = 0.5, maxGramDf: Int = 5000,
       materializePath: Option[String] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val spark = df.sparkSession
     val w = verifyWidth(df)
-    val perDoc = blockedGramFrame(df, idCol, textCol, blockCol, n, w,
+    val toks = blockedTokFrame(df, idCol, textCol, blockCol, n, w,
       materializePath)
-    val plen = (col("nset") -
-      floor(lit(threshold) * col("nset")).cast("long") + 1L).cast("int")
-    // positions ride along (1-based rank in the per-doc (df, g) order)
-    // for the PPJoin POSITIONAL filter below
-    val prefixes = perDoc
-      .select(col("blk"), col("id"), col("nset"),
-        posexplode(slice(col("st"), lit(1), plen)))
-      .select(col("blk"), col("id"), col("nset"),
-        (col("pos") + 1).as("gp"), col("col.g").as("g"),
-        col("col.gdf").as("gdf"))
-    val guarded = prefixes.withColumn("g",
-      when(col("gdf") <= maxPrefixDf, col("g"))
-        .otherwise(raise_error(concat(
-          lit("prefixFilterJaccardPairsBlocked: prefix gram df "),
-          col("gdf").cast("string"),
-          lit(s" > maxPrefixDf=$maxPrefixDf — candidate join traffic is" +
-            " df² per gram; use lshVerifiedPairs* (banded candidates +" +
-            " exact verify) for this corpus shape, or raise maxPrefixDf")))))
-    // candidate join pre-partitioned on its key (AQE-exempt): the
-    // prefix-pair emission is CPU-dense per shuffled byte, and at the
-    // session width the probe held 32 uniform ~20 s tasks at 100×.
-    // POSITIONAL filter (PPJoin, Xiao et al. WWW 2008): J ≥ t needs
-    // overlap I ≥ t/(1+t)·(n_a+n_b); for the pair's MINIMAL shared gram
-    // (both docs sort by the same per-block (df, g) order) every other
-    // shared gram sits after it in both lists, so
-    // I ≤ 1 + min(n_a − p_a, n_b − p_b). Occurrences failing the bound
-    // drop pre-distinct — a qualifying pair always survives via its
-    // minimal shared gram; measured 400k candidates → 564 true pairs
-    // at 1× without it (the verify joins were the 100× audit's cost).
-    val alpha = lit(threshold / (1.0 + threshold))
-    val cands = guarded
-      .select(col("blk"), col("g"), col("id").as("id_a"),
-        col("nset").as("n_a"), col("gp").as("p_a"))
-      .repartition(w, col("blk"), col("g"))
-      .join(prefixes.select(col("blk"), col("g"), col("id").as("id_b"),
-        col("nset").as("n_b"), col("gp").as("p_b"))
-        .repartition(w, col("blk"), col("g"))
-        .hint("SHUFFLE_HASH"), Seq("blk", "g"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(least(col("n_a"), col("n_b")).cast("double") >=
-        greatest(col("n_a"), col("n_b")).cast("double") * lit(threshold) -
-          lit(1e-9))
-      .filter(lit(1.0) +
-        least(col("n_a") - col("p_a"), col("n_b") - col("p_b"))
-          .cast("double") >=
-        alpha * (col("n_a") + col("n_b")).cast("double") - lit(1e-9))
-      .select("blk", "id_a", "id_b").distinct()
-    val packed = perDoc.select(col("id"),
-      graft.functions.PackedLongs.packSortedSet(spark,
-        transform(col("st"), p => p.getField("g"))).as("g"),
-      col("nset").cast("int").as("nc"))
-    verifyTail(cands, packed, threshold)
+    blockedPairCounts(toks, w, maxGramDf, "blockedJaccardPairs",
+      (idA, _, idB, _) => idA < idB)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a").cast("double") + col("n_b").cast("double") -
+          col("inter").cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select("blk", "id_a", "id_b", "jaccard")
   }
 
   /** ASYMMETRIC containment pairs — the partial-inclusion detector
@@ -582,97 +582,26 @@ object Dedup {
     * Reports both directed containments per candidate pair, keeping
     * pairs where either direction clears `threshold`.
     *
-    * Candidate generation is a PREFIX-FILTER join (the
-    * [[prefixFilterJaccardPairs]] discipline), NOT blocked all-pairs —
-    * and the prune is SOUND for containment even though the count-ratio
-    * prune is not: a pair qualifies iff inter ≥ t·min(|A|,|B|), so for
-    * the SMALLER set A at most ⌈t·|A|⌉ − 1 < inter of its grams sit
-    * after the first |A| − ⌈t·|A|⌉ + 1 in ANY fixed per-doc order —
-    * some shared gram lands in A's prefix. Joining every doc's
-    * (rarest-first, in-block df order) prefix grams against every doc's
-    * FULL gram list therefore finds every qualifying pair with recall
-    * 1.0; the packed-set verify removes false candidates exactly.
-    *
-    * Scale shape: the round-13 blocked triangle did Σ_blk n_blk²/2
+    * Built on the inverted-index COUNT join ([[blockedPairCounts]],
+    * regime tradeoffs documented there): the pair orientation keeps the
+    * MIN-set side as a ((nset, id) order), the grouped count is the
+    * exact intersection, and both directed containments are divisions
+    * of exact integers. The round-13 blocked triangle did Σ_blk n_blk²/2
     * packed intersections — measured 1.31× of linear at 10× and rising
-    * with block occupancy (the 2×-gate trajectory the round-13 verdict
-    * flagged). Here candidate traffic is Σ_(blk,w) prefix_df(w) ·
-    * full_df(w) over prefix grams only: prefixes hold each doc's RAREST
-    * grams, so hot grams never enter the join side that multiplies, and
-    * work grows with gram volume (linear in corpus bytes at stable
-    * vocabulary df), not block occupancy². A prefix gram whose in-block
-    * df exceeds `maxPrefixDf` fails IN-PLAN naming the fallback. The
-    * per-doc gram frame is materialized once (`materializePath` →
-    * parquet, the cluster form; else a local checkpoint) and feeds the
-    * prefix explode, the full-side explode AND the packed verify sets —
-    * one gram scan total. */
+    * with block occupancy; here work tracks gram volume with the
+    * in-plan df guard naming the fallback. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 2, threshold: Double = 0.6,
-      maxPrefixDf: Int = 5000,
+      maxGramDf: Int = 5000,
       materializePath: Option[String] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
-    val spark = df.sparkSession
     val w = verifyWidth(df)
-    val perDoc = blockedGramFrame(df, idCol, textCol, blockCol, n, w,
+    val toks = blockedTokFrame(df, idCol, textCol, blockCol, n, w,
       materializePath)
-    val plen = (col("nset") -
-      floor(lit(threshold) * col("nset")).cast("long") + 1L).cast("int")
-    // positions ride along for the positional filter (see the blocked
-    // Jaccard sibling): 1-based rank in the per-doc (df, g) order
-    val prefixes = perDoc
-      .select(col("blk"), col("id"), col("nset"),
-        posexplode(slice(col("st"), lit(1), plen)))
-      .select(col("blk"), col("id"), col("nset"),
-        (col("pos") + 1).as("gp"), col("col.g").as("g"),
-        col("col.gdf").as("gdf"))
-      .withColumn("g", when(col("gdf") <= maxPrefixDf, col("g"))
-        .otherwise(raise_error(concat(
-          lit("containmentPairs: prefix gram df "), col("gdf").cast("string"),
-          lit(s" > maxPrefixDf=$maxPrefixDf — candidate join traffic is" +
-            " prefix_df × full_df per gram; shrink blocks, raise" +
-            " maxPrefixDf, or route this corpus shape through" +
-            " lshVerifiedPairsMd5 (banded candidates lose the containment" +
-            " recall guarantee but bound the traffic)")))))
-    val full = perDoc
-      .select(col("blk"), col("id").as("id_b"), col("nset").as("n_bs"),
-        posexplode(col("st")))
-      .select(col("blk"), col("col.g").as("g"), col("id_b"), col("n_bs"),
-        (col("pos") + 1).as("p_b"))
-    // a = the deterministic MIN-set side ((nset, id) order): the prefix
-    // argument above binds on the smaller set, so only its prefix joins.
-    // POSITIONAL filter: containment ≥ t needs I ≥ t·n_a; the pair's
-    // MINIMAL shared gram bounds I ≤ 1 + min(n_a − p_a, n_b − p_b)
-    // (both docs sort by the same per-block (df, g) order), so
-    // occurrences failing it drop pre-distinct — the pair survives via
-    // its minimal shared gram.
-    val cands = prefixes
-      .select(col("blk"), col("g"), col("id").as("id_a"),
-        col("nset").as("n_as"), col("gp").as("p_a"))
-      .repartition(w, col("blk"), col("g"))
-      .join(full.repartition(w, col("blk"), col("g"))
-        .hint("SHUFFLE_HASH"), Seq("blk", "g"))
-      .filter(col("n_bs") > col("n_as") ||
-        (col("n_bs") === col("n_as") && col("id_b") > col("id_a")))
-      .filter(lit(1.0) +
-        least(col("n_as") - col("p_a"), col("n_bs") - col("p_b"))
-          .cast("double") >=
-        lit(threshold) * col("n_as").cast("double") - lit(1e-9))
-      .select("blk", "id_a", "id_b").distinct()
-    val packed = perDoc.select(col("id"),
-      graft.functions.PackedLongs.packSortedSet(spark,
-        transform(col("st"), p => p.getField("g"))).as("g"),
-      col("nset").cast("int").as("nc"))
-    cands
-      .repartition(w, col("id_a"))
-      .join(packed.select(col("id").as("id_a"), col("g").as("g_a"),
-        col("nc").as("n_a")).repartition(w, col("id_a"))
-        .hint("SHUFFLE_HASH"), "id_a")
-      .repartition(w, col("id_b"))
-      .join(packed.select(col("id").as("id_b"), col("g").as("g_b"),
-        col("nc").as("n_b")).repartition(w, col("id_b"))
-        .hint("SHUFFLE_HASH"), "id_b")
-      .withColumn("inter", graft.functions.PackedLongs
-        .intersectSize(spark, col("g_a"), col("g_b")))
+    blockedPairCounts(toks, w, maxGramDf, "containmentPairs",
+      (idA, nA, idB, nB) => nB > nA || (nB === nA && idB > idA))
+      .withColumn("n_a", col("n_a").cast("int"))
+      .withColumn("n_b", col("n_b").cast("int"))
       .withColumn("cont_a_in_b", when(col("n_a") > 0,
         col("inter").cast("double") / col("n_a").cast("double"))
         .otherwise(lit(0.0)))
@@ -680,7 +609,7 @@ object Dedup {
         col("inter").cast("double") / col("n_b").cast("double"))
         .otherwise(lit(0.0)))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
-      // the candidate orientation is (min-set side, other) — canonicalize
+      // the count-join orientation is (min-set side, other) — canonicalize
       // to id_a < id_b, swapping the directed columns along with the ids
       .withColumn("__swap", col("id_a") > col("id_b"))
       .select(col("blk"),

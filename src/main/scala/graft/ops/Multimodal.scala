@@ -137,10 +137,18 @@ object Multimodal {
   }
 
   /** (id, payload) frame of real PNG payloads, sized deterministically from
-    * the id — a stand-in for a parquet binary column of actual images. */
+    * the id — a stand-in for a parquet binary column of actual images.
+    * Rebalanced by row count before the codec pass (round-13 verdict
+    * item 5): the PNG encode — and every decode/resize stage downstream,
+    * which inherits this partitioning through mapPartitions — is
+    * CPU-per-ROW, so leaving it on the input's parquet splits serialized
+    * the whole codec pipeline through a handful of tasks at audit scale
+    * (17.9 s max task at 10×). */
   def pngPayloads(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long]
+    df.select(col(idCol).cast("long"))
+      .repartition(graft.ops.Pipeline.cpuWidth(df))
+      .as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = 2 + (id % 6).toInt

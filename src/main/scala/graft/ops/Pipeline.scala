@@ -899,15 +899,28 @@ object Pipeline {
   def dedupReport(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, pairs: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
+    // CHECKPOINTED, for two reasons measured at the 100× audit: (1) fps
+    // has two consumers (the collision groupBy and the final mark join),
+    // and (2) the join on fp infers isnotnull(fp) on the groupBy side —
+    // predicate pushdown INLINES the whole fingerprint expression into a
+    // scan-side Filter, re-hashing every text at the input's split width
+    // (50 uniform ~17 s tasks). The checkpoint is a pushdown barrier:
+    // the kernel runs once, wide, above the rebalance.
     val fps = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
         col(textCol).as("__txt"))
       .repartition(cpuWidth(docs), col("id"))
       .select(col("id"), col("source"),
         TextAnalysis.fingerprint(col("__txt")).as("fp"))
+      .localCheckpoint()
     val dupFps = fps.groupBy("fp").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("fp")
-    val nearIds = pairs.select(col(aCol).cast("long").as("id"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("id"))).distinct()
+    // endpoints checkpointed too: the a/b union otherwise duplicates the
+    // ENTIRE pair-generation subtree (one copy per endpoint side); the
+    // frame is pairs-sized — tiny next to the work it pins
+    val ends = pairs.select(col(aCol).cast("long").as("__ea"),
+      col(bCol).cast("long").as("__eb")).localCheckpoint()
+    val nearIds = ends.select(col("__ea").as("id"))
+      .unionByName(ends.select(col("__eb").as("id"))).distinct()
     fps.join(dupFps.withColumn("__ex", lit(1)), Seq("fp"), "left")
       .join(nearIds.withColumn("__nr", lit(1)), Seq("id"), "left")
       .groupBy("source").agg(

@@ -640,6 +640,40 @@ class OpsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("ewmaFlushOpen: terminal flush emits each open bucket; closed rows still == batch") {
+    val src = java.nio.file.Files.createTempDirectory("graftewmaf").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graftewmafc").toString
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "ts", "value")
+    events.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = Streaming.ewmaStream(spark, src, schema, "event_type", "ts",
+      "value", stepSeconds = 86400L, alpha = 0.3,
+      queryName = "ewma_flush_test", checkpointDir = Some(ckpt))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT g, b, x, ewma, residual FROM ewma_flush_test")
+      .collect().map(_.toString).toSeq
+    val flushed = Streaming.ewmaFlushOpen(spark, ckpt, alpha = 0.3)
+      .collect().map(_.toString).toSeq
+    val batchAll = Behavior.ewma(events, "event_type", "ts", "value",
+        stepSeconds = 86400L, alpha = 0.3).collect()
+    // closed rows == batch minus each key's final bucket (batch==stream
+    // untouched); flush == exactly those final buckets; union == batch
+    val maxB = batchAll.groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).max }
+    val batchClosed = batchAll
+      .filter(r => r.getLong(1) < maxB(r.getString(0)))
+      .map(_.toString).toSeq
+    val batchOpen = batchAll
+      .filter(r => r.getLong(1) == maxB(r.getString(0)))
+      .map(_.toString).toSeq
+    assert(streamed.sorted == batchClosed.sorted)
+    assert(flushed.nonEmpty && flushed.sorted == batchOpen.sorted)
+    assert((streamed ++ flushed).sorted == batchAll.map(_.toString).toSeq.sorted)
+  }
+
   test("ewmaFold: open-bucket straddle, gap zero-fill, late drop") {
     val a = BigDecimal("0.500")
     // batch 1: bucket 0 observes 4.00 — the maximal bucket stays OPEN
@@ -2075,7 +2109,7 @@ class OpsSpec extends SparkSpec {
       ob.getAs[Boolean]("ok_symbol_ratio"))
   }
 
-  test("prefixFilterJaccardPairsBlocked == ngramJaccardPairs (recall 1.0 + exact verify)") {
+  test("blockedJaccardPairs == ngramJaccardPairs (exact inverted-index count join)") {
     import spark.implicits._
     // two blocks, near-dup families + unrelated docs; low threshold so
     // many candidate pairs survive the prefix join in both blocks
@@ -2092,7 +2126,7 @@ class OpsSpec extends SparkSpec {
       val exact = Dedup.ngramJaccardPairs(rows, "doc_id", "text", "blk0",
         n = 2, threshold = t).orderBy("blk", "id_a", "id_b").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      val pf = Dedup.prefixFilterJaccardPairsBlocked(rows, "doc_id", "text",
+      val pf = Dedup.blockedJaccardPairs(rows, "doc_id", "text",
         "blk0", n = 2, threshold = t).orderBy("blk", "id_a", "id_b").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       assert(pf.toSeq == exact.toSeq, s"threshold $t: $pf vs $exact")
