@@ -63,7 +63,11 @@ object ExplainAudit {
         "q_holt", "t_hll_overlap", "q_bootstrap_ci", "q_funnel_latency",
         // round-12 waves
         "d_repeat_spans_any", "t_keyness_g2", "q_change_point",
-        "q_attribution", "q_chi2_test", "q_ess")
+        "q_attribution", "q_chi2_test", "q_ess",
+        // round-13/14 waves
+        "q_profile_table_approx", "q_session_stats", "t_vocab_coverage",
+        "s_centroid_drift", "t_bpe_encode", "q_session_native",
+        "q_t_closeness", "s_silhouette")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

@@ -259,7 +259,12 @@ object ScaleBench {
     // round-14: the sessionization STREAMING twin enters the audit in
     // the round after it shipped (round-13 verdict item 6) — staged
     // parquet replay, per-user O(1) state, closed-session emission
-    "q_session_rows_stream")
+    "q_session_rows_stream",
+    // round-14 second wave: native session_window twin (one sorted
+    // reducer per user — the documented hot-key contrast), BPE
+    // train→encode composition, t-closeness grids,
+    // broadcast-amplified centroid silhouette
+    "q_session_native", "t_bpe_encode", "q_t_closeness", "s_silhouette")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
@@ -454,6 +459,10 @@ object ScaleBench {
     "adtl_groupby_combined" -> Set("events"),
     "q_session_stats" -> Set("events"),
     "q_session_rows_stream" -> Set("events"),
+    "q_session_native" -> Set("events"),
+    "t_bpe_encode" -> Set("documents"),
+    "q_t_closeness" -> Set("customer"),
+    "s_silhouette" -> Set("embeddings"),
     "t_vocab_coverage" -> Set("documents"),
     "s_centroid_drift" -> Set("embeddings"))
 

@@ -140,6 +140,43 @@ object Behavior {
         (col("session_end_us") - col("session_start_us")).as("duration_us"))
   }
 
+  /** NATIVE-OPERATOR sessionization — the same per-session rows as
+    * [[sessionize]] (minus the 1-based id) expressed through Spark's
+    * built-in `session_window`, following the house preference order:
+    * when Catalyst HAS the operator, gate the native form too so the
+    * engine's own session merge (UpdatingSessions/MergingSessions with
+    * in-sort merging) is pinned against the same oracle, and a user can
+    * pick either shape knowingly.
+    *
+    * Two properties, both pinned/documented because both matter at
+    * 100 TB:
+    *  - BOUNDARY: Spark's session merge is on OVERLAP-OR-TOUCH — an
+    *    event at exactly `last + gap` JOINS the session (measured,
+    *    spec-pinned), which is the same strictly-greater split rule as
+    *    [[sessionize]], so the two forms agree row-for-row and share
+    *    the oracle.
+    *  - SCALE: the native plan shuffles on the USER alone and merges
+    *    each user's sessions inside one sorted reducer — a hot user
+    *    serializes through one task, which is exactly what
+    *    [[sessionize]]'s bucket-stitch exists to avoid. Prefer the
+    *    native form for human-scale keys (its plan is simpler and
+    *    sort-merges in one pass); prefer the bucket-stitch when any
+    *    single key can dominate a partition. */
+  def sessionizeNative(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be > 0, got $gapSeconds")
+    events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(min(unix_micros(col(tsCol))).as("session_start_us"),
+        max(unix_micros(col(tsCol))).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col(userCol), col("session_start_us"), col("session_end_us"),
+        col("n_events"),
+        (col("session_end_us") - col("session_start_us")).as("duration_us"))
+  }
+
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
       materializePath: Option[String] = None): DataFrame = {

@@ -292,6 +292,74 @@ object Similarity {
         round(sqrt(d(col("__d2"))), 9)).as("centroid_l2"))
   }
 
+  /** CENTROID (simplified) SILHOUETTE per label — the cluster-quality
+    * report beside [[centroidOutliers]] (which flags points; this
+    * scores the PARTITION): per point, a = L2 distance to its OWN
+    * label's centroid, b = the minimum distance to any OTHER label's
+    * centroid, s = (b − a) / max(a, b); per label the exact mean of s
+    * and the member count. The classic silhouette's per-point
+    * all-pairs term is O(n²) — the centroid form is the standard
+    * linear surrogate (Hruschka et al.), and the one a 100 TB
+    * embedding table can actually afford.
+    *
+    * Exactness ladder ([[centroidDrift]]'s): per-dim centroid means
+    * round to 9 dp (identical doubles in any engine), every distance is
+    * the SEQUENTIAL left-fold sqrt(Σ(x−m)²) rounded to 9 dp before the
+    * min — so a/b/s are pure functions of shared doubles — s rounds to
+    * 9 dp and quantizes to DECIMAL(18,9) for the order-free group sum.
+    * A corpus with ONE label emits null s (the silhouette is undefined,
+    * not 0); a point tied a = b = 0 scores 0.
+    *
+    * Scale shape: one (label, dim) cell shuffle (map-side collapsed),
+    * centroids broadcast once; the point × centroid amplification runs
+    * through the broadcast (no shuffle) and the per-point partial
+    * aggregation collapses it map-side, so the only row-shuffle is n
+    * point rows. Work is n·k·d by definition — the in-plan guard
+    * raises past `maxGroups` naming the alternative (sample labels or
+    * pre-reduce with IVF cells). */
+  def centroidSilhouette(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, maxGroups: Int = 4096): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val cells = df.select(col(groupCol).as("grp"),
+        posexplode(v).as(Seq("pos", "val")))
+      .groupBy("grp", "pos")
+      .agg(round(sum(col("val").cast("decimal(28,14)")).cast("double") /
+        count(lit(1)).cast("double"), 9).as("m"))
+    val cents = cells.groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"))
+      .withColumn("__ng", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("c", when(col("__ng") <= maxGroups, col("c"))
+        .otherwise(raise_error(concat(
+          lit("centroidSilhouette: "), col("__ng").cast("string"),
+          lit(s" labels > maxGroups=$maxGroups — per-point work is" +
+            " labels × dims; sample the label set or pre-reduce with IVF" +
+            " cells, or raise maxGroups")))))
+      .select(col("grp").as("cgrp"), col("c"))
+    def l2(x: Column, c: Column): Column =
+      sqrt(aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, t) => acc + t))
+    val perPoint = df
+      .select(col(idCol).as("id"), col(groupCol).as("grp"), v.as("x"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("grp"), col("cgrp"),
+        round(l2(col("x"), col("c")), 9).as("d"))
+      .groupBy("id", "grp")
+      .agg(max(when(col("grp") === col("cgrp"), col("d"))).as("a"),
+        min(when(col("grp") =!= col("cgrp"), col("d"))).as("b"))
+    perPoint
+      .withColumn("s",
+        when(col("b").isNull, lit(null).cast("double"))
+          .when(greatest(col("a"), col("b")) > 0,
+            round((col("b") - col("a")) / greatest(col("a"), col("b")), 9))
+          .otherwise(lit(0.0)))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s").cast("decimal(18,9)")).cast("double") /
+          count(col("s")).cast("double"), 9).as("mean_silhouette"))
+  }
+
   def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     val spark = scored.sparkSession

@@ -607,6 +607,74 @@ object Stats {
       .drop("__h")
   }
 
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third rung of the privacy ladder after [[kAnonymity]] (group
+    * sizes) and [[lDiversity]] (within-group sensitive diversity):
+    * a group can be large AND diverse yet still leak ("this ZIP's
+    * salaries are all in the top decile"), so per quasi-identifier
+    * group this measures the EARTH-MOVER'S DISTANCE between the
+    * group's sensitive-value distribution and the WHOLE table's, over
+    * the ordered value domain with unit spacing, normalized by (m − 1)
+    * — the paper's ordered-attribute EMD, in [0, 1]. `violates_t`
+    * flags groups with emd > t.
+    *
+    * Exactness: every cumulative gap |cumP/n_g − cumQ/N| is computed as
+    * the INTEGER |cumP·N − cumQ·n_g| (DECIMAL(38,0) sums), so the sum
+    * is exact and the single division by n_g·N·(m−1) happens once at
+    * the render edge (9 dp). Null sensitive values are excluded from
+    * BOTH distributions (documented: t-closeness is about the value
+    * distribution; nulls are [[lDiversity]]'s concern). A one-value
+    * domain (m = 1) scores emd = 0.
+    *
+    * Shape: one map-combinable (quasi…, value) cell shuffle, the
+    * global domain frame broadcast (guarded at `maxDomain` distinct
+    * values, naming the remediation), per-group windows over m-row
+    * grids — bounded by the domain, never by row count. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double, maxDomain: Int = 10000): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness: need at least one quasi column")
+    require(t >= 0 && t <= 1, s"t must be in [0, 1], got $t")
+    val s = col(sensitiveCol)
+    val whole = Window.partitionBy()
+    val cells = df.filter(s.isNotNull)
+      .groupBy((quasiCols.map(col) :+ s.as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val gvals = df.filter(s.isNotNull)
+      .groupBy(s.as("__v")).agg(count(lit(1)).as("__gc"))
+      .withColumn("__m", count(lit(1)).over(whole))
+      .withColumn("__N", sum(col("__gc")).over(whole))
+      .withColumn("__v", when(col("__m") <= maxDomain, col("__v"))
+        .otherwise(raise_error(concat(
+          lit("tCloseness: sensitive domain holds "),
+          col("__m").cast("string"),
+          lit(s" distinct values > maxDomain=$maxDomain — the per-group" +
+            " grid is groups × domain; bucket the sensitive attribute" +
+            " (histogram bins) or raise maxDomain")))))
+    val groups = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__ng"))
+    val grid = groups.crossJoin(broadcast(gvals))
+      .join(cells, quasiCols :+ "__v", "left")
+      .withColumn("__cg", coalesce(col("__c"), lit(0L)))
+    val byG = Window.partitionBy(quasiCols.map(col): _*).orderBy(col("__v"))
+    val cum = byG.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("__cp", sum(col("__cg")).over(cum))
+      .withColumn("__cq", sum(col("__gc")).over(cum))
+      .withColumn("__rk", row_number().over(byG))
+      .withColumn("__num", when(col("__rk") < col("__m"),
+        abs(col("__cp").cast("decimal(38,0)") * col("__N") -
+          col("__cq").cast("decimal(38,0)") * col("__ng")))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__ng")).as("n"),
+        when(max(col("__m")) > 1L,
+          round(sum(col("__num")).cast("double") /
+            (max(col("__ng")).cast("double") * max(col("__N")).cast("double") *
+              (max(col("__m")) - 1L).cast("double")), 9))
+          .otherwise(lit(0.0)).as("emd"))
+      .withColumn("violates_t", col("emd") > t)
+  }
+
   /** Population-Stability-Index DRIFT between two snapshots of a value
     * distribution, per group — the model-monitoring standard ("did this
     * feature's distribution move since training?"; PSI < 0.1 stable,

@@ -625,6 +625,30 @@ object AnalyticsQueries {
           Seq("c_nationkey", "c_mktsegment"), k = 5)
         .orderBy("c_nationkey", "c_mktsegment")
     },
+    // t-closeness: per-segment nation distribution vs the whole table's
+    // over the ordered nation domain — exact integer cumulative gaps,
+    // one division at the render edge; completes the k-anon/l-div triad
+    "q_t_closeness" -> { (s, d) =>
+      graft.ops.Stats.tCloseness(Tables.customer(s, d),
+          Seq("c_mktsegment"), "c_nationkey", t = 0.05)
+        .orderBy("c_mktsegment")
+    },
+    // centroid (simplified) silhouette per embedding label: 9-dp
+    // centroid means, sequential-fold distances, per-label exact mean
+    "s_silhouette" -> { (s, d) =>
+      graft.ops.Similarity.centroidSilhouette(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label")
+        .withColumnRenamed("grp", "label")
+        .orderBy("label")
+    },
+    // the NATIVE session_window twin of q_session_stats: same rows minus
+    // the session id (Spark's overlap-or-touch merge == the strictly-
+    // greater split rule, spec-pinned), same one-task window oracle
+    "q_session_native" -> { (s, d) =>
+      graft.ops.Behavior.sessionizeNative(Tables.events(s, d), "user_id",
+          "ts", gapSeconds = 1800L)
+        .orderBy("user_id", "session_start_us")
+    },
     // reciprocal-rank fusion of a lexical (term-hit) and a prior
     // (length) ranking per query — the hybrid-search combiner; rank-
     // based, so the sides' incomparable score scales never matter
@@ -2966,6 +2990,88 @@ object AnalyticsQueries {
         |  count(*) < 5 AS violates_k
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // t-closeness re-derived: per-(segment, nation) cells, the global
+    // nation counts cross-joined into a dense grid, cumulative sums over
+    // the ordered domain, the exact-integer |cumP*N - cumQ*ng| gaps, one
+    // division by ng*N*(m-1) at 9 dp
+    "q_t_closeness" ->
+      """WITH cells AS (SELECT c_mktsegment AS q, c_nationkey AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1, 2),
+        |gv AS (SELECT v, CAST(sum(c) AS BIGINT) AS gc FROM cells GROUP BY v),
+        |gstat AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(gc) AS BIGINT) AS bigN FROM gv),
+        |grp AS (SELECT q, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY q),
+        |grid AS (SELECT g.q, g.ng, v.v, v.gc, s.m, s.bigN,
+        |    coalesce(c.c, 0) AS cg
+        |  FROM grp g CROSS JOIN gv v CROSS JOIN gstat s
+        |  LEFT JOIN cells c ON c.q = g.q AND c.v = v.v),
+        |cum AS (SELECT q, ng, m, bigN,
+        |    sum(cg) OVER (PARTITION BY q ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |    sum(gc) OVER (PARTITION BY q ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq,
+        |    row_number() OVER (PARTITION BY q ORDER BY v) AS rk
+        |  FROM grid),
+        |agg AS (SELECT q, max(ng) AS n, max(m) AS m, max(bigN) AS bigN,
+        |    sum(CASE WHEN rk < m
+        |      THEN abs(CAST(cp AS DECIMAL(38,0)) * bigN - CAST(cq AS DECIMAL(38,0)) * ng)
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS num
+        |  FROM cum GROUP BY q)
+        |SELECT q AS c_mktsegment, n,
+        |  CASE WHEN m > 1 THEN round(CAST(num AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(bigN AS DOUBLE) * CAST(m - 1 AS DOUBLE)), 9)
+        |    ELSE 0.0 END AS emd,
+        |  CASE WHEN m > 1 THEN round(CAST(num AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(bigN AS DOUBLE) * CAST(m - 1 AS DOUBLE)), 9)
+        |    ELSE 0.0 END > 0.05 AS violates_t
+        |FROM agg ORDER BY c_mktsegment""".stripMargin,
+    // centroid silhouette re-derived: 9-dp per-dim centroid means, the
+    // house sequential squared-diff fold per (point, centroid), 9-dp
+    // distances, min-over-others, 9-dp s, DECIMAL(18,9) group mean
+    "s_silhouette" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |cells AS (SELECT label, pos,
+        |    round(CAST(sum(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS m
+        |  FROM (SELECT label, unnest(e) AS val, unnest(range(len(e))) AS pos FROM v)
+        |  GROUP BY label, pos),
+        |cent AS (SELECT label AS clabel, list(m ORDER BY pos) AS c FROM cells GROUP BY label),
+        |d AS (SELECT v.vec_id, v.label, cent.clabel,
+        |    round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(v.e)), i -> (v.e[i+1] - cent.c[i+1]) * (v.e[i+1] - cent.c[i+1]))),
+        |      (x, y) -> x + y)), 9) AS dist
+        |  FROM v CROSS JOIN cent),
+        |pp AS (SELECT vec_id, label,
+        |    max(CASE WHEN label = clabel THEN dist END) AS a,
+        |    min(CASE WHEN label <> clabel THEN dist END) AS b
+        |  FROM d GROUP BY vec_id, label),
+        |sc AS (SELECT label,
+        |    CASE WHEN b IS NULL THEN NULL
+        |      WHEN greatest(a, b) > 0 THEN round((b - a) / greatest(a, b), 9)
+        |      ELSE 0.0 END AS s
+        |  FROM pp)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(s AS DECIMAL(18,9))) AS DOUBLE) /
+        |    CAST(count(s) AS DOUBLE), 9) AS mean_silhouette
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+    // the native session_window twin shares q_session_stats' one-task
+    // oracle, aggregated without the session id
+    "q_session_native" ->
+      """WITH o AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS e
+        |  FROM events),
+        |p AS (SELECT u, t, e,
+        |    lag(t) OVER (PARTITION BY u ORDER BY t, e) AS pt FROM o),
+        |f AS (SELECT u, t, e, CASE WHEN pt IS NULL
+        |    OR t - pt > 1800000000 THEN 1 ELSE 0 END AS fl FROM p),
+        |s AS (SELECT u, t, CAST(sum(fl) OVER (PARTITION BY u ORDER BY t, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS sid FROM f)
+        |SELECT u AS user_id,
+        |  min(t) AS session_start_us, max(t) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  max(t) - min(t) AS duration_us
+        |FROM s GROUP BY u, sid ORDER BY 1, 2""".stripMargin,
     "q_rrf_fusion" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS t, n_chars FROM documents),
         |q(q_id, terms) AS (VALUES (1, ['query', 'table']),

@@ -47,6 +47,88 @@ class AnalyticsSpec extends SparkSpec {
     assert(out2.length == 1 && out2(0).getLong(4) == 2L)
   }
 
+  test("sessionizeNative == sessionize rows, INCLUDING the exact-gap boundary") {
+    import spark.implicits._
+    // u1: 00:00, 00:10 (same session), 01:00 (gap 50m > 30m -> new)
+    // u2: 00:00 then an event at EXACTLY 00:30 (= the gap): Spark's
+    // session_window merges on touch (gap-equal events JOIN the
+    // session) — the same strictly-greater split rule as sessionize,
+    // so the two forms agree even at the boundary (pinned here)
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:10:00", 2L),
+      (1L, "2024-01-01 01:00:00", 3L),
+      (2L, "2024-01-01 00:00:00", 4L), (2L, "2024-01-01 00:30:00", 5L))
+      .toDF("u", "tss", "eid")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val native = Behavior.sessionizeNative(ev, "u", "ts", 1800L)
+      .orderBy("u", "session_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def us(ss: String) = java.time.Instant.parse(ss).toEpochMilli * 1000L
+    assert(native.toSeq == Seq(
+      (1L, us("2024-01-01T00:00:00Z"), us("2024-01-01T00:10:00Z"), 2L),
+      (1L, us("2024-01-01T01:00:00Z"), us("2024-01-01T01:00:00Z"), 1L),
+      (2L, us("2024-01-01T00:00:00Z"), us("2024-01-01T00:30:00Z"), 2L)))
+    val a = Behavior.sessionizeNative(ev, "u", "ts", 1800L)
+      .select("u", "session_start_us", "session_end_us", "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Behavior.sessionize(ev, "u", "ts", "eid", 1800L)
+      .select("u", "session_start_us", "session_end_us", "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("centroidSilhouette: hand-computed two-cluster means, single-label null") {
+    import spark.implicits._
+    // g1: (0,0), (2,0) -> centroid (1,0); g2: (10,0) -> centroid (10,0)
+    // g1 point (0,0): a = 1, b = 10 -> s = 9/10; point (2,0): a = 1,
+    // b = 8 -> s = 7/8. g2 point: a = 0, b = 9 -> s = 1.0
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), "g1"), (2L, Array(2.0f, 0.0f), "g1"),
+      (3L, Array(10.0f, 0.0f), "g2")).toDF("id", "vec", "lbl")
+    val out = Similarity.centroidSilhouette(df, "id", "vec", "lbl")
+      .orderBy("grp").collect()
+    val s1 = BigDecimal((10.0 - 1.0) / 10.0).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val s2 = BigDecimal((8.0 - 1.0) / 8.0).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val mean1 = ((BigDecimal(s1) + BigDecimal(s2)) / 2)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getString(0) == "g1" && out(0).getLong(1) == 2L &&
+      out(0).getDouble(2) == mean1)
+    assert(out(1).getString(0) == "g2" && out(1).getLong(1) == 1L &&
+      out(1).getDouble(2) == 1.0)
+    // one label only -> silhouette undefined -> null mean
+    val one = Similarity.centroidSilhouette(df.filter(col("lbl") === "g1"),
+      "id", "vec", "lbl").collect()
+    assert(one.length == 1 && one(0).isNullAt(2))
+  }
+
+  test("tCloseness: uniform group scores 0, concentrated group scores the EMD") {
+    import spark.implicits._
+    // domain {1,2,3,4} global counts (2,2,2,2), N=8, m=4
+    // group A: one of each -> identical distribution -> emd 0
+    // group B: all four rows at value 1 -> cumP=(1,1,1), cumQ/N=(.25,.5,.75)
+    //   emd = ((1-.25)+(1-.5)+(1-.75))/3 = 0.5
+    val df = Seq(
+      ("A", 1), ("A", 2), ("A", 3), ("A", 4),
+      ("B", 1), ("B", 1), ("B", 1), ("B", 1))
+      .toDF("q", "sv")
+    // B's values skew the global: global counts = (5,1,1,1), recompute:
+    // cumQ/N = (5/8, 6/8, 7/8); A cumP = (.25,.5,.75)
+    // emd(A) = (|.25-.625|+|.5-.75|+|.75-.875|)/3 = (.375+.25+.125)/3 = 0.25
+    // emd(B) = (|1-.625|+|1-.75|+|1-.875|)/3 = (.375+.25+.125)/3 = 0.25
+    val out = Stats.tCloseness(df, Seq("q"), "sv", t = 0.2)
+      .orderBy("q").collect()
+    assert(out(0).getString(0) == "A" && out(0).getLong(1) == 4L &&
+      out(0).getDouble(2) == 0.25 && out(0).getBoolean(3))
+    assert(out(1).getString(0) == "B" && out(1).getDouble(2) == 0.25)
+    // identical distributions -> emd 0, no violation
+    val unif = Seq(("A", 1), ("A", 2), ("B", 1), ("B", 2)).toDF("q", "sv")
+    val o2 = Stats.tCloseness(unif, Seq("q"), "sv", t = 0.2)
+      .orderBy("q").collect()
+    assert(o2.forall(r => r.getDouble(2) == 0.0 && !r.getBoolean(3)))
+  }
+
   test("sessionize: NULL user keys form ONE surviving group (null-safe stitch)") {
     import spark.implicits._
     // Two null-user events 10 min apart (one session of 2), one null-user
