@@ -202,16 +202,18 @@ object Dedup {
     * Jaccard ≥ threshold. `grams` is (id, g: binary, nc: int); any extra
     * columns on `pairs` (e.g. a blocking key) pass through.
     *
-    * Width discipline (round-12 verdict item 3): the intersection kernel
-    * is CPU-DENSE per shuffled byte, so AQE's byte-targeted coalescing
+    * Width discipline (round-12 verdict item 3, input-keyed round 14,
+    * small-regime-skipped round 15): the intersection kernel is
+    * CPU-DENSE per shuffled byte, so AQE's byte-targeted coalescing
     * under-parallelizes the verify stage (measured at 100×: 25 uniform
-    * ~40 s tasks — balanced, but each task held 40 s of work). Both join
-    * sides are pre-partitioned on the join key to 8× the session shuffle
-    * width: the joins REUSE that partitioning (same exchange count and
-    * bytes as the plain plan — these are the shuffles the joins needed
-    * anyway), and user-numbered repartitions are exempt from AQE
-    * coalescing, so the kernel runs 8×-wider and max task drops
-    * volume/W. */
+    * ~40 s tasks — balanced, but each task held 40 s of work). In the
+    * wide regime ([[widen]]) both join sides are pre-partitioned on the
+    * join key at [[verifyWidth]]: the joins REUSE that partitioning
+    * (same exchange count and bytes as the plain plan — these are the
+    * shuffles the joins needed anyway), and user-numbered repartitions
+    * are exempt from AQE coalescing, so the kernel runs wider and max
+    * task drops volume/W; below it the joins' own AQE-coalescible
+    * exchanges win (round-14 near-empty-task tax). */
   /** CPU-dense-stage width: input-keyed via [[Pipeline.cpuWidth]] — the
     * explicit (AQE-exempt) partition count for stages whose cost is
     * compute per row, not bytes (packed-set intersection, gram-hash pack
@@ -220,18 +222,19 @@ object Dedup {
     * near-empty-task tax) and 8× it (the width the 100× audit needed). */
   private def verifyWidth(frame: DataFrame): Int = Pipeline.cpuWidth(frame)
 
+  private def widen(df: DataFrame, w: Int, cols: Column*): DataFrame =
+    Pipeline.widen(df, w, cols: _*)
+
   private def verifyTail(pairs: DataFrame, grams: DataFrame,
       threshold: Double): DataFrame = {
     val spark = grams.sparkSession
     val w = verifyWidth(grams)
-    pairs
-      .repartition(w, col("id_a"))
-      .join(grams.select(col("id").as("id_a"), col("g").as("g_a"),
-        col("nc").as("n_a")).repartition(w, col("id_a"))
-        .hint("SHUFFLE_HASH"), "id_a")
-      .repartition(w, col("id_b"))
-      .join(grams.select(col("id").as("id_b"), col("g").as("g_b"),
-        col("nc").as("n_b")).repartition(w, col("id_b"))
+    widen(widen(pairs, w, col("id_a"))
+      .join(widen(grams.select(col("id").as("id_a"), col("g").as("g_a"),
+        col("nc").as("n_a")), w, col("id_a"))
+        .hint("SHUFFLE_HASH"), "id_a"), w, col("id_b"))
+      .join(widen(grams.select(col("id").as("id_b"), col("g").as("g_b"),
+        col("nc").as("n_b")), w, col("id_b"))
         .hint("SHUFFLE_HASH"), "id_b")
       .withColumn("inter", graft.functions.PackedLongs
         .intersectSize(spark, col("g_a"), col("g_b")).cast("double"))
@@ -423,37 +426,50 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 2, threshold: Double = 0.5,
       chunks: Int = 8, maxBlockSize: Int = 10000): DataFrame = {
-    // Gram sets ride as ONE binary blob per doc (sorted packed longs):
-    // array<bigint> columns pay per-element costs at every copy boundary
-    // (exchange, generate, join output), a binary column is one memcpy.
-    // Not persisted — columnar caching of array/binary columns costs far
-    // more than recomputing this narrow projection per join side (the
-    // two sides share the ReusedExchange below and recompute only the
-    // pack kernel). Rebalanced BEFORE the gram kernel: the pack is
-    // CPU-dense per byte, and at audit scale the whole scan otherwise
-    // runs in the input's few parquet splits.
-    val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        col(textCol).as("__txt"))
-      .repartition(verifyWidth(df), col("id"))
+    val (guarded, grams) = packedGuardedGrams(df, idCol, textCol, blockCol,
+      n, chunks, maxBlockSize, "ngramJaccardPairs")
+    triangleJaccard(guarded, grams, threshold, chunks)
+  }
+
+  /** Packed per-doc gram frame + in-block oversize guard — the shared
+    * front end of the triangle family. Returns (guarded lo side, plain
+    * hi side); both are (blk, id, g: packed binary, nc, ck).
+    *
+    * Gram sets ride as ONE binary blob per doc (sorted packed longs):
+    * array<bigint> columns pay per-element costs at every copy boundary
+    * (exchange, generate, join output), a binary column is one memcpy.
+    * Not persisted — columnar caching of array/binary columns costs far
+    * more than recomputing this narrow projection per join side (the
+    * two sides share the ReusedExchange in the triangle and recompute
+    * only the pack kernel). Rebalanced BEFORE the gram kernel ONLY in
+    * the wide regime ([[widen]]): the pack is CPU-dense per byte and at
+    * audit scale the whole scan otherwise runs in the input's few
+    * parquet splits; at small inputs the pinned exchange is pure tax.
+    *
+    * Oversize guard: chunking spreads the in-block quadratic work but
+    * cannot reduce it (measured 16× time at 10× data on a fixed
+    * low-cardinality key), so a block above maxBlockSize FAILS the job,
+    * naming the linear alternative, instead of silently burning a
+    * cluster. The check is a broadcast join of a tiny per-block count
+    * onto the lo side only (every doc appears there) — no driver job,
+    * the plan stays lazy. when() keeps raise_error out of reorderable
+    * predicate position. */
+  private def packedGuardedGrams(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, n: Int, chunks: Int,
+      maxBlockSize: Int, opName: String): (DataFrame, DataFrame) = {
+    val grams = widen(df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(textCol).as("__txt")), verifyWidth(df), col("id"))
       .select(col("blk"), col("id"),
         graft.functions.PackedLongs.packSortedSet(df.sparkSession,
           graft.functions.TextHashExprs.ngramHashes(df.sparkSession,
             TextAnalysis.tokens(col("__txt")), n)).as("g"))
       .withColumn("nc", (length(col("g")) / 8).cast("int"))
       .withColumn("ck", pmod(xxhash64(col("id")), lit(chunks)))
-    // Oversize guard: chunking spreads the in-block quadratic work but
-    // cannot reduce it (measured 16× time at 10× data on a fixed
-    // low-cardinality key), so a block above maxBlockSize FAILS the job,
-    // naming the linear alternative, instead of silently burning a
-    // cluster. The check is a broadcast join of a tiny per-block count
-    // onto the lo side only (every doc appears there) — no driver job,
-    // the plan stays lazy. when() keeps raise_error out of reorderable
-    // predicate position.
     val counts = df.groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("__bn"))
     val guarded = grams.join(broadcast(counts), Seq("blk"))
       .filter(when(col("__bn") > maxBlockSize,
         raise_error(concat(
-          lit("ngramJaccardPairs: block '"), col("blk").cast("string"),
+          lit(s"$opName: block '"), col("blk").cast("string"),
           lit("' holds "), col("__bn").cast("string"),
           lit(s" docs > maxBlockSize=$maxBlockSize; in-block pair work is" +
             " quadratic — use ngramJaccardPairsBounded / lshVerifiedPairs*" +
@@ -461,7 +477,7 @@ object Dedup {
             " or raise maxBlockSize"))).cast("boolean"))
         .otherwise(lit(true)))
       .drop("__bn")
-    triangleJaccard(guarded, grams, threshold, chunks)
+    (guarded, grams)
   }
 
   /** Shared exploded gram frame for the blocked exact-similarity family:
@@ -478,9 +494,8 @@ object Dedup {
       textCol: String, blockCol: String, n: Int, w: Int,
       materializePath: Option[String]): DataFrame = {
     val spark = df.sparkSession
-    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        col(textCol).as("__txt"))
-      .repartition(w, col("id"))
+    val base = widen(df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(textCol).as("__txt")), w, col("id"))
       .select(col("blk"), col("id"), array_distinct(
         graft.functions.TextHashExprs.ngramHashes(spark,
           TextAnalysis.tokens(col("__txt")), n)).as("gs"))
@@ -510,37 +525,48 @@ object Dedup {
     * the banded fallback — for corpora with huge per-doc sets and hot
     * grams, [[prefixFilterJaccardPairs]] (prefixes exclude hot grams)
     * or [[lshVerifiedPairsMd5]] are the right shapes instead. The df
-    * guard rides a window over the join's own (blk, g) exchange — no
-    * extra shuffle. `keepPair` orders the pair (containment keeps the
-    * MIN-set side as a, Jaccard keeps id order); output is
-    * (blk, id_a, id_b, inter: int, n_a: long, n_b: long). */
+    * guard is a tiny hash-agg over the materialized tok frame kept only
+    * where df > maxGramDf, limit(1), broadcast-left-joined onto the a
+    * side — a healthy corpus broadcasts an EMPTY frame (the round-14
+    * window form instead sorted the full gram stream inside the join
+    * exchange: full sf0.1 sort every run, guarding a condition that
+    * almost never fires). `keepPair` orders the pair (containment keeps
+    * the MIN-set side as a, Jaccard keeps id order); output is
+    * (blk, id_a, id_b, inter: int, n_a: long, n_b: long).
+    *
+    * Width discipline: all three exchanges go through [[widen]] — pinned
+    * AQE-exempt at [[verifyWidth]] only when the input-keyed width
+    * exceeds the session width (the 100×-audit straggler regime); below
+    * it the join/agg exchanges stay AQE-coalescible (the round-14 sf0.1
+    * regression was exactly these pinned near-empty stages). */
   private def blockedPairCounts(toks: DataFrame, w: Int, maxGramDf: Int,
       opName: String, keepPair: (Column, Column, Column, Column) => Column)
       : DataFrame = {
-    val aSide = toks.select(col("blk"), col("g"), col("id").as("id_a"),
-        col("nset").as("n_a"))
-      .repartition(w, col("blk"), col("g"))
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("blk"), col("g"))))
-      .withColumn("g", when(col("__df") <= maxGramDf, col("g"))
-        .otherwise(raise_error(concat(
+    val hot = toks.groupBy(col("blk"), col("g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxGramDf)
+      .limit(1)
+    val aSide = widen(toks.select(col("blk"), col("g"), col("id").as("id_a"),
+        col("nset").as("n_a")), w, col("blk"), col("g"))
+      .join(broadcast(hot), Seq("blk", "g"), "left")
+      .filter(when(col("__df").isNotNull, raise_error(concat(
           lit(s"$opName: gram df "), col("__df").cast("string"),
           lit(s" > maxGramDf=$maxGramDf — inverted-index join traffic is" +
             " df² per gram; use lshVerifiedPairs* (banded candidates +" +
-            " exact verify) for this corpus shape, or raise maxGramDf")))))
+            " exact verify) for this corpus shape, or raise maxGramDf")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
       .drop("__df")
-    val bSide = toks.select(col("blk"), col("g"), col("id").as("id_b"),
-        col("nset").as("n_b"))
-      .repartition(w, col("blk"), col("g"))
-    aSide.join(bSide.hint("SHUFFLE_HASH"), Seq("blk", "g"))
-      .filter(keepPair(col("id_a"), col("n_a"), col("id_b"), col("n_b")))
-      // pair-key exchange pre-partitioned at w (AQE-exempt): the pair
-      // count aggregates tens of millions of DISTINCT keys (partial
-      // combine only folds same-pair rows, ~1.7×), and at the session
-      // width the final agg held 32 tasks at ~12 s median in the 100×
-      // audit; the complete agg reuses this exchange
-      .repartition(w, col("blk"), col("id_a"), col("id_b"))
+    val bSide = widen(toks.select(col("blk"), col("g"), col("id").as("id_b"),
+        col("nset").as("n_b")), w, col("blk"), col("g"))
+    // pair-key exchange pre-partitioned at w ONLY in the wide regime: the
+    // pair count aggregates tens of millions of DISTINCT keys (partial
+    // combine only folds same-pair rows, ~1.7×), and at the session
+    // width the final agg held 32 tasks at ~12 s median in the 100×
+    // audit; the complete agg reuses this exchange
+    widen(aSide.join(bSide.hint("SHUFFLE_HASH"), Seq("blk", "g"))
+        .filter(keepPair(col("id_a"), col("n_a"), col("id_b"), col("n_b"))),
+        w, col("blk"), col("id_a"), col("id_b"))
       .groupBy("blk", "id_a", "id_b")
       .agg(count(lit(1)).cast("int").as("inter"),
         min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
@@ -549,29 +575,83 @@ object Dedup {
   /** BLOCKED exact set-similarity join: ALL pairs sharing `blockCol`
     * whose distinct word-n-gram sets have Jaccard ≥ `threshold` — the
     * same result set as [[ngramJaccardPairs]] at the same threshold
-    * (recall 1.0, exact arithmetic), built as an inverted-index COUNT
-    * join ([[blockedPairCounts]]) instead of the Σ n_blk² triangle, so
-    * work tracks gram-occurrence volume (linear in corpus bytes at
-    * stable per-block gram df), not block occupancy². jaccard =
-    * inter / (n_a + n_b − inter), exact integers into one correctly
-    * rounded division. Output schema matches ngramJaccardPairs:
-    * (blk, id_a, id_b, jaccard), id_a < id_b. */
+    * (recall 1.0, exact arithmetic). THE canonical pair engine (the
+    * round-15 convergence target): the physical plan is picked by
+    * [[PairEngine]] — the inverted-index COUNT join
+    * ([[blockedPairCounts]]; work tracks gram-occurrence volume, not
+    * block occupancy²) above the measured crossover, the in-block
+    * chunked triangle below it — same rows bit-for-bit either way.
+    * jaccard = inter / (n_a + n_b − inter), exact integers into one
+    * correctly rounded division. Output schema matches
+    * ngramJaccardPairs: (blk, id_a, id_b, jaccard), id_a < id_b. */
   def blockedJaccardPairs(df: DataFrame, idCol: String,
       textCol: String, blockCol: String, n: Int = 2,
       threshold: Double = 0.5, maxGramDf: Int = 5000,
-      materializePath: Option[String] = None): DataFrame = {
+      materializePath: Option[String] = None,
+      engine: PairEngine = PairEngine.Auto): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val w = verifyWidth(df)
-    val toks = blockedTokFrame(df, idCol, textCol, blockCol, n, w,
-      materializePath)
-    blockedPairCounts(toks, w, maxGramDf, "blockedJaccardPairs",
-      (idA, _, idB, _) => idA < idB)
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a").cast("double") + col("n_b").cast("double") -
-          col("inter").cast("double")))
-      .filter(col("jaccard") >= threshold)
-      .select("blk", "id_a", "id_b", "jaccard")
+    if (pickTriangle(df, engine, materializePath))
+      ngramJaccardPairs(df, idCol, textCol, blockCol, n, threshold)
+    else {
+      val w = verifyWidth(df)
+      val toks = blockedTokFrame(df, idCol, textCol, blockCol, n, w,
+        materializePath)
+      blockedPairCounts(toks, w, maxGramDf, "blockedJaccardPairs",
+        (idA, _, idB, _) => idA < idB)
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_a").cast("double") + col("n_b").cast("double") -
+            col("inter").cast("double")))
+        .filter(col("jaccard") >= threshold)
+        .select("blk", "id_a", "id_b", "jaccard")
+    }
+  }
+
+  /** Physical engine selector for the blocked exact pair family — the
+    * [[blockedJaccardPairs]]/[[containmentPairs]] analogue of Catalyst's
+    * cost-based join selection. Both engines produce bit-identical rows
+    * (exact integer intersections into one correctly rounded division;
+    * every family gate passes against the same DuckDB oracle on either),
+    * so the choice is purely physical:
+    *
+    *  - [[PairEngine.Triangle]] — the in-block chunked packed-set
+    *    triangle. Work is Σ_blk n_blk²/2 intersections; measured FASTER
+    *    below [[Dedup.trianglePairBytes]] estimated input bytes (sf0.1
+    *    interleaved: 0.8 s vs the count join's 1.1–1.5 s — the count
+    *    join's tok materialization + hot-gram guard are fixed costs),
+    *    and guarded by maxBlockSize (occupancy) above which it fails
+    *    naming the alternatives.
+    *  - [[PairEngine.CountJoin]] — the inverted-index count join
+    *    ([[blockedPairCounts]]). Work tracks gram-occurrence volume, not
+    *    occupancy²; the round-14 100× audit measured it at 0.08–0.18 of
+    *    linear where the triangle grew superlinearly with replicated
+    *    block occupancy. Guarded by maxGramDf (per-gram df).
+    *
+    *  [[PairEngine.Auto]] dispatches on Catalyst's estimated input bytes
+    *  at plan build (no job runs); unknown estimates (≤ 0) pick the
+    *  count join — the shape that cannot go quadratic. */
+  sealed trait PairEngine
+  object PairEngine {
+    case object Auto extends PairEngine
+    case object CountJoin extends PairEngine
+    case object Triangle extends PairEngine
+  }
+
+  /** Measured small/wide crossover for [[PairEngine.Auto]]: sf0.1
+    * (~0.8 MB estimated) sits well below, the 10× ScaleBench replication
+    * (~8 MB) well above — the 10×/100× audits always exercise the count
+    * join. */
+  private val trianglePairBytes: Long = 4L << 20
+
+  private def pickTriangle(df: DataFrame, engine: PairEngine,
+      materializePath: Option[String]): Boolean = engine match {
+    case PairEngine.Triangle => true
+    case PairEngine.CountJoin => false
+    case PairEngine.Auto =>
+      // an explicit materialization path signals a cluster-scale run —
+      // the triangle neither needs nor honors it, so route wide
+      val est = Pipeline.planBytes(df)
+      materializePath.isEmpty && est > 0 && est <= trianglePairBytes
   }
 
   /** ASYMMETRIC containment pairs — the partial-inclusion detector
@@ -582,46 +662,63 @@ object Dedup {
     * Reports both directed containments per candidate pair, keeping
     * pairs where either direction clears `threshold`.
     *
-    * Built on the inverted-index COUNT join ([[blockedPairCounts]],
-    * regime tradeoffs documented there): the pair orientation keeps the
+    * Physical plan picked by [[PairEngine]] (round-15 dispatch). Wide
+    * regime: the inverted-index COUNT join ([[blockedPairCounts]],
+    * regime tradeoffs documented there) — the pair orientation keeps the
     * MIN-set side as a ((nset, id) order), the grouped count is the
     * exact intersection, and both directed containments are divisions
-    * of exact integers. The round-13 blocked triangle did Σ_blk n_blk²/2
+    * of exact integers; the round-13 blocked triangle did Σ_blk n_blk²/2
     * packed intersections — measured 1.31× of linear at 10× and rising
-    * with block occupancy; here work tracks gram volume with the
-    * in-plan df guard naming the fallback. */
+    * with block occupancy, while the count join tracks gram volume with
+    * the in-plan df guard naming the fallback. Small regime:
+    * [[triangleContainment]] — same rows bit-for-bit, measured faster
+    * below the crossover where the count join's fixed costs dominate. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 2, threshold: Double = 0.6,
       maxGramDf: Int = 5000,
-      materializePath: Option[String] = None): DataFrame = {
+      materializePath: Option[String] = None,
+      engine: PairEngine = PairEngine.Auto,
+      maxBlockSize: Int = 10000): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
-    val w = verifyWidth(df)
-    val toks = blockedTokFrame(df, idCol, textCol, blockCol, n, w,
-      materializePath)
-    blockedPairCounts(toks, w, maxGramDf, "containmentPairs",
-      (idA, nA, idB, nB) => nB > nA || (nB === nA && idB > idA))
-      .withColumn("n_a", col("n_a").cast("int"))
-      .withColumn("n_b", col("n_b").cast("int"))
-      .withColumn("cont_a_in_b", when(col("n_a") > 0,
-        col("inter").cast("double") / col("n_a").cast("double"))
-        .otherwise(lit(0.0)))
-      .withColumn("cont_b_in_a", when(col("n_b") > 0,
-        col("inter").cast("double") / col("n_b").cast("double"))
-        .otherwise(lit(0.0)))
-      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
-      // the count-join orientation is (min-set side, other) — canonicalize
-      // to id_a < id_b, swapping the directed columns along with the ids
-      .withColumn("__swap", col("id_a") > col("id_b"))
-      .select(col("blk"),
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        when(col("__swap"), col("n_b")).otherwise(col("n_a")).as("n_a"),
-        when(col("__swap"), col("n_a")).otherwise(col("n_b")).as("n_b"),
-        col("inter"),
-        when(col("__swap"), col("cont_b_in_a")).otherwise(col("cont_a_in_b"))
-          .as("cont_a_in_b"),
-        when(col("__swap"), col("cont_a_in_b")).otherwise(col("cont_b_in_a"))
-          .as("cont_b_in_a"))
+    if (pickTriangle(df, engine, materializePath)) {
+      // small regime: in-block chunked triangle over packed gram sets.
+      // Containment admits NO count-ratio prune (cont(A⊂B) = inter/n_a
+      // with n_a the min side is bounded by 1 regardless of the size
+      // ratio), so every in-block pair pays one packed intersection —
+      // exactly the Σ n² shape [[pickTriangle]] only permits below the
+      // measured crossover, occupancy-guarded by maxBlockSize.
+      val (guarded, grams) = packedGuardedGrams(df, idCol, textCol,
+        blockCol, n, 8, maxBlockSize, "containmentPairs")
+      triangleContainment(guarded, grams, threshold, 8)
+    } else {
+      val w = verifyWidth(df)
+      val toks = blockedTokFrame(df, idCol, textCol, blockCol, n, w,
+        materializePath)
+      blockedPairCounts(toks, w, maxGramDf, "containmentPairs",
+        (idA, nA, idB, nB) => nB > nA || (nB === nA && idB > idA))
+        .withColumn("n_a", col("n_a").cast("int"))
+        .withColumn("n_b", col("n_b").cast("int"))
+        .withColumn("cont_a_in_b", when(col("n_a") > 0,
+          col("inter").cast("double") / col("n_a").cast("double"))
+          .otherwise(lit(0.0)))
+        .withColumn("cont_b_in_a", when(col("n_b") > 0,
+          col("inter").cast("double") / col("n_b").cast("double"))
+          .otherwise(lit(0.0)))
+        .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+        // the count-join orientation is (min-set side, other) — canonicalize
+        // to id_a < id_b, swapping the directed columns along with the ids
+        .withColumn("__swap", col("id_a") > col("id_b"))
+        .select(col("blk"),
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          when(col("__swap"), col("n_b")).otherwise(col("n_a")).as("n_a"),
+          when(col("__swap"), col("n_a")).otherwise(col("n_b")).as("n_b"),
+          col("inter"),
+          when(col("__swap"), col("cont_b_in_a")).otherwise(col("cont_a_in_b"))
+            .as("cont_a_in_b"),
+          when(col("__swap"), col("cont_a_in_b")).otherwise(col("cont_b_in_a"))
+            .as("cont_b_in_a"))
+    }
   }
 
   /** Measured LSH DEDUP RECALL/PRECISION — the s_ann_recall story for the
@@ -677,9 +774,11 @@ object Dedup {
     * Jaccard. `loSrc`/`hiSrc` are the two join sides (usually the same
     * frame; ngramJaccardPairs hangs its oversize guard on lo only since
     * every doc appears there). */
-  private def triangleJaccard(loSrc: DataFrame, hiSrc: DataFrame,
-      threshold: Double, chunks: Int): DataFrame = {
-    val spark = loSrc.sparkSession
+  /** Shared triangle join base: every unordered in-block pair exactly
+    * once, columns (blk, id_a, g_a, n_a, id_b, g_b, n_b) in arbitrary
+    * orientation (callers canonicalize on output). */
+  private def trianglePairBase(loSrc: DataFrame, hiSrc: DataFrame,
+      chunks: Int): DataFrame = {
     // triangle replication: the lower-chunk side carries (ck, p) for
     // p ≥ ck, the higher-chunk side (p, ck) for p ≤ ck — every unordered
     // chunk pair lands in exactly one join task, so a low-cardinality
@@ -693,19 +792,26 @@ object Dedup {
     // SHUFFLE_HASH: a broadcast build of wide rows measured ~2.5× slower
     // than a shuffled hash join here, and SMJ adds a useless sort.
     // Both sides pre-partitioned on the join key at the input-keyed CPU
-    // width: the probe is intersect-CPU-dense per shuffled byte, and
-    // AQE's byte-targeted coalescing otherwise folds the whole triangle
-    // into a handful of tasks (measured 14.4 s single probe task at 10×
-    // while the packed grams totalled a few MB). User-numbered
-    // repartitions are AQE-exempt; the joins reuse these exchanges.
+    // width IN THE WIDE REGIME ([[widen]]): the probe is
+    // intersect-CPU-dense per shuffled byte, and AQE's byte-targeted
+    // coalescing otherwise folds the whole triangle into a handful of
+    // tasks (measured 14.4 s single probe task at 10× while the packed
+    // grams totalled a few MB). User-numbered repartitions are
+    // AQE-exempt; the joins reuse these exchanges.
     val w = verifyWidth(loSrc)
-    lo.repartition(w, col("blk"), col("lo"), col("hi"))
-      .join(hi.repartition(w, col("blk"), col("lo"), col("hi"))
+    widen(lo, w, col("blk"), col("lo"), col("hi"))
+      .join(widen(hi, w, col("blk"), col("lo"), col("hi"))
         .hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
       // same-chunk tasks see both orientations — keep one; cross-chunk
       // tasks see exactly one — keep it and reorient on output
       .filter(col("lo") =!= col("hi") || col("id_a") < col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
+  }
+
+  private def triangleJaccard(loSrc: DataFrame, hiSrc: DataFrame,
+      threshold: Double, chunks: Int): DataFrame = {
+    val spark = loSrc.sparkSession
+    trianglePairBase(loSrc, hiSrc, chunks)
       // count-ratio prune: jaccard ≤ min(n_a,n_b)/max(n_a,n_b)
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         greatest(col("n_a"), col("n_b")).cast("double") * lit(threshold))
@@ -717,6 +823,39 @@ object Dedup {
       .select(col("blk"),
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+  }
+
+  /** Triangle twin of the count-join containment tail: same exact
+    * arithmetic (integer intersection into one correctly rounded
+    * division per direction), same output schema and id_a < id_b
+    * canonicalization — [[containmentPairs]] dispatches here below the
+    * [[trianglePairBytes]] crossover. No count-ratio prune exists for
+    * containment (see the caller), so every in-block pair pays one
+    * packed intersection. */
+  private def triangleContainment(loSrc: DataFrame, hiSrc: DataFrame,
+      threshold: Double, chunks: Int): DataFrame = {
+    val spark = loSrc.sparkSession
+    trianglePairBase(loSrc, hiSrc, chunks)
+      .withColumn("inter", graft.functions.PackedLongs
+        .intersectSize(spark, col("g_a"), col("g_b")).cast("int"))
+      .withColumn("cont_a_in_b", when(col("n_a") > 0,
+        col("inter").cast("double") / col("n_a").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("cont_b_in_a", when(col("n_b") > 0,
+        col("inter").cast("double") / col("n_b").cast("double"))
+        .otherwise(lit(0.0)))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .withColumn("__swap", col("id_a") > col("id_b"))
+      .select(col("blk"),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        when(col("__swap"), col("n_b")).otherwise(col("n_a")).as("n_a"),
+        when(col("__swap"), col("n_a")).otherwise(col("n_b")).as("n_b"),
+        col("inter"),
+        when(col("__swap"), col("cont_b_in_a")).otherwise(col("cont_a_in_b"))
+          .as("cont_a_in_b"),
+        when(col("__swap"), col("cont_a_in_b")).otherwise(col("cont_b_in_a"))
+          .as("cont_b_in_a"))
   }
 
   /** Banding S-curve midpoint (1/bands)^(bands/numHashes): the Jaccard at
@@ -899,7 +1038,7 @@ object Dedup {
     // set build is gram-explode CPU bound to the parquet split count
     // otherwise (100×: 25 uniform ~57 s scan tasks while 256 verify tasks
     // idled); one narrow doc shuffle bounds it at volume/width
-    val grams = df.repartition(verifyWidth(df), col(idCol))
+    val grams = widen(df, verifyWidth(df), col(idCol))
       .select(col(idCol).as("id"),
         graft.functions.PackedLongs.packSortedSet(spark, gramHashes).as("g"))
       .withColumn("nc", (length(col("g")) / 8).cast("int"))
@@ -940,8 +1079,8 @@ object Dedup {
     // gram build is CPU bound to the parquet split count otherwise
     // (100×: two 25-task scan stages at ~55 s/task owned the runtime);
     // the narrow doc shuffle is kilobytes-per-row against gram CPU
-    val base = df.select(col(idCol).as("id"), col(textCol).as("__txt"))
-      .repartition(verifyWidth(df), col("id"))
+    val base = widen(df.select(col(idCol).as("id"), col(textCol).as("__txt")),
+        verifyWidth(df), col("id"))
       .select(col("id"), array_distinct(shingles(col("__txt"), n)).as("gs"))
     // explode_OUTER + post-filter, NOT explode: an inner explode makes
     // InferFiltersFromGenerate add `size(gs) > 0 AND isnotnull(gs)`,
@@ -961,8 +1100,7 @@ object Dedup {
     // collect+sort_array is CPU-dense per byte, so pre-partition by id at
     // verify width (replaces the aggregation's own exchange, exempt from
     // AQE byte-coalescing) — measured 15.6 s max task at 32-wide, 100×
-    val perDoc = ranked
-      .repartition(verifyWidth(df), col("id"))
+    val perDoc = widen(ranked, verifyWidth(df), col("id"))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("gdf"), col("g")))).as("st"),
         count(lit(1)).as("nset"))

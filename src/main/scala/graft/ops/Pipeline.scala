@@ -43,16 +43,37 @@ object Pipeline {
     * ceiling reproduces the round-13 wide plan exactly where the 100×
     * audit needed it. An unavailable estimate (≤ 0) falls back to the
     * conservative wide form. */
+  /** The session's configured shuffle width — [[cpuWidth]]'s clamp floor
+    * and the threshold above which an explicit AQE-exempt exchange is
+    * worth pinning (see Dedup.widen). */
+  private[graft] def sessionWidth(spark: org.apache.spark.sql.SparkSession): Int =
+    try spark.conf.get("spark.sql.shuffle.partitions").toInt
+    catch { case _: Throwable => spark.sparkContext.defaultParallelism }
+
+  /** Apply the explicit (AQE-exempt) CPU-dense exchange ONLY when the
+    * input-keyed width exceeds the session shuffle width — i.e. when the
+    * frame is big enough that the 100×-audit straggler protection is worth
+    * pinning. At or below the session width the explicit exchange buys
+    * nothing the consuming join/agg's own (AQE-coalescible) exchange
+    * doesn't, and it taxes small inputs: user-numbered repartitions are
+    * exempt from AQE coalescing, so every downstream stage holds `w`
+    * near-empty tasks — measured round 14 as the correlated 1.2–2.2×
+    * dedup-family sf0.1 A/B regression. */
+  private[graft] def widen(df: DataFrame, w: Int, cols: Column*): DataFrame =
+    if (w > sessionWidth(df.sparkSession)) df.repartition(w, cols: _*)
+    else df
+
+  /** Catalyst's estimated plan bytes — file bytes for scans, propagated
+    * estimates above them; no job runs. ≤ 0 when unavailable. */
+  private[graft] def planBytes(frame: DataFrame): BigInt =
+    try frame.queryExecution.optimizedPlan.stats.sizeInBytes
+    catch { case _: Throwable => BigInt(0) }
+
   private[graft] def cpuWidth(frame: DataFrame,
       bytesPerTask: Long = 256L << 10, maxFactor: Int = 8): Int = {
-    val spark = frame.sparkSession
-    val parts = try {
-      spark.conf.get("spark.sql.shuffle.partitions").toInt
-    } catch { case _: Throwable => spark.sparkContext.defaultParallelism }
+    val parts = sessionWidth(frame.sparkSession)
     val cap = math.max(parts, parts * maxFactor)
-    val est = try {
-      frame.queryExecution.optimizedPlan.stats.sizeInBytes
-    } catch { case _: Throwable => BigInt(0) }
+    val est = planBytes(frame)
     if (est <= 0) cap
     else ((est + bytesPerTask - 1) / bytesPerTask)
       .min(BigInt(cap)).max(BigInt(parts)).toInt
@@ -906,9 +927,9 @@ object Pipeline {
     // scan-side Filter, re-hashing every text at the input's split width
     // (50 uniform ~17 s tasks). The checkpoint is a pushdown barrier:
     // the kernel runs once, wide, above the rebalance.
-    val fps = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
-        col(textCol).as("__txt"))
-      .repartition(cpuWidth(docs), col("id"))
+    val fps = widen(docs.select(col(idCol).as("id"),
+        col(sourceCol).as("source"), col(textCol).as("__txt")),
+        cpuWidth(docs), col("id"))
       .select(col("id"), col("source"),
         TextAnalysis.fingerprint(col("__txt")).as("fp"))
       .localCheckpoint()

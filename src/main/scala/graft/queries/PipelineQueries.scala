@@ -33,7 +33,13 @@ object PipelineQueries {
       Dedup.exactDuplicateGroups(docs.unionByName(planted), "doc_id", "text")
         .orderBy("fp")
     },
-    // blocked exact n-gram Jaccard pairs (verification-stage dedup)
+    // blocked exact n-gram Jaccard pairs (verification-stage dedup).
+    // DELIBERATE triangle holdout (round-15 convergence): this gate IS
+    // the audit-scale ground-truth op the count-join family is measured
+    // against (lshRecallReport uses it the same way) — keeping it on the
+    // independent in-block triangle means the two exact pair engines
+    // cross-check each other through the shared DuckDB oracle instead of
+    // sharing one plan's blind spots.
     "d_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         blockCol = "source", n = 2, threshold = 0.05)
@@ -52,6 +58,17 @@ object PipelineQueries {
         blockCol = "source", n = 2, threshold = 0.05, maxBlockSize = 1000)
         .orderBy("blk", "id_a", "id_b")
     },
+    // the PINNED count-join twin of d_ngram_jaccard: PairEngine.Auto
+    // picks the triangle at gate scale, so without this pin the
+    // inverted-index count join — the engine every 10×/100× run rides —
+    // would have no sf0.01 oracle row. Same all-pairs SQL, bit-identical
+    // rows: the two exact pair engines cross-check through one oracle.
+    "d_jaccard_countjoin" -> { (s, d) =>
+      Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        blockCol = "source", n = 2, threshold = 0.05,
+        engine = Dedup.PairEngine.CountJoin)
+        .orderBy("blk", "id_a", "id_b")
+    },
     // pairs → CLUSTERS: connected components (min-label propagation +
     // pointer jumping) over the blocked Jaccard pairs, then the per-cluster
     // membership with the canonical (min-id) survivor. Near-duplication is
@@ -59,8 +76,8 @@ object PipelineQueries {
     // actual dedup decision, and the whole iterative fixpoint is pinned
     // against a DuckDB recursive-CTE transitive closure.
     "d_dup_clusters" -> { (s, d) =>
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        blockCol = "source", n = 2, threshold = 0.05)
+      val pairs = Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", blockCol = "source", n = 2, threshold = 0.05)
       graft.ops.Cluster.connectedComponents(pairs, "id_a", "id_b")
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
@@ -71,7 +88,7 @@ object PipelineQueries {
     // corpus itself never shuffles. Output is the surviving corpus slice.
     "q_drop_near_dups" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
         blockCol = "source", n = 2, threshold = 0.05)
       graft.ops.Cluster.dropNearDuplicates(docs, "doc_id", pairs, "id_a", "id_b")
         .select("doc_id", "source", "n_chars")
@@ -627,7 +644,7 @@ object PipelineQueries {
     // collapse: paraphrase + verbatim copies of one doc merge), with the
     // per-signal incident-edge audit trail
     "q_hybrid_dedup" -> { (s, d) =>
-      val textPairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
+      val textPairs = Dedup.blockedJaccardPairs(Tables.documents(s, d),
         "doc_id", "text", blockCol = "source", n = 2, threshold = 0.05)
       val semPairs = Dedup.embeddingNearDupPairs(Tables.embeddings(s, d),
         "vec_id", "embedding", "label", threshold = 0.2)
@@ -849,7 +866,7 @@ object PipelineQueries {
     // md5-bucket split; unpaired docs split on their own id
     "q_leakage_safe_split" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
         blockCol = "source", n = 2, threshold = 0.05)
       graft.ops.Pipeline.leakageSafeSplit(docs, "doc_id", pairs,
         "id_a", "id_b")
@@ -974,6 +991,22 @@ object PipelineQueries {
         "source", n = 2, threshold = 0.6)
         .orderBy("blk", "id_a", "id_b")
     },
+    // the PINNED count-join twin of d_containment (see d_jaccard_countjoin
+    // for why the pin exists): same planted half-copies, same oracle SQL,
+    // engine forced to the inverted-index count join
+    "d_containment_countjoin" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("source", "doc_id", "text")
+      val t = TextAnalysis.tokens(col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("source"), (col("doc_id") + lit(2000000L)).as("doc_id"),
+          array_join(slice(t, lit(1),
+            greatest(floor(size(t).cast("double") / 2).cast("int"), lit(1))),
+            " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(planted), "doc_id", "text",
+        "source", n = 2, threshold = 0.6,
+        engine = Dedup.PairEngine.CountJoin)
+        .orderBy("blk", "id_a", "id_b")
+    },
     // per-label centroid from exact DECIMAL per-dim sums, cosine of every
     // vector to its own label's centroid via the sequential fold —
     // correctly-rounded double arithmetic end to end (no ln), so raw
@@ -1032,7 +1065,7 @@ object PipelineQueries {
     // beats everything else — the multi-feed dedup decision
     "q_canonical_source" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
         blockCol = "source", n = 2, threshold = 0.05)
       graft.ops.Pipeline.canonicalBySource(docs, "doc_id", "source",
         pairs, "id_a", "id_b", Map("src0" -> 0, "src1" -> 1),
@@ -1050,16 +1083,14 @@ object PipelineQueries {
     },
     // per-source dedup-rate data card: planted %9 exact copies + the
     // within-source near-dup pair family; counts exact, rates exact-int
-    // divisions. Pairs come from the BLOCKED prefix filter at a REAL
-    // near-dup threshold (0.4): recall 1.0 + exact verify gives the same
-    // result set as all-pairs ngramJaccardPairs at the same threshold
-    // (oracle replays all-pairs), while the pair stage scales with gram
-    // volume, not block occupancy² — the round-13 10× audit's 12.5 s max
-    // task was the triangle's quadratic growth with replicated block
-    // occupancy. (A noise-level threshold like 0.05 puts ~every gram in
-    // every prefix and degenerates the filter to an inverted-index join;
-    // that shape is the audit-scale ground-truth op d_ngram_jaccard, not
-    // a data card.)
+    // divisions. Pairs come from the INVERTED-INDEX COUNT JOIN
+    // (blockedJaccardPairs → blockedPairCounts) at a REAL near-dup
+    // threshold (0.4): the grouped count IS the exact intersection, so
+    // the result set equals all-pairs ngramJaccardPairs at the same
+    // threshold (oracle replays all-pairs) while the pair stage scales
+    // with gram volume, not block occupancy² — the round-13 10× audit's
+    // 12.5 s max task was the triangle's quadratic growth with
+    // replicated block occupancy.
     "q_dedup_report" -> { (s, d) =>
       val base = Tables.documents(s, d).select("doc_id", "source", "text")
       val withDups = base.unionByName(base.filter(col("doc_id") % 9 === 0)
@@ -1175,7 +1206,7 @@ object PipelineQueries {
     // smaller id; the per-document sibling of q_canonical_source
     "q_canonical_quality" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
         blockCol = "source", n = 2, threshold = 0.05)
       graft.ops.Pipeline.canonicalByQuality(
         docs.withColumn("n_toks", TextAnalysis.tokenCount(col("text"))),
@@ -1442,6 +1473,52 @@ object PipelineQueries {
       |  WHERE s.p <= len(s.w)),
       |seg AS (SELECT w, acc, n FROM walk WHERE p = len(w) + 1),
       |inst AS (SELECT doc_id, source, unnest(t) AS w, unnest(range(len(t))) AS widx FROM toks)""".stripMargin
+
+  /** Containment ground truth with the planted half-length copies —
+    * shared by d_containment (Auto → triangle at gate scale) and its
+    * pinned count-join twin d_containment_countjoin. */
+  private val containmentOracleSql: String =
+    s"""WITH tk AS (SELECT source, doc_id, $tokensSql AS t FROM documents),
+      |planted AS (SELECT source, doc_id + 2000000 AS doc_id,
+      |    array_to_string(t[1:greatest(CAST(len(t) // 2 AS INT), 1)], ' ') AS text
+      |  FROM tk WHERE doc_id % 7 = 0),
+      |allrows AS (SELECT source, doc_id, text FROM documents
+      |  UNION ALL SELECT source, doc_id, text FROM planted),
+      |toks AS (SELECT source, doc_id, $tokensSql AS t FROM allrows),
+      |grams AS (SELECT source, doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 2
+      |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |      ELSE [array_to_string(t, ' ')] END) AS g
+      |  FROM toks),
+      |pairs AS (SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(a.g) AS n_a, len(b.g) AS n_b, len(list_intersect(a.g, b.g)) AS inter
+      |  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id),
+      |sc AS (SELECT blk, id_a, id_b, n_a, n_b, inter,
+      |    CASE WHEN n_a > 0 THEN CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) ELSE 0.0 END AS cont_a_in_b,
+      |    CASE WHEN n_b > 0 THEN CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) ELSE 0.0 END AS cont_b_in_a
+      |  FROM pairs)
+      |SELECT * FROM sc WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.6
+      |ORDER BY blk, id_a, id_b""".stripMargin
+
+  /** All-pairs blocked bigram-Jaccard ground truth — shared by the
+    * triangle gate (d_ngram_jaccard), its bounded variant, and the pinned
+    * count-join twin (d_jaccard_countjoin): one oracle, two engines. */
+  private val allPairsJaccardOracleSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, $tokensSql AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(CASE WHEN len(t) >= 2
+      |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |      ELSE [array_to_string(t, ' ')] END) AS g
+      |  FROM toks)
+      |SELECT * FROM (
+      |  SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CASE WHEN len(list_distinct(a.g || b.g)) > 0
+      |      THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+      |      ELSE 0.0 END AS jaccard
+      |  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.05 ORDER BY blk, id_a, id_b""".stripMargin
 
   private val subwordSegCtes: String =
     s"""toks AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
@@ -1866,40 +1943,13 @@ object PipelineQueries {
         |  FROM all_docs)
         |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM fp GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
-    "d_ngram_jaccard" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, source, $tokensSql AS t FROM documents),
-        |grams AS (
-        |  SELECT doc_id, source,
-        |    list_distinct(CASE WHEN len(t) >= 2
-        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
-        |      ELSE [array_to_string(t, ' ')] END) AS g
-        |  FROM toks)
-        |SELECT * FROM (
-        |  SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CASE WHEN len(list_distinct(a.g || b.g)) > 0
-        |      THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
-        |      ELSE 0.0 END AS jaccard
-        |  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.05 ORDER BY blk, id_a, id_b""".stripMargin,
+    "d_ngram_jaccard" -> allPairsJaccardOracleSql,
+    // pinned count-join twin: the same all-pairs ground truth verifies
+    // both exact engines (see the queries-map comment)
+    "d_jaccard_countjoin" -> allPairsJaccardOracleSql,
     // bounded variant takes the exact path at gate scale (blocks ≤ 1000
     // docs), so the oracle is the same all-pairs SQL
-    "d_ngram_jaccard_bounded" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, source, $tokensSql AS t FROM documents),
-        |grams AS (
-        |  SELECT doc_id, source,
-        |    list_distinct(CASE WHEN len(t) >= 2
-        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
-        |      ELSE [array_to_string(t, ' ')] END) AS g
-        |  FROM toks)
-        |SELECT * FROM (
-        |  SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CASE WHEN len(list_distinct(a.g || b.g)) > 0
-        |      THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
-        |      ELSE 0.0 END AS jaccard
-        |  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.05 ORDER BY blk, id_a, id_b""".stripMargin,
+    "d_ngram_jaccard_bounded" -> allPairsJaccardOracleSql,
     // the clustering fixpoint re-derived as a transitive closure: same
     // pair CTEs as d_ngram_jaccard, symmetric edges, recursive reachability,
     // cluster = min reachable id
@@ -3600,28 +3650,9 @@ object PipelineQueries {
     // containment re-derived: same planted half-length copies (integer //
     // truncation both engines), distinct bigram sets, exact intersect
     // sizes, the same unguarded double ratios and greatest() threshold
-    "d_containment" ->
-      s"""WITH tk AS (SELECT source, doc_id, $tokensSql AS t FROM documents),
-        |planted AS (SELECT source, doc_id + 2000000 AS doc_id,
-        |    array_to_string(t[1:greatest(CAST(len(t) // 2 AS INT), 1)], ' ') AS text
-        |  FROM tk WHERE doc_id % 7 = 0),
-        |allrows AS (SELECT source, doc_id, text FROM documents
-        |  UNION ALL SELECT source, doc_id, text FROM planted),
-        |toks AS (SELECT source, doc_id, $tokensSql AS t FROM allrows),
-        |grams AS (SELECT source, doc_id,
-        |    list_distinct(CASE WHEN len(t) >= 2
-        |      THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
-        |      ELSE [array_to_string(t, ' ')] END) AS g
-        |  FROM toks),
-        |pairs AS (SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
-        |    len(a.g) AS n_a, len(b.g) AS n_b, len(list_intersect(a.g, b.g)) AS inter
-        |  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id),
-        |sc AS (SELECT blk, id_a, id_b, n_a, n_b, inter,
-        |    CASE WHEN n_a > 0 THEN CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) ELSE 0.0 END AS cont_a_in_b,
-        |    CASE WHEN n_b > 0 THEN CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) ELSE 0.0 END AS cont_b_in_a
-        |  FROM pairs)
-        |SELECT * FROM sc WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.6
-        |ORDER BY blk, id_a, id_b""".stripMargin,
+    "d_containment" -> containmentOracleSql,
+    // pinned count-join twin: same planted half-copies, same ground truth
+    "d_containment_countjoin" -> containmentOracleSql,
     // centroid outliers re-derived: per-dim DECIMAL(28,14) sums → one
     // double division per dim, list rebuilt in pos order, the house
     // sequential cosine fold, raw-double compare against minCos

@@ -49,7 +49,8 @@ PYEOF
 # the round-12 verdict) the two priciest adtl-core gates plus both table
 # profiles: the exact Expand audit and its no-Expand HLL twin — and
 # (round 14, per the round-13 verdict) the two formerly-superlinear
-# heavies, now prefix-filter-routed: containment and the dedup data card
+# heavies, now riding the inverted-index COUNT join (blockedPairCounts):
+# containment and the dedup data card
 FLAGS="d_lsh_jaccard_verify s_ivf_topk t_winnow_overlap s_ivfpq_topk \
 q_training_mix q_quality_pipeline q_apply_changes s_knn_graph \
 d_prefix_jaccard q_entity_resolution q_kaplan_meier q_spearman \
