@@ -145,8 +145,12 @@ final class RuleCompiler(
       case _ =>
     }
 
-    // "" → null (get_value.py:194-195); only meaningful for stringy values
-    if (cv.vt == VStr) cv = CV(when(cv.col === "", lit(null)).otherwise(cv.col), VStr)
+    // "" → null (get_value.py:194-195); only meaningful for stringy values.
+    // Once-bound: the guard references the compiled value twice, and for
+    // apply-transform results (date parse chains) the naive when/otherwise
+    // duplicated the whole subtree — half the adtl_apply_dates parse count
+    if (cv.vt == VStr) cv = CV(graft.functions.Once.once(cv.col)(c =>
+      when(c === "", lit(null)).otherwise(c)), VStr)
 
     // values map (+ enum_list)
     if (rule.contains("values")) cv = compileValuesMap(rule, cv)

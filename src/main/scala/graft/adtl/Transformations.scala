@@ -113,8 +113,13 @@ object Transformations {
   def parseTs(c: Column, strf: String): Column = {
     val t = DateFormats.translate(strf)
     val ts = try_to_timestamp(c, lit(t.parsePattern))
+    // Once: the pivot branch references the parse 3×; without the
+    // binding every downstream guard multiplies the gettimestamp calls
+    // (adtl_apply_dates measured 19 parses/row before round 15)
     if (t.twoDigitYear)
-      when(year(ts) >= 2069, ts - expr("make_interval(100, 0, 0, 0, 0, 0, 0)")).otherwise(ts)
+      graft.functions.Once.once(ts)(x =>
+        when(year(x) >= 2069,
+          x - expr("make_interval(100, 0, 0, 0, 0, 0, 0)")).otherwise(x))
     else ts
   }
 
@@ -122,10 +127,27 @@ object Transformations {
     * parsed ≥ epoch (only when the format has %y) shift back a century. */
   def parseTsEpoch(c: Column, strf: String, epoch: Double): Column = {
     val t = DateFormats.translate(strf)
-    val ts = parseTs(c, strf)
-    if (t.twoDigitYear)
-      when(year(ts) >= epoch, ts - expr("make_interval(100, 0, 0, 0, 0, 0, 0)")).otherwise(ts)
-    else ts
+    if (!t.twoDigitYear) parseTs(c, strf)
+    else {
+      // FLATTENED two-pivot chain (round 15): the naive nested
+      // when/otherwise referenced the parse 3×3×, and the chained
+      // century−epoch subtractions can fold into one year-month interval
+      // because year(x − 100y) = year(x) − 100 EXACTLY (month/day are
+      // preserved or clamped, never the year), so the epoch test on the
+      // century-fixed value reads yr − 100 — no re-parse. The single
+      // combined subtraction equals the chained pair on every input:
+      // Feb-29 clamping to Feb-28 happens at most once in both forms
+      // (a chain step that clamps leaves day 28, which no later step
+      // moves), and non-leap-day dates never clamp. Unparseable → raw
+      // null → yr null → both whens fall through to 0 → null + 0 = null,
+      // the chained form's result. 4 parses/row instead of 9.
+      val raw = try_to_timestamp(c, lit(t.parsePattern))
+      val yr = year(raw)
+      val adj = when(yr >= 2069,
+          when(yr - 100 >= epoch, -200).otherwise(-100))
+        .otherwise(when(yr >= epoch, -100).otherwise(0))
+      raw + make_ym_interval(adj, lit(0))
+    }
   }
 
   /** Python datetime.isoformat() with tz offset: local wall time formatted

@@ -169,6 +169,142 @@ case class NbScoreExpr(child: Expression,
     copy(child = c)
 }
 
+/** Multi-class naive-Bayes char-gram ARGMAX as ONE expression over the
+  * RAW TEXT — the round-15 t_lang_id rework, two generations past the
+  * k-kernel form:
+  *
+  *  1. the k per-language [[NbScoreExpr]] kernels each binary-searched a
+  *     materialized char-gram array (k·log|V| string compares per gram);
+  *     the joint k×|V| matrix here searches ONCE per gram and advances
+  *     all k language accumulators from the hit row;
+  *  2. the materialized gram array itself measured 3.7 s of the 4.8 s
+  *     classify scan at sf0.1 (one substr allocation+copy per gram), so
+  *     this kernel takes the text column directly: lowercase once
+  *     (`UTF8String.toLowerCase` — exactly Spark's `lower`), then slide
+  *     an n-CHAR window over the byte array via a ring of char-start
+  *     offsets, comparing zero-copy `UTF8String.fromBytes(b, s, len)`
+  *     views against the sorted vocab — no per-gram byte copies, no
+  *     array materialization.
+  *
+  * Bit-identical to `charGrams`+k-kernel argmax: the byte windows are the
+  * same bytes `lower(text).substr(i+1, n)` produced (same char
+  * boundaries, same lowercasing), every matrix cell is the same
+  * DECIMAL(28,14)-quantized logp the per-language kernel would add (a
+  * gram absent from language ℓ's capped vocab takes ℓ's smoothed unseen
+  * constant — exactly what ℓ's own kernel did), sums are exact decimal
+  * adds — accumulated as scale-14 unscaled longs, flushed into a
+  * BigInteger every `flushEvery` grams so the running partial provably
+  * never overflows (decimal addition is order-invariant, so chunked
+  * flushing is exact) — and ties break toward the lowest language index
+  * (languages pre-sorted ascending = the lexicographic tie-break the
+  * struct-max form encoded via -idx). Returns
+  * struct(n_tokens = numChars−n+1, lang, lo_sum); texts shorter than n
+  * chars yield (0, null, null). */
+case class NbArgmaxExpr(child: Expression, gramN: Int,
+    words: Array[Array[Byte]], loUnscaled: Array[Array[Long]],
+    unseenUnscaled: Array[Long], langs: Array[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("lang", StringType, nullable = true),
+    StructField("lo_sum", DecimalType(38, 14), nullable = true)))
+  override def prettyName: String = "graft_nb_argmax"
+
+  @transient private lazy val wordsU = words.map(UTF8String.fromBytes)
+  @transient private lazy val langsU = langs.map(UTF8String.fromString)
+  // per-gram |unscaled| bound → the chunk length whose running long sum
+  // provably cannot overflow between flushes
+  @transient private lazy val flushEvery: Long = {
+    var m = 1L
+    unseenUnscaled.foreach(u => m = math.max(m, math.abs(u)))
+    loUnscaled.foreach(_.foreach(v => m = math.max(m, math.abs(v))))
+    math.max(1L, Long.MaxValue / (m + 1L))
+  }
+
+  private def lookup(w: UTF8String): Int = {
+    var lo = 0
+    var hi = wordsU.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = w.compareTo(wordsU(mid))
+      if (c == 0) return mid
+      else if (c < 0) hi = mid - 1
+      else lo = mid + 1
+    }
+    -1
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    val lowered = text.toLowerCase
+    val b = lowered.getBytes
+    val nb = b.length
+    val k = langs.length
+    val n = gramN
+    val sums = new Array[Long](k)
+    var bigSums: Array[java.math.BigInteger] = null
+    var sinceFlush = 0L
+    def flush(): Unit = {
+      if (bigSums == null)
+        bigSums = Array.fill(k)(java.math.BigInteger.ZERO)
+      var l = 0
+      while (l < k) {
+        bigSums(l) = bigSums(l).add(java.math.BigInteger.valueOf(sums(l)))
+        sums(l) = 0L
+        l += 1
+      }
+      sinceFlush = 0L
+    }
+    val starts = new Array[Int](n)
+    var chars = 0
+    var off = 0
+    var grams = 0L
+    while (off < nb) {
+      starts(chars % n) = off
+      off += UTF8String.numBytesForFirstByte(b(off))
+      chars += 1
+      if (chars >= n) {
+        val s = starts((chars - n) % n)
+        val idx = lookup(UTF8String.fromBytes(b, s, off - s))
+        var l = 0
+        if (idx >= 0) while (l < k) { sums(l) += loUnscaled(l)(idx); l += 1 }
+        else while (l < k) { sums(l) += unseenUnscaled(l); l += 1 }
+        grams += 1
+        sinceFlush += 1
+        if (sinceFlush >= flushEvery) flush()
+      }
+    }
+    if (grams == 0L)
+      return new GenericInternalRow(Array[Any](0L, null, null))
+    var best = 0
+    var l = 1
+    if (bigSums == null) {
+      while (l < k) { if (sums(l) > sums(best)) best = l; l += 1 }
+      new GenericInternalRow(Array[Any](grams, langsU(best),
+        Decimal(JBigDecimal.valueOf(sums(best), 14), 38, 14)))
+    } else {
+      flush()
+      while (l < k) {
+        if (bigSums(l).compareTo(bigSums(best)) > 0) best = l
+        l += 1
+      }
+      new GenericInternalRow(Array[Any](grams, langsU(best),
+        Decimal(new JBigDecimal(bigSums(best), 14), 38, 14)))
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nbArgmax", this, classOf[NbArgmaxExpr].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object LmExprs {
   @volatile private var registered = Set.empty[String]
 
@@ -214,6 +350,22 @@ object LmExprs {
       addK, addK * (vocab.toDouble + 1.0))
   }
 
+  /** Sorted-joint-vocab NbArgmaxExpr: sorts `words` byte-wise (carrying
+    * every language's aligned logp row), quantizes each cell to the
+    * scale-14 unscaled long once, driver-side. `langs` must arrive
+    * ascending (the tie-break order). */
+  private[functions] def buildNbArgmax(child: Expression, gramN: Int,
+      words: Array[UTF8String], lo: Array[Array[Double]],
+      unseen: Array[Double], langs: Array[String]): NbArgmaxExpr = {
+    def q(d: Double): Long = JBigDecimal.valueOf(d)
+      .setScale(14, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    val bytes = words.map(_.getBytes)
+    val order = Array.range(0, bytes.length).sortWith((a, b) =>
+      java.util.Arrays.compareUnsigned(bytes(a), bytes(b)) < 0)
+    NbArgmaxExpr(child, gramN, order.map(bytes),
+      lo.map(row => order.map(i => q(row(i)))), unseen.map(q), langs)
+  }
+
   /** Sorted-vocab NbScoreExpr from (word, log-odds) pairs; quantizes each
     * log-odds to DECIMAL(28,14) once, driver-side. */
   private[functions] def buildNb(child: Expression, words: Array[UTF8String],
@@ -242,6 +394,22 @@ object LmExprs {
           build(exprs(0), bigrams, counts, addK, vocab)
         }, "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_nb_argmax",
+        exprs => {
+          val gramN = exprs(1).eval(null).asInstanceOf[Int]
+          val warr = exprs(2).eval(null).asInstanceOf[ArrayData]
+          val words = (0 until warr.numElements())
+            .map(warr.getUTF8String).toArray
+          val marr = exprs(3).eval(null).asInstanceOf[ArrayData]
+          val lo = (0 until marr.numElements())
+            .map(i => marr.getArray(i).toDoubleArray()).toArray
+          val unseen = exprs(4).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+          val larr = exprs(5).eval(null).asInstanceOf[ArrayData]
+          val langs = (0 until larr.numElements())
+            .map(i => larr.getUTF8String(i).toString).toArray
+          buildNbArgmax(exprs(0), gramN, words, lo, unseen, langs)
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_nb_score",
         exprs => {
           val warr = exprs(1).eval(null).asInstanceOf[ArrayData]
@@ -263,6 +431,20 @@ object LmExprs {
     import org.apache.spark.sql.functions.{call_function, lit, typedlit}
     call_function("graft_lm_score", toks,
       typedlit(bigrams), typedlit(counts), lit(addK), lit(vocab))
+  }
+
+  /** Column form: `(n_tokens, lang, lo_sum)` struct over the RAW TEXT —
+    * lowercase + n-char sliding window + one joint-vocab search per
+    * gram, all k language sums advanced together, argmax with ties to
+    * the lowest index. `langs` ascending; `loMatrix` rows align with
+    * `langs`, columns with `words`. */
+  def nbArgmaxCol(spark: SparkSession, text: Column, gramN: Int,
+      words: Seq[String], loMatrix: Seq[Seq[Double]], unseens: Seq[Double],
+      langs: Seq[String]): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{call_function, lit, typedlit}
+    call_function("graft_nb_argmax", text, lit(gramN),
+      typedlit(words), typedlit(loMatrix), typedlit(unseens), typedlit(langs))
   }
 
   /** Column form: `(n_tokens, lo_sum)` struct for a token-array column

@@ -550,30 +550,38 @@ object TextAnalysis {
     val langs = counts.map(_._1).distinct.sorted
     val v = counts.map(_._2).distinct.length.toDouble
     val spark = corpus.sparkSession
-    // grams materialize ONCE as a column: k kernels + the size() all
-    // reference it, and CollapseProject keeps multiply-referenced
-    // non-cheap producers un-inlined (the lmScore two-step-select trick)
-    // — without this the char-gram array is rebuilt k+1 times per row
-    val based = corpus.select(col(idCol).as("id"),
-      charGrams(col(textCol), n).as("__g"))
-    val scoreCols = langs.zipWithIndex.map { case (lang, idx) =>
+    // ONE combined text-direct argmax kernel over the JOINT sorted
+    // vocabulary (round-15, two steps past the k-kernel form: the k
+    // per-language NbScoreExpr kernels each binary-searched a
+    // MATERIALIZED char-gram array — k·log|V| string compares per gram
+    // plus one substr copy per gram, and the array build alone measured
+    // 3.7 s of the 4.8 s classify scan at sf0.1. NbArgmaxExpr slides the
+    // n-char window over the lowercased bytes itself with zero-copy
+    // views and advances all k scale-14 unscaled accumulators from one
+    // joint-vocab hit — bit-identical argmax; the op was the suite's #1
+    // fixed cost for three rounds). A gram absent from language ℓ's
+    // capped vocab takes ℓ's smoothed constant logp_ℓ(0) in the matrix —
+    // exactly what ℓ's own kernel returned for it.
+    val joint = counts.map(_._2).distinct
+    val perLang = langs.map { lang =>
       val mine = counts.filter(_._1 == lang)
       val nl = mine.map(_._3).sum.toDouble
       def logp(c: Long): Double =
         Math.log((c.toDouble + addK) / (nl + addK * (v + 1.0)))
-      val s = graft.functions.LmExprs.nbScoreCol(spark, col("__g"),
-        mine.map(_._2).toSeq, mine.map(t => logp(t._3)).toSeq, logp(0L))
-      struct(s.getField("lo_sum").as("s"), lit(-idx).as("nr"),
-        lit(lang).as("lang")).as(s"__s$idx")
+      val m = mine.map(t => t._2 -> t._3).toMap
+      (joint.map(g => logp(m.getOrElse(g, 0L))).toSeq, logp(0L))
     }
-    val nGrams = size(col("__g"))
-    val best = array_max(array(scoreCols: _*))
-    based.select(col("id"), nGrams.as("n_grams"),
-        when(nGrams > 0, best).as("__b"))
-      .select(col("id"), col("n_grams"),
+    val based = corpus.select(col(idCol).as("id"),
+      col(textCol).as("__txt"))
+    val b = graft.functions.LmExprs.nbArgmaxCol(spark, col("__txt"), n,
+      joint.toSeq, perLang.map(_._1).toSeq, perLang.map(_._2).toSeq,
+      langs.toSeq)
+    based.select(col("id"), b.as("__b"))
+      .select(col("id"),
+        col("__b").getField("n_tokens").cast("int").as("n_grams"),
         col("__b").getField("lang").as("lang_pred"),
-        round(col("__b").getField("s").cast("double") /
-          col("n_grams").cast("double"), 9).as("mean_logp"))
+        round(col("__b").getField("lo_sum").cast("double") /
+          col("__b").getField("n_tokens").cast("double"), 9).as("mean_logp"))
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only

@@ -341,6 +341,17 @@ object EngineQueries {
         .parseDataFrame(s, ordersInput(s, d))("obs")
         .orderBy("value", "name")
     },
+    // Cost note (round-15 audit): was 19 gettimestamp parses/row from
+    // duplicated CASE subtrees; now 10 via Once-bound guards (RuleCompiler
+    // ""→null, parseTs pivot) and the flattened parseTsEpoch year
+    // arithmetic. The residual 10 is one parse per (field, format) USE
+    // across five independent rules sharing two source fields — per-rule
+    // columns are separate expressions, and codegen subexpression
+    // elimination cannot hoist them through the nonEmpty CASE guards.
+    // Cross-rule sharing would need a common-subexpression projection
+    // stage across compiled rules; the remaining gate time is split
+    // between those parses and the CSV-parity render, so the ceiling on
+    // further wins is ~2×, not 10×.
     "adtl_apply_dates" -> { (s, d) =>
       AdtlParser.fromJsonString(applyDatesSpec)
         .parseDataFrame(s, lineDatesInput(s, d))("line_dates")
