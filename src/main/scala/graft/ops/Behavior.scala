@@ -48,8 +48,14 @@ object Behavior {
         val gated = prev match {
           case None => mine
           case Some(p) =>
-            mine.join(p.select(col("__u"), col("__ct").as("__prev")),
-              Seq("__u")).filter(col("__t") > col("__prev"))
+            // NULL-SAFE step gating (round-15 null-key sweep): the step-1
+            // groupBy keeps NULL users as one group, so an equi-join here
+            // silently barred that group from ever reaching step 2 — the
+            // sessionize stitch-join bug class. `<=>` keeps the one-group
+            // convention end to end; still a hash-join key for Spark.
+            mine.join(p.select(col("__u").as("__up"), col("__ct").as("__prev")),
+              col("__u") <=> col("__up")).drop("__up")
+              .filter(col("__t") > col("__prev"))
         }
         val frame = gated.groupBy("__u").agg(min(col("__t")).as("__ct"))
         Some(Dedup.materializeBase(frame,
@@ -86,7 +92,17 @@ object Behavior {
     * window partitions already treat NULL as a group, and the two
     * stitch joins use null-safe equality (`<=>`) on the user key so
     * null-user sessions survive rather than silently dropping at the
-    * inner join. */
+    * inner join.
+    *
+    * NULL-TS CONTRACT (round 15, spec-pinned): events with a NULL
+    * timestamp are DROPPED before sessionization — an event with no
+    * time belongs to no gap-defined session — by this form and
+    * [[sessionizeNative]] alike (the native form's `session_window`
+    * would exclude them anyway; the explicit filter makes the twin
+    * row-for-row equivalence hold by construction, not by accident of
+    * Spark's window null handling). The DuckDB oracles don't express
+    * the filter because the events table never produces null ts; the
+    * contract lives in BehaviorSpec. */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, gapSeconds: Long,
       bucketLen: String = "1 day"): DataFrame = {
@@ -161,7 +177,10 @@ object Behavior {
     *    [[sessionize]]'s bucket-stitch exists to avoid. Prefer the
     *    native form for human-scale keys (its plan is simpler and
     *    sort-merges in one pass); prefer the bucket-stitch when any
-    *    single key can dominate a partition. */
+    *    single key can dominate a partition.
+    *
+    * NULL ts: dropped, same as [[sessionize]] — see the NULL-TS
+    * CONTRACT there (spec-pinned). */
   def sessionizeNative(events: DataFrame, userCol: String, tsCol: String,
       gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be > 0, got $gapSeconds")
@@ -177,6 +196,12 @@ object Behavior {
         (col("session_end_us") - col("session_start_us")).as("duration_us"))
   }
 
+  /** Ordered-funnel conversion. NULL users: one ordinary group — the
+    * step-1 groupBy keeps NULL as a group and the step-gating joins are
+    * null-safe (`<=>`), so an anonymous-key group advances through
+    * steps exactly like any user (round-15 null-key sweep; before it,
+    * the equi-join silently barred NULL from step 2+ while counting it
+    * at step 1). Spec-pinned. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
       materializePath: Option[String] = None): DataFrame = {
@@ -227,8 +252,10 @@ object Behavior {
       reachedFrames(events, userCol, tsCol, typeCol, steps, materializePath)
     val lats = reached.sliding(2).zipWithIndex.map {
       case (Seq(prev, cur), i) =>
-        cur.join(prev.select(col("__u"), col("__ct").as("__pct")),
-            Seq("__u"))
+        // null-safe like reachedFrames' gating: a NULL-user group that
+        // converted must contribute its latency row (round-15 sweep)
+        cur.join(prev.select(col("__u").as("__up"), col("__ct").as("__pct")),
+            col("__u") <=> col("__up")).drop("__up")
           .select(lit(i + 2).as("step"), lit(steps(i + 1)).as("event_type"),
             (unix_timestamp(col("__ct")) - unix_timestamp(col("__pct")))
               .as("__lat"))
@@ -387,7 +414,11 @@ object Behavior {
     * user, however hot) links each bucket's last event to the next
     * bucket's first. Identical output to the naive single window —
     * pinned by a differential test.
-    */
+    *
+    * NULL keys: one ordinary group — every exchange is a window
+    * PARTITION BY or GROUP BY (both keep NULL as a group, matching the
+    * DuckDB convention); no equi-join on the user key exists to drop
+    * them (round-15 null-key sweep, spec-pinned). */
   def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String,
       bucketLen: String = "1 day"): DataFrame = {
@@ -445,7 +476,12 @@ object Behavior {
     // round — floor() agrees (epochs here are non-negative anyway)
     val bucket = floor(unix_timestamp(col(tsCol)).cast("double") /
       lit(stepSeconds.toDouble)).cast("long") * stepSeconds
+    // NULL-TS observations are dropped by contract (a time-less
+    // observation cannot land in a time bucket); previously they formed
+    // a null bucket the span arithmetic silently ignored. NULL keys are
+    // one ordinary group (round-15 null-key sweep; spec-pinned).
     val observed = events
+      .filter(col(tsCol).isNotNull)
       .select(col(userCol).as("u"), bucket.as("b"),
         col(valueCol).cast("decimal(14,2)").as("__v"))
       .groupBy("u", "b")
@@ -461,7 +497,14 @@ object Behavior {
       explode(sequence(col("__lo"), col("__hi"), lit(stepSeconds))).as("b"))
     val w = Window.partitionBy(col("u")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(observed, Seq("u", "b"), "left")
+    // NULL-SAFE on the key: the grid derives from the same groupBy that
+    // keeps NULL as one group — an equi-join here returned the null
+    // key's whole grid as "never observed" (v_obs all null) while its
+    // observations existed. b is never null (null ts filtered above).
+    grid.join(observed
+        .withColumnRenamed("u", "__uo").withColumnRenamed("b", "__bo"),
+        col("u") <=> col("__uo") && col("b") === col("__bo"), "left")
+      .drop("__uo", "__bo")
       // DOUBLE output (exact decimal sums upstream): a decimal column
       // would stringify "120.40" vs the oracle's float "120.4" under
       // the driver's hash compare
@@ -740,7 +783,11 @@ object Behavior {
     * deterministic. Negative durations clamp to a point interval.
     *
     * Scale: ONE shuffle on the key; per-key state is the window sort —
-    * bounded by a key's own event count, never the table. */
+    * bounded by a key's own event count, never the table.
+    *
+    * NULL keys: one ordinary group (window PARTITION BY + GROUP BY
+    * only — the DuckDB convention; round-15 null-key sweep,
+    * spec-pinned). */
   def intervalUnion(events: DataFrame, keyCol: String, tsCol: String,
       minutesCol: String): DataFrame = {
     val s = unix_micros(col(tsCol))
@@ -1153,7 +1200,11 @@ object Behavior {
     * three conditional distinct counts (Spark plans multi-distinct via
     * Expand: ×3 the contribution rows, still linear). The day grid
     * rides a broadcast 1-row bounds frame. Counts are exact longs;
-    * stickiness is one 6-dp division. */
+    * stickiness is one 6-dp division.
+    *
+    * NULL users are FILTERED explicitly (an anonymous blob would
+    * inflate every distinct-count as one phantom user; round-15
+    * null-key sweep, documented contract). */
   def activeUsers(events: DataFrame, userCol: String, tsCol: String,
       stepSeconds: Long = 86400L, shortWindow: Int = 7,
       longWindow: Int = 28): DataFrame = {

@@ -706,8 +706,12 @@ object Streaming extends Serializable {
     * twin correct under ARBITRARY trigger boundaries: a bucket that
     * straddles two micro-batches accumulates exactly instead of the
     * first batch's emission silently discarding the tail as late. */
+  /** `a3` = the stream's alpha in exact milli-units (3 dp × 1000):
+    * persisted so a restart or terminal flush with a DIFFERENT alpha
+    * fails loudly instead of silently emitting wrong smoothed rows
+    * (round-15, per the round-14 advice). */
   final case class EwmaState(hasEmitted: Boolean, lastB: Long, e6: Long,
-      openB: Long, openV2: Long)
+      openB: Long, openV2: Long, a3: Long)
   final case class EwmaRow(g: String, b: Long, x: Double, ewma: Double,
       residual: Double)
 
@@ -726,6 +730,11 @@ object Streaming extends Serializable {
   private[ops] def ewmaFold(g: String, alpha: BigDecimal,
       stepSeconds: Long, state: Option[EwmaState],
       obs: Map[Long, Long]): (Option[EwmaState], Seq[EwmaRow]) = {
+    val a3 = (alpha * 1000).toLongExact
+    state.foreach(s => require(s.a3 == a3,
+      s"ewma state for key '$g' was written with alpha=${s.a3 / 1000.0} " +
+        s"but this run uses alpha=${a3 / 1000.0} — resuming a checkpoint " +
+        "with a different alpha would silently change every smoothed row"))
     val merged = state match {
       case Some(s) =>
         obs.updated(s.openB, obs.getOrElse(s.openB, 0L) + s.openV2)
@@ -758,7 +767,7 @@ object Streaming extends Serializable {
         e6 = (e * 1000000).toLongExact
         b += stepSeconds
       }
-      (Some(EwmaState(emitted, lastB, e6, hi, live(hi))), out.result())
+      (Some(EwmaState(emitted, lastB, e6, hi, live(hi), a3)), out.result())
     }
   }
 
@@ -845,6 +854,17 @@ object Streaming extends Serializable {
     import spark.implicits._
     val a = BigDecimal(alpha).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     require(a > 0 && a < 1, s"alpha must be in (0,1) at 3 dp, got $alpha")
+    val a3 = (a * 1000).toLongExact
+    // fail FAST on an empty/uncommitted checkpoint: the statestore source
+    // otherwise surfaces an opaque internal error for what is really
+    // "this query never committed a batch"
+    val commits = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    val fs = commits.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(commits) && fs.listStatus(commits)
+        .exists(st => !st.getPath.getName.startsWith(".")),
+      s"ewmaFlushOpen: no committed batch under $checkpointDir/commits — " +
+        "run the stream (Trigger.AvailableNow) to completion before " +
+        "flushing its open buckets")
     val st = spark.read.format("statestore")
       .option("path", checkpointDir).load()
     // key = the groupByKey String (single-field struct); value = EwmaState
@@ -852,9 +872,17 @@ object Streaming extends Serializable {
         col("value.groupState.hasEmitted").as("he"),
         col("value.groupState.e6").as("e6"),
         col("value.groupState.openB").as("b"),
-        col("value.groupState.openV2").as("v2"))
-      .as[(String, Boolean, Long, Long, Long)]
-      .map { case (g, hasEmitted, e6, b, v2) =>
+        col("value.groupState.openV2").as("v2"),
+        col("value.groupState.a3").as("a3"))
+      .as[(String, Boolean, Long, Long, Long, Long)]
+      .map { case (g, hasEmitted, e6, b, v2, stateA3) =>
+        // alpha is persisted in state (3-dp milli-units): a flush called
+        // with a different alpha than the stream ran with must fail, not
+        // emit silently wrong rows
+        if (stateA3 != a3) throw new IllegalArgumentException(
+          s"ewmaFlushOpen: checkpoint state was written with alpha=" +
+            s"${stateA3 / 1000.0} but the flush was called with alpha=" +
+            s"${a3 / 1000.0}")
         val x = BigDecimal(v2, 2)
         val e: BigDecimal =
           if (!hasEmitted) x.setScale(6)

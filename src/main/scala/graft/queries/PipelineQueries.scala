@@ -1230,6 +1230,23 @@ object PipelineQueries {
           "event_type", Seq("view", "click", "purchase"))
         .orderBy("step")
     },
+    // NULL-KEY funnel twin (round-15 null-key sweep): a planted
+    // anonymous slice — user_id nulled on every %13 event — must form
+    // ONE group that advances steps like any user. Pins the null-safe
+    // step gating: before the fix the equi-join barred NULL from step
+    // 2+ while the step-1 groupBy counted it — silent row loss the
+    // per-op gate could not see because events has no null users.
+    // Oracle joins use IS NOT DISTINCT FROM (the same convention).
+    "q_funnel_nullkey" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select("user_id", "ts", "event_type", "event_id")
+      val planted = ev.filter(col("event_id") % 13 === 0)
+        .withColumn("user_id", lit(null).cast("long"))
+        .withColumn("event_id", col("event_id") + lit(9000000L))
+      graft.ops.Behavior.funnel(ev.unionByName(planted), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    },
     // weekly cohort retention: users cohorted by the Monday-truncated
     // week of their first event; distinct (user, week) materialized once
     // and reused by both the cohort min and the offset join
@@ -4152,6 +4169,27 @@ object PipelineQueries {
         |s2 AS (SELECT b.u, min(b.t) AS ct FROM base b JOIN s1 ON b.u = s1.u AND b.t > s1.ct
         |  WHERE b.e = 'click' GROUP BY b.u),
         |s3 AS (SELECT b.u, min(b.t) AS ct FROM base b JOIN s2 ON b.u = s2.u AND b.t > s2.ct
+        |  WHERE b.e = 'purchase' GROUP BY b.u),
+        |counts AS (
+        |  SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT step, event_type, users,
+        |  round(CAST(users AS DOUBLE) / (SELECT users FROM counts WHERE step = 1), 9) AS conv_from_first,
+        |  round(CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step), 9) AS conv_from_prev
+        |FROM counts ORDER BY step""".stripMargin,
+    "q_funnel_nullkey" ->
+      """WITH base AS (
+        |  SELECT user_id AS u, ts AS t, event_type AS e FROM events
+        |  UNION ALL
+        |  SELECT NULL AS u, ts AS t, event_type AS e FROM events
+        |  WHERE event_id % 13 = 0),
+        |s1 AS (SELECT u, min(t) AS ct FROM base WHERE e = 'view' GROUP BY u),
+        |s2 AS (SELECT b.u, min(b.t) AS ct FROM base b
+        |  JOIN s1 ON b.u IS NOT DISTINCT FROM s1.u AND b.t > s1.ct
+        |  WHERE b.e = 'click' GROUP BY b.u),
+        |s3 AS (SELECT b.u, min(b.t) AS ct FROM base b
+        |  JOIN s2 ON b.u IS NOT DISTINCT FROM s2.u AND b.t > s2.ct
         |  WHERE b.e = 'purchase' GROUP BY b.u),
         |counts AS (
         |  SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS users

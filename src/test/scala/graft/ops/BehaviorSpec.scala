@@ -230,4 +230,64 @@ class BehaviorSpec extends SparkSpec {
       (2L, 1, "banana", idf2), (2L, 2, "cherry", idf2),
       (3L, 1, "date", idf1), (3L, 2, "cherry", idf2)))
   }
+
+  // ---- round-15 NULL-key convention sweep (the sessionize lesson) ------
+
+  private def nullableEvents(rows: (java.lang.Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("user_id", "tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss")))
+      .withColumn("event_id", monotonically_increasing_id())
+  }
+
+  test("funnel + funnelLatency: NULL user is one ordinary group that advances steps") {
+    val ev = nullableEvents(
+      (null, "2024-01-01 00:01:00", "view"),
+      (null, "2024-01-01 00:02:00", "click"),
+      (1L, "2024-01-01 00:01:00", "view"))
+    val f = Behavior.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click")).orderBy("step").collect()
+    assert(f.map(r => (r.getInt(0), r.getLong(2))).toSeq ===
+      Seq((1, 2L), (2, 1L))) // null group reaches step 2
+    val l = Behavior.funnelLatency(ev, "user_id", "ts", "event_type",
+      Seq("view", "click")).collect()
+    assert(l.map(_.getLong(2)).toSeq === Seq(1L)) // its latency row exists
+  }
+
+  test("gapFill: NULL key forward-fills its own grid; NULL ts dropped") {
+    val ev = nullableEvents(
+      (null, "2024-01-01 00:00:00", "a"),
+      (null, "2024-01-01 00:02:00", "b"),
+      (2L, null, "never-lands-anywhere"))
+      .withColumn("value", lit(5.0))
+    val g = Behavior.gapFill(ev, "user_id", "ts", "value", 60L)
+      .orderBy("b").collect()
+    assert(g.length === 3) // three 60s buckets for the null key
+    assert(g.forall(_.isNullAt(0)))
+    assert(g.map(r => (r.getBoolean(4), r.getDouble(3))).toSeq ===
+      Seq((true, 5.0), (false, 5.0), (true, 5.0))) // middle bucket filled
+    assert(!g.exists(r => r.getLong(1) < 0)) // null-ts row truly dropped
+  }
+
+  test("eventTransitions + intervalUnion: NULL key groups as one key") {
+    val ev = nullableEvents(
+      (null, "2024-01-01 00:01:00", "view"),
+      (null, "2024-01-01 00:02:00", "click"))
+    val tr = Behavior.eventTransitions(ev, "user_id", "ts", "event_type",
+      "event_id").collect()
+    assert(tr.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("view", "click"))) // the null user's adjacency counts
+    val iu = Behavior.intervalUnion(
+      ev.withColumn("mins", lit(1.0)), "user_id", "ts", "mins").collect()
+    assert(iu.length === 1 && iu.head.isNullAt(0) &&
+      iu.head.getLong(1) === 1L) // one island: 00:01-00:02 + 1min touch
+  }
+
+  test("activeUsers: NULL users filtered by documented contract") {
+    val ev = nullableEvents(
+      (null, "2024-01-01 00:01:00", "view"),
+      (1L, "2024-01-01 00:01:00", "view"))
+    val au = Behavior.activeUsers(ev, "user_id", "ts").collect()
+    assert(au.map(_.getLong(1)).sum === 1L) // dau counts only user 1
+  }
 }

@@ -679,12 +679,12 @@ class OpsSpec extends SparkSpec {
     // batch 1: bucket 0 observes 4.00 — the maximal bucket stays OPEN
     // (nothing emits until a later bucket closes it)
     val (s1, r1) = Streaming.ewmaFold("g", a, 1L, None, Map(0L -> 400L))
-    assert(s1.contains(Streaming.EwmaState(false, 0L, 0L, 0L, 400L)))
+    assert(s1.contains(Streaming.EwmaState(false, 0L, 0L, 0L, 400L, 500L)))
     assert(r1.isEmpty)
     // batch 2: bucket 2 observes 8.00 -> closes 0 (4.0), zero-fills 1,
     // holds 2 open
     val (s2, r2) = Streaming.ewmaFold("g", a, 1L, s1, Map(2L -> 800L))
-    assert(s2.contains(Streaming.EwmaState(true, 1L, 2000000L, 2L, 800L)))
+    assert(s2.contains(Streaming.EwmaState(true, 1L, 2000000L, 2L, 800L, 500L)))
     assert(r2 == Seq(
       Streaming.EwmaRow("g", 0L, 4.0, 4.0, 0.0),
       Streaming.EwmaRow("g", 1L, 0.0, 2.0, -2.0)))
@@ -697,11 +697,11 @@ class OpsSpec extends SparkSpec {
     // cents), then bucket 3 closes it with the full 9.00
     val (s4, r4) = Streaming.ewmaFold("g", a, 1L, s3,
       Map(2L -> 100L, 3L -> 50L))
-    assert(s4.contains(Streaming.EwmaState(true, 2L, 5500000L, 3L, 50L)))
+    assert(s4.contains(Streaming.EwmaState(true, 2L, 5500000L, 3L, 50L, 500L)))
     assert(r4 == Seq(Streaming.EwmaRow("g", 2L, 9.0, 5.5, 3.5)))
     // a batch touching only the open bucket emits nothing, accumulates
     val (s5, r5) = Streaming.ewmaFold("g", a, 1L, s4, Map(3L -> 25L))
-    assert(s5.contains(Streaming.EwmaState(true, 2L, 5500000L, 3L, 75L)))
+    assert(s5.contains(Streaming.EwmaState(true, 2L, 5500000L, 3L, 75L, 500L)))
     assert(r5.isEmpty)
   }
 
