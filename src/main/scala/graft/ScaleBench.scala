@@ -264,7 +264,13 @@ object ScaleBench {
     // reducer per user — the documented hot-key contrast), BPE
     // train→encode composition, t-closeness grids,
     // broadcast-amplified centroid silhouette
-    "q_session_native", "t_bpe_encode", "q_t_closeness", "s_silhouette")
+    "q_session_native", "t_bpe_encode", "q_t_closeness", "s_silhouette",
+    // round 15: the pinned count-join twins (PairEngine.Auto picks the
+    // triangle at gate scale, so these are the 1×-vs-10× evidence that
+    // BOTH exact pair engines scale — at 10× the Auto gates ride the
+    // count join anyway and the twins measure it deduplicated from the
+    // dispatch decision) and the null-key funnel convention gate
+    "d_jaccard_countjoin", "d_containment_countjoin", "q_funnel_nullkey")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps
