@@ -270,7 +270,12 @@ object ScaleBench {
     // BOTH exact pair engines scale — at 10× the Auto gates ride the
     // count join anyway and the twins measure it deduplicated from the
     // dispatch decision) and the null-key funnel convention gate
-    "d_jaccard_countjoin", "d_containment_countjoin", "q_funnel_nullkey")
+    "d_jaccard_countjoin", "d_containment_countjoin", "q_funnel_nullkey",
+    // round-15 second wave: MassiveText line/para repetition (zero
+    // shuffles — the fold must stay scan-bound), corpus-wide boilerplate
+    // strip (broadcast membership + one doc-key rebuild exchange),
+    // token-weighted quartiles (cells-not-rows window)
+    "t_dup_lines", "t_boilerplate_strip", "q_weighted_quantile")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps

@@ -2285,4 +2285,56 @@ object Stats {
           round((lit(1L) + col("n_ge")).cast("double") /
             (col("b_used") + lit(1L)).cast("double"), 6)).as("p_perm"))
   }
+
+  /** Exact WEIGHTED lower quantiles per group — "the token-weighted
+    * median document length", the data-card statistic every corpus
+    * report quotes, where each row counts with an integer weight (token
+    * count, byte count, dedup-cluster size) instead of once. The
+    * unweighted `percentile` answers "the middle DOCUMENT"; this answers
+    * "the document the middle TOKEN lives in" — on a corpus where a few
+    * giant docs carry most tokens, the two disagree wildly.
+    *
+    * q is a RATIONAL num/den pair and the answer is the smallest value v
+    * with cumWeight(v)·den ≥ num·totalWeight — a pure INTEGER
+    * cross-multiplication picking an EXISTING value (never an
+    * interpolation convention, no IEEE anywhere), so any engine
+    * reproduces it bit-for-bit. Weights are cast to long: integer
+    * weights are the exactness contract; null/≤0-weight and null-value
+    * rows are excluded by documented convention.
+    *
+    * Shape at scale: one map-combined (group, value) count exchange
+    * collapses the corpus to groups×distinct-values cells, the
+    * cumulative sum runs per-group over CELLS (the window sorts a
+    * group's distinct values, never its rows — the [[bootstrapCI]] ECDF
+    * discipline), and the cell frame is lazily checkpointed so the |qs|
+    * pick filters share ONE exchange instead of re-scanning the corpus
+    * per quantile. */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String,
+      qs: Seq[(Int, Int)] = Seq((1, 4), (1, 2), (3, 4))): DataFrame = {
+    require(qs.nonEmpty, "qs must not be empty")
+    qs.foreach { case (n, d) =>
+      require(n >= 1 && n <= d, s"q must be in (0,1]: got $n/$d") }
+    val base = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(groupCol).as("grp"),
+        col(valueCol).cast("decimal(14,2)").as("v"),
+        col(weightCol).cast("long").as("w"))
+    val wEcdf = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.groupBy("grp", "v").agg(sum(col("w")).as("cw"))
+      .withColumn("cum", sum(col("cw")).over(wEcdf))
+      .withColumn("tw",
+        max(col("cum")).over(Window.partitionBy(col("grp"))))
+      .localCheckpoint(eager = false)
+    qs.map { case (n, d) =>
+      cum.filter(col("cum") * d >= col("tw") * n)
+        .groupBy("grp")
+        .agg(min(col("v")).cast("double").as("wq"),
+          min(col("tw")).as("total_w"))
+        .withColumn("q", lit(s"$n/$d"))
+        .select(col("grp"), col("q"), col("wq"), col("total_w"))
+    }.reduce(_ unionByName _)
+  }
 }

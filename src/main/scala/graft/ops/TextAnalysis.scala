@@ -1449,4 +1449,157 @@ object TextAnalysis {
             (lit(2.0) * (col("n2") + 1L).cast("double")), 6)
           .as("chao1_vocab"))
   }
+
+  /** Sorted-run fold over a segment array returning (`dup`, `dup_chars`):
+    * total occurrences of segments appearing 2+ times, and the characters
+    * those occurrences carry — [[gramRunStats]] with a char-weighted
+    * second accumulator (a run of c equal segments of length L
+    * contributes c occurrences and c·L characters once c ≥ 2). Same
+    * contract: identical results to an explode→groupBy→count, computed
+    * inside the row with zero shuffles. */
+  private def dupRunStats(arr: Column): Column = {
+    val stepped = aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("dup"), lit(0L).as("dupChars")),
+      (acc, x) => {
+        val cont = x <=> acc.getField("prev")
+        val run = when(cont, acc.getField("run") + 1L).otherwise(lit(1L))
+        val closes = !cont && acc.getField("run") >= 2L
+        struct(x.as("prev"), run.as("run"),
+          (acc.getField("dup") + when(closes, acc.getField("run"))
+            .otherwise(lit(0L))).as("dup"),
+          (acc.getField("dupChars") + when(closes,
+            acc.getField("run") * length(acc.getField("prev")))
+            .otherwise(lit(0L))).as("dupChars"))
+      })
+    val tailDup = when(stepped.getField("run") >= 2L,
+      stepped.getField("run")).otherwise(lit(0L))
+    struct((stepped.getField("dup") + tailDup).as("dup"),
+      (stepped.getField("dupChars") + tailDup *
+        coalesce(length(stepped.getField("prev")).cast("long"), lit(0L)))
+        .as("dup_chars"))
+  }
+
+  /** MassiveText repetition rules at LINE and PARAGRAPH granularity (Rae
+    * et al. 2021 §A1.1 rows 1–4 — the granularity [[repetitionStats]]'s
+    * token n-grams do not cover): per document, the fraction of lines
+    * that are duplicates of another line in the SAME document, the
+    * fraction of characters those duplicate lines carry, and the same
+    * two ratios over blank-line-separated paragraphs. Boilerplate
+    * navigation, cookie banners, and template-generated text score high
+    * on these four before any token-level signal fires.
+    *
+    * Segments are non-empty exact strings (lines: split on `\n`;
+    * paragraphs: split on 2+ consecutive `\n` — both engines' regex
+    * split); character denominators count segment characters, not
+    * separators. ZERO shuffles: duplicate counting is the
+    * [[dupRunStats]] in-row sorted-run fold, so the whole filter is a
+    * stateless narrow map — streaming-safe, and at 100 TB it scans
+    * without exchanging a row. Fractions are integer ratios with one
+    * render division each; the keep decision is pure INTEGER
+    * cross-multiplication against percent thresholds (the
+    * repetition-filter exactness discipline). */
+  def dupLineStats(df: DataFrame, idCol: String, textCol: String,
+      maxDupLinePct: Int = 30, maxDupLineCharPct: Int = 20,
+      maxDupParaPct: Int = 30, maxDupParaCharPct: Int = 20): DataFrame = {
+    require(Seq(maxDupLinePct, maxDupLineCharPct, maxDupParaPct,
+      maxDupParaCharPct).forall(p => p >= 0 && p <= 100),
+      "percent thresholds must be in [0,100]")
+    def segs(pat: String): Column =
+      filter(split(col(textCol), pat), s => s =!= "")
+    def chars(a: Column): Column =
+      coalesce(aggregate(a, lit(0L), (acc, x) => acc + length(x)), lit(0L))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0L, round(num.cast("double") / den.cast("double"), 9))
+        .otherwise(lit(0.0))
+    val out = df
+      .withColumn("__ls", segs("\n"))
+      .withColumn("__ps", segs("\n{2,}"))
+      .withColumn("__ld", dupRunStats(col("__ls")))
+      .withColumn("__pd", dupRunStats(col("__ps")))
+      .withColumn("__lc", chars(col("__ls")))
+      .withColumn("__pc", chars(col("__ps")))
+    out.select(col(idCol).as("id"),
+      size(col("__ls")).cast("long").as("n_lines"),
+      size(col("__ps")).cast("long").as("n_paras"),
+      col("__ld").getField("dup").as("n_dup_lines"),
+      col("__ld").getField("dup_chars").as("dup_line_chars"),
+      col("__pd").getField("dup").as("n_dup_paras"),
+      col("__pd").getField("dup_chars").as("dup_para_chars"),
+      frac(col("__ld").getField("dup"), size(col("__ls")).cast("long"))
+        .as("dup_line_frac"),
+      frac(col("__ld").getField("dup_chars"), col("__lc"))
+        .as("dup_line_char_frac"),
+      frac(col("__pd").getField("dup"), size(col("__ps")).cast("long"))
+        .as("dup_para_frac"),
+      frac(col("__pd").getField("dup_chars"), col("__pc"))
+        .as("dup_para_char_frac"),
+      (col("__ld").getField("dup") * 100 <=
+          size(col("__ls")).cast("long") * maxDupLinePct &&
+        col("__ld").getField("dup_chars") * 100 <=
+          col("__lc") * maxDupLineCharPct &&
+        col("__pd").getField("dup") * 100 <=
+          size(col("__ps")).cast("long") * maxDupParaPct &&
+        col("__pd").getField("dup_chars") * 100 <=
+          col("__pc") * maxDupParaCharPct).as("keep"))
+  }
+
+  /** Corpus-wide BOILERPLATE LINE removal (the RefinedWeb / Dolma
+    * line-dedup stage, Penedo et al. 2023 §3.3): an exact line occurring
+    * in at least `minDocs` DISTINCT documents is boilerplate — nav
+    * menus, footers, cookie banners repeat across a crawl far more often
+    * than any real prose line — and every occurrence is stripped from
+    * every document, the survivors rejoined in original order. Where
+    * [[dupLineStats]] scores repetition WITHIN a document and
+    * [[c4LineFilter]] applies per-line quality rules, this is the
+    * cross-document frequency cut none of the narrow ops can see.
+    *
+    * Shape at scale: one narrow posexplode of non-empty lines; the
+    * frequency pass groups the (doc, line)-distinct frame by line (two
+    * key exchanges over DISTINCT pairs, map-side combined); the
+    * boilerplate set — bounded by `maxBoilerplate` via an in-plan raise
+    * guard naming the fallback — BROADCASTS onto the exploded frame (the
+    * corpus never shuffles for the membership test); one final exchange
+    * on the doc key rebuilds text via sorted-struct array_join. Docs
+    * with no surviving lines (or no lines at all) emit `clean_text` =
+    * `''` — never null — so sinks stay schema-stable. */
+  def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, maxBoilerplate: Int = 100000): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(maxBoilerplate >= 1, "maxBoilerplate must be >= 1")
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(filter(split(col(textCol), "\n"), s => s =!= ""))
+          .as(Seq("pos", "line")))
+    val freq = lines.select(col("id"), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+    val bp = freq
+      .crossJoin(broadcast(freq.agg(count(lit(1)).as("__nbp"))))
+      .withColumn("__bp", when(col("__nbp") <= maxBoilerplate, lit(true))
+        .otherwise(raise_error(concat(
+          lit("boilerplateStrip: "), col("__nbp").cast("string"),
+          lit(s" boilerplate lines > maxBoilerplate=$maxBoilerplate —" +
+            " the broadcast set no longer fits; raise minDocs, raise" +
+            " maxBoilerplate, or switch the membership test to a" +
+            " shuffle join on the line key")))))
+      .select(col("line"), col("__bp"))
+    val flagged = lines
+      .join(broadcast(bp), Seq("line"), "left")
+      .withColumn("__rm", coalesce(col("__bp"), lit(false)))
+    val agg = flagged.groupBy("id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
+      sum(when(col("__rm"), length(col("line")).cast("long"))
+        .otherwise(0L)).as("chars_removed"),
+      array_join(transform(array_sort(collect_list(
+          when(!col("__rm"), struct(col("pos"), col("line"))))),
+        s => s.getField("line")), "\n").as("clean_text"))
+    df.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

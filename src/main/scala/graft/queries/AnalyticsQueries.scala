@@ -348,6 +348,17 @@ object AnalyticsQueries {
           "value", "event_type", b = 100)
         .orderBy("g")
     },
+    // token-weighted quartiles of document length per source — "the doc
+    // the middle TOKEN lives in", the data-card stat unweighted
+    // percentile misstates; rational-q integer cross-multiplication
+    // picks an existing value, cells-not-rows window
+    "q_weighted_quantile" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("n_tokens",
+        graft.ops.TextAnalysis.tokenCount(col("text")))
+      graft.ops.Stats.weightedQuantiles(docs, "source", "n_chars",
+          "n_tokens")
+        .orderBy("grp", "q")
+    },
     // Holt level+trend smoothing over the daily value series — the
     // forecast line beside q_ewma's lagging average
     "q_holt" -> { (s, d) =>
@@ -1208,6 +1219,30 @@ object AnalyticsQueries {
         |LEFT JOIN p90 ON sd.step = p90.step ORDER BY step""".stripMargin,
     // bootstrap re-derived: one md5-Horner hash per (id, ceil(rep/6))
     // sliced into six 10-bit uniforms (the operator's hash-economics
+    // weighted quartiles re-derived: same decimal(14,2) value cast, long
+    // token weights, per-(grp,value) cells, cumulative-weight window,
+    // cum*den >= num*tw integer pick of the min existing value
+    "q_weighted_quantile" ->
+      s"""WITH base AS (SELECT source AS grp,
+        |    CAST(n_chars AS DECIMAL(14,2)) AS v,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS w
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |f AS (SELECT * FROM base WHERE w > 0),
+        |cells AS (SELECT grp, v, CAST(sum(w) AS BIGINT) AS cw
+        |  FROM f GROUP BY grp, v),
+        |cum AS (SELECT grp, v, cw,
+        |    CAST(sum(cw) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(cw) OVER (PARTITION BY grp) AS BIGINT) AS tw
+        |  FROM cells)
+        |SELECT grp, '1/4' AS q, CAST(min(v) AS DOUBLE) AS wq, min(tw) AS total_w
+        |  FROM cum WHERE cum * 4 >= tw * 1 GROUP BY grp
+        |UNION ALL
+        |SELECT grp, '1/2' AS q, CAST(min(v) AS DOUBLE) AS wq, min(tw) AS total_w
+        |  FROM cum WHERE cum * 2 >= tw * 1 GROUP BY grp
+        |UNION ALL
+        |SELECT grp, '3/4' AS q, CAST(min(v) AS DOUBLE) AS wq, min(tw) AS total_w
+        |  FROM cum WHERE cum * 4 >= tw * 3 GROUP BY grp
+        |ORDER BY grp, q""".stripMargin,
     // trick, same // and % arithmetic), the compiled Poisson(1) CDF
     // threshold chain, exact weighted DECIMAL sums, 9-dp replicate
     // means into ECDF picks + SE moments

@@ -922,6 +922,32 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // MassiveText line/paragraph repetition rules over the same
+    // deterministically line-ified corpus as t_c4_clean (lines broken
+    // before 'table', paragraphs before 'batch' — literal replaces, both
+    // engines): duplicate-segment and duplicate-CHARACTER fractions per
+    // doc via in-row sorted-run folds; zero shuffles, keep decision is
+    // integer cross-multiplication
+    "t_dup_lines" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("text",
+        expr("replace(replace(text, ' table', concat(chr(10), 'table'))," +
+          " ' batch', concat(chr(10), chr(10), 'batch'))"))
+      TextAnalysis.dupLineStats(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    // corpus-wide boilerplate line removal (RefinedWeb line-dedup): an
+    // exact line in >= minDocs DISTINCT docs is stripped everywhere,
+    // text rebuilt in original order; frequency pass over the
+    // (doc,line)-distinct frame, boilerplate set broadcast under an
+    // in-plan raise guard, one doc-key exchange to rebuild
+    "t_boilerplate_strip" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("text",
+        expr("replace(text, ' table', concat(chr(10), 'table'))"))
+      TextAnalysis.boilerplateStrip(docs, "doc_id", "text", minDocs = 15)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     // Count-Min heavy hitters: d=4 x w=512 grid over the md5-affine hash
     // family, every token at >= 1/50 of the stream reported with CMS
     // estimate AND exact count side by side (est >= exact always; the
@@ -3548,6 +3574,66 @@ object PipelineQueries {
         |    AND 5 * n_alpha_words >= 4 * n_words
         |    AND n_stopwords >= 2) AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+    // MassiveText line/paragraph repetition re-derived: the same literal
+    // line-ification, duplicate counting by per-segment occurrence scans
+    // (list-level O(L^2) — provably equal to the sorted-run fold),
+    // identical 9-dp render divisions and integer keep decision
+    "t_dup_lines" ->
+      s"""WITH d2 AS (SELECT doc_id,
+        |    replace(replace(text, ' table', chr(10) || 'table'),
+        |      ' batch', chr(10) || chr(10) || 'batch') AS text
+        |  FROM documents),
+        |seg AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+        |    list_filter(string_split_regex(text, '\\n{2,}'), x -> x <> '') AS ps
+        |  FROM d2),
+        |c AS (SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(ps) AS BIGINT) AS n_paras,
+        |    CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS BIGINT) AS lc,
+        |    CAST(coalesce(list_sum(list_transform(ps, x -> length(x))), 0) AS BIGINT) AS pc,
+        |    CAST(len(list_filter(ls, x -> len(list_filter(ls, y -> y = x)) >= 2)) AS BIGINT) AS ld,
+        |    CAST(coalesce(list_sum(list_transform(list_filter(ls, x -> len(list_filter(ls, y -> y = x)) >= 2), x -> length(x))), 0) AS BIGINT) AS ldc,
+        |    CAST(len(list_filter(ps, x -> len(list_filter(ps, y -> y = x)) >= 2)) AS BIGINT) AS pd,
+        |    CAST(coalesce(list_sum(list_transform(list_filter(ps, x -> len(list_filter(ps, y -> y = x)) >= 2), x -> length(x))), 0) AS BIGINT) AS pdc
+        |  FROM seg)
+        |SELECT doc_id, n_lines, n_paras, ld AS n_dup_lines,
+        |  ldc AS dup_line_chars, pd AS n_dup_paras, pdc AS dup_para_chars,
+        |  CASE WHEN n_lines > 0 THEN round(CAST(ld AS DOUBLE) / CAST(n_lines AS DOUBLE), 9) ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN lc > 0 THEN round(CAST(ldc AS DOUBLE) / CAST(lc AS DOUBLE), 9) ELSE 0.0 END AS dup_line_char_frac,
+        |  CASE WHEN n_paras > 0 THEN round(CAST(pd AS DOUBLE) / CAST(n_paras AS DOUBLE), 9) ELSE 0.0 END AS dup_para_frac,
+        |  CASE WHEN pc > 0 THEN round(CAST(pdc AS DOUBLE) / CAST(pc AS DOUBLE), 9) ELSE 0.0 END AS dup_para_char_frac,
+        |  (ld * 100 <= n_lines * 30 AND ldc * 100 <= lc * 20
+        |    AND pd * 100 <= n_paras * 30 AND pdc * 100 <= pc * 20) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // boilerplate strip re-derived: same line-ification, count(DISTINCT
+    // doc) per exact line, >= minDocs cut, order-preserving string_agg
+    // rebuild; zero-line docs surface with '' via the outer left join
+    "t_boilerplate_strip" ->
+      s"""WITH d2 AS (SELECT doc_id,
+        |    replace(text, ' table', chr(10) || 'table') AS text
+        |  FROM documents),
+        |base AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+        |  FROM d2),
+        |ex AS (SELECT doc_id, unnest(ls) AS line,
+        |    unnest(range(len(ls))) AS pos FROM base),
+        |bp AS (SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS nd FROM ex GROUP BY line)
+        |  WHERE nd >= 15),
+        |fl AS (SELECT e.doc_id, e.pos, e.line, b.line IS NOT NULL AS rm
+        |  FROM ex e LEFT JOIN bp b ON e.line = b.line),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    CAST(coalesce(sum(CASE WHEN rm THEN length(line) ELSE 0 END), 0) AS BIGINT) AS chars_removed,
+        |    coalesce(string_agg(CASE WHEN NOT rm THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+        |  FROM fl GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
+        |  coalesce(n_removed, 0) AS n_removed,
+        |  coalesce(chars_removed, 0) AS chars_removed,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Count-Min heavy hitters re-derived: the same md5-Horner bucket
     // family, the d x w cell grid, min-over-rows estimates, the integer
     // cross-multiplied threshold, (est DESC, token ASC) top-k

@@ -2781,4 +2781,82 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("HashJoin"), plan.take(600))
   }
+
+  test("dupLineStats: hand grid for line/para dup and char fractions") {
+    val df = docs(
+      // lines [x, y, x, "z z", "z z"]: 4 dup occurrences, 8 dup chars of
+      // 9; paras ["x\ny\nx", "z z\nz z"]: no dup
+      1L -> "x\ny\nx\n\nz z\nz z",
+      2L -> "a\nb",
+      3L -> "")
+    val out = TextAnalysis.dupLineStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 2L) // n_lines, n_paras
+    assert(r1.getLong(3) == 4L && r1.getLong(4) == 8L) // dup lines/chars
+    assert(r1.getLong(5) == 0L && r1.getLong(6) == 0L) // para dups
+    assert(r1.getDouble(7) == 0.8 && math.abs(
+      r1.getDouble(8) - 8.0 / 9.0) < 1e-9)
+    assert(!r1.getBoolean(11)) // 80% dup lines > 30% threshold
+    assert(out(2L).getBoolean(11) && out(2L).getLong(3) == 0L)
+    val r3 = out(3L)
+    assert(r3.getLong(1) == 0L && r3.getDouble(7) == 0.0 &&
+      r3.getBoolean(11))
+    // partition invariance + shuffle-free narrow plan
+    val again = TextAnalysis.dupLineStats(df.repartition(4), "doc_id",
+      "text").collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+    assert(!TextAnalysis.dupLineStats(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("boilerplateStrip: frequent lines stripped, order kept, '' floor") {
+    val df = docs(
+      1L -> "nav\nreal one\nnav",   // nav in 3 docs -> boilerplate
+      2L -> "first\nnav\nsecond",
+      3L -> "nav",                  // only boilerplate -> '' survives
+      4L -> "solo text",
+      5L -> "")                     // no lines at all
+    val out = TextAnalysis.boilerplateStrip(df, "doc_id", "text",
+        minDocs = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((3L, 2L, 6L, "real one")))
+    assert(out(2L) == ((3L, 1L, 3L, "first\nsecond")))
+    assert(out(3L) == ((1L, 1L, 3L, "")))
+    assert(out(4L) == ((1L, 0L, 0L, "solo text")))
+    assert(out(5L) == ((0L, 0L, 0L, "")))
+    // guard: a boilerplate set past maxBoilerplate raises in-plan
+    val two = docs(6L -> "a\nb", 7L -> "a\nb") // two lines in 2 docs each
+    val ex = intercept[Exception] {
+      TextAnalysis.boilerplateStrip(two, "doc_id", "text", minDocs = 2,
+        maxBoilerplate = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxBoilerplate")), msgs(ex))
+  }
+
+  test("weightedQuantiles: integer cross-multiplied pick, w<=0 dropped") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1, 1L), ("g1", 2, 1L), ("g1", 3, 1L), ("g1", 4, 1L),
+      ("g1", 5, 100L),              // the middle token lives in v=5
+      ("g1", 99, 0L),               // zero weight: excluded
+      ("g2", 10, 2L), ("g2", 20, 2L))
+      .toDF("g", "v", "w")
+    val out = Stats.weightedQuantiles(df, "g", "v", "w")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(out(("g1", "1/2")) == ((5.0, 104L)))
+    assert(out(("g1", "1/4")) == ((5.0, 104L)))
+    assert(out(("g1", "3/4")) == ((5.0, 104L)))
+    // g2: cum(10)=2, tw=4: 2*2 >= 4 -> median 10; 2*4 >= 3*4 false -> 20
+    assert(out(("g2", "1/2")) == ((10.0, 4L)))
+    assert(out(("g2", "3/4")) == ((20.0, 4L)))
+    // unweighted percentile would say ~3 for g1's median: the weighted
+    // answer must differ on this grid or the op is not discriminating
+    assert(out(("g1", "1/2"))._1 != 3.0)
+  }
 }
