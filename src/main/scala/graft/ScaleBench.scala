@@ -275,7 +275,12 @@ object ScaleBench {
     // shuffles — the fold must stay scan-bound), corpus-wide boilerplate
     // strip (broadcast membership + one doc-key rebuild exchange),
     // token-weighted quartiles (cells-not-rows window)
-    "t_dup_lines", "t_boilerplate_strip", "q_weighted_quantile")
+    "t_dup_lines", "t_boilerplate_strip", "q_weighted_quantile",
+    // round-15 third wave: lang-ID margin/abstain (the runner-up rides
+    // the same one-scan kernel — must stay scan-bound beside t_lang_id)
+    // and the sequence-packing audit (distributed prefix sum, no global
+    // sort)
+    "t_lang_id_margin", "q_sequence_pack")
 
   /** Default queries for `--skew` runs: the operators whose straggler
     * bounds the skewed replication is built to exercise — LSH bucket caps

@@ -208,7 +208,10 @@ case class NbArgmaxExpr(child: Expression, gramN: Int,
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("lang", StringType, nullable = true),
-    StructField("lo_sum", DecimalType(38, 14), nullable = true)))
+    StructField("lo_sum", DecimalType(38, 14), nullable = true),
+    // runner-up language's sum (null when k = 1): the margin/abstain
+    // surface — (lo_sum − lo_second)/n_tokens is the top-2 confidence
+    StructField("lo_second", DecimalType(38, 14), nullable = true)))
   override def prettyName: String = "graft_nb_argmax"
 
   @transient private lazy val wordsU = words.map(UTF8String.fromBytes)
@@ -275,21 +278,36 @@ case class NbArgmaxExpr(child: Expression, gramN: Int,
       }
     }
     if (grams == 0L)
-      return new GenericInternalRow(Array[Any](0L, null, null))
+      return new GenericInternalRow(Array[Any](0L, null, null, null))
+    // best = smallest index among the max, second = smallest index among
+    // the rest at the second-max value — exactly row_number() OVER
+    // (ORDER BY s DESC, lang ASC) rows 1 and 2 (langs are sorted asc)
     var best = 0
+    var second = -1
     var l = 1
     if (bigSums == null) {
-      while (l < k) { if (sums(l) > sums(best)) best = l; l += 1 }
-      new GenericInternalRow(Array[Any](grams, langsU(best),
-        Decimal(JBigDecimal.valueOf(sums(best), 14), 38, 14)))
-    } else {
-      flush()
       while (l < k) {
-        if (bigSums(l).compareTo(bigSums(best)) > 0) best = l
+        if (sums(l) > sums(best)) { second = best; best = l }
+        else if (second < 0 || sums(l) > sums(second)) second = l
         l += 1
       }
       new GenericInternalRow(Array[Any](grams, langsU(best),
-        Decimal(new JBigDecimal(bigSums(best), 14), 38, 14)))
+        Decimal(JBigDecimal.valueOf(sums(best), 14), 38, 14),
+        if (second < 0) null
+        else Decimal(JBigDecimal.valueOf(sums(second), 14), 38, 14)))
+    } else {
+      flush()
+      while (l < k) {
+        if (bigSums(l).compareTo(bigSums(best)) > 0) {
+          second = best; best = l
+        } else if (second < 0 ||
+          bigSums(l).compareTo(bigSums(second)) > 0) second = l
+        l += 1
+      }
+      new GenericInternalRow(Array[Any](grams, langsU(best),
+        Decimal(new JBigDecimal(bigSums(best), 14), 38, 14),
+        if (second < 0) null
+        else Decimal(new JBigDecimal(bigSums(second), 14), 38, 14)))
     }
   }
 

@@ -531,6 +531,49 @@ object Pipeline {
       .drop("__h")
   }
 
+  /** SEQUENCE-PACKING audit for a fixed context length — the
+    * concatenate-then-cut packing every autoregressive pretraining run
+    * applies (docs joined in a deterministic shuffled order, the token
+    * stream cut every `seqLen`): each doc gets the pack (training
+    * example) its FIRST token lands in, plus whether it straddles a cut
+    * — the fraction of docs split across examples and the tokens-per-
+    * pack distribution are the knobs (context length, corpus order)
+    * this audits before anyone burns GPU-hours on a bad packing.
+    *
+    * Semantics are exactly integer: visit order is the [[md5Long60]]
+    * hash of (salt, id) with the id as tiebreak (never rand() — re-runs
+    * and the SQL oracle reproduce it bit-for-bit); `start_offset` =
+    * running token total BEFORE this doc; `pack_id` = start_offset DIV
+    * seqLen (integral division, no IEEE); `crosses` ⇔ the doc's last
+    * token lands in a later pack. Empty docs occupy no tokens: they
+    * inherit the pack at their offset and never cross.
+    *
+    * Scale shape: ONE narrow token-count scan + the distributed
+    * [[runningSum]] with equal-width literal cuts over the uniform
+    * 2^60 hash range — no global sort, no single-task prefix, nothing
+    * serializes however large the corpus. Output = input rows +
+    * (n_tokens, start_offset, pack_id, crosses): writing
+    * `partitionBy("pack_id")` sorted by start_offset yields the packed
+    * examples themselves. */
+  def sequencePack(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, salt: String = "pack", buckets: Int = 32): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val withH = df
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .withColumn("__h", md5Long60(col(idCol), salt))
+    val width = (1L << 60) / buckets
+    val cuts = (1 until buckets).map(i => (i * width): Any).toArray
+    runningSum(withH, "__h", col("n_tokens"), "__cum", buckets,
+        tieCols = Seq(idCol), cuts = Some(cuts))
+      .withColumn("start_offset", col("__cum") - col("n_tokens"))
+      .withColumn("pack_id",
+        expr(s"CAST(start_offset DIV ${seqLen}L AS BIGINT)"))
+      .withColumn("crosses", col("n_tokens") >= 1L &&
+        expr(s"(__cum - 1L) DIV ${seqLen}L") > col("pack_id"))
+      .drop("__h", "__cum")
+  }
+
   /** Per-source budgets under temperature-scaled (α-smoothed) mixing
     * (Conneau et al. 2020, arXiv:1911.02116 §5.1 — the multilingual
     * rebalance): source s receives budget_s = ⌊T · n_s^α / Σ_t n_t^α⌋

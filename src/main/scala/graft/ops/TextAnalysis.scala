@@ -534,6 +534,52 @@ object TextAnalysis {
       labeled: DataFrame, labelCol: String, labeledTextCol: String,
       n: Int = 3, addK: Double = 0.5,
       maxVocabPerLang: Int = NbMaxVocab): DataFrame = {
+    nbArgmaxFrame(corpus, idCol, textCol, labeled, labelCol,
+      labeledTextCol, n, addK, maxVocabPerLang)
+      .select(col("id"),
+        col("__b").getField("n_tokens").cast("int").as("n_grams"),
+        col("__b").getField("lang").as("lang_pred"),
+        round(col("__b").getField("lo_sum").cast("double") /
+          col("__b").getField("n_tokens").cast("double"), 9).as("mean_logp"))
+  }
+
+  /** [[langIdClassify]] with a top-2 CONFIDENCE MARGIN and abstain flag —
+    * the production lang-ID contract (fastText's threshold): a prediction
+    * whose per-gram log-odds gap to the runner-up language is under
+    * `marginTau` is code-switched, too short, or out-of-domain, and a
+    * pipeline routing on it should hold the doc back rather than
+    * mislabel it. margin = (Σlogp_top − Σlogp_second)/n_grams, both sums
+    * exact DECIMAL(38,14) from the SAME one-scan argmax kernel (the
+    * runner-up rides the existing accumulators — zero extra passes,
+    * still zero joins/shuffles); the abstain decision compares the
+    * 9-dp-ROUNDED margin (the rounded-value-decision discipline).
+    * Single-language models have no runner-up: margin null, abstain only
+    * for zero-gram docs (the sole candidate stands). */
+  def langIdMargin(corpus: DataFrame, idCol: String, textCol: String,
+      labeled: DataFrame, labelCol: String, labeledTextCol: String,
+      marginTau: Double, n: Int = 3, addK: Double = 0.5,
+      maxVocabPerLang: Int = NbMaxVocab): DataFrame = {
+    require(marginTau >= 0, s"marginTau must be >= 0, got $marginTau")
+    val margin = round((col("__b").getField("lo_sum") -
+        col("__b").getField("lo_second")).cast("double") /
+      col("__b").getField("n_tokens").cast("double"), 9)
+    nbArgmaxFrame(corpus, idCol, textCol, labeled, labelCol,
+      labeledTextCol, n, addK, maxVocabPerLang)
+      .select(col("id"),
+        col("__b").getField("n_tokens").cast("int").as("n_grams"),
+        col("__b").getField("lang").as("lang_pred"),
+        round(col("__b").getField("lo_sum").cast("double") /
+          col("__b").getField("n_tokens").cast("double"), 9)
+          .as("mean_logp"),
+        margin.as("margin"),
+        (col("__b").getField("n_tokens") === 0L ||
+          (margin.isNotNull && margin < marginTau)).as("abstain"))
+  }
+
+  private def nbArgmaxFrame(corpus: DataFrame, idCol: String,
+      textCol: String, labeled: DataFrame, labelCol: String,
+      labeledTextCol: String, n: Int, addK: Double,
+      maxVocabPerLang: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(addK > 0, s"addK must be positive, got $addK")
     val w = org.apache.spark.sql.expressions.Window
@@ -577,11 +623,6 @@ object TextAnalysis {
       joint.toSeq, perLang.map(_._1).toSeq, perLang.map(_._2).toSeq,
       langs.toSeq)
     based.select(col("id"), b.as("__b"))
-      .select(col("id"),
-        col("__b").getField("n_tokens").cast("int").as("n_grams"),
-        col("__b").getField("lang").as("lang_pred"),
-        round(col("__b").getField("lo_sum").cast("double") /
-          col("__b").getField("n_tokens").cast("double"), 9).as("mean_logp"))
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only

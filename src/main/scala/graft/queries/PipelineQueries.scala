@@ -899,6 +899,27 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // lang-ID with the top-2 confidence margin and abstain flag: the
+    // runner-up sum rides the SAME one-scan argmax kernel (zero extra
+    // passes); abstain compares the 9-dp-rounded per-gram margin
+    "t_lang_id_margin" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.langIdMargin(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 3 === 0), "lang", "text",
+          marginTau = 0.01, n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    // sequence-packing audit at context length 512: md5-shuffled
+    // concatenation order, integral-division pack ids off the
+    // distributed prefix sum, boundary-straddle flags — all integer
+    "q_sequence_pack" -> { (s, d) =>
+      graft.ops.Pipeline.sequencePack(Tables.documents(s, d), "doc_id",
+          "text", seqLen = 512)
+        .select("doc_id", "n_tokens", "start_offset", "pack_id",
+          "crosses")
+        .orderBy("doc_id")
+    },
     // C4 line-level cleaning over a deterministically line-ified corpus
     // (every ' spark' becomes a sentence break — literal replace, both
     // engines): keep lines ending in terminal punctuation with >= 5
@@ -3520,6 +3541,57 @@ object PipelineQueries {
         |  ROUND(CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE), 9) AS mean_logp
         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
         |ORDER BY d.doc_id""".stripMargin,
+    // margin twin: identical model/score CTEs, rows rn=1 and rn=2 of the
+    // same (s DESC, lang ASC) ranking, exact decimal difference into one
+    // 9-dp render division, abstain on the ROUNDED margin
+    "t_lang_id_margin" ->
+      s"""WITH tr AS (SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 3 = 0),
+        |gi AS (SELECT lang, unnest($charGramsSql) AS g FROM tr),
+        |counts AS (SELECT lang, g, count(*) AS c FROM gi GROUP BY lang, g
+        |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) <= 65536),
+        |tot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS nl FROM counts GROUP BY lang),
+        |voc AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS v FROM counts),
+        |lo AS (SELECT c2.lang, c2.g,
+        |    ln((CAST(c2.c AS DOUBLE) + 0.5) / (tot.nl + 0.5 * (voc.v + 1.0))) AS lp
+        |  FROM counts c2 JOIN tot ON c2.lang = tot.lang CROSS JOIN voc),
+        |unseen AS (SELECT tot.lang, ln(0.5 / (tot.nl + 0.5 * (voc.v + 1.0))) AS lp
+        |  FROM tot CROSS JOIN voc),
+        |di AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |inst AS (SELECT doc_id, unnest($charGramsSql) AS g FROM di),
+        |scored AS (SELECT i.doc_id, u.lang,
+        |    CAST(coalesce(lo.lp, u.lp) AS DECIMAL(28,14)) AS lp
+        |  FROM inst i CROSS JOIN unseen u
+        |  LEFT JOIN lo ON lo.lang = u.lang AND lo.g = i.g),
+        |per AS (SELECT doc_id, lang, count(*) AS n, sum(lp) AS s
+        |  FROM scored GROUP BY doc_id, lang),
+        |best AS (SELECT doc_id, lang, n, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+        |  FROM per),
+        |sec AS (SELECT doc_id, s AS s2 FROM best WHERE rn = 2)
+        |SELECT d.doc_id, coalesce(b.n, 0) AS n_grams, b.lang AS lang_pred,
+        |  ROUND(CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE), 9) AS mean_logp,
+        |  ROUND(CAST(b.s - sec.s2 AS DOUBLE) / CAST(b.n AS DOUBLE), 9) AS margin,
+        |  (coalesce(b.n, 0) = 0 OR (sec.s2 IS NOT NULL AND
+        |    ROUND(CAST(b.s - sec.s2 AS DOUBLE) / CAST(b.n AS DOUBLE), 9) < 0.01)) AS abstain
+        |FROM documents d
+        |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        |LEFT JOIN sec ON d.doc_id = sec.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // sequence packing re-derived: the same md5-Horner visit order with
+    // doc_id tiebreak, one window prefix sum, // integral division
+    "q_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    CAST(len($tokensSql) AS BIGINT) AS n,
+        |    ${md5HornerSql("'pack:' || CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, n, h,
+        |    sum(n) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens, CAST(cum - n AS BIGINT) AS start_offset,
+        |  CAST((cum - n) // 512 AS BIGINT) AS pack_id,
+        |  (n >= 1 AND (cum - 1) // 512 > (cum - n) // 512) AS crosses
+        |FROM c ORDER BY doc_id""".stripMargin,
     // C4 line cleaning re-derived: same literal line-ification, same
     // terminal-punctuation + min-word line rule, same bad-phrase and
     // min-surviving-lines document rules

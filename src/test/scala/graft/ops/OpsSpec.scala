@@ -2838,6 +2838,68 @@ class OpsSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("maxBoilerplate")), msgs(ex))
   }
 
+  test("sequencePack: offsets partition the token stream, crosses exact") {
+    val df = docs(
+      1L -> "a b c d e",      // 5 tokens
+      2L -> "f g h",          // 3
+      3L -> "",               // 0: occupies nothing, never crosses
+      4L -> "i j k l m n o p")// 8
+    val out = Pipeline.sequencePack(df, "doc_id", "text", seqLen = 4)
+      .select("doc_id", "n_tokens", "start_offset", "pack_id", "crosses")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // offsets tile [0, 16) with no overlap: sorted starts + sizes chain
+    val chain = out.values.toSeq.sortBy(_._2)
+    assert(chain.head._2 == 0L && chain.map(_._1).sum == 16L)
+    chain.sliding(2).toSeq.collect { case Seq(a, b) => (a, b) }
+      .foreach { case (a, b) => assert(a._2 + a._1 == b._2) }
+    out.values.foreach { case (n, start, pack, crosses) =>
+      assert(pack == start / 4)
+      assert(crosses == (n >= 1 && (start + n - 1) / 4 > pack))
+    }
+    assert(!out(3L)._4 && out(3L)._1 == 0L)
+    // deterministic: same hash order on re-run and under repartition
+    val again = Pipeline.sequencePack(df.repartition(3), "doc_id", "text",
+        seqLen = 4)
+      .select("doc_id", "n_tokens", "start_offset", "pack_id", "crosses")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(again == out)
+    // seqLen = 1: every multi-token doc crosses
+    Pipeline.sequencePack(df, "doc_id", "text", seqLen = 1)
+      .select("n_tokens", "crosses").collect().foreach { r =>
+        assert(r.getBoolean(1) == (r.getLong(0) >= 2)) }
+  }
+
+  test("langIdMargin: runner-up margin, abstain convention, k=1 edge") {
+    import spark.implicits._
+    val labeled = Seq(("en", "the cat sat on the mat the end"),
+      ("fr", "le chat et le chien sont la")).toDF("lang", "text")
+    val corpus = docs(1L -> "the cat and the dog", 2L -> "le chat le chat",
+      3L -> "")
+    val out = TextAnalysis.langIdMargin(corpus, "doc_id", "text", labeled,
+        "lang", "text", marginTau = 0.01)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(2) == "en" && out(2L).getString(2) == "fr")
+    // margin present and non-negative for scored docs; abstain on empty
+    Seq(1L, 2L).foreach { id =>
+      assert(!out(id).isNullAt(4) && out(id).getDouble(4) >= 0.0) }
+    assert(out(3L).isNullAt(4) && out(3L).getBoolean(5))
+    // prediction agrees with langIdClassify on the same model
+    val plain = TextAnalysis.langIdClassify(corpus, "doc_id", "text",
+        labeled, "lang", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    Seq(1L, 2L).foreach(id => assert(plain(id) == out(id).getString(2)))
+    // single-language model: no runner-up -> margin null, no abstain for
+    // docs with grams (the sole candidate stands)
+    val solo = TextAnalysis.langIdMargin(corpus, "doc_id", "text",
+        labeled.filter(col("lang") === "en"), "lang", "text",
+        marginTau = 10.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(solo(1L).isNullAt(4) && !solo(1L).getBoolean(5))
+    assert(solo(3L).getBoolean(5))
+  }
+
   test("weightedQuantiles: integer cross-multiplied pick, w<=0 dropped") {
     import spark.implicits._
     val df = Seq(

@@ -63,6 +63,6 @@ sbt -batch "runMain graft.ScaleBench $SF /tmp/graft_sf10 100 $FLAGS" 2>&1 \
 
 python3 tools/assemble_scale.py sf10 /tmp/sc_f1.json /tmp/sc_f100.json \
   "BENCH_${TAG}_sf10.json" \
-  "graft.ScaleBench - sf0.1 replicated 100x, seventeen flagships: the fifteen prior plus the two formerly-superlinear heavies (prefix-filter containment, dedup data card)"
+  "graft.ScaleBench - sf0.1 replicated 100x, seventeen flagships: the fifteen prior plus the two formerly-superlinear heavies, both riding the inverted-index count join (containment, dedup data card)"
 
 echo "== artifacts written: BENCH_${TAG}_sf1.json BENCH_${TAG}_sf10.json"
