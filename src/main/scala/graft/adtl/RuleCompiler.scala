@@ -146,11 +146,17 @@ final class RuleCompiler(
     }
 
     // "" → null (get_value.py:194-195); only meaningful for stringy values.
-    // Once-bound: the guard references the compiled value twice, and for
-    // apply-transform results (date parse chains) the naive when/otherwise
-    // duplicated the whole subtree — half the adtl_apply_dates parse count
-    if (cv.vt == VStr) cv = CV(graft.functions.Once.once(cv.col)(c =>
-      when(c === "", lit(null)).otherwise(c)), VStr)
+    // Once-bound ONLY for apply-transform results: there the guard's two
+    // references duplicated the whole date-parse chain (half the
+    // adtl_apply_dates parse count). For plain field rules the duplicate
+    // is a bare column reference — free — and the With plumbing is pure
+    // overhead, measured as a 2.6× A/B regression on c4_field_pattern
+    // (fieldPattern expands to one guarded sub-rule per matching column).
+    if (cv.vt == VStr) cv =
+      if (rule.contains("apply"))
+        CV(graft.functions.Once.once(cv.col)(c =>
+          when(c === "", lit(null)).otherwise(c)), VStr)
+      else CV(when(cv.col === "", lit(null)).otherwise(cv.col), VStr)
 
     // values map (+ enum_list)
     if (rule.contains("values")) cv = compileValuesMap(rule, cv)

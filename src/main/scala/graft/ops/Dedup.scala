@@ -225,6 +225,18 @@ object Dedup {
   private def widen(df: DataFrame, w: Int, cols: Column*): DataFrame =
     Pipeline.widen(df, w, cols: _*)
 
+  /** Rebalance for a CPU-dense kernel that runs BEFORE the frame's first
+    * exchange (gram/pack/shingle builds straight off the scan): unlike
+    * [[widen]] there is NO downstream exchange to parallelize the stage —
+    * a no-op below session width leaves the kernel bound to the parquet
+    * split count (sf0.1 documents is ONE split; measured as the
+    * d_prefix_jaccard 1.53× A/B regression when these sites briefly rode
+    * [[widen]]). Always exchanges at `w` (≥ session width by the
+    * cpuWidth clamp floor); the narrow doc shuffle is kilobytes-per-row
+    * against gram CPU. */
+  private def scanRebalance(df: DataFrame, w: Int, cols: Column*): DataFrame =
+    df.repartition(w, cols: _*)
+
   private def verifyTail(pairs: DataFrame, grams: DataFrame,
       threshold: Double): DataFrame = {
     val spark = grams.sparkSession
@@ -457,7 +469,7 @@ object Dedup {
   private def packedGuardedGrams(df: DataFrame, idCol: String,
       textCol: String, blockCol: String, n: Int, chunks: Int,
       maxBlockSize: Int, opName: String): (DataFrame, DataFrame) = {
-    val grams = widen(df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+    val grams = scanRebalance(df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(textCol).as("__txt")), verifyWidth(df), col("id"))
       .select(col("blk"), col("id"),
         graft.functions.PackedLongs.packSortedSet(df.sparkSession,
@@ -494,7 +506,7 @@ object Dedup {
       textCol: String, blockCol: String, n: Int, w: Int,
       materializePath: Option[String]): DataFrame = {
     val spark = df.sparkSession
-    val base = widen(df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+    val base = scanRebalance(df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(textCol).as("__txt")), w, col("id"))
       .select(col("blk"), col("id"), array_distinct(
         graft.functions.TextHashExprs.ngramHashes(spark,
@@ -1038,7 +1050,7 @@ object Dedup {
     // set build is gram-explode CPU bound to the parquet split count
     // otherwise (100×: 25 uniform ~57 s scan tasks while 256 verify tasks
     // idled); one narrow doc shuffle bounds it at volume/width
-    val grams = widen(df, verifyWidth(df), col(idCol))
+    val grams = scanRebalance(df, verifyWidth(df), col(idCol))
       .select(col(idCol).as("id"),
         graft.functions.PackedLongs.packSortedSet(spark, gramHashes).as("g"))
       .withColumn("nc", (length(col("g")) / 8).cast("int"))
@@ -1079,7 +1091,7 @@ object Dedup {
     // gram build is CPU bound to the parquet split count otherwise
     // (100×: two 25-task scan stages at ~55 s/task owned the runtime);
     // the narrow doc shuffle is kilobytes-per-row against gram CPU
-    val base = widen(df.select(col(idCol).as("id"), col(textCol).as("__txt")),
+    val base = scanRebalance(df.select(col(idCol).as("id"), col(textCol).as("__txt")),
         verifyWidth(df), col("id"))
       .select(col("id"), array_distinct(shingles(col("__txt"), n)).as("gs"))
     // explode_OUTER + post-filter, NOT explode: an inner explode makes

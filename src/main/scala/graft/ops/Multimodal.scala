@@ -146,8 +146,15 @@ object Multimodal {
     * (17.9 s max task at 10×). */
   def pngPayloads(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
+    // codec-density width: the decode/resize/feature chain inheriting
+    // this partitioning measures ~107 task-sec per source MB (round-15,
+    // 10×: 32 tasks × 19.4 s over 5.8 MB) — 5-7× the gram-kernel density
+    // cpuWidth's 256 KB/task default budgets, so it gets its own 48
+    // KB/task budget (10×: ~120 tasks, max task ~5 s) with headroom in
+    // the factor cap; at 1× the clamp floor keeps the session width
     df.select(col(idCol).cast("long"))
-      .repartition(graft.ops.Pipeline.cpuWidth(df))
+      .repartition(graft.ops.Pipeline.cpuWidth(df,
+        bytesPerTask = 48L << 10, maxFactor = 32))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
