@@ -2810,6 +2810,27 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("dupLineStats is stateless: batch == stream, no state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(1L -> "x\ny\nx\n\nz z\nz z", 2L -> "a\nb", 3L -> "")
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.dupLineStats(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("dup_lines_stream_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(1): _*); q.processAllAvailable()
+    mem.addData(rows.drop(1): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dup_lines_stream_test").collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val batch = TextAnalysis.dupLineStats(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(streamed == batch && streamed.size == 3)
+  }
+
   test("boilerplateStrip: frequent lines stripped, order kept, '' floor") {
     val df = docs(
       1L -> "nav\nreal one\nnav",   // nav in 3 docs -> boilerplate
