@@ -79,6 +79,36 @@ object Pipeline {
       .min(BigInt(cap)).max(BigInt(parts)).toInt
   }
 
+  /** Scan-parallelism rebalance ahead of a CPU-dense projection fed
+    * straight off a scan (gram explodes, date-parse chains, per-row
+    * kernel scans). Small parquet inputs carry a single row group, so
+    * the kernel otherwise runs on the FILE-SPLIT count — measured round
+    * 15 as one 4–13 s task while the session's other cores idle (guide
+    * §2.5 input skew: "repartition immediately after the read").
+    *
+    * Scale-adaptive, not a local[32] constant: the exchange is added
+    * ONLY while the frame's estimated natural split count
+    * (plan bytes / `spark.sql.files.maxPartitionBytes`) is below the
+    * session width — a 100 TB scan already carries thousands of splits
+    * and skips the exchange entirely, paying nothing. Width is the
+    * input-keyed [[cpuWidth]]. An unavailable estimate (≤ 0: no scan
+    * below, e.g. post-checkpoint frames) leaves the frame alone — the
+    * conservative choice at scale. */
+  private[graft] def cpuRebalance(df: DataFrame, cols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val est = planBytes(df)
+    if (est <= 0) df
+    else {
+      val maxSplit =
+        try spark.sessionState.conf.filesMaxPartitionBytes
+        catch { case _: Throwable => 128L << 20 }
+      val naturalSplits = (est + (maxSplit - 1)) / maxSplit
+      if (naturalSplits >= BigInt(sessionWidth(spark))) df
+      else if (cols.isEmpty) df.repartition(cpuWidth(df))
+      else df.repartition(cpuWidth(df), cols: _*)
+    }
+  }
+
   /** Distributed running sum — the primitive under [[packSequences]],
     * [[sampleToTokenBudget]] and [[shuffleShards]]. Adds `outCol` =
     * inclusive prefix sum of `value` over rows in ascending

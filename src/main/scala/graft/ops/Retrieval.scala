@@ -106,8 +106,16 @@ object Retrieval {
       terms: org.apache.spark.sql.Column,
       maxDf: Long = 100, minSim: Double = 0.2): DataFrame = {
     val n = df.count()
-    val toks = df.select(col(idCol).as("id"), explode(terms).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // posting-list build: rebalance the scan ahead of the gram explode
+    // (guide §2.5 — one row-group input pins it to one task), and
+    // MATERIALIZE the aggregated postings — the frame feeds the df
+    // count, the weighting join, both self-join sides and the norms,
+    // and exchange reuse does not cover all of them (round-15 stage
+    // audit: the explode subtree executed twice at 12–13 s per run)
+    val toks = Dedup.materializeBase(
+      Pipeline.cpuRebalance(df, col(idCol))
+        .select(col(idCol).as("id"), explode(terms).as("term"))
+        .groupBy("id", "term").agg(count(lit(1)).as("tf")), None)
     val dfc = toks.groupBy("term").agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") <= maxDf && col("dfreq") < n)
     val idfQ = round(log(lit(n.toDouble) / col("dfreq").cast("double")) * 1e6, 0)
@@ -155,8 +163,12 @@ object Retrieval {
       k: Int = 3, maxDf: Long = 100): DataFrame = {
     require(k >= 1, s"tfidfKeywords: k must be >= 1, got $k")
     val n = df.count()
-    val toks = df.select(col(idCol).as("id"), explode(terms).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // same posting-list discipline as tfidfSimilarPairs: rebalanced
+    // explode, materialized once (df-count branch + weighting join)
+    val toks = Dedup.materializeBase(
+      Pipeline.cpuRebalance(df, col(idCol))
+        .select(col(idCol).as("id"), explode(terms).as("term"))
+        .groupBy("id", "term").agg(count(lit(1)).as("tf")), None)
     val dfc = toks.groupBy("term").agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") <= maxDf && col("dfreq") < n)
     val idfQ = round(log(lit(n.toDouble) / col("dfreq").cast("double")) * 1e6, 0)
@@ -278,8 +290,11 @@ object Retrieval {
       dims: Int = 64, maxDf: Long = 100): DataFrame = {
     require(dims >= 1, s"hashedTfidf: dims must be >= 1, got $dims")
     val n = df.count()
-    val toks = df.select(col(idCol).as("id"), explode(terms).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // same posting-list discipline as tfidfSimilarPairs
+    val toks = Dedup.materializeBase(
+      Pipeline.cpuRebalance(df, col(idCol))
+        .select(col(idCol).as("id"), explode(terms).as("term"))
+        .groupBy("id", "term").agg(count(lit(1)).as("tf")), None)
     val dfc = toks.groupBy("term").agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") <= maxDf && col("dfreq") < n)
     val idfQ = round(log(lit(n.toDouble) / col("dfreq").cast("double")) * 1e6, 0)

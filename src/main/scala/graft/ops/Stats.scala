@@ -2225,7 +2225,11 @@ object Stats {
       armCol: String, aLabel: String, bLabel: String, groupCol: String,
       b: Int = 100, salt: String = "perm"): DataFrame = {
     require(b >= 1, s"b must be >= 1, got $b")
-    val base = df
+    // rebalance the scan: the b-way replicate explode + md5 coin is
+    // CPU-dense and the input is a one-row-group parquet at gate scale
+    // (round-15 stage audit: one 6.9 s task; guide §2.5) — at 100 TB
+    // the scan has enough natural splits and cpuRebalance is a no-op
+    val base = graft.ops.Pipeline.cpuRebalance(df, col(idCol))
       .filter(col(armCol).isin(aLabel, bLabel) &&
         col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(idCol).cast("string").as("id"),

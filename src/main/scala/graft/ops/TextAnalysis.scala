@@ -735,7 +735,11 @@ object TextAnalysis {
             i => array_join(slice(t, i + 1, lit(n)), " ")))
           .otherwise(array().cast("array<string>"))
       }
-    val refGrams = reference
+    // both scans are CPU-dense gram builds off one-row-group inputs:
+    // rebalance each so the kernel uses the session's cores instead of
+    // the file-split count (round-15 stage audit: 4.3 s + 2.25 s
+    // single-task stages; guide §2.5)
+    val refGrams = graft.ops.Pipeline.cpuRebalance(reference)
       .select(explode(grams(col(refTextCol))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
       .sort(col("c").desc, col("g")).limit(maxRefGrams)
@@ -743,7 +747,8 @@ object TextAnalysis {
     val s = graft.functions.LmExprs.nbScoreCol(corpus.sparkSession,
       array_distinct(grams(col(textCol))),
       refGrams, refGrams.map(_ => 1.0), 0.0)
-    corpus.select(col(idCol).as("id"), s.as("__m"))
+    graft.ops.Pipeline.cpuRebalance(corpus, col(idCol))
+      .select(col(idCol).as("id"), s.as("__m"))
       .select(col("id"),
         col("__m").getField("n_tokens").as("n_grams"),
         coalesce(col("__m").getField("lo_sum").cast("long"), lit(0L))
