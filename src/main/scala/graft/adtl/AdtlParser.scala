@@ -238,6 +238,15 @@ final class AdtlParser private (
           .otherwise(col(c).cast("string")).as(c)
       }: _*)
     }
+    // Rebalance the parse input when its scan cannot feed the session's
+    // cores (round-15 stage audit: the compiled rule chains — 10 date
+    // parses/row on apply-dates specs, coercion CASE cascades — ran as
+    // one 5–6 s task because gate-scale parquet is a single row group;
+    // guide §2.5). ROW_ID is already assigned, so groupBy lastNotNull/
+    // firstNonNull order semantics are untouched; the exchange is
+    // skipped entirely once the input's natural split count reaches the
+    // session width (the 100 TB case), so this is scale-adaptive.
+    df = graft.ops.Pipeline.cpuRebalance(df, col(ROW_ID))
     val doCache = cacheInput || (inputCachePolicy match {
       case "never" => false
       case "always" => true
@@ -522,17 +531,19 @@ final class AdtlParser private (
     // Width pin: the final aggregation's cost is collect+sort/dedupe CPU
     // per group, not shuffled bytes, so AQE's byte-target coalescing
     // under-parallelizes it (100×: 32 uniform ~48 s tasks). An explicit
-    // group-key repartition at 8× session width replaces the
-    // aggregation's own exchange (AQE-exempt) — trading the map-side
-    // combine (collect partials carry every element anyway, so the
-    // shuffle volume is ~unchanged) for a width-bounded final stage.
-    val parts = try {
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    } catch {
-      case _: Throwable => df.sparkSession.sparkContext.defaultParallelism
-    }
-    parsedNum.filter(valid(groupField))
-      .repartition(parts * 8, col(groupField))
+    // group-key repartition replaces the aggregation's own exchange
+    // (AQE-exempt) — trading the map-side combine (collect partials
+    // carry every element anyway, so the shuffle volume is ~unchanged)
+    // for a width-bounded final stage. Width is the INPUT-KEYED
+    // Pipeline.cpuWidth, not the former constant 8× session width: the
+    // constant form put 256 near-empty tasks on gate-scale inputs
+    // (round-15 stage audit: 2×256-task ObjectHashAggregate stages,
+    // median 0.23 s vs max 2.4 s — the round-13/14 constant-width
+    // lesson), while cpuWidth still widens to the same 8× cap once the
+    // input's bytes justify it (the 100× case).
+    val grouped = parsedNum.filter(valid(groupField))
+    grouped
+      .repartition(graft.ops.Pipeline.cpuWidth(grouped), col(groupField))
       .groupBy(col(groupField))
       .agg(aggCols.head, aggCols.tail: _*)
       .select((groupField +: attrs).map(col): _*)

@@ -96,16 +96,39 @@ object Pipeline {
     * conservative choice at scale. */
   private[graft] def cpuRebalance(df: DataFrame, cols: Column*): DataFrame = {
     val spark = df.sparkSession
-    val est = planBytes(df)
-    if (est <= 0) df
+    // scan parallelism comes from the LEAF scans, so size the decision
+    // (and the width) on their summed bytes — a whole-plan estimate
+    // above a join multiplies cardinalities and would mask a 3-split
+    // scan behind a petabyte-scale guess (measured: the apply-dates
+    // join input skipped the rebalance and kept its 5 s one-task parse)
+    // a caller that already placed an explicit exchange below (e.g. a
+    // gate-input rebalance ahead of its projections) owns the layout —
+    // a second exchange here would be pure cost
+    val alreadyBalanced =
+      try df.queryExecution.optimizedPlan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+        case _ => false
+      } catch { case _: Throwable => false }
+    val est =
+      try df.queryExecution.optimizedPlan.collectLeaves()
+        .map(l => l.stats.sizeInBytes).filter(_ > 0).sum
+      catch { case _: Throwable => BigInt(0) }
+    if (alreadyBalanced || est <= 0) df
     else {
       val maxSplit =
         try spark.sessionState.conf.filesMaxPartitionBytes
         catch { case _: Throwable => 128L << 20 }
       val naturalSplits = (est + (maxSplit - 1)) / maxSplit
-      if (naturalSplits >= BigInt(sessionWidth(spark))) df
-      else if (cols.isEmpty) df.repartition(cpuWidth(df))
-      else df.repartition(cpuWidth(df), cols: _*)
+      val parts = sessionWidth(spark)
+      if (naturalSplits >= BigInt(parts)) df
+      else {
+        // width keyed to the leaf bytes (the cpuWidth rule at 256 KB of
+        // source bytes per task), clamped to [session width, 8x]
+        val w = ((est + (256L << 10) - 1) / (256L << 10))
+          .min(BigInt(parts * 8)).max(BigInt(parts)).toInt
+        if (cols.isEmpty) df.repartition(w)
+        else df.repartition(w, cols: _*)
+      }
     }
   }
 

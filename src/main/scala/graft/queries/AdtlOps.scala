@@ -117,7 +117,10 @@ object AdtlOps {
       // empty list → null (matches excludeWhen leaving nothing; also aligns
       // Spark's array_join('')-on-empty with DuckDB's NULL-on-empty)
       def joined(c: Column): Column = when(size(c) > 0, array_join(c, ","))
-      Tables.lineitem(s, d)
+      // one-row-group input: spread the array-build/join projection
+      // (and the orderBy's sampling re-run) across the session's cores
+      graft.ops.Pipeline.cpuRebalance(Tables.lineitem(s, d),
+          col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
           joined(kept).as("list_vals"),
           joined(array_sort(array_distinct(kept))).as("set_vals"))

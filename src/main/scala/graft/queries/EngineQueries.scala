@@ -15,8 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object EngineQueries {
 
+  /** Gate-input rebalance: the CSV-semantics projections (format_string,
+    * date_format, concat_ws per row) and the parse chains above them are
+    * CPU-dense, and gate-scale parquet is a single row group — without
+    * this the whole projection runs as one task (round-15 stage audit:
+    * 3.0–3.5 s single-task scan stages under apply-dates/enum-list).
+    * Pipeline.cpuRebalance is scale-adaptive (no-op once the scan's
+    * natural splits reach the session width) and parseDataFrame skips
+    * its own rebalance when the input already carries one. */
+  private def spread(df: DataFrame, cols: Column*): DataFrame =
+    graft.ops.Pipeline.cpuRebalance(df, cols: _*)
+
   private def ordersInput(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
+    spread(Tables.orders(s, d), col("o_orderkey")).select(
       col("o_orderkey").cast("string").as("okey"),
       col("o_orderstatus").as("status"),
       col("o_orderpriority").as("opri"),
@@ -25,7 +36,7 @@ object EngineQueries {
 
   /** event_id is the explicit sequence column — no input sort needed. */
   private def eventsInput(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(
+    spread(Tables.events(s, d), col("event_id")).select(
       col("event_id").as("eid"),
       col("user_id").cast("string").as("uid"),
       col("event_type").as("etype"),
@@ -73,7 +84,7 @@ object EngineQueries {
   /** lineitem ⋈ orders with pre-rendered date strings, for the
     * apply-function date library (F6/F7/F10/F13/F16). */
   private def lineDatesInput(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    val li = spread(Tables.lineitem(s, d), col("l_orderkey"), col("l_linenumber"))
     val o = Tables.orders(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(
@@ -110,7 +121,7 @@ object EngineQueries {
     * enum columns ('O' is deliberately unmapped → null element / raw
     * pass-through, get_value.py:111-119). */
   private def lineFlagsInput(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(
+    spread(Tables.lineitem(s, d), col("l_orderkey"), col("l_linenumber")).select(
       concat_ws("-", col("l_orderkey").cast("string"),
         col("l_linenumber").cast("string")).as("line_id"),
       concat(lit("["), col("l_returnflag"), lit(", "), col("l_linestatus"),
@@ -158,7 +169,7 @@ object EngineQueries {
   /** Independent per-row flags (k%2, k%3, k%5) for the for-expansion and
     * fieldPattern specs — rows carry zero to three set flags. */
   private def orderFlagsInput(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
+    spread(Tables.orders(s, d), col("o_orderkey")).select(
       col("o_orderkey").cast("string").as("okey"),
       (col("o_orderkey") % 2 === 0).cast("int").cast("string").as("flag_1"),
       (col("o_orderkey") % 3 === 0).cast("int").cast("string").as("flag_2"),
@@ -180,7 +191,7 @@ object EngineQueries {
       |}""".stripMargin
 
   private def sentinelInput(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
+    spread(Tables.orders(s, d), col("o_orderkey")).select(
       col("o_orderkey").cast("string").as("okey"),
       when(col("o_orderkey") % 3 === 0, "N/A")
         .otherwise(col("o_orderpriority")).as("pri_or_na"))
@@ -242,7 +253,7 @@ object EngineQueries {
   /** Validation-surface input: okey/status/opri plus a date column that is
     * deliberately unparseable on every 4th key. */
   private def validationInput(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
+    spread(Tables.orders(s, d), col("o_orderkey")).select(
       col("o_orderkey").cast("string").as("okey"),
       col("o_orderstatus").as("status"),
       col("o_orderpriority").as("opri"),
@@ -323,9 +334,15 @@ object EngineQueries {
         .parseDataFrame(s, ordersInput(s, d))("order_fact")
         .orderBy("order_key")
     },
+    // Both groupBy gates materialize the (150-row) aggregate before the
+    // orderBy: the sort's range-partitioner sampling otherwise re-runs
+    // the whole collect/sort/dedupe aggregation a second time (round-15
+    // stage audit: two ObjectHashAggregate stages of 85 + 157 task-sec
+    // over one shuffle) — a localCheckpoint of 150 rows ends that.
     "adtl_groupby_lastnotnull" -> { (s, d) =>
       AdtlParser.fromJsonString(groupBySpec)
         .parseDataFrame(s, eventsInput(s, d), orderCol = Some("eid"))("user_state")
+        .localCheckpoint()
         .orderBy("uid")
     },
     "adtl_groupby_combined" -> { (s, d) =>
@@ -334,6 +351,7 @@ object EngineQueries {
       // sets are unordered by contract: render sorted for stable comparison
       out.select(col("uid"), col("first_day"), col("last_day"),
           array_join(array_sort(col("etypes")), ",").as("etypes_sorted"))
+        .localCheckpoint()
         .orderBy("uid")
     },
     "adtl_onetomany" -> { (s, d) =>
