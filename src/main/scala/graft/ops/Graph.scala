@@ -42,10 +42,27 @@ object Graph {
       materializePath: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val e = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .agg(count(lit(1)).as("w"))
+    // one rebalanced grouped-count pass (the repartition keys match the
+    // groupBy, so the aggregation reuses the exchange), materialized
+    // once — e otherwise recomputes for both the ow aggregation and the
+    // weighted-edge join. ew checkpoints PRE-PARTITIONED on src:
+    // localCheckpoint preserves the hash partitioning, so none of the
+    // `iterations` contribution joins re-shuffles the edge list — only
+    // the (node-count-sized) rank frame moves per round.
+    val eIn = Pipeline.cpuRebalance(edges, col(srcCol), col(dstCol))
+    // width for the per-iteration join stages, sized on the PRE-
+    // checkpoint frame (a checkpointed frame has no stats and cpuWidth
+    // would fall back to the wide cap — the round-14 near-empty-task
+    // trap) at a join-shaped 4 MB/task rather than the gram-kernel
+    // 256 KB/task: session width at gate scale, growing with the edge
+    // bytes at 10x/100x
+    val ewWidth = Pipeline.cpuWidthLeaf(eIn, bytesPerTask = 4L << 20)
+    val e = Dedup.materializeBase(
+      eIn.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .agg(count(lit(1)).as("w")), None)
     val ew = Dedup.materializeBase(
-      e.join(e.groupBy("src").agg(sum(col("w")).as("ow")), Seq("src")), None)
+      e.join(e.groupBy("src").agg(sum(col("w")).as("ow")), Seq("src"))
+        .repartition(ewWidth, col("src")), None)
     val nodes = Dedup.materializeBase(
       ew.select(col("src").as("node"))
         .unionByName(ew.select(col("dst").as("node"))).distinct(), None)
@@ -216,19 +233,25 @@ object Graph {
         .filter(col("u") =!= col("v"))
         .distinct(),
       None)
-    val deg = und.select(col("u").as("node"))
-      .unionByName(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val nb = und.select(col("u").as("node"), col("v").as("nbr"))
-      .unionByName(und.select(col("v").as("node"), col("u").as("nbr")))
-      .join(deg, Seq("node"))
-      .withColumn("nbr", when(col("deg") <= maxDegree, col("nbr"))
-        .otherwise(raise_error(concat(lit("adamicAdar: node "),
-          col("node").cast("string"), lit(" has degree "),
-          col("deg").cast("string"),
-          lit(s" > maxDegree=$maxDegree — the wedge self-join is" +
-            " quadratic per apex; pre-filter hub nodes or raise" +
-            " maxDegree")))))
+    // deg feeds the guard join and three score joins, nb feeds both
+    // wedge sides — materialize each once instead of re-running the
+    // degree aggregation / guard join per consumer (round-15 audit:
+    // duplicated subtree passes dominated the gate)
+    val deg = Dedup.materializeBase(
+      und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg")), None)
+    val nb = Dedup.materializeBase(
+      und.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(und.select(col("v").as("node"), col("u").as("nbr")))
+        .join(deg, Seq("node"))
+        .withColumn("nbr", when(col("deg") <= maxDegree, col("nbr"))
+          .otherwise(raise_error(concat(lit("adamicAdar: node "),
+            col("node").cast("string"), lit(" has degree "),
+            col("deg").cast("string"),
+            lit(s" > maxDegree=$maxDegree — the wedge self-join is" +
+              " quadratic per apex; pre-filter hub nodes or raise" +
+              " maxDegree"))))), None)
     val term = when(col("deg") >= 2L,
       round(lit(1.0) / log(col("deg").cast("double")), 10)
         .cast("decimal(28,14)"))

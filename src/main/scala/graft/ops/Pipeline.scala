@@ -94,6 +94,31 @@ object Pipeline {
     * input-keyed [[cpuWidth]]. An unavailable estimate (≤ 0: no scan
     * below, e.g. post-checkpoint frames) leaves the frame alone — the
     * conservative choice at scale. */
+  /** Summed LEAF scan bytes of the frame's optimized plan — the honest
+    * input-volume proxy where the whole-plan estimate is poisoned by a
+    * join's multiplied cardinalities. 0 when unavailable (e.g. a
+    * checkpointed frame). */
+  private[graft] def leafBytes(df: DataFrame): BigInt =
+    try df.queryExecution.optimizedPlan.collectLeaves()
+      .map(l => l.stats.sizeInBytes).filter(_ > 0).sum
+    catch { case _: Throwable => BigInt(0) }
+
+  /** [[cpuWidth]] keyed on [[leafBytes]] — for widths computed above a
+    * join or ahead of a checkpoint, where whole-plan stats are either
+    * inflated (join products) or absent (post-checkpoint fallback to
+    * the wide cap: the round-14 near-empty-task trap). Clamps like
+    * cpuWidth; an unavailable estimate returns the session width (the
+    * conservative small side, NOT the wide cap — callers here size
+    * exchanges that exist at every scale). */
+  private[graft] def cpuWidthLeaf(df: DataFrame,
+      bytesPerTask: Long = 256L << 10, maxFactor: Int = 8): Int = {
+    val parts = sessionWidth(df.sparkSession)
+    val est = leafBytes(df)
+    if (est <= 0) parts
+    else ((est + bytesPerTask - 1) / bytesPerTask)
+      .min(BigInt(math.max(parts, parts * maxFactor))).max(BigInt(parts)).toInt
+  }
+
   private[graft] def cpuRebalance(df: DataFrame, cols: Column*): DataFrame = {
     val spark = df.sparkSession
     // scan parallelism comes from the LEAF scans, so size the decision
@@ -109,10 +134,7 @@ object Pipeline {
         case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
         case _ => false
       } catch { case _: Throwable => false }
-    val est =
-      try df.queryExecution.optimizedPlan.collectLeaves()
-        .map(l => l.stats.sizeInBytes).filter(_ > 0).sum
-      catch { case _: Throwable => BigInt(0) }
+    val est = leafBytes(df)
     if (alreadyBalanced || est <= 0) df
     else {
       val maxSplit =

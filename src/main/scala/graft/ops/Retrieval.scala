@@ -30,8 +30,11 @@ object Retrieval {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("t"))
+    // spread the tokenize+explode off a one-row-group scan (§2.5); the
+    // corpus-stats action and the postings build both re-tokenize
+    val toks = Pipeline.cpuRebalance(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("t"))
     val aggRow = toks
       .agg(sum(size(col("t")).cast("long")), count(lit(1))).head
     val n = aggRow.getLong(1)
@@ -50,10 +53,13 @@ object Retrieval {
     // the broadcast vocabulary filter sits BELOW the postings aggregation:
     // only query-term instances reach the (doc, term) groupBy, so the
     // shuffle is the query vocabulary's postings, never the whole corpus's
-    val restricted = toks
+    // materialized once: both the document-frequency aggregation and the
+    // scoring join consume it (query-vocab postings — small by the
+    // broadcast restriction below)
+    val restricted = Dedup.materializeBase(toks
       .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
       .join(broadcast(qt.select("term").distinct()), Seq("term"))
-      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf")), None)
     // document frequency per query term — identical to the full-corpus df
     // because restriction only drops OTHER terms' postings
     val dfc = restricted.groupBy("term").agg(count(lit(1)).as("dfreq"))

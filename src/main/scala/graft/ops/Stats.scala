@@ -1805,7 +1805,10 @@ object Stats {
   def bestSplit(df: DataFrame, featureCols: Seq[String],
       labelCol: String): DataFrame = {
     require(featureCols.nonEmpty, "bestSplit: need at least one feature")
-    val melted = df
+    // the feature melt amplifies every row #features x in the scan
+    // stage — spread it when the input is a one-row-group file (§2.5)
+    val melted = graft.ops.Pipeline.cpuRebalance(
+        df.select((labelCol +: featureCols).distinct.map(col): _*))
       .filter(col(labelCol).isNotNull)
       .select(col(labelCol).cast("boolean").as("__y"),
         explode(array(featureCols.map(f =>

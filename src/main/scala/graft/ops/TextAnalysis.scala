@@ -91,7 +91,9 @@ object TextAnalysis {
   /** One-pass document profile. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
+    // seven per-row kernels over one scan: spread a one-row-group input
+    graft.ops.Pipeline.cpuRebalance(df)
+      .withColumn("n_tokens", tokenCount(t))
       .withColumn("distinct_ratio", distinctRatio(t))
       .withColumn("punct_ratio", punctRatio(t))
       .withColumn("stopword_ratio", stopwordRatio(t))
@@ -931,9 +933,11 @@ object TextAnalysis {
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     // tokens materialize once as a column (the two-step-select trick —
-    // the fold, the size guard and every per-step 1/n term reference it)
-    val based = df.select(col(idCol).as("id"),
-      tokens(col(textCol)).as("__t"))
+    // the fold, the size guard and every per-step 1/n term reference it);
+    // the sort+fold kernel is CPU-dense — spread a one-row-group scan
+    val based = graft.ops.Pipeline.cpuRebalance(df, col(idCol))
+      .select(col(idCol).as("id"),
+        tokens(col(textCol)).as("__t"))
     val t = col("__t")
     val nD = size(t).cast("double")
     def term(run: Column): Column = {

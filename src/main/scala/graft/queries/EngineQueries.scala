@@ -371,8 +371,12 @@ object EngineQueries {
     // between those parses and the CSV-parity render, so the ceiling on
     // further wins is ~2×, not 10×.
     "adtl_apply_dates" -> { (s, d) =>
+      // materialize the parsed frame: the orderBy's range-sampling pass
+      // otherwise re-runs the 10-parse/row chain a second time (round-15
+      // stage audit: two 42-task parse stages, 47 + 23 task-sec)
       AdtlParser.fromJsonString(applyDatesSpec)
         .parseDataFrame(s, lineDatesInput(s, d))("line_dates")
+        .localCheckpoint()
         .orderBy("line_id")
     },
     // P8: enum_list — bracket strip, split, per-element trim + recode;
