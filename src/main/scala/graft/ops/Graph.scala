@@ -57,12 +57,20 @@ object Graph {
     // 256 KB/task: session width at gate scale, growing with the edge
     // bytes at 10x/100x
     val ewWidth = Pipeline.cpuWidthLeaf(eIn, bytesPerTask = 4L << 20)
-    val e = Dedup.materializeBase(
-      eIn.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .agg(count(lit(1)).as("w")), None)
+    // out-weight via a src-partitioned window instead of the former
+    // e ⋈ (e groupBy src) self-join: one exchange, no duplicated edge
+    // aggregation, and ONE materialization. The checkpoint lands
+    // PRE-PARTITIONED on src (localCheckpoint preserves partitioning),
+    // so none of the `iterations` contribution joins re-shuffles the
+    // edge list — only the (node-count-sized) rank frame moves per
+    // round. Per-src window state is bounded by the max out-degree.
     val ew = Dedup.materializeBase(
-      e.join(e.groupBy("src").agg(sum(col("w")).as("ow")), Seq("src"))
-        .repartition(ewWidth, col("src")), None)
+      eIn.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .repartition(ewWidth, col("src"))
+        .withColumn("ow", sum(col("w")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src")))),
+      None)
     val nodes = Dedup.materializeBase(
       ew.select(col("src").as("node"))
         .unionByName(ew.select(col("dst").as("node"))).distinct(), None)

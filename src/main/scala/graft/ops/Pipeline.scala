@@ -96,20 +96,21 @@ object Pipeline {
     * conservative choice at scale. */
   /** Summed LEAF scan bytes of the frame's optimized plan — the honest
     * input-volume proxy where the whole-plan estimate is poisoned by a
-    * join's multiplied cardinalities. 0 when unavailable (e.g. a
-    * checkpointed frame). */
+    * join's multiplied cardinalities. 0 when unavailable. (A
+    * localCheckpoint leaf DOES carry stats — the materialized block
+    * size.) */
   private[graft] def leafBytes(df: DataFrame): BigInt =
     try df.queryExecution.optimizedPlan.collectLeaves()
       .map(l => l.stats.sizeInBytes).filter(_ > 0).sum
     catch { case _: Throwable => BigInt(0) }
 
   /** [[cpuWidth]] keyed on [[leafBytes]] — for widths computed above a
-    * join or ahead of a checkpoint, where whole-plan stats are either
-    * inflated (join products) or absent (post-checkpoint fallback to
-    * the wide cap: the round-14 near-empty-task trap). Clamps like
-    * cpuWidth; an unavailable estimate returns the session width (the
-    * conservative small side, NOT the wide cap — callers here size
-    * exchanges that exist at every scale). */
+    * join, where the whole-plan estimate is inflated by multiplied
+    * cardinalities (round-15 measured: 256/512-task near-empty stages
+    * in pageRank — the round-14 trap reappearing through a join
+    * estimate). Clamps like cpuWidth; an unavailable estimate returns
+    * the session width (the conservative small side, NOT the wide cap —
+    * callers here size exchanges that exist at every scale). */
   private[graft] def cpuWidthLeaf(df: DataFrame,
       bytesPerTask: Long = 256L << 10, maxFactor: Int = 8): Int = {
     val parts = sessionWidth(df.sparkSession)

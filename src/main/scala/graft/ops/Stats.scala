@@ -1823,7 +1823,14 @@ object Stats {
     val wv = Window.partitionBy(col("feature")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(col("feature"))
+    // pin the window exchange at session width: with a handful of
+    // features AQE's byte-target coalescing put EVERY feature's value
+    // domain on one task (round-15 audit: two single-task 2.2–2.9 s
+    // window stages); a feature-keyed exchange caps it at one task per
+    // feature. Per-feature domain-on-one-task remains this operator's
+    // documented scale bound.
     val cum = cells
+      .repartition(Pipeline.sessionWidth(df.sparkSession), col("feature"))
       .withColumn("__cn", sum(col("__c")).over(wv))
       .withColumn("__cp", sum(col("__p")).over(wv))
       .withColumn("__n", sum(col("__c")).over(tot))
@@ -1845,12 +1852,16 @@ object Stats {
       .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"))
       .withColumn("__gp",
         round(gini(d(col("n_pos")) / d(col("n"))), 9))
+    // one row per feature — materialize so a caller's orderBy sampling
+    // cannot re-run the per-feature window passes (round-15 audit: the
+    // window stage executed twice)
     parents.join(best, Seq("feature"), "left")
       .select(col("feature"), col("n"), col("n_pos"),
         col("best_threshold"),
         round(col("__gp"), 6).as("gini_parent"),
         round(col("__bg"), 6).as("gini_split"),
         round(col("__gp") - col("__bg"), 6).as("gain"))
+      .localCheckpoint()
   }
 
   /** CUPED variance-reduced metric adjustment (Deng et al. 2013 —
