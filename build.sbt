@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through VERBATIM: the default
+// LoggedOutput strategy prefixes every child line with "[info] ", which
+// makes the bench's JSON record line unparseable for the driver no
+// matter how short it is (the round-15 verdict's other parsed:null root
+// cause, alongside the line length).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Keep sbt's "[success] Total time: ..." epilogue off stdout: the bench
 // driver parses the LAST line of `sbt runMain graft.Bench` output as
 // JSON, and the epilogue landed after the metrics line every round

@@ -121,7 +121,8 @@ object Bench {
     val total = results.map(_._2).sum
     // Full per-query map on its OWN line: tools/bench_ab.sh and local
     // iteration consume this one.
-    println(s"""{"metric":"bench_full","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val benchFullLine =
+      s"""{"metric":"bench_full","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // A/B context: tools/bench_ab.sh runs the PREVIOUS round's commit in
     // the same session and records both sides' per-query interleaved
     // minima in BENCH_PREV.json — emitting its summary here makes
@@ -151,8 +152,15 @@ object Bench {
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           case None => Map.empty[String, Double]
         }
-        (pc, block, cur, f("cur_commit").filter(_ => f("cur_dirty")
-          .contains("false")))
+        // cpus+sf binding (round-15 verdict item 1b): the A/B minima were
+        // measured at a specific core count and scale factor — the driver
+        // ALSO runs the bench at a lower core count to measure scaling, and
+        // adopting 32-cpu minima there destroyed that signal every round.
+        // An artifact without the fields (pre-round-16) never binds.
+        (pc, block, cur, f("cur_commit")
+          .filter(_ => f("cur_dirty").contains("false"))
+          .filter(_ => f("cpus").contains(cpus))
+          .filter(_ => f("sf").contains(sfDir)))
       } else ("", "", Map.empty[String, Double], None)
     } catch {
       case _: Throwable => ("", "", Map.empty[String, Double], None)
@@ -181,13 +189,11 @@ object Bench {
         "--exclude-standard", "--", "src/main", "build.sbt")
       committedOrTree.exists(_.isEmpty) && untracked.exists(_.isEmpty)
     }
-    // The LAST line is the driver's artifact of record (json-parsed whole;
-    // its display tail keeps only the final 2000 chars, so the big
-    // "queries" map comes FIRST and the summary scalars come LAST). Since
-    // round 12 the per-query numbers of record are the interleaved-A/B
-    // cur-side minima from BENCH_PREV.json — adopted only while the
-    // artifact covers this tree's query set AND the binding check above
-    // holds; otherwise this run's raw sequential numbers stand.
+    // Since round 12 the per-query numbers of record are the
+    // interleaved-A/B cur-side minima from BENCH_PREV.json — adopted only
+    // while the artifact covers this tree's query set, the binding check
+    // above holds, AND the artifact was measured at this run's cpus+sf;
+    // otherwise this run's raw sequential numbers stand.
     val abCovers = selected.keys.forall(abCur.contains)
     val (basis, ofRecord) =
       if (abCovers && abBound)
@@ -202,7 +208,26 @@ object Bench {
     val recMap = ofRecord.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","queries":$recMap,"queries_basis":"$basis","n_queries":${results.size},"raw_sequential_total":${r3(total)},"sf":"$sfDir"$prev$lfl,"unit":"sec","value":${r3(recTotal)}}""")
+    val totalLine =
+      s"""{"metric":"total","queries":$recMap,"queries_basis":"$basis","n_queries":${results.size},"raw_sequential_total":${r3(total)},"sf":"$sfDir"$prev$lfl,"unit":"sec","value":${r3(recTotal)}}"""
+    // The LAST line is the driver's artifact of record, json-parsed whole
+    // within a ~2000-char stdout tail. Fifteen rounds of PERF_r*.json had
+    // parsed:null because the full 265-query map (~7 KB) pushed the line
+    // start outside that window (round-15 verdict item 1a) — so the LAST
+    // line is now a COMPACT summary (<1500 chars) carrying the scalars,
+    // while the full per-query maps stay on the two earlier lines
+    // (metric=bench_full: this run's live timings; metric=total: the
+    // of-record basis). Same value/basis as the full line above.
+    val cpusJson = // env value; quote it unless it is a plain integer
+      if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else "\"" + cpus + "\""
+    val summaryLine =
+      s"""{"metric":"total_summary","value":${r3(recTotal)},"unit":"sec","queries_basis":"$basis","n_queries":${results.size},"raw_sequential_total":${r3(total)},"cpus":$cpusJson,"sf":"$sfDir"$prev$lfl}"""
+    // Stop Spark BEFORE printing: with verbatim stdout passthrough a late
+    // shutdown log line must never land after the record lines.
     spark.stop()
+    println(benchFullLine)
+    println(totalLine)
+    println(summaryLine)
+    Console.out.flush()
   }
 }

@@ -23,26 +23,6 @@ object Pipeline {
     conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))),
       1, 15), 16, 10).cast("long")
 
-  /** INPUT-KEYED width for CPU-dense stages (packed-set intersections,
-    * gram explodes, per-value md5 unpivots): these stages cost compute
-    * per input byte far above what the byte-targeted defaults budget, so
-    * they need explicit (AQE-coalescing-exempt) repartitions — but a
-    * CONSTANT over-width (the round-13 form, session parts × 8/16) taxes
-    * small inputs with hundreds of near-empty tasks per stage, measured
-    * as correlated 1.3–1.8× A/B regressions across the dedup family at
-    * sf0.1 while only the 100× runs needed the width.
-    *
-    * Width = estimated plan bytes / `bytesPerTask`, clamped to
-    * [session shuffle width, session width × `maxFactor`]. The estimate
-    * is Catalyst's `optimizedPlan.stats.sizeInBytes` — file bytes for
-    * scans, propagated estimates above them; no job runs. The default
-    * 256 KB/task budgets single-digit-second tasks for gram-explode
-    * kernels measured at ~15–20 task-seconds per source MB; the clamp
-    * floor keeps small inputs at the session's natural width (the
-    * pre-round-13 plan, bit-identical results either way) and the
-    * ceiling reproduces the round-13 wide plan exactly where the 100×
-    * audit needed it. An unavailable estimate (≤ 0) falls back to the
-    * conservative wide form. */
   /** The session's configured shuffle width — [[cpuWidth]]'s clamp floor
     * and the threshold above which an explicit AQE-exempt exchange is
     * worth pinning (see Dedup.widen). */
@@ -67,8 +47,27 @@ object Pipeline {
     * estimates above them; no job runs. ≤ 0 when unavailable. */
   private[graft] def planBytes(frame: DataFrame): BigInt =
     try frame.queryExecution.optimizedPlan.stats.sizeInBytes
-    catch { case _: Throwable => BigInt(0) }
+    catch { case scala.util.control.NonFatal(_) => BigInt(0) }
 
+  /** INPUT-KEYED width for CPU-dense stages (packed-set intersections,
+    * gram explodes, per-value md5 unpivots): these stages cost compute
+    * per input byte far above what the byte-targeted defaults budget, so
+    * they need explicit (AQE-coalescing-exempt) repartitions — but a
+    * CONSTANT over-width (the round-13 form, session parts × 8/16) taxes
+    * small inputs with hundreds of near-empty tasks per stage, measured
+    * as correlated 1.3–1.8× A/B regressions across the dedup family at
+    * sf0.1 while only the 100× runs needed the width.
+    *
+    * Width = estimated plan bytes / `bytesPerTask`, clamped to
+    * [session shuffle width, session width × `maxFactor`]. The estimate
+    * is [[planBytes]]. The default 256 KB/task budgets
+    * single-digit-second tasks for gram-explode kernels measured at
+    * ~15–20 task-seconds per source MB; the clamp floor keeps small
+    * inputs at the session's natural width (the pre-round-13 plan,
+    * bit-identical results either way) and the ceiling reproduces the
+    * round-13 wide plan exactly where the 100× audit needed it. An
+    * unavailable estimate (≤ 0) falls back to the conservative wide
+    * form. */
   private[graft] def cpuWidth(frame: DataFrame,
       bytesPerTask: Long = 256L << 10, maxFactor: Int = 8): Int = {
     val parts = sessionWidth(frame.sparkSession)
@@ -79,21 +78,6 @@ object Pipeline {
       .min(BigInt(cap)).max(BigInt(parts)).toInt
   }
 
-  /** Scan-parallelism rebalance ahead of a CPU-dense projection fed
-    * straight off a scan (gram explodes, date-parse chains, per-row
-    * kernel scans). Small parquet inputs carry a single row group, so
-    * the kernel otherwise runs on the FILE-SPLIT count — measured round
-    * 15 as one 4–13 s task while the session's other cores idle (guide
-    * §2.5 input skew: "repartition immediately after the read").
-    *
-    * Scale-adaptive, not a local[32] constant: the exchange is added
-    * ONLY while the frame's estimated natural split count
-    * (plan bytes / `spark.sql.files.maxPartitionBytes`) is below the
-    * session width — a 100 TB scan already carries thousands of splits
-    * and skips the exchange entirely, paying nothing. Width is the
-    * input-keyed [[cpuWidth]]. An unavailable estimate (≤ 0: no scan
-    * below, e.g. post-checkpoint frames) leaves the frame alone — the
-    * conservative choice at scale. */
   /** Summed LEAF scan bytes of the frame's optimized plan — the honest
     * input-volume proxy where the whole-plan estimate is poisoned by a
     * join's multiplied cardinalities. 0 when unavailable. (A
@@ -102,7 +86,7 @@ object Pipeline {
   private[graft] def leafBytes(df: DataFrame): BigInt =
     try df.queryExecution.optimizedPlan.collectLeaves()
       .map(l => l.stats.sizeInBytes).filter(_ > 0).sum
-    catch { case _: Throwable => BigInt(0) }
+    catch { case scala.util.control.NonFatal(_) => BigInt(0) }
 
   /** [[cpuWidth]] keyed on [[leafBytes]] — for widths computed above a
     * join, where the whole-plan estimate is inflated by multiplied
@@ -120,21 +104,50 @@ object Pipeline {
       .min(BigInt(math.max(parts, parts * maxFactor))).max(BigInt(parts)).toInt
   }
 
+  /** Scan-parallelism rebalance ahead of a CPU-dense projection fed
+    * straight off a scan (gram explodes, date-parse chains, per-row
+    * kernel scans). Small parquet inputs carry a single row group, so
+    * the kernel otherwise runs on the FILE-SPLIT count — measured round
+    * 15 as one 4–13 s task while the session's other cores idle (guide
+    * §2.5 input skew: "repartition immediately after the read").
+    *
+    * Scale-adaptive, not a local[32] constant: the exchange is added
+    * ONLY while the frame's estimated natural split count
+    * ([[leafBytes]] / `spark.sql.files.maxPartitionBytes`) is below the
+    * session width — a 100 TB scan already carries thousands of splits
+    * and skips the exchange entirely, paying nothing. Width is the
+    * leaf-bytes form of the [[cpuWidth]] rule (256 KB of source bytes
+    * per task, clamped to [session width, 8×]). An unavailable estimate
+    * (≤ 0: no stats, e.g. an RDD-backed frame) leaves the frame alone —
+    * the conservative choice at scale; a localCheckpoint leaf DOES
+    * carry stats (its block size) and the rebalance may fire on it.
+    * Streaming frames are returned untouched. */
   private[graft] def cpuRebalance(df: DataFrame, cols: Column*): DataFrame = {
     val spark = df.sparkSession
+    if (df.isStreaming) return df
     // scan parallelism comes from the LEAF scans, so size the decision
     // (and the width) on their summed bytes — a whole-plan estimate
     // above a join multiplies cardinalities and would mask a 3-split
     // scan behind a petabyte-scale guess (measured: the apply-dates
     // join input skipped the rebalance and kept its 5 s one-task parse)
-    // a caller that already placed an explicit exchange below (e.g. a
-    // gate-input rebalance ahead of its projections) owns the layout —
-    // a second exchange here would be pure cost
-    val alreadyBalanced =
-      try df.queryExecution.optimizedPlan.exists {
-        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+    // a caller that already placed an explicit SHUFFLE exchange on this
+    // frame's root-side spine (e.g. a gate-input rebalance ahead of its
+    // projections) owns the layout — a second exchange here would be
+    // pure cost. Only the unary spine counts: a repartition buried in
+    // one branch of a join, or a coalesce (shuffle=false — the one-task
+    // pathology this primitive targets), must NOT suppress the
+    // rebalance (round-15 advice).
+    val alreadyBalanced = try {
+      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, RepartitionOperation}
+      @annotation.tailrec
+      def spine(p: LogicalPlan): Boolean = p match {
+        case r: RepartitionOperation =>
+          if (r.shuffle) true else spine(r.child)
+        case u if u.children.size == 1 => spine(u.children.head)
         case _ => false
-      } catch { case _: Throwable => false }
+      }
+      spine(df.queryExecution.optimizedPlan)
+    } catch { case scala.util.control.NonFatal(_) => false }
     val est = leafBytes(df)
     if (alreadyBalanced || est <= 0) df
     else {

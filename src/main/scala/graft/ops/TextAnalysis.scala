@@ -88,7 +88,9 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9 ]", " ")), " +", " "))
 
-  /** One-pass document profile. */
+  /** One-pass document profile: seven per-row kernels over one scan —
+    * rebalanced at small scale (the exchange elides once natural splits
+    * reach the session width, and is a no-op on streaming frames). */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     // seven per-row kernels over one scan: spread a one-row-group input
@@ -722,7 +724,11 @@ object TextAnalysis {
     * guard-rail; beyond-cap grams count as unseen), and membership rides
     * the same task-broadcast binary-search kernel as NB scoring with
     * per-gram weight 1 — `lo_sum` IS the seen-count, so the whole scan is
-    * one kernel projection: zero joins, zero shuffles, streaming-safe. */
+    * one kernel projection with no joins. In batch, both the reference
+    * gram build and the corpus scan are rebalanced at small scale (the
+    * exchange elides once natural splits reach the session width); on a
+    * streaming corpus the rebalance is a no-op and the kernel stays
+    * shuffle-free. */
   def noveltyScore(corpus: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String, n: Int = 2,
       maxRefGrams: Int = NbMaxVocab): DataFrame = {

@@ -43,6 +43,34 @@ class CpuRebalanceSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions === 3)
   }
 
+  test("cpuRebalance: coalesce below does NOT suppress the rebalance") {
+    // coalesce(1) is a RepartitionOperation with shuffle=false — the
+    // exact one-task pathology this primitive exists to fix (round-15
+    // advice: the old whole-plan exists() silently skipped here)
+    val df = smallScan().coalesce(1)
+    val out = Pipeline.cpuRebalance(df, col("id"))
+    assert(out.rdd.getNumPartitions >= Pipeline.sessionWidth(spark))
+    assert(out.count() === 1000L)
+  }
+
+  test("cpuRebalance: a repartition inside one join branch does not suppress") {
+    // only the root-side unary spine counts as "caller owns layout" —
+    // an exchange buried in a join branch says nothing about the join
+    // output's parallelism
+    val left = smallScan()
+    val right = smallScan().repartition(3, col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val joined = left.join(right, "k")
+    val out = Pipeline.cpuRebalance(joined, col("id"))
+    // the rebalance fired: a shuffle repartition sits at the plan root
+    assert(out.queryExecution.optimizedPlan match {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+        r.shuffle
+      case _ => false
+    })
+    assert(out.count() === 1000L)
+  }
+
   test("cpuRebalance: checkpointed frame stays row-identical (stats come from blocks)") {
     // a localCheckpoint carries materialized-size stats, so the
     // rebalance may legitimately fire on it — the contract is result
@@ -60,8 +88,13 @@ class CpuRebalanceSpec extends SparkSpec {
     assert(w >= Pipeline.sessionWidth(spark))
     // tiny input: the floor, not the 8x cap
     assert(w === Pipeline.sessionWidth(spark))
-    // stats-less frame: session width, never the wide cap
+    // a checkpoint leaf DOES carry stats (block size) — tiny here, so
+    // still the floor (not the est<=0 branch; that's tested below)
     assert(Pipeline.cpuWidthLeaf(df.localCheckpoint()) ===
+      Pipeline.sessionWidth(spark))
+    // genuinely stats-less (est <= 0): an empty LocalRelation sums to 0
+    // leaf bytes — session width, never the wide cap
+    assert(Pipeline.cpuWidthLeaf(spark.emptyDataFrame) ===
       Pipeline.sessionWidth(spark))
   }
 }

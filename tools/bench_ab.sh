@@ -82,7 +82,7 @@ if [ -n "$(git status --porcelain -- src/main build.sbt)" ]; then
   CUR_DIRTY=true
 fi
 A1="$A1" A2="$A2" B1="$B1" B2="$B2" \
-  PREV_SHA="$(git rev-parse --short "$PREV")" SF_DIR="$SF_DIR" \
+  PREV_SHA="$(git rev-parse --short "$PREV")" SF_DIR="$SF_DIR" CPUS="$CPUS" \
   CUR_SHA="$(git rev-parse HEAD)" CUR_DIRTY="$CUR_DIRTY" \
   python3 <<'EOF'
 import json, os, datetime
@@ -99,6 +99,10 @@ doc = {
     "cur_dirty": os.environ["CUR_DIRTY"] == "true",
     "total": round(sum(amin.values()), 3),
     "sf": os.environ["SF_DIR"],
+    # graft.Bench adopts the cur-side minima ONLY when this run's cpus+sf
+    # match the artifact's (round-15 verdict item 1b): the driver's
+    # lower-core scaling run must report its own live numbers.
+    "cpus": int(os.environ["CPUS"]),
     "at": datetime.datetime.now(datetime.timezone.utc)
         .strftime("%Y-%m-%dT%H:%M:%SZ"),
     "method": "interleaved A,B,A,B; per-query min of each side's two runs",
