@@ -135,7 +135,12 @@ object Cluster {
       .distinct().withColumn("sig", lit("text"))
     val s = semanticPairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
       .distinct().withColumn("sig", lit("semantic"))
-    val tagged = t.unionByName(s)
+    // materialize the tagged union ONCE: both detectors' pair engines are
+    // the expensive subtrees here, and the frame feeds TWO consumers —
+    // the CC edge list and the per-id signal audit — which otherwise each
+    // re-run the full pair generation (round-16 stage audit: the text
+    // pair stages executed twice per q_hybrid_dedup run; guide §2.4)
+    val tagged = Dedup.materializeBase(t.unionByName(s), None)
     val edges = tagged.select("id_a", "id_b").distinct()
     val perId = tagged
       .select(explode(array(col("id_a"), col("id_b"))).as("id"), col("sig"))

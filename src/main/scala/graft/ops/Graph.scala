@@ -241,18 +241,29 @@ object Graph {
         .filter(col("u") =!= col("v"))
         .distinct(),
       None)
-    // deg feeds the guard join and three score joins, nb feeds both
-    // wedge sides — materialize each once instead of re-running the
+    // deg feeds the guard join and (via nb) the score columns, nb feeds
+    // both wedge sides — materialize each once instead of re-running the
     // degree aggregation / guard join per consumer (round-15 audit:
     // duplicated subtree passes dominated the gate)
     val deg = Dedup.materializeBase(
       und.select(col("u").as("node"))
         .unionByName(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg")), None)
+    // nb carries BOTH endpoint degrees: the apex's (deg — the guard and
+    // the AA term) and the neighbor's (__nd — the round-15-verdict
+    // endpoint prune below). NOTE a checkpoint taken under AQE reports
+    // UnknownPartitioning (measured round 16: a pre-partitioned
+    // checkpoint did NOT let the self-join reuse the layout), so the
+    // wedge width is pinned on the join sides below instead.
+    val wedgeWidth = Pipeline.cpuWidthLeaf(edges, bytesPerTask = 1L << 20)
+    val und2 = und
+      .join(deg.select(col("node").as("u"), col("deg").as("__du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("__dv")), Seq("v"))
     val nb = Dedup.materializeBase(
-      und.select(col("u").as("node"), col("v").as("nbr"))
-        .unionByName(und.select(col("v").as("node"), col("u").as("nbr")))
-        .join(deg, Seq("node"))
+      und2.select(col("u").as("node"), col("__du").as("deg"),
+          col("v").as("nbr"), col("__dv").as("__nd"))
+        .unionByName(und2.select(col("v").as("node"), col("__dv").as("deg"),
+          col("u").as("nbr"), col("__du").as("__nd")))
         .withColumn("nbr", when(col("deg") <= maxDegree, col("nbr"))
           .otherwise(raise_error(concat(lit("adamicAdar: node "),
             col("node").cast("string"), lit(" has degree "),
@@ -260,12 +271,29 @@ object Graph {
             lit(s" > maxDegree=$maxDegree — the wedge self-join is" +
               " quadratic per apex; pre-filter hub nodes or raise" +
               " maxDegree"))))), None)
+    // endpoint prune: common_neighbors(a,b) <= min(deg(a), deg(b)), so a
+    // wedge endpoint with degree < minCommon can never survive the
+    // minCommon filter — drop it BEFORE the quadratic self-join. A pure
+    // subset of the work, bit-identical output.
+    val pruned = nb.filter(col("__nd") >= minCommon)
     val term = when(col("deg") >= 2L,
       round(lit(1.0) / log(col("deg").cast("double")), 10)
         .cast("decimal(28,14)"))
-    val left = nb.select(col("node"), col("nbr").as("na"),
-      term.as("__t"))
-    val right = nb.select(col("node"), col("nbr").as("nb2"))
+    // the wedge shuffle is the operator's volume (Σ outdeg² rows, ~33×
+    // the edge count here) and ~97% of wedge groups are singletons, so
+    // partial aggregation combines almost nothing — keep the shuffled
+    // row as narrow as possible (guide §2.3): (na, nb2, __t) only; the
+    // endpoint degrees re-attach AFTER the >=minCommon filter via two
+    // broadcast-sized joins against the (node-count-sized) deg frame.
+    // pin the wedge join's width (AQE-exempt): the join's OUTPUT is the
+    // quadratic expansion, but AQE sizes the exchange by its edge-list
+    // INPUT bytes and coalesced it to 10 tasks (round-16 audit, the
+    // triangleCount lesson). Both sides pinned to the same width keeps
+    // the join exchange-aligned; the shuffled frames are edge-sized.
+    val left = pruned.select(col("node"), col("nbr").as("na"), term.as("__t"))
+      .repartition(wedgeWidth, col("node"))
+    val right = pruned.select(col("node"), col("nbr").as("nb2"))
+      .repartition(wedgeWidth, col("node"))
     val pairs = left.join(right, Seq("node"))
       .filter(col("na") < col("nb2"))
       .groupBy(col("na").as("node_a"), col("nb2").as("node_b"))
@@ -285,5 +313,9 @@ object Graph {
           (col("__da") + col("__db") - col("common_neighbors"))
             .cast("double"), 6).as("jaccard"),
         coalesce(col("__e"), lit(false)).as("is_edge"))
+      // pair-list-sized result, materialized so a caller's orderBy
+      // range-sampling cannot re-run the wedge aggregation (round-16
+      // audit: the final agg stage executed twice, ~19 task-sec)
+      .localCheckpoint()
   }
 }

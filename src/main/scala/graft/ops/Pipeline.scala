@@ -194,8 +194,21 @@ object Pipeline {
   private[ops] def runningSum(df: DataFrame, orderCol: String, value: Column,
       outCol: String, buckets: Int, partCols: Seq[String] = Nil,
       tieCols: Seq[String] = Nil, cuts: Option[Array[Any]] = None)
-      : DataFrame = {
+      : DataFrame =
+    runningSumN(df, orderCol, Seq(value -> outCol), buckets, partCols,
+      tieCols, cuts)
+
+  /** [[runningSum]] over SEVERAL value columns in ONE pass: same bucketed
+    * prefix-sum shape (one corpus-wide window shuffle, one tiny offsets
+    * window, one broadcast join back), with every (value, outCol) pair
+    * sharing the bucket assignment, the window sort and the offsets
+    * frame — a caller needing k prefix sums pays one pass, not k. */
+  private[ops] def runningSumN(df: DataFrame, orderCol: String,
+      values: Seq[(Column, String)], buckets: Int,
+      partCols: Seq[String] = Nil, tieCols: Seq[String] = Nil,
+      cuts: Option[Array[Any]] = None): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(values.nonEmpty, "runningSumN: need at least one value column")
     val bounds: Array[Any] = cuts.getOrElse {
       if (buckets == 1) Array.empty[Any]
       else df.schema(orderCol).dataType match {
@@ -230,25 +243,36 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.partitionBy(partCols.map(col): _*).orderBy(col("__rs_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withB = df.withColumn("__rs_b", bucket)
-      .withColumn("__rs_v", value.cast("long"))
+    val idx = values.indices
+    val withB = idx.foldLeft(df.withColumn("__rs_b", bucket)) { (d, i) =>
+      d.withColumn(s"__rs_v$i", values(i)._1.cast("long"))
+    }
     val offsets = withB.groupBy(partB.map(col): _*)
-      .agg(sum(col("__rs_v")).as("__rs_bsum"))
-      .withColumn("__rs_off",
-        coalesce(sum(col("__rs_bsum")).over(wOff), lit(0L)))
-      .drop("__rs_bsum")
-    withB
-      .withColumn("__rs_run", sum(col("__rs_v")).over(wRun))
-      .join(broadcast(offsets), partB)
-      .withColumn(outCol, col("__rs_off") + col("__rs_run"))
-      .drop("__rs_b", "__rs_v", "__rs_run", "__rs_off")
+      .agg(sum(col("__rs_v0")).as("__rs_bsum0"),
+        idx.tail.map(i => sum(col(s"__rs_v$i")).as(s"__rs_bsum$i")): _*)
+    val offsetsW = idx.foldLeft(offsets) { (d, i) =>
+      d.withColumn(s"__rs_off$i",
+        coalesce(sum(col(s"__rs_bsum$i")).over(wOff), lit(0L)))
+        .drop(s"__rs_bsum$i")
+    }
+    val run = idx.foldLeft(withB) { (d, i) =>
+      d.withColumn(s"__rs_run$i", sum(col(s"__rs_v$i")).over(wRun))
+    }
+    val joined = run.join(broadcast(offsetsW), partB)
+    idx.foldLeft(joined) { (d, i) =>
+      d.withColumn(values(i)._2, col(s"__rs_off$i") + col(s"__rs_run$i"))
+        .drop(s"__rs_v$i", s"__rs_run$i", s"__rs_off$i")
+    }.drop("__rs_b")
   }
 
   def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
       minQuality: Double): DataFrame = {
     val quality = TextAnalysis.qualityScore(col(textCol))
     val fp = TextAnalysis.fingerprint(col(textCol))
-    val survivors = df
+    // the quality+fingerprint kernels hash every text byte — spread a
+    // one-row-group input across the session (round-16 audit: one
+    // 850 ms task under q_corpus_pipeline; no-op at scale)
+    val survivors = cpuRebalance(df)
       .withColumn("quality_score", quality)
       .filter(col("quality_score") >= minQuality)
       .withColumn("__fp", fp)

@@ -40,29 +40,71 @@ object Profile {
         (x: org.apache.spark.sql.Column) => x.cast("decimal(28,6)").cast("string")
       case _ => (x: org.apache.spark.sql.Column) => x.cast("string")
     }
-    val aggs = cols.flatMap { c =>
+    // TWO passes instead of the former single multi-count_distinct
+    // aggregation: that plan routed every row through an Expand
+    // (~#columns× replication) into FOUR nested SortAggregates — the
+    // string min/max buffers force the sort-based aggregate, and the
+    // sort then runs over the AMPLIFIED volume (round-16 audit: one
+    // 68 task-sec SortAggregate stage, the query's whole cost). Split:
+    //
+    //  - pass A: counts + rendered min/max over the RAW rows — no
+    //    Expand, partial aggregation collapses map-side to one row per
+    //    task (the sort-agg is over zero grouping keys = a fold);
+    //  - pass B: exact per-column distinct counts over an in-plan
+    //    (column, value) unpivot — hash aggregation on fixed-size keys,
+    //    never a sort. The unpivot amplifies #columns× in the MAP stage
+    //    only; the exchange carries each task's distinct (column,
+    //    value) pairs, at most what the Expand exchange carried.
+    //
+    // Measured like-for-like at sf0.1/32 (same JVM, interleaved noop
+    // runs ×4 each, per-form min): Expand form 2.99 s (68 task-sec
+    // SortAggregate stage in the stage audit); two-pass form 1.77 s
+    // (0.59×), identical rows. The losing plan's numbers are kept here
+    // per the round-16 decision record.
+    //
+    // Distinct-count render must be INJECTIVE per column so string
+    // equality equals the column type's distinct semantics: float and
+    // double normalize -0.0 → 0.0 (x + 0.0) to match Spark's
+    // NormalizeFloatingNumbers aggregation-key behavior; any NaN
+    // renders "NaN", matching NaN-equals-NaN distinct semantics; every
+    // other type's CAST AS STRING is injective.
+    def distinctRender(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case DoubleType => (col(c) + lit(0.0)).cast("string")
+        case FloatType => (col(c) + lit(0.0f)).cast("string")
+        case _ => col(c).cast("string")
+      }
+    val aggsA = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
         render(c)(min(col(c))).as(s"__mn_$c"),
         render(c)(max(col(c))).as(s"__mx_$c"))
     } :+ count(lit(1)).as("__n")
-    // up to 16× the session width, keyed to input bytes: Expand
-    // amplifies every row ~4·#columns× INSIDE the partial aggregation,
-    // so the per-task CPU budget is width-divided amplified volume — at
-    // session width the 100× audit held a 144 s task, while a CONSTANT
-    // 16× taxed the sf0.1 A/B 1.45× in near-empty tasks. cpuWidth's
-    // clamp floor keeps small inputs at session width and its ceiling
-    // reproduces the wide plan exactly where the audit needed it.
-    val one = df.repartition(Pipeline.cpuWidth(df, maxFactor = 16))
-      .agg(aggs.head, aggs.tail: _*)
+    val one = Pipeline.cpuRebalance(df).agg(aggsA.head, aggsA.tail: _*)
+    // up to 16× the session width, keyed to input bytes: the unpivot
+    // amplifies every row #columns× inside the partial aggregation, so
+    // the per-task CPU budget is width-divided amplified volume (the
+    // round-13 Expand-width lesson, same clamp floor/ceiling).
+    val nd = df.repartition(Pipeline.cpuWidth(df, maxFactor = 16))
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"), distinctRender(c).as("__v"))
+      }: _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("column", "__v").agg(lit(1).as("__one"))
+      .groupBy("column").agg(count(lit(1)).as("n_distinct"))
     val stacked = one.select(explode(array(cols.map { c =>
       struct(lit(c).as("column"),
         lit(df.schema(c).dataType.simpleString).as("dtype"),
         col("__n").as("n_rows"), col(s"__nn_$c").as("n_nonnull"),
-        col(s"__nd_$c").as("n_distinct"), col(s"__mn_$c").as("min_s"),
+        col(s"__mn_$c").as("min_s"),
         col(s"__mx_$c").as("max_s"))
     }: _*)).as("p"))
     stacked.select(col("p.*"))
+      .join(nd, Seq("column"), "left")
+      // an all-null column never reaches pass B: n_distinct = 0
+      .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
+      .select("column", "dtype", "n_rows", "n_nonnull", "n_distinct",
+        "min_s", "max_s")
   }
 
   /** The RECURRING-profile twin of [[profileTable]] — same row-per-column

@@ -1817,24 +1817,30 @@ object Stats {
       .select(col("__fv.feature").as("feature"), col("__fv.v").as("v"),
         col("__y"))
       .filter(col("v").isNotNull)
+    // (feature, value)-cell frame, MATERIALIZED: it feeds the prefix-sum
+    // pass (whose plan-build-time quantile sketch is itself an action),
+    // the per-feature totals, and the parent-gini aggregation — without
+    // the checkpoint each consumer re-runs the melt scan.
     val cells = melted.groupBy("feature", "v")
       .agg(count(lit(1)).as("__c"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
-    val wv = Window.partitionBy(col("feature")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("feature"))
-    // pin the window exchange at session width: with a handful of
-    // features AQE's byte-target coalescing put EVERY feature's value
-    // domain on one task (round-15 audit: two single-task 2.2–2.9 s
-    // window stages); a feature-keyed exchange caps it at one task per
-    // feature. Per-feature domain-on-one-task remains this operator's
-    // documented scale bound.
-    val cum = cells
-      .repartition(Pipeline.sessionWidth(df.sparkSession), col("feature"))
-      .withColumn("__cn", sum(col("__c")).over(wv))
-      .withColumn("__cp", sum(col("__p")).over(wv))
-      .withColumn("__n", sum(col("__c")).over(tot))
-      .withColumn("__np", sum(col("__p")).over(tot))
+      .localCheckpoint()
+    // per-feature totals once (they double as the parent-gini counts)
+    val totals = cells.groupBy("feature")
+      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"))
+      .localCheckpoint()
+    // cumulative counts via the DISTRIBUTED bucketed prefix sum
+    // (Pipeline.runningSumN) instead of one window task per feature —
+    // the former per-feature value-domain window was this operator's
+    // scale ceiling (round-15 verdict item 7; round-16 audit: 3 busy
+    // tasks of a 32-task stage, max/median 10.8). Both prefix columns
+    // share one pass; value-domain buckets come from the plan-build
+    // quantile sketch over the checkpointed cells.
+    val cum = Pipeline.runningSumN(cells, "v",
+        Seq(col("__c") -> "__cn", col("__p") -> "__cp"),
+        buckets = 32, partCols = Seq("feature"))
+      .join(broadcast(totals.select(col("feature"),
+        col("n").as("__n"), col("n_pos").as("__np"))), Seq("feature"))
     def d(c: Column) = c.cast("double")
     def gini(p: Column) =
       lit(1.0) - (p * p + (lit(1.0) - p) * (lit(1.0) - p))
@@ -1848,8 +1854,7 @@ object Stats {
       .agg(min(struct(col("__g9"), col("v"))).as("__b"))
       .select(col("feature"), col("__b.__g9").as("__bg"),
         col("__b.v").as("best_threshold"))
-    val parents = cells.groupBy("feature")
-      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"))
+    val parents = totals
       .withColumn("__gp",
         round(gini(d(col("n_pos")) / d(col("n"))), 9))
     // one row per feature — materialize so a caller's orderBy sampling

@@ -393,6 +393,11 @@ object PipelineQueries {
           concat_ws(",", transform(col("feature"), f =>
             round(f.cast("double") * col("meta.width") * col("meta.height"))
               .cast("int"))).as("hist"))
+        // narrow result, materialized: the encode+decode mapPartitions
+        // chain is opaque to column pruning, so the orderBy's range
+        // sampler otherwise re-runs the whole codec pipeline (round-16
+        // audit: two ~uniform 32-task codec stages, 36+52 task-sec)
+        .localCheckpoint()
         .orderBy("doc_id")
     },
     // decode → REAL nearest-neighbor resize to a fixed 5×3 raster → 8-bin
@@ -406,6 +411,9 @@ object PipelineQueries {
           col("meta.width").as("src_width"), col("meta.height").as("src_height"),
           concat_ws(",", transform(col("feature"), f =>
             round(f.cast("double") * 15).cast("int"))).as("hist"))
+        // see m_media_feature: checkpoint kills the sampler's second
+        // run of the opaque codec chain
+        .localCheckpoint()
         .orderBy("doc_id")
     },
     // video-like frame sampling: every-7th frame index from per-doc
