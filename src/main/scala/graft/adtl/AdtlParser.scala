@@ -246,7 +246,18 @@ final class AdtlParser private (
     // firstNonNull order semantics are untouched; the exchange is
     // skipped entirely once the input's natural split count reaches the
     // session width (the 100 TB case), so this is scale-adaptive.
-    df = graft.ops.Pipeline.cpuRebalance(df, col(ROW_ID))
+    //
+    // ALSO skipped when the spec compiles to a trivially cheap per-row
+    // projection (round-15 verdict item 9): on sub-second parses the
+    // exchange costs more than the single-task projection it spreads —
+    // measured round 15 as a +0.2–0.35 s tax per cheap gate. The
+    // threshold is a spec-keyed expression-cost proxy (date chains are
+    // the expensive kernels, apply-transforms moderate, plain fields
+    // cheap); a caller that already spread its input is unaffected
+    // (cpuRebalance's caller-exchange check runs first).
+    if (specParseCost + (if (spec.header.emptyFields.nonEmpty)
+        df.columns.length - 1 else 0) >= RebalanceCostFloor)
+      df = graft.ops.Pipeline.cpuRebalance(df, col(ROW_ID))
     val doCache = cacheInput || (inputCachePolicy match {
       case "never" => false
       case "always" => true
@@ -430,6 +441,32 @@ final class AdtlParser private (
       compiler.compile(rules(attr), attr, coerceTypeFor(tname, attr)).as(attr)
     }
     df.select(cols: _*)
+  }
+
+  /** Parse-cost floor for the input rebalance: specs scoring below it
+    * (a handful of plain field copies / value maps) skip the exchange —
+    * the shuffle costs more than the projection it would spread. A
+    * single date rule (cost 10) plus anything else crosses it. */
+  private val RebalanceCostFloor = 12
+
+  /** Spec-keyed proxy for the compiled per-row expression cost: date
+    * rules compile to multi-kernel parse chains (cost 10), apply
+    * transforms to moderate expressions (3), plain field references to
+    * casts/maps (1); nested shapes (if-guards, oneToMany entry lists,
+    * combinedType wrappers) walk recursively. */
+  private lazy val specParseCost: Int = {
+    def walk(t: Any): Int = t match {
+      case m: Raw @unchecked =>
+        m.map {
+          case ("source_date", _) | ("date", _) => 10
+          case ("apply", v) => 3 + walk(v)
+          case ("field", _) => 1
+          case (_, v) => walk(v)
+        }.sum
+      case l: List[_] => l.map(walk).sum
+      case _ => 0
+    }
+    spec.tableRules.values.map(walk).sum
   }
 
   /** Per-row parsed frame for a groupBy table: ROW_ID + compiled group key

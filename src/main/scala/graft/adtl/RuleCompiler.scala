@@ -603,17 +603,31 @@ object RuleCompiler {
   import org.apache.spark.sql.functions._
 
   /** Python set semantics over rendered string elements: 7 and 7.0 are
-    * equal — dedupe by numeric value when castable, first occurrence wins
-    * (O(n²) per row; adtl sets are small). */
+    * equal — dedupe by numeric value when castable, first occurrence wins.
+    *
+    * Shape: one `aggregate` fold carrying (seen keys, kept values) —
+    * each element pays its key render O(1) times (twice, inside the
+    * when/otherwise) plus an early-exit `exists` over the keys seen so
+    * far. The former transform-over-slice form re-rendered BOTH keys
+    * inside the inner scan — O(n²) try_cast+concat evaluations per row,
+    * measured round 16 as the dominant per-task cost of the adtl
+    * groupBy set aggregation (guide §1.2 "per-task work"). Same
+    * first-occurrence-wins decisions, same output. */
   def pySetDedup(arr: Column): Column = {
     def k(x: Column): Column =
       when(x.try_cast("double").isNotNull,
         concat(lit("n:"), x.try_cast("double").cast("string")))
         .otherwise(concat(lit("s:"), x))
-    val marked = transform(arr, (x, i) =>
-      struct((!exists(slice(arr, lit(1), i), y => k(y) <=> k(x))).as("keep"),
-        x.as("v")))
-    transform(filter(marked, m => m.getField("keep")), m => m.getField("v"))
+    val acc0 = struct(
+      array().cast("array<string>").as("ks"),
+      slice(arr, 1, 0).as("vs")) // empty array of arr's element type
+    aggregate(arr, acc0,
+      (acc, x) => when(
+        exists(acc.getField("ks"), y => y <=> k(x)), acc)
+        .otherwise(struct(
+          concat(acc.getField("ks"), array(k(x))).as("ks"),
+          concat(acc.getField("vs"), array(x)).as("vs"))),
+      acc => acc.getField("vs"))
   }
 
   sealed trait VT

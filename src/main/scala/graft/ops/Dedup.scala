@@ -1402,8 +1402,13 @@ object Dedup {
     require(n >= 2, s"span length n must be >= 2, got $n")
     require(minOccurrences >= 2,
       s"minOccurrences must be >= 2, got $minOccurrences")
-    val base = df.select(col(idCol).as("__id"),
-      TextAnalysis.tokens(col(textCol)).as("__t"))
+    // tokenize + gram explode are CPU-dense off a one-row-group scan,
+    // and base feeds BOTH the window explode and the reassembly join —
+    // spread it first (no-op at scale; round-16 audit: two single-task
+    // ~2 s Generate stages under q_training_mix)
+    val base = Pipeline.cpuRebalance(df, col(idCol))
+      .select(col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__t"))
     // one row per n-token window: (id, start, gram string)
     val wins = base
       .filter(size(col("__t")) >= n)
@@ -1462,8 +1467,11 @@ object Dedup {
     require(minOccurrences >= 2,
       s"minOccurrences must be >= 2, got $minOccurrences")
     val n = minLen
-    val base = df.select(col(idCol).as("__id"),
-      TextAnalysis.tokens(col(textCol)).as("__t"))
+    // same scan spread as removeRepeatedSpans (base feeds the window
+    // explode and the reassembly join)
+    val base = Pipeline.cpuRebalance(df, col(idCol))
+      .select(col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__t"))
     val wins = base
       .filter(size(col("__t")) >= n)
       .select(col("__id"), posexplode(

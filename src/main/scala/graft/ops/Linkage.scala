@@ -57,7 +57,15 @@ object Linkage {
     val hi = base.select(col("blk"),
       explode(sequence(lit(0), col("ck"))).as("lo"), col("ck").as("hi"),
       col("id").as("id_b"), col("s").as("s_b"), col("len").as("len_b"))
-    lo.join(hi.hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
+    // pin the pair join's width (AQE-exempt): the join's OUTPUT is the
+    // quadratic in-block expansion feeding the DP kernel, but AQE sizes
+    // the exchange by its (small) input bytes — round-16 audit measured
+    // the JW sibling's kernel coalesced onto 4 tasks. Width is
+    // input-keyed (session floor at gate scale, grows with bytes).
+    val pairWidth = Pipeline.cpuWidthLeaf(df, bytesPerTask = 256L << 10)
+    lo.repartition(pairWidth, col("blk"), col("lo"), col("hi"))
+      .join(hi.repartition(pairWidth, col("blk"), col("lo"), col("hi"))
+        .hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
       // same-chunk tasks see both orientations — keep one; cross-chunk
       // tasks see exactly one — keep it and reorient on output
       .filter(col("lo") =!= col("hi") || col("id_a") < col("id_b"))
@@ -125,7 +133,12 @@ object Linkage {
     val jwUb = jaroUb + lit(0.4) * (lit(1.0) - jaroUb)
     val jw = graft.functions.JaroWinklerExpr.jaroWinkler(df.sparkSession,
       col("s_a"), col("s_b"))
-    lo.join(hi.hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
+    // width pin: see fuzzyPairs — the JW kernel ran on 4 AQE-coalesced
+    // tasks (round-16 audit: 2 stages × 4 tasks, ~9 task-sec)
+    val pairWidth = Pipeline.cpuWidthLeaf(df, bytesPerTask = 256L << 10)
+    lo.repartition(pairWidth, col("blk"), col("lo"), col("hi"))
+      .join(hi.repartition(pairWidth, col("blk"), col("lo"), col("hi"))
+        .hint("SHUFFLE_HASH"), Seq("blk", "lo", "hi"))
       .filter(col("lo") =!= col("hi") || col("id_a") < col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .filter(jwUb >= threshold)

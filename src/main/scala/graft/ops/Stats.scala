@@ -1219,14 +1219,20 @@ object Stats {
       .select(col(groupCol).as("g"), col(xCol).cast("double").as("a"),
         col(yCol).cast("double").as("b"))
     // renamed join keys: ra/rb share base's lineage, and dataframe-
-    // qualified g/v references on a self-derived join are ambiguous
+    // qualified g/v references on a self-derived join are ambiguous.
+    // The per-group cumulative count runs as the bucketed distributed
+    // prefix sum (Pipeline.runningSum) — the former per-(group) value
+    // window was one task per group, this operator's scale ceiling
+    // (the bestSplit rework applied here); the cell frame is
+    // checkpointed because the prefix sum's plan-build quantile sketch
+    // is itself an action.
     def ranks2(vc: String, gk: String, vk: String,
         rName: String): DataFrame = {
-      val cum = Window.partitionBy(col(gk)).orderBy(col(vk))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base.groupBy(col("g").as(gk), col(vc).as(vk))
+      val cells = base.groupBy(col("g").as(gk), col(vc).as(vk))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("__cum", sum(col("cnt")).over(cum))
+        .localCheckpoint()
+      Pipeline.runningSum(cells, vk, col("cnt"), "__cum",
+          buckets = 32, partCols = Seq(gk))
         // 2·avgrank = 2·(cum − cnt + 1) + (cnt − 1) = 2·cum − cnt + 1
         .select(col(gk), col(vk),
           (lit(2L) * col("__cum") - col("cnt") + lit(1L)).as(rName))
@@ -1234,9 +1240,16 @@ object Stats {
     val ra = ranks2("a", "__ga", "__va", "__sa")
     val rb = ranks2("b", "__gb", "__vb", "__sb")
     def qd(c: Column) = c.cast("decimal(19,0)")
+    // SHUFFLE_HASH, not broadcast: the rank tables scale with the value
+    // domain (~row count for continuous columns) — AQE's runtime
+    // broadcast of them cost a ~600k-row driver collect per join at
+    // gate scale (round-16 audit: wall ≫ task-sec) and is impossible at
+    // 100×; the hash join shuffles base once per rank side instead.
     val joined = base
-      .join(ra, col("g") === col("__ga") && col("a") === col("__va"))
-      .join(rb, col("g") === col("__gb") && col("b") === col("__vb"))
+      .join(ra.hint("SHUFFLE_HASH"),
+        col("g") === col("__ga") && col("a") === col("__va"))
+      .join(rb.hint("SHUFFLE_HASH"),
+        col("g") === col("__gb") && col("b") === col("__vb"))
     val moments = joined.groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         sum(qd(col("__sa"))).cast("decimal(38,0)").as("__ta"),

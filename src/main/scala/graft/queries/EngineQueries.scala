@@ -168,8 +168,12 @@ object EngineQueries {
 
   /** Independent per-row flags (k%2, k%3, k%5) for the for-expansion and
     * fieldPattern specs — rows carry zero to three set flags. */
+  /** Trivial-parse inputs (plain casts, no date/format kernels; every
+    * consumer's spec sits under the parser's RebalanceCostFloor): no
+    * spread — the exchange was measured as a net tax on these
+    * sub-second gates (round-15 verdict item 9). */
   private def orderFlagsInput(s: SparkSession, d: String): DataFrame =
-    spread(Tables.orders(s, d), col("o_orderkey")).select(
+    Tables.orders(s, d).select(
       col("o_orderkey").cast("string").as("okey"),
       (col("o_orderkey") % 2 === 0).cast("int").cast("string").as("flag_1"),
       (col("o_orderkey") % 3 === 0).cast("int").cast("string").as("flag_2"),
@@ -191,7 +195,7 @@ object EngineQueries {
       |}""".stripMargin
 
   private def sentinelInput(s: SparkSession, d: String): DataFrame =
-    spread(Tables.orders(s, d), col("o_orderkey")).select(
+    Tables.orders(s, d).select( // trivial parse: see orderFlagsInput
       col("o_orderkey").cast("string").as("okey"),
       when(col("o_orderkey") % 3 === 0, "N/A")
         .otherwise(col("o_orderpriority")).as("pri_or_na"))
@@ -422,10 +426,14 @@ object EngineQueries {
         .parseDataFrame(s, ordersInput(s, d))("metadata")
     },
     // R5: for-expansion — the template entry fans out to obs_1..obs_3,
-    // each gated on its substituted flag column
+    // each gated on its substituted flag column. The oneToMany explode
+    // amplifies rows, so THIS gate spreads the (otherwise unspread)
+    // trivial-parse input: its plain-field spec sits under the parser's
+    // RebalanceCostFloor, but the fan-out is not a trivial projection
+    // (round-16: losing the spread measured 1.4× on this gate).
     "r5_for_expansion" -> { (s, d) =>
       AdtlParser.fromJsonString(forSpec)
-        .parseDataFrame(s, orderFlagsInput(s, d))("obs")
+        .parseDataFrame(s, spread(orderFlagsInput(s, d), col("okey")))("obs")
         .orderBy("okey", "name")
     },
     // P14: defs+ref splice feeding a caseInsensitive values map
