@@ -1156,16 +1156,16 @@ object Dedup {
       bucketCol: String, threshold: Double = 0.95): DataFrame = {
     val spark = df.sparkSession
     val vd = Similarity.toDouble(col(vecCol))
-    // pack+norm hash every vector element and the frame feeds BOTH self-
-    // join sides — materialize it once (the upstream may itself be an
-    // expensive cell-assignment kernel, which otherwise re-runs per
-    // side; guide §2.4), spread across the session first (a one-row-
-    // group scan otherwise packs on one task; no-op at scale)
-    val v = materializeBase(
-      Pipeline.cpuRebalance(df, col(idCol))
-        .select(col(bucketCol).as("bkt"), col(idCol).as("id"),
-          graft.functions.PackedDoubles.packCol(spark, vd).as("v"),
-          Similarity.norm(vd).as("nrm")), None)
+    // NOT materialized, deliberately (round-16 measured): the two self-
+    // join sides differ only in aliases, so their exchanges canonicalize
+    // identically and ReuseExchange already evaluates the pack+norm
+    // (+any upstream assignment kernel) subtree ONCE — an explicit
+    // checkpoint here A/B-measured as pure added latency on the
+    // sub-second embed gates (1.04–1.25×), the round-14/15 small-input
+    // tax pattern.
+    val v = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
+      graft.functions.PackedDoubles.packCol(spark, vd).as("v"),
+      Similarity.norm(vd).as("nrm"))
     val a = v.select(col("bkt"), col("id").as("id_a"), col("v").as("v_a"),
       col("nrm").as("n_a"))
     val b = v.select(col("bkt"), col("id").as("id_b"), col("v").as("v_b"),
@@ -1272,14 +1272,11 @@ object Dedup {
     }
     val spark = df.sparkSession
     val vd = Similarity.toDouble(col(vecCol))
-    // pack + norm + nBits sign-projections per vector off a one-row-group
-    // scan: spread before the kernel (no-op at scale)
     val base = materializeBase(
-      Pipeline.cpuRebalance(df, col(idCol))
-        .select(col(idCol).as("id"),
-          graft.functions.PackedDoubles.packCol(spark, vd).as("v"),
-          Similarity.norm(vd).as("nrm"),
-          graft.functions.SrpExprs.srpBits(spark, vd, nBits).as("sig")),
+      df.select(col(idCol).as("id"),
+        graft.functions.PackedDoubles.packCol(spark, vd).as("v"),
+        Similarity.norm(vd).as("nrm"),
+        graft.functions.SrpExprs.srpBits(spark, vd, nBits).as("sig")),
       materializePath)
     // nearly-equal bit blocks (first `rem` one bit wider) — simhashPairs
     // layout generalized to nBits
