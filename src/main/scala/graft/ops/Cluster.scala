@@ -43,10 +43,23 @@ object Cluster {
     // materialize the pair list BEFORE symmetrizing: the union references
     // it twice, and an unmaterialized (possibly quadratic) pair plan would
     // execute once per reference
-    val half = Dedup.materializeBase(
+    val halfRaw = Dedup.materializeBase(
       pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst")).filter(col("src") =!= col("dst")),
       materializePath.map(_ + "/pairs"))
+    // bound the fixpoint's per-round map width to the PAIR VOLUME: the
+    // checkpoint inherits the pair ENGINE's layout (round-16 audit: a
+    // width-pinned engine handed a few-thousand-row pair list 32
+    // partitions, and every CC stage then scheduled 64 near-empty tasks
+    // under q_entity_resolution — +45% on the gate). The count is a
+    // cheap block scan of the just-materialized frame; 20k pairs/task
+    // keeps gate graphs on 1–2 tasks while big pair lists keep their
+    // width (coalesce only ever lowers it).
+    val half = {
+      val w = math.max(1L, math.min(halfRaw.count() / 20000L + 1L,
+        Pipeline.sessionWidth(pairs.sparkSession).toLong)).toInt
+      if (halfRaw.rdd.getNumPartitions > w) halfRaw.coalesce(w) else halfRaw
+    }
     // symmetric, deduped, PLUS a self-loop per node: with (v,v) present,
     // "min label over N(v) ∪ {v}" is ONE join + ONE aggregation per round
     // instead of neighbor-min plus a separate merge join. Materialized
