@@ -30,9 +30,16 @@ python3 tools/assemble_scale.py sf1 /tmp/sc_c1.json /tmp/sc_c10.json \
 # means the artifact was generated from a stale build or the compile
 # above didn't pick up the newest wave. Fail loudly instead of shipping
 # partial scale evidence.
+# (round 16: run/outputStrategy=StdoutOutput strips the child's
+# "[info] " prefix, so accept both the bare and the prefixed form; the
+# trailing `|| true` keeps pipefail quiet when grep filters everything)
 sbt -batch "runMain graft.ScaleBench --list-heavies" 2>/dev/null \
-  | sed -n 's/^\[info\] \([a-z0-9_][a-z0-9_]*\)$/\1/p' \
-  | grep -v '^running$' | sort > /tmp/heavies.txt
+  | sed -n 's/^\(\[info\] \)\{0,1\}\([a-z0-9_][a-z0-9_]*\)$/\2/p' \
+  | { grep -v '^running$' || true; } | sort > /tmp/heavies.txt
+if [ ! -s /tmp/heavies.txt ]; then
+  echo "STALE GUARD BROKEN: --list-heavies produced no names" >&2
+  exit 1
+fi
 python3 - "BENCH_${TAG}_sf1.json" /tmp/heavies.txt <<'PYEOF'
 import json, sys
 art = set(json.load(open(sys.argv[1]))["queries"])
